@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The query registry is assembled from the per-domain objects:
+  *  - [[ReplicationQueries]]  — sources, dedup, merge, deletes, schema
+  *    evolution, CDC apply, partial sync (SURVEY §2.1-2.3)
+  *  - [[TransformQueries]]    — masking compiler, flattening, timestamp
+  *    clamp, type mapping (SURVEY §2.4, §1.3)
+  *  - [[AnalyticsQueries]]    — warehouse-side SQL over replicated
+  *    streams + streaming-shaped window/session analytics (SURVEY §2.5)
+  *  - [[TrainingDataQueries]] — dedup/similarity/text/multimodal
+  *    operators for LLM data pipelines (north star)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  val allDefs: Map[String, QueryDef] =
+    ReplicationQueries.defs ++ TransformQueries.defs ++
+      AnalyticsQueries.defs ++ TrainingDataQueries.defs
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    allDefs("q1_pricing_summary").fn(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map { case (k, v) => k -> v.fn }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted entries get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    allDefs.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
+
+  /** Headline subset used by graft.Bench (scan-agg, joins, window,
+    * dedup family, ANN, text ops — the throughput-relevant shapes). */
+  val benchQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_suppliers",
+    "merge_upsert", "pk_dedup_lastwin", "running_total_window",
+    "stream_sessionize", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "ann_cosine_topk", "text_quality_score",
+    "doc_fingerprint")
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Codegen'd dot product over two `array<float>` columns.
+  *
+  * Embedding similarity (ANN / near-dup) is the hottest loop in the
+  * training-data operators: brute-force top-k at 100 TB scale is
+  * O(queries x corpus x dim) multiply-adds. Spark's higher-order functions
+  * (`zip_with` + `aggregate`) allocate an intermediate array per row and
+  * fall out of whole-stage codegen, so this is one of the few places a
+  * custom Catalyst Expression is genuinely warranted (SURVEY.md §7.3).
+  *
+  * Sums left-to-right in double precision — bit-identical to the DuckDB
+  * oracle's `list_dot_product(a::DOUBLE[], b::DOUBLE[])`.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var s = 0.0
+    while (i < n) {
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements() < $b.numElements()
+         |  ? $a.numElements() : $b.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorOps {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Dot product of two array<float> columns as a double Column. */
+  def dotF(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FloatVectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Cosine similarity, computed as dot/(sqrt(dot_aa)*sqrt(dot_bb)) with
+    * the same IEEE operation order as the DuckDB oracle formula.
+    */
+  def cosineF(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * Scale design: brute force is the correctness baseline (queries x corpus
+  * via broadcast of the small query set — no shuffle of the corpus at
+  * all); the IVF variant clusters the corpus once (centroid assignment =
+  * one scan), then probes only the closest partitions — the classic
+  * inverted-file ANN layout, expressed as a pre-partitioned join so a
+  * 1000-executor cluster touches ~nprobe/nlist of the data per query
+  * batch.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k. `queries` is expected to be small (it is
+    * broadcast); the corpus streams through the codegen'd dot product
+    * without shuffling. Output: (query_id, rank, neighbor_id).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"))
+    val sim = VectorOps.cosineF(col("q_vec"), col("c_vec"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  /** IVF (inverted-file) ANN: assign every corpus vector to its nearest
+    * of `centroids` (a small broadcast table), bucket the corpus by
+    * centroid, and at query time search only the `nprobe` closest buckets.
+    * This is the 100 TB path: the expensive exact search runs on
+    * ~nprobe/nlist of the corpus, and the bucketed corpus can be written
+    * out partitioned by `cluster` for reuse across query batches.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
+    val c = broadcast(centroids.select(col("centroid_id"),
+      col(vecCol).as("cent_vec")))
+    val scored = corpus.join(c)
+      .select(col(idCol), col(vecCol),
+        col("centroid_id"),
+        VectorOps.cosineF(col(vecCol), col("cent_vec")).as("sim"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc,
+      col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id").as("cluster"))
+  }
+
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, nprobe: Int)
+      : DataFrame = {
+    // pick nprobe closest clusters per query
+    val qc = broadcast(
+      ivfProbe(queries, centroids, idCol, vecCol, nprobe))
+    val cand = assigned.join(qc, Seq("cluster"))
+      .filter(col("query_id") =!= col(idCol))
+    val sim = VectorOps.cosineF(col("q_vec"), col(vecCol))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    cand.select(col("query_id"), col(idCol).as("neighbor_id"),
+        sim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"))
+  }
+
+  private def ivfProbe(queries: DataFrame, centroids: DataFrame,
+                       idCol: String, vecCol: String, nprobe: Int)
+      : DataFrame = {
+    val c = broadcast(centroids.select(col("centroid_id"),
+      col(vecCol).as("cent_vec")))
+    val scored = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec")).join(c)
+      .select(col("query_id"), col("q_vec"), col("centroid_id"),
+        VectorOps.cosineF(col("q_vec"), col("cent_vec")).as("csim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("csim").desc,
+      col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_vec"),
+        col("centroid_id").as("cluster"))
+  }
+
+  /** Deterministic centroid seed: take every n-th vector by id as a
+    * centroid (k-means init stand-in; deterministic so tests and the
+    * oracle agree).
+    */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    every: Int): DataFrame =
+    corpus.filter(col(idCol) % every === 0)
+      .select((col(idCol) / every).cast("long").as("centroid_id"),
+        col(vecCol))
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.StableHash._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. All pure Catalyst
+  * expressions (regexp_count / length arithmetic) — they run at scan
+  * speed inside whole-stage codegen, and each has an exact DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Stopword marker lists per language for the n-gram/stopword heuristic
+    * language identifier. Public knowledge (common function words).
+    */
+  val StopwordPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|in|that|with)\\b",
+    "de" -> "\\b(der|die|und|das|ist|nicht|ein|mit)\\b",
+    "es" -> "\\b(el|la|de|que|y|los|una|por)\\b",
+    "fr" -> "\\b(le|la|les|et|des|est|une|dans)\\b")
+
+  val CjkPattern = "[\\x{4e00}-\\x{9fff}]"
+
+  /** Predicted language: CJK characters -> zh; otherwise the language with
+    * the highest stopword-hit count (ties broken by list order above;
+    * no hits at all -> "und" for undetermined).
+    */
+  def langId(text: Column): Column = {
+    val counts = StopwordPatterns.map { case (lang, p) =>
+      lang -> regexp_count(lower(text), lit(p))
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = counts.reverse.foldLeft(lit("und")) { case (acc, (lang, c)) =>
+      when(c === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    when(regexp_count(text, lit(CjkPattern)) > 0, lit("zh")).otherwise(pick)
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token estimate: word-piece + punctuation split
+    * (`\w+` runs count 1 per ceil(len/4) chars, punctuation chars count 1
+    * each) — a deterministic, cluster-cheap stand-in for a real tokenizer.
+    */
+  def bpeTokenEstimate(text: Column): Column = {
+    val punct = regexp_count(text, lit("[^\\w\\s]"))
+    // sum over words of ceil(len/4): total word chars/4 rounded up per word
+    val words = filter(split(lower(text), "[^\\w]+"), w => length(w) > 0)
+    val wordTokens = aggregate(
+      transform(words, w => ((length(w) + 3) / 4).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    (wordTokens + punct).cast("long")
+  }
+
+  /** Quality-score components and composite, mirroring the classic
+    * pre-training quality filters (length / punctuation density / stopword
+    * density). Composite in [0,1]; deterministic arithmetic only.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nWords = wsTokenCount(text).cast("double")
+    val meanWordLen = nChars / greatest(nWords, lit(1.0))
+    val punctRatio = regexp_count(text, lit("[^\\w\\s]")).cast("double") /
+      greatest(nChars, lit(1.0))
+    val stopRatio = regexp_count(lower(text),
+      lit(StopwordPatterns.head._2)).cast("double") /
+      greatest(nWords, lit(1.0))
+    val lenOk = when(nChars >= 100 && nChars <= 20000, 1.0).otherwise(0.5)
+    val wordLenOk = when(meanWordLen >= 3 && meanWordLen <= 12, 1.0)
+      .otherwise(0.5)
+    val punctOk = when(punctRatio <= 0.2, 1.0).otherwise(0.5)
+    // plain left-associated double arithmetic — the oracle SQL mirrors the
+    // exact expression tree, so the doubles are bit-identical (no rounding)
+    lenOk * 0.4 + wordLenOk * 0.3 + punctOk * 0.2 +
+      least(stopRatio * lit(2.0), lit(1.0)) * 0.1
+  }
+
+  /** Order-independent document fingerprint: XOR-aggregate of
+    * position-salted word hashes (rolling-hash analogue that stays
+    * commutative, hence shuffle-friendly: map-side partial XOR).
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val words = docs.select(col(idCol),
+      posexplode(split(trim(lower(col(textCol))), "\\s+"))
+        .as(Seq("pos", "w")))
+    words.groupBy(col(idCol)).agg(
+      bit_xor(hash60(concat_ws("#", col("pos"), col("w"))))
+        .as("fingerprint"))
+  }
+}

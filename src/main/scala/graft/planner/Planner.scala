@@ -1,0 +1,113 @@
+package graft.planner
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s.{JValue, JLong, JInt, JString, JDouble, JDecimal}
+import graft.spec._
+import graft.state.Bookmarks
+import graft.sources.Sources
+import graft.sink.MergeSink
+import graft.transform.{Masking, Metadata}
+
+/** Stream router — the engine's `run_tap` (pipelinewise.py:1149-1316).
+  *
+  * Reproduces the snapshot-vs-incremental planning rule
+  * (`create_filtered_tap_properties` pipelinewise.py:171-367,
+  * `_is_initial_sync_required` :2010-2046):
+  *   - no bookmark for the stream  -> full snapshot (FastSync analogue)
+  *   - bookmark present            -> incremental with pushed predicate
+  *   - LOG_BASED                   -> Structured Streaming query
+  *     (graft.streaming.StreamingMerge); batch fallback applies the
+  *     change-log with last-write-wins semantics.
+  *
+  * Each plan ends in an idempotent PK merge + atomic publish, so replayed
+  * batches (at-least-once delivery) converge — the same guarantee the
+  * reference gets from PK dedup + MERGE.
+  */
+object Planner {
+
+  sealed trait SyncPlan
+  case object InitialSnapshot extends SyncPlan
+  final case class IncrementalFrom(bookmark: JValue) extends SyncPlan
+  case object StreamingCdc extends SyncPlan
+
+  def plan(stream: StreamSpec, state: Bookmarks): SyncPlan =
+    stream.replicationMethod match {
+      case ReplicationMethod.LogBased => StreamingCdc
+      case ReplicationMethod.FullTable => InitialSnapshot
+      case ReplicationMethod.Incremental =>
+        state.replicationKeyValue(stream.name) match {
+          case Some(b) => IncrementalFrom(b)
+          case None    => InitialSnapshot
+        }
+    }
+
+  private def jvalueToAny(j: JValue): Any = j match {
+    case JLong(v)    => v
+    case JInt(v)     => v.toLong
+    case JDouble(v)  => v
+    case JDecimal(v) => v
+    case JString(v)  => v
+    case other       => other.toString
+  }
+
+  /** Run one batch sync of one stream from a parquet source dir into the
+    * pipeline's target dir; returns the updated state.
+    */
+  def runStream(spark: SparkSession, pipeline: PipelineSpec,
+                stream: StreamSpec, sourcePath: String,
+                state: Bookmarks): Bookmarks = {
+    stream.validate()
+    val raw = plan(stream, state) match {
+      case InitialSnapshot =>
+        Sources.fullTable(spark, sourcePath, stream.selectedColumns)
+      case IncrementalFrom(b) =>
+        Sources.incremental(spark, sourcePath,
+          stream.replicationKey.get, Some(jvalueToAny(b)))
+      case StreamingCdc =>
+        // batch fallback: treat the source as an accumulated change log
+        Sources.fullTable(spark, sourcePath, stream.selectedColumns)
+    }
+    val transformed = Metadata.withSystemColumns(
+      Masking.applyAll(raw, stream.transformations))
+    val orderCol = stream.replicationKey.getOrElse(Metadata.ExtractedAt)
+    MergeSink.flush(spark, transformed,
+      s"${pipeline.targetPath}/${stream.table}",
+      stream.keyProperties, orderCol, pipeline.hardDelete)
+
+    stream.replicationKey match {
+      case Some(k) =>
+        Sources.nextBookmark(raw, k) match {
+          case Some(v) =>
+            val jv: JValue = v match {
+              case l: Long => JLong(l)
+              case i: Int => JLong(i.toLong)
+              case d: Double => JDouble(d)
+              case s: String => JString(s)
+              case ts: java.sql.Timestamp => JString(ts.toString)
+              case dt: java.sql.Date => JString(dt.toString)
+              case other => JString(String.valueOf(other))
+            }
+            state.updated(stream.name, Map(
+              "replication_key" -> JString(k),
+              "replication_key_value" -> jv))
+          case None => state
+        }
+      case None => state
+    }
+  }
+
+  /** Run all selected streams; persists state after each stream (the
+    * reference throttles state writes; per-stream granularity is our
+    * micro-batch commit cadence).
+    */
+  def run(spark: SparkSession, pipeline: PipelineSpec,
+          sourcePathFor: String => String): Bookmarks = {
+    var state = Bookmarks.load(pipeline.statePath)
+    pipeline.streams.foreach { s =>
+      state = runStream(spark, pipeline, s, sourcePathFor(s.table), state)
+      state.save(pipeline.statePath)
+    }
+    state
+  }
+}

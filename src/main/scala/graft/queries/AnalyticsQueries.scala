@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+import graft.streaming.StreamingMerge
+
+/** Warehouse-side analytics over the replicated streams (SURVEY.md §2.5:
+  * the reference delegates these to the destination warehouse; here Spark
+  * SQL *is* the warehouse). TPC-H-shaped headliners double as the bench
+  * suite: scan-heavy aggregation (q1), broadcast-join + top-k (q3), a
+  * six-way join (q5), window analytics, and streaming-style
+  * sessionization / windowed aggregation expressed over the event stream.
+  *
+  * Scale notes: joins below follow the dimension->broadcast /
+  * fact->shuffle pattern; aggregates are partial (map-side combine) by
+  * construction; all sums use exact decimal so AQE can re-partition
+  * without changing results.
+  */
+object AnalyticsQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "q1_pricing_summary" -> QueryDef(
+      (s, d) => table(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsumExpr(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .as("sum_disc_price"),
+          dsumExpr(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))) *
+            (lit(1).cast("decimal(18,2)") + dec(col("l_tax"))))
+            .as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast("double") /
+            count(lit(1))).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast("double") /
+            count(lit(1))).as("avg_price"),
+          (sum(dec(col("l_discount"))).cast("double") /
+            count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |    AS sum_disc_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |    (1 - CAST(l_discount AS DECIMAL(18,2))) *
+             |    (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+             |    AS sum_charge,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    / count(*) AS avg_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    / count(*) AS avg_price,
+             |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             |    / count(*) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    "q3_shipping_priority" -> QueryDef(
+      (s, d) => {
+        val cust = table(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val ord = table(s, d, "orders")
+          .filter(col("o_orderdate") < lit("1995-03-15"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val li = table(s, d, "lineitem")
+          .filter(col("l_shipdate") > lit("1995-03-15"))
+          .select(col("l_orderkey"),
+            (dec(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+              .as("rev"))
+        li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+          .agg(sum(col("rev")).as("rev_dec"))
+          .select(col("l_orderkey"),
+            col("rev_dec").cast("double").as("revenue"), col("o_orderdate"))
+          .orderBy(col("rev_dec").desc, col("l_orderkey").asc)
+          .limit(10)
+          .select(col("l_orderkey"), col("revenue"), col("o_orderdate"))
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |    AS revenue,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+             |  AND l_orderkey = o_orderkey
+             |  AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+             |GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+             |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |  (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, l_orderkey
+             |LIMIT 10""".stripMargin)),
+
+    "q5_local_suppliers" -> QueryDef(
+      (s, d) => {
+        val nation = table(s, d, "nation")
+        val region = table(s, d, "region")
+          .filter(col("r_name") === "ASIA")
+        val geo = broadcast(nation
+          .join(region, col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+        val supp = table(s, d, "supplier")
+          .join(geo, col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        val cust = table(s, d, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val ord = table(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (dec(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+              .as("rev"))
+        li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("rev")).cast("double").as("revenue"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |    AS revenue
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA' AND o_orderdate >= '1996-01-01'
+             |  AND o_orderdate < '1997-01-01'
+             |GROUP BY n_name""".stripMargin)),
+
+    "top_n_per_group" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        table(s, d, "orders")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+            col("o_totalprice"))
+      },
+      Some("""SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+             |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+             |WHERE rk <= 3""".stripMargin)),
+
+    "running_total_window" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, d)
+          .select(col("user_id"), col("event_id"),
+            sum(dec(col("value"))).over(w).cast("double")
+              .as("running_value"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS DOUBLE) AS running_value
+             |FROM events""".stripMargin)),
+
+    "stream_window_agg" -> QueryDef(
+      (s, d) => StreamingMerge.windowedCounts(
+          events(s, d), "ts", "event_type", "1 hour", "1 hour")
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n"),
+          dec(col("total_value")).cast("string").as("total_value_str")),
+      // batch shape of the streaming windowed aggregate: tumbling 1h
+      Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+             |    '%Y-%m-%d %H:%M:%S') AS window_start,
+             |  event_type, count(*) AS n,
+             |  CAST(CAST(sum(value) AS DECIMAL(18,2)) AS VARCHAR)
+             |    AS total_value_str
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    "stream_sessionize" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"),
+          col("event_id"))
+        val gaps = events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts").cast("timestamp")) -
+                unix_timestamp(col("prev_ts").cast("timestamp")) > 1800, 1)
+              .otherwise(0))
+        gaps.withColumn("session_no",
+            sum(col("new_session")).over(
+              Window.partitionBy(col("user_id")).orderBy(col("ts"),
+                col("event_id"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"))
+          .agg(max(col("session_no")).as("n_sessions"),
+            count(lit(1)).as("n_events"))
+      },
+      Some("""WITH gaps AS (SELECT user_id, ts, event_id,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS prev_ts FROM events),
+             |  flags AS (SELECT user_id, ts, event_id,
+             |    CASE WHEN prev_ts IS NULL
+             |      OR date_diff('second', prev_ts, ts) > 1800
+             |      THEN 1 ELSE 0 END AS new_session FROM gaps),
+             |  sess AS (SELECT user_id,
+             |    sum(new_session) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS session_no FROM flags)
+             |SELECT user_id, CAST(max(session_no) AS BIGINT) AS n_sessions,
+             |  count(*) AS n_events
+             |FROM sess GROUP BY user_id""".stripMargin))
+  )
+}

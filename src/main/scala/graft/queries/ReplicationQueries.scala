@@ -1,0 +1,263 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.Q._
+import graft.sink.MergeSink
+import graft.sources.Sources
+
+/** Verified queries covering the reference's replication surface
+  * (SURVEY.md §2.1-2.3): full-table scan, incremental scan with bookmark
+  * pushdown, bookmark capture, within-batch PK dedup, MERGE upsert,
+  * soft/hard deletes, append-only no-PK streams, partial (range) sync,
+  * schema evolution, CDC changelog apply, kafka record shape, file-source
+  * provenance columns.
+  *
+  * Each query uses the actual engine operator (Sources/MergeSink) over the
+  * driver's TPC-H-ish parquet, shaped so a plain DuckDB SQL oracle can
+  * verify it hash-exactly.
+  */
+object ReplicationQueries {
+
+  /** Simulated "existing target table": orders not divisible by 3. */
+  private def targetOrders(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders").filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+
+  /** Simulated CDC update batch: orders divisible by 2, price bumped. */
+  private def updateOrders(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders").filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"),
+        (dec(col("o_totalprice")) + lit(1).cast("decimal(18,2)"))
+          .cast("double").as("o_totalprice"))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- sources -------------------------------------------------------
+
+    "full_table_scan" -> QueryDef(
+      (s, d) => Sources.fullTable(s, s"$d/orders.parquet",
+        Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders""".stripMargin)),
+
+    "incremental_scan" -> QueryDef(
+      (s, d) => Sources.incremental(s, s"$d/lineitem.parquet", "l_shipdate",
+          Some("1995-06-15"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+             |FROM lineitem WHERE l_shipdate >= '1995-06-15'""".stripMargin)),
+
+    "bookmark_capture" -> QueryDef(
+      (s, d) => table(s, d, "lineitem")
+        .agg(date_format(max(col("l_shipdate")), "yyyy-MM-dd")
+            .as("replication_key_value"),
+          count(lit(1)).as("rows_scanned")),
+      Some("""SELECT strftime(max(l_shipdate), '%Y-%m-%d')
+             |         AS replication_key_value,
+             |       count(*) AS rows_scanned FROM lineitem""".stripMargin)),
+
+    "file_source_provenance" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        table(s, d, "documents")
+          .withColumn("_sdc_source_file",
+            regexp_extract(input_file_name(), "([^/]+)$", 1))
+          .withColumn("_sdc_source_lineno",
+            row_number().over(Window.orderBy(col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col("_sdc_source_file"),
+            col("_sdc_source_lineno"))
+      },
+      Some("""SELECT doc_id, 'documents.parquet' AS _sdc_source_file,
+             |  row_number() OVER (ORDER BY doc_id) AS _sdc_source_lineno
+             |FROM documents""".stripMargin)),
+
+    "kafka_record_shape" -> QueryDef(
+      (s, d) => Sources.kafkaRecordShape(
+        events(s, d).select(
+          col("props").cast("binary").as("value"),
+          (col("user_id") % 8).as("partition"),
+          col("event_id").as("offset"),
+          col("ts").as("timestamp")),
+        Map("pk_k" -> "$.k"))
+        .select(col("message"), col("message_partition"),
+          col("message_offset"), col("pk_k")),
+      Some("""SELECT props AS message, user_id % 8 AS message_partition,
+             |  event_id AS message_offset,
+             |  json_extract_string(props, '$.k') AS pk_k
+             |FROM events""".stripMargin)),
+
+    // ---- batch buffering / dedup / merge ------------------------------
+
+    "pk_dedup_lastwin" -> QueryDef(
+      (s, d) => MergeSink.dedupLastWins(
+          events(s, d), Seq("user_id"), "event_id")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type"), col("value")),
+      Some("""SELECT user_id, event_id AS last_event_id, event_type, value
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |        ORDER BY event_id DESC) AS rn FROM events)
+             |WHERE rn = 1""".stripMargin)),
+
+    "merge_upsert" -> QueryDef(
+      (s, d) => MergeSink.merge(
+        targetOrders(s, d), updateOrders(s, d), Seq("o_orderkey")),
+      Some("""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             |    o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+             |  u AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2))
+             |         + CAST(1 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+             |    FROM orders WHERE o_orderkey % 2 = 0)
+             |SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+             |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey
+             |       ELSE t.o_custkey END AS o_custkey,
+             |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+             |       ELSE t.o_orderstatus END AS o_orderstatus,
+             |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+             |       ELSE t.o_totalprice END AS o_totalprice
+             |FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey"""
+        .stripMargin)),
+
+    "merge_soft_delete" -> QueryDef(
+      (s, d) => {
+        val tombstones = table(s, d, "orders")
+          .filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            lit("D").as("o_orderstatus"), col("o_totalprice"),
+            lit("2024-01-01 00:00:00").as("_sdc_deleted_at_str"))
+        val tgt = targetOrders(s, d)
+          .withColumn("_sdc_deleted_at_str", lit(null).cast("string"))
+        MergeSink.merge(tgt, tombstones, Seq("o_orderkey"),
+            hardDelete = false, deletedAtCol = "_sdc_deleted_at_str")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("_sdc_deleted_at_str"))
+      },
+      Some("""WITH t AS (SELECT o_orderkey, o_orderstatus,
+             |    NULL AS _sdc_deleted_at_str
+             |    FROM orders WHERE o_orderkey % 3 <> 0),
+             |  u AS (SELECT o_orderkey, 'D' AS o_orderstatus,
+             |    '2024-01-01 00:00:00' AS _sdc_deleted_at_str
+             |    FROM orders WHERE o_orderkey % 5 = 0)
+             |SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+             |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+             |       ELSE t.o_orderstatus END AS o_orderstatus,
+             |  CASE WHEN u.o_orderkey IS NOT NULL THEN u._sdc_deleted_at_str
+             |       ELSE t._sdc_deleted_at_str END AS _sdc_deleted_at_str
+             |FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey"""
+        .stripMargin)),
+
+    "merge_hard_delete" -> QueryDef(
+      (s, d) => {
+        val tombstones = table(s, d, "orders")
+          .filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            lit("D").as("o_orderstatus"), col("o_totalprice"),
+            lit("2024-01-01 00:00:00").as("_sdc_deleted_at_str"))
+        val tgt = targetOrders(s, d)
+          .withColumn("_sdc_deleted_at_str", lit(null).cast("string"))
+        MergeSink.merge(tgt, tombstones, Seq("o_orderkey"),
+            hardDelete = true, deletedAtCol = "_sdc_deleted_at_str")
+          .select(col("o_orderkey"), col("o_orderstatus"))
+      },
+      Some("""WITH t AS (SELECT o_orderkey, o_orderstatus
+             |    FROM orders WHERE o_orderkey % 3 <> 0)
+             |SELECT o_orderkey, o_orderstatus FROM t
+             |WHERE o_orderkey % 5 <> 0""".stripMargin)),
+
+    "append_no_pk" -> QueryDef(
+      (s, d) => {
+        val a = table(s, d, "nation").select(col("n_nationkey"),
+          col("n_name"), lit("batch_1").as("_sdc_batch"))
+        val b = table(s, d, "nation").select(col("n_nationkey"),
+          col("n_name"), lit("batch_2").as("_sdc_batch"))
+        // no-PK streams must NOT dedup: both copies survive
+        MergeSink.append(a, b)
+      },
+      Some("""SELECT n_nationkey, n_name, 'batch_1' AS _sdc_batch FROM nation
+             |UNION ALL
+             |SELECT n_nationkey, n_name, 'batch_2' AS _sdc_batch FROM nation"""
+        .stripMargin)),
+
+    "partial_sync_range" -> QueryDef(
+      (s, d) => {
+        // ranged re-sync: rows inside [start,end] replaced by source truth
+        val li = table(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        val target = li.withColumn("l_quantity", col("l_quantity") + 1000.0)
+        val range = li.filter(col("ship_date")
+          .between("1994-01-01", "1994-12-31"))
+        val merged = MergeSink.merge(target, range,
+          Seq("l_orderkey", "l_linenumber"))
+        merged.filter(col("ship_date").between("1994-01-01", "1994-12-31"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+             |FROM lineitem
+             |WHERE strftime(l_shipdate, '%Y-%m-%d')
+             |  BETWEEN '1994-01-01' AND '1994-12-31'""".stripMargin)),
+
+    // ---- schema evolution ---------------------------------------------
+
+    "schema_evolution_add_column" -> QueryDef(
+      (s, d) => {
+        val oldBatch = table(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"))
+        val newBatch = table(s, d, "supplier")
+          .filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        // target grows the new column; untouched rows read NULL; columns
+        // are never dropped
+        MergeSink.merge(oldBatch, newBatch, Seq("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name,
+             |  CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal
+             |       ELSE NULL END AS s_acctbal
+             |FROM supplier""".stripMargin)),
+
+    "schema_evolution_version_column" -> QueryDef(
+      (s, d) => {
+        val target = table(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        // incoming batch re-types s_acctbal double -> string
+        val incoming = table(s, d, "supplier")
+          .filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey"), col("s_name"),
+            dec(col("s_acctbal")).cast("string").as("s_acctbal"))
+        val evolved = MergeSink.evolveTarget(target, incoming.schema, "v1")
+        MergeSink.merge(evolved, incoming, Seq("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name, s_acctbal AS s_acctbal_v1,
+             |  CASE WHEN s_suppkey % 2 = 0
+             |       THEN CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR)
+             |       ELSE NULL END AS s_acctbal
+             |FROM supplier""".stripMargin)),
+
+    // ---- CDC / log-based ----------------------------------------------
+
+    "cdc_apply_changelog" -> QueryDef(
+      (s, d) => {
+        // events as a change log keyed by user_id: signup=insert,
+        // click/view/purchase=update, error=delete tombstone;
+        // last-write-wins by (ts, event_id), hard-delete tombstones.
+        val log = events(s, d).withColumn("op",
+          when(col("event_type") === "signup", "c")
+            .when(col("event_type") === "error", "d").otherwise("u"))
+        val applied = MergeSink.dedupLastWins(log, Seq("user_id"), "event_id")
+        applied.filter(col("op") =!= "d")
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("op"), col("value"))
+      },
+      Some("""WITH log AS (SELECT *, CASE WHEN event_type = 'signup' THEN 'c'
+             |    WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+             |  FROM events),
+             |  applied AS (SELECT *, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM log)
+             |SELECT user_id, event_id AS last_event_id, op, value
+             |FROM applied WHERE rn = 1 AND op <> 'd'""".stripMargin))
+  )
+}

@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.StableHash
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.Q._
+
+/** Verified queries for the training-data-pipeline operators (the
+  * beyond-reference surface): exact + fuzzy dedup (minhash-LSH, simhash,
+  * n-gram Jaccard), embedding ANN (brute-force + IVF), text analysis
+  * (language ID, quality, token counts, fingerprints) and multimodal
+  * binary-column plumbing.
+  *
+  * The DuckDB oracle SQL is *generated* from the same constants
+  * (StableHash.minhashParams, stopword patterns, k, thresholds) the Scala
+  * operators use, so both engines evaluate the identical algorithm.
+  */
+object TrainingDataQueries {
+
+  private val P = StableHash.MinhashPrime
+  private val NumHashes = 12
+  private val RowsPerBand = 3
+  private val NumBands = NumHashes / RowsPerBand
+  private val ShingleK = 3
+  private val MinhashThreshold = 0.5
+  private val JaccardK = 3
+  private val JaccardThreshold = 0.8
+  private val SimhashBits = 32
+  private val MaxHamming = 3
+  private val AnnK = 10
+  private val AnnNumQueries = 20
+
+  // ---- generated oracle-SQL fragments ---------------------------------
+
+  /** words CTE: whitespace-tokenized lowercase text. */
+  private val wordsCte =
+    """words AS (SELECT doc_id,
+      |  string_split_regex(trim(lower(text)), '\s+') AS ws
+      |  FROM documents)""".stripMargin
+
+  /** distinct k-shingles per doc (matches Dedup.shingles). */
+  private def shinglesCte(k: Int) =
+    s"""sh AS (SELECT doc_id,
+       |  unnest(list_distinct(list_transform(range(1, len(ws) - ${k - 2}),
+       |    i -> array_to_string(ws[i:i+${k - 1}], ' ')))) AS shingle
+       |  FROM words)""".stripMargin
+
+  private val hashCte =
+    s"h AS (SELECT doc_id, ${StableHash.hash60Sql("shingle")} AS h FROM sh)"
+
+  private def sigSelect: String =
+    StableHash.minhashParams(NumHashes).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"min(${StableHash.minhashPermSql("h", a, b)}) AS sig_$i"
+    }.mkString(", ")
+
+  private val sigCte =
+    s"sig AS (SELECT doc_id, $sigSelect FROM h GROUP BY doc_id)"
+
+  private def bandExprs: String = (0 until NumBands).map { b =>
+    val cols = (0 until RowsPerBand).map(r => s"sig_${b * RowsPerBand + r}")
+    s"concat_ws('_', ${cols.mkString(", ")}) AS band_$b"
+  }.mkString(", ")
+
+  private val minhashSigsSql =
+    s"""WITH $wordsCte, ${shinglesCte(ShingleK)}, $hashCte, $sigCte
+       |SELECT * FROM sig""".stripMargin
+
+  private val minhashLshSql = {
+    val bandJoins = (0 until NumBands).map { b =>
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM banded a JOIN banded b
+         |  ON a.band_$b = b.band_$b AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\nUNION\n")
+    val agree = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $wordsCte, ${shinglesCte(ShingleK)}, $hashCte, $sigCte,
+       |banded AS (SELECT doc_id, $bandExprs FROM sig),
+       |cand AS ($bandJoins)
+       |SELECT c.id_a, c.id_b,
+       |  CAST($agree AS DOUBLE) / $NumHashes AS sig_agreement
+       |FROM cand c
+       |JOIN sig sa ON c.id_a = sa.doc_id
+       |JOIN sig sb ON c.id_b = sb.doc_id
+       |WHERE CAST($agree AS DOUBLE) / $NumHashes >= $MinhashThreshold"""
+      .stripMargin
+  }
+
+  private val simhashCte = {
+    val bitSums = (0 until SimhashBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bs_$b")
+      .mkString(", ")
+    val fp = (0 until SimhashBits).map(b =>
+      s"CASE WHEN bs_$b > 0 THEN (1::BIGINT << $b) ELSE 0 END")
+      .mkString(" + ")
+    s"""wh AS (SELECT doc_id, unnest(list_distinct(ws)) AS w FROM words),
+       |h2 AS (SELECT doc_id, ${StableHash.hash60Sql("w")} AS h FROM wh),
+       |bsums AS (SELECT doc_id, $bitSums FROM h2 GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fp AS simhash FROM bsums)""".stripMargin
+  }
+
+  private val simhashSql =
+    s"WITH $wordsCte, $simhashCte SELECT doc_id, simhash FROM fp"
+
+  private val simhashPairsSql = {
+    val bandJoins = (0 until SimhashBits / 8).map { b =>
+      s"""SELECT a.doc_id AS id_a, a.simhash AS fp_a,
+         |  b.doc_id AS id_b, b.simhash AS fp_b
+         |FROM fp a JOIN fp b
+         |  ON ((a.simhash >> ${b * 8}) & 255) = ((b.simhash >> ${b * 8}) & 255)
+         |  AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\nUNION\n")
+    s"""WITH $wordsCte, $simhashCte,
+       |cand AS ($bandJoins)
+       |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $MaxHamming"""
+      .stripMargin
+  }
+
+  private val jaccardSql =
+    s"""WITH $wordsCte, ${shinglesCte(JaccardK)},
+       |g AS (SELECT doc_id AS id, shingle AS g FROM sh),
+       |sz AS (SELECT id, count(*) AS sz FROM g GROUP BY id),
+       |i AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM g a JOIN g b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) AS jaccard
+       |FROM i JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+       |WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter)
+       |  >= $JaccardThreshold""".stripMargin
+
+  private val annSql =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < $AnnNumQueries),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+       |  FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id,
+       |  list_dot_product(qv, cv) /
+       |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+       |    AS sim
+       |  FROM q, c WHERE query_id <> neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, rank, neighbor_id FROM r
+       |WHERE rank <= $AnnK""".stripMargin
+
+  private val langIdSql = {
+    val counts = TextAnalysis.StopwordPatterns.map { case (lang, p) =>
+      s"len(regexp_extract_all(lower(text), '$p')) AS c_$lang"
+    }.mkString(", ")
+    val langs = TextAnalysis.StopwordPatterns.map(_._1)
+    val best = s"greatest(${langs.map(l => s"c_$l").mkString(", ")})"
+    val pick = langs.map(l =>
+      s"WHEN c_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+    s"""WITH c AS (SELECT doc_id, text, $counts FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN len(regexp_extract_all(text,
+       |      '${TextAnalysis.CjkPattern}')) > 0 THEN 'zh'
+       |    ELSE CASE $pick ELSE 'und' END END AS predicted_lang
+       |FROM c""".stripMargin
+  }
+
+  private val qualitySql = {
+    val stopPat = TextAnalysis.StopwordPatterns.head._2
+    // every literal is ::DOUBLE — DuckDB otherwise types 0.4 as DECIMAL
+    // and folds the weighted sum exactly, drifting 1 ulp from Spark's
+    // double arithmetic
+    s"""WITH m AS (SELECT doc_id,
+       |  CAST(length(text) AS DOUBLE) AS n_chars,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+       |    AS n_words,
+       |  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+       |    AS n_punct,
+       |  CAST(len(regexp_extract_all(lower(text), '$stopPat')) AS DOUBLE)
+       |    AS n_stop
+       |  FROM documents)
+       |SELECT doc_id,
+       |  (CASE WHEN n_chars >= 100 AND n_chars <= 20000
+       |     THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END * 0.4::DOUBLE
+       |   + CASE WHEN n_chars / greatest(n_words, 1.0::DOUBLE) >= 3
+       |       AND n_chars / greatest(n_words, 1.0::DOUBLE) <= 12
+       |     THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END * 0.3::DOUBLE
+       |   + CASE WHEN n_punct / greatest(n_chars, 1.0::DOUBLE)
+       |       <= 0.2::DOUBLE
+       |     THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END * 0.2::DOUBLE
+       |   + least(n_stop / greatest(n_words, 1.0::DOUBLE) * 2.0::DOUBLE,
+       |       1.0::DOUBLE) * 0.1::DOUBLE)
+       |  AS quality_score
+       |FROM m""".stripMargin
+  }
+
+  private val tokenCountSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+      |    AS ws_tokens,
+      |  CAST(list_aggregate(list_transform(
+      |    list_filter(string_split_regex(lower(text), '[^\w]+'),
+      |      w -> length(w) > 0),
+      |    w -> CAST(floor((length(w) + 3) / 4) AS BIGINT)), 'sum')
+      |  + len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT)
+      |    AS bpe_est_tokens
+      |FROM documents""".stripMargin
+
+  private val fingerprintSql =
+    s"""WITH $wordsCte,
+       |pw AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |  i -> concat_ws('#', i - 1, ws[i]))) AS pword FROM words)
+       |SELECT doc_id,
+       |  bit_xor(${StableHash.hash60Sql("pword")}) AS fingerprint
+       |FROM pw GROUP BY doc_id""".stripMargin
+
+  // ---- query defs ------------------------------------------------------
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "dedup_exact" -> QueryDef(
+      (s, d) => Dedup.exact(table(s, d, "documents"), "doc_id", "text"),
+      Some(s"""SELECT ${StableHash.hash60Sql("text")} AS text_hash,
+              |  min(doc_id) AS keep_id, count(*) AS n_copies
+              |FROM documents GROUP BY 1""".stripMargin)),
+
+    "dedup_minhash_signatures" -> QueryDef(
+      (s, d) => Dedup.minhashSignatures(table(s, d, "documents"),
+        "doc_id", "text", ShingleK, NumHashes),
+      Some(minhashSigsSql)),
+
+    "dedup_minhash_lsh" -> QueryDef(
+      (s, d) => Dedup.minhashNearDups(table(s, d, "documents"),
+        "doc_id", "text", ShingleK, NumHashes, RowsPerBand,
+        MinhashThreshold),
+      Some(minhashLshSql)),
+
+    "dedup_simhash" -> QueryDef(
+      (s, d) => Dedup.simhash(table(s, d, "documents"), "doc_id", "text",
+        SimhashBits),
+      Some(simhashSql)),
+
+    "dedup_simhash_pairs" -> QueryDef(
+      (s, d) => Dedup.simhashNearDups(table(s, d, "documents"),
+        "doc_id", "text", SimhashBits, MaxHamming),
+      Some(simhashPairsSql)),
+
+    "dedup_ngram_jaccard" -> QueryDef(
+      (s, d) => Dedup.ngramJaccardPairs(table(s, d, "documents"),
+        "doc_id", "text", JaccardK, JaccardThreshold),
+      Some(jaccardSql)),
+
+    "ann_cosine_topk" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < AnnNumQueries), "vec_id", "embedding",
+          AnnK)
+      },
+      Some(annSql)),
+
+    "ann_ivf_topk" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val centroids = Similarity.seedCentroids(emb, "vec_id", "embedding",
+          every = 50)
+        val assigned = Similarity.ivfAssign(emb, centroids, "vec_id",
+          "embedding")
+        Similarity.ivfTopK(assigned, centroids,
+          emb.filter(col("vec_id") < AnnNumQueries), "vec_id", "embedding",
+          AnnK, nprobe = 4)
+      },
+      None), // IVF probe order has no concise SQL twin; rows-only check
+
+    "text_lang_id" -> QueryDef(
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("predicted_lang")),
+      Some(langIdSql)),
+
+    "text_quality_score" -> QueryDef(
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality_score")),
+      Some(qualitySql)),
+
+    "text_token_counts" -> QueryDef(
+      (s, d) => table(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_est_tokens")),
+      Some(tokenCountSql)),
+
+    "doc_fingerprint" -> QueryDef(
+      (s, d) => TextAnalysis.fingerprint(table(s, d, "documents"),
+        "doc_id", "text"),
+      Some(fingerprintSql)),
+
+    "media_stats" -> QueryDef(
+      (s, d) => Multimodal.mediaStats(
+        table(s, d, "documents").select(col("doc_id").as("media_id"),
+          lit("text-bytes").as("modality"),
+          col("text").cast("binary").as("payload"))),
+      Some("""SELECT doc_id AS media_id, 'text-bytes' AS modality,
+             |  CAST(length(text) AS BIGINT) AS n_bytes,
+             |  md5(text) AS checksum
+             |FROM documents""".stripMargin)),
+
+    "media_frame_sample" -> QueryDef(
+      (s, d) => Multimodal.sampleFrames(
+        table(s, d, "documents").select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload")),
+        frameBytes = 64, everyNth = 2),
+      Some("""SELECT media_id, CAST(frame_no AS INT) AS frame_no FROM (
+             |  SELECT doc_id AS media_id,
+             |    unnest(range(0, greatest(
+             |      CAST(floor(length(text) / 64) AS INT), 1))) AS frame_no
+             |  FROM documents)
+             |WHERE frame_no % 2 = 0""".stripMargin)),
+
+    "media_features_stub" -> QueryDef(
+      (s, d) => Multimodal.extractFeatures(
+        table(s, d, "documents").select(col("doc_id").as("media_id"),
+          lit("text-bytes").as("modality"),
+          col("text").cast("binary").as("payload")))
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          col("checksum")),
+      // features come from the stub kernel; the Spark-side plumbing
+      // (schema/batching) is what's under test — checksum+length have an
+      // exact oracle
+      Some("""SELECT doc_id AS media_id, 'text-bytes' AS modality,
+             |  CAST(length(text) AS BIGINT) AS n_bytes,
+             |  md5(text) AS checksum
+             |FROM documents""".stripMargin))
+  )
+}

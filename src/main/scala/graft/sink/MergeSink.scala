@@ -1,0 +1,152 @@
+package graft.sink
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.catalog.SchemaDiff
+
+/** PK-merge upsert sink — the engine's `target` surface.
+  *
+  * Capabilities reproduced (SURVEY.md §2.3):
+  *  - within-batch last-write-wins PK dedup
+  *    (target_snowflake/__init__.py:160-176)
+  *  - MERGE upsert when PKs exist (file_formats/csv.py:26-46,
+  *    db_sync.py:449-527); append-only COPY otherwise
+  *  - soft-delete tombstones + hard-delete mode (db_sync.py:632-637)
+  *  - schema evolution: add column / version column on type change
+  *    (db_sync.py:767-860)
+  *  - atomic publish via staged write + swap
+  *    (fastsync/commons/target_snowflake.py:448-469)
+  *
+  * All merge logic is a declarative plan (window dedup + join + coalesce)
+  * so Catalyst is free to broadcast the small side, and AQE handles skew.
+  * At 100 TB, the upsert join shuffles on the PK — the same partitioning
+  * the target table is bucketed by, so repeated merges co-locate.
+  */
+object MergeSink {
+
+  /** Last-write-wins dedup within a batch, ordered by `orderCol` descending
+    * (the CDC sequence — offset, LSN, or extracted-at).
+    */
+  def dedupLastWins(batch: DataFrame, pks: Seq[String], orderCol: String)
+      : DataFrame = {
+    val w = Window.partitionBy(pks.map(col): _*)
+      .orderBy(col(orderCol).desc)
+    batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Pure merge: upsert `updates` into `target` on `pks`.
+    * Rows in updates win; `_sdc_deleted_at`-tombstoned rows are dropped
+    * when `hardDelete` (DELETE ... WHERE _sdc_deleted_at IS NOT NULL),
+    * kept (soft) otherwise. Handles updates carrying new columns
+    * (schema evolution add-column): target rows get NULL.
+    */
+  def merge(target: DataFrame, updates: DataFrame, pks: Seq[String],
+            hardDelete: Boolean = false,
+            deletedAtCol: String = "_sdc_deleted_at"): DataFrame = {
+    val allCols: Seq[String] =
+      (target.columns ++ updates.columns.filterNot(target.columns.contains))
+        .toSeq
+    val types: Map[String, org.apache.spark.sql.types.DataType] =
+      (target.schema.fields ++ updates.schema.fields)
+        .map(f => f.name -> f.dataType).toMap
+    val updCols = updates.columns.toSet
+    val t = align(target, allCols, types).alias("t")
+    val u = align(updates, allCols, types)
+      .withColumn("__upd", lit(true)).alias("u")
+    val cond = pks.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
+    val merged = t.join(u, cond, "full_outer").select(
+      allCols.map { c =>
+        if (pks.contains(c)) coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
+        // columns absent from the update batch (e.g. versioned columns)
+        // keep the target value — MERGE only touches loaded columns
+        else if (!updCols.contains(c)) col(s"t.$c").as(c)
+        else when(col("u.__upd").isNotNull, col(s"u.$c"))
+          .otherwise(col(s"t.$c")).as(c)
+      }: _*)
+    if (hardDelete && merged.columns.contains(deletedAtCol))
+      merged.filter(col(deletedAtCol).isNull)
+    else merged
+  }
+
+  private def align(df: DataFrame, cols: Seq[String],
+                    types: Map[String, org.apache.spark.sql.types.DataType])
+      : DataFrame =
+    df.select(cols.map { c =>
+      if (df.columns.contains(c)) col(c)
+      else lit(null).cast(types(c)).as(c)
+    }: _*)
+
+  /** Append-only path for no-PK streams (COPY-without-merge analogue).
+    * Synthetic `RID-<n>` keys must NOT dedup — plain union.
+    */
+  def append(target: DataFrame, updates: DataFrame): DataFrame =
+    target.unionByName(updates, allowMissingColumns = true)
+
+  /** Atomic publish: write to a staged dir, then swap into place — the
+    * Spark-side `ALTER TABLE ... SWAP WITH` (target_snowflake.py:448-469).
+    * Readers either see the old table or the new one, never a partial
+    * write.
+    */
+  def publish(df: DataFrame, tablePath: String): Unit = {
+    val stage = tablePath + ".stage"
+    df.write.mode(SaveMode.Overwrite).parquet(stage)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(tablePath)
+    val old = new org.apache.hadoop.fs.Path(tablePath + ".old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dst)) fs.rename(dst, old)
+    fs.rename(new org.apache.hadoop.fs.Path(stage), dst)
+    fs.delete(old, true)
+  }
+
+  /** Full merge-flush of one batch into a parquet table dir: dedup,
+    * evolve schema, merge, publish. Returns the merged frame.
+    */
+  def flush(spark: SparkSession, batch: DataFrame, tablePath: String,
+            pks: Seq[String], orderCol: String,
+            hardDelete: Boolean = false,
+            versionSuffix: String = "v"): DataFrame = {
+    val deduped =
+      if (pks.nonEmpty) dedupLastWins(batch, pks, orderCol) else batch
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(tablePath))
+    val merged =
+      if (!exists) deduped
+      else {
+        val target = spark.read.parquet(tablePath)
+        val evolved = evolveTarget(target, deduped.schema, versionSuffix)
+        if (pks.nonEmpty) merge(evolved, deduped, pks, hardDelete)
+        else append(evolved, deduped)
+      }
+    publish(merged, tablePath)
+    merged
+  }
+
+  /** Apply add-column/version-column schema evolution to the target frame
+    * so the merge sees a unified schema.
+    */
+  def evolveTarget(target: DataFrame, incoming: StructType,
+                   versionSuffix: String): DataFrame = {
+    val evolved = SchemaDiff.evolve(target.schema, incoming, versionSuffix)
+    target.select(evolved.fields.map { f =>
+      target.schema.fields.find(_.name == f.name) match {
+        case Some(tf) if tf.dataType == f.dataType => col(f.name)
+        case Some(_) =>
+          // type-changed column: old values live on under the versioned
+          // name; the re-typed column starts NULL for existing rows
+          lit(null).cast(f.dataType).as(f.name)
+        case None =>
+          val orig = f.name.stripSuffix(s"_$versionSuffix")
+          if (f.name != orig && target.columns.contains(orig))
+            col(orig).as(f.name) // versioned copy of the old column
+          else lit(null).cast(f.dataType).as(f.name) // brand-new column
+      }
+    }.toSeq: _*)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.sink.MergeSink
+
+/** LOG_BASED replication as Structured Streaming.
+  *
+  * The reference consumes wal2json / binlog / Mongo ChangeStream events in
+  * a long poll loop and flushes PK-deduped batches
+  * (tap-postgres logical_replication.py:577-737,
+  * tap-mysql binlog.py:818-883, target __init__.py:160-226). Spark-native:
+  * a streaming read (file source here; kafka in production) feeds
+  * `foreachBatch`, and every micro-batch is applied with the same
+  * idempotent merge used by the batch path. Checkpointing gives resumable
+  * offsets — the STATE-message analogue.
+  *
+  * Change events are expected in a Debezium-ish envelope: the row columns
+  * plus `op` (c/u/d) and an ordering column (offset/LSN/ts). Deletes become
+  * `_sdc_deleted_at` tombstones (soft) or merge-deletes (hard).
+  */
+object StreamingMerge {
+
+  /** Normalize a change-event frame: op=d -> tombstone. */
+  def applyEnvelope(df: DataFrame, opCol: String = "op"): DataFrame =
+    df.withColumn("_sdc_deleted_at",
+        when(col(opCol) === "d", current_timestamp())
+          .otherwise(lit(null).cast("timestamp")))
+      .drop(opCol)
+
+  /** Start a streaming merge of change files appearing under `sourceDir`
+    * into the parquet table at `tablePath`.
+    */
+  def start(spark: SparkSession, sourceDir: String,
+            schema: org.apache.spark.sql.types.StructType,
+            tablePath: String, checkpoint: String,
+            pks: Seq[String], orderCol: String,
+            hardDelete: Boolean = false,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    applyEnvelope(stream)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MergeSink.flush(batch.sparkSession, batch, tablePath, pks, orderCol,
+          hardDelete)
+        ()
+      }
+      .start()
+  }
+
+  /** Watermarked tumbling-window aggregate over an event stream — the
+    * generic streaming-analytics surface (counts/sums per window+key).
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     window_ : String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.functions.{StableHash, VectorOps}
+
+class OperatorsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("stable hash60 matches the known md5-derived value") {
+    // md5('abc') = 900150983cd24fb0d6963f7d28e17f72;
+    // first 15 hex chars as int = 648541476951500027 (oracle-verified)
+    val h = Seq("abc").toDF("s")
+      .select(StableHash.hash60(col("s"))).as[Long].head()
+    assert(h == 648541476951500027L)
+  }
+
+  test("shingles produce k-grams; short docs produce none") {
+    val out = Seq("a b c d").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(out == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("exact dedup groups identical texts") {
+    val docs = Seq((1L, "same text here"), (2L, "same text here"),
+      (3L, "different")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .filter(col("n_copies") > 1).select("keep_id", "n_copies")
+      .as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash near-dups finds the planted near-duplicate pair") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = base.replace("word30", "changed")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, "totally other stuff x y"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        k = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq.contains((1L, 2L)))
+  }
+
+  test("simhash of identical docs is identical; hamming pairs found") {
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), (3L, "unrelated content entirely z"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text")
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq.contains((1L, 2L, 0)))
+  }
+
+  test("ngram jaccard = 1.0 for identical docs") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("vector dot expression matches manual computation (and codegen)") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val d = df.select(VectorOps.dotF(col("a"), col("b"))).as[Double].head()
+    assert(d == 32.0)
+    val c = df.select(VectorOps.cosineF(col("a"), col("a")))
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("brute-force topk ranks the nearest vector first") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(corpus,
+        corpus.filter(col("vec_id") === 1L), "vec_id", "embedding", 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(2L, 3L))
+  }
+
+  test("IVF topk approximates brute force on clustered data") {
+    val emb = graft.queries.Q.table(spark, sfDir, "embeddings")
+    val centroids = Similarity.seedCentroids(emb, "vec_id", "embedding", 50)
+    val assigned = Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
+    // every corpus vector lands in exactly one cluster
+    assert(assigned.count() == emb.count())
+    val topk = Similarity.ivfTopK(assigned, centroids,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5, 2)
+    assert(topk.groupBy("query_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 5))
+  }
+
+  test("langId flags CJK and stopword-heavy text") {
+    val out = Seq((1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "中文文本"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "en"), (2L, "de"), (3L, "zh")))
+  }
+
+  test("token counts and fingerprint are deterministic") {
+    val docs = Seq((1L, "Hello, world! This is a test."))
+      .toDF("doc_id", "text")
+    val (ws, bpe) = docs.select(
+      TextAnalysis.wsTokenCount(col("text")),
+      TextAnalysis.bpeTokenEstimate(col("text"))).as[(Int, Long)].head()
+    assert(ws == 6)
+    assert(bpe > 0)
+    val f1 = TextAnalysis.fingerprint(docs, "doc_id", "text")
+      .as[(Long, Long)].head()
+    val f2 = TextAnalysis.fingerprint(docs, "doc_id", "text")
+      .as[(Long, Long)].head()
+    assert(f1 == f2)
+  }
+
+  test("multimodal feature extraction preserves schema + checksums") {
+    val media = Seq((1L, "image", Array[Byte](1, 2, 3)),
+      (2L, "audio", Array[Byte](4, 5)))
+      .toDF("media_id", "modality", "payload")
+    val out = Multimodal.extractFeatures(media)
+    assert(out.schema == Multimodal.featureSchema)
+    val r = out.orderBy("media_id").collect()
+    assert(r(0).getAs[Long]("n_bytes") == 3L)
+    assert(r(0).getAs[scala.collection.Seq[Float]]("features").length == 8)
+  }
+}

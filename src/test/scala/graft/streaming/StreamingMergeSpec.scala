@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpecBase
+
+class StreamingMergeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType),
+    StructField("seq", LongType), StructField("op", StringType)))
+
+  test("LOG_BASED: streaming change files merge into the target table " +
+    "with checkpointed resume") {
+    val dir = Files.createTempDirectory("cdc").toString
+    val srcDir = s"$dir/changes"
+    val tablePath = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+
+    // micro-batch 1: two inserts
+    Seq((1L, "a", 1L, "c"), (2L, "b", 2L, "c")).toDF("id", "v", "seq", "op")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = StreamingMerge.start(spark, srcDir, schema, tablePath, ckpt,
+      Seq("id"), "seq", hardDelete = true)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(tablePath).count() == 2)
+
+    // micro-batch 2: update id=2, delete id=1 — resumes from checkpoint
+    Seq((2L, "b2", 3L, "u"), (1L, "a", 4L, "d")).toDF("id", "v", "seq", "op")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = StreamingMerge.start(spark, srcDir, schema, tablePath, ckpt,
+      Seq("id"), "seq", hardDelete = true)
+    q2.processAllAvailable(); q2.stop()
+
+    val out = spark.read.parquet(tablePath).orderBy("id")
+      .select("id", "v").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((2L, "b2")))
+  }
+
+  test("soft delete keeps tombstoned rows with _sdc_deleted_at set") {
+    val df = Seq((1L, "x", 1L, "d"), (2L, "y", 2L, "u"))
+      .toDF("id", "v", "seq", "op")
+    val out = StreamingMerge.applyEnvelope(df)
+    val deleted = out.filter(col("_sdc_deleted_at").isNotNull)
+      .select("id").as[Long].collect()
+    assert(deleted.toSeq == Seq(1L))
+    assert(!out.columns.contains("op"))
+  }
+
+  test("windowedCounts groups by tumbling window + key") {
+    val events = graft.queries.Q.events(spark, sfDir)
+    val out = StreamingMerge.windowedCounts(events, "ts", "event_type",
+      "1 hour", "1 hour")
+    assert(out.count() > 0)
+    assert(out.columns.toSet ==
+      Set("window", "event_type", "n", "total_value"))
+  }
+}
