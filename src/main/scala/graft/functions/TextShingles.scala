@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass word-shingle (k-gram) extraction.
+  *
+  * Semantically identical to
+  * `transform(sequence(...), i -> concat_ws(' ', slice(split(trim(lower(
+  * text)), '\\s+'), i, k)))` — and to the DuckDB oracle's
+  * `list_transform(range(...), i -> array_to_string(ws[i:i+k-1], ' '))` —
+  * but runs as a single O(words) pass per row. The composed higher-order
+  * version pays interpreted-lambda + array-slice allocation per element,
+  * which dominated the dedup operators' runtime at corpus scale.
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    // same pipeline as split(trim(lower(text)), "\s+"): UTF8String
+    // lowercase (Spark lower() semantics), trim, whitespace tokenize
+    val s = input.asInstanceOf[UTF8String].toLowerCase.trimAll().toString
+    val words = s.split("\\s+")
+    if (words.length < k || s.isEmpty)
+      return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - k + 1)
+    var i = 0
+    while (i <= words.length - k) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object TextShingles {
+  def wordShingles(text: Column, k: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), k))
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.StableHash._
 
@@ -24,16 +25,12 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Word shingles (k-grams) of a text column as array<string>.
-    * Lowercased, whitespace-tokenized.
+    * Lowercased, whitespace-tokenized; single-pass custom expression
+    * (see [[graft.functions.WordShingles]] for why not higher-order
+    * functions).
     */
-  def shingles(text: Column, k: Int): Column = {
-    val words = split(trim(lower(text)), "\\s+")
-    filter(
-      transform(words, (_, i) =>
-        when(i <= size(words) - k,
-          concat_ws(" ", slice(words, i + 1, lit(k))))),
-      c => c.isNotNull)
-  }
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.TextShingles.wordShingles(text, k)
 
   /** MinHash signatures: explode distinct shingles, one shuffle to
     * aggregate `min((a_i*h + b_i) mod P)` per doc for each of `numHashes`
@@ -63,30 +60,29 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, k, numHashes)
     val numBands = numHashes / rowsPerBand
-    val sigCols = (0 until numHashes).map(i => col(s"sig_$i"))
-    val banded = sigs.select(col(idCol) +: (0 until numBands).map { b =>
+    // one posexplode over band keys -> ONE shuffle for all bands (vs one
+    // self-join per band), carrying the signature array so agreement is
+    // computed in-place with no extra joins against the signature table
+    val sigArr = array((0 until numHashes).map(i => col(s"sig_$i")): _*)
+    val bandKeys = array((0 until numBands).map { b =>
       concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
-        .as(s"band_$b")
     }: _*)
-    val pairsPerBand = (0 until numBands).map { b =>
-      val l = banded.select(col(idCol).as("id_a"), col(s"band_$b").as("bk"))
-      val r = banded.select(col(idCol).as("id_b"), col(s"band_$b").as("bk"))
-      l.join(r, Seq("bk")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
-    }
-    val candidates = pairsPerBand.reduce(_ union _).distinct()
-    val a = sigs.toDF(sigs.columns.map(c => s"a_$c"): _*)
-    val b = sigs.toDF(sigs.columns.map(c => s"b_$c"): _*)
-    val agree = (0 until numHashes).map(i =>
-      when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    candidates
-      .join(a, col("id_a") === col(s"a_$idCol"))
-      .join(b, col("id_b") === col(s"b_$idCol"))
-      .withColumn("sig_agreement", agree.cast("double") / numHashes)
+    val banded = sigs.select(col(idCol).as("id"), sigArr.as("sig"),
+      posexplode(bandKeys).as(Seq("band_no", "bk")))
+    val l = banded.select(col("band_no"), col("bk"), col("id").as("id_a"),
+      col("sig").as("sig_a"))
+    val r = banded.select(col("band_no"), col("bk"), col("id").as("id_b"),
+      col("sig").as("sig_b"))
+    val agree = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    l.join(r, Seq("band_no", "bk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (agree.cast("double") / numHashes).as("sig_agreement"))
+      .distinct()
       .filter(col("sig_agreement") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sig_agreement"))
   }
 
   /** SimHash: 32-bit locality-sensitive fingerprint from word hashes.
@@ -135,24 +131,48 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** N-gram Jaccard near-dup pairs via inverted index: explode distinct
-    * n-grams, join postings on the n-gram (bucketed shuffle), count
-    * intersections per pair, and compute |A∩B| / (|A|+|B|-|A∩B|).
-    * `minIntersection` prunes the long tail of 1-shingle matches before
-    * the pair aggregation (a crucial reducer of shuffle volume at scale).
+  /** N-gram Jaccard near-dup pairs with exact prefix filtering
+    * (AllPairs/PPJoin family, public literature): with a global shingle
+    * order (ascending document frequency), any pair with J >= t shares a
+    * shingle inside both docs' first `|d| - ceil(t*|d|) + 1` shingles —
+    * so only those prefixes are indexed for the candidate join. This is
+    * the scale path: the O(pairs-sharing-any-shingle) blowup of a naive
+    * inverted-index join collapses to pairs sharing a *rare* prefix
+    * shingle. Verification computes the true Jaccard from the full
+    * shingle sets (array_intersect), so the output is exact.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8): DataFrame = {
     val grams = docs.select(col(idCol).as("id"),
       explode(array_distinct(shingles(col(textCol), k))).as("g"))
-    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val l = grams.select(col("id").as("id_a"), col("g"))
-    val r = grams.select(col("id").as("id_b"), col("g"))
-    val inter = l.join(r, Seq("g")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+    // global document frequency = the prefix ordering key
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val sets = grams.groupBy(col("id"))
+      .agg(collect_set(col("g")).as("gs"), count(lit(1)).as("sz"))
+    val wOrd = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("g").asc)
+    val prefix = grams.join(dfreq, "g")
+      .withColumn("rn", row_number().over(wOrd))
+      .join(sets.select(col("id"), col("sz")), "id")
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("g"), col("sz"))
+    val l = prefix.select(col("id").as("id_a"), col("g"),
+      col("sz").as("sz_a"))
+    val r = prefix.select(col("id").as("id_b"), col("g"),
+      col("sz").as("sz_b"))
+    val candidates = l.join(r, Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        // length filter: J >= t forces t <= |A|/|B| <= 1/t
+        col("sz_a") >= lit(threshold) * col("sz_b") &&
+        col("sz_b") >= lit(threshold) * col("sz_a"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("gs").as("gs_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("gs").as("gs_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("gs_a"), col("gs_b")))
+        .cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
