@@ -146,6 +146,36 @@ object TrainingDataQueries {
        |SELECT query_id, rank, neighbor_id FROM r
        |WHERE rank <= $AnnK""".stripMargin
 
+  private val ivfSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT CAST(vec_id // 50 AS BIGINT) AS centroid_id, v AS cv
+       |  FROM e WHERE vec_id % 50 = 0),
+       |asg AS (SELECT vec_id, v, centroid_id AS cluster FROM (
+       |  SELECT e.vec_id, e.v, c.centroid_id, row_number() OVER (
+       |      PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v))
+       |        * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |      c.centroid_id) AS rn
+       |  FROM e, cent c) WHERE rn = 1),
+       |probe AS (SELECT query_id, qv, cluster FROM (
+       |  SELECT q.vec_id AS query_id, q.v AS qv,
+       |    c.centroid_id AS cluster, row_number() OVER (
+       |      PARTITION BY q.vec_id ORDER BY
+       |      list_dot_product(q.v, c.cv) / (sqrt(list_dot_product(q.v, q.v))
+       |        * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |      c.centroid_id) AS rn
+       |  FROM e q, cent c WHERE q.vec_id < $AnnNumQueries) WHERE rn <= 4),
+       |cand AS (SELECT p.query_id, p.qv, a.vec_id, a.v
+       |  FROM probe p JOIN asg a USING (cluster)
+       |  WHERE p.query_id <> a.vec_id),
+       |r AS (SELECT query_id, vec_id AS neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY
+       |    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv))
+       |      * sqrt(list_dot_product(v, v))) DESC, vec_id) AS rank
+       |  FROM cand)
+       |SELECT query_id, rank, neighbor_id FROM r
+       |WHERE rank <= $AnnK""".stripMargin
+
   private val langIdSql = {
     val counts = TextAnalysis.StopwordPatterns.map { case (lang, p) =>
       s"len(regexp_extract_all(lower(text), '$p')) AS c_$lang"
@@ -267,7 +297,7 @@ object TrainingDataQueries {
           emb.filter(col("vec_id") < AnnNumQueries), "vec_id", "embedding",
           AnnK, nprobe = 4)
       },
-      None), // IVF probe order has no concise SQL twin; rows-only check
+      Some(ivfSql)),
 
     "text_lang_id" -> QueryDef(
       (s, d) => table(s, d, "documents")

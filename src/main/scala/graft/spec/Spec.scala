@@ -68,6 +68,7 @@ final case class PipelineSpec(
     streams: Seq[StreamSpec],
     targetPath: String,
     statePath: String,
+    sourceDir: Option[String] = None, // tap "connection": parquet dir
     hardDelete: Boolean = false,
     batchSizeRows: Int = 100000,
     flattenMaxLevel: Int = 0)
