@@ -71,9 +71,22 @@ object Planner {
     val transformed = Metadata.withSystemColumns(
       Masking.applyAll(raw, stream.transformations))
     val orderCol = stream.replicationKey.getOrElse(Metadata.ExtractedAt)
-    MergeSink.flush(spark, transformed,
-      s"${pipeline.targetPath}/${stream.table}",
-      stream.keyProperties, orderCol, pipeline.hardDelete)
+    val tablePath = s"${pipeline.targetPath}/${stream.table}"
+    stream.replicationMethod match {
+      case ReplicationMethod.FullTable =>
+        // ACTIVATE_VERSION semantics: a full-table (re)sync REPLACES the
+        // table via atomic staged swap — stale rows from prior versions
+        // are dropped (tap full_table.py:98-103; fastsync's SWAP WITH)
+        val deduped =
+          if (stream.keyProperties.nonEmpty)
+            MergeSink.dedupLastWins(transformed, stream.keyProperties,
+              orderCol)
+          else transformed
+        MergeSink.publish(deduped, tablePath)
+      case _ =>
+        MergeSink.flush(spark, transformed, tablePath,
+          stream.keyProperties, orderCol, pipeline.hardDelete)
+    }
 
     stream.replicationKey match {
       case Some(k) =>
@@ -109,5 +122,40 @@ object Planner {
       state.save(pipeline.statePath)
     }
     state
+  }
+
+  /** Parallel per-table sync — the FastSync process pool
+    * (mysql_to_snowflake.py:225-233, pool = min(config, cpu_count))
+    * becomes concurrent Spark jobs on the driver: each stream's job graph
+    * is submitted from its own thread and the cluster scheduler
+    * interleaves their tasks. State updates are serialized.
+    */
+  def runParallel(spark: SparkSession, pipeline: PipelineSpec,
+                  sourcePathFor: String => String,
+                  parallelism: Int = Runtime.getRuntime.availableProcessors)
+      : Bookmarks = {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, pipeline.streams.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val stateLock = new Object
+    var state = Bookmarks.load(pipeline.statePath)
+    try {
+      val futures = pipeline.streams.map { s =>
+        Future {
+          val st0 = stateLock.synchronized(state)
+          val st1 = runStream(spark, pipeline, s, sourcePathFor(s.table), st0)
+          stateLock.synchronized {
+            // merge just this stream's bookmark into the shared state
+            st1.get(s.name).foreach(v => state = state.updated(s.name, v))
+            state.save(pipeline.statePath)
+          }
+        }
+      }
+      futures.foreach(f => Await.result(f, Duration.Inf))
+      state
+    } finally pool.shutdown()
   }
 }

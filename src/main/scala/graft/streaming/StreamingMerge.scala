@@ -59,4 +59,21 @@ object StreamingMerge {
     events.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** MongoDB ChangeStream update-buffer + refetch pattern
+    * (tap-mongodb change_streams.py:73-230): updates arrive as ids only;
+    * at flush, full documents are fetched back from the source. Spark
+    * shape: within a micro-batch, join the update-ids back to the source
+    * collection (a `foreachBatch` re-join, SURVEY.md §7.4); deletes pass
+    * through as tombstones, inserts carry their document already.
+    */
+  def refetchUpdates(batch: DataFrame, source: DataFrame,
+                     idCol: String, opCol: String = "op"): DataFrame = {
+    val ids = Seq(idCol, opCol)
+    val updates = batch.filter(col(opCol) === "u").select(
+      ids.map(col): _*)
+    val refetched = updates.join(source, Seq(idCol), "left")
+    val passthrough = batch.filter(col(opCol) =!= "u")
+    refetched.unionByName(passthrough, allowMissingColumns = true)
+  }
 }

@@ -1,0 +1,49 @@
+package graft.planner
+
+import java.nio.file.Files
+import org.json4s.JLong
+import graft.SparkSpecBase
+import graft.spec._
+import graft.state.Bookmarks
+
+class PlannerParallelSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("parallel per-table sync replicates all streams and bookmarks") {
+    val dir = Files.createTempDirectory("par").toString
+    val tables = (1 to 4).map(i => s"t$i")
+    tables.zipWithIndex.foreach { case (t, i) =>
+      Seq((1L, s"$t-a", i.toLong), (2L, s"$t-b", i + 10L))
+        .toDF("id", "v", "seq").write.parquet(s"$dir/src/$t.parquet")
+    }
+    val pipeline = PipelineSpec("par",
+      tables.map(t => StreamSpec(s"s-$t", t, Seq("id"),
+        ReplicationMethod.Incremental, Some("seq"))),
+      targetPath = s"$dir/tgt", statePath = s"$dir/state.json")
+    val state = Planner.runParallel(spark, pipeline,
+      t => s"$dir/src/$t.parquet", parallelism = 4)
+    tables.foreach { t =>
+      assert(spark.read.parquet(s"$dir/tgt/$t").count() == 2)
+      assert(state.get(s"s-$t").nonEmpty)
+    }
+    // state file holds all four bookmarks
+    assert(Bookmarks.load(s"$dir/state.json").bookmarks.size == 4)
+  }
+
+  test("full-table rerun replaces the table (ACTIVATE_VERSION swap)") {
+    val dir = Files.createTempDirectory("ft").toString
+    Seq((1L, "v1"), (2L, "v1")).toDF("id", "v")
+      .write.parquet(s"$dir/src1.parquet")
+    val pipeline = PipelineSpec("ft",
+      Seq(StreamSpec("s-t", "t", Seq("id"), ReplicationMethod.FullTable)),
+      targetPath = s"$dir/tgt", statePath = s"$dir/state.json")
+    Planner.run(spark, pipeline, _ => s"$dir/src1.parquet")
+    assert(spark.read.parquet(s"$dir/tgt/t").count() == 2)
+    // new version of the table has different rows; stale ones must go
+    Seq((3L, "v2")).toDF("id", "v").write.parquet(s"$dir/src2.parquet")
+    Planner.run(spark, pipeline, _ => s"$dir/src2.parquet")
+    val out = spark.read.parquet(s"$dir/tgt/t").select("id").as[Long]
+      .collect()
+    assert(out.toSeq == Seq(3L))
+  }
+}

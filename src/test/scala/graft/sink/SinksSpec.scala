@@ -1,0 +1,57 @@
+package graft.sink
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.streaming.{FlushPolicy, StreamingMerge}
+
+class SinksSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("csv sink writes gzip csv with header (target-s3-csv shape)") {
+    val dir = Files.createTempDirectory("csvsink").toString + "/out"
+    Sinks.csvAppend(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".csv.gz"))
+    assert(files.nonEmpty)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.count() == 2 && back.columns.toSeq == Seq("id", "v"))
+  }
+
+  test("writeSplit bounds file count and rows per file (split_gzip)") {
+    val dir = Files.createTempDirectory("split").toString + "/out"
+    val df = spark.range(1000).toDF("id")
+    Sinks.writeSplit(df, dir, targetFiles = 4, maxRecordsPerFile = 200)
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    // 4 partitions x 250 rows, split at 200 -> 8 files
+    assert(files.length >= 4 && files.length <= 20)
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
+  test("flush policy maps batching knobs to triggers") {
+    import org.apache.spark.sql.streaming.Trigger
+    assert(FlushPolicy().trigger == Trigger.AvailableNow())
+    assert(FlushPolicy(batchWaitLimitSeconds = Some(30)).trigger ==
+      Trigger.ProcessingTime(30000L))
+    assert(FlushPolicy(batchSizeRows = 5000).kafkaOptions(
+      "maxOffsetsPerTrigger") == "5000")
+    assert(FlushPolicy(batchSizeRows = 1000)
+      .fileOptions(avgRowsPerFile = 100)("maxFilesPerTrigger") == "10")
+  }
+
+  test("mongo-style update refetch joins ids back to the source") {
+    val source = Seq((1L, "doc1-v2", 10), (2L, "doc2", 20))
+      .toDF("_id", "doc", "x")
+    val batch = Seq(
+      (1L, "u", null.asInstanceOf[String], 0),   // update: id only
+      (3L, "d", null.asInstanceOf[String], 0),   // delete tombstone
+      (4L, "c", "doc4", 40))                     // insert carries doc
+      .toDF("_id", "op", "doc", "x")
+    val out = StreamingMerge.refetchUpdates(batch, source, "_id")
+      .orderBy("_id").select("_id", "op", "doc").collect()
+    assert(out(0).getString(2) == "doc1-v2") // refetched full doc
+    assert(out(1).getString(1) == "d")
+    assert(out(2).getString(2) == "doc4")
+  }
+}
