@@ -131,6 +131,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Embedding-cosine near-duplicate pairs with deterministic
+    * random-hyperplane-style bucketing: the sign bits of the dot product
+    * against `numPlanes` fixed probe vectors (the lowest-id corpus
+    * vectors — deterministic, so the DuckDB oracle reproduces them)
+    * partition the corpus into 2^numPlanes buckets; only same-bucket
+    * pairs are scored, and survivors are verified by exact cosine >=
+    * `threshold`. At 100 TB the bucket join is a single shuffle on the
+    * 8-bit signature — no cross join ever materializes.
+    */
+  def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
+                        numPlanes: Int = 8, threshold: Double = 0.9)
+      : DataFrame = {
+    import graft.functions.VectorOps
+    val planes = broadcast(corpus.orderBy(col(idCol).asc).limit(numPlanes)
+      .select(col(idCol).as("plane_id"), col(vecCol).as("plane_vec")))
+    val signed = corpus.join(planes)
+      .withColumn("bit",
+        when(VectorOps.dotF(col(vecCol), col("plane_vec")) >= 0,
+          expr("shiftleft(1L, cast(plane_id as int))")).otherwise(0L))
+      .groupBy(col(idCol), col(vecCol).as("v"))
+      .agg(sum(col("bit")).as("bucket"))
+    val l = signed.select(col("bucket"), col(idCol).as("id_a"),
+      col("v").as("v_a"))
+    val r = signed.select(col("bucket"), col(idCol).as("id_b"),
+      col("v").as("v_b"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorOps.cosineF(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** N-gram Jaccard near-dup pairs with exact prefix filtering
     * (AllPairs/PPJoin family, public literature): with a global shingle
     * order (ascending document frequency), any pair with J >= t shares a

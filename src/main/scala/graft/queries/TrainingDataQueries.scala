@@ -277,6 +277,26 @@ object TrainingDataQueries {
         "doc_id", "text", JaccardK, JaccardThreshold),
       Some(jaccardSql)),
 
+    "dedup_embedding_cosine" -> QueryDef(
+      (s, d) => Dedup.embeddingNearDups(table(s, d, "embeddings"),
+        "vec_id", "embedding", numPlanes = 8, threshold = 0.4),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |  FROM embeddings),
+             |p AS (SELECT vec_id AS plane_id, v AS pv FROM e
+             |  WHERE vec_id < 8),
+             |b AS (SELECT e.vec_id, e.v,
+             |    sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+             |      THEN (1::BIGINT << CAST(p.plane_id AS INT))
+             |      ELSE 0 END) AS bucket
+             |  FROM e, p GROUP BY e.vec_id, e.v)
+             |SELECT a.vec_id AS id_a, c.vec_id AS id_b
+             |FROM b a JOIN b c ON a.bucket = c.bucket
+             |  AND a.vec_id < c.vec_id
+             |WHERE list_dot_product(a.v, c.v)
+             |  / (sqrt(list_dot_product(a.v, a.v))
+             |     * sqrt(list_dot_product(c.v, c.v))) >= 0.4"""
+        .stripMargin)),
+
     "ann_cosine_topk" -> QueryDef(
       (s, d) => {
         val emb = table(s, d, "embeddings")

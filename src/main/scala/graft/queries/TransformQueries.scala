@@ -117,6 +117,42 @@ object TransformQueries {
              |  '{"segment":"' || c_mktsegment || '"}' AS profile__deep
              |FROM customer""".stripMargin)),
 
+    "transform_nested_field_path" -> QueryDef(
+      (s, d) => {
+        val df = table(s, d, "customer").select(col("c_custkey"),
+          struct(col("c_name").as("name"),
+            struct(col("c_mktsegment").as("segment"),
+              col("c_acctbal").as("balance")).as("account"))
+            .as("profile"))
+        val masked = Masking.applyNested(df,
+          graft.spec.Transformation("profile", "HASH",
+            fieldPaths = Seq("account/segment")))
+        masked.select(col("c_custkey"),
+          col("profile.name").as("name"),
+          col("profile.account.segment").as("segment_masked"),
+          col("profile.account.balance").as("balance"))
+      },
+      Some("""SELECT c_custkey, c_name AS name,
+             |  sha256(c_mktsegment) AS segment_masked,
+             |  c_acctbal AS balance
+             |FROM customer""".stripMargin)),
+
+    "validation_dead_letter" -> QueryDef(
+      (s, d) => {
+        import graft.transform.Validation
+        import graft.transform.Validation._
+        val v = Validation.validate(
+          events(s, d).select(col("event_id"), col("event_type"),
+            col("value")),
+          Seq(NotNull("event_type"), InRange("value", 0.0, 250.0),
+            Matches("event_type", "^(click|view|signup|purchase|error)$")))
+        v.rejects.select(col("event_id"),
+          concat_ws(",", col("_violations")).as("violations"))
+      },
+      Some("""SELECT event_id, 'in_range(value,0.0,250.0)' AS violations
+             |FROM events
+             |WHERE NOT (value BETWEEN 0.0 AND 250.0)""".stripMargin)),
+
     "timestamp_clamp" -> QueryDef(
       (s, d) => {
         val raw = table(s, d, "orders").select(col("o_orderkey"),

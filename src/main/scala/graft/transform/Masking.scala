@@ -74,4 +74,24 @@ object Masking {
   /** Apply a whole transformation config (one stream). */
   def applyAll(df: DataFrame, ts: Seq[Transformation]): DataFrame =
     ts.foldLeft(df)(apply)
+
+  /** Nested application via `field_paths` (transform.py:106-144: dpath
+    * selectors into JSON documents). Spark-native: the document is a
+    * struct column and each path maskes the leaf in place via
+    * `withField`, leaving siblings untouched.
+    */
+  def applyNested(df: DataFrame, t: Transformation): DataFrame = {
+    require(t.fieldPaths.nonEmpty, "applyNested requires field_paths")
+    val root = col(t.fieldId)
+    val masked = t.fieldPaths.foldLeft(root) { (acc, path) =>
+      val dotted = path.replace('/', '.')
+      val leaf = col(s"${t.fieldId}.$dotted")
+      val m = maskExpr(t.transformType, leaf)
+      val guarded =
+        if (t.conditions.isEmpty) m
+        else when(conditionExpr(t.conditions), m).otherwise(leaf)
+      acc.withField(dotted, guarded)
+    }
+    df.withColumn(t.fieldId, masked)
+  }
 }
