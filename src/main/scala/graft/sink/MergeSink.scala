@@ -57,7 +57,10 @@ object MergeSink {
     val t = align(target, allCols, types).alias("t")
     val u = align(updates, allCols, types)
       .withColumn("__upd", lit(true)).alias("u")
-    val cond = pks.map(k => col(s"t.$k") <=> col(s"u.$k")).reduce(_ && _)
+    // plain equality, not <=>: PKs are non-null by contract (no-PK
+    // streams use append()), and null-safe equality compiles to
+    // coalesce/isnull join keys that defeat bucketed-join co-location
+    val cond = pks.map(k => col(s"t.$k") === col(s"u.$k")).reduce(_ && _)
     val merged = t.join(u, cond, "full_outer").select(
       allCols.map { c =>
         if (pks.contains(c)) coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
@@ -126,6 +129,45 @@ object MergeSink {
       }
     publish(merged, tablePath)
     merged
+  }
+
+  /** Bucketed publish: persist the target as a bucketed table on its PKs
+    * so subsequent merges co-locate — the upsert join then shuffles ONLY
+    * the incoming batch, never the (much larger) target. This is the
+    * 100 TB path: at a 1000-executor scale the target table is orders of
+    * magnitude larger than any batch, and re-shuffling it per merge is
+    * the dominant cost the bucketing removes.
+    */
+  def publishBucketed(df: DataFrame, tableName: String, pks: Seq[String],
+                      numBuckets: Int): Unit = {
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, pks.head, pks.tail: _*)
+      .sortBy(pks.head, pks.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
+
+  /** Merge into a bucketed table: read back via the catalog (bucketing
+    * metadata intact), merge, republish. The physical plan shows no
+    * Exchange on the target side of the join.
+    */
+  def flushBucketed(spark: SparkSession, batch: DataFrame, tableName: String,
+                    pks: Seq[String], orderCol: String,
+                    numBuckets: Int, hardDelete: Boolean = false)
+      : DataFrame = {
+    val deduped =
+      if (pks.nonEmpty) dedupLastWins(batch, pks, orderCol) else batch
+    val merged =
+      if (!spark.catalog.tableExists(tableName)) deduped
+      else merge(spark.table(tableName), deduped, pks, hardDelete)
+    // stage under a temp name, then swap via rename — same atomicity
+    // contract as publish()
+    val stage = tableName + "_stage"
+    publishBucketed(merged, stage, pks, numBuckets)
+    if (spark.catalog.tableExists(tableName))
+      spark.sql(s"DROP TABLE $tableName")
+    spark.sql(s"ALTER TABLE $stage RENAME TO $tableName")
+    spark.table(tableName)
   }
 
   /** Apply add-column/version-column schema evolution to the target frame
