@@ -22,19 +22,34 @@ object TextAnalysis {
 
   val CjkPattern = "[\\x{4e00}-\\x{9fff}]"
 
+  /** Word lists backing the patterns above (same tokens), consumed by the
+    * one-pass [[graft.functions.TokenSetCounts]] counter.
+    */
+  val StopwordLists: Seq[(String, Seq[String])] = StopwordPatterns.map {
+    case (lang, p) =>
+      lang -> p.stripPrefix("\\b(").stripSuffix(")\\b").split('|').toSeq
+  }
+
   /** Predicted language: CJK characters -> zh; otherwise the language with
     * the highest stopword-hit count (ties broken by list order above;
-    * no hits at all -> "und" for undetermined).
+    * no hits at all -> "und" for undetermined). Counting is a single
+    * tokenize pass (TokenSetCounts) — semantically identical to the
+    * regexp_count formulation the DuckDB oracle uses, minus the per-row
+    * regex-engine cost.
     */
   def langId(text: Column): Column = {
-    val counts = StopwordPatterns.map { case (lang, p) =>
-      lang -> regexp_count(lower(text), lit(p))
+    import graft.functions.TextCounters
+    val counts = TextCounters.tokenSetCounts(lower(text),
+      StopwordLists.map(_._2))
+    val cs = StopwordLists.map(_._1).zipWithIndex.map {
+      case (lang, i) => lang -> counts.getItem(i)
     }
-    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = counts.reverse.foldLeft(lit("und")) { case (acc, (lang, c)) =>
+    val best = cs.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = cs.reverse.foldLeft(lit("und")) { case (acc, (lang, c)) =>
       when(c === best && best > 0, lit(lang)).otherwise(acc)
     }
-    when(regexp_count(text, lit(CjkPattern)) > 0, lit("zh")).otherwise(pick)
+    when(TextCounters.charClassCounts(text).getItem(1) > 0, lit("zh"))
+      .otherwise(pick)
   }
 
   /** Whitespace token count. */
@@ -46,7 +61,7 @@ object TextAnalysis {
     * each) — a deterministic, cluster-cheap stand-in for a real tokenizer.
     */
   def bpeTokenEstimate(text: Column): Column = {
-    val punct = regexp_count(text, lit("[^\\w\\s]"))
+    val punct = graft.functions.TextCounters.charClassCounts(text).getItem(0)
     // sum over words of ceil(len/4): total word chars/4 rounded up per word
     val words = filter(split(lower(text), "[^\\w]+"), w => length(w) > 0)
     val wordTokens = aggregate(
@@ -60,13 +75,14 @@ object TextAnalysis {
     * density). Composite in [0,1]; deterministic arithmetic only.
     */
   def qualityScore(text: Column): Column = {
+    import graft.functions.TextCounters
     val nChars = length(text).cast("double")
     val nWords = wsTokenCount(text).cast("double")
     val meanWordLen = nChars / greatest(nWords, lit(1.0))
-    val punctRatio = regexp_count(text, lit("[^\\w\\s]")).cast("double") /
-      greatest(nChars, lit(1.0))
-    val stopRatio = regexp_count(lower(text),
-      lit(StopwordPatterns.head._2)).cast("double") /
+    val punctRatio = TextCounters.charClassCounts(text).getItem(0)
+      .cast("double") / greatest(nChars, lit(1.0))
+    val stopRatio = TextCounters.tokenSetCounts(lower(text),
+      Seq(StopwordLists.head._2)).getItem(0).cast("double") /
       greatest(nWords, lit(1.0))
     val lenOk = when(nChars >= 100 && nChars <= 20000, 1.0).otherwise(0.5)
     val wordLenOk = when(meanWordLen >= 3 && meanWordLen <= 12, 1.0)

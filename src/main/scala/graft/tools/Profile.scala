@@ -62,3 +62,43 @@ object Profile {
     spark.stop()
   }
 }
+// appended: text-analysis micro-profile
+object ProfileText {
+  import graft.operators.TextAnalysis
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.cache().count()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[ptext] $name%-24s ${(System.nanoTime()-t0)/1e9}%7.2fs rows=$n")
+    }
+    time("baseline count")(docs.select(length(col("text"))).count())
+    time("noop write baseline") { docs.select(length(col("text")))
+      .write.format("noop").mode("overwrite").save(); 0L }
+    time("wsTokenCount") { docs.select(TextAnalysis.wsTokenCount(col("text")))
+      .write.format("noop").mode("overwrite").save(); 0L }
+    time("charClassCounts") { docs.select(
+      graft.functions.TextCounters.charClassCounts(col("text")))
+      .write.format("noop").mode("overwrite").save(); 0L }
+    time("tokenSetCounts") { docs.select(graft.functions.TextCounters
+      .tokenSetCounts(lower(col("text")), TextAnalysis.StopwordLists.map(_._2)))
+      .write.format("noop").mode("overwrite").save(); 0L }
+    time("full quality") { docs.select(
+      TextAnalysis.qualityScore(col("text")))
+      .write.format("noop").mode("overwrite").save(); 0L }
+    time("full quality again") { docs.select(
+      TextAnalysis.qualityScore(col("text")))
+      .write.format("noop").mode("overwrite").save(); 0L }
+    time("old regex quality") { docs.select(
+      (regexp_count(col("text"), lit("[^\\w\\s]")).cast("double") /
+        greatest(length(col("text")).cast("double"), lit(1.0)))
+      ).write.format("noop").mode("overwrite").save(); 0L }
+    spark.stop()
+  }
+}
