@@ -174,17 +174,22 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val grams = docs.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol), k))).as("g"))
+    // materialize the per-doc shingle sets ONCE (persisted): the three
+    // consumers below (document frequency, sizes, prefix index) would
+    // otherwise each re-run the shingle extraction over the full corpus.
+    // At 100 TB this intermediate is the thing you'd write to storage;
+    // locally MEMORY_AND_DISK is the same idea.
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), k)).as("gs"))
+      .withColumn("sz", size(col("gs")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = sets.select(col("id"), col("sz"), explode(col("gs")).as("g"))
     // global document frequency = the prefix ordering key
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val sets = grams.groupBy(col("id"))
-      .agg(collect_set(col("g")).as("gs"), count(lit(1)).as("sz"))
     val wOrd = Window.partitionBy(col("id"))
       .orderBy(col("df").asc, col("g").asc)
     val prefix = grams.join(dfreq, "g")
       .withColumn("rn", row_number().over(wOrd))
-      .join(sets.select(col("id"), col("sz")), "id")
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("id"), col("g"), col("sz"))
     val l = prefix.select(col("id").as("id_a"), col("g"),
