@@ -185,21 +185,22 @@ object ReplicationQueries {
     "partial_sync_range" -> QueryDef(
       (s, d) => {
         // ranged re-sync: rows inside [start,end] replaced by source truth
-        val li = table(s, d, "lineitem").select(col("l_orderkey"),
-          col("l_linenumber"), col("l_quantity"),
-          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
-        val target = li.withColumn("l_quantity", col("l_quantity") + 1000.0)
-        val range = li.filter(col("ship_date")
-          .between("1994-01-01", "1994-12-31"))
-        val merged = MergeSink.merge(target, range,
-          Seq("l_orderkey", "l_linenumber"))
-        merged.filter(col("ship_date").between("1994-01-01", "1994-12-31"))
+        // (orders: o_orderkey is the genuine PK of the synthetic data)
+        val o = table(s, d, "orders").select(col("o_orderkey"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        val target = o.withColumn("o_totalprice",
+          col("o_totalprice") + 1000.0)
+        val range = o.filter(col("order_date")
+          .between("1996-01-01", "1996-12-31"))
+        val merged = MergeSink.merge(target, range, Seq("o_orderkey"))
+        merged.filter(col("order_date").between("1996-01-01", "1996-12-31"))
       },
-      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
-             |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
-             |FROM lineitem
-             |WHERE strftime(l_shipdate, '%Y-%m-%d')
-             |  BETWEEN '1994-01-01' AND '1994-12-31'""".stripMargin)),
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+             |FROM orders
+             |WHERE strftime(o_orderdate, '%Y-%m-%d')
+             |  BETWEEN '1996-01-01' AND '1996-12-31'""".stripMargin)),
 
     // row-count / size statistics (pipelinewise/utils.py:24-100
     // get_tables_size; the resync size guard's input)
