@@ -115,14 +115,29 @@ object Planner {
     * micro-batch commit cadence).
     */
   def run(spark: SparkSession, pipeline: PipelineSpec,
-          sourcePathFor: String => String): Bookmarks = {
+          sourcePathFor: String => String,
+          onError: (String, Throwable) => Unit = defaultAlert): Bookmarks = {
     var state = Bookmarks.load(pipeline.statePath)
+    val writer = new Bookmarks.ThrottledWriter(pipeline.statePath)
     pipeline.streams.foreach { s =>
-      state = runStream(spark, pipeline, s, sourcePathFor(s.table), state)
-      state.save(pipeline.statePath)
+      try {
+        state = runStream(spark, pipeline, s, sourcePathFor(s.table), state)
+        writer.offer(state)
+      } catch {
+        // a failed stream alerts and is skipped; the run continues and
+        // its bookmark is untouched, so the next run retries it
+        // (reference: send_alert + .failed log, pipelinewise.py:120,
+        // commands.py:532-543)
+        case e: Throwable => onError(s.name, e)
+      }
     }
+    writer.flush()
+    state.save(pipeline.statePath)
     state
   }
+
+  private def defaultAlert(stream: String, e: Throwable): Unit =
+    System.err.println(s"[graft-alert] stream $stream failed: ${e.getMessage}")
 
   /** Parallel per-table sync — the FastSync process pool
     * (mysql_to_snowflake.py:225-233, pool = min(config, cpu_count))

@@ -53,6 +53,30 @@ final case class Bookmarks(bookmarks: Map[String, Map[String, JValue]]) {
 object Bookmarks {
   val empty: Bookmarks = Bookmarks(Map.empty)
 
+  /** Throttled writer: persists at most once per `minIntervalMs` (the
+    * reference throttles state-file writes to >= 2 s apart,
+    * pipelinewise.py:1033-1052) but `flush()` always writes the latest
+    * state — the final write after a run must never be dropped.
+    */
+  final class ThrottledWriter(path: String, minIntervalMs: Long = 2000L) {
+    private var lastWrite = 0L
+    private var pending: Option[Bookmarks] = None
+
+    def offer(b: Bookmarks): Unit = synchronized {
+      val now = System.currentTimeMillis()
+      if (now - lastWrite >= minIntervalMs) {
+        b.save(path); lastWrite = now; pending = None
+      } else pending = Some(b)
+    }
+
+    def flush(): Unit = synchronized {
+      pending.foreach { b =>
+        b.save(path); lastWrite = System.currentTimeMillis()
+      }
+      pending = None
+    }
+  }
+
   def load(path: String): Bookmarks = {
     val p: Path = Paths.get(path)
     if (!Files.exists(p)) empty

@@ -33,6 +33,19 @@ class BookmarksSpec extends AnyFunSuite {
     assert(b.get("mysql-orders").get("log_file") == JString("binlog.000002"))
   }
 
+  test("throttled writer coalesces rapid saves but never drops the last") {
+    val dir = Files.createTempDirectory("bmthrottle").toString
+    val path = s"$dir/state.json"
+    val w = new Bookmarks.ThrottledWriter(path, minIntervalMs = 60000)
+    val b1 = Bookmarks.empty.updated("a", Map("v" -> JLong(1L)))
+    val b2 = Bookmarks.empty.updated("a", Map("v" -> JLong(2L)))
+    w.offer(b1) // first write goes through
+    w.offer(b2) // throttled -> pending
+    assert(Bookmarks.load(path).get("a").get("v").values == BigInt(1))
+    w.flush()   // final write must not be dropped
+    assert(Bookmarks.load(path).get("a").get("v").values == BigInt(2))
+  }
+
   test("cleared removes stream bookmarks (reset_state)") {
     val b = Bookmarks.empty.updated("a", Map("v" -> JLong(1L)))
       .updated("b", Map("v" -> JLong(2L)))
