@@ -30,6 +30,25 @@ class PlannerParallelSpec extends SparkSpecBase {
     assert(Bookmarks.load(s"$dir/state.json").bookmarks.size == 4)
   }
 
+  test("a failed stream alerts and is skipped; the rest still sync") {
+    val dir = Files.createTempDirectory("alert").toString
+    Seq((1L, "x", 1L)).toDF("id", "v", "seq")
+      .write.parquet(s"$dir/src/good.parquet")
+    val pipeline = PipelineSpec("al",
+      Seq(
+        StreamSpec("s-missing", "missing", Seq("id"),
+          ReplicationMethod.Incremental, Some("seq")),
+        StreamSpec("s-good", "good", Seq("id"),
+          ReplicationMethod.Incremental, Some("seq"))),
+      targetPath = s"$dir/tgt", statePath = s"$dir/state.json")
+    var alerted = List.empty[String]
+    val state = Planner.run(spark, pipeline, t => s"$dir/src/$t.parquet",
+      onError = (stream, _) => alerted ::= stream)
+    assert(alerted == List("s-missing"))
+    assert(state.get("s-good").nonEmpty && state.get("s-missing").isEmpty)
+    assert(spark.read.parquet(s"$dir/tgt/good").count() == 1)
+  }
+
   test("full-table rerun replaces the table (ACTIVATE_VERSION swap)") {
     val dir = Files.createTempDirectory("ft").toString
     Seq((1L, "v1"), (2L, "v1")).toDF("id", "v")
