@@ -145,6 +145,25 @@ object AnalyticsQueries {
              |  AND o_orderdate < '1997-01-01'
              |GROUP BY n_name""".stripMargin)),
 
+    "skew_salted_join" -> QueryDef(
+      (s, d) => {
+        // deterministic salting spreads hot supplier keys over 8 salt
+        // partitions; result is provably identical to the plain join
+        val li = table(s, d, "lineitem").select(col("l_suppkey").as("k"),
+          col("l_orderkey"), dec(col("l_extendedprice")).as("price"))
+        val supp = table(s, d, "supplier").select(
+          col("s_suppkey").as("k"), col("s_name"))
+        graft.operators.Skew.saltedJoin(li, supp, "k", "l_orderkey", 8)
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("price")).cast("double").as("total_price"))
+      },
+      Some("""SELECT s_name, count(*) AS n_items,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total_price
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_name""".stripMargin)),
+
     "top_n_per_group" -> QueryDef(
       (s, d) => {
         val w = Window.partitionBy(col("o_orderpriority"))
