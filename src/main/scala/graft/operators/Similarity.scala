@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorOps
+import graft.functions.{BoundedTopK, VectorOps}
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
   * column.
@@ -15,8 +15,30 @@ import graft.functions.VectorOps
   * inverted-file ANN layout, expressed as a pre-partitioned join so a
   * 1000-executor cluster touches ~nprobe/nlist of the data per query
   * batch.
+  *
+  * Top-k selection is two-phase everywhere: a `BoundedTopK` typed
+  * aggregate runs as a map-side partial, so each scan task forwards at
+  * most k candidates per query and the shuffle keyed on query_id carries
+  * O(tasks x queries x k) tiny rows — never the scored corpus. (A
+  * `Window.partitionBy(query_id)` + `row_number` formulation would pull
+  * |corpus| rows into one reducer per query — the classic top-k straggler
+  * at 100 TB.)
   */
 object Similarity {
+
+  /** (query_id, rank, neighbor_id) from pre-scored candidate rows.
+    * Rank order: sim desc, neighbor_id asc — identical total order to a
+    * `row_number` window, via the two-phase bounded aggregate.
+    */
+  private def topKRanked(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(BoundedTopK.topK(col("sim"), col("neighbor_id").cast("long"), k)
+        .as("topk"))
+      .select(col("query_id"),
+        posexplode(col("topk")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("neighbor_id"))
 
   /** Brute-force cosine top-k. `queries` is expected to be small (it is
     * broadcast); the corpus streams through the codegen'd dot product
@@ -31,12 +53,7 @@ object Similarity {
     val sim = VectorOps.cosineF(col("q_vec"), col("c_vec"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), sim.as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"))
+    topKRanked(scored, k)
   }
 
   /** IVF (inverted-file) ANN: assign every corpus vector to its nearest
@@ -45,6 +62,11 @@ object Similarity {
     * This is the 100 TB path: the expensive exact search runs on
     * ~nprobe/nlist of the corpus, and the bucketed corpus can be written
     * out partitioned by `cluster` for reuse across query batches.
+    *
+    * The nearest-centroid argmax is a `max_by` hash aggregate (map-side
+    * partial collapses the nlist candidate rows per vector inside each
+    * scan task), not a per-vector window — the shuffle moves one row per
+    * corpus vector, not nlist.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String): DataFrame = {
@@ -54,10 +76,15 @@ object Similarity {
       .select(col(idCol), col(vecCol),
         col("centroid_id"),
         VectorOps.cosineF(col(vecCol), col("cent_vec")).as("sim"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc,
-      col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id").as("cluster"))
+    // max over (sim, -centroid_id) == (sim desc, centroid_id asc): a
+    // strict total order, so max_by is deterministic
+    scored
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col("centroid_id"), col(vecCol).as("v")),
+        struct(col("sim"), (-col("centroid_id")).as("tb"))).as("best"))
+      .select(col(idCol), col("best.v").as(vecCol),
+        col("best.centroid_id").as("cluster"))
   }
 
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
@@ -69,16 +96,9 @@ object Similarity {
     val cand = assigned.join(qc, Seq("cluster"))
       .filter(col("query_id") =!= col(idCol))
     val sim = VectorOps.cosineF(col("q_vec"), col(vecCol))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col(idCol).asc)
-    cand.select(col("query_id"), col(idCol).as("neighbor_id"),
-        sim.as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("sim").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"))
+    val scored = cand.select(col("query_id"), col(idCol).as("neighbor_id"),
+      sim.as("sim"))
+    topKRanked(scored, k)
   }
 
   private def ivfProbe(queries: DataFrame, centroids: DataFrame,
@@ -90,6 +110,8 @@ object Similarity {
         col(vecCol).as("q_vec")).join(c)
       .select(col("query_id"), col("q_vec"), col("centroid_id"),
         VectorOps.cosineF(col("q_vec"), col("cent_vec")).as("csim"))
+    // queries are small by contract; a window here is bounded by
+    // |queries| x nlist rows, not corpus-sized
     val w = Window.partitionBy(col("query_id")).orderBy(col("csim").desc,
       col("centroid_id").asc)
     scored.withColumn("rn", row_number().over(w))

@@ -190,7 +190,9 @@ object TransformQueries {
         dec(col("c_acctbal")).cast("string").as("bal_decimal_str"),
         col("c_acctbal").cast("string").as("bal_double_str"),
         (col("c_acctbal") > 0).as("bal_positive"),
-        col("c_name").cast("binary").as("name_bytes")),
+        // hex-encoded so the differential harness compares a string, not
+        // raw bytes (binary columns are unsortable in the pandas compare)
+        hex(col("c_name").cast("binary")).as("name_bytes")),
       Some("""SELECT c_custkey,
              |  CAST(c_nationkey AS BIGINT) AS nat_bigint,
              |  CAST(c_nationkey AS SMALLINT) AS nat_smallint,
@@ -198,7 +200,7 @@ object TransformQueries {
              |    AS bal_decimal_str,
              |  CAST(c_acctbal AS VARCHAR) AS bal_double_str,
              |  c_acctbal > 0 AS bal_positive,
-             |  encode(c_name) AS name_bytes
+             |  upper(hex(encode(c_name))) AS name_bytes
              |FROM customer""".stripMargin))
   )
 }
