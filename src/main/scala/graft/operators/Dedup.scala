@@ -132,33 +132,61 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs with deterministic
-    * random-hyperplane-style bucketing: the sign bits of the dot product
-    * against `numPlanes` fixed probe vectors (the lowest-id corpus
-    * vectors — deterministic, so the DuckDB oracle reproduces them)
-    * partition the corpus into 2^numPlanes buckets; only same-bucket
-    * pairs are scored, and survivors are verified by exact cosine >=
-    * `threshold`. At 100 TB the bucket join is a single shuffle on the
-    * 8-bit signature — no cross join ever materializes.
+    * random-hyperplane-style LSH: the sign bits of the dot product against
+    * `numPlanes` fixed probe vectors (the lowest-id corpus vectors, given
+    * dense 0..numPlanes-1 positions — deterministic, so the DuckDB oracle
+    * reproduces them) form a signature, which is banded minhash-style into
+    * `numPlanes / bandBits` bands of `bandBits` bits; pairs colliding in
+    * ANY band are candidates, verified by exact cosine >= `threshold`.
+    *
+    * Scale design (the 100 TB constraints, in order):
+    *   - signature aggregation groups on id ONLY — raw float vectors never
+    *     ride a shuffle key; they are re-joined for verification at the end
+    *   - defaults give 2^bandBits = 64k buckets per band, so within-bucket
+    *     pair counts are ~n^2/64k per band, and banding (vs one monolithic
+    *     bucket key) restores the recall that narrower single buckets lose
+    *   - candidates are generated per band bucket (one posexplode -> one
+    *     shuffle), never as a cross join
     */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
-                        numPlanes: Int = 8, threshold: Double = 0.9)
-      : DataFrame = {
+                        numPlanes: Int = 32, bandBits: Int = 16,
+                        threshold: Double = 0.9): DataFrame = {
     import graft.functions.VectorOps
-    val planes = broadcast(corpus.orderBy(col(idCol).asc).limit(numPlanes)
-      .select(col(idCol).as("plane_id"), col(vecCol).as("plane_vec")))
-    val signed = corpus.join(planes)
-      .withColumn("bit",
-        when(VectorOps.dotF(col(vecCol), col("plane_vec")) >= 0,
-          expr("shiftleft(1L, cast(plane_id as int))")).otherwise(0L))
-      .groupBy(col(idCol), col(vecCol).as("v"))
-      .agg(sum(col("bit")).as("bucket"))
-    val l = signed.select(col("bucket"), col(idCol).as("id_a"),
-      col("v").as("v_a"))
-    val r = signed.select(col("bucket"), col(idCol).as("id_b"),
-      col("v").as("v_b"))
-    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorOps.cosineF(col("v_a"), col("v_b")))
-      .filter(col("cosine") >= threshold)
+    require(numPlanes % bandBits == 0 && numPlanes <= 63,
+      s"numPlanes ($numPlanes) must be a multiple of bandBits ($bandBits)")
+    val numBands = numPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    // dense plane index 0..numPlanes-1 (NOT the raw id: ids are arbitrary
+    // longs, and using them as bit positions would collide mod 64). The
+    // window is over the numPlanes-row seed set, pre-broadcast.
+    val seed = corpus.orderBy(col(idCol).asc).limit(numPlanes)
+      .select(col(idCol).as("pid"), col(vecCol).as("plane_vec"))
+    val wp = Window.orderBy(col("pid").asc)
+    val planes = broadcast(seed.select(
+      (row_number().over(wp) - 1).cast("int").as("plane_id"),
+      col("plane_vec")))
+    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(planes)
+      .select(col("id"),
+        when(VectorOps.dotF(col("v"), col("plane_vec")) >= 0,
+          expr("shiftleft(1L, plane_id)")).otherwise(0L).as("bit"))
+      .groupBy(col("id"))
+      .agg(sum(col("bit")).as("sig"))
+    val bandKeys = array((0 until numBands).map { b =>
+      shiftright(col("sig"), b * bandBits).bitwiseAND(mask)
+    }: _*)
+    val banded = sigs.select(col("id"),
+      posexplode(bandKeys).as(Seq("band_no", "bk")))
+    val l = banded.select(col("band_no"), col("bk"), col("id").as("id_a"))
+    val r = banded.select(col("band_no"), col("bk"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("band_no", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    cand
+      .join(vecs.select(col("vid").as("id_a"), col("vv").as("v_a")), "id_a")
+      .join(vecs.select(col("vid").as("id_b"), col("vv").as("v_b")), "id_b")
+      .filter(VectorOps.cosineF(col("v_a"), col("v_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
 

@@ -29,6 +29,13 @@ object TrainingDataQueries {
   private val MaxHamming = 3
   private val AnnK = 10
   private val AnnNumQueries = 20
+  // test-scale LSH constants: 16 planes banded 4x4 bits (the operator's
+  // 100 TB default is 32 planes / 16-bit bands = 64k buckets per band;
+  // 4-bit bands keep bucket occupancy testable on 500-5000 vectors)
+  private val EmbPlanes = 16
+  private val EmbBandBits = 4
+  private val EmbBands = EmbPlanes / EmbBandBits
+  private val EmbThreshold = 0.4
 
   // ---- generated oracle-SQL fragments ---------------------------------
 
@@ -129,6 +136,40 @@ object TrainingDataQueries {
        |FROM i JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
        |WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter)
        |  >= $JaccardThreshold""".stripMargin
+
+  /** Hyperplane-LSH near-dup oracle, mirroring Dedup.embeddingNearDups:
+    * dense plane ids via row_number over the lowest-EmbPlanes vectors,
+    * banded signatures, UNION of per-band bucket joins (UNION = set
+    * semantics = Spark's distinct), exact-cosine verification.
+    */
+  private val embCosineSql = {
+    val bandJoins = (0 until EmbBands).map { b =>
+      val sh = b * EmbBandBits
+      val mask = (1 << EmbBandBits) - 1
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM sig a JOIN sig b
+         |  ON ((a.sig >> $sh) & $mask) = ((b.sig >> $sh) & $mask)
+         |  AND a.vec_id < b.vec_id""".stripMargin
+    }.mkString("\nUNION\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS plane_id,
+       |    v AS pv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $EmbPlanes)),
+       |sig AS (SELECT e.vec_id,
+       |    sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
+       |      THEN (1::BIGINT << CAST(p.plane_id AS INT))
+       |      ELSE 0 END) AS sig
+       |  FROM e, p GROUP BY e.vec_id),
+       |cand AS ($bandJoins)
+       |SELECT c.id_a, c.id_b
+       |FROM cand c
+       |JOIN e x ON c.id_a = x.vec_id
+       |JOIN e y ON c.id_b = y.vec_id
+       |WHERE list_dot_product(x.v, y.v)
+       |  / (sqrt(list_dot_product(x.v, x.v))
+       |     * sqrt(list_dot_product(y.v, y.v))) >= $EmbThreshold"""
+      .stripMargin
+  }
 
   private val annSql =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -279,23 +320,9 @@ object TrainingDataQueries {
 
     "dedup_embedding_cosine" -> QueryDef(
       (s, d) => Dedup.embeddingNearDups(table(s, d, "embeddings"),
-        "vec_id", "embedding", numPlanes = 8, threshold = 0.4),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-             |  FROM embeddings),
-             |p AS (SELECT vec_id AS plane_id, v AS pv FROM e
-             |  WHERE vec_id < 8),
-             |b AS (SELECT e.vec_id, e.v,
-             |    sum(CASE WHEN list_dot_product(e.v, p.pv) >= 0
-             |      THEN (1::BIGINT << CAST(p.plane_id AS INT))
-             |      ELSE 0 END) AS bucket
-             |  FROM e, p GROUP BY e.vec_id, e.v)
-             |SELECT a.vec_id AS id_a, c.vec_id AS id_b
-             |FROM b a JOIN b c ON a.bucket = c.bucket
-             |  AND a.vec_id < c.vec_id
-             |WHERE list_dot_product(a.v, c.v)
-             |  / (sqrt(list_dot_product(a.v, a.v))
-             |     * sqrt(list_dot_product(c.v, c.v))) >= 0.4"""
-        .stripMargin)),
+        "vec_id", "embedding", numPlanes = EmbPlanes,
+        bandBits = EmbBandBits, threshold = EmbThreshold),
+      Some(embCosineSql)),
 
     "ann_cosine_topk" -> QueryDef(
       (s, d) => {
