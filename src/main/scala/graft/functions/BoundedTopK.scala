@@ -4,11 +4,12 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Mutable bounded top-k buffer: the k best (score, id) pairs ordered by
   * (score desc, id asc), kept in sorted parallel arrays. k is small (~10),
@@ -64,7 +65,11 @@ final class TopKBuffer(val k: Int) extends Serializable {
   * Result: `array<long>` of ids, best first — `posexplode` it to recover
   * (rank, id). Row-level semantics identical to the window formulation
   * (same total order, same tie-break), so oracle SQL can keep using
-  * `row_number() OVER (ORDER BY score DESC, id)`.
+  * `row_number() OVER (ORDER BY score DESC, id)` — with ONE divergence:
+  * rows with a null score or id are DROPPED here, whereas `ORDER BY score
+  * DESC` ranks nulls last and a window formulation would emit them when a
+  * group has fewer than k non-null candidates. Filter nulls upstream if
+  * the input can contain them and parity matters.
   */
 case class BoundedTopK(
     score: Expression,
@@ -72,7 +77,13 @@ case class BoundedTopK(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression]
+  with ExpectsInputTypes {
+
+  // analysis-time typing: a float/decimal score or int id fails (or is
+  // implicitly cast) at analysis instead of ClassCastException in update()
+  override def inputTypes: Seq[ColumnBridge.AbstractType] =
+    Seq(DoubleType, LongType)
 
   require(k > 0, s"topK k must be positive, got $k")
 

@@ -152,20 +152,28 @@ object Dedup {
                         numPlanes: Int = 32, bandBits: Int = 16,
                         threshold: Double = 0.9): DataFrame = {
     import graft.functions.VectorOps
+    require(bandBits > 0, s"bandBits ($bandBits) must be positive")
     require(numPlanes % bandBits == 0 && numPlanes <= 63,
-      s"numPlanes ($numPlanes) must be a multiple of bandBits ($bandBits)")
+      s"numPlanes ($numPlanes) must be a multiple of bandBits ($bandBits) " +
+        "and <= 63")
     val numBands = numPlanes / bandBits
     val mask = (1L << bandBits) - 1
+    // the (id, vec) projection feeds three consumers (plane seed, signature
+    // aggregation, verification re-join) — persist it once instead of
+    // re-scanning the corpus three times. At 100 TB this is the
+    // write-to-storage point; locally MEMORY_AND_DISK is the same idea.
+    val proj = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // dense plane index 0..numPlanes-1 (NOT the raw id: ids are arbitrary
     // longs, and using them as bit positions would collide mod 64). The
     // window is over the numPlanes-row seed set, pre-broadcast.
-    val seed = corpus.orderBy(col(idCol).asc).limit(numPlanes)
-      .select(col(idCol).as("pid"), col(vecCol).as("plane_vec"))
+    val seed = proj.orderBy(col("id").asc).limit(numPlanes)
+      .select(col("id").as("pid"), col("v").as("plane_vec"))
     val wp = Window.orderBy(col("pid").asc)
     val planes = broadcast(seed.select(
       (row_number().over(wp) - 1).cast("int").as("plane_id"),
       col("plane_vec")))
-    val sigs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val sigs = proj
       .join(planes)
       .select(col("id"),
         when(VectorOps.dotF(col("v"), col("plane_vec")) >= 0,
@@ -182,7 +190,7 @@ object Dedup {
     val cand = l.join(r, Seq("band_no", "bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val vecs = corpus.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    val vecs = proj.select(col("id").as("vid"), col("v").as("vv"))
     cand
       .join(vecs.select(col("vid").as("id_a"), col("vv").as("v_a")), "id_a")
       .join(vecs.select(col("vid").as("id_b"), col("vv").as("v_b")), "id_b")

@@ -92,10 +92,10 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int, everyNth: Int)
       : DataFrame = {
     val nFrames = (length(col("payload")) / frameBytes).cast("int")
+    // stepped sequence emits only the kept frame indices — no generate-all
+    // then post-filter, so the generator's output is 1/everyNth the rows
     media.select(col("media_id"),
-        posexplode(sequence(lit(0), greatest(nFrames - 1, lit(0))))
-          .as(Seq("frame_no", "frame_idx")))
-      .filter(col("frame_no") % everyNth === 0)
-      .select(col("media_id"), col("frame_no"))
+      explode(sequence(lit(0), greatest(nFrames - 1, lit(0)),
+        lit(everyNth))).as("frame_no"))
   }
 }

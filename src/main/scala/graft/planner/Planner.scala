@@ -58,7 +58,7 @@ object Planner {
                 stream: StreamSpec, sourcePath: String,
                 state: Bookmarks): Bookmarks = {
     stream.validate()
-    val raw = plan(stream, state) match {
+    val scanned = plan(stream, state) match {
       case InitialSnapshot =>
         Sources.fullTable(spark, sourcePath, stream.selectedColumns)
       case IncrementalFrom(b) =>
@@ -68,6 +68,15 @@ object Planner {
         // batch fallback: treat the source as an accumulated change log
         Sources.fullTable(spark, sourcePath, stream.selectedColumns)
     }
+    // single-pass bookmark capture: max(replication_key) rides the merge
+    // scan as an observed metric instead of a second full scan of the
+    // source (Dataset.observe -> CollectMetrics; at 100 TB the saved scan
+    // is the whole table)
+    val observation = stream.replicationKey.map { k =>
+      val obs = org.apache.spark.sql.Observation()
+      (obs, scanned.observe(obs, max(col(k)).as("__max_rk")))
+    }
+    val raw = observation.map(_._2).getOrElse(scanned)
     val transformed = Metadata.withSystemColumns(
       Masking.applyAll(raw, stream.transformations))
     val orderCol = stream.replicationKey.getOrElse(Metadata.ExtractedAt)

@@ -122,6 +122,41 @@ object ReplicationQueries {
              |FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey"""
         .stripMargin)),
 
+    // partitioned incremental merge: two flushes into a PK-hash-partitioned
+    // parquet layout (initial load, then a small update batch that rewrites
+    // only the partitions it touches — PartitionedMergeSpec asserts the
+    // byte-identity of untouched partitions). Final table state must equal
+    // the pure-merge oracle.
+    "merge_partitioned_incremental" -> QueryDef(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-pmerge").toString
+        val tablePath = s"$dir/orders_t"
+        MergeSink.flushPartitioned(s,
+          targetOrders(s, d).withColumn("_seq", lit(1L)),
+          tablePath, Seq("o_orderkey"), "_seq", numParts = 16)
+        MergeSink.flushPartitioned(s,
+          updateOrders(s, d).withColumn("_seq", lit(2L)),
+          tablePath, Seq("o_orderkey"), "_seq", numParts = 16)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+      },
+      Some("""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             |    o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+             |  u AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2))
+             |         + CAST(1 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+             |    FROM orders WHERE o_orderkey % 2 = 0)
+             |SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+             |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey
+             |       ELSE t.o_custkey END AS o_custkey,
+             |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+             |       ELSE t.o_orderstatus END AS o_orderstatus,
+             |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+             |       ELSE t.o_totalprice END AS o_totalprice
+             |FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey"""
+        .stripMargin)),
+
     "merge_soft_delete" -> QueryDef(
       (s, d) => {
         val tombstones = table(s, d, "orders")

@@ -99,11 +99,22 @@ object MergeSink {
     df.write.mode(SaveMode.Overwrite).parquet(stage)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(tablePath)
-    val old = new org.apache.hadoop.fs.Path(tablePath + ".old")
+    atomicSwapDir(fs, stage, tablePath, tablePath + ".old")
+  }
+
+  /** Rename-based swap: retire `dstPath` to `oldPath`, promote `stagePath`,
+    * drop the retired copy. Old data is never deleted before the
+    * replacement is in place, so a crash at any point leaves either the
+    * old table, the new table, or a recoverable `.old` copy.
+    */
+  private def atomicSwapDir(fs: org.apache.hadoop.fs.FileSystem,
+                            stagePath: String, dstPath: String,
+                            oldPath: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    val old = new org.apache.hadoop.fs.Path(oldPath)
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(dst)) fs.rename(dst, old)
-    fs.rename(new org.apache.hadoop.fs.Path(stage), dst)
+    fs.rename(new org.apache.hadoop.fs.Path(stagePath), dst)
     fs.delete(old, true)
   }
 
@@ -129,6 +140,90 @@ object MergeSink {
       }
     publish(merged, tablePath)
     merged
+  }
+
+  // ---- partitioned incremental merge ----------------------------------
+
+  /** Layout partition column for [[flushPartitioned]] tables. */
+  val PartCol = "__p"
+
+  /** Stable bucket id for a PK tuple: `pmod(hash60(pks), numParts)`.
+    * [[graft.functions.StableHash]] (not Spark's `hash`) so the bucket of
+    * a key never changes across Spark versions — the on-disk layout is a
+    * contract between runs.
+    */
+  def pkBucket(pks: Seq[String], numParts: Int): Column =
+    pmod(graft.functions.StableHash.hash60(
+      concat_ws("\u0000", pks.map(k => col(k).cast("string")): _*)),
+      lit(numParts.toLong)).cast("int")
+
+  /** Incremental merge-flush into a PK-hash-partitioned parquet layout
+    * (`tablePath/__p=<bucket>/`): only the partitions the deduped batch
+    * touches are read, merged, and atomically swapped — every other
+    * partition's files are left byte-identical on disk.
+    *
+    * This is the 100 TB flush path: a 100k-row batch against a 100 TB
+    * target touches at most `numParts` buckets' worth of data
+    * (min(numParts, |batch|) partitions), so per-flush I/O is proportional
+    * to the batch's key spread, NOT the target size — the engine-level
+    * `replaceWhere` the reference approximates with per-table
+    * `ALTER TABLE ... SWAP WITH` (fastsync/commons/target_snowflake.py:448-469),
+    * done per-partition instead of per-table.
+    *
+    * Schema evolution (new/re-typed columns) changes every partition's
+    * schema, so those flushes fall back to a full partitioned rewrite;
+    * steady-state upserts take the incremental path.
+    */
+  def flushPartitioned(spark: SparkSession, batch: DataFrame,
+                       tablePath: String, pks: Seq[String], orderCol: String,
+                       numParts: Int = 64, hardDelete: Boolean = false,
+                       versionSuffix: String = "v"): DataFrame = {
+    require(pks.nonEmpty, "flushPartitioned requires primary keys")
+    val deduped = dedupLastWins(batch, pks, orderCol)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val stage = tablePath + ".stage"
+
+    def writeStagePartitioned(df: DataFrame): Unit =
+      df.withColumn(PartCol, pkBucket(pks, numParts))
+        .write.partitionBy(PartCol).mode(SaveMode.Overwrite).parquet(stage)
+
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(tablePath))
+    if (!exists) {
+      writeStagePartitioned(deduped)
+      atomicSwapDir(fs, stage, tablePath, tablePath + ".old")
+    } else {
+      val target = spark.read.parquet(tablePath)
+      val sameSchema = deduped.schema.fields.forall(f =>
+        target.schema.fields.exists(tf =>
+          tf.name == f.name && tf.dataType == f.dataType))
+      if (!sameSchema) {
+        // evolution rewrites every partition (all rows change schema)
+        val evolved =
+          evolveTarget(target.drop(PartCol), deduped.schema, versionSuffix)
+        writeStagePartitioned(merge(evolved, deduped, pks, hardDelete))
+        atomicSwapDir(fs, stage, tablePath, tablePath + ".old")
+      } else {
+        // incremental path: bounded by numParts (layout metadata, never
+        // data-sized), so the collect is a partition-pruning step
+        val touched = deduped
+          .select(pkBucket(pks, numParts).as(PartCol)).distinct()
+          .collect().map(_.getInt(0)).sorted
+        val slice = target
+          .filter(col(PartCol).isin(touched.toSeq: _*)).drop(PartCol)
+        writeStagePartitioned(merge(slice, deduped, pks, hardDelete))
+        touched.foreach { b =>
+          val stDir = s"$stage/$PartCol=$b"
+          val dstDir = s"$tablePath/$PartCol=$b"
+          if (fs.exists(new org.apache.hadoop.fs.Path(stDir)))
+            atomicSwapDir(fs, stDir, dstDir, s"$tablePath.old.$b")
+          else // hard delete emptied the bucket
+            fs.delete(new org.apache.hadoop.fs.Path(dstDir), true)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      }
+    }
+    spark.read.parquet(tablePath).drop(PartCol)
   }
 
   /** Bucketed publish: persist the target as a bucketed table on its PKs
@@ -160,13 +255,22 @@ object MergeSink {
     val merged =
       if (!spark.catalog.tableExists(tableName)) deduped
       else merge(spark.table(tableName), deduped, pks, hardDelete)
-    // stage under a temp name, then swap via rename — same atomicity
-    // contract as publish()
+    // stage under a temp name, then promote via renames. The catalog has
+    // no atomic swap primitive, so the order matters: the old table is
+    // retired (rename, data intact) BEFORE the stage is promoted and only
+    // dropped after — a crash at any point leaves recoverable data, never
+    // the dropped-then-nothing window of DROP-first.
     val stage = tableName + "_stage"
     publishBucketed(merged, stage, pks, numBuckets)
-    if (spark.catalog.tableExists(tableName))
-      spark.sql(s"DROP TABLE $tableName")
-    spark.sql(s"ALTER TABLE $stage RENAME TO $tableName")
+    if (spark.catalog.tableExists(tableName)) {
+      val retired = tableName + "_retired"
+      spark.sql(s"DROP TABLE IF EXISTS $retired")
+      spark.sql(s"ALTER TABLE $tableName RENAME TO $retired")
+      spark.sql(s"ALTER TABLE $stage RENAME TO $tableName")
+      spark.sql(s"DROP TABLE $retired")
+    } else {
+      spark.sql(s"ALTER TABLE $stage RENAME TO $tableName")
+    }
     spark.table(tableName)
   }
 

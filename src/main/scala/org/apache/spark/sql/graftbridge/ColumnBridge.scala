@@ -15,4 +15,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]`; alias it out so library code
+    * (graft.*) can declare `ExpectsInputTypes.inputTypes`.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

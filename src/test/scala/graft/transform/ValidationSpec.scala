@@ -45,7 +45,7 @@ class ValidationSpec extends SparkSpecBase {
       (10L, Seq.tabulate(8)(j => if (j == 0) 1.0f else 0.1f)) // dup of 0/4/8
     val df = vecs.toDF("vec_id", "embedding")
     val pairs = graft.operators.Dedup.embeddingNearDups(df,
-      "vec_id", "embedding", numPlanes = 4, threshold = 0.999)
+      "vec_id", "embedding", numPlanes = 4, bandBits = 2, threshold = 0.999)
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 10L)))
   }
