@@ -9,6 +9,15 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Test-only embedded JDBC driver: the pre-warmed local cache happens to
+// ship a DuckDB JDBC jar; pick it up as an unmanaged jar (same pattern as
+// /opt/spark/jars — nothing is resolved over the network) purely so the
+// jdbcSnapshot/jdbcWrite/jdbc-discovery paths get exercised end-to-end in
+// ScalaTest. Production JDBC drivers arrive on the cluster classpath.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props("user.home")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").classpath
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -59,6 +59,42 @@ object Discovery {
       Map("source-format" -> "csv", "path" -> glob))
   }
 
+  /** Discover a JDBC-backed stream from the live source catalog — the
+    * tap-postgres/tap-mysql discovery path (discovery_utils.py:52-131:
+    * pg_catalog column/constraint queries). Spark-native: the column
+    * set+types come from the Spark JDBC reader's schema resolution (one
+    * prepared metadata query, no rows fetched), the primary key from the
+    * driver's `DatabaseMetaData.getPrimaryKeys`, the row count from a
+    * pushed-down `count(*)`.
+    */
+  def jdbcStream(spark: SparkSession, name: String, url: String,
+                 table: String, props: Map[String, String] = Map.empty)
+      : DiscoveredStream = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val schema = spark.read.jdbc(url, table, p).schema
+    // "driver" is a Spark JDBC option, not a connection property — some
+    // drivers (DuckDB) reject unknown properties outright
+    val cp = new java.util.Properties()
+    props.filterNot(_._1 == "driver")
+      .foreach { case (k, v) => cp.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, cp)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery(s"SELECT count(*) FROM $table")
+      val n = if (rs.next()) rs.getLong(1) else -1L
+      // best-effort: not every driver implements getPrimaryKeys
+      val pks = try {
+        val pkRs = conn.getMetaData.getPrimaryKeys(null, null, table)
+        val b = Seq.newBuilder[String]
+        while (pkRs.next()) b += pkRs.getString("COLUMN_NAME")
+        b.result()
+      } catch { case _: java.sql.SQLException => Seq.empty[String] }
+      DiscoveredStream(name, schema, n, pks,
+        Map("source-format" -> "jdbc", "url" -> url, "table" -> table))
+    } finally conn.close()
+  }
+
   /** Run-over-run catalog merge: `is-new` / `is-modified` flags
     * (pipelinewise.py:493-692 merge_schemas).
     */

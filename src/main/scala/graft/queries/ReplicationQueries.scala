@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.Q._
 import graft.sink.MergeSink
-import graft.sources.Sources
+import graft.sources.{Sources, Wal2Json}
 
 /** Verified queries covering the reference's replication surface
   * (SURVEY.md §2.1-2.3): full-table scan, incremental scan with bookmark
@@ -297,6 +297,63 @@ object ReplicationQueries {
           when(col("event_type") === "signup", "c")
             .when(col("event_type") === "error", "d").otherwise("u"))
         val applied = MergeSink.dedupLastWins(log, Seq("user_id"), "event_id")
+        applied.filter(col("op") =!= "d")
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("op"), col("value"))
+      },
+      Some("""WITH log AS (SELECT *, CASE WHEN event_type = 'signup' THEN 'c'
+             |    WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+             |  FROM events),
+             |  applied AS (SELECT *, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM log)
+             |SELECT user_id, event_id AS last_event_id, op, value
+             |FROM applied WHERE rn = 1 AND op <> 'd'""".stripMargin)),
+
+    // wal2json v2 protocol decode: render the events table as raw wal2json
+    // action lines (I/U/D + B/C/M/T noise + a non-selected table), decode
+    // with Wal2Json.decode, replay through the same last-write-wins merge.
+    // Final state must equal cdc_apply_changelog's — the decode layer is
+    // the only thing under test, so the oracle is the same changelog SQL.
+    "cdc_wal2json_decode" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val iu = """{"action":"%s","schema":"public","table":"events",""" +
+          """"columns":[{"name":"user_id","type":"bigint","value":%s},""" +
+          """{"name":"event_id","type":"bigint","value":%s},""" +
+          """{"name":"value","type":"double precision","value":%s}]}"""
+        val del = """{"action":"D","schema":"public","table":"events",""" +
+          """"identity":[{"name":"user_id","type":"bigint","value":%s},""" +
+          """{"name":"event_id","type":"bigint","value":%s}]}"""
+        val payload =
+          when(col("event_type") === "signup",
+            format_string(iu, lit("I"), col("user_id"), col("event_id"),
+              col("value")))
+          .when(col("event_type") === "error",
+            format_string(del, col("user_id"), col("event_id")))
+          .otherwise(
+            format_string(iu, lit("U"), col("user_id"), col("event_id"),
+              col("value")))
+        val rowLines = events(s, d)
+          .select(col("event_id").as("lsn"), payload.as("payload"))
+        // protocol noise the decoder must skip: tx wrappers, a logical
+        // message, a truncate, and a row action for a non-selected table
+        val noise = Seq(
+          (-5L, """{"action":"B"}"""),
+          (-4L, """{"action":"M","prefix":"x","content":"ignored"}"""),
+          (-3L, """{"action":"I","schema":"public","table":"audit","columns":[{"name":"id","type":"bigint","value":1}]}"""),
+          (-2L, """{"action":"T","schema":"public","table":"events"}"""),
+          (-1L, """{"action":"C"}""")).toDF("lsn", "payload")
+        val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType)))
+        val decoded = Wal2Json.decode(rowLines.unionByName(noise),
+          "payload", "lsn", "public", "events", rowSchema)
+        val applied = MergeSink.dedupLastWins(decoded, Seq("user_id"),
+          "_sdc_lsn")
         applied.filter(col("op") =!= "d")
           .select(col("user_id"), col("event_id").as("last_event_id"),
             col("op"), col("value"))

@@ -70,10 +70,19 @@ object MergeSink {
         else when(col("u.__upd").isNotNull, col(s"u.$c"))
           .otherwise(col(s"t.$c")).as(c)
       }: _*)
-    if (hardDelete && merged.columns.contains(deletedAtCol))
-      merged.filter(col(deletedAtCol).isNull)
-    else merged
+    dropTombstones(merged, hardDelete, deletedAtCol)
   }
+
+  /** Hard-delete filter, also applied on the bootstrap (no-target) flush
+    * path: a changelog replayed from scratch must not keep rows whose
+    * last event is a tombstone.
+    */
+  private def dropTombstones(df: DataFrame, hardDelete: Boolean,
+                             deletedAtCol: String = "_sdc_deleted_at")
+      : DataFrame =
+    if (hardDelete && df.columns.contains(deletedAtCol))
+      df.filter(col(deletedAtCol).isNull)
+    else df
 
   private def align(df: DataFrame, cols: Seq[String],
                     types: Map[String, org.apache.spark.sql.types.DataType])
@@ -131,7 +140,7 @@ object MergeSink {
       spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new org.apache.hadoop.fs.Path(tablePath))
     val merged =
-      if (!exists) deduped
+      if (!exists) dropTombstones(deduped, hardDelete)
       else {
         val target = spark.read.parquet(tablePath)
         val evolved = evolveTarget(target, deduped.schema, versionSuffix)
@@ -139,7 +148,9 @@ object MergeSink {
         else append(evolved, deduped)
       }
     publish(merged, tablePath)
-    merged
+    // re-read: the publish swap retired the files the lazy `merged` plan
+    // references, so returning it would break on re-evaluation
+    spark.read.parquet(tablePath)
   }
 
   // ---- partitioned incremental merge ----------------------------------
@@ -190,7 +201,7 @@ object MergeSink {
 
     val exists = fs.exists(new org.apache.hadoop.fs.Path(tablePath))
     if (!exists) {
-      writeStagePartitioned(deduped)
+      writeStagePartitioned(dropTombstones(deduped, hardDelete))
       atomicSwapDir(fs, stage, tablePath, tablePath + ".old")
     } else {
       val target = spark.read.parquet(tablePath)
@@ -253,7 +264,8 @@ object MergeSink {
     val deduped =
       if (pks.nonEmpty) dedupLastWins(batch, pks, orderCol) else batch
     val merged =
-      if (!spark.catalog.tableExists(tableName)) deduped
+      if (!spark.catalog.tableExists(tableName))
+        dropTombstones(deduped, hardDelete)
       else merge(spark.table(tableName), deduped, pks, hardDelete)
     // stage under a temp name, then promote via renames. The catalog has
     // no atomic swap primitive, so the order matters: the old table is

@@ -41,6 +41,7 @@ object Sinks {
   def jdbcWrite(df: DataFrame, url: String, table: String,
                 mode: SaveMode = SaveMode.Append,
                 options: Map[String, String] = Map.empty): Unit = {
+    graft.sources.GraftDialects.registered
     var w = df.write.format("jdbc").mode(mode)
       .option("url", url).option("dbtable", table)
       .option("batchsize", 10000)

@@ -92,6 +92,7 @@ object Sources {
                    partitionColumn: String, lowerBound: Long, upperBound: Long,
                    numPartitions: Int, fetchSize: Int = 50000,
                    props: Map[String, String] = Map.empty): DataFrame = {
+    GraftDialects.registered
     var r = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
