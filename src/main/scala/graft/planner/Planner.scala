@@ -99,7 +99,10 @@ object Planner {
 
     stream.replicationKey match {
       case Some(k) =>
-        Sources.nextBookmark(raw, k) match {
+        // read the observed max captured during the flush/publish action —
+        // NOT Sources.nextBookmark, which would scan the source again
+        observation.flatMap(o => Option(o._1.get.getOrElse("__max_rk", null)))
+          match {
           case Some(v) =>
             val jv: JValue = v match {
               case l: Long => JLong(l)
