@@ -41,5 +41,5 @@ object SparkEntry {
     "merge_upsert", "pk_dedup_lastwin", "running_total_window",
     "stream_sessionize", "dedup_exact", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "ann_cosine_topk", "text_quality_score",
-    "doc_fingerprint")
+    "doc_fingerprint", "cdc_wal2json_decode")
 }

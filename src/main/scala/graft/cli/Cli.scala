@@ -69,10 +69,18 @@ object Cli {
         .filter(col(column).between(start, end))
       val withMeta = graft.transform.Metadata.withSystemColumns(
         graft.transform.Masking.applyAll(src, stream.transformations))
-      MergeSink.flush(spark, withMeta, s"${p.targetPath}/$table",
-        stream.keyProperties,
-        stream.replicationKey.getOrElse(graft.transform.Metadata.ExtractedAt),
-        p.hardDelete)
+      if (stream.keyProperties.nonEmpty)
+        MergeSink.flushPartitioned(spark, withMeta,
+          s"${p.targetPath}/$table", stream.keyProperties,
+          stream.replicationKey
+            .getOrElse(graft.transform.Metadata.ExtractedAt),
+          p.targetPartitions, p.hardDelete)
+      else
+        MergeSink.flush(spark, withMeta, s"${p.targetPath}/$table",
+          stream.keyProperties,
+          stream.replicationKey
+            .getOrElse(graft.transform.Metadata.ExtractedAt),
+          p.hardDelete)
       println(s"partial sync done: $table $column in [$start, $end]")
     case Seq("reset_state", specPath, streams @ _*) =>
       val p = loadSpec(specPath)

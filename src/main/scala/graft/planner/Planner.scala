@@ -93,8 +93,16 @@ object Planner {
           else transformed
         MergeSink.publish(deduped, tablePath)
       case _ =>
-        MergeSink.flush(spark, transformed, tablePath,
-          stream.keyProperties, orderCol, pipeline.hardDelete)
+        // keyed streams take the partitioned incremental path: per-flush
+        // I/O is proportional to the batch's key spread, not the target
+        // size (the 100 TB steady-state merge). No-PK streams append.
+        if (stream.keyProperties.nonEmpty)
+          MergeSink.flushPartitioned(spark, transformed, tablePath,
+            stream.keyProperties, orderCol, pipeline.targetPartitions,
+            pipeline.hardDelete)
+        else
+          MergeSink.flush(spark, transformed, tablePath,
+            stream.keyProperties, orderCol, pipeline.hardDelete)
     }
 
     stream.replicationKey match {

@@ -190,6 +190,8 @@ object MergeSink {
                        numParts: Int = 64, hardDelete: Boolean = false,
                        versionSuffix: String = "v"): DataFrame = {
     require(pks.nonEmpty, "flushPartitioned requires primary keys")
+    require(!batch.columns.contains(PartCol),
+      s"$PartCol is reserved for the partitioned layout")
     val deduped = dedupLastWins(batch, pks, orderCol)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
@@ -205,7 +207,10 @@ object MergeSink {
       atomicSwapDir(fs, stage, tablePath, tablePath + ".old")
     } else {
       val target = spark.read.parquet(tablePath)
-      val sameSchema = deduped.schema.fields.forall(f =>
+      // migration path: an existing UNpartitioned table (written by
+      // publish/flush) is rewritten once into the partitioned layout
+      val isPartitioned = target.columns.contains(PartCol)
+      val sameSchema = isPartitioned && deduped.schema.fields.forall(f =>
         target.schema.fields.exists(tf =>
           tf.name == f.name && tf.dataType == f.dataType))
       if (!sameSchema) {
@@ -215,23 +220,30 @@ object MergeSink {
         writeStagePartitioned(merge(evolved, deduped, pks, hardDelete))
         atomicSwapDir(fs, stage, tablePath, tablePath + ".old")
       } else {
-        // incremental path: bounded by numParts (layout metadata, never
-        // data-sized), so the collect is a partition-pruning step
-        val touched = deduped
-          .select(pkBucket(pks, numParts).as(PartCol)).distinct()
-          .collect().map(_.getInt(0)).sorted
-        val slice = target
-          .filter(col(PartCol).isin(touched.toSeq: _*)).drop(PartCol)
-        writeStagePartitioned(merge(slice, deduped, pks, hardDelete))
-        touched.foreach { b =>
-          val stDir = s"$stage/$PartCol=$b"
-          val dstDir = s"$tablePath/$PartCol=$b"
-          if (fs.exists(new org.apache.hadoop.fs.Path(stDir)))
-            atomicSwapDir(fs, stDir, dstDir, s"$tablePath.old.$b")
-          else // hard delete emptied the bucket
-            fs.delete(new org.apache.hadoop.fs.Path(dstDir), true)
-        }
-        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        // two actions consume the deduped batch (touched-bucket pruning,
+        // then the merge write) — persist so the scan + dedup window
+        // shuffle run once, not twice
+        val d = deduped.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // incremental path: bounded by numParts (layout metadata, never
+          // data-sized), so the collect is a partition-pruning step
+          val touched = d
+            .select(pkBucket(pks, numParts).as(PartCol)).distinct()
+            .collect().map(_.getInt(0)).sorted
+          val slice = target
+            .filter(col(PartCol).isin(touched.toSeq: _*)).drop(PartCol)
+          writeStagePartitioned(merge(slice, d, pks, hardDelete))
+          touched.foreach { b =>
+            val stDir = s"$stage/$PartCol=$b"
+            val dstDir = s"$tablePath/$PartCol=$b"
+            if (fs.exists(new org.apache.hadoop.fs.Path(stDir)))
+              atomicSwapDir(fs, stDir, dstDir, s"$tablePath.old.$b")
+            else // hard delete emptied the bucket
+              fs.delete(new org.apache.hadoop.fs.Path(dstDir), true)
+          }
+          fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        } finally d.unpersist()
       }
     }
     spark.read.parquet(tablePath).drop(PartCol)

@@ -71,4 +71,9 @@ final case class PipelineSpec(
     sourceDir: Option[String] = None, // tap "connection": parquet dir
     hardDelete: Boolean = false,
     batchSizeRows: Int = 100000,
-    flattenMaxLevel: Int = 0)
+    flattenMaxLevel: Int = 0,
+    // PK-hash partition count of the target layout: incremental merges
+    // rewrite only the partitions a batch touches (MergeSink
+    // .flushPartitioned). Size so one partition's data fits an executor
+    // comfortably — at 100 TB / 4096 parts that's ~25 GB per partition.
+    targetPartitions: Int = 64)

@@ -37,15 +37,22 @@ object StreamingMerge {
             tablePath: String, checkpoint: String,
             pks: Seq[String], orderCol: String,
             hardDelete: Boolean = false,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            targetPartitions: Int = 64): StreamingQuery = {
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     applyEnvelope(stream)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        MergeSink.flush(batch.sparkSession, batch, tablePath, pks, orderCol,
-          hardDelete)
+        // keyed CDC streams merge via the partitioned incremental path:
+        // a micro-batch rewrites only the PK-hash partitions it touches
+        if (pks.nonEmpty)
+          MergeSink.flushPartitioned(batch.sparkSession, batch, tablePath,
+            pks, orderCol, targetPartitions, hardDelete)
+        else
+          MergeSink.flush(batch.sparkSession, batch, tablePath, pks,
+            orderCol, hardDelete)
         ()
       }
       .start()
