@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.Q._
 import graft.sink.MergeSink
-import graft.sources.{Sources, Wal2Json}
+import graft.sources.{BinlogRows, Sources, Wal2Json}
 
 /** Verified queries covering the reference's replication surface
   * (SURVEY.md §2.1-2.3): full-table scan, incremental scan with bookmark
@@ -354,6 +354,49 @@ object ReplicationQueries {
           "payload", "lsn", "public", "events", rowSchema)
         val applied = MergeSink.dedupLastWins(decoded, Seq("user_id"),
           "_sdc_lsn")
+        applied.filter(col("op") =!= "d")
+          .select(col("user_id"), col("event_id").as("last_event_id"),
+            col("op"), col("value"))
+      },
+      Some("""WITH log AS (SELECT *, CASE WHEN event_type = 'signup' THEN 'c'
+             |    WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+             |  FROM events),
+             |  applied AS (SELECT *, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM log)
+             |SELECT user_id, event_id AS last_event_id, op, value
+             |FROM applied WHERE rn = 1 AND op <> 'd'""".stripMargin)),
+
+    // MySQL binlog row-event decode: same replay, rendered as landed
+    // write_rows/update_rows/delete_rows events (multi-row-capable,
+    // (log_file, log_pos, row_idx) total order, tombstone timestamps).
+    "cdc_binlog_decode" -> QueryDef(
+      (s, d) => {
+        val write = """{"event_type":"write_rows","schema":"db","table":"events","timestamp":"2024-06-01T00:00:00Z","log_file":"mysql-bin.000001","log_pos":%s,"rows":[{"values":{"user_id":%s,"event_id":%s,"value":%s}}]}"""
+        val update = """{"event_type":"update_rows","schema":"db","table":"events","timestamp":"2024-06-01T00:00:00Z","log_file":"mysql-bin.000001","log_pos":%s,"rows":[{"before_values":{"user_id":%s,"event_id":%s,"value":0},"after_values":{"user_id":%s,"event_id":%s,"value":%s}}]}"""
+        val del = """{"event_type":"delete_rows","schema":"db","table":"events","timestamp":"2024-06-01T00:00:00Z","log_file":"mysql-bin.000001","log_pos":%s,"rows":[{"values":{"user_id":%s,"event_id":%s}}]}"""
+        val payload =
+          when(col("event_type") === "signup",
+            format_string(write, col("event_id"), col("user_id"),
+              col("event_id"), col("value")))
+          .when(col("event_type") === "error",
+            format_string(del, col("event_id"), col("user_id"),
+              col("event_id")))
+          .otherwise(
+            format_string(update, col("event_id"), col("user_id"),
+              col("event_id"), col("user_id"), col("event_id"),
+              col("value")))
+        val lines = events(s, d).select(payload.as("payload"))
+        val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType)))
+        val decoded = BinlogRows.decode(lines, "payload", "db", "events",
+          rowSchema)
+        val applied = MergeSink.dedupLastWins(decoded, Seq("user_id"),
+          "_binlog_seq")
         applied.filter(col("op") =!= "d")
           .select(col("user_id"), col("event_id").as("last_event_id"),
             col("op"), col("value"))
