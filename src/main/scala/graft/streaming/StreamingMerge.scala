@@ -58,6 +58,38 @@ object StreamingMerge {
       .start()
   }
 
+  /** LOG_BASED replication straight off raw wal2json v2 lines: a text
+    * file stream of (lsn \t payload) lines — the landed form of the
+    * replication-slot poll loop (logical_replication.py:577-737) — is
+    * decoded per micro-batch and merged via the partitioned incremental
+    * path. The decode is all codegen'd expressions, so it rides inside
+    * the stream's scan stage.
+    */
+  def startWal2Json(spark: SparkSession, sourceDir: String,
+                    schemaName: String, tableName: String,
+                    rowSchema: org.apache.spark.sql.types.StructType,
+                    tablePath: String, checkpoint: String,
+                    pks: Seq[String], hardDelete: Boolean = false,
+                    trigger: Trigger = Trigger.AvailableNow(),
+                    targetPartitions: Int = 64): StreamingQuery = {
+    val lines = spark.readStream.text(sourceDir)
+      .select(
+        split(col("value"), "\t", 2).getItem(0).cast("long").as("lsn"),
+        split(col("value"), "\t", 2).getItem(1).as("payload"))
+    graft.sources.Wal2Json
+      .decode(lines, "payload", "lsn", schemaName, tableName, rowSchema)
+      .transform(applyEnvelope(_))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MergeSink.flushPartitioned(batch.sparkSession, batch, tablePath,
+          pks, "_sdc_lsn", targetPartitions, hardDelete)
+        ()
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window aggregate over an event stream — the
     * generic streaming-analytics surface (counts/sums per window+key).
     */
@@ -76,9 +108,12 @@ object StreamingMerge {
     */
   def refetchUpdates(batch: DataFrame, source: DataFrame,
                      idCol: String, opCol: String = "op"): DataFrame = {
-    val ids = Seq(idCol, opCol)
-    val updates = batch.filter(col(opCol) === "u").select(
-      ids.map(col): _*)
+    // keep the id plus every envelope column the source can't provide
+    // (op, order/token, tombstone timestamp) — dropping them would strip
+    // the refetched rows of their CDC ordering
+    val keep = batch.columns
+      .filter(c => c == idCol || !source.columns.contains(c)).toSeq
+    val updates = batch.filter(col(opCol) === "u").select(keep.map(col): _*)
     val refetched = updates.join(source, Seq(idCol), "left")
     val passthrough = batch.filter(col(opCol) =!= "u")
     refetched.unionByName(passthrough, allowMissingColumns = true)

@@ -40,6 +40,46 @@ class StreamingMergeSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((2L, "b2")))
   }
 
+  test("LOG_BASED from raw wal2json lines: decode + partitioned merge " +
+    "with checkpointed resume") {
+    val dir = Files.createTempDirectory("cdc-wal").toString
+    val srcDir = s"$dir/wal"
+    val tablePath = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val rowSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+
+    def land(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$srcDir/$name"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+
+    // poll 1: begin, two inserts, commit
+    land("w1.txt", Seq(
+      "1\t" + """{"action":"B"}""",
+      "2\t" + """{"action":"I","schema":"public","table":"t","columns":[{"name":"id","type":"bigint","value":1},{"name":"v","type":"text","value":"a"}]}""",
+      "3\t" + """{"action":"I","schema":"public","table":"t","columns":[{"name":"id","type":"bigint","value":2},{"name":"v","type":"text","value":"b"}]}""",
+      "4\t" + """{"action":"C"}"""))
+    val q1 = StreamingMerge.startWal2Json(spark, srcDir, "public", "t",
+      rowSchema, tablePath, ckpt, Seq("id"), hardDelete = true,
+      targetPartitions = 4)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(tablePath).count() == 2)
+
+    // poll 2 (resumed from checkpoint): update id=1, delete id=2
+    land("w2.txt", Seq(
+      "5\t" + """{"action":"U","schema":"public","table":"t","columns":[{"name":"id","type":"bigint","value":1},{"name":"v","type":"text","value":"a2"}]}""",
+      "6\t" + """{"action":"D","schema":"public","table":"t","identity":[{"name":"id","type":"bigint","value":2}]}"""))
+    val q2 = StreamingMerge.startWal2Json(spark, srcDir, "public", "t",
+      rowSchema, tablePath, ckpt, Seq("id"), hardDelete = true,
+      targetPartitions = 4)
+    q2.processAllAvailable(); q2.stop()
+
+    val out = spark.read.parquet(tablePath)
+      .select("id", "v").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "a2")))
+  }
+
   test("soft delete keeps tombstoned rows with _sdc_deleted_at set") {
     val df = Seq((1L, "x", 1L, "d"), (2L, "y", 2L, "u"))
       .toDF("id", "v", "seq", "op")
