@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measure full-rewrite flush vs partitioned incremental flush
+  * for a small batch against a large target — the scale claim behind
+  * MergeSink.flushPartitioned, in numbers (docs/MERGE_SCALING.md).
+  *
+  * Usage: runMain graft.MergeBench <sfDir> [batchRows] [numParts]
+  */
+object MergeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batchRows = args.lift(1).map(_.toInt).getOrElse(1000)
+    val numParts = args.lift(2).map(_.toInt).getOrElse(64)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-merge-bench")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("_seq", lit(1L))
+    val batch = base.orderBy("l_orderkey", "l_linenumber").limit(batchRows)
+      .withColumn("_seq", lit(2L))
+      .withColumn("l_comment", lit("updated"))
+    val pks = Seq("l_orderkey", "l_linenumber")
+    val dir = java.nio.file.Files.createTempDirectory("mergebench").toString
+
+    def dirBytes(p: String): Long = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+    }
+    def timed[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // seed both layouts with the same target
+    val fullT = s"$dir/full"
+    val partT = s"$dir/part"
+    graft.sink.MergeSink.flush(spark, base, fullT, pks, "_seq")
+    graft.sink.MergeSink.flushPartitioned(spark, base, partT, pks, "_seq",
+      numParts)
+    val targetRows = base.count()
+    val targetBytes = dirBytes(fullT)
+
+    // warm both paths once (plan/codegen), on a throwaway copy
+    graft.sink.MergeSink.flush(spark, batch, fullT, pks, "_seq")
+    graft.sink.MergeSink.flushPartitioned(spark, batch, partT, pks, "_seq",
+      numParts)
+
+    val tFull = timed(
+      graft.sink.MergeSink.flush(spark, batch, fullT, pks, "_seq"))
+    val tPart = timed(
+      graft.sink.MergeSink.flushPartitioned(spark, batch, partT, pks,
+        "_seq", numParts))
+
+    // merge-on-read path: flush is O(batch); the read pays a broadcast
+    // anti-join over the unshuffled base
+    val deltaT = s"$dir/delta"
+    graft.sink.DeltaMerge.flushDelta(spark, base, deltaT, pks, "_seq")
+    graft.sink.DeltaMerge.flushDelta(spark, batch, deltaT, pks, "_seq")
+    val tDelta = timed(
+      graft.sink.DeltaMerge.flushDelta(spark, batch, deltaT, pks, "_seq"))
+    val tRead = timed(
+      graft.sink.DeltaMerge.readMerged(spark, deltaT, pks, "_seq")
+        .agg(count(lit(1))).head())
+    val tReadBase = timed(
+      spark.read.parquet(fullT).agg(count(lit(1))).head())
+
+    val touched = batch
+      .select(graft.sink.MergeSink.pkBucket(pks, numParts)).distinct()
+      .count()
+    println(f"""{"target_rows":$targetRows,"target_bytes":$targetBytes,""" +
+      f""""batch_rows":$batchRows,"num_parts":$numParts,""" +
+      f""""touched_parts":$touched,""" +
+      f""""full_rewrite_sec":$tFull%.3f,""" +
+      f""""partitioned_sec":$tPart%.3f,""" +
+      f""""delta_flush_sec":$tDelta%.3f,""" +
+      f""""merged_read_sec":$tRead%.3f,""" +
+      f""""plain_read_sec":$tReadBase%.3f}""")
+    spark.stop()
+  }
+}

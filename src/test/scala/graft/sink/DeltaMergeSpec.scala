@@ -1,0 +1,86 @@
+package graft.sink
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** DeltaMerge: merge-on-read flush path (O(batch) writes, broadcast
+  * no-shuffle reads, amortized compaction).
+  */
+class DeltaMergeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("delta flushes merge on read; base files untouched until compact") {
+    val dir = Files.createTempDirectory("dmerge").toString
+    val t = s"$dir/t"
+    val base = (1L to 1000L).map(i => (i, s"v$i", 1L))
+      .toDF("id", "v", "seq")
+    DeltaMerge.flushDelta(spark, base, t, Seq("id"), "seq")
+
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def baseFiles() = fsys.listStatus(
+      new org.apache.hadoop.fs.Path(DeltaMerge.basePath(t)))
+      .map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
+      .toSet
+
+    val before = baseFiles()
+    // two delta flushes: update, insert, then a later update of the same key
+    DeltaMerge.flushDelta(spark,
+      Seq((5L, "v5-new", 2L), (1001L, "fresh", 2L)).toDF("id", "v", "seq"),
+      t, Seq("id"), "seq")
+    DeltaMerge.flushDelta(spark,
+      Seq((5L, "v5-newer", 3L)).toDF("id", "v", "seq"),
+      t, Seq("id"), "seq")
+    assert(baseFiles() == before, "delta flushes must not touch the base")
+
+    val merged = DeltaMerge.readMerged(spark, t, Seq("id"), "seq")
+    assert(merged.count() == 1001)
+    val got = merged.filter(col("id").isin(5L, 1001L, 7L))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(5L -> "v5-newer", 1001L -> "fresh", 7L -> "v7"))
+
+    // the read plan must not shuffle the base: delta side is broadcast
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), s"expected broadcast join:\n$plan")
+  }
+
+  test("compaction folds deltas into the base and clears them") {
+    val dir = Files.createTempDirectory("dmerge2").toString
+    val t = s"$dir/t"
+    DeltaMerge.flushDelta(spark,
+      (1L to 100L).map(i => (i, s"v$i", 1L)).toDF("id", "v", "seq"),
+      t, Seq("id"), "seq")
+    DeltaMerge.flushDelta(spark,
+      Seq((1L, "upd", 2L)).toDF("id", "v", "seq"), t, Seq("id"), "seq")
+    DeltaMerge.compact(spark, t, Seq("id"), "seq")
+
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dp = new org.apache.hadoop.fs.Path(DeltaMerge.deltaPath(t))
+    assert(!fsys.exists(dp) || fsys.listStatus(dp).isEmpty)
+    val merged = DeltaMerge.readMerged(spark, t, Seq("id"), "seq")
+    assert(merged.count() == 100)
+    assert(merged.filter(col("id") === 1L).select("v")
+      .as[String].head() == "upd")
+  }
+
+  test("auto-compaction triggers on delta growth; tombstones hard-delete") {
+    val dir = Files.createTempDirectory("dmerge3").toString
+    val t = s"$dir/t"
+    val withTomb = (1L to 50L).map(i => (i, s"v$i", 1L, null: String))
+      .toDF("id", "v", "seq", "_sdc_deleted_at")
+    DeltaMerge.flushAuto(spark, withTomb, t, Seq("id"), "seq",
+      hardDelete = true)
+    // large delta (same size as base) forces a compaction
+    val tomb = (1L to 25L).map(i => (i, s"v$i", 2L, "2024-01-01"))
+      .toDF("id", "v", "seq", "_sdc_deleted_at")
+    DeltaMerge.flushAuto(spark, tomb, t, Seq("id"), "seq",
+      hardDelete = true, compactDeltaFraction = 0.1)
+    val merged = DeltaMerge.readMerged(spark, t, Seq("id"), "seq",
+      hardDelete = true)
+    assert(merged.select("id").as[Long].collect().toSet ==
+      (26L to 50L).toSet)
+  }
+}
