@@ -58,6 +58,33 @@ object StreamingMerge {
       .start()
   }
 
+  /** High-frequency LOG_BASED replication via the merge-on-read path:
+    * each micro-batch lands as one O(batch) delta file and compaction
+    * amortizes the rewrite (docs/MERGE_SCALING.md) — the right flush
+    * shape for sub-minute triggers against very large targets, where
+    * any per-batch rewrite (full or partitioned) would dominate.
+    * Consumers read with [[graft.sink.DeltaMerge.readMerged]].
+    */
+  def startDelta(spark: SparkSession, sourceDir: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 tablePath: String, checkpoint: String,
+                 pks: Seq[String], orderCol: String,
+                 hardDelete: Boolean = false,
+                 trigger: Trigger = Trigger.AvailableNow(),
+                 compactDeltaFraction: Double = 0.1): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    applyEnvelope(stream)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sink.DeltaMerge.flushAuto(batch.sparkSession, batch,
+          tablePath, pks, orderCol, hardDelete, compactDeltaFraction)
+        ()
+      }
+      .start()
+  }
+
   /** LOG_BASED replication straight off raw wal2json v2 lines: a text
     * file stream of (lsn \t payload) lines — the landed form of the
     * replication-slot poll loop (logical_replication.py:577-737) — is

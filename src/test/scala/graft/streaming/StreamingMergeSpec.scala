@@ -80,6 +80,31 @@ class StreamingMergeSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, "a2")))
   }
 
+  test("LOG_BASED high-frequency: delta flushes + merge-on-read converge") {
+    val dir = Files.createTempDirectory("cdc-delta").toString
+    val srcDir = s"$dir/changes"
+    val tablePath = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+
+    Seq((1L, "a", 1L, "c"), (2L, "b", 2L, "c")).toDF("id", "v", "seq", "op")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q1 = StreamingMerge.startDelta(spark, srcDir, schema, tablePath,
+      ckpt, Seq("id"), "seq", hardDelete = true)
+    q1.processAllAvailable(); q1.stop()
+
+    Seq((2L, "b2", 3L, "u"), (1L, "a", 4L, "d")).toDF("id", "v", "seq", "op")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val q2 = StreamingMerge.startDelta(spark, srcDir, schema, tablePath,
+      ckpt, Seq("id"), "seq", hardDelete = true)
+    q2.processAllAvailable(); q2.stop()
+
+    val out = graft.sink.DeltaMerge.readMerged(spark, tablePath, Seq("id"),
+      "seq", hardDelete = true).select("id", "v")
+      .as[(Long, String)].collect()
+    assert(out.toSeq == Seq((2L, "b2")))
+  }
+
   test("soft delete keeps tombstoned rows with _sdc_deleted_at set") {
     val df = Seq((1L, "x", 1L, "d"), (2L, "y", 2L, "u"))
       .toDF("id", "v", "seq", "op")
