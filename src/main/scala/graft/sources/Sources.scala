@@ -82,6 +82,25 @@ object Sources {
     }
   }
 
+  /** Kafka protobuf record shape (tap-kafka serialization/protobuf.py):
+    * the binary `value` decodes via the engine-native wire-format
+    * decoder into typed columns, plus the standard kafka provenance
+    * columns. `from_protobuf` (spark-protobuf) replaces
+    * [[graft.functions.ProtoLite]] when its jar + compiled descriptors
+    * are available.
+    */
+  def kafkaProtobufShape(kafka: DataFrame,
+                         fields: Seq[graft.functions.ProtoField])
+      : DataFrame =
+    kafka.select(
+      graft.functions.ProtoLite.decode(col("value"), fields).as("m"),
+      col("partition").as("message_partition"),
+      col("offset").as("message_offset"),
+      col("timestamp").as("message_timestamp"))
+      .select((fields.map(f => col(s"m.${f.name}").as(f.name)) ++ Seq(
+        col("message_partition"), col("message_offset"),
+        col("message_timestamp"))): _*)
+
   /** Partitioned JDBC snapshot — the FastSync bulk-export analogue
     * (fastsync/commons/tap_mysql.py:327-501): Spark's partitioned JDBC read
     * replaces the reference's manual PK-range chunking + process pool. Not

@@ -1,0 +1,109 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.sources.Sources
+
+/** ProtoLite: protobuf wire-format decode against hand-encoded buffers
+  * (the encoder below is the wire spec, written forwards).
+  */
+class ProtoLiteSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // --- minimal wire-format encoder (test-side oracle) -----------------
+  private def varint(out: ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+  private def tag(out: ByteArrayOutputStream, no: Int, wire: Int): Unit =
+    varint(out, (no.toLong << 3) | wire)
+  private def vint(out: ByteArrayOutputStream, no: Int, v: Long): Unit = {
+    tag(out, no, 0); varint(out, v)
+  }
+  private def zig(out: ByteArrayOutputStream, no: Int, v: Long): Unit =
+    vint(out, no, (v << 1) ^ (v >> 63))
+  private def dbl(out: ByteArrayOutputStream, no: Int, v: Double): Unit = {
+    tag(out, no, 1)
+    val b = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putDouble(v).array()
+    out.write(b)
+  }
+  private def flt(out: ByteArrayOutputStream, no: Int, v: Float): Unit = {
+    tag(out, no, 5)
+    val b = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putFloat(v).array()
+    out.write(b)
+  }
+  private def str(out: ByteArrayOutputStream, no: Int, s: String): Unit = {
+    tag(out, no, 2)
+    val b = s.getBytes("UTF-8"); varint(out, b.length.toLong); out.write(b)
+  }
+
+  private val fields = Seq(
+    ProtoField("id", 1, "varint"), ProtoField("name", 2, "string"),
+    ProtoField("score", 3, "double"), ProtoField("delta", 4, "zigzag"),
+    ProtoField("ratio", 5, "float"), ProtoField("ok", 6, "bool"))
+
+  private def msg(build: ByteArrayOutputStream => Unit): Array[Byte] = {
+    val out = new ByteArrayOutputStream(); build(out); out.toByteArray
+  }
+
+  test("all scalar kinds decode; unknown fields are skipped") {
+    val bytes = msg { o =>
+      vint(o, 1, 42L)
+      str(o, 2, "héllo wörld")
+      dbl(o, 3, 2.75)
+      zig(o, 4, -17L)
+      flt(o, 5, 1.5f)
+      vint(o, 6, 1L)
+      str(o, 99, "unknown length-delimited field")   // skipped by wire type
+      vint(o, 98, 123456789L)                        // skipped varint
+    }
+    val row = Seq(bytes).toDF("value")
+      .select(ProtoLite.decode(col("value"), fields).as("m"))
+      .select("m.*").head()
+    assert(row.getLong(0) == 42L)
+    assert(row.getString(1) == "héllo wörld")
+    assert(row.getDouble(2) == 2.75)
+    assert(row.getLong(3) == -17L)
+    assert(row.getFloat(4) == 1.5f)
+    assert(row.getBoolean(5))
+  }
+
+  test("absent fields are null; later scalar occurrences win (proto3)") {
+    val bytes = msg { o => vint(o, 1, 1L); vint(o, 1, 2L) }
+    val row = Seq(bytes).toDF("value")
+      .select(ProtoLite.decode(col("value"), fields).as("m"))
+      .select("m.*").head()
+    assert(row.getLong(0) == 2L)
+    assert(row.isNullAt(1) && row.isNullAt(2) && row.isNullAt(3))
+  }
+
+  test("truncated buffers decode what they can, never throw") {
+    val full = msg { o => vint(o, 1, 42L); str(o, 2, "abcdef") }
+    (0 until full.length).foreach { cut =>
+      val row = Seq(full.take(cut)).toDF("value")
+        .select(ProtoLite.decode(col("value"), fields).as("m"))
+        .select("m.*").head()
+      if (cut >= 2) assert(row.getLong(0) == 42L)
+    }
+  }
+
+  test("kafka protobuf record shape decodes value + provenance columns") {
+    val bytes = msg { o => vint(o, 1, 7L); str(o, 2, "k7"); dbl(o, 3, 0.5) }
+    val kafka = Seq((bytes, 0, 11L, java.sql.Timestamp.valueOf(
+      "2024-01-01 00:00:00"))).toDF("value", "partition", "offset",
+      "timestamp")
+    val out = Sources.kafkaProtobufShape(kafka, fields.take(3))
+    assert(out.columns.toSeq == Seq("id", "name", "score",
+      "message_partition", "message_offset", "message_timestamp"))
+    val r = out.head()
+    assert(r.getLong(0) == 7L && r.getString(1) == "k7" &&
+      r.getDouble(2) == 0.5 && r.getLong(4) == 11L)
+  }
+}
