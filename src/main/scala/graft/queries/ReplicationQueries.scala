@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.Q._
-import graft.sink.MergeSink
+import graft.sink.{DeltaMerge, MergeSink}
 import graft.sources.{BinlogRows, Sources, Wal2Json}
 
 /** Verified queries covering the reference's replication surface
@@ -138,6 +138,39 @@ object ReplicationQueries {
         MergeSink.flushPartitioned(s,
           updateOrders(s, d).withColumn("_seq", lit(2L)),
           tablePath, Seq("o_orderkey"), "_seq", numParts = 16)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"))
+      },
+      Some("""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             |    o_totalprice FROM orders WHERE o_orderkey % 3 <> 0),
+             |  u AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2))
+             |         + CAST(1 AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+             |    FROM orders WHERE o_orderkey % 2 = 0)
+             |SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+             |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey
+             |       ELSE t.o_custkey END AS o_custkey,
+             |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+             |       ELSE t.o_orderstatus END AS o_orderstatus,
+             |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+             |       ELSE t.o_totalprice END AS o_totalprice
+             |FROM t FULL OUTER JOIN u ON t.o_orderkey = u.o_orderkey"""
+        .stripMargin)),
+
+    // merge-on-read: base load + delta flush, then readMerged — the
+    // broadcast-anti-join view must equal the materialized merge.
+    "merge_delta_on_read" -> QueryDef(
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-dmerge").toString
+        val t = s"$dir/orders_t"
+        DeltaMerge.flushDelta(s,
+          targetOrders(s, d).withColumn("_seq", lit(1L)),
+          t, Seq("o_orderkey"), "_seq")
+        DeltaMerge.flushDelta(s,
+          updateOrders(s, d).withColumn("_seq", lit(2L)),
+          t, Seq("o_orderkey"), "_seq")
+        DeltaMerge.readMerged(s, t, Seq("o_orderkey"), "_seq")
           .select(col("o_orderkey"), col("o_custkey"),
             col("o_orderstatus"), col("o_totalprice"))
       },
