@@ -50,6 +50,22 @@ object BinlogRows {
 
   private val rowActions = Seq("write_rows", "update_rows", "delete_rows")
 
+  /** Header-only parse for selection predicates — skips materializing
+    * `rows` so filtered-out events never pay the full parse.
+    */
+  private val headerSchema: StructType = StructType(Seq(
+    StructField("event_type", StringType),
+    StructField("schema", StringType),
+    StructField("table", StringType)))
+
+  private def selected(payloadCol: String, schemaName: String,
+                       tableName: String): Column = {
+    val h = from_json(col(payloadCol), headerSchema)
+    h.getField("event_type").isin(rowActions: _*) &&
+      h.getField("schema") === schemaName &&
+      h.getField("table") === tableName
+  }
+
   /** Decode landed binlog row events into the engine's change envelope:
     * rowSchema columns + `op` (c/u/d) + `_sdc_deleted_at` (delete events
     * only) + `_binlog_seq` (comparable (log_file, log_pos, row_idx)
@@ -58,9 +74,8 @@ object BinlogRows {
   def decode(lines: DataFrame, payloadCol: String, schemaName: String,
              tableName: String, rowSchema: StructType): DataFrame = {
     val parsed = lines
+      .filter(selected(payloadCol, schemaName, tableName))
       .select(from_json(col(payloadCol), eventSchema).as("e"))
-      .filter(col("e.event_type").isin(rowActions: _*) &&
-        col("e.schema") === schemaName && col("e.table") === tableName)
       .select(col("e.event_type").as("et"), col("e.timestamp").as("ts"),
         col("e.log_file"), col("e.log_pos"),
         posexplode(col("e.rows")).as(Seq("row_idx", "r")))
@@ -87,9 +102,8 @@ object BinlogRows {
                        schemaName: String, tableName: String,
                        rowSchema: StructType): DataFrame = {
     val known = rowSchema.fieldNames.toSeq
-    lines.select(from_json(col(payloadCol), eventSchema).as("e"))
-      .filter(col("e.event_type").isin(rowActions: _*) &&
-        col("e.schema") === schemaName && col("e.table") === tableName)
+    lines.filter(selected(payloadCol, schemaName, tableName))
+      .select(from_json(col(payloadCol), eventSchema).as("e"))
       .select(explode(col("e.rows")).as("r"))
       .select(explode(map_keys(coalesce(col("r.after_values"),
         col("r.values")))).as("column_name"))

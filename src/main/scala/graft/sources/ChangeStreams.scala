@@ -47,6 +47,14 @@ object ChangeStreams {
 
   private val ops = Seq("insert", "update", "delete")
 
+  /** Header-only parse for the selection predicate (skips fullDocument
+    * materialization for filtered-out events).
+    */
+  private val headerSchema: StructType = StructType(Seq(
+    StructField("operationType", StringType),
+    StructField("ns", StructType(Seq(
+      StructField("db", StringType), StructField("coll", StringType))))))
+
   /** Decode landed change-stream documents for one (db, coll) into the
     * engine's envelope: rowSchema columns + `op` (c/u/d) +
     * `_sdc_deleted_at` + `_cs_token` (resume-token order column).
@@ -56,10 +64,12 @@ object ChangeStreams {
   def decode(lines: DataFrame, payloadCol: String, dbName: String,
              collName: String, rowSchema: StructType,
              idField: String = "_id"): DataFrame = {
+    val h = from_json(col(payloadCol), headerSchema)
     val parsed = lines
+      .filter(h.getField("operationType").isin(ops: _*) &&
+        h.getField("ns").getField("db") === dbName &&
+        h.getField("ns").getField("coll") === collName)
       .select(from_json(col(payloadCol), eventSchema).as("e"))
-      .filter(col("e.operationType").isin(ops: _*) &&
-        col("e.ns.db") === dbName && col("e.ns.coll") === collName)
     val out: Seq[Column] =
       rowSchema.fields.toSeq.map { f =>
         val v =

@@ -45,6 +45,15 @@ object Wal2Json {
     StructField("columns", nameTypeValue),
     StructField("identity", nameTypeValue)))
 
+  /** Header-only parse schema for the row filter: skips materializing the
+    * column arrays, so the (cheap) selection predicate doesn't pay the
+    * full parse — the full-schema parse runs once, on selected rows only.
+    */
+  private val headerSchema: StructType = StructType(Seq(
+    StructField("action", StringType),
+    StructField("schema", StringType),
+    StructField("table", StringType)))
+
   /** Decode raw wal2json v2 lines into the engine's change envelope.
     *
     * @param lines      frame with a JSON-string payload column and a
@@ -58,25 +67,32 @@ object Wal2Json {
   def decode(lines: DataFrame, payloadCol: String, lsnCol: String,
              schemaName: String, tableName: String, rowSchema: StructType,
              lsnOut: String = "_sdc_lsn"): DataFrame = {
-    val parsed = lines.select(col(lsnCol).as(lsnOut),
-      from_json(col(payloadCol), actionLineSchema).as("m"))
-    val rows = parsed.filter(
-      col("m.action").isin("I", "U", "D") &&
-        col("m.schema") === schemaName && col("m.table") === tableName)
+    val h = from_json(col(payloadCol), headerSchema)
+    val rows = lines
+      .filter(h.getField("action").isin("I", "U", "D") &&
+        h.getField("schema") === schemaName &&
+        h.getField("table") === tableName)
+      .select(col(lsnCol).as(lsnOut),
+        from_json(col(payloadCol), actionLineSchema).as("m"))
     // D rows carry identity (replica-identity key values), I/U carry
     // columns (logical_replication.py:424-432 payload examples)
     val entries = when(col("m.action") === "D", col("m.identity"))
       .otherwise(col("m.columns"))
-    val kv = map_from_entries(
-      transform(entries, e => struct(e.getField("name"), e.getField("value"))))
+    // staged projection: the kv map is built ONCE per row; per-field
+    // element_at references the alias (CollapseProject keeps non-cheap
+    // aliases staged instead of re-inlining the map build per field)
+    val staged = rows.select(
+      map_from_entries(transform(entries,
+        e => struct(e.getField("name"), e.getField("value")))).as("__kv"),
+      when(col("m.action") === "I", "c")
+        .when(col("m.action") === "U", "u")
+        .otherwise("d").as("op"),
+      col(lsnOut))
     val out: Seq[Column] =
       rowSchema.fields.toSeq.map(f =>
-        element_at(kv, f.name).cast(f.dataType).as(f.name)) ++ Seq(
-        when(col("m.action") === "I", "c")
-          .when(col("m.action") === "U", "u")
-          .otherwise("d").as("op"),
-        col(lsnOut))
-    rows.select(out: _*)
+        element_at(col("__kv"), f.name).cast(f.dataType).as(f.name)) ++
+        Seq(col("op"), col(lsnOut))
+    staged.select(out: _*)
   }
 
   /** Payload column names not in the declared schema — the reference's
