@@ -405,6 +405,32 @@ object TrainingDataQueries {
       Some("""SELECT doc_id AS media_id, 'text-bytes' AS modality,
              |  CAST(length(text) AS BIGINT) AS n_bytes,
              |  md5(text) AS checksum
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ---- deterministic sampling / splitting ---------------------------
+
+    "sample_hash_split" -> QueryDef(
+      (s, d) => graft.operators.Sampling.hashSplit(
+        table(s, d, "documents").select(col("doc_id")),
+        "doc_id", Seq("train" -> 0.98, "valid" -> 0.01, "test" -> 0.01)),
+      Some(s"""SELECT doc_id,
+              |  CASE WHEN ${graft.operators.Sampling.bucketSql("doc_id")}
+              |         < 9800 THEN 'train'
+              |       WHEN ${graft.operators.Sampling.bucketSql("doc_id")}
+              |         < 9900 THEN 'valid'
+              |       ELSE 'test' END AS split
+              |FROM documents""".stripMargin)),
+
+    "sample_stratified" -> QueryDef(
+      (s, d) => graft.operators.Sampling.stratifiedSampleByHash(
+        events(s, d).select(col("event_id"), col("event_type"),
+          col("user_id")),
+        "event_id", "event_type",
+        Map("click" -> 0.10, "view" -> 0.05), defaultFraction = 1.0),
+      Some(s"""SELECT event_id, event_type, user_id FROM events
+              |WHERE ${graft.operators.Sampling.bucketSql("event_id")} <
+              |  CASE WHEN event_type = 'click' THEN 1000
+              |       WHEN event_type = 'view' THEN 500
+              |       ELSE 10000 END""".stripMargin))
   )
 }
