@@ -20,6 +20,9 @@ Test / unmanagedJars ++= {
 }
 Test / fork := true
 run / fork := true
+// forked run inherits stdout directly — no "[info] " logger prefix, so
+// graft.Bench's single JSON line is machine-parseable from the sbt output
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
