@@ -73,6 +73,34 @@ class PartitionedMergeSpec extends SparkSpecBase {
       "touched partitions must be rewritten (fresh files)")
   }
 
+  test("wide batches take the whole-layout fallback and stay correct") {
+    val dir = Files.createTempDirectory("pmerge-wide").toString
+    val tablePath = s"$dir/t"
+    val initial = (1L to 200L).map(i => (i, s"v$i", 1L))
+      .toDF("id", "v", "seq")
+    MergeSink.flushPartitioned(spark, initial, tablePath, Seq("id"), "seq",
+      numParts = 8)
+    // 100 random keys over 8 buckets touch (nearly) all of them: the
+    // degenerate case routes through one whole-layout write + one swap
+    // keys 102,104,...,300: 50 update existing rows, 50 are new
+    val wide = (1L to 100L).map(i => (100L + i * 2, s"w${100 + i * 2}", 2L))
+      .toDF("id", "v", "seq")
+    val touched = wide.select(MergeSink.pkBucket(Seq("id"), 8).as("b"))
+      .distinct().count()
+    assert(touched >= 6, s"test batch should be wide, touched=$touched")
+    val merged = MergeSink.flushPartitioned(spark, wide, tablePath,
+      Seq("id"), "seq", numParts = 8)
+    assert(merged.count() == 250)
+    assert(merged.filter(col("id") === 104L).select("v")
+      .as[String].head() == "w104")
+    assert(merged.filter(col("id") === 3L).select("v")
+      .as[String].head() == "v3")
+    // layout still partitioned (future incremental flushes keep working)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$tablePath/${MergeSink.PartCol}=0")))
+  }
+
   test("hard delete can empty a bucket; replay converges") {
     val dir = Files.createTempDirectory("pmerge2").toString
     val tablePath = s"$dir/t"
