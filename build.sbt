@@ -19,6 +19,10 @@ Test / unmanagedJars ++= {
   (cache ** "duckdb_jdbc-*.jar").classpath
 }
 Test / fork := true
+// one suite at a time: every spec shares the singleton local SparkSession,
+// and concurrent suites can interfere (listeners, catalog names, caches);
+// measured wall time is identical either way
+Test / parallelExecution := false
 run / fork := true
 // forked run inherits stdout directly — no "[info] " logger prefix, so
 // graft.Bench's single JSON line is machine-parseable from the sbt output
