@@ -129,4 +129,53 @@ object Similarity {
     corpus.filter(col(idCol) % every === 0)
       .select((col(idCol) / every).cast("long").as("centroid_id"),
         col(vecCol))
+
+  /** Train IVF centroids with Lloyd's k-means on a (hash-sampled)
+    * training set — the piece that turns ivfAssign/ivfTopK into a
+    * self-contained index build.
+    *
+    * Scale shape: standard practice trains centroids on a bounded sample
+    * (use [[Sampling.stratifiedSampleByHash]] or a hash threshold to cut
+    * 100 TB down to ~10^5-10^6 vectors), then assigns the FULL corpus
+    * once with the trained centroids (one scan, ivfAssign). Each Lloyd
+    * iteration here is: broadcast-assign (no shuffle of the sample) →
+    * posexplode to (cluster, dim, x) → per-dimension mean (map-side
+    * partial) — shuffle volume is sample x dim tiny rows, never the
+    * corpus. Deterministic: hash-spread seeding, max_by tie-breaks,
+    * exact float-avg aggregation — same input, same centroids.
+    *
+    * Empty clusters keep their previous centroid (standard Lloyd's
+    * fallback).
+    */
+  def trainCentroids(train: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iterations: Int): DataFrame = {
+    require(k > 0 && iterations >= 0, "k and iterations must be positive")
+    // hash-spread deterministic init: order by stable hash of the id so
+    // seeds are spread across the data, not clustered by id locality
+    val w = Window.orderBy(
+      graft.functions.StableHash.hash60(col(idCol).cast("string")).asc,
+      col(idCol).asc)
+    var centroids = train
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select((col("__rn") - 1).cast("long").as("centroid_id"),
+        col(vecCol))
+    (1 to iterations).foreach { _ =>
+      val assigned = ivfAssign(train, centroids, idCol, vecCol)
+      val means = assigned
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+          .as("dm"))
+        .select(col("cluster").as("centroid_id"),
+          expr("transform(dm, e -> CAST(e.m AS FLOAT))").as(vecCol))
+      // empty clusters keep their previous centroid
+      centroids = means.unionByName(
+        centroids.join(means.select(col("centroid_id")),
+          Seq("centroid_id"), "left_anti"))
+    }
+    centroids
+  }
 }

@@ -94,6 +94,35 @@ class OperatorsSpec extends SparkSpecBase {
       .forall(_._2 == 5))
   }
 
+  test("k-means training recovers planted clusters; deterministic") {
+    // three well-separated clusters in 4-d
+    val pts = Seq.tabulate(60) { i =>
+      val c = i % 3
+      val base = Array.fill(4)(0.05f * ((i * 7 + c) % 5))
+      base(c) = 10f + 0.1f * (i % 4)
+      (i.toLong, base.toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val c1 = Similarity.trainCentroids(df, "vec_id", "embedding",
+      k = 3, iterations = 4)
+    assert(c1.count() == 3)
+    // every trained centroid points at one planted axis, all 3 covered
+    val axes = c1.select("embedding").as[Seq[Float]].collect()
+      .map(v => v.indexOf(v.max)).toSet
+    assert(axes == Set(0, 1, 2))
+    // determinism: identical run, identical centroids
+    val c2 = Similarity.trainCentroids(df, "vec_id", "embedding",
+      k = 3, iterations = 4)
+    assert(c1.orderBy("centroid_id").collect().toSeq ==
+      c2.orderBy("centroid_id").collect().toSeq)
+    // trained centroids slot into the IVF pipeline
+    val assigned = Similarity.ivfAssign(df, c1, "vec_id", "embedding")
+    val sizes = assigned.groupBy("cluster").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes.values.sum == 60L && sizes.size == 3)
+    assert(sizes.values.forall(n => n == 20L))
+  }
+
   test("langId flags CJK and stopword-heavy text") {
     val out = Seq((1L, "the cat and the dog of the house"),
       (2L, "der hund und die katze ist nicht da"),
