@@ -24,12 +24,19 @@ object MergeBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val clustered = args.lift(3).contains("clustered")
     val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .withColumn("_seq", lit(1L))
-    val batch = base.orderBy("l_orderkey", "l_linenumber").limit(batchRows)
+    val pks = Seq("l_orderkey", "l_linenumber")
+    // clustered mode: all batch keys fall in ONE bucket — the
+    // slowly-changing / ranged-update case bucket skipping exists for
+    val pool =
+      if (clustered)
+        base.filter(graft.sink.MergeSink.pkBucket(pks, numParts) === 3)
+      else base
+    val batch = pool.orderBy("l_orderkey", "l_linenumber").limit(batchRows)
       .withColumn("_seq", lit(2L))
       .withColumn("l_comment", lit("updated"))
-    val pks = Seq("l_orderkey", "l_linenumber")
     val dir = java.nio.file.Files.createTempDirectory("mergebench").toString
 
     def dirBytes(p: String): Long = {
@@ -40,6 +47,19 @@ object MergeBench {
     }
     def timed[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // bytes of files written since t0 — the rewrite amplification metric
+    // (wall time at toy scale is fixed job overhead; I/O is what scales)
+    def bytesNewer(p: String, t0: Long): Long = {
+      val f = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val it = f.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var n = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getModificationTime >= t0) n += st.getLen
+      }
+      n
     }
 
     // seed both layouts with the same target
@@ -56,11 +76,15 @@ object MergeBench {
     graft.sink.MergeSink.flushPartitioned(spark, batch, partT, pks, "_seq",
       numParts)
 
+    val w0 = System.currentTimeMillis()
     val tFull = timed(
       graft.sink.MergeSink.flush(spark, batch, fullT, pks, "_seq"))
+    val fullBytes = bytesNewer(fullT, w0)
+    val w1 = System.currentTimeMillis()
     val tPart = timed(
       graft.sink.MergeSink.flushPartitioned(spark, batch, partT, pks,
         "_seq", numParts))
+    val partBytes = bytesNewer(partT, w1)
 
     // merge-on-read path: flush is O(batch); the read pays a broadcast
     // anti-join over the unshuffled base
@@ -82,7 +106,9 @@ object MergeBench {
       f""""batch_rows":$batchRows,"num_parts":$numParts,""" +
       f""""touched_parts":$touched,""" +
       f""""full_rewrite_sec":$tFull%.3f,""" +
+      f""""full_rewrite_bytes":$fullBytes,""" +
       f""""partitioned_sec":$tPart%.3f,""" +
+      f""""partitioned_bytes":$partBytes,""" +
       f""""delta_flush_sec":$tDelta%.3f,""" +
       f""""merged_read_sec":$tRead%.3f,""" +
       f""""plain_read_sec":$tReadBase%.3f}""")
