@@ -28,6 +28,7 @@ object PlanAudit {
     names.foreach { n =>
       println(s"\n===== $n =====")
       if (n == "partitioned_slice") { explainSlice(spark, sfDir); }
+      else if (n == "delta_read") { explainDeltaRead(spark, sfDir); }
       else SparkEntry.queries.get(n) match {
         case Some(fn) =>
           try println(fn(spark, sfDir).queryExecution.explainString(
@@ -60,5 +61,26 @@ object PlanAudit {
       .drop(graft.sink.MergeSink.PartCol)
     println(slice.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
+  }
+
+  /** DeltaMerge.readMerged: the base side must show NO Exchange — the
+    * delta winners broadcast into the anti-join.
+    */
+  private def explainDeltaRead(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-planaudit-d").toString
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("_seq", lit(1L))
+    graft.sink.DeltaMerge.flushDelta(spark, orders, s"$dir/t",
+      Seq("o_orderkey"), "_seq")
+    graft.sink.DeltaMerge.flushDelta(spark,
+      orders.limit(50).withColumn("_seq", lit(2L)), s"$dir/t",
+      Seq("o_orderkey"), "_seq")
+    println(graft.sink.DeltaMerge
+      .readMerged(spark, s"$dir/t", Seq("o_orderkey"), "_seq")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
   }
 }
