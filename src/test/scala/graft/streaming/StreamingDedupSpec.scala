@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpecBase
+
+/** StreamingDedup: exact dedup over a stream with watermark-bounded
+  * state.
+  */
+class StreamingDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("first arrival survives; later duplicates within horizon drop") {
+    val dir = Files.createTempDirectory("sdedup").toString
+    val srcDir = s"$dir/in"
+    val outDir = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    Seq(
+      (1L, "alpha text", "2024-01-01 00:00:01"),
+      (2L, "beta text", "2024-01-01 00:00:02"),
+      (3L, "alpha text", "2024-01-01 00:00:03"), // dup of 1 within horizon
+      (4L, "gamma text", "2024-01-01 00:00:04"),
+      (5L, "beta text", "2024-01-01 00:00:05")   // dup of 2
+    ).toDF("doc_id", "text", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(srcDir)
+    val q = StreamingDedup.dropDupTexts(stream, "text", "ts", "1 hour")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 4L),
+      s"expected first arrivals only, got $out")
+  }
+}
