@@ -66,6 +66,22 @@ class DeltaMergeSpec extends SparkSpecBase {
       .as[String].head() == "upd")
   }
 
+  test("empty batches are harmless no-ops") {
+    val dir = Files.createTempDirectory("dmerge-empty").toString
+    val t = s"$dir/t"
+    val base = Seq((1L, "a", 1L)).toDF("id", "v", "seq")
+    DeltaMerge.flushDelta(spark, base, t, Seq("id"), "seq")
+    DeltaMerge.flushDelta(spark, base.limit(0), t, Seq("id"), "seq")
+    assert(DeltaMerge.readMerged(spark, t, Seq("id"), "seq").count() == 1)
+
+    val pdir = s"$dir/p"
+    MergeSink.flushPartitioned(spark, base, pdir, Seq("id"), "seq",
+      numParts = 4)
+    MergeSink.flushPartitioned(spark, base.limit(0), pdir, Seq("id"),
+      "seq", numParts = 4)
+    assert(spark.read.parquet(pdir).count() == 1)
+  }
+
   test("auto-compaction triggers on delta growth; tombstones hard-delete") {
     val dir = Files.createTempDirectory("dmerge3").toString
     val t = s"$dir/t"
