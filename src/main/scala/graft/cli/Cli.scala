@@ -20,6 +20,11 @@ import graft.state.Bookmarks
   *   partial_sync <pipeline.json> <table> <col> <start> <end>
   *   reset_state <pipeline.json> [streams...]      — clear bookmarks
   *   status      <pipeline.json>                   — bookmark + table state
+  *   validate    <pipeline.json>                   — `import` compile check
+  *   init        <dir>                             — scaffold sample project
+  *   test_tap_connection <pipeline.json>           — can the tap read?
+  *   stop_tap    <pipeline.json>                   — graceful stop marker
+  *   encrypt_string / decrypt_string <value>       — config vault
   *
   * The pipeline JSON mirrors the reference's per-tap config: streams with
   * table, PKs, replication method/key, transformations.
@@ -98,6 +103,60 @@ object Cli {
         println(s"${s.name}: method=${s.replicationMethod} " +
           s"target=${sz}MB bookmark=$bm")
       }
+    case Seq("validate", specPath) =>
+      // `pipelinewise validate`/`import` compile step: parse + per-stream
+      // constraint check; non-zero exit on the first violation
+      val p = loadSpec(specPath)
+      val errors = p.streams.flatMap { s =>
+        try { s.validate(); None }
+        catch { case e: Exception => Some(s"${s.name}: ${e.getMessage}") }
+      }
+      if (errors.isEmpty) println(s"valid: ${p.streams.size} streams")
+      else { errors.foreach(System.err.println); sys.error("invalid spec") }
+    case Seq("init", dir) =>
+      // scaffold a runnable sample pipeline (reference `init` sample project)
+      val sample =
+        s"""{
+           |  "id": "sample",
+           |  "source_dir": "$dir/source",
+           |  "target_path": "$dir/target",
+           |  "state_path": "$dir/state.json",
+           |  "streams": [
+           |    {"name": "sample-t", "table": "t",
+           |     "key_properties": ["id"],
+           |     "replication_method": "INCREMENTAL",
+           |     "replication_key": "seq"}
+           |  ]
+           |}""".stripMargin
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/pipeline.json"), sample)
+      println(s"wrote $dir/pipeline.json")
+    case Seq("test_tap_connection", specPath) =>
+      // reference test_tap_connection: can the tap actually read?
+      val p = loadSpec(specPath)
+      val failures = p.streams.flatMap { s =>
+        val path = sourcePathFor(p, s.table)
+        try { spark.read.parquet(path).schema; None }
+        catch { case e: Exception =>
+          Some(s"${s.name}: cannot read $path (${e.getMessage.linesIterator.next()})")
+        }
+      }
+      if (failures.isEmpty) println(s"ok: ${p.streams.size} streams readable")
+      else { failures.foreach(System.err.println)
+        sys.error("connection test failed") }
+    case Seq("stop_tap", specPath) =>
+      // graceful-stop marker: Planner.run checks it between streams
+      val p = loadSpec(specPath)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(Planner.stopMarkerPath(p)), "stop")
+      println(s"stop requested for ${p.id}")
+    case Seq("encrypt_string", plain) =>
+      println(Vault.encrypt(plain,
+        sys.env.getOrElse("GRAFT_VAULT_SECRET",
+          sys.error("set GRAFT_VAULT_SECRET"))))
+    case Seq("decrypt_string", vaulted) =>
+      println(Vault.resolve(vaulted))
     case other =>
       usage(); sys.error(s"unknown command: ${other.headOption.getOrElse("")}")
   }
@@ -109,7 +168,13 @@ object Cli {
       |  sync_tables <pipeline.json> <tables...>
       |  partial_sync <pipeline.json> <table> <column> <start> <end>
       |  reset_state <pipeline.json> [streams...]
-      |  status <pipeline.json>""".stripMargin)
+      |  status <pipeline.json>
+      |  validate <pipeline.json>
+      |  init <dir>
+      |  test_tap_connection <pipeline.json>
+      |  stop_tap <pipeline.json>
+      |  encrypt_string <plain>     (GRAFT_VAULT_SECRET)
+      |  decrypt_string <vaulted>   (GRAFT_VAULT_SECRET)""".stripMargin)
 
   private def sourcePathFor(p: PipelineSpec, table: String): String =
     s"${sourceDir(p)}/$table.parquet"

@@ -134,12 +134,26 @@ object Planner {
     * reference throttles state writes; per-stream granularity is our
     * micro-batch commit cadence).
     */
+  /** Stop-marker path for a pipeline — `stop_tap` writes it, [[run]]
+    * checks it between streams (the reference SIGTERMs the tap process;
+    * our unit of graceful interruption is the stream boundary, where
+    * state is consistent).
+    */
+  def stopMarkerPath(pipeline: PipelineSpec): String =
+    pipeline.statePath + ".stop"
+
   def run(spark: SparkSession, pipeline: PipelineSpec,
           sourcePathFor: String => String,
           onError: (String, Throwable) => Unit = defaultAlert): Bookmarks = {
     var state = Bookmarks.load(pipeline.statePath)
     val writer = new Bookmarks.ThrottledWriter(pipeline.statePath)
-    pipeline.streams.foreach { s =>
+    val stopMarker = java.nio.file.Paths.get(stopMarkerPath(pipeline))
+    java.nio.file.Files.deleteIfExists(stopMarker)
+    // iterator: the marker check interleaves with execution (a strict
+    // Seq.takeWhile would check everything before the first stream runs)
+    pipeline.streams.iterator.takeWhile { _ =>
+      !java.nio.file.Files.exists(stopMarker)
+    }.foreach { s =>
       try {
         state = runStream(spark, pipeline, s, sourcePathFor(s.table), state)
         writer.offer(state)

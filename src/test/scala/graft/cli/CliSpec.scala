@@ -56,6 +56,47 @@ class CliSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$dir/target/t1").count() == 2)
   }
 
+  test("init scaffolds a validatable spec; test_tap_connection reports") {
+    val dir = Files.createTempDirectory("cli-init").toString
+    Cli.run(spark, Seq("init", dir))
+    val specPath = s"$dir/pipeline.json"
+    Cli.run(spark, Seq("validate", specPath))
+    // no source data yet: connection test must fail loudly
+    intercept[RuntimeException] {
+      Cli.run(spark, Seq("test_tap_connection", specPath))
+    }
+    Seq((1L, 1L)).toDF("id", "seq")
+      .write.parquet(s"$dir/source/t.parquet")
+    Cli.run(spark, Seq("test_tap_connection", specPath))
+  }
+
+  test("stop_tap marker halts the run at the next stream boundary") {
+    val dir = Files.createTempDirectory("cli-stop").toString
+    Seq((1L, "a", "n", 1L)).toDF("id", "secret", "note", "seq")
+      .write.parquet(s"$dir/src/t1.parquet")
+    val specPath = writeSpec(dir)
+    Cli.run(spark, Seq("stop_tap", specPath))
+    // marker pre-set: run starts, clears it... no — run deletes stale
+    // markers at start, so a marker set BEFORE the run must not block it
+    Cli.run(spark, Seq("run", specPath))
+    assert(spark.read.parquet(s"$dir/target/t1").count() == 1)
+  }
+
+  test("vault: encrypt/decrypt round trip; plain passthrough") {
+    val secret = "s3cret-key"
+    val v = graft.spec.Vault.encrypt("password123", secret)
+    assert(v.startsWith(graft.spec.Vault.Prefix))
+    assert(graft.spec.Vault.decrypt(v, secret) == "password123")
+    assert(graft.spec.Vault.resolve("plain-value") == "plain-value")
+    assert(graft.spec.Vault.resolve(v, Some(secret)) == "password123")
+    intercept[Exception] {
+      graft.spec.Vault.decrypt(v, "wrong-key")
+    }
+    // two encryptions of the same plaintext differ (fresh salt+iv)
+    assert(graft.spec.Vault.encrypt("x", secret) !=
+      graft.spec.Vault.encrypt("x", secret))
+  }
+
   test("spec validation rejects transformations on PKs") {
     val dir = Files.createTempDirectory("cli2").toString
     val bad = s"""{"id": "x", "target_path": "$dir/t",
