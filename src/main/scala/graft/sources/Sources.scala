@@ -82,6 +82,25 @@ object Sources {
     }
   }
 
+  /** Incremental scan over JDBC: the bookmark predicate pushes into the
+    * database as a WHERE clause (tap-postgres incremental.py:124-145 —
+    * its `pg_speedup_trick` subquery exists because psycopg2 streams the
+    * whole cursor; Spark's JDBC relation compiles the Catalyst filter to
+    * SQL, so the database does the skipping).
+    */
+  def jdbcIncremental(spark: SparkSession, url: String, table: String,
+                      replicationKey: String, bookmark: Option[Any],
+                      props: Map[String, String] = Map.empty): DataFrame = {
+    GraftDialects.registered
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val df = spark.read.jdbc(url, table, p)
+    bookmark match {
+      case Some(b) => df.filter(col(replicationKey) >= lit(b))
+      case None    => df
+    }
+  }
+
   /** Kafka protobuf record shape (tap-kafka serialization/protobuf.py):
     * the binary `value` decodes via the engine-native wire-format
     * decoder into typed columns, plus the standard kafka provenance

@@ -63,6 +63,20 @@ class JdbcRoundTripSpec extends SparkSpecBase {
     assert(r.getDouble(r.fieldIndex("amount")) == 10.5)
   }
 
+  test("incremental JDBC scan pushes the bookmark predicate to the DB") {
+    seeded
+    val inc = Sources.jdbcIncremental(spark, url, "src", "id",
+      Some(900L), driverProps)
+    assert(inc.count() == 100)
+    // the filter must reach the JDBC relation as a pushed predicate, not
+    // run Spark-side over a full-table fetch
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("GreaterThanOrEqual(ID,900)") ||
+      plan.replaceAll("\\s", "").contains("GreaterThanOrEqual(id,900)"),
+      s"bookmark filter not pushed:\n$plan")
+  }
+
   test("bulk export splits into bounded files (FastSync split_gzip)") {
     seeded
     val snap = Sources.jdbcSnapshot(spark, url, "src",
