@@ -74,6 +74,20 @@ object TextAnalysis {
     * pre-training quality filters (length / punctuation density / stopword
     * density). Composite in [0,1]; deterministic arithmetic only.
     */
+  /** Fraction of repeated word k-grams in [0,1] — the boilerplate /
+    * spam / template-page signal pre-training filters cut on
+    * (0 = all shingles unique, →1 = the same phrase over and over).
+    * `1 - distinct/total` in plain double arithmetic so the oracle SQL
+    * is bit-identical.
+    */
+  def repetitionRatio(text: Column, k: Int = 3): Column = {
+    val sh = graft.functions.TextShingles.wordShingles(text, k)
+    val total = size(sh).cast("double")
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(sh)).cast("double") / total)
+  }
+
   def qualityScore(text: Column): Column = {
     import graft.functions.TextCounters
     val nChars = length(text).cast("double")

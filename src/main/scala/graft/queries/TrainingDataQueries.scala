@@ -407,6 +407,22 @@ object TrainingDataQueries {
              |  md5(text) AS checksum
              |FROM documents""".stripMargin)),
 
+    "text_repetition_ratio" -> QueryDef(
+      (s, d) => table(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), k = 3).as("rep_ratio")),
+      Some("""WITH words AS (SELECT doc_id,
+             |    string_split_regex(trim(lower(text)), '\s+') AS ws
+             |  FROM documents),
+             |  sh AS (SELECT doc_id,
+             |    list_transform(range(1, len(ws) - 1),
+             |      i -> array_to_string(ws[i:i+2], ' ')) AS g
+             |  FROM words)
+             |SELECT doc_id,
+             |  CASE WHEN len(g) <= 0 THEN 0.0
+             |       ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+             |            / CAST(len(g) AS DOUBLE) END AS rep_ratio
+             |FROM sh""".stripMargin)),
+
     // ---- deterministic sampling / splitting ---------------------------
 
     "sample_hash_split" -> QueryDef(

@@ -133,6 +133,20 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, "en"), (2L, "de"), (3L, "zh")))
   }
 
+  test("repetition ratio separates template spam from prose") {
+    val out = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "ab"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text")).as("r"))
+      .orderBy("doc_id").as[(Long, Double)].collect()
+    assert(out(0)._2 > 0.7, s"spam should score high: ${out(0)._2}")
+    assert(out(1)._2 == 0.0, "unique prose has no repeated shingles")
+    assert(out(2)._2 == 0.0, "short text (< k words) scores 0")
+  }
+
   test("token counts and fingerprint are deterministic") {
     val docs = Seq((1L, "Hello, world! This is a test."))
       .toDF("doc_id", "text")
