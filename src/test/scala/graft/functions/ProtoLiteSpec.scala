@@ -94,6 +94,35 @@ class ProtoLiteSpec extends SparkSpecBase {
     }
   }
 
+  test("property: random scalar messages round-trip exactly") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { _ =>
+      val id = rnd.nextLong()
+      val name = rnd.alphanumeric.take(rnd.nextInt(20)).mkString +
+        (if (rnd.nextBoolean()) "é✓" else "")
+      val score = rnd.nextDouble() * 1e6 - 5e5
+      val delta = rnd.nextLong()
+      val ratio = rnd.nextFloat()
+      val ok = rnd.nextBoolean()
+      val bytes = msg { o =>
+        vint(o, 1, id); str(o, 2, name); dbl(o, 3, score)
+        zig(o, 4, delta); flt(o, 5, ratio); vint(o, 6, if (ok) 1L else 0L)
+      }
+      (bytes, id, name, score, delta, ratio, ok)
+    }
+    val decoded = rows.map(_._1).toDF("value")
+      .select(ProtoLite.decode(col("value"), fields).as("m"))
+      .select("m.*").collect()
+    rows.zip(decoded).foreach { case ((_, id, name, score, delta, ratio, ok), r) =>
+      assert(r.getLong(0) == id)
+      assert(r.getString(1) == name)
+      assert(r.getDouble(2) == score)
+      assert(r.getLong(3) == delta)
+      assert(r.getFloat(4) == ratio)
+      assert(r.getBoolean(5) == ok)
+    }
+  }
+
   test("kafka protobuf record shape decodes value + provenance columns") {
     val bytes = msg { o => vint(o, 1, 7L); str(o, 2, "k7"); dbl(o, 3, 0.5) }
     val kafka = Seq((bytes, 0, 11L, java.sql.Timestamp.valueOf(
