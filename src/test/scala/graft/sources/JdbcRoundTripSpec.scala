@@ -22,15 +22,19 @@ class JdbcRoundTripSpec extends SparkSpecBase {
   private lazy val url = s"jdbc:duckdb:$dbPath"
   private val driverProps = Map("driver" -> "org.duckdb.DuckDBDriver")
 
+  // Pinned for the suite's lifetime and NEVER closed: duckdb_jdbc shuts
+  // the embedded instance down (checkpointing the file) whenever the
+  // last connection closes, and a Spark JDBC task reopening the file
+  // mid-checkpoint intermittently sees a half-written database
+  // ("Serialization Error: field id mismatch"). One live connection
+  // keeps the instance resident across every test's open/close churn.
   private lazy val seeded: Unit = {
     val conn = DriverManager.getConnection(url)
-    try {
-      val st = conn.createStatement()
-      st.execute("""CREATE TABLE src (
-        id BIGINT PRIMARY KEY, name VARCHAR, amount DOUBLE)""")
-      st.execute("""INSERT INTO src
-        SELECT i, 'name-' || i, i * 1.5 FROM range(0, 1000) t(i)""")
-    } finally conn.close()
+    val st = conn.createStatement()
+    st.execute("""CREATE TABLE src (
+      id BIGINT PRIMARY KEY, name VARCHAR, amount DOUBLE)""")
+    st.execute("""INSERT INTO src
+      SELECT i, 'name-' || i, i * 1.5 FROM range(0, 1000) t(i)""")
   }
 
   test("discovery reads schema, row count and PK from the live catalog") {
