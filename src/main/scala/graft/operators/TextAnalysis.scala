@@ -74,6 +74,27 @@ object TextAnalysis {
     * pre-training quality filters (length / punctuation density / stopword
     * density). Composite in [0,1]; deterministic arithmetic only.
     */
+  /** Scrub common PII patterns from free text — the corpus-prep
+    * counterpart of the column-level masking transforms
+    * ([[graft.transform.Masking]] handles structured columns; this
+    * handles PII embedded INSIDE a text/document column). Emails, URLs
+    * with credentials or query strings, bare IPv4s, and long digit runs
+    * (phone/card shaped) are replaced with stable tags so token counts
+    * stay sane and the text remains trainable. Pure `regexp_replace`
+    * chain — codegen'd, order-sensitive (emails before bare domains is
+    * not attempted; URL first so its userinfo never half-matches email).
+    */
+  def scrubPii(text: Column): Column = {
+    val url = regexp_replace(text,
+      "(?i)\\bhttps?://[^\\s]+", "<URL>")
+    val email = regexp_replace(url,
+      "(?i)\\b[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}\\b", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "(?<!\\w)\\+?[\\d][\\d ()+.-]{8,}[\\d]\\b",
+      "<NUMBER>")
+  }
+
   /** Fraction of repeated word k-grams in [0,1] — the boilerplate /
     * spam / template-page signal pre-training filters cut on
     * (0 = all shingles unique, →1 = the same phrase over and over).

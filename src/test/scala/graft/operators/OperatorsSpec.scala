@@ -133,6 +133,21 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, "en"), (2L, "de"), (3L, "zh")))
   }
 
+  test("PII scrubbing replaces emails/urls/ips/number-runs with tags") {
+    val out = Seq(
+      (1L, "contact jane.doe+x@example.com or visit https://e.com/u?id=1"),
+      (2L, "server at 10.1.2.3 answered"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "clean text stays untouched"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("t"))
+      .orderBy("doc_id").as[(Long, String)].collect().toMap
+    assert(out(1L) == "contact <EMAIL> or visit <URL>")
+    assert(out(2L) == "server at <IP> answered")
+    assert(out(3L) == "call <NUMBER> now")
+    assert(out(4L) == "clean text stays untouched")
+  }
+
   test("repetition ratio separates template spam from prose") {
     val out = Seq(
       (1L, "buy now buy now buy now buy now buy now"),
