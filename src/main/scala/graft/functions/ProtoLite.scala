@@ -94,8 +94,11 @@ case class ProtoDecode(child: Expression, fields: Seq[ProtoField])
           }
           pos += 8
         case 2 =>
-          val len = readVarint().toInt
-          if (len >= 0 && pos + len <= buf.length) {
+          // bounds check in Long arithmetic: a huge declared length must
+          // not wrap `pos + len` negative and sneak past the guard
+          val lenL = readVarint()
+          if (lenL >= 0 && pos.toLong + lenL <= buf.length) {
+            val len = lenL.toInt
             slot.foreach { i =>
               val bytes = java.util.Arrays.copyOfRange(buf, pos, pos + len)
               out(i) = fields(i).kind match {

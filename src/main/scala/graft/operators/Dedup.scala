@@ -191,11 +191,28 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val vecs = proj.select(col("id").as("vid"), col("v").as("vv"))
-    cand
+    val pairs = cand
       .join(vecs.select(col("vid").as("id_a"), col("vv").as("v_a")), "id_a")
       .join(vecs.select(col("vid").as("id_b"), col("vv").as("v_b")), "id_b")
       .filter(VectorOps.cosineF(col("v_a"), col("v_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
+    releaseAfter(pairs, proj)
+  }
+
+  /** Materialize the (small) pair result eagerly and release a
+    * corpus-sized cached intermediate: `localCheckpoint(eager = true)`
+    * cuts the result's lineage off the persisted frame, so the immediate
+    * `unpersist` is safe — repeated operator calls no longer pin
+    * corpus-sized blocks for the lifetime of the session. Near-dup
+    * output is pairs, tiny relative to the corpus, so the eager
+    * materialization costs one pass that the caller was about to pay
+    * anyway.
+    */
+  private def releaseAfter(result: DataFrame, cached: DataFrame)
+      : DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    cached.unpersist()
+    out
   }
 
   /** N-gram Jaccard near-dup pairs with exact prefix filtering
@@ -238,7 +255,7 @@ object Dedup {
         col("sz_a") >= lit(threshold) * col("sz_b") &&
         col("sz_b") >= lit(threshold) * col("sz_a"))
       .select(col("id_a"), col("id_b")).distinct()
-    candidates
+    val pairs = candidates
       .join(sets.select(col("id").as("id_a"), col("gs").as("gs_a"),
         col("sz").as("sz_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("gs").as("gs_b"),
@@ -249,5 +266,6 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    releaseAfter(pairs, sets)
   }
 }

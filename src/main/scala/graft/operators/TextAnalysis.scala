@@ -91,7 +91,12 @@ object TextAnalysis {
       "(?i)\\b[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}\\b", "<EMAIL>")
     val ip = regexp_replace(email,
       "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
-    regexp_replace(ip, "(?<!\\w)\\+?[\\d][\\d ()+.-]{8,}[\\d]\\b",
+    // phone/card shaped = at least 9 ACTUAL digits (8 repeats + final),
+    // each digit followed by at most 3 separator chars. Counting digits
+    // rather than total run length keeps ISO dates (8 digits), dotted
+    // versions, and numeric ranges out of the scrub — a "2024-01-01"
+    // must not become <NUMBER> in training text.
+    regexp_replace(ip, "(?<!\\w)\\+?(?:\\d[ ()+.-]{0,3}){8,}\\d\\b",
       "<NUMBER>")
   }
 

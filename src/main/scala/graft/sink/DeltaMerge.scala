@@ -49,13 +49,20 @@ object DeltaMerge {
     * base, no merge, no shuffle beyond the in-batch dedup window.
     */
   def flushDelta(spark: SparkSession, batch: DataFrame, tablePath: String,
-                 pks: Seq[String], orderCol: String): Unit = {
+                 pks: Seq[String], orderCol: String,
+                 hardDelete: Boolean = false): Unit = {
     require(pks.nonEmpty, "flushDelta requires primary keys")
     val deduped = MergeSink.dedupLastWins(batch, pks, orderCol)
     val f = fs(spark)
     if (!f.exists(path(basePath(tablePath)))) {
-      // bootstrap: first flush becomes the base
-      deduped.write.mode(SaveMode.Overwrite).parquet(basePath(tablePath))
+      // bootstrap: first flush becomes the base — staged + swapped via
+      // publish (same retire-then-promote as every later compaction), so
+      // a crash mid-write or a concurrent readMerged never sees a partial
+      // base; tombstone rows are dropped here just like MergeSink.flush's
+      // no-target path (a changelog replayed from scratch must not keep
+      // rows whose last event is a delete)
+      MergeSink.publish(
+        MergeSink.dropTombstones(deduped, hardDelete), basePath(tablePath))
     } else {
       val name = s"d-${java.util.UUID.randomUUID().toString.take(12)}"
       val stage = s"$tablePath/.stage-$name"
@@ -128,7 +135,7 @@ object DeltaMerge {
                 pks: Seq[String], orderCol: String,
                 hardDelete: Boolean = false,
                 compactDeltaFraction: Double = 0.1): Unit = {
-    flushDelta(spark, batch, tablePath, pks, orderCol)
+    flushDelta(spark, batch, tablePath, pks, orderCol, hardDelete)
     val f = fs(spark)
     def bytes(p: String): Long =
       if (f.exists(path(p))) f.getContentSummary(path(p)).getLength else 0L

@@ -77,7 +77,7 @@ object MergeSink {
     * path: a changelog replayed from scratch must not keep rows whose
     * last event is a tombstone.
     */
-  private def dropTombstones(df: DataFrame, hardDelete: Boolean,
+  private[sink] def dropTombstones(df: DataFrame, hardDelete: Boolean,
                              deletedAtCol: String = "_sdc_deleted_at")
       : DataFrame =
     if (hardDelete && df.columns.contains(deletedAtCol))

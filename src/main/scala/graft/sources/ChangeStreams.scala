@@ -97,9 +97,15 @@ object ChangeStreams {
     */
   def nextResumeToken(lines: DataFrame, payloadCol: String)
       : Option[String] = {
+    // resume tokens are hex strings of VARYING length (the KeyString
+    // encoding grows with the clusterTime/documentKey payload), and
+    // lexicographic order only equals token order for equal-length
+    // strings — so order by (length, value), the numeric-string max
+    val tok = col("e._id._data")
     val row = lines
       .select(from_json(col(payloadCol), eventSchema).as("e"))
-      .agg(max(col("e._id._data"))).head()
-    if (row.isNullAt(0)) None else Some(row.getString(0))
+      .filter(tok.isNotNull)
+      .agg(max(struct(length(tok).as("len"), tok.as("t")))).head()
+    if (row.isNullAt(0)) None else Some(row.getStruct(0).getString(1))
   }
 }

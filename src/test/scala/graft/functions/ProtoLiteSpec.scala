@@ -123,6 +123,30 @@ class ProtoLiteSpec extends SparkSpecBase {
     }
   }
 
+  test("huge declared length cannot wrap the bounds check (Int overflow)") {
+    // field 2 (string) declaring length Int.MaxValue: in Int arithmetic
+    // `pos + len` wraps negative and sneaks past `<= buf.length`, then
+    // copyOfRange(from > to) kills the task. The guard must use Longs.
+    val evil = msg { o =>
+      vint(o, 1, 7L)
+      tag(o, 2, 2); varint(o, Int.MaxValue.toLong)
+      o.write('x')
+    }
+    val row = Seq(evil).toDF("value")
+      .select(ProtoLite.decode(col("value"), fields).as("m"))
+      .select("m.*").head()
+    assert(row.getLong(0) == 7L, "fields before the corruption survive")
+    assert(row.isNullAt(1), "malformed field decodes to null, no throw")
+
+    // length just past 2^31: Long-varint whose .toInt is a small positive
+    // number — must still be rejected against the REAL declared length
+    val evil2 = msg { o => tag(o, 2, 2); varint(o, (1L << 31) + 5) }
+    val row2 = Seq(evil2).toDF("value")
+      .select(ProtoLite.decode(col("value"), fields).as("m"))
+      .select("m.*").head()
+    assert(row2.isNullAt(1))
+  }
+
   test("kafka protobuf record shape decodes value + provenance columns") {
     val bytes = msg { o => vint(o, 1, 7L); str(o, 2, "k7"); dbl(o, 3, 0.5) }
     val kafka = Seq((bytes, 0, 11L, java.sql.Timestamp.valueOf(

@@ -138,7 +138,9 @@ class OperatorsSpec extends SparkSpecBase {
       (1L, "contact jane.doe+x@example.com or visit https://e.com/u?id=1"),
       (2L, "server at 10.1.2.3 answered"),
       (3L, "call +1 (555) 123-4567 now"),
-      (4L, "clean text stays untouched"))
+      (4L, "clean text stays untouched"),
+      (5L, "released 2024-01-01 under v1.2.34, pages 100-200 (see 7.8.9)"),
+      (6L, "card 4111 1111 1111 1111 and phone 555-123-4567 redacted"))
       .toDF("doc_id", "text")
       .select(col("doc_id"), TextAnalysis.scrubPii(col("text")).as("t"))
       .orderBy("doc_id").as[(Long, String)].collect().toMap
@@ -146,6 +148,11 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out(2L) == "server at <IP> answered")
     assert(out(3L) == "call <NUMBER> now")
     assert(out(4L) == "clean text stays untouched")
+    // <NUMBER> counts ACTUAL digits (9+), not run length: dates, dotted
+    // versions, and numeric ranges carry too few digits to be scrubbed
+    assert(out(5L) ==
+      "released 2024-01-01 under v1.2.34, pages 100-200 (see 7.8.9)")
+    assert(out(6L) == "card <NUMBER> and phone <NUMBER> redacted")
   }
 
   test("repetition ratio separates template spam from prose") {

@@ -99,4 +99,46 @@ class DeltaMergeSpec extends SparkSpecBase {
     assert(merged.select("id").as[Long].collect().toSet ==
       (26L to 50L).toSet)
   }
+
+  test("bootstrap flush is staged+swapped and drops tombstones on hardDelete") {
+    val dir = Files.createTempDirectory("dmerge-boot").toString
+    val t = s"$dir/t"
+    // first-ever flush carries a tombstone: a changelog replayed from
+    // scratch must not keep a row whose last event is a delete
+    val batch = Seq(
+      (1L, "live", 1L, null: String),
+      (2L, "dead", 1L, "2024-01-01")).toDF("id", "v", "seq",
+      "_sdc_deleted_at")
+    DeltaMerge.flushDelta(spark, batch, t, Seq("id"), "seq",
+      hardDelete = true)
+    val rows = DeltaMerge.readMerged(spark, t, Seq("id"), "seq")
+      .select("id").as[Long].collect().toSet
+    assert(rows == Set(1L), "bootstrap must apply the tombstone drop")
+    // the staged write was promoted: no stage/old residue next to base
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val residue = fsys.listStatus(new org.apache.hadoop.fs.Path(t))
+      .map(_.getPath.getName).filter(n => n.contains(".stage") ||
+        n.contains(".old")).toSeq
+    assert(residue.isEmpty, s"unexpected residue: $residue")
+  }
+
+  test("near-dup operators release their corpus-sized caches") {
+    import graft.operators.Dedup
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8).count()
+    val vecs = (0L to 9L).map(i =>
+      (i, Seq.tabulate(8)(j => if (j == i % 4) 1.0f else 0.1f)))
+      .toDF("vec_id", "embedding")
+    Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      numPlanes = 4, bandBits = 2, threshold = 0.999).count()
+    // each call may leave its (tiny) localCheckpoint result blocks behind
+    // until GC — but the corpus-sized persisted projections must be gone,
+    // so at most 2 new persistent RDDs (the two checkpoints), not 4
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2,
+      s"cached corpus projections leaked: $leaked")
+  }
 }

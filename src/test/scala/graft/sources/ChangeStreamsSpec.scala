@@ -60,4 +60,16 @@ class ChangeStreamsSpec extends SparkSpecBase {
     assert(ChangeStreams.nextResumeToken(fixture, "payload")
       .contains("82A7"))
   }
+
+  test("resume token max orders by (length, value), not lexicographically") {
+    // KeyString-encoded tokens are hex strings of VARYING length (they
+    // grow with the clusterTime/documentKey payload), and a longer token
+    // is the later one. Plain lexicographic max would pick "FF" here and
+    // bookmark a stale position.
+    val toks = Seq(
+      """{"_id":{"_data":"FF"},"operationType":"insert","clusterTime":"2024-01-01T00:00:01Z","ns":{"db":"d","coll":"c"},"documentKey":{"_id":1},"fullDocument":{"_id":1,"v":"a"}}""",
+      """{"_id":{"_data":"0100"},"operationType":"insert","clusterTime":"2024-01-01T00:00:02Z","ns":{"db":"d","coll":"c"},"documentKey":{"_id":2},"fullDocument":{"_id":2,"v":"b"}}"""
+    ).toDF("payload")
+    assert(ChangeStreams.nextResumeToken(toks, "payload").contains("0100"))
+  }
 }
