@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag/remove training documents that share
+  * n-grams with an evaluation/benchmark set, the standard pre-training
+  * hygiene step (publicly described as 13-gram overlap filtering in LLM
+  * technical reports; k is a parameter here).
+  *
+  * Spark-first shape for the 100 TB corpus / MB-scale benchmark
+  * asymmetry: the benchmark's distinct k-gram set is broadcast, so the
+  * corpus is scanned ONCE — a codegen'd shingle explode feeding a
+  * broadcast hash join — with no corpus-sized shuffle. The only
+  * exchange is the per-document hit-count aggregation, which
+  * partial-aggregates map-side on the document id.
+  */
+object Decontamination {
+
+  /** Distinct k-grams of the benchmark set, one row per gram. Small by
+    * construction (eval sets are MBs); the caller's join broadcasts it.
+    */
+  def benchmarkGrams(bench: DataFrame, textCol: String, k: Int)
+      : DataFrame =
+    bench.select(explode(array_distinct(
+      Dedup.shingles(col(textCol), k))).as("gram")).distinct()
+
+  /** `(id, n_hits)` per contaminated document — the number of distinct
+    * benchmark k-grams the document contains. Clean documents are absent
+    * (inner join); use [[decontaminate]] for the filtered corpus.
+    */
+  def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
+                        benchGrams: DataFrame, k: Int): DataFrame =
+    docs.select(col(idCol).as("id"), explode(array_distinct(
+        Dedup.shingles(col(textCol), k))).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+
+  /** The corpus minus documents sharing >= `minHits` distinct k-grams
+    * with the benchmark set. The contaminated-id set is small (hits are
+    * rare by definition), so it broadcasts into a left-anti join — again
+    * no corpus-sized shuffle.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String, k: Int,
+                    minHits: Long = 1): DataFrame = {
+    val grams = benchmarkGrams(bench, benchTextCol, k)
+    val bad = contaminationHits(docs, idCol, textCol, grams, k)
+      .filter(col("n_hits") >= minHits)
+      .select(col("id").as(idCol))
+    docs.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+}

@@ -268,4 +268,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
     releaseAfter(pairs, sets)
   }
+
+  /** Per-document duplicated-chunk statistics — paragraph-granularity
+    * exact dedup (the CCNet/Gopher-style passage filter): the text is
+    * cut into non-overlapping `w`-word chunks, a chunk instance counts
+    * as duplicated when its exact text occurs more than once in the
+    * corpus (in another document, or repeated within the same one), and
+    * each document reports `(total_chunks, dup_chunks, dup_frac)` — the
+    * cut/filter signal for boilerplate-heavy documents.
+    *
+    * Scale shape: chunks ride the shuffle as 60-bit hashes, not strings;
+    * the occurrence count is a window over the hash partitioning (ONE
+    * exchange for the corpus-sized side, no join back), then the per-doc
+    * rollup partial-aggregates map-side. Two exchanges total.
+    */
+  def chunkDupStats(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int = 8): DataFrame = {
+    import graft.functions.StableHash
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    val nChunks = ceil(size(ws).cast("double") / w).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(ws, i * lit(w) + 1, lit(w)), " "))
+    val inst = docs.select(col(idCol).as("id"),
+      explode(chunks).as("chunk"))
+      .select(col("id"), StableHash.hash60(col("chunk")).as("h"))
+    val perH = Window.partitionBy(col("h"))
+    inst.withColumn("n_occ", count(lit(1)).over(perH))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("total_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+      .withColumn("dup_frac",
+        col("dup_chunks").cast("double") / col("total_chunks"))
+  }
 }

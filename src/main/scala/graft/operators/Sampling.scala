@@ -65,6 +65,42 @@ object Sampling {
     * survives iff its key bucket falls below `fraction(stratum) *
     * Buckets`. Unlisted strata default to `defaultFraction`.
     */
+  /** Source-mixture sampling plan: given relative target weights per
+    * source, compute the largest corpus achievable WITHOUT upsampling —
+    * token budget `B = min_s(tokens_s / w_s)` — and each source's
+    * deterministic keep-rate `w_s * B / tokens_s` (1.0 for the binding
+    * source, lower for over-represented ones). Feed the rates into
+    * [[stratifiedSampleByHash]] to materialize the mixture.
+    *
+    * ONE aggregate pass over the corpus (map-side combinable groupBy on
+    * the source column); the budget min is a window over the resulting
+    * |sources|-row frame — a single-partition window over a handful of
+    * rows, after the corpus has already been reduced, so no collect and
+    * no second scan. Sources absent from `weights` are excluded.
+    */
+  def mixturePlan(docs: DataFrame, sourceCol: String, textCol: String,
+                  weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val tokens = size(split(trim(lower(col(textCol))), "\\s+"))
+      .cast("long")
+    val perSource = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
+    val w = weights.toSeq.sortBy(_._1).foldLeft(
+      lit(null).cast("double")) { case (rest, (s, wt)) =>
+      when(col("source") === s, lit(wt)).otherwise(rest)
+    }
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    perSource.withColumn("weight", w)
+      .filter(col("weight").isNotNull)
+      .withColumn("budget",
+        min(col("n_tokens").cast("double") / col("weight")).over(all))
+      .withColumn("sample_rate",
+        col("weight") * col("budget") / col("n_tokens").cast("double"))
+      .drop("budget")
+  }
+
   def stratifiedSampleByHash(df: DataFrame, keyCol: String,
                              strataCol: String,
                              fractions: Map[String, Double],

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.functions.StableHash
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Decontamination, Dedup, Multimodal, Similarity,
+  TextAnalysis}
 import graft.queries.Q._
 
 /** Verified queries for the training-data-pipeline operators (the
@@ -36,6 +37,16 @@ object TrainingDataQueries {
   private val EmbBandBits = 4
   private val EmbBands = EmbPlanes / EmbBandBits
   private val EmbThreshold = 0.4
+  // benchmark-decontamination k-gram size (public reports use 13-grams
+  // on real prose; 4 keeps overlap non-trivial on the synthetic docs)
+  // and the doc_id modulus that carves out the fake "benchmark" set
+  private val DecontamK = 4
+  private val BenchMod = 20
+  // paragraph-granularity chunk width (words) for chunk-level dedup
+  private val ChunkW = 8
+  // relative mixture weights per source: deterministic 1.0/2.0/3.0 cycle
+  private val MixtureWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (1.0 + i % 3)).toMap
 
   // ---- generated oracle-SQL fragments ---------------------------------
 
@@ -284,6 +295,65 @@ object TrainingDataQueries {
 
   // ---- query defs ------------------------------------------------------
 
+  /** Benchmark-decontamination oracle: distinct k-grams of the carved-out
+    * "benchmark" docs vs everyone else's, inner-joined (clean docs absent).
+    */
+  private val decontamSql =
+    s"""WITH $wordsCte, ${shinglesCte(DecontamK)},
+       |bench AS (SELECT DISTINCT shingle FROM sh
+       |  WHERE doc_id % $BenchMod = 0)
+       |SELECT s.doc_id AS id, count(*) AS n_hits
+       |FROM sh s JOIN bench b USING (shingle)
+       |WHERE s.doc_id % $BenchMod <> 0
+       |GROUP BY s.doc_id""".stripMargin
+
+  /** Chunk-level dedup oracle, mirroring Dedup.chunkDupStats: fixed
+    * w-word non-overlapping chunks, occurrence counts over the 60-bit
+    * chunk hash, per-doc duplicated fraction.
+    */
+  private val chunkDupSql =
+    s"""WITH $wordsCte,
+       |ch AS (SELECT doc_id,
+       |  unnest(list_transform(
+       |    range(0, CAST(ceil(len(ws) / ${ChunkW}.0) AS BIGINT)),
+       |    i -> array_to_string(ws[i*$ChunkW+1:i*$ChunkW+$ChunkW], ' ')))
+       |    AS chunk FROM words),
+       |hh AS (SELECT doc_id, ${StableHash.hash60Sql("chunk")} AS h
+       |  FROM ch),
+       |occ AS (SELECT doc_id,
+       |  count(*) OVER (PARTITION BY h) AS n_occ FROM hh)
+       |SELECT doc_id AS id, count(*) AS total_chunks,
+       |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dup_chunks,
+       |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS dup_frac
+       |FROM occ GROUP BY doc_id""".stripMargin
+
+  /** Per-source token totals for the mixture plan (escape-free val: the
+    * regex lives outside the interpolated string).
+    */
+  private val mixTokCte =
+    """tok AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source)""".stripMargin
+
+  /** Mixture-plan oracle: budget = min over sources of tokens/weight
+    * (window over the tiny aggregated frame, same as the operator).
+    */
+  private val mixturePlanSql = {
+    val rows = MixtureWeights.toSeq.sortBy(_._1)
+      .map { case (src, wt) => s"('$src', $wt::DOUBLE)" }.mkString(", ")
+    s"""WITH $mixTokCte,
+       |w(source, weight) AS (VALUES $rows),
+       |j AS (SELECT t.source, n_docs, n_tokens, weight
+       |  FROM tok t JOIN w USING (source))
+       |SELECT source, n_docs, n_tokens, weight,
+       |  weight * min(CAST(n_tokens AS DOUBLE) / weight) OVER ()
+       |    / CAST(n_tokens AS DOUBLE) AS sample_rate
+       |FROM j""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     "dedup_exact" -> QueryDef(
@@ -447,6 +517,30 @@ object TrainingDataQueries {
               |WHERE ${graft.operators.Sampling.bucketSql("event_id")} <
               |  CASE WHEN event_type = 'click' THEN 1000
               |       WHEN event_type = 'view' THEN 500
-              |       ELSE 10000 END""".stripMargin))
+              |       ELSE 10000 END""".stripMargin)),
+
+    // ---- decontamination / chunk dedup / mixture planning -------------
+
+    "decontam_overlap" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        Decontamination.contaminationHits(
+          docs.filter(col("doc_id") % BenchMod =!= 0), "doc_id", "text",
+          Decontamination.benchmarkGrams(
+            docs.filter(col("doc_id") % BenchMod === 0), "text",
+            DecontamK),
+          DecontamK)
+      },
+      Some(decontamSql)),
+
+    "dedup_chunk_fraction" -> QueryDef(
+      (s, d) => Dedup.chunkDupStats(table(s, d, "documents"),
+        "doc_id", "text", ChunkW),
+      Some(chunkDupSql)),
+
+    "sample_mixture_plan" -> QueryDef(
+      (s, d) => graft.operators.Sampling.mixturePlan(
+        table(s, d, "documents"), "source", "text", MixtureWeights),
+      Some(mixturePlanSql))
   )
 }

@@ -53,6 +53,21 @@ class OperatorsSpec extends SparkSpecBase {
     assert(pairs.toSeq.contains((1L, 2L, 0)))
   }
 
+  test("chunk dedup: cross-doc and in-doc repeated chunks are counted") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),          // chunks: [a b c d], [e f g h]
+      (2L, "a b c d x y z w"),          // shares chunk [a b c d] with 1
+      (3L, "p q r s p q r s"))          // same chunk twice within one doc
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDupStats(docs, "doc_id", "text", w = 4)
+      .select("id", "total_chunks", "dup_chunks", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 2L, 1.0)))
+  }
+
   test("ngram jaccard = 1.0 for identical docs") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
       .toDF("doc_id", "text")

@@ -55,4 +55,25 @@ class SamplingSpec extends SparkSpecBase {
       Sampling.hashSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.4))
     }
   }
+
+  test("mixturePlan caps the binding source at rate 1.0, scales the rest") {
+    // sA: 8 tokens, weight 1 -> tokens/weight = 8
+    // sB: 4 tokens, weight 2 -> tokens/weight = 2  (binding: budget = 2)
+    // sC: not in the weights map -> excluded from the plan
+    val docs = Seq(
+      ("sA", "one two three four"), ("sA", "five six seven eight"),
+      ("sB", "alpha beta gamma delta"), ("sC", "ignored rows entirely x"))
+      .toDF("source", "text")
+    val plan = Sampling.mixturePlan(docs, "source", "text",
+      Map("sA" -> 1.0, "sB" -> 2.0))
+    val rows = plan.select("source", "n_docs", "n_tokens", "sample_rate")
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (s, d, t, r) => s -> ((d, t, r)) }.toMap
+    assert(rows.keySet == Set("sA", "sB"))
+    assert(rows("sA") == ((2L, 8L, 0.25)))
+    assert(rows("sB") == ((1L, 4L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Sampling.mixturePlan(docs, "source", "text", Map("sA" -> -1.0))
+    }
+  }
 }
