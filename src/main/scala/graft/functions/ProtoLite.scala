@@ -8,10 +8,18 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Field spec for [[ProtoDecode]]: column name, proto field number, and
-  * proto scalar kind.
+  * proto kind. Scalar kinds: varint, zigzag, bool, double, float,
+  * string, bytes. A `repeated_` prefix collects every occurrence into an
+  * array column — both packed payloads (wire type 2) and interleaved
+  * singular occurrences append, per the proto3 rule that decoders must
+  * accept either encoding.
   */
 final case class ProtoField(name: String, number: Int, kind: String) {
-  def dataType: DataType = kind match {
+  val isRepeated: Boolean = kind.startsWith("repeated_")
+  val elemKind: String =
+    if (isRepeated) kind.stripPrefix("repeated_") else kind
+
+  private def scalarType(k: String): DataType = k match {
     case "varint" | "zigzag" => LongType
     case "bool"              => BooleanType
     case "double"            => DoubleType
@@ -21,6 +29,10 @@ final case class ProtoField(name: String, number: Int, kind: String) {
     case other => throw new IllegalArgumentException(
       s"unsupported proto kind $other")
   }
+
+  def dataType: DataType =
+    if (isRepeated) ArrayType(scalarType(elemKind))
+    else scalarType(elemKind)
 }
 
 /** Engine-native protobuf scalar decoder — the Kafka protobuf tap's
