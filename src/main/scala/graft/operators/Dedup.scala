@@ -269,6 +269,92 @@ object Dedup {
     releaseAfter(pairs, sets)
   }
 
+  /** Connected components over a near-dup pair graph — the cluster
+    * resolution step that turns pairwise candidates (from
+    * [[minhashNearDups]], [[simhashNearDups]], [[ngramJaccardPairs]] or
+    * [[embeddingNearDups]]) into `(id, component_id)` labels, where
+    * `component_id` is the smallest id in the component. Downstream,
+    * "keep one doc per duplicate cluster" is `id === component_id` (see
+    * [[keepCanonical]]).
+    *
+    * Algorithm: hash-min label propagation with pointer jumping (the
+    * two-phase trick from the large-star/small-star literature). Each
+    * iteration (a) lowers every node's label to the min label among its
+    * neighbors, then (b) replaces each label by its label's label
+    * (path compression) — so label chains halve every round and
+    * convergence is O(log(diameter)) iterations, not O(diameter).
+    *
+    * Scale shape: state is one `(id, comp)` row per distinct endpoint —
+    * never the pair list squared; every iteration is two shuffles on id
+    * (edge join + compression self-join) over that state, with
+    * `localCheckpoint` truncating lineage so plan size stays constant
+    * across iterations. Convergence is detected with a scalar aggregate
+    * (labels only ever decrease, so `sum(comp)` strictly decreases until
+    * the fixpoint) — no per-iteration driver-side data collection.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .union(pairs.select(col(bCol).cast("long").as("u"),
+        col(aCol).cast("long").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("id"), least(col("id"), col("mv")).as("comp"))
+      .localCheckpoint(true)
+    // sum(comp) as the convergence fingerprint: exact (decimal, no
+    // overflow at any corpus size) and monotone — strictly smaller every
+    // iteration that changed at least one label
+    def fingerprint(l: DataFrame): java.math.BigDecimal =
+      Option(l.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty pair graph
+    var fp = fingerprint(labels)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // (a) min over neighbors' labels
+      val viaEdges = edges
+        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), "v")
+        .groupBy(col("u").as("id")).agg(min(col("vcomp")).as("ncomp"))
+      val lowered = labels.join(viaEdges, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // (b) pointer jumping: comp <- comp's comp (labels are always node
+      // ids, so the lookup is a self-join on the label table)
+      val jumped = lowered
+        .join(lowered.select(col("id").as("comp"), col("comp").as("pcomp")),
+          Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      val nfp = fingerprint(jumped)
+      converged = nfp.compareTo(fp) == 0
+      fp = nfp
+      labels = jumped
+      it += 1
+    }
+    edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations")
+    labels.select(col("id"), col("comp").as("component_id"))
+  }
+
+  /** Keep-list after cluster resolution: drops every document whose id is
+    * a non-canonical member of a near-dup component (canonical = the
+    * component min, the id [[connectedComponents]] labels with itself).
+    * Docs that appear in no pair are kept untouched. One broadcast-able
+    * anti-join — the drop list is the (tiny) set of non-canonical ids.
+    */
+  def keepCanonical(docs: DataFrame, idCol: String,
+                    labels: DataFrame): DataFrame = {
+    val drop = labels.filter(col("id") =!= col("component_id"))
+      .select(col("id").as(idCol))
+    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
+
   /** Per-document duplicated-chunk statistics — paragraph-granularity
     * exact dedup (the CCNet/Gopher-style passage filter): the text is
     * cut into non-overlapping `w`-word chunks, a chunk instance counts

@@ -84,19 +84,25 @@ object TrainingDataQueries {
     s"""WITH $wordsCte, ${shinglesCte(ShingleK)}, $hashCte, $sigCte
        |SELECT * FROM sig""".stripMargin
 
-  private val minhashLshSql = {
+  /** CTE list + final SELECT of the minhash-LSH pair query, kept separate
+    * so the connected-components oracle can embed the pairs as a CTE.
+    */
+  private val minhashLshCtes = {
     val bandJoins = (0 until NumBands).map { b =>
       s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM banded a JOIN banded b
          |  ON a.band_$b = b.band_$b AND a.doc_id < b.doc_id""".stripMargin
     }.mkString("\nUNION\n")
+    s"""$wordsCte, ${shinglesCte(ShingleK)}, $hashCte, $sigCte,
+       |banded AS (SELECT doc_id, $bandExprs FROM sig),
+       |cand AS ($bandJoins)""".stripMargin
+  }
+
+  private val minhashLshSelect = {
     val agree = (0 until NumHashes)
       .map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH $wordsCte, ${shinglesCte(ShingleK)}, $hashCte, $sigCte,
-       |banded AS (SELECT doc_id, $bandExprs FROM sig),
-       |cand AS ($bandJoins)
-       |SELECT c.id_a, c.id_b,
+    s"""SELECT c.id_a, c.id_b,
        |  CAST($agree AS DOUBLE) / $NumHashes AS sig_agreement
        |FROM cand c
        |JOIN sig sa ON c.id_a = sa.doc_id
@@ -104,6 +110,27 @@ object TrainingDataQueries {
        |WHERE CAST($agree AS DOUBLE) / $NumHashes >= $MinhashThreshold"""
       .stripMargin
   }
+
+  private val minhashLshSql =
+    s"WITH $minhashLshCtes\n$minhashLshSelect"
+
+  /** Connected-components oracle over the minhash-LSH pair graph: the
+    * recursive CTE enumerates every node reachable from each endpoint
+    * (edges symmetrized), and `min(reachable)` is exactly the
+    * component-min label the Spark operator converges to. Fine at oracle
+    * scale (tens of pairs at sf0.01); the Spark side is the scale path.
+    */
+  private val ccSql =
+    s"""WITH RECURSIVE $minhashLshCtes,
+       |pairs AS ($minhashLshSelect),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+       |SELECT id, min(r) AS component_id FROM reach GROUP BY id"""
+      .stripMargin
 
   private val simhashCte = {
     val bitSums = (0 until SimhashBits).map(b =>
@@ -541,6 +568,13 @@ object TrainingDataQueries {
     "sample_mixture_plan" -> QueryDef(
       (s, d) => graft.operators.Sampling.mixturePlan(
         table(s, d, "documents"), "source", "text", MixtureWeights),
-      Some(mixturePlanSql))
+      Some(mixturePlanSql)),
+
+    "dedup_connected_components" -> QueryDef(
+      (s, d) => Dedup.connectedComponents(
+        Dedup.minhashNearDups(table(s, d, "documents"), "doc_id", "text",
+          ShingleK, NumHashes, RowsPerBand, MinhashThreshold),
+        "id_a", "id_b"),
+      Some(ccSql))
   )
 }
