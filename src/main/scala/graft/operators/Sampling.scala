@@ -101,6 +101,54 @@ object Sampling {
       .drop("budget")
   }
 
+  /** Sequence-packing plan — the concat-and-chunk training-prep step:
+    * documents are concatenated in a deterministic order and cut into
+    * fixed `seqLen`-token training sequences; each document learns which
+    * packed sequence(s) it lands in and at what offset. Output columns:
+    * `(id, shard, n_tokens, start_pack, end_pack, start_offset)` where
+    * `start_pack..end_pack` are the global sequence numbers the document
+    * spans (pack ids are per-shard; `shard * 2^40 + local` would
+    * globalize them, left to the writer) and `start_offset` is the token
+    * position inside `start_pack`.
+    *
+    * Scale design: a single global concatenation order would funnel 100
+    * TB through one sorted window partition. Instead documents are
+    * hash-sharded (`numShards` independent pack streams — size shards to
+    * ~1-4 GB so one shard ≈ one output file) and packed within shards:
+    * the cumulative-token window partitions by shard, so every shard
+    * sorts and packs in parallel. Order within a shard is a salted hash
+    * (`pack#` prefix) — a deterministic corpus shuffle, decorrelated
+    * from both ingestion order and the shard hash, which is what
+    * training wants anyway. No RNG: re-running on a grown corpus moves
+    * only documents, never re-deals whole shards.
+    */
+  def packPlan(docs: DataFrame, idCol: String, textCol: String,
+               seqLen: Int, numShards: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen ($seqLen) must be positive")
+    require(numShards > 0, s"numShards ($numShards) must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tokens = size(split(trim(lower(col(textCol))), "\\s+")).cast("long")
+    val base = docs.select(col(idCol).as("id"), tokens.as("n_tokens"))
+      .withColumn("shard",
+        pmod(StableHash.hash60(col("id").cast("string")), lit(numShards))
+          .cast("int"))
+      .withColumn("ord",
+        StableHash.hash60(concat(lit("pack#"), col("id").cast("string"))))
+    val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w),
+        lit(0L)))
+      .withColumn("start_pack", expr(s"start_tok div $seqLen"))
+      // a zero-token doc "spans" just its start pack (greatest clamps the
+      // end below start that start_tok + n_tokens - 1 would produce)
+      .withColumn("end_pack", greatest(col("start_pack"),
+        expr(s"(start_tok + n_tokens - 1) div $seqLen")))
+      .withColumn("start_offset", col("start_tok") % seqLen)
+      .select(col("id"), col("shard"), col("n_tokens"), col("start_pack"),
+        col("end_pack"), col("start_offset"))
+  }
+
   def stratifiedSampleByHash(df: DataFrame, keyCol: String,
                              strataCol: String,
                              fractions: Map[String, Double],

@@ -381,6 +381,39 @@ object TrainingDataQueries {
        |FROM j""".stripMargin
   }
 
+  // sequence-packing constants: 512-token sequences, 8 parallel shards
+  private val PackSeqLen = 512
+  private val PackShards = 8
+
+  /** Sequence-packing oracle, mirroring Sampling.packPlan: hash shard,
+    * salted deterministic order, per-shard cumulative tokens, floor-div
+    * pack boundaries. DuckDB `//` floor-division only differs from
+    * Spark's truncating `div` on the negative `start_tok - 1` corner,
+    * which `greatest` clamps identically in both engines.
+    */
+  private val packPlanSql = {
+    val shardH = StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")
+    val ordH = StableHash.hash60Sql("'pack#' || CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+       |      AS BIGINT) AS n_tokens,
+       |    CAST($shardH % $PackShards AS INT) AS shard,
+       |    $ordH AS ord
+       |  FROM documents),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard
+       |      ORDER BY ord, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0)::BIGINT AS start_tok
+       |  FROM t)
+       |SELECT doc_id AS id, shard, n_tokens,
+       |  start_tok // $PackSeqLen AS start_pack,
+       |  greatest(start_tok // $PackSeqLen,
+       |    (start_tok + n_tokens - 1) // $PackSeqLen) AS end_pack,
+       |  start_tok % $PackSeqLen AS start_offset
+       |FROM c""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     "dedup_exact" -> QueryDef(
@@ -569,6 +602,12 @@ object TrainingDataQueries {
       (s, d) => graft.operators.Sampling.mixturePlan(
         table(s, d, "documents"), "source", "text", MixtureWeights),
       Some(mixturePlanSql)),
+
+    "sample_pack_plan" -> QueryDef(
+      (s, d) => graft.operators.Sampling.packPlan(
+        table(s, d, "documents"), "doc_id", "text",
+        PackSeqLen, PackShards),
+      Some(packPlanSql)),
 
     "dedup_connected_components" -> QueryDef(
       (s, d) => Dedup.connectedComponents(

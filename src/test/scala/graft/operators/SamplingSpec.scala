@@ -56,6 +56,49 @@ class SamplingSpec extends SparkSpecBase {
     }
   }
 
+  test("packPlan tiles each shard's token stream without gaps or overlap") {
+    val docs = (1L to 300L)
+      .map(i => (i, (0 until (i % 17).toInt + 1).map(j => s"w$j")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val seqLen = 16
+    val plan = Sampling.packPlan(docs, "doc_id", "text", seqLen, 4)
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+    assert(plan.length == 300)
+    // per shard: sorted by start offset, consecutive docs tile the
+    // stream exactly (prev start + prev tokens = next start), and the
+    // pack arithmetic is consistent with the offsets
+    plan.groupBy(_._2).foreach { case (_, rows) =>
+      val byStart = rows.sortBy(r => r._4 * seqLen + r._6)
+      byStart.zip(byStart.tail).foreach { case (a, b) =>
+        val aStart = a._4 * seqLen + a._6
+        val bStart = b._4 * seqLen + b._6
+        assert(aStart + a._3 == bStart,
+          s"gap/overlap between docs ${a._1} and ${b._1}")
+      }
+      rows.foreach { case (_, _, n, sp, ep, off) =>
+        val start = sp * seqLen + off
+        assert(ep == math.max(sp, (start + n - 1) / seqLen))
+      }
+    }
+  }
+
+  test("packPlan handles docs longer than seqLen and is order-insensitive") {
+    val long = (0 until 100).map(i => s"t$i").mkString(" ") // 100 tokens
+    val docs = Seq((1L, long), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val plan = Sampling.packPlan(docs, "doc_id", "text", 8, 1)
+      .as[(Long, Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val r1 = plan(1L)
+    assert(r1._5 - r1._4 >= 11, "100 tokens at seqLen 8 spans >= 12 packs")
+    // same plan regardless of input partitioning/order
+    val shuffled = Sampling.packPlan(
+      docs.orderBy(col("doc_id").desc).repartition(7), "doc_id", "text",
+      8, 1).as[(Long, Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(plan == shuffled)
+  }
+
   test("mixturePlan caps the binding source at rate 1.0, scales the rest") {
     // sA: 8 tokens, weight 1 -> tokens/weight = 8
     // sB: 4 tokens, weight 2 -> tokens/weight = 2  (binding: budget = 2)
