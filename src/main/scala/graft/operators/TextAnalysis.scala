@@ -138,6 +138,41 @@ object TextAnalysis {
     * position-salted word hashes (rolling-hash analogue that stays
     * commutative, hence shuffle-friendly: map-side partial XOR).
     */
+  /** Corpus-relative bigram rarity — the exact-arithmetic stand-in for a
+    * perplexity filter: per document, over its DISTINCT word bigrams,
+    * report how many are corpus-unique (`n_hapax`, document frequency 1)
+    * and the mean document frequency (`mean_df`). Low `mean_df` / high
+    * hapax fraction flags novel-or-noisy text; very high `mean_df` flags
+    * boilerplate — the two tails pre-training filters cut. Chosen over a
+    * log-prob LM score because every statistic here is integer counting
+    * plus ONE final division of exact longs, so the result is
+    * bit-identical across engines (float log-sums are summation-order
+    * dependent and cannot be oracle-hashed).
+    *
+    * Scale shape (same as [[Dedup.chunkDupStats]]): bigrams ride the
+    * shuffle as 60-bit hashes, document frequency is a window over the
+    * hash partitioning (one corpus-sized exchange, no join back), and the
+    * per-doc rollup partial-aggregates map-side. Two exchanges total.
+    * Hash collisions merge gram counts identically in both engines.
+    * Documents with fewer than two words have no bigrams and are absent
+    * from the output (consistently in both engines).
+    */
+  def bigramRarity(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inst = docs.select(col(idCol),
+        explode(array_distinct(
+          graft.functions.TextShingles.wordShingles(col(textCol), 2)))
+          .as("g"))
+      .select(col(idCol), hash60(col("g")).as("h"))
+    val perH = Window.partitionBy(col("h"))
+    inst.withColumn("df", count(lit(1)).over(perH))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        (sum(col("df")).cast("double") / count(lit(1))).as("mean_df"))
+  }
+
   def fingerprint(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val words = docs.select(col(idCol),

@@ -603,6 +603,20 @@ object TrainingDataQueries {
         table(s, d, "documents"), "source", "text", MixtureWeights),
       Some(mixturePlanSql)),
 
+    "text_bigram_rarity" -> QueryDef(
+      (s, d) => TextAnalysis.bigramRarity(table(s, d, "documents"),
+        "doc_id", "text"),
+      Some(s"""WITH $wordsCte, ${shinglesCte(2)},
+              |hh AS (SELECT doc_id,
+              |  ${StableHash.hash60Sql("shingle")} AS h FROM sh),
+              |occ AS (SELECT doc_id,
+              |  count(*) OVER (PARTITION BY h) AS df FROM hh)
+              |SELECT doc_id, count(*) AS n_bigrams,
+              |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_hapax,
+              |  CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
+              |FROM occ GROUP BY doc_id""".stripMargin)),
+
     "sample_pack_plan" -> QueryDef(
       (s, d) => graft.operators.Sampling.packPlan(
         table(s, d, "documents"), "doc_id", "text",

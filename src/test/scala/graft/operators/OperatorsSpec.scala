@@ -24,6 +24,20 @@ class OperatorsSpec extends SparkSpecBase {
     assert(short.isEmpty)
   }
 
+  test("bigramRarity counts hapax and mean document frequency exactly") {
+    val docs = Seq(
+      (1L, "the cat sat"),   // bigrams: "the cat", "cat sat"
+      (2L, "the cat ran"),   // bigrams: "the cat", "cat ran"
+      (3L, "x"))             // no bigrams -> absent from output
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramRarity(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // each doc: 2 bigrams, one shared (df=2), one unique (df=1)
+    assert(out(1L) == ((1L, 2L, 1L, 1.5)))
+    assert(out(2L) == ((2L, 2L, 1L, 1.5)))
+  }
+
   test("exact dedup groups identical texts") {
     val docs = Seq((1L, "same text here"), (2L, "same text here"),
       (3L, "different")).toDF("doc_id", "text")
