@@ -269,6 +269,49 @@ object Dedup {
     releaseAfter(pairs, sets)
   }
 
+  /** Incremental near-dup check — the production shape at 100 TB: a new
+    * ingest batch is screened against the EXISTING corpus's persisted
+    * minhash-signature index (the output of [[minhashSignatures]], stored
+    * once, never recomputed), instead of re-running all-pairs LSH over
+    * corpus+batch. Returns `(new_id, corpus_id, sig_agreement)` for every
+    * batch document colliding with an indexed document in any LSH band
+    * with signature agreement >= `threshold`.
+    *
+    * Scale design: band keys are recomputed from the signature columns on
+    * both sides (the index stores signatures only), and the NEW side —
+    * small by definition of an incremental batch — is broadcast, so the
+    * corpus index is probed with a map-side join and never shuffles. A
+    * daily 1M-doc batch against a 10B-doc index touches the index once,
+    * in place. In-batch duplicates are a separate (tiny) concern:
+    * compose with [[minhashNearDups]] over the batch itself.
+    */
+  def minhashNearDupsAgainst(newDocs: DataFrame, corpusSigs: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 3, numHashes: Int = 12,
+                             rowsPerBand: Int = 3,
+                             threshold: Double = 0.5): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, k, numHashes)
+    val numBands = numHashes / rowsPerBand
+    val sigArr = array((0 until numHashes).map(i => col(s"sig_$i")): _*)
+    val bandKeys = array((0 until numBands).map { b =>
+      concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
+    }: _*)
+    def banded(sigs: DataFrame, side: String): DataFrame =
+      sigs.select(col(idCol).as(s"${side}_id"), sigArr.as(s"sig_$side"),
+        posexplode(bandKeys).as(Seq("band_no", "bk")))
+    val agree = aggregate(
+      zip_with(col("sig_new"), col("sig_corpus"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    banded(corpusSigs, "corpus")
+      .join(broadcast(banded(newSigs, "new")), Seq("band_no", "bk"))
+      .select(col("new_id"), col("corpus_id"),
+        (agree.cast("double") / numHashes).as("sig_agreement"))
+      .distinct()
+      .filter(col("sig_agreement") >= threshold)
+  }
+
   /** Connected components over a near-dup pair graph — the cluster
     * resolution step that turns pairwise candidates (from
     * [[minhashNearDups]], [[simhashNearDups]], [[ngramJaccardPairs]] or

@@ -138,6 +138,26 @@ object TextAnalysis {
     * position-salted word hashes (rolling-hash analogue that stays
     * commutative, hence shuffle-friendly: map-side partial XOR).
     */
+  /** Corpus-wide top-N most frequent word k-grams — the vocabulary /
+    * boilerplate-phrase report curation teams pull before writing filter
+    * rules (and the raw input to BPE-style merge induction). Counts gram
+    * INSTANCES (term frequency, not document frequency), totally ordered
+    * by `(count desc, gram asc)` so the cut is deterministic.
+    *
+    * Scale shape: map-side partial counts -> one exchange on the gram ->
+    * final counts, then `orderBy(...).limit(n)` compiles to
+    * TakeOrderedAndProject — per-partition bounded heaps and a single
+    * driver merge of n-row partials, NO global sort of the gram table.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, k: Int = 3,
+                topN: Int = 100): DataFrame =
+    docs.select(explode(
+        graft.functions.TextShingles.wordShingles(col(textCol), k))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(topN)
+
   /** Corpus-relative bigram rarity — the exact-arithmetic stand-in for a
     * perplexity filter: per document, over its DISTINCT word bigrams,
     * report how many are corpus-unique (`n_hapax`, document frequency 1)

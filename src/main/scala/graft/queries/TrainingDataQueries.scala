@@ -384,6 +384,50 @@ object TrainingDataQueries {
   // sequence-packing constants: 512-token sequences, 8 parallel shards
   private val PackSeqLen = 512
   private val PackShards = 8
+  // incremental dedup: doc_id % IncrMod == 0 plays the "new batch", the
+  // rest the already-indexed corpus
+  private val IncrMod = 10
+  // vocabulary report: top 100 trigrams by instance count
+  private val TopNgramK = 3
+  private val TopNgramN = 100
+
+  /** Incremental-dedup oracle: the same signature CTEs, banded, with the
+    * batch side (doc_id % IncrMod = 0) joined against the corpus side.
+    */
+  private val incrDedupSql = {
+    val bandJoins = (0 until NumBands).map { b =>
+      s"""SELECT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |FROM banded n JOIN banded c ON n.band_$b = c.band_$b
+         |WHERE n.doc_id % $IncrMod = 0 AND c.doc_id % $IncrMod <> 0"""
+        .stripMargin
+    }.mkString("\nUNION\n")
+    val agree = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $wordsCte, ${shinglesCte(ShingleK)}, $hashCte, $sigCte,
+       |banded AS (SELECT doc_id, $bandExprs FROM sig),
+       |cand AS ($bandJoins)
+       |SELECT c.new_id, c.corpus_id,
+       |  CAST($agree AS DOUBLE) / $NumHashes AS sig_agreement
+       |FROM cand c
+       |JOIN sig sa ON c.new_id = sa.doc_id
+       |JOIN sig sb ON c.corpus_id = sb.doc_id
+       |WHERE CAST($agree AS DOUBLE) / $NumHashes >= $MinhashThreshold"""
+      .stripMargin
+  }
+
+  /** Top-ngram oracle: instance counts (no per-doc distinct), total order
+    * (count desc, gram asc), deterministic LIMIT.
+    */
+  private val topNgramsSql =
+    s"""WITH $wordsCte,
+       |sa AS (SELECT unnest(list_transform(
+       |    range(1, len(ws) - ${TopNgramK - 2}),
+       |    i -> array_to_string(ws[i:i+${TopNgramK - 1}], ' ')))
+       |  AS gram FROM words)
+       |SELECT gram, count(*) AS n_occurrences FROM sa
+       |GROUP BY gram ORDER BY n_occurrences DESC, gram
+       |LIMIT $TopNgramN""".stripMargin
 
   /** Sequence-packing oracle, mirroring Sampling.packPlan: hash shard,
     * salted deterministic order, per-shard cumulative tokens, floor-div
@@ -602,6 +646,24 @@ object TrainingDataQueries {
       (s, d) => graft.operators.Sampling.mixturePlan(
         table(s, d, "documents"), "source", "text", MixtureWeights),
       Some(mixturePlanSql)),
+
+    "dedup_incremental_minhash" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        Dedup.minhashNearDupsAgainst(
+          docs.filter(col("doc_id") % IncrMod === 0),
+          Dedup.minhashSignatures(
+            docs.filter(col("doc_id") % IncrMod =!= 0),
+            "doc_id", "text", ShingleK, NumHashes),
+          "doc_id", "text", ShingleK, NumHashes, RowsPerBand,
+          MinhashThreshold)
+      },
+      Some(incrDedupSql)),
+
+    "text_top_ngrams" -> QueryDef(
+      (s, d) => TextAnalysis.topNgrams(table(s, d, "documents"),
+        "text", TopNgramK, TopNgramN),
+      Some(topNgramsSql)),
 
     "text_bigram_rarity" -> QueryDef(
       (s, d) => TextAnalysis.bigramRarity(table(s, d, "documents"),

@@ -24,6 +24,42 @@ class OperatorsSpec extends SparkSpecBase {
     assert(short.isEmpty)
   }
 
+  test("incremental minhash dedup finds batch-vs-corpus collisions only") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = base.replace("word30", "changed")
+    // 10 and 20 are "new batch" (id % 10 == 0); 1, 2, 3 are corpus
+    val docs = Seq(
+      (1L, base), (2L, "totally other stuff a b c"),
+      (3L, "yet more unrelated text x y z"),
+      (10L, nearDup), (20L, "nothing like anything here q r s"))
+      .toDF("doc_id", "text")
+    val corpusSigs = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+    val out = Dedup.minhashNearDupsAgainst(
+      docs.filter(col("doc_id") % 10 === 0), corpusSigs, "doc_id", "text")
+    val rows = out.select("new_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    assert(rows.contains((10L, 1L)), s"planted pair missing: $rows")
+    assert(rows.forall { case (n, c) => n % 10 == 0 && c % 10 != 0 },
+      "only batch-vs-corpus pairs allowed")
+    // the corpus index side must be probed by a broadcast of the batch —
+    // no shuffle of the (large) index
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "batch side must broadcast")
+  }
+
+  test("topNgrams counts instances with a deterministic total order") {
+    val docs = Seq(
+      (1L, "a b c a b c"),   // "a b c" x2, "b c a" x1, "c a b" x1
+      (2L, "a b c z z z"))   // "a b c" x1, "b c z", "c z z", "z z z"
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.topNgrams(docs, "text", k = 3, topN = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(out.head == (("a b c", 3L)), s"got $out")
+    // ties broken by gram ascending
+    assert(out.tail == out.tail.sortBy(r => (-r._2, r._1)))
+  }
+
   test("bigramRarity counts hapax and mean document frequency exactly") {
     val docs = Seq(
       (1L, "the cat sat"),   // bigrams: "the cat", "cat sat"
