@@ -41,5 +41,10 @@ object SparkEntry {
     "merge_upsert", "pk_dedup_lastwin", "running_total_window",
     "stream_sessionize", "dedup_exact", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "ann_cosine_topk", "text_quality_score",
-    "doc_fingerprint", "cdc_wal2json_decode")
+    "doc_fingerprint", "cdc_wal2json_decode",
+    // round-6 additions (cluster resolution, incremental index probe,
+    // packing, rarity scoring) — the first 14 keep their identity for
+    // cross-round comparability
+    "dedup_connected_components", "dedup_incremental_minhash",
+    "sample_pack_plan", "text_bigram_rarity")
 }

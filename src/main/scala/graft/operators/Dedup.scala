@@ -338,23 +338,36 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col(aCol).cast("long").as("u"),
-        col(bCol).cast("long").as("v"))
-      .union(pairs.select(col(bCol).cast("long").as("u"),
-        col(aCol).cast("long").as("v")))
+    // symmetrize in ONE pass over pairs (explode of both orientations) —
+    // a union of two selects would evaluate the pair-producing plan
+    // (often a full LSH pipeline) twice
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v")),
+        struct(col(bCol).cast("long").as("u"), col(aCol).cast("long").as("v"))))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy(col("u").as("id"))
-      .agg(min(col("v")).as("mv"))
-      .select(col("id"), least(col("id"), col("mv")).as("comp"))
-      .localCheckpoint(true)
     // sum(comp) as the convergence fingerprint: exact (decimal, no
     // overflow at any corpus size) and monotone — strictly smaller every
-    // iteration that changed at least one label
-    def fingerprint(l: DataFrame): java.math.BigDecimal =
-      Option(l.agg(sum(col("comp").cast("decimal(38,0)"))).head.getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO) // empty pair graph
-    var fp = fingerprint(labels)
+    // iteration that changed at least one label. It rides the eager
+    // localCheckpoint materialization as an Observation metric, so each
+    // iteration costs ONE Spark action, not a checkpoint plus a
+    // separate aggregate job.
+    def checkpointWithFp(l: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = l.observe(obs,
+        sum(col("comp").cast("decimal(38,0)")).as("fp"))
+        .localCheckpoint(true)
+      val fp = Option(obs.get("fp")) // null on an empty pair graph
+        .map(_.asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
+      (out, fp)
+    }
+    var (labels, fp) = checkpointWithFp(
+      edges.groupBy(col("u").as("id"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("id"), least(col("id"), col("mv")).as("comp")))
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -367,13 +380,11 @@ object Dedup {
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
       // (b) pointer jumping: comp <- comp's comp (labels are always node
       // ids, so the lookup is a self-join on the label table)
-      val jumped = lowered
+      val (jumped, nfp) = checkpointWithFp(lowered
         .join(lowered.select(col("id").as("comp"), col("comp").as("pcomp")),
           Seq("comp"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      val nfp = fingerprint(jumped)
+          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp")))
       converged = nfp.compareTo(fp) == 0
       fp = nfp
       labels = jumped

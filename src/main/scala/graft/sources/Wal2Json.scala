@@ -53,10 +53,21 @@ object Wal2Json {
     * per selected line instead of two, and noise lines cost a codegen'd
     * regex scan instead of a tokenizer run.
     */
-  private def rawPrefilter(payload: Column, tableName: String): Column =
-    payload.rlike("\"action\"\\s*:\\s*\"[IUD]\"") &&
-      payload.rlike("\"table\"\\s*:\\s*\"" +
-        java.util.regex.Pattern.quote(tableName) + "\"")
+  private def rawPrefilter(payload: Column, tableName: String): Column = {
+    // short-circuit structure: compact JSON (what wal2json emits) hits
+    // the literal `contains` and never pays the regex; the
+    // whitespace-tolerant rlike is only the fallback, so the prefilter
+    // stays a correct superset at near-`contains` cost even on streams
+    // where every line is selected
+    val actionFast = payload.contains("\"action\":\"I\"") ||
+      payload.contains("\"action\":\"U\"") ||
+      payload.contains("\"action\":\"D\"")
+    val actionSafe = payload.rlike("\"action\"\\s*:\\s*\"[IUD]\"")
+    val tableFast = payload.contains("\"table\":\"" + tableName + "\"")
+    val tableSafe = payload.rlike("\"table\"\\s*:\\s*\"" +
+      java.util.regex.Pattern.quote(tableName) + "\"")
+    (actionFast || actionSafe) && (tableFast || tableSafe)
+  }
 
   /** Decode raw wal2json v2 lines into the engine's change envelope.
     *

@@ -74,6 +74,31 @@ object ProfileWal {
     time("decode() end-to-end")(noop(graft.sources.Wal2Json.decode(
       lines, "payload", "lsn", "public", "events", rowSchema)))
 
+    // round-4 shape: header from_json filter only, NO raw prefilter
+    {
+      val h = from_json(col("payload"), headerSchema)
+      val rows = lines
+        .filter(h.getField("action").isin("I", "U", "D") &&
+          h.getField("schema") === "public" &&
+          h.getField("table") === "events")
+        .select(col("lsn"),
+          from_json(col("payload"),
+            graft.sources.Wal2Json.actionLineSchema).as("m"))
+      val entries = when(col("m.action") === "D", col("m.identity"))
+        .otherwise(col("m.columns"))
+      val staged = rows.select(
+        map_from_entries(transform(entries,
+          e => struct(e.getField("name"), e.getField("value")))).as("__kv"),
+        when(col("m.action") === "I", "c")
+          .when(col("m.action") === "U", "u")
+          .otherwise("d").as("op"),
+        col("lsn"))
+      val r4 = staged.select(rowSchema.fields.toSeq.map(f =>
+        element_at(col("__kv"), f.name).cast(f.dataType).as(f.name)) ++
+        Seq(col("op"), col("lsn")): _*)
+      time("r4 shape (header only)")(noop(r4))
+    }
+
     // variant B: single full parse, authoritative filter on parsed fields
     // (predicate pushdown may duplicate the parse into the filter)
     val pre = lines.filter(
