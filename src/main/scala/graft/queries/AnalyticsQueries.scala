@@ -243,6 +243,63 @@ object AnalyticsQueries {
              |      AS session_no FROM flags)
              |SELECT user_id, CAST(max(session_no) AS BIGINT) AS n_sessions,
              |  count(*) AS n_events
-             |FROM sess GROUP BY user_id""".stripMargin))
+             |FROM sess GROUP BY user_id""".stripMargin)),
+
+    // ---- custom join operators Spark lacks natively -------------------
+
+    "asof_join_events" -> QueryDef(
+      (s, d) => {
+        val e = events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("click_ts_us"))
+        // right side unique per (key, ts): max(value) resolves same-ts
+        // views deterministically
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), unix_micros(col("ts")).as("view_ts_us"),
+            col("value"))
+          .groupBy(col("user_id"), col("view_ts_us"))
+          .agg(dsum(col("value")).as("view_value"))
+        graft.operators.AsOfJoin.backward(clicks, views,
+          keys = Seq("user_id"), leftTs = "click_ts_us",
+          rightTs = "view_ts_us", rightVals = Seq("view_ts_us",
+            "view_value"))
+      },
+      Some("""WITH c AS (SELECT user_id, event_id,
+             |    epoch_us(ts) AS click_ts_us
+             |  FROM events WHERE event_type = 'click'),
+             |v AS (SELECT user_id, epoch_us(ts) AS view_ts_us,
+             |    CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS view_value
+             |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+             |SELECT c.user_id, c.event_id, c.click_ts_us,
+             |  v.view_ts_us, v.view_value
+             |FROM c ASOF JOIN v
+             |  ON c.user_id = v.user_id
+             |  AND c.click_ts_us >= v.view_ts_us""".stripMargin)),
+
+    "range_join_attribution" -> QueryDef(
+      (s, d) => {
+        val e = events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            unix_micros(col("ts")).as("click_ts_us"))
+        val windows = e.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id").as("signup_id"),
+            unix_micros(col("ts")).as("lo_us"),
+            (unix_micros(col("ts")) + 3600L * 1000000L).as("hi_us"))
+        // 30-min buckets: each 1-h window spans 2-3 buckets
+        graft.operators.RangeJoin.pointInInterval(
+          clicks, "click_ts_us", windows, "lo_us", "hi_us",
+          bucketWidth = 1800L * 1000000L, keys = Seq("user_id"))
+          .select(col("user_id"), col("click_id"), col("signup_id"))
+      },
+      Some("""SELECT c.user_id, c.event_id AS click_id,
+             |  s.event_id AS signup_id
+             |FROM events c JOIN events s
+             |  ON c.user_id = s.user_id
+             |  AND c.event_type = 'click' AND s.event_type = 'signup'
+             |  AND epoch_us(c.ts) >= epoch_us(s.ts)
+             |  AND epoch_us(c.ts) <= epoch_us(s.ts) + 3600000000"""
+        .stripMargin))
   )
 }
