@@ -46,5 +46,6 @@ object SparkEntry {
     // packing, rarity scoring) — the first 14 keep their identity for
     // cross-round comparability
     "dedup_connected_components", "dedup_incremental_minhash",
-    "sample_pack_plan", "text_bigram_rarity")
+    "sample_pack_plan", "text_bigram_rarity",
+    "asof_join_events", "range_join_attribution")
 }
