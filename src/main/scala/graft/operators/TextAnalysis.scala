@@ -138,6 +138,20 @@ object TextAnalysis {
     * position-salted word hashes (rolling-hash analogue that stays
     * commutative, hence shuffle-friendly: map-side partial XOR).
     */
+  /** Deduplication-oriented text normalization (the CCNet-style pre-hash
+    * canonicalization): lowercase, strip punctuation/symbols (keep
+    * letters, digits, whitespace), collapse whitespace runs to single
+    * spaces, trim. Two near-identical documents differing only in
+    * casing/punctuation/spacing normalize to the same string, so
+    * `Dedup.exact(docs.withColumn("text", normalizeForHash(col("text"))))`
+    * catches them. Pure codegen'd regexp expressions — runs at scan
+    * speed; apply once and reuse for every downstream hash.
+    */
+  def normalizeForHash(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]+", " "),
+      "\\s+", " "))
+
   /** Corpus-wide top-N most frequent word k-grams — the vocabulary /
     * boilerplate-phrase report curation teams pull before writing filter
     * rules (and the raw input to BPE-style merge induction). Counts gram

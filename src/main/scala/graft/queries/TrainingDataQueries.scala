@@ -660,6 +660,21 @@ object TrainingDataQueries {
       },
       Some(incrDedupSql)),
 
+    "text_normalize" -> QueryDef(
+      (s, d) => table(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.normalizeForHash(col("text")).as("norm_text"),
+        StableHash.hash60(TextAnalysis.normalizeForHash(col("text")))
+          .as("norm_hash")),
+      Some(s"""SELECT doc_id,
+              |  trim(regexp_replace(regexp_replace(lower(text),
+              |    '[^\\p{L}\\p{N}\\s]+', ' ', 'g'), '\\s+', ' ', 'g'))
+              |    AS norm_text,
+              |  ${StableHash.hash60Sql(
+                   "trim(regexp_replace(regexp_replace(lower(text), " +
+                     "'[^\\p{L}\\p{N}\\s]+', ' ', 'g'), '\\s+', ' ', 'g'))")}
+              |    AS norm_hash
+              |FROM documents""".stripMargin)),
+
     "text_top_ngrams" -> QueryDef(
       (s, d) => TextAnalysis.topNgrams(table(s, d, "documents"),
         "text", TopNgramK, TopNgramN),

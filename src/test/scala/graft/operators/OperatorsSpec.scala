@@ -48,6 +48,15 @@ class OperatorsSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), "batch side must broadcast")
   }
 
+  test("normalizeForHash canonicalizes case, punctuation, and spacing") {
+    val out = Seq("  Hello,   World!! 42 ", "hello world 42", "a\tb\nc")
+      .toDF("t").select(TextAnalysis.normalizeForHash(col("t")))
+      .as[String].collect().toSeq
+    assert(out(0) == "hello world 42")
+    assert(out(0) == out(1), "near-identical docs must normalize equal")
+    assert(out(2) == "a b c")
+  }
+
   test("topNgrams counts instances with a deterministic total order") {
     val docs = Seq(
       (1L, "a b c a b c"),   // "a b c" x2, "b c a" x1, "c a b" x1
