@@ -440,4 +440,38 @@ object Dedup {
       .withColumn("dup_frac",
         col("dup_chunks").cast("double") / col("total_chunks"))
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs (cluster-then-compare
+    * over embeddings, after Abbas et al. 2023): documents are first
+    * assigned to clusters ([[graft.operators.Similarity.ivfAssign]] with
+    * trained or seeded centroids), and exact pairwise cosine runs only
+    * WITHIN a cluster. Emits `(id_a, id_b)` with `id_a < id_b` where
+    * intra-cluster cosine >= `threshold`.
+    *
+    * Complements [[embeddingNearDups]]: the hyperplane-LSH variant bounds
+    * bucket population by the random planes (recall depends on band
+    * geometry), while this one inherits the semantic structure of the
+    * centroids — near-dups that straddle an LSH band boundary still meet
+    * inside their cluster.
+    *
+    * Scale shape: ONE shuffle keyed on the cluster id; compare cost is
+    * quadratic only within a cluster, so k (the centroid count) is the
+    * knob — SemDeDup practice is k proportional to corpus size
+    * (~sqrt(n) keeps expected cluster population flat as data grows).
+    * A skewed giant cluster is a straggler: cap it upstream by raising k
+    * or re-clustering the heavy cluster, not by salting (correctness
+    * needs all members of a cluster co-located).
+    */
+  def semanticNearDups(assigned: DataFrame, idCol: String, vecCol: String,
+                       clusterCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val l = assigned.select(col(clusterCol).as("__c"),
+      col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val r = assigned.select(col(clusterCol).as("__c"),
+      col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    l.join(r, Seq("__c"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorOps.cosineF(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
 }

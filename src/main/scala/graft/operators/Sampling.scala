@@ -162,4 +162,27 @@ object Sampling {
     }
     df.filter(b < threshold)
   }
+
+  /** Cap the number of documents kept per group (the C4/RefinedWeb-style
+    * per-domain cap that stops one crawl-heavy domain from dominating the
+    * mixture): keep the top `n` rows of each group by `(score desc,
+    * id asc)`. Output: `(group, id)` of the survivors.
+    *
+    * Scale shape: a `Window.partitionBy(domain)` + `row_number` pulls
+    * EVERY row of a domain into one reducer — the crawl-heavy domain that
+    * motivated the cap is exactly the one that stragglers. Instead the
+    * cap runs as a [[graft.functions.BoundedTopK]] two-phase aggregate:
+    * each scan task forwards at most `n` candidates per group map-side,
+    * so the shuffle carries O(tasks x groups x n) tiny rows no matter how
+    * big the heaviest domain is.
+    */
+  def capPerGroup(docs: DataFrame, groupCol: String, idCol: String,
+                  scoreCol: Column, n: Int): DataFrame = {
+    require(n > 0, s"cap ($n) must be positive")
+    docs
+      .groupBy(col(groupCol))
+      .agg(graft.functions.BoundedTopK.topK(
+        scoreCol.cast("double"), col(idCol).cast("long"), n).as("topk"))
+      .select(col(groupCol), explode(col("topk")).as(idCol))
+  }
 }

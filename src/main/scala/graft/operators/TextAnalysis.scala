@@ -216,4 +216,73 @@ object TextAnalysis {
       bit_xor(hash60(concat_ws("#", col("pos"), col("w"))))
         .as("fingerprint"))
   }
+
+  /** Default thresholds for [[gopherRules]] — the word-level subset of
+    * the Gopher/MassiveText repetition-and-quality filter family (Rae et
+    * al. 2021, arXiv:2112.11446 Table A1). Kept as named constants so the
+    * DuckDB oracle SQL is generated from the SAME numbers.
+    */
+  object GopherDefaults {
+    val MinWords = 50
+    val MaxWords = 100000
+    val MinMeanWordLen = 3.0
+    val MaxMeanWordLen = 10.0
+    val MinAlphaWordFrac = 0.8
+    val MinStopwordHits = 2
+  }
+
+  /** Gopher-style document quality rules (word-level subset): per-doc
+    * metrics plus the composite `keep` verdict. Rules applied:
+    *
+    *  - word count within `[minWords, maxWords]`;
+    *  - mean word length within `[minMeanWordLen, maxMeanWordLen]`;
+    *  - fraction of words containing at least one ASCII letter
+    *    >= `minAlphaWordFrac`;
+    *  - at least `minStopwordHits` English-stopword occurrences (the
+    *    "contains real sentences" proxy).
+    *
+    * The line-shape rules of the original (bullet-prefix and
+    * ellipsis-suffix line fractions) belong to line-structured corpora;
+    * they compose the same way (`split("\n")` + the same fraction
+    * arithmetic) and are omitted here rather than faked on single-line
+    * input. Mean word length divides total non-whitespace characters by
+    * the word count — one subtraction and one division of exact longs, so
+    * the doubles hash-match the oracle.
+    *
+    * All metrics are single-pass codegen'd expressions over the text
+    * column — the report runs at scan speed; no shuffle at all (the
+    * output is row-per-document, same partitioning as the input).
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = GopherDefaults.MinWords,
+                  maxWords: Int = GopherDefaults.MaxWords,
+                  minMeanWordLen: Double = GopherDefaults.MinMeanWordLen,
+                  maxMeanWordLen: Double = GopherDefaults.MaxMeanWordLen,
+                  minAlphaWordFrac: Double =
+                    GopherDefaults.MinAlphaWordFrac,
+                  minStopwordHits: Int = GopherDefaults.MinStopwordHits)
+      : DataFrame = {
+    import graft.functions.TextCounters
+    val t = trim(col(textCol))
+    val ws = split(t, "\\s+")
+    val nWords = when(length(t) === 0, 0L).otherwise(size(ws).cast("long"))
+    val nonWsChars = length(regexp_replace(t, "\\s+", "")).cast("long")
+    val meanWordLen = nonWsChars.cast("double") /
+      greatest(nWords, lit(1L)).cast("double")
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]")))
+      .cast("long")
+    val alphaFrac = alphaWords.cast("double") /
+      greatest(nWords, lit(1L)).cast("double")
+    val stopHits = TextCounters.tokenSetCounts(lower(t),
+      Seq(StopwordLists.head._2)).getItem(0).cast("long")
+    docs.select(col(idCol),
+      nWords.as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stopword_hits"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen &&
+        alphaFrac >= minAlphaWordFrac &&
+        stopHits >= minStopwordHits).as("keep"))
+  }
 }

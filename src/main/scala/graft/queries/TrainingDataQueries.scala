@@ -44,6 +44,15 @@ object TrainingDataQueries {
   private val BenchMod = 20
   // paragraph-granularity chunk width (words) for chunk-level dedup
   private val ChunkW = 8
+  // SemDeDup: centroid seed stride + intra-cluster cosine threshold
+  // (0.4 keeps the synthetic clusters' near-dup tails, like EmbThreshold)
+  private val SemEvery = 50
+  private val SemThreshold = 0.4
+  // Gopher rules: the synthetic docs run 10-99 words, so the word-count
+  // floor drops to 20 to exercise both sides of every rule
+  private val GopherMinWords = 20
+  // per-source document cap for the domain-cap query
+  private val DomainCap = 10
   // relative mixture weights per source: deterministic 1.0/2.0/3.0 cycle
   private val MixtureWeights: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (1.0 + i % 3)).toMap
@@ -254,6 +263,63 @@ object TrainingDataQueries {
        |  FROM cand)
        |SELECT query_id, rank, neighbor_id FROM r
        |WHERE rank <= $AnnK""".stripMargin
+
+  /** SemDeDup oracle: the asg CTE is the same nearest-centroid argmax the
+    * IVF oracle uses (sim desc, centroid_id asc tie-break = ivfAssign's
+    * max_by order), then exact pairwise cosine within each cluster.
+    */
+  private val semanticSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT CAST(vec_id // $SemEvery AS BIGINT) AS centroid_id,
+       |  v AS cv FROM e WHERE vec_id % $SemEvery = 0),
+       |asg AS (SELECT vec_id, v, centroid_id AS cluster FROM (
+       |  SELECT e.vec_id, e.v, c.centroid_id, row_number() OVER (
+       |      PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v))
+       |        * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |      c.centroid_id) AS rn
+       |  FROM e, cent c) WHERE rn = 1)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM asg a JOIN asg b
+       |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v)
+       |    / (sqrt(list_dot_product(a.v, a.v))
+       |      * sqrt(list_dot_product(b.v, b.v))) >= $SemThreshold""".stripMargin
+
+  /** Gopher-rules oracle: same metrics, same left-to-right arithmetic,
+    * thresholds interpolated from the SAME GopherDefaults constants.
+    */
+  private val gopherSql = {
+    val G = TextAnalysis.GopherDefaults
+    val enPattern = TextAnalysis.StopwordPatterns.head._2
+    s"""WITH t AS (SELECT doc_id, trim(text) AS t FROM documents),
+       |m AS (SELECT doc_id,
+       |  CAST(CASE WHEN length(t) = 0 THEN 0
+       |    ELSE len(string_split_regex(t, '\\s+')) END AS BIGINT)
+       |    AS n_words,
+       |  CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS BIGINT)
+       |    AS non_ws,
+       |  CAST(len(list_filter(string_split_regex(t, '\\s+'),
+       |    w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+       |  CAST(len(regexp_extract_all(lower(t), '$enPattern')) AS BIGINT)
+       |    AS stop_hits
+       |FROM t)
+       |SELECT doc_id, n_words,
+       |  CAST(non_ws AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+       |    AS mean_word_len,
+       |  CAST(alpha_words AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+       |    AS alpha_word_frac,
+       |  stop_hits AS stopword_hits,
+       |  (n_words >= $GopherMinWords AND n_words <= ${G.MaxWords}
+       |    AND CAST(non_ws AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+       |      >= ${G.MinMeanWordLen}
+       |    AND CAST(non_ws AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)
+       |      <= ${G.MaxMeanWordLen}
+       |    AND CAST(alpha_words AS DOUBLE)
+       |      / CAST(greatest(n_words, 1) AS DOUBLE) >= ${G.MinAlphaWordFrac}
+       |    AND stop_hits >= ${G.MinStopwordHits}) AS keep
+       |FROM m""".stripMargin
+  }
 
   private val langIdSql = {
     val counts = TextAnalysis.StopwordPatterns.map { case (lang, p) =>
@@ -705,6 +771,35 @@ object TrainingDataQueries {
         Dedup.minhashNearDups(table(s, d, "documents"), "doc_id", "text",
           ShingleK, NumHashes, RowsPerBand, MinhashThreshold),
         "id_a", "id_b"),
-      Some(ccSql))
+      Some(ccSql)),
+
+    // SemDeDup: seed centroids -> nearest-centroid assignment (the same
+    // ivfAssign the ANN index uses) -> exact cosine only within clusters
+    "dedup_semantic_pairs" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val centroids = Similarity.seedCentroids(emb, "vec_id",
+          "embedding", every = SemEvery)
+        val assigned = Similarity.ivfAssign(emb, centroids, "vec_id",
+          "embedding")
+        Dedup.semanticNearDups(assigned, "vec_id", "embedding",
+          "cluster", SemThreshold)
+      },
+      Some(semanticSql)),
+
+    "text_gopher_rules" -> QueryDef(
+      (s, d) => TextAnalysis.gopherRules(table(s, d, "documents"),
+        "doc_id", "text", minWords = GopherMinWords),
+      Some(gopherSql)),
+
+    "sample_domain_cap" -> QueryDef(
+      (s, d) => graft.operators.Sampling.capPerGroup(
+        table(s, d, "documents"), "source", "doc_id",
+        col("n_chars"), DomainCap),
+      Some(s"""SELECT source, doc_id FROM (
+              |  SELECT source, doc_id, row_number() OVER (
+              |    PARTITION BY source
+              |    ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
+              |  FROM documents) WHERE rn <= $DomainCap""".stripMargin))
   )
 }

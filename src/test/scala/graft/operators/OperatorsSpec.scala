@@ -258,6 +258,41 @@ class OperatorsSpec extends SparkSpecBase {
     assert(f1 == f2)
   }
 
+  test("semanticNearDups pairs only within clusters, above threshold") {
+    // two planted clusters on orthogonal axes: x-ish vectors 1,2,3 and
+    // y-ish vectors 4,5. 3 is x-but-noisy (cosine to 1/2 below the 0.95
+    // bar); cross-cluster cosine ~0 can never pair.
+    val assigned = Seq(
+      (1L, Array(1f, 0f), 0L), (2L, Array(0.99f, 0.05f), 0L),
+      (3L, Array(0.7f, 0.7f), 0L),
+      (4L, Array(0f, 1f), 1L), (5L, Array(0.01f, 0.98f), 1L))
+      .toDF("vec_id", "embedding", "cluster")
+    val pairs = Dedup.semanticNearDups(assigned, "vec_id", "embedding",
+      "cluster", 0.95).as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (4L, 5L)))
+  }
+
+  test("gopherRules flags each rule independently") {
+    val good = (1 to 30)
+      .map(i => s"the quick brown fox jumps over that fence$i")
+      .mkString(" ") // 240 words, mean len ~4.6, stopword-rich, alphabetic
+    val tooShort = "the and of to is in that with"
+    val numeric = (1 to 40).map(i => s"12345 67890 $i").mkString(" ")
+    val longWords = (1 to 40)
+      .map(_ => "the incomprehensibilities of internationalization")
+      .mkString(" ")
+    val docs = Seq((1L, good), (2L, tooShort), (3L, numeric),
+      (4L, longWords)).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text",
+        minWords = 20)
+      .select(col("doc_id"), col("keep")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(out(1L), "well-formed doc passes")
+    assert(!out(2L), "under the word-count floor")
+    assert(!out(3L), "alpha-word fraction too low")
+    assert(!out(4L), "mean word length too high")
+  }
+
   test("multimodal feature extraction preserves schema + checksums") {
     val media = Seq((1L, "image", Array[Byte](1, 2, 3)),
       (2L, "audio", Array[Byte](4, 5)))

@@ -119,4 +119,33 @@ class SamplingSpec extends SparkSpecBase {
       Sampling.mixturePlan(docs, "source", "text", Map("sA" -> -1.0))
     }
   }
+
+  test("capPerGroup keeps top-n by (score desc, id asc) per group") {
+    // domain "big" has 5 docs, cap 2 -> the two longest win, tie on
+    // score 9.0 broken by the smaller id; "small" is under the cap
+    val docs = Seq(
+      ("big", 1L, 9.0), ("big", 2L, 9.0), ("big", 3L, 5.0),
+      ("big", 4L, 12.0), ("big", 5L, 1.0),
+      ("small", 6L, 3.0)).toDF("source", "doc_id", "score")
+    val kept = Sampling.capPerGroup(docs, "source", "doc_id",
+      col("score"), 2)
+      .as[(String, Long)].collect().toSet
+    assert(kept == Set(("big", 4L), ("big", 1L), ("small", 6L)))
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroup(docs, "source", "doc_id", col("score"), 0)
+    }
+  }
+
+  test("capPerGroup shuffles bounded candidates, not whole groups") {
+    // the cap must compile to a two-phase (partial) aggregate — a
+    // window/row_number formulation would show a Window node and pull
+    // every row of the heaviest group into one reducer
+    val docs = (1L to 1000L).map(i => (s"d${i % 3}", i, i.toDouble))
+      .toDF("source", "doc_id", "score")
+    val plan = Sampling.capPerGroup(docs, "source", "doc_id",
+      col("score"), 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"), plan)
+  }
 }
