@@ -47,5 +47,9 @@ object SparkEntry {
     // cross-round comparability
     "dedup_connected_components", "dedup_incremental_minhash",
     "sample_pack_plan", "text_bigram_rarity",
-    "asof_join_events", "range_join_attribution")
+    "asof_join_events", "range_join_attribution",
+    // round-7 additions: cluster-then-compare semantic dedup and the
+    // composed curation pipeline (lang -> quality -> dedup -> cap ->
+    // split), the closest thing to a real end-to-end workload
+    "dedup_semantic_pairs", "pipeline_curate_corpus")
 }

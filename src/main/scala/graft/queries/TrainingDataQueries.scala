@@ -59,11 +59,16 @@ object TrainingDataQueries {
 
   // ---- generated oracle-SQL fragments ---------------------------------
 
-  /** words CTE: whitespace-tokenized lowercase text. */
-  private val wordsCte =
-    """words AS (SELECT doc_id,
-      |  string_split_regex(trim(lower(text)), '\s+') AS ws
-      |  FROM documents)""".stripMargin
+  /** words CTE: whitespace-tokenized lowercase text. `from` lets the
+    * composed pipeline oracle run the same fragment over a filtered CTE
+    * instead of the base table.
+    */
+  private def wordsCteFrom(from: String) =
+    s"""words AS (SELECT doc_id,
+       |  string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM $from)""".stripMargin
+
+  private val wordsCte = wordsCteFrom("documents")
 
   /** distinct k-shingles per doc (matches Dedup.shingles). */
   private def shinglesCte(k: Int) =
@@ -96,16 +101,18 @@ object TrainingDataQueries {
   /** CTE list + final SELECT of the minhash-LSH pair query, kept separate
     * so the connected-components oracle can embed the pairs as a CTE.
     */
-  private val minhashLshCtes = {
+  private def minhashLshCtesFrom(from: String) = {
     val bandJoins = (0 until NumBands).map { b =>
       s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM banded a JOIN banded b
          |  ON a.band_$b = b.band_$b AND a.doc_id < b.doc_id""".stripMargin
     }.mkString("\nUNION\n")
-    s"""$wordsCte, ${shinglesCte(ShingleK)}, $hashCte, $sigCte,
+    s"""${wordsCteFrom(from)}, ${shinglesCte(ShingleK)}, $hashCte, $sigCte,
        |banded AS (SELECT doc_id, $bandExprs FROM sig),
        |cand AS ($bandJoins)""".stripMargin
   }
+
+  private val minhashLshCtes = minhashLshCtesFrom("documents")
 
   private val minhashLshSelect = {
     val agree = (0 until NumHashes)
@@ -524,6 +531,53 @@ object TrainingDataQueries {
        |FROM c""".stripMargin
   }
 
+  /** End-to-end curation pipeline oracle: language filter -> Gopher
+    * rules -> exact dedup on normalized text -> minhash-LSH near-dup
+    * cluster resolution -> per-domain cap -> deterministic split. The
+    * per-doc CTEs (lang, gop) reuse the single-operator oracles verbatim
+    * (per-doc metrics don't depend on the filtered set); the set-dependent
+    * stages (dedup, cap) run over the filtered CTE via the parametrized
+    * fragments.
+    */
+  private val curateSql = {
+    val normExpr = "trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^\\p{L}\\p{N}\\s]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+    val bucket = graft.operators.Sampling.bucketSql("doc_id")
+    s"""WITH RECURSIVE
+       |lang AS ($langIdSql),
+       |gop AS ($gopherSql),
+       |base AS (SELECT d.doc_id, d.source, d.n_chars, d.text
+       |  FROM documents d
+       |  JOIN lang ON d.doc_id = lang.doc_id
+       |  JOIN gop ON d.doc_id = gop.doc_id
+       |  WHERE lang.predicted_lang = 'en' AND gop.keep),
+       |nh AS (SELECT doc_id, ${StableHash.hash60Sql(normExpr)} AS h
+       |  FROM base),
+       |keepx AS (SELECT min(doc_id) AS doc_id FROM nh GROUP BY h),
+       |edocs AS (SELECT b.* FROM base b JOIN keepx USING (doc_id)),
+       |${minhashLshCtesFrom("edocs")},
+       |pairs AS ($minhashLshSelect),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+       |labels AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+       |canon AS (SELECT e.* FROM edocs e
+       |  WHERE e.doc_id NOT IN
+       |    (SELECT id FROM labels WHERE id <> component_id)),
+       |capped AS (SELECT doc_id, source FROM (
+       |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+       |    ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn FROM canon)
+       |  WHERE rn <= $DomainCap)
+       |SELECT doc_id, source,
+       |  CASE WHEN $bucket < 9000 THEN 'train'
+       |       WHEN $bucket < 9500 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM capped""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     "dedup_exact" -> QueryDef(
@@ -800,6 +854,36 @@ object TrainingDataQueries {
               |  SELECT source, doc_id, row_number() OVER (
               |    PARTITION BY source
               |    ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
-              |  FROM documents) WHERE rn <= $DomainCap""".stripMargin))
+              |  FROM documents) WHERE rn <= $DomainCap""".stripMargin)),
+
+    // the whole curation recipe as ONE verified query: every stage is an
+    // operator proven above; this proves they COMPOSE (the set-dependent
+    // stages see each other's survivors, not the base table)
+    "pipeline_curate_corpus" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Sampling
+        val docs = table(s, d, "documents")
+        val en = docs.filter(TextAnalysis.langId(col("text")) === "en")
+        val kept = TextAnalysis.gopherRules(en, "doc_id", "text",
+            minWords = GopherMinWords)
+          .filter(col("keep")).select("doc_id")
+        val base = en.join(kept, "doc_id")
+        val keepExact = Dedup.exact(
+          base.select(col("doc_id"),
+            TextAnalysis.normalizeForHash(col("text")).as("__norm")),
+          "doc_id", "__norm").select(col("keep_id").as("doc_id"))
+        val edocs = base.join(keepExact, "doc_id")
+        val labels = Dedup.connectedComponents(
+          Dedup.minhashNearDups(edocs, "doc_id", "text", ShingleK,
+            NumHashes, RowsPerBand, MinhashThreshold),
+          "id_a", "id_b")
+        val canon = Dedup.keepCanonical(edocs, "doc_id", labels)
+        val capped = Sampling.capPerGroup(canon, "source", "doc_id",
+          col("n_chars"), DomainCap)
+        Sampling.hashSplit(capped, "doc_id",
+            Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+          .select(col("doc_id"), col("source"), col("split"))
+      },
+      Some(curateSql))
   )
 }
