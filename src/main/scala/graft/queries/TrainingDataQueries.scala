@@ -856,6 +856,36 @@ object TrainingDataQueries {
               |    ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
               |  FROM documents) WHERE rn <= $DomainCap""".stripMargin)),
 
+    // int8 storage quantization: scale + exact integer summaries of the
+    // code vector (sum/min/max are order-independent and exact, so the
+    // whole quantization arithmetic is oracle-checked without comparing
+    // list-typed columns)
+    "embedding_quantize" -> QueryDef(
+      (s, d) => {
+        import graft.functions.VectorOps
+        val qs = VectorOps.quantizeInt8(col("embedding"))
+        table(s, d, "embeddings")
+          .select(col("vec_id"), qs.as("qs"))
+          .select(col("vec_id"),
+            col("qs.scale").as("scale"),
+            aggregate(col("qs.q"), lit(0L), (acc, x) => acc + x)
+              .as("q_sum"),
+            array_min(col("qs.q")).as("q_min"),
+            array_max(col("qs.q")).as("q_max"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |    FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             |  FROM e),
+             |q AS (SELECT vec_id, scale,
+             |    list_transform(v, x -> CAST(floor(CASE WHEN scale = 0
+             |      THEN 0.0 ELSE x / scale + 0.5 END) AS INT)) AS q
+             |  FROM s)
+             |SELECT vec_id, scale, CAST(list_sum(q) AS BIGINT) AS q_sum,
+             |  list_min(q) AS q_min, list_max(q) AS q_max
+             |FROM q""".stripMargin)),
+
     // the whole curation recipe as ONE verified query: every stage is an
     // operator proven above; this proves they COMPOSE (the set-dependent
     // stages see each other's survivors, not the base table)

@@ -258,6 +258,35 @@ class OperatorsSpec extends SparkSpecBase {
     assert(f1 == f2)
   }
 
+  test("int8 quantization round-trips within half a scale step") {
+    import graft.functions.VectorOps
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: scale 0
+      (3L, Array(-2.0f, 2.0f, 1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = vecs.select(col("vec_id"), col("embedding"),
+        VectorOps.quantizeInt8(col("embedding")).as("qs"))
+      .select(col("vec_id"), col("embedding"), col("qs.scale").as("scale"),
+        col("qs.q").as("q"),
+        VectorOps.dequantizeInt8(col("qs")).as("back"))
+      .collect()
+    out.foreach { r =>
+      val orig = r.getAs[scala.collection.Seq[Float]]("embedding")
+      val back = r.getAs[scala.collection.Seq[Float]]("back")
+      val scale = r.getAs[Double]("scale")
+      val q = r.getAs[scala.collection.Seq[Int]]("q")
+      assert(q.forall(c => c >= -127 && c <= 127), s"codes in range: $q")
+      orig.zip(back).foreach { case (o, b) =>
+        assert(math.abs(o - b) <= scale / 2 + 1e-9,
+          s"vec ${r.getLong(0)}: $o vs $b at scale $scale")
+      }
+    }
+    // the max-|x| element always quantizes to exactly +-127
+    val r3 = out.find(_.getLong(0) == 3L).get
+    assert(r3.getAs[scala.collection.Seq[Int]]("q").head == -127)
+  }
+
   test("semanticNearDups pairs only within clusters, above threshold") {
     // two planted clusters on orthogonal axes: x-ish vectors 1,2,3 and
     // y-ish vectors 4,5. 3 is x-but-noisy (cosine to 1/2 below the 0.95
