@@ -465,13 +465,19 @@ object Dedup {
   def semanticNearDups(assigned: DataFrame, idCol: String, vecCol: String,
                        clusterCol: String, threshold: Double): DataFrame = {
     import graft.functions.VectorOps
-    val l = assigned.select(col(clusterCol).as("__c"),
-      col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val r = assigned.select(col(clusterCol).as("__c"),
-      col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    l.join(r, Seq("__c"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(VectorOps.cosineF(col("v_a"), col("v_b")) >= threshold)
-      .select(col("id_a"), col("id_b"))
+    // materialize the cluster assignment ONCE: both sides of the
+    // intra-cluster self-join consume it, and without a persist the
+    // (expensive) upstream — typically a centroid argmax over the whole
+    // corpus — would execute twice. At 100 TB the assignment IS the IVF
+    // index and lives as a table partitioned by cluster; MEMORY_AND_DISK
+    // is the local stand-in for that materialization.
+    val base = assigned.select(col(clusterCol).as("__c"),
+        col(idCol).as("__id"), col(vecCol).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = base.as("a").join(base.as("b"),
+        col("a.__c") === col("b.__c") && col("a.__id") < col("b.__id"))
+      .filter(VectorOps.cosineF(col("a.__v"), col("b.__v")) >= threshold)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    releaseAfter(pairs, base)
   }
 }
