@@ -253,6 +253,46 @@ object TextAnalysis {
     * column — the report runs at scan speed; no shuffle at all (the
     * output is row-per-document, same partitioning as the input).
     */
+  /** The four word-level metric expressions behind [[gopherRules]] /
+    * [[gopherKeep]]: (n_words, mean_word_len, alpha_word_frac,
+    * stopword_hits), all stateless Column expressions.
+    */
+  private def gopherMetrics(text: Column)
+      : (Column, Column, Column, Column) = {
+    import graft.functions.TextCounters
+    // one-pass [n_words, non_ws_chars, alpha_words] — semantically equal
+    // to split/regexp_replace/rlike (the formulation the DuckDB oracle
+    // uses) at a third of the string passes and zero array allocations
+    val st = TextCounters.wordStats(text)
+    val nWords = st.getItem(0)
+    val meanWordLen = st.getItem(1).cast("double") /
+      greatest(nWords, lit(1L)).cast("double")
+    val alphaFrac = st.getItem(2).cast("double") /
+      greatest(nWords, lit(1L)).cast("double")
+    val stopHits = TextCounters.tokenSetCounts(lower(trim(text)),
+      Seq(StopwordLists.head._2)).getItem(0).cast("long")
+    (nWords, meanWordLen, alphaFrac, stopHits)
+  }
+
+  /** Composite Gopher keep verdict as a single boolean Column —
+    * streaming-safe (stateless), so the same batch-verified rule set
+    * gates a `readStream` (see
+    * [[graft.streaming.StreamingCurate]]).
+    */
+  def gopherKeep(text: Column,
+                 minWords: Int = GopherDefaults.MinWords,
+                 maxWords: Int = GopherDefaults.MaxWords,
+                 minMeanWordLen: Double = GopherDefaults.MinMeanWordLen,
+                 maxMeanWordLen: Double = GopherDefaults.MaxMeanWordLen,
+                 minAlphaWordFrac: Double = GopherDefaults.MinAlphaWordFrac,
+                 minStopwordHits: Int = GopherDefaults.MinStopwordHits)
+      : Column = {
+    val (nWords, meanWordLen, alphaFrac, stopHits) = gopherMetrics(text)
+    nWords >= minWords && nWords <= maxWords &&
+      meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen &&
+      alphaFrac >= minAlphaWordFrac && stopHits >= minStopwordHits
+  }
+
   def gopherRules(docs: DataFrame, idCol: String, textCol: String,
                   minWords: Int = GopherDefaults.MinWords,
                   maxWords: Int = GopherDefaults.MaxWords,
@@ -262,27 +302,14 @@ object TextAnalysis {
                     GopherDefaults.MinAlphaWordFrac,
                   minStopwordHits: Int = GopherDefaults.MinStopwordHits)
       : DataFrame = {
-    import graft.functions.TextCounters
-    val t = trim(col(textCol))
-    val ws = split(t, "\\s+")
-    val nWords = when(length(t) === 0, 0L).otherwise(size(ws).cast("long"))
-    val nonWsChars = length(regexp_replace(t, "\\s+", "")).cast("long")
-    val meanWordLen = nonWsChars.cast("double") /
-      greatest(nWords, lit(1L)).cast("double")
-    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]")))
-      .cast("long")
-    val alphaFrac = alphaWords.cast("double") /
-      greatest(nWords, lit(1L)).cast("double")
-    val stopHits = TextCounters.tokenSetCounts(lower(t),
-      Seq(StopwordLists.head._2)).getItem(0).cast("long")
+    val (nWords, meanWordLen, alphaFrac, stopHits) =
+      gopherMetrics(col(textCol))
     docs.select(col(idCol),
       nWords.as("n_words"),
       meanWordLen.as("mean_word_len"),
       alphaFrac.as("alpha_word_frac"),
       stopHits.as("stopword_hits"),
-      (nWords >= minWords && nWords <= maxWords &&
-        meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen &&
-        alphaFrac >= minAlphaWordFrac &&
-        stopHits >= minStopwordHits).as("keep"))
+      gopherKeep(col(textCol), minWords, maxWords, minMeanWordLen,
+        maxMeanWordLen, minAlphaWordFrac, minStopwordHits).as("keep"))
   }
 }

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.StableHash
+import graft.operators.TextAnalysis
+
+/** Continuous corpus curation — the streaming face of the batch recipe
+  * proven by the `pipeline_curate_corpus` oracle query: language gate +
+  * Gopher quality rules + exact dedup on normalized text, applied to
+  * documents AS THEY ARRIVE instead of in a full-corpus pass.
+  *
+  * Design split:
+  *  - the language and quality gates are stateless Column expressions
+  *    (the exact ones the batch oracle verified — `TextAnalysis.langId`,
+  *    `TextAnalysis.gopherKeep`), so they run inside the micro-batch
+  *    scan with zero state;
+  *  - dedup is the only stateful stage:
+  *    `dropDuplicatesWithinWatermark` keyed on the 60-bit hash of the
+  *    CCNet-normalized text (casing/punctuation/whitespace variants of
+  *    a crawl collapse to one key). The watermark bounds the state to
+  *    the re-crawl horizon — at 100 TB/day ingest the state store holds
+  *    (docs per horizon) x ~24 bytes per partition, never the corpus.
+  *    Full-corpus sweeps (minhash-LSH, SemDeDup) remain periodic batch
+  *    jobs over the landed output ([[graft.operators.Dedup]]).
+  */
+object StreamingCurate {
+
+  /** Gate + dedup a streaming document frame. Input needs an event-time
+    * column `tsCol`; all other columns pass through unchanged.
+    */
+  def curate(docs: DataFrame, textCol: String, tsCol: String,
+             lang: String = "en",
+             minWords: Int = TextAnalysis.GopherDefaults.MinWords,
+             watermark: String = "1 hour"): DataFrame =
+    docs
+      .filter(TextAnalysis.langId(col(textCol)) === lang)
+      .filter(TextAnalysis.gopherKeep(col(textCol), minWords = minWords))
+      .withColumn("__norm_hash",
+        StableHash.hash60(TextAnalysis.normalizeForHash(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__norm_hash")
+      .drop("__norm_hash")
+}

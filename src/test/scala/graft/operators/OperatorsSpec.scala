@@ -258,6 +258,31 @@ class OperatorsSpec extends SparkSpecBase {
     assert(f1 == f2)
   }
 
+  test("wordStats matches the split/regexp formulation on edge inputs") {
+    import graft.functions.TextCounters
+    val rows = Seq("", "   ", "one", "  leading and trailing  ",
+      "tab\tsep\nnewline\rcr", "123 456 a1 _x", "héllo wörld 漢字 mixed",
+      "ab\fc", "x  double   runs")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val t = trim(col("t"))
+    val ws = split(t, "\\s+")
+    val out = rows.select(
+      TextCounters.wordStats(col("t")).as("st"),
+      when(length(t) === 0, 0L).otherwise(size(ws).cast("long"))
+        .as("n_words"),
+      length(regexp_replace(t, "\\s+", "")).cast("long").as("non_ws"),
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+        .as("alpha"))
+      .collect()
+    out.foreach { r =>
+      val st = r.getAs[scala.collection.Seq[Long]]("st")
+      assert(st(0) == r.getAs[Long]("n_words"), s"n_words: $r")
+      assert(st(1) == r.getAs[Long]("non_ws"), s"non_ws: $r")
+      assert(st(2) == r.getAs[Long]("alpha"), s"alpha: $r")
+    }
+  }
+
   test("int8 quantization round-trips within half a scale step") {
     import graft.functions.VectorOps
     val vecs = Seq(
