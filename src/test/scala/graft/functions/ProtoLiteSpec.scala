@@ -147,6 +147,77 @@ class ProtoLiteSpec extends SparkSpecBase {
     assert(row2.isNullAt(1))
   }
 
+  test("repeated fields collect packed and interleaved occurrences") {
+    val rfields = Seq(
+      ProtoField("ids", 1, "repeated_varint"),
+      ProtoField("tags", 2, "repeated_string"),
+      ProtoField("xs", 3, "repeated_double"))
+    val bytes = msg { o =>
+      vint(o, 1, 10L)                      // interleaved varint
+      str(o, 2, "a")
+      // packed payload for field 1: varints 20, 30
+      tag(o, 1, 2)
+      val packed = new ByteArrayOutputStream()
+      varint(packed, 20L); varint(packed, 30L)
+      varint(o, packed.size().toLong); packed.writeTo(o)
+      str(o, 2, "b")
+      vint(o, 1, 40L)                      // interleaved again
+      // packed doubles for field 3
+      tag(o, 3, 2)
+      val pd = java.nio.ByteBuffer.allocate(16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putDouble(1.5).putDouble(-2.5).array()
+      varint(o, 16L); o.write(pd)
+    }
+    val r = Seq(bytes).toDF("value")
+      .select(ProtoLite.decode(col("value"), rfields).as("m"))
+      .select("m.*").head()
+    assert(r.getAs[scala.collection.Seq[Long]]("ids") ==
+      Seq(10L, 20L, 30L, 40L), "wire order, packed + interleaved")
+    assert(r.getAs[scala.collection.Seq[String]]("tags") == Seq("a", "b"))
+    assert(r.getAs[scala.collection.Seq[Double]]("xs") == Seq(1.5, -2.5))
+  }
+
+  test("nested messages decode recursively; repeated messages append") {
+    val point = Seq(ProtoField("x", 1, "zigzag"),
+      ProtoField("y", 2, "zigzag"))
+    val nfields = Seq(
+      ProtoField("id", 1, "varint"),
+      ProtoField("origin", 2, "message", point),
+      ProtoField("path", 3, "repeated_message", point))
+    def pointMsg(x: Long, y: Long): Array[Byte] =
+      msg { o => zig(o, 1, x); zig(o, 2, y) }
+    def sub(o: ByteArrayOutputStream, no: Int, b: Array[Byte]): Unit = {
+      tag(o, no, 2); varint(o, b.length.toLong); o.write(b)
+    }
+    val bytes = msg { o =>
+      vint(o, 1, 5L)
+      sub(o, 2, pointMsg(-1L, 2L))
+      sub(o, 3, pointMsg(10L, 20L))
+      sub(o, 3, pointMsg(-30L, 40L))
+    }
+    val r = Seq(bytes).toDF("value")
+      .select(ProtoLite.decode(col("value"), nfields).as("m"))
+      .select("m.*").head()
+    assert(r.getLong(0) == 5L)
+    val origin = r.getStruct(1)
+    assert(origin.getLong(0) == -1L && origin.getLong(1) == 2L)
+    val path = r.getAs[scala.collection.Seq[
+      org.apache.spark.sql.Row]]("path")
+    assert(path.map(p => (p.getLong(0), p.getLong(1))) ==
+      Seq((10L, 20L), (-30L, 40L)))
+    // truncated nested message: malformed length stops cleanly, earlier
+    // fields survive
+    val evil = msg { o =>
+      vint(o, 1, 9L)
+      tag(o, 2, 2); varint(o, 100L); o.write(1) // declares 100, has 1
+    }
+    val r2 = Seq(evil).toDF("value")
+      .select(ProtoLite.decode(col("value"), nfields).as("m"))
+      .select("m.*").head()
+    assert(r2.getLong(0) == 9L && r2.isNullAt(1))
+  }
+
   test("kafka protobuf record shape decodes value + provenance columns") {
     val bytes = msg { o => vint(o, 1, 7L); str(o, 2, "k7"); dbl(o, 3, 0.5) }
     val kafka = Seq((bytes, 0, 11L, java.sql.Timestamp.valueOf(
