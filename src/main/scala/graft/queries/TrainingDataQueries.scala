@@ -886,6 +886,48 @@ object TrainingDataQueries {
              |  list_min(q) AS q_min, list_max(q) AS q_max
              |FROM q""".stripMargin)),
 
+    // per-source dataset-card rollup: doc/token volumes, quality keep
+    // rate, stopword density — the report that drives mixture decisions.
+    // All aggregates are exact longs; the three ratios are single final
+    // divisions, so the doubles hash-match the oracle. Map-side
+    // combinable groupBy on source — one exchange of |sources| rows.
+    "corpus_quality_profile" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val g = TextAnalysis.gopherRules(docs, "doc_id", "text",
+          minWords = GopherMinWords)
+        docs.select(col("doc_id"), col("source")).join(g, Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_tokens"),
+            sum(col("stopword_hits")).as("stop_hits"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            (col("n_tokens").cast("double") /
+              col("n_docs").cast("double")).as("mean_doc_tokens"),
+            (col("stop_hits").cast("double") /
+              col("n_tokens").cast("double")).as("stopword_density"),
+            (col("n_kept").cast("double") /
+              col("n_docs").cast("double")).as("keep_rate"))
+      },
+      Some(s"""WITH gop AS ($gopherSql),
+              |j AS (SELECT d.source, g.n_words, g.stopword_hits, g.keep
+              |  FROM documents d JOIN gop g ON d.doc_id = g.doc_id),
+              |agg AS (SELECT source, count(*) AS n_docs,
+              |    CAST(sum(n_words) AS BIGINT) AS n_tokens,
+              |    CAST(sum(stopword_hits) AS BIGINT) AS stop_hits,
+              |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_kept
+              |  FROM j GROUP BY source)
+              |SELECT source, n_docs, n_tokens,
+              |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+              |    AS mean_doc_tokens,
+              |  CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              |    AS stopword_density,
+              |  CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)
+              |    AS keep_rate
+              |FROM agg""".stripMargin)),
+
     // the whole curation recipe as ONE verified query: every stage is an
     // operator proven above; this proves they COMPOSE (the set-dependent
     // stages see each other's survivors, not the base table)
