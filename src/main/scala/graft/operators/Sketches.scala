@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.MinKDistinct
+
+/** Deterministic cardinality sketches for corpus audits.
+  *
+  * `approx_count_distinct` (HyperLogLog++) is the usual answer to
+  * "how many distinct tokens/n-grams in 100 TB", but its sketches are
+  * engine-specific: estimates differ between Spark and any other system,
+  * between versions, and cannot be oracle-checked. KMV over
+  * [[graft.functions.StableHash]] trades a little precision
+  * (~1/sqrt(k) relative error) for full determinism — the same corpus
+  * yields the same estimate everywhere, which is what dataset cards and
+  * regression audits need.
+  */
+object Sketches {
+
+  /** 2^60, the StableHash range, exactly representable as a double. */
+  val HashRange: Double = 1152921504606846976.0
+
+  /** Per-group distinct-cardinality estimate of a hashed long column:
+    * `(group, kmv_size, est_distinct)` where `est_distinct` is exact
+    * (= the sketch size) when the group has fewer than k distinct
+    * values, else the KMV estimator `(k-1) * range / h_(k)`.
+    *
+    * One exchange of <= k longs per group (ObjectHashAggregate map-side
+    * partial) — never the distinct set, unlike `count(DISTINCT x)`.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, hash: Column, k: Int)
+      : DataFrame = {
+    require(k > 1, s"kmv k ($k) must be > 1")
+    df.groupBy(col(groupCol))
+      .agg(MinKDistinct.minK(hash, k).as("__mins"))
+      .select(col(groupCol),
+        size(col("__mins")).as("kmv_size"),
+        when(size(col("__mins")) < k,
+          size(col("__mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(HashRange) /
+            element_at(col("__mins"), k).cast("double"))
+          .as("est_distinct"))
+  }
+}

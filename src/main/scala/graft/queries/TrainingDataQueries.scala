@@ -53,6 +53,9 @@ object TrainingDataQueries {
   private val GopherMinWords = 20
   // per-source document cap for the domain-cap query
   private val DomainCap = 10
+  // KMV sketch size: ~12% relative error, small enough that sources
+  // with >k distinct 3-grams exercise the estimator branch
+  private val SketchK = 64
   // relative mixture weights per source: deterministic 1.0/2.0/3.0 cycle
   private val MixtureWeights: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (1.0 + i % 3)).toMap
@@ -885,6 +888,41 @@ object TrainingDataQueries {
              |SELECT vec_id, scale, CAST(list_sum(q) AS BIGINT) AS q_sum,
              |  list_min(q) AS q_min, list_max(q) AS q_max
              |FROM q""".stripMargin)),
+
+    // deterministic KMV distinct sketch vs the exact count it estimates:
+    // per-source distinct 3-gram cardinality. The sketch side shuffles
+    // <= k longs per source; the exact side is the test-scale referee
+    // (at 100 TB you ship only the sketch)
+    "sketch_distinct_ngrams" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Sketches
+        val inst = table(s, d, "documents")
+          .select(col("source"),
+            explode(graft.functions.TextShingles.wordShingles(
+              col("text"), ShingleK)).as("g"))
+          .select(col("source"), StableHash.hash60(col("g")).as("h"))
+        Sketches.kmvDistinct(inst, "source", col("h"), SketchK)
+          .join(inst.groupBy(col("source"))
+            .agg(countDistinct(col("h")).as("exact_distinct")),
+            Seq("source"))
+      },
+      Some(s"""WITH $wordsCte, ${shinglesCte(ShingleK)},
+              |hh AS (SELECT DISTINCT d.source,
+              |    ${StableHash.hash60Sql("shingle")} AS h
+              |  FROM sh JOIN documents d USING (doc_id)),
+              |r AS (SELECT source, h, row_number() OVER (
+              |    PARTITION BY source ORDER BY h) AS rn FROM hh),
+              |agg AS (SELECT source, count(*) AS nd,
+              |    max(CASE WHEN rn = $SketchK THEN h END) AS kth
+              |  FROM r GROUP BY source)
+              |SELECT source,
+              |  CAST(least(nd, $SketchK) AS INT) AS kmv_size,
+              |  CASE WHEN nd < $SketchK THEN CAST(nd AS DOUBLE)
+              |    ELSE CAST(${SketchK - 1} AS DOUBLE)
+              |      * CAST(1152921504606846976 AS DOUBLE)
+              |      / CAST(kth AS DOUBLE) END AS est_distinct,
+              |  nd AS exact_distinct
+              |FROM agg""".stripMargin)),
 
     // per-source dataset-card rollup: doc/token volumes, quality keep
     // rate, stopword density — the report that drives mixture decisions.

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.functions.{MinKBuffer, StableHash}
+
+/** Sketches: deterministic KMV distinct estimation. */
+class SketchesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("MinKBuffer keeps the k smallest distinct values, sorted") {
+    val b = new MinKBuffer(4)
+    Seq(50L, 10L, 30L, 10L, 20L, 40L, 5L, 50L).foreach(b.insert)
+    assert(b.size == 4)
+    assert(b.vals.take(4).toSeq == Seq(5L, 10L, 20L, 30L))
+    // value above the current k-th is a no-op
+    b.insert(99L)
+    assert(b.vals.take(4).toSeq == Seq(5L, 10L, 20L, 30L))
+    // merge folds another buffer's values with dedup
+    val c = new MinKBuffer(4)
+    Seq(1L, 20L).foreach(c.insert)
+    b.mergeFrom(c)
+    assert(b.vals.take(4).toSeq == Seq(1L, 5L, 10L, 20L))
+  }
+
+  test("kmvDistinct is exact under k, ~1/sqrt(k) accurate above") {
+    val rows = (1L to 5000L).map(i => ("big", s"tok$i")) ++
+      (1L to 10L).map(i => ("small", s"tok$i"))
+    val df = rows.toDF("source", "tok")
+      .select(col("source"), StableHash.hash60(col("tok")).as("h"))
+    val out = Sketches.kmvDistinct(df, "source", col("h"), 256)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(out("small") == ((10, 10.0)), "under k: sketch is exact")
+    val (bigSize, bigEst) = out("big")
+    assert(bigSize == 256)
+    assert(math.abs(bigEst - 5000.0) / 5000.0 < 0.2,
+      s"estimate $bigEst for 5000 distinct")
+    // determinism: same input, bit-identical estimate
+    val again = Sketches.kmvDistinct(df, "source", col("h"), 256)
+      .filter(col("source") === "big").head().getDouble(2)
+    assert(again == bigEst)
+  }
+
+  test("sketch aggregates map-side: no distinct expansion, no window") {
+    val df = (1L to 100L).map(i => (s"s${i % 3}", i))
+      .toDF("source", "h")
+    val plan = Sketches.kmvDistinct(df, "source", col("h"), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Expand") && !plan.contains("Window"), plan)
+  }
+}
