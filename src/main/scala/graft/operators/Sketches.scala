@@ -41,4 +41,41 @@ object Sketches {
             element_at(col("__mins"), k).cast("double"))
           .as("est_distinct"))
   }
+
+  /** Deterministic discrete quantiles over a hash sample:
+    * `(p, n_sample, value)` per requested probability, where `value` is
+    * the element at rank `max(1, ceil(p * n))` of the sample ordered by
+    * `(value, key)`.
+    *
+    * Scale design: t-digest/`approx_percentile` sketches are
+    * engine-specific and merge-order sensitive; this uses the other
+    * standard trick — a DETERMINISTIC hash sample (same
+    * [[Sampling.bucket]] membership everywhere, stable under corpus
+    * growth) followed by EXACT rank selection on the sample. Size
+    * `sampleFrac` so the sample fits one reducer (~10^6-10^7 rows): the
+    * global-order window runs over the sample only, never the corpus;
+    * quantile precision is the sample's, ~1/sqrt(n_sample).
+    */
+  def hashSampleQuantiles(df: DataFrame, keyCol: String, value: Column,
+                          sampleFrac: Double, probs: Seq[Double])
+      : DataFrame = {
+    require(sampleFrac > 0 && sampleFrac <= 1,
+      s"sampleFrac ($sampleFrac) must be in (0, 1]")
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val t = math.round(sampleFrac * Sampling.Buckets)
+    val sample = df.filter(Sampling.bucket(col(keyCol)) < t)
+      .select(col(keyCol).as("__k"), value.as("value"))
+    val ranked = sample
+      .withColumn("__rn",
+        row_number().over(Window.orderBy(col("value"), col("__k"))))
+      .withColumn("n_sample",
+        count(lit(1)).over(Window.partitionBy()))
+    import df.sparkSession.implicits._
+    val ps = probs.toDF("p")
+    ranked.join(ps, col("__rn") ===
+        greatest(lit(1L), ceil(col("p") * col("n_sample")).cast("long")))
+      .select(col("p"), col("n_sample"), col("value"))
+  }
 }

@@ -924,6 +924,30 @@ object TrainingDataQueries {
               |  nd AS exact_distinct
               |FROM agg""".stripMargin)),
 
+    // deterministic hash-sample quantiles of doc token counts — the
+    // p50/p90/p99 report that sizes sequence packing. Same hash-sample
+    // membership in both engines, exact rank selection on the sample.
+    "sample_token_quantiles" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Sketches
+        Sketches.hashSampleQuantiles(table(s, d, "documents"), "doc_id",
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long"),
+          sampleFrac = 0.5, probs = Seq(0.5, 0.9, 0.99))
+      },
+      Some(s"""WITH smp AS (SELECT doc_id,
+              |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              |      AS BIGINT) AS value
+              |  FROM documents
+              |  WHERE ${graft.operators.Sampling.bucketSql("doc_id")}
+              |    < ${math.round(0.5 * graft.operators.Sampling.Buckets)}),
+              |r AS (SELECT value, doc_id, row_number() OVER (
+              |    ORDER BY value, doc_id) AS rn,
+              |    count(*) OVER () AS n_sample FROM smp)
+              |SELECT p, n_sample, value
+              |FROM r JOIN (VALUES (0.5), (0.9), (0.99)) AS ps(p)
+              |  ON rn = greatest(1, CAST(ceil(p * n_sample) AS BIGINT))"""
+        .stripMargin)),
+
     // per-source dataset-card rollup: doc/token volumes, quality keep
     // rate, stopword density — the report that drives mixture decisions.
     // All aggregates are exact longs; the three ratios are single final

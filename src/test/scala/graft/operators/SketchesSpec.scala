@@ -42,6 +42,19 @@ class SketchesSpec extends SparkSpecBase {
     assert(again == bigEst)
   }
 
+  test("hashSampleQuantiles picks exact ranks on the full sample") {
+    // sampleFrac 1.0: the "sample" is the whole set, so quantiles are
+    // the true discrete quantiles of 1..100
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    val out = Sketches.hashSampleQuantiles(df, "id", col("v"), 1.0,
+        Seq(0.01, 0.5, 0.9, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(2)).toMap
+    assert(out == Map(0.01 -> 1L, 0.5 -> 50L, 0.9 -> 90L, 1.0 -> 100L))
+    intercept[IllegalArgumentException] {
+      Sketches.hashSampleQuantiles(df, "id", col("v"), 0.0, Seq(0.5))
+    }
+  }
+
   test("sketch aggregates map-side: no distinct expansion, no window") {
     val df = (1L to 100L).map(i => (s"s${i % 3}", i))
       .toDF("source", "h")
