@@ -300,6 +300,47 @@ object AnalyticsQueries {
              |  AND c.event_type = 'click' AND s.event_type = 'signup'
              |  AND epoch_us(c.ts) >= epoch_us(s.ts)
              |  AND epoch_us(c.ts) <= epoch_us(s.ts) + 3600000000"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ordered funnel: first signup -> first view at/after it -> first
+    // purchase at/after that, per user. Three conditional min-aggregates
+    // all partitioned on user_id, so the two stage joins reuse the same
+    // hash partitioning — no extra exchange per stage at 100 TB. The
+    // final rollup is a single map-side-combinable count.
+    "funnel_conversion" -> QueryDef(
+      (s, d) => {
+        val e = events(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        val t1 = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+        val t2 = e.filter(col("event_type") === "view").join(t1, "user_id")
+          .filter(col("us") >= col("t1"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+        val t3 = e.filter(col("event_type") === "purchase")
+          .join(t2, "user_id")
+          .filter(col("us") >= col("t2"))
+          .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+        t1.select(col("user_id"), lit(1).as("stage"))
+          .unionByName(t2.select(col("user_id"), lit(2).as("stage")))
+          .unionByName(t3.select(col("user_id"), lit(3).as("stage")))
+          .agg(
+            sum(when(col("stage") === 1, 1L).otherwise(0L)).as("n_signup"),
+            sum(when(col("stage") === 2, 1L).otherwise(0L)).as("n_viewed"),
+            sum(when(col("stage") === 3, 1L).otherwise(0L))
+              .as("n_purchased"))
+      },
+      Some("""WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+             |    FROM events WHERE event_type = 'signup' GROUP BY user_id),
+             |t2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+             |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+             |  WHERE e.event_type = 'view' AND epoch_us(e.ts) >= t1.t1
+             |  GROUP BY e.user_id),
+             |t3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+             |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= t2.t2
+             |  GROUP BY e.user_id)
+             |SELECT (SELECT count(*) FROM t1) AS n_signup,
+             |  (SELECT count(*) FROM t2) AS n_viewed,
+             |  (SELECT count(*) FROM t3) AS n_purchased""".stripMargin))
   )
 }
