@@ -48,8 +48,10 @@ object SparkEntry {
     "dedup_connected_components", "dedup_incremental_minhash",
     "sample_pack_plan", "text_bigram_rarity",
     "asof_join_events", "range_join_attribution",
-    // round-7 additions: cluster-then-compare semantic dedup and the
+    // round-7 additions: cluster-then-compare semantic dedup, the
     // composed curation pipeline (lang -> quality -> dedup -> cap ->
-    // split), the closest thing to a real end-to-end workload
-    "dedup_semantic_pairs", "pipeline_curate_corpus")
+    // split — the closest thing to a real end-to-end workload), and the
+    // KMV distinct sketch over exploded shingles
+    "dedup_semantic_pairs", "pipeline_curate_corpus",
+    "sketch_distinct_ngrams")
 }

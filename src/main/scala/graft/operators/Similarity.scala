@@ -120,6 +120,21 @@ object Similarity {
         col("centroid_id").as("cluster"))
   }
 
+  /** Persist a cluster assignment ([[ivfAssign]] output) as the on-disk
+    * IVF index: a parquet layout partitioned by `cluster`, so a probe of
+    * `nprobe` clusters reads ONLY those partitions (`PartitionFilters`
+    * at the scan — asserted in OperatorsSpec). This is the piece that
+    * makes IVF an index rather than a per-query computation at 100 TB:
+    * assignment runs once per corpus build; every query batch afterwards
+    * touches ~nprobe/nlist of the data straight off storage.
+    */
+  def writeIvfIndex(assigned: DataFrame, path: String): Unit =
+    assigned.write.partitionBy("cluster")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String)
+      : DataFrame = spark.read.parquet(path)
+
   /** Deterministic centroid seed: take every n-th vector by id as a
     * centroid (k-means init stand-in; deterministic so tests and the
     * oracle agree).

@@ -258,6 +258,30 @@ class OperatorsSpec extends SparkSpecBase {
     assert(f1 == f2)
   }
 
+  test("IVF index on disk prunes partitions at probe time") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = graft.queries.Q.table(spark, sfDir, "embeddings")
+    val centroids = Similarity.seedCentroids(emb, "vec_id", "embedding",
+      every = 50)
+    val assigned = Similarity.ivfAssign(emb, centroids, "vec_id",
+      "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.writeIvfIndex(assigned, s"$dir/index")
+    val index = Similarity.readIvfIndex(spark, s"$dir/index")
+    // probing two clusters must read only those partitions
+    val probe = index.filter(col("cluster").isin(0L, 1L))
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("cluster"), scan)
+    // and the pruned read returns exactly the assignment's rows
+    val expected = assigned.filter(col("cluster").isin(0L, 1L))
+      .select("vec_id").as[Long].collect().toSet
+    val got = probe.select("vec_id").as[Long].collect().toSet
+    assert(got == expected && got.nonEmpty)
+    // the full index round-trips the whole assignment
+    assert(index.count() == assigned.count())
+  }
+
   test("wordStats matches the split/regexp formulation on edge inputs") {
     import graft.functions.TextCounters
     val rows = Seq("", "   ", "one", "  leading and trailing  ",
