@@ -136,6 +136,19 @@ class SamplingSpec extends SparkSpecBase {
     }
   }
 
+  test("stress: cap 1M rows to 3 per 1000 groups") {
+    val kept = Sampling.capPerGroup(
+      spark.range(1000000L).repartition(32)
+        .selectExpr("CAST(id % 1000 AS STRING) AS g", "id",
+          "CAST(id AS DOUBLE) AS score"),
+      "g", "id", col("score"), 3)
+    assert(kept.count() == 3000L)
+    // spot-check one group: the cap keeps the 3 largest ids (score = id)
+    val g7 = kept.filter(col("g") === "7").select("id")
+      .as[Long].collect().toSet
+    assert(g7 == Set(998007L, 999007L, 997007L), s"got $g7")
+  }
+
   test("capPerGroup shuffles bounded candidates, not whole groups") {
     // the cap must compile to a two-phase (partial) aggregate — a
     // window/row_number formulation would show a Window node and pull

@@ -55,6 +55,25 @@ class SketchesSpec extends SparkSpecBase {
     }
   }
 
+  test("stress: 1M values across 100 groups, bounded state, <15% error") {
+    // 100 groups x ~10k distinct values each, arriving with duplicates
+    // and across many partitions — the sketch must stay k-bounded and
+    // land near the true per-group cardinality
+    val n = 1000000L
+    val df = spark.range(n).repartition(32)
+      .selectExpr("id % 100 AS g", "(id % 200000) AS raw")
+      .select(col("g"), StableHash.hash60(col("raw").cast("string"))
+        .as("h"))
+    // per group: distinct raw values = 200000/100 = 2000
+    val out = Sketches.kmvDistinct(df, "g", col("h"), 1024).collect()
+    assert(out.length == 100)
+    out.foreach { r =>
+      val est = r.getDouble(2)
+      assert(math.abs(est - 2000.0) / 2000.0 < 0.15,
+        s"group ${r.get(0)}: est $est for 2000 distinct")
+    }
+  }
+
   test("sketch aggregates map-side: no distinct expansion, no window") {
     val df = (1L to 100L).map(i => (s"s${i % 3}", i))
       .toDF("source", "h")
