@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpecBase
+import graft.operators.Dedup
+
+/** StreamingNearDup: continuous minhash-LSH pair detection with bounded
+  * bucket state — parity with the batch operator, cross-batch memory,
+  * checkpointed restart.
+  */
+class StreamingNearDupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // near-dup family (one word changed), plus unrelated docs
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the old river bank"
+  private val variant = base + " today" // shingle superset, J ~= 12/13
+  private val other =
+    "completely different content about spark physical plans and shuffles"
+  private val third =
+    "yet another unrelated document mentioning parquet column pruning"
+
+  private def writeBatch(dir: String,
+                         rows: Seq[(Long, String, String)]): Unit =
+    rows.toDF("doc_id", "text", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  private def runStream(srcDir: String, outDir: String,
+                        ckpt: String): Unit = {
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(srcDir)
+    val q = StreamingNearDup.minhashPairs(stream, "doc_id", "text", "ts",
+        watermark = "1 hour", horizonMs = 3600000L)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+  }
+
+  private def pairs(outDir: String): Set[(Long, Long)] =
+    spark.read.parquet(outDir).distinct()
+      .as[(Long, Long)].collect().toSet
+
+  test("streaming pairs match the batch operator on the same corpus") {
+    val docs = Seq((1L, base), (2L, variant), (3L, other), (4L, third))
+    val batchPairs = Dedup.minhashNearDups(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs == Set((1L, 2L)), s"fixture sanity: $batchPairs")
+
+    val dir = Files.createTempDirectory("sneardup").toString
+    writeBatch(s"$dir/in",
+      docs.map { case (id, t) => (id, t, s"2024-01-01 00:00:0$id") })
+    runStream(s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    assert(pairs(s"$dir/out") == batchPairs)
+  }
+
+  test("near-dup arriving in a later micro-batch still pairs (state)") {
+    val dir = Files.createTempDirectory("sneardup2").toString
+    writeBatch(s"$dir/in", Seq(
+      (1L, base, "2024-01-01 00:00:01"),
+      (3L, other, "2024-01-01 00:00:02")))
+    runStream(s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    assert(pairs(s"$dir/out").isEmpty)
+    // the variant arrives 10 minutes later, within the horizon, via a
+    // RESTARTED query: the pair must come from checkpointed bucket state
+    writeBatch(s"$dir/in", Seq(
+      (2L, variant, "2024-01-01 00:10:00")))
+    runStream(s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    assert(pairs(s"$dir/out") == Set((1L, 2L)))
+  }
+}
