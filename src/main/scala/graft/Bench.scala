@@ -32,8 +32,17 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      catch { case e: Throwable =>
+        // surface it: a swallowed failure would read as a fast query
+        System.err.println(s"bench: $name FAILED: ${e.getMessage}")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop datasets the query persisted: each invocation re-persists
+      // fresh RDDs, so 4 passes x 23 queries would otherwise pile ~90
+      // leftover cached datasets into executor storage and skew the
+      // later, memory-sensitive measurements (GC + eviction pressure)
+      spark.catalog.clearCache()
+      dt
     }
 
     def median(xs: Seq[Double]): Double = {
@@ -52,7 +61,7 @@ object Bench {
     val total = med.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"measurement":"per-query median of ${passes.size} steady-state runs (1st-run plan+codegen compile excluded)"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"measurement":"per-query median of ${passes.size} steady-state runs (1st-run plan+codegen compile excluded; cache cleared between queries so each run pays its own persists - no cross-run InMemoryRelation reuse)"}"""
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")

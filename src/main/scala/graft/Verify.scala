@@ -11,9 +11,18 @@ object Verify {
       sys.exit(2)
     }
     val sfDir = args(0); val outDir = args(1)
-    // optional dev-loop filter: only dump the named queries
+    // optional dev-loop filter: only dump the named queries. A typo must
+    // fail loudly — an empty output dir otherwise looks like a clean run.
     val only: Option[Set[String]] =
       if (args.length == 3) Some(args(2).split(',').toSet) else None
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+        sys.exit(2)
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

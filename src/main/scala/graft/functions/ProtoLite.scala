@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -40,6 +40,11 @@ final case class ProtoField(name: String, number: Int, kind: String,
   def dataType: DataType =
     if (isRepeated) ArrayType(scalarType(elemKind))
     else scalarType(elemKind)
+
+  /** field-number → slot lookup for `children`, built once per spec —
+    * the per-row decode loop must not rebuild maps (hot path). */
+  lazy val childSlots: Map[Int, Int] =
+    children.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
 }
 
 /** Engine-native protobuf decoder — the Kafka protobuf tap's
@@ -66,9 +71,12 @@ case class ProtoDecode(child: Expression, fields: Seq[ProtoField])
   override def dataType: DataType =
     StructType(fields.map(f => StructField(f.name, f.dataType)))
 
+  private lazy val rootSlots: Map[Int, Int] =
+    fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
+
   override def nullSafeEval(input: Any): Any = {
     val buf = input.asInstanceOf[Array[Byte]]
-    decodeMessage(buf, 0, buf.length, fields)
+    decodeMessage(buf, 0, buf.length, fields, rootSlots)
   }
 
   private def readVarintAt(buf: Array[Byte], pos0: Int, end: Int)
@@ -92,10 +100,8 @@ case class ProtoDecode(child: Expression, fields: Seq[ProtoField])
   }
 
   private def decodeMessage(buf: Array[Byte], from: Int, end: Int,
-                            flds: Seq[ProtoField]): InternalRow = {
-    val slotByNumber = flds.zipWithIndex.map {
-      case (f, i) => f.number -> i
-    }.toMap
+                            flds: Seq[ProtoField],
+                            slotByNumber: Map[Int, Int]): InternalRow = {
     val out = new Array[Any](flds.length)
     val rep = new Array[scala.collection.mutable.ArrayBuffer[Any]](
       flds.length)
@@ -146,8 +152,8 @@ case class ProtoDecode(child: Expression, fields: Seq[ProtoField])
                   appendOrSet(i,
                     java.util.Arrays.copyOfRange(buf, pos, stop))
                 case "message" =>
-                  appendOrSet(i,
-                    decodeMessage(buf, pos, stop, flds(i).children))
+                  appendOrSet(i, decodeMessage(buf, pos, stop,
+                    flds(i).children, flds(i).childSlots))
                 case "double" if flds(i).isRepeated =>
                   var q = pos
                   while (q + 8 <= stop) {
@@ -198,7 +204,7 @@ case class ProtoDecode(child: Expression, fields: Seq[ProtoField])
         out(i) = new GenericArrayData(rep(i).toArray)
       i += 1
     }
-    InternalRow.fromSeq(out.toIndexedSeq)
+    new GenericInternalRow(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression)

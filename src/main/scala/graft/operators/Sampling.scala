@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import graft.functions.StableHash
 
 /** Deterministic sampling / splitting for training-data pipelines.
@@ -179,6 +180,18 @@ object Sampling {
   def capPerGroup(docs: DataFrame, groupCol: String, idCol: String,
                   scoreCol: Column, n: Int): DataFrame = {
     require(n > 0, s"cap ($n) must be positive")
+    // BoundedTopK carries ids as longs and drops nulls, so a silent
+    // cast("long") would quietly empty every group when ids are strings
+    // (non-numeric → NULL). Demand an integral id up front.
+    val idType = docs.schema(idCol).dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    require(integral,
+      s"capPerGroup id column '$idCol' must be an integral type, got " +
+        s"$idType — hash non-numeric ids to a long first " +
+        "(e.g. graft.functions.StableHash)")
     docs
       .groupBy(col(groupCol))
       .agg(graft.functions.BoundedTopK.topK(

@@ -324,10 +324,14 @@ object AnalyticsQueries {
           .unionByName(t2.select(col("user_id"), lit(2).as("stage")))
           .unionByName(t3.select(col("user_id"), lit(3).as("stage")))
           .agg(
-            sum(when(col("stage") === 1, 1L).otherwise(0L)).as("n_signup"),
-            sum(when(col("stage") === 2, 1L).otherwise(0L)).as("n_viewed"),
-            sum(when(col("stage") === 3, 1L).otherwise(0L))
-              .as("n_purchased"))
+            // coalesce: sum over zero rows is NULL, but the oracle's
+            // scalar COUNT subqueries return 0 on an empty funnel
+            coalesce(sum(when(col("stage") === 1, 1L).otherwise(0L)),
+              lit(0L)).as("n_signup"),
+            coalesce(sum(when(col("stage") === 2, 1L).otherwise(0L)),
+              lit(0L)).as("n_viewed"),
+            coalesce(sum(when(col("stage") === 3, 1L).otherwise(0L)),
+              lit(0L)).as("n_purchased"))
       },
       Some("""WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
              |    FROM events WHERE event_type = 'signup' GROUP BY user_id),
