@@ -480,4 +480,73 @@ object Dedup {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
     releaseAfter(pairs, base)
   }
+
+  /** Intra-document repeated-chunk removal — the WITHIN-doc counterpart
+    * of [[chunkDupStats]]: the (lowercased, whitespace-normalized) text is
+    * cut into non-overlapping `w`-word chunks and every repeat of a chunk
+    * already seen earlier in the SAME document is dropped, keeping first
+    * occurrences in order. Emits
+    * `(id, clean_text, total_chunks, kept_chunks)`.
+    *
+    * Scale shape: the whole transform is per-document array logic — a
+    * single codegen'd projection with NO shuffle and no per-doc state
+    * beyond the chunk array (documents have tens-to-hundreds of chunks,
+    * so the first-occurrence scan's O(chunks^2) is noise next to the
+    * string work). This is the repetition-removal preprocessing step
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" §4 applies it across docs; within-doc repeats are
+    * the boilerplate/navigation case).
+    */
+  def dropRepeatedChunks(docs: DataFrame, idCol: String, textCol: String,
+                         w: Int = 8): DataFrame = {
+    require(w >= 1, s"chunk width ($w) must be >= 1")
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    val nChunks = ceil(size(ws).cast("double") / w).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(ws, i * lit(w) + 1, lit(w)), " "))
+    // first-occurrence filter: array_position returns the FIRST 1-based
+    // index of the value, so a chunk survives iff it sits at its own
+    // first occurrence
+    docs.select(col(idCol).as("id"), chunks.as("__ch"))
+      .select(col("id"),
+        filter(col("__ch"), (c, i) =>
+          array_position(col("__ch"), c) === (i + 1).cast("long"))
+          .as("__kept"),
+        size(col("__ch")).as("total_chunks"))
+      .select(col("id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        col("total_chunks"),
+        size(col("__kept")).as("kept_chunks"))
+  }
+
+  /** Cross-group near-duplicate overlap matrix: given a near-dup pair set
+    * (any of [[minhashNearDups]] / [[simhashNearDups]] /
+    * [[semanticNearDups]] output) and the doc -> group mapping (source,
+    * domain, crawl snapshot, ...), counts pairs per unordered group pair.
+    * `(group_a, group_b, n_pairs)` with `group_a <= group_b`; the
+    * diagonal is within-group duplication. This is the dataset-card
+    * "which sources re-host each other" report that drives source
+    * selection — pipelinewise's per-table sync status
+    * (`/root/reference/pipelinewise/cli/pipelinewise.py` status) scaled
+    * to corpus provenance.
+    *
+    * Scale shape: pairs are the (small) near-dup survivors; the mapping
+    * side is corpus-sized but projected to two columns, and both label
+    * joins shuffle on the id — the standard fact-to-dim shape. The final
+    * rollup exchanges |group pairs| rows.
+    */
+  def overlapMatrix(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    groupCol: String, aCol: String = "id_a",
+                    bCol: String = "id_b"): DataFrame = {
+    val m = docs.select(col(idCol).as("__mid"), col(groupCol).as("__mg"))
+    val withA = pairs.join(m, pairs(aCol) === m("__mid"))
+      .select(pairs(bCol).as("__b"), col("__mg").as("__ga"))
+    val withB = withA.join(m, withA("__b") === m("__mid"))
+      .select(col("__ga"), col("__mg").as("__gb"))
+    withB
+      .select(least(col("__ga"), col("__gb")).as("group_a"),
+        greatest(col("__ga"), col("__gb")).as("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

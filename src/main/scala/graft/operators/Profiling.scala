@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Per-column data profiling — the "dataset card" for an arbitrary table:
+  * row counts, null counts, distinct cardinality and min/max per column.
+  *
+  * The reference ships per-table row/size statistics in its sync status
+  * output (`/root/reference/pipelinewise/cli/pipelinewise.py` status
+  * command); production data pipelines extend that to per-column quality
+  * profiles (null rates, cardinalities, value ranges) that drive schema
+  * checks and partition-key choices. Two formulations:
+  *
+  *  - [[columnProfile]] — EXACT. One scan; the multi-column
+  *    `count(distinct)` plans as a single Expand (rows x |cols|) feeding
+  *    one partial-aggregate pass. That is the standard exact shape and is
+  *    fine on dimension-sized tables, but the Expand multiplies the scan
+  *    by the column count — do not point it at a 100 TB fact table.
+  *  - [[columnProfileSketch]] — the 100 TB path: distinct cardinality via
+  *    the deterministic KMV sketch ([[graft.functions.MinKDistinct]]), one
+  *    scan, NO Expand, bounded (<= 8k x |cols|) aggregate state; null
+  *    counts and min/max ride the same single aggregate.
+  */
+object Profiling {
+
+  /** Exact profile of `cols`: one output row per column —
+    * `(col_name, n_rows, n_nonnull, n_distinct, min_value, max_value)`
+    * with min/max rendered as strings so heterogeneous column types share
+    * one schema. Nulls are excluded from distinct counts (SQL semantics).
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n_rows"), aggs: _*)
+    // unpivot the single wide row into one row per column: stack() keeps
+    // this a local projection over the 1-row aggregate result
+    val stackArgs: Seq[Column] = cols.flatMap { c =>
+      Seq(lit(c), col(s"__nn_$c"), col(s"__nd_$c"),
+        col(s"__mn_$c"), col(s"__mx_$c"))
+    }
+    one.select(col("__n_rows"),
+        stack((lit(cols.size) +: stackArgs): _*)
+          .as(Seq("col_name", "n_nonnull", "n_distinct",
+            "min_value", "max_value")))
+      .select(col("col_name"), col("__n_rows").as("n_rows"),
+        col("n_nonnull"), col("n_distinct"), col("min_value"),
+        col("max_value"))
+  }
+
+  /** Sketched profile: distinct cardinality is the deterministic KMV
+    * estimate over [[graft.functions.StableHash]] of the column value —
+    * single pass, no Expand, state bounded by `k` longs per column.
+    * `(col_name, n_rows, n_nonnull, est_distinct)`.
+    */
+  def columnProfileSketch(df: DataFrame, cols: Seq[String], k: Int = 1024)
+      : DataFrame = {
+    require(cols.nonEmpty, "columnProfileSketch needs at least one column")
+    require(k > 1, s"kmv k ($k) must be > 1")
+    import graft.functions.{MinKDistinct, StableHash}
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        MinKDistinct.minK(
+          StableHash.hash60(col(c).cast("string")), k).as(s"__mins_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n_rows"), aggs: _*)
+      .select(col("__n_rows") +: cols.flatMap { c =>
+        val mins = col(s"__mins_$c")
+        Seq(col(s"__nn_$c"),
+          // the KMV estimator from Sketches.kmvDistinct: exact when the
+          // column has fewer than k distinct values
+          when(size(mins) < k, size(mins).cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(Sketches.HashRange) /
+              element_at(mins, k).cast("double")).as(s"__nd_$c"))
+      }: _*)
+    val stackArgs: Seq[Column] = cols.flatMap { c =>
+      Seq(lit(c), col(s"__nn_$c"), col(s"__nd_$c"))
+    }
+    one.select(col("__n_rows"),
+        stack((lit(cols.size) +: stackArgs): _*)
+          .as(Seq("col_name", "n_nonnull", "est_distinct")))
+      .select(col("col_name"), col("__n_rows").as("n_rows"),
+        col("n_nonnull"), col("est_distinct"))
+  }
+}

@@ -102,6 +102,42 @@ object Sampling {
       .drop("budget")
   }
 
+  /** Temperature-2 ("square-root") source mixture: per-source keep rates
+    * that flatten the source distribution toward `p^(1/2)` — the standard
+    * multilingual/multi-source rebalance (sampling prob proportional to
+    * `p^(1/tau)`, here the common tau = 2). Downsample-only, like
+    * [[mixturePlan]]: kept tokens per source are proportional to
+    * `sqrt(n_tokens)`, normalized so the SMALLEST source keeps
+    * everything: `rate_s = sqrt(min_tokens / tokens_s)`. Emits
+    * `(source, n_docs, n_tokens, sample_rate, expected_tokens)`; feed
+    * the rates into [[stratifiedSampleByHash]].
+    *
+    * tau is fixed at 2 because `sqrt` and `/` are correctly-rounded IEEE
+    * ops — the rates are bit-identical in any engine. General tau needs
+    * `pow`, whose libm implementations differ by ulps across platforms
+    * (same reason BM25/log scoring is excluded, docs/ROUND7.md).
+    *
+    * Same scale shape as [[mixturePlan]]: one map-side-combinable
+    * aggregate pass, then a window over the |sources|-row frame.
+    */
+  def sqrtTemperatureRates(docs: DataFrame, sourceCol: String,
+                           textCol: String): DataFrame = {
+    val tokens = size(split(trim(lower(col(textCol))), "\\s+"))
+      .cast("long")
+    val perSource = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    perSource
+      .withColumn("__min_tok", min(col("n_tokens")).over(all))
+      .withColumn("sample_rate",
+        sqrt(col("__min_tok").cast("double") /
+          col("n_tokens").cast("double")))
+      .withColumn("expected_tokens",
+        col("n_tokens").cast("double") * col("sample_rate"))
+      .drop("__min_tok")
+  }
+
   /** Sequence-packing plan — the concat-and-chunk training-prep step:
     * documents are concatenated in a deterministic order and cut into
     * fixed `seqLen`-token training sequences; each document learns which

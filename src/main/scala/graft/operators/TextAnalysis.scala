@@ -312,4 +312,39 @@ object TextAnalysis {
       gopherKeep(col(textCol), minWords, maxWords, minMeanWordLen,
         maxMeanWordLen, minAlphaWordFrac, minStopwordHits).as("keep"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169) with
+    * EXACT integer arithmetic: each document is scored by how much its
+    * unigrams look like a target slice of the corpus. For every token
+    * instance, `contrib = (target_count * scale) div corpus_count` (the
+    * scaled target/raw frequency ratio — DSIR's log-ratio replaced by the
+    * plain ratio so both engines compute bit-identical BIGINTs); the
+    * document score is the sum over its token instances. Emits
+    * `(id, n_tokens, dsir_score)` — rank or threshold on
+    * `dsir_score / n_tokens` to select target-like documents.
+    *
+    * Scale shape: same as [[bigramRarity]] — token instances ride the
+    * shuffle as 60-bit hashes, the per-token corpus/target counts are a
+    * window over the hash partitioning (ONE corpus-sized exchange, no
+    * join back), and the per-doc rollup partial-aggregates map-side.
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, scale: Long = 10000L)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(scale > 0, s"scale ($scale) must be positive")
+    val inst = docs.select(col(idCol), isTarget.as("__t"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("__w"))
+      .select(col(idCol), col("__t"), hash60(col("__w")).as("__h"))
+    val perH = Window.partitionBy(col("__h"))
+    inst
+      .withColumn("__rw", count(lit(1)).over(perH))
+      .withColumn("__tw",
+        sum(when(col("__t"), 1L).otherwise(0L)).over(perH))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr(s"(__tw * CAST($scale AS BIGINT)) div __rw"))
+          .as("dsir_score"))
+  }
 }

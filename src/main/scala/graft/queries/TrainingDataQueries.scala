@@ -581,7 +581,123 @@ object TrainingDataQueries {
        |FROM capped""".stripMargin
   }
 
+  /** DSIR target slice: documents from this source are "target-like". */
+  private val DsirTarget = "src0"
+  private val DsirScale = 10000L
+
+  /** Exact per-column profile oracle: one UNION ALL branch per column,
+    * generated from the same column list the Spark query passes.
+    */
+  private val ProfileCols =
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+  private val profileSql = ProfileCols.map { c =>
+    s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+       |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+       |  CAST(min($c) AS VARCHAR) AS min_value,
+       |  CAST(max($c) AS VARCHAR) AS max_value
+       |FROM documents""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  /** Intra-doc chunk dedup oracle: same chunking as chunkDupSql, then a
+    * first-occurrence filter via DuckDB's 1-based indexed lambda
+    * (list_position returns the FIRST index — Spark's array_position
+    * twin).
+    */
+  private val intraChunkSql =
+    s"""WITH $wordsCte,
+       |c AS (SELECT doc_id, list_transform(
+       |    range(0, CAST(ceil(len(ws) / ${ChunkW}.0) AS BIGINT)),
+       |    i -> array_to_string(ws[i*$ChunkW+1:i*$ChunkW+$ChunkW], ' '))
+       |  AS ch FROM words),
+       |k AS (SELECT doc_id, ch,
+       |  list_filter(ch, (x, i) -> list_position(ch, x) = i) AS kept
+       |  FROM c)
+       |SELECT doc_id AS id, array_to_string(kept, ' ') AS clean_text,
+       |  CAST(len(ch) AS INT) AS total_chunks,
+       |  CAST(len(kept) AS INT) AS kept_chunks
+       |FROM k""".stripMargin
+
+  /** Cross-source near-dup overlap matrix oracle: the minhash-LSH pair
+    * CTEs, each endpoint labeled with its source, unordered pair counts.
+    */
+  private val sourceOverlapSql =
+    s"""WITH $minhashLshCtes,
+       |p AS ($minhashLshSelect),
+       |g AS (SELECT least(da.source, db.source) AS group_a,
+       |    greatest(da.source, db.source) AS group_b
+       |  FROM p
+       |  JOIN documents da ON p.id_a = da.doc_id
+       |  JOIN documents db ON p.id_b = db.doc_id)
+       |SELECT group_a, group_b, count(*) AS n_pairs
+       |FROM g GROUP BY group_a, group_b""".stripMargin
+
+  /** DSIR importance oracle: per-token corpus/target counts as windows
+    * over the token-hash partitioning, exact integer ratio contributions.
+    */
+  private val dsirSql =
+    s"""WITH w AS (SELECT doc_id, source = '$DsirTarget' AS t,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents),
+       |inst AS (SELECT doc_id, t, unnest(ws) AS w FROM w),
+       |hh AS (SELECT doc_id, ${StableHash.hash60Sql("w")} AS h, t
+       |  FROM inst),
+       |st AS (SELECT doc_id,
+       |    count(*) OVER (PARTITION BY h) AS rw,
+       |    sum(CASE WHEN t THEN 1 ELSE 0 END) OVER (PARTITION BY h) AS tw
+       |  FROM hh)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum((tw * $DsirScale) // rw) AS BIGINT) AS dsir_score
+       |FROM st GROUP BY doc_id""".stripMargin
+
+  /** Temperature-2 mixture oracle: same per-source token totals as the
+    * mixture plan; sqrt and / are correctly-rounded IEEE ops so the
+    * doubles match bit-for-bit.
+    */
+  private val temperatureSql =
+    s"""WITH $mixTokCte,
+       |m AS (SELECT source, n_docs, n_tokens,
+       |  min(n_tokens) OVER () AS mn FROM tok)
+       |SELECT source, n_docs, n_tokens,
+       |  sqrt(CAST(mn AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |    AS sample_rate,
+       |  CAST(n_tokens AS DOUBLE)
+       |    * sqrt(CAST(mn AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+       |    AS expected_tokens
+       |FROM m""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+
+    // ---- round-8 additions --------------------------------------------
+
+    "profile_columns" -> QueryDef(
+      (s, d) => graft.operators.Profiling.columnProfile(
+        table(s, d, "documents"), ProfileCols),
+      Some(profileSql)),
+
+    "dedup_intra_doc_chunks" -> QueryDef(
+      (s, d) => Dedup.dropRepeatedChunks(table(s, d, "documents"),
+        "doc_id", "text", ChunkW),
+      Some(intraChunkSql)),
+
+    "dedup_source_overlap" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        Dedup.overlapMatrix(
+          Dedup.minhashNearDups(docs, "doc_id", "text", ShingleK,
+            NumHashes, RowsPerBand, MinhashThreshold),
+          docs, "doc_id", "source")
+      },
+      Some(sourceOverlapSql)),
+
+    "text_dsir_weights" -> QueryDef(
+      (s, d) => TextAnalysis.importanceWeights(table(s, d, "documents"),
+        "doc_id", "text", col("source") === DsirTarget, DsirScale),
+      Some(dsirSql)),
+
+    "sample_temperature_mixture" -> QueryDef(
+      (s, d) => graft.operators.Sampling.sqrtTemperatureRates(
+        table(s, d, "documents"), "source", "text"),
+      Some(temperatureSql)),
 
     "dedup_exact" -> QueryDef(
       (s, d) => Dedup.exact(table(s, d, "documents"), "doc_id", "text"),

@@ -381,4 +381,50 @@ class OperatorsSpec extends SparkSpecBase {
     assert(r(0).getAs[Long]("n_bytes") == 3L)
     assert(r(0).getAs[scala.collection.Seq[Float]]("features").length == 8)
   }
+
+  test("dropRepeatedChunks keeps first occurrences, shuffle-free") {
+    // w=2 chunks: "a b" / "c d" / "a b" / "e" -> middle repeat dropped
+    val docs = Seq((1L, "a b c d a b e"), (2L, "x y x y"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedChunks(docs, "doc_id", "text", w = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"intra-doc dedup is a pure projection, no shuffle:\n$plan")
+    val r = out.collect().map(x => x.getLong(0) ->
+      (x.getString(1), x.getInt(2), x.getInt(3))).toMap
+    assert(r(1L) == (("a b c d e", 4, 3)))
+    assert(r(2L) == (("x y", 2, 1)))
+    assert(r(3L) == (("solo", 1, 1)))
+  }
+
+  test("overlapMatrix rolls near-dup pairs up to unordered group pairs") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L), (2L, 6L))
+      .toDF("id_a", "id_b")
+    val docs = Seq((1L, "sA"), (2L, "sB"), (3L, "sA"), (4L, "sC"),
+      (5L, "sC"), (6L, "sA")).toDF("doc_id", "source")
+    val m = Dedup.overlapMatrix(pairs, docs, "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // (1,2)=(A,B), (1,3)=(A,A), (4,5)=(C,C), (2,6)=(B,A)->(A,B)
+    assert(m == Map(("sA", "sB") -> 2L, ("sA", "sA") -> 1L,
+      ("sC", "sC") -> 1L))
+  }
+
+  test("importanceWeights: target-like docs score higher, exact ratios") {
+    // corpus vocabulary: "aa" only in target docs, "zz" only elsewhere,
+    // "mm" shared everywhere
+    val docs = Seq(
+      (1L, "aa mm", true), (2L, "aa aa", true),
+      (3L, "zz mm", false), (4L, "zz zz mm", false))
+      .toDF("doc_id", "text", "is_t")
+    val out = TextAnalysis.importanceWeights(docs, "doc_id", "text",
+      col("is_t"), scale = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // counts: aa r=3 t=3 (contrib 100); mm r=3 t=1 (33); zz r=3 t=0 (0)
+    assert(out(1L) == ((2L, 133L)))
+    assert(out(2L) == ((2L, 200L)))
+    assert(out(3L) == ((2L, 33L)))
+    assert(out(4L) == ((3L, 33L)))
+  }
 }

@@ -161,4 +161,20 @@ class SamplingSpec extends SparkSpecBase {
     assert(plan.contains("ObjectHashAggregate") ||
       plan.contains("SortAggregate"), plan)
   }
+
+  test("sqrtTemperatureRates flattens toward sqrt, smallest keeps all") {
+    // sources with 100 / 400 / 10000 tokens (one doc each)
+    val docs = Seq(
+      ("s1", (1 to 100).map(_ => "w").mkString(" ")),
+      ("s2", (1 to 400).map(_ => "w").mkString(" ")),
+      ("s3", (1 to 10000).map(_ => "w").mkString(" ")))
+      .toDF("source", "text")
+    val r = Sampling.sqrtTemperatureRates(docs, "source", "text")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r("s1") == ((100L, 1.0, 100.0)))
+    assert(r("s2")._2 == 0.5 && r("s2")._3 == 200.0)
+    assert(r("s3")._2 == 0.1 && r("s3")._3 == 1000.0)
+    // kept tokens proportional to sqrt(n): 100/200/1000 = 1:2:10
+  }
 }
