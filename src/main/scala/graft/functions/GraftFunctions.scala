@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the engine's function library: every graft scalar /
+  * aggregate that makes sense from `spark.sql(...)` is registered under a
+  * `graft_` prefix, so SQL-first users (the reference's audience runs SQL
+  * against their warehouse) get the same deterministic primitives the
+  * DataFrame API exposes.
+  *
+  * Two registration paths, same function table:
+  *  - [[GraftExtensions]] — `spark.sql.extensions=graft.functions.GraftExtensions`
+  *    (or `.withExtensions(new GraftExtensions)`) injects at session
+  *    build time, the standard Spark extension mechanism.
+  *  - [[GraftFunctions.register]] — runtime registration into an existing
+  *    session's FunctionRegistry (idempotent), for notebook/driver use.
+  *
+  * Scalar builders delegate to the SAME Column-level implementations the
+  * DataFrame API uses (unresolved function trees resolve during analysis),
+  * so SQL and DataFrame calls cannot drift; aggregates return their
+  * `AggregateFunction` and the analyzer wraps them.
+  */
+object GraftFunctions {
+
+  private def colFn(name: String, arity: Int)(f: Seq[Column] => Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftFunctions.getClass.getCanonicalName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == arity,
+          s"$name expects $arity argument(s), got ${args.length}")
+        // eager conversion: a builder's return value is spliced into the
+        // plan as-is, so the lazy ColumnNodeExpression wrapper would
+        // never unwrap (see ColumnBridge.resolvedExpression)
+        ColumnBridge.resolvedExpression(f(args.map(ColumnBridge.column)))
+      })
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** The function table (name -> builder). */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+
+    // deterministic 60-bit hash (the dedup/sampling primitive)
+    colFn("graft_stable_hash60", 1)(a => StableHash.hash60(a.head)),
+
+    // deterministic [0, 10000) sampling bucket of any key
+    colFn("graft_bucket", 1)(a =>
+      graft.operators.Sampling.bucket(a.head)),
+
+    // text curation scalars
+    colFn("graft_normalize_text", 1)(a =>
+      graft.operators.TextAnalysis.normalizeForHash(a.head)),
+    colFn("graft_lang_id", 1)(a =>
+      graft.operators.TextAnalysis.langId(a.head)),
+    colFn("graft_quality_score", 1)(a =>
+      graft.operators.TextAnalysis.qualityScore(a.head)),
+    colFn("graft_gopher_keep", 1)(a =>
+      graft.operators.TextAnalysis.gopherKeep(a.head)),
+
+    // embedding similarity (codegen'd FloatVectorDot under the hood)
+    colFn("graft_float_dot", 2)(a => VectorOps.dotF(a(0), a(1))),
+    colFn("graft_cosine", 2)(a => VectorOps.cosineF(a(0), a(1))),
+
+    // word k-shingles: k is a required int literal (drives codegen)
+    (FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getCanonicalName,
+        "graft_word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_word_shingles expects (text, k), got ${args.length}")
+        WordShingles(args.head, litInt(args(1), "shingle size k"))
+      }),
+
+    // bounded top-k aggregate: array<long> of ids by (score desc, id asc)
+    (FunctionIdentifier("graft_bounded_topk"),
+      new ExpressionInfo(classOf[BoundedTopK].getCanonicalName,
+        "graft_bounded_topk"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_bounded_topk expects (score, id, k), got ${args.length}")
+        BoundedTopK(args(0), args(1), litInt(args(2), "top-k k"))
+      }),
+
+    // KMV distinct sketch aggregate: k smallest distinct hashes, asc
+    (FunctionIdentifier("graft_min_k_distinct"),
+      new ExpressionInfo(classOf[MinKDistinct].getCanonicalName,
+        "graft_min_k_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_min_k_distinct expects (hash, k), got ${args.length}")
+        MinKDistinct(args(0), litInt(args(1), "sketch size k"))
+      }))
+
+  /** Runtime registration into an existing session (idempotent —
+    * re-registering just overwrites with the same builder).
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}
+
+/** Session-build-time injection:
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

@@ -699,6 +699,48 @@ object TrainingDataQueries {
         table(s, d, "documents"), "source", "text"),
       Some(temperatureSql)),
 
+    // SQL surface: the same operators through spark.sql(...) with the
+    // graft_* functions registered (GraftFunctions/GraftExtensions) —
+    // proves the SQL and DataFrame paths share one implementation
+    "sql_scalar_surface" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, d, "documents")
+          .createOrReplaceTempView("graft_sql_docs")
+        s.sql("""SELECT doc_id,
+            graft_stable_hash60(text) AS text_hash,
+            graft_bucket(doc_id) AS bucket,
+            size(graft_word_shingles(text, 3)) AS n_shingles,
+            graft_lang_id(text) AS predicted_lang
+          FROM graft_sql_docs""")
+      },
+      Some(s"""WITH l AS ($langIdSql)
+              |SELECT d.doc_id, ${StableHash.hash60Sql("d.text")}
+              |    AS text_hash,
+              |  ${graft.operators.Sampling.bucketSql("d.doc_id")}
+              |    AS bucket,
+              |  CAST(greatest(len(string_split_regex(trim(lower(d.text)),
+              |    '\\s+')) - 2, 0) AS INT) AS n_shingles,
+              |  l.predicted_lang
+              |FROM documents d JOIN l ON d.doc_id = l.doc_id"""
+        .stripMargin)),
+
+    "sql_topk_agg" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, d, "documents")
+          .createOrReplaceTempView("graft_sql_docs")
+        s.sql(s"""SELECT source, explode(graft_bounded_topk(
+            CAST(n_chars AS DOUBLE), doc_id, $DomainCap)) AS doc_id
+          FROM graft_sql_docs GROUP BY source""")
+      },
+      // identical semantics to sample_domain_cap's window oracle
+      Some(s"""SELECT source, doc_id FROM (
+              |  SELECT source, doc_id, row_number() OVER (
+              |    PARTITION BY source
+              |    ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
+              |  FROM documents) WHERE rn <= $DomainCap""".stripMargin)),
+
     "dedup_exact" -> QueryDef(
       (s, d) => Dedup.exact(table(s, d, "documents"), "doc_id", "text"),
       Some(s"""SELECT ${StableHash.hash60Sql("text")} AS text_hash,

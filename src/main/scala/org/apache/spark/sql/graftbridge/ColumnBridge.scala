@@ -16,6 +16,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eager ColumnNode -> catalyst conversion. [[expression]] wraps the
+    * node lazily (ColumnNodeExpression), which only unwraps when a plan
+    * converter walks the tree — fine inside Dataset transformations, but
+    * an expression RETURNED FROM a FunctionRegistry builder is spliced
+    * into the plan as-is and the wrapper never resolves. SQL-facing
+    * function builders must convert eagerly.
+    */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** `AbstractDataType` is `private[sql]`; alias it out so library code
     * (graft.*) can declare `ExpectsInputTypes.inputTypes`.
     */

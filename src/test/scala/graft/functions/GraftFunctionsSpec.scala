@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+/** SQL function surface: runtime registration, build-time extension
+  * injection, and SQL-vs-DataFrame parity (one implementation).
+  */
+class GraftFunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("registered SQL scalars match the DataFrame implementations") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, "The quick brown fox and the lazy dog"),
+      (2L, "el que de la los una por y")).toDF("id", "text")
+    df.createOrReplaceTempView("gfs_docs")
+    val viaSql = spark.sql(
+      """SELECT id, graft_stable_hash60(text) AS h, graft_bucket(id) AS b,
+        |  size(graft_word_shingles(text, 3)) AS ns,
+        |  graft_lang_id(text) AS lang, graft_quality_score(text) AS q
+        |FROM gfs_docs""".stripMargin)
+    val viaDf = df.select(col("id"),
+      StableHash.hash60(col("text")).as("h"),
+      graft.operators.Sampling.bucket(col("id")).as("b"),
+      size(TextShingles.wordShingles(col("text"), 3)).as("ns"),
+      graft.operators.TextAnalysis.langId(col("text")).as("lang"),
+      graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+    assert(viaSql.except(viaDf).isEmpty && viaDf.except(viaSql).isEmpty)
+  }
+
+  test("graft_bounded_topk in SQL matches BoundedTopK.topK") {
+    GraftFunctions.register(spark)
+    val df = (1L to 100L).map(i => (s"g${i % 4}", i, (i % 17).toDouble))
+      .toDF("g", "id", "score")
+    df.createOrReplaceTempView("gfs_topk")
+    val viaSql = spark.sql(
+      """SELECT g, graft_bounded_topk(score, id, 5) AS topk
+        |FROM gfs_topk GROUP BY g""".stripMargin)
+    val viaDf = df.groupBy(col("g"))
+      .agg(BoundedTopK.topK(col("score"), col("id"), 5).as("topk"))
+    assert(viaSql.except(viaDf).isEmpty && viaDf.except(viaSql).isEmpty)
+  }
+
+  test("k arguments must be integer literals") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles('a b c', 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
+  test("GraftExtensions injects at session build time") {
+    val base = spark // force shared-session init before clearing
+    val expected = base.range(1)
+      .select(StableHash.hash60(lit("extension probe")))
+      .head().getLong(0)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne base, "a fresh session must be built for the test")
+      val got = s2.sql(
+        "SELECT graft_stable_hash60('extension probe') AS h")
+        .head().getLong(0)
+      assert(got == expected)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
