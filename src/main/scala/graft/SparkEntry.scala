@@ -53,5 +53,11 @@ object SparkEntry {
     // split — the closest thing to a real end-to-end workload), and the
     // KMV distinct sketch over exploded shingles
     "dedup_semantic_pairs", "pipeline_curate_corpus",
-    "sketch_distinct_ngrams")
+    "sketch_distinct_ngrams",
+    // round-8 additions: corpus-window DSIR scoring, cross-doc
+    // boilerplate removal (the heaviest new shape: text rides the
+    // reassembly shuffle), the shuffle-free intra-doc dedup projection,
+    // and the exact column profile (Expand-based distinct counts)
+    "text_dsir_weights", "text_remove_boilerplate",
+    "dedup_intra_doc_chunks", "profile_columns")
 }

@@ -24,6 +24,28 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the daily-increment shape: a new batch is
+    * checked against the PERSISTED hash index of the already-deduped
+    * corpus ([[exact]]'s output, stored as a table). Emits one row per
+    * batch document: `(id, text_hash, dup_of)` where `dup_of` is the
+    * corpus keep-id the text collides with, or null when the document is
+    * novel.
+    *
+    * Scale shape: the corpus index is the big side and must NOT
+    * re-shuffle per batch — persist it bucketed on `text_hash` (e.g.
+    * [[graft.sink.MergeSink.publishBucketed]]) so only the (small)
+    * hashed batch moves; the join is then co-located the same way the
+    * bucketed merge path is (BucketedMergeSpec). The minhash twin is
+    * [[minhashNearDupsAgainst]].
+    */
+  def exactAgainst(newDocs: DataFrame, corpusIndex: DataFrame,
+                   idCol: String, textCol: String): DataFrame =
+    newDocs
+      .select(col(idCol).as("id"), hash60(col(textCol)).as("text_hash"))
+      .join(corpusIndex.select(col("text_hash"),
+        col("keep_id").as("dup_of")), Seq("text_hash"), "left")
+      .select(col("id"), col("text_hash"), col("dup_of"))
+
   /** Word shingles (k-grams) of a text column as array<string>.
     * Lowercased, whitespace-tokenized; single-pass custom expression
     * (see [[graft.functions.WordShingles]] for why not higher-order
@@ -517,6 +539,56 @@ object Dedup {
         array_join(col("__kept"), " ").as("clean_text"),
         col("total_chunks"),
         size(col("__kept")).as("kept_chunks"))
+  }
+
+  /** Cross-document boilerplate removal — the CCNet-style passage filter
+    * as a TRANSFORM (where [[chunkDupStats]] only reports): chunks whose
+    * exact text occurs in at least `minDf` documents across the corpus
+    * (navigation, cookie banners, license headers) are cut from every
+    * document, and the per-doc survivors are reassembled in order. Emits
+    * `(id, clean_text, total_chunks, kept_chunks)`.
+    *
+    * Scale shape: chunk instances ride the shuffle as 60-bit hashes with
+    * their (doc, pos) provenance; the document-frequency is a
+    * count-distinct-docs window over the hash partitioning (ONE
+    * corpus-sized exchange), and reassembly is the per-doc rollup
+    * (second exchange) collecting the kept chunk STRINGS — the only
+    * stage that moves text, and only the surviving fraction of it.
+    */
+  def removeBoilerplateChunks(docs: DataFrame, idCol: String,
+                              textCol: String, w: Int = 8,
+                              minDf: Int = 2): DataFrame = {
+    require(w >= 1, s"chunk width ($w) must be >= 1")
+    require(minDf >= 2, s"minDf ($minDf) must be >= 2")
+    import graft.functions.StableHash
+    val ws = split(trim(lower(col(textCol))), "\\s+")
+    val nChunks = ceil(size(ws).cast("double") / w).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(ws, i * lit(w) + 1, lit(w)), " "))
+    val inst = docs.select(col(idCol).as("id"),
+        posexplode(chunks).as(Seq("pos", "chunk")))
+      .select(col("id"), col("pos"), col("chunk"),
+        StableHash.hash60(col("chunk")).as("h"))
+    // document frequency, not occurrence count: a chunk repeated inside
+    // ONE document is not boilerplate (that's dropRepeatedChunks' job).
+    // COUNT(DISTINCT) isn't a window function and collect_set would
+    // materialize a per-row doc set (unbounded for "click here"-grade
+    // boilerplate); dense_rank over (h, id) + max over h gives the
+    // distinct-doc count with ONE exchange and no set state
+    val byH = Window.partitionBy(col("h")).orderBy(col("id"))
+    val perH = Window.partitionBy(col("h"))
+    inst
+      .withColumn("df", max(dense_rank().over(byH)).over(perH))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("total_chunks"),
+        count_if(col("df") < minDf).as("kept_chunks"),
+        array_join(transform(
+          array_sort(collect_list(when(col("df") < minDf,
+            struct(col("pos"), col("chunk"))))),
+          s => s.getField("chunk")), " ").as("clean_text"))
+      .select(col("id"), col("clean_text"),
+        col("total_chunks").cast("int").as("total_chunks"),
+        col("kept_chunks").cast("int").as("kept_chunks"))
   }
 
   /** Cross-group near-duplicate overlap matrix: given a near-dup pair set

@@ -584,6 +584,8 @@ object TrainingDataQueries {
   /** DSIR target slice: documents from this source are "target-like". */
   private val DsirTarget = "src0"
   private val DsirScale = 10000L
+  // boilerplate chunk removal: cut chunks appearing in >= 2 documents
+  private val BoilerMinDf = 2
 
   /** Exact per-column profile oracle: one UNION ALL branch per column,
     * generated from the same column list the Spark query passes.
@@ -665,9 +667,77 @@ object TrainingDataQueries {
        |    AS expected_tokens
        |FROM m""".stripMargin
 
+  /** Cross-doc boilerplate removal oracle: chunk instances with
+    * positions, document-frequency window over the chunk hash, kept
+    * chunks reassembled in order (string_agg skips the dropped ones).
+    */
+  private val boilerplateSql =
+    s"""WITH $wordsCte,
+       |u AS (SELECT doc_id, unnest(list_transform(
+       |    range(0, CAST(ceil(len(ws) / ${ChunkW}.0) AS BIGINT)),
+       |    i -> {'pos': i,
+       |      'chunk': array_to_string(ws[i*$ChunkW+1:i*$ChunkW+$ChunkW],
+       |        ' ')})) AS s
+       |  FROM words),
+       |e AS (SELECT doc_id, s.pos AS pos, s.chunk AS chunk,
+       |    ${StableHash.hash60Sql("s.chunk")} AS h FROM u),
+       |d AS (SELECT doc_id, pos, chunk,
+       |    count(DISTINCT doc_id) OVER (PARTITION BY h) AS df FROM e)
+       |SELECT doc_id AS id,
+       |  coalesce(string_agg(CASE WHEN df < $BoilerMinDf THEN chunk END,
+       |    ' ' ORDER BY pos), '') AS clean_text,
+       |  CAST(count(*) AS INT) AS total_chunks,
+       |  CAST(count(CASE WHEN df < $BoilerMinDf THEN 1 END) AS INT)
+       |    AS kept_chunks
+       |FROM d GROUP BY doc_id""".stripMargin
+
+  /** Incremental exact dedup oracle: the batch's text hashes left-joined
+    * against the corpus-side keep-id index.
+    */
+  private val incrExactSql =
+    s"""WITH cor AS (SELECT ${StableHash.hash60Sql("text")} AS text_hash,
+       |    min(doc_id) AS keep_id
+       |  FROM documents WHERE doc_id % $IncrMod <> 0 GROUP BY 1),
+       |b AS (SELECT doc_id AS id, ${StableHash.hash60Sql("text")}
+       |    AS text_hash
+       |  FROM documents WHERE doc_id % $IncrMod = 0)
+       |SELECT b.id, b.text_hash, cor.keep_id AS dup_of
+       |FROM b LEFT JOIN cor USING (text_hash)""".stripMargin
+
+  /** ROLLUP token report oracle: exact longs at every grouping level. */
+  private val tokenRollupSql =
+    """SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
+      |    AS BIGINT) AS n_tokens
+      |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- round-8 additions --------------------------------------------
+
+    "text_remove_boilerplate" -> QueryDef(
+      (s, d) => Dedup.removeBoilerplateChunks(table(s, d, "documents"),
+        "doc_id", "text", ChunkW, BoilerMinDf),
+      Some(boilerplateSql)),
+
+    "dedup_incremental_exact" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        Dedup.exactAgainst(
+          docs.filter(col("doc_id") % IncrMod === 0),
+          Dedup.exact(docs.filter(col("doc_id") % IncrMod =!= 0),
+            "doc_id", "text"),
+          "doc_id", "text")
+      },
+      Some(incrExactSql)),
+
+    "corpus_token_rollup" -> QueryDef(
+      (s, d) => table(s, d, "documents")
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(trim(lower(col("text"))), "\\s+")).cast("long"))
+            .as("n_tokens")),
+      Some(tokenRollupSql)),
 
     "profile_columns" -> QueryDef(
       (s, d) => graft.operators.Profiling.columnProfile(

@@ -397,6 +397,35 @@ class OperatorsSpec extends SparkSpecBase {
     assert(r(3L) == (("solo", 1, 1)))
   }
 
+  test("removeBoilerplateChunks cuts cross-doc chunks, keeps in-doc ones") {
+    // w=2: "nav bar" appears in docs 1 and 2 (df=2 -> cut everywhere);
+    // "own own" repeats only WITHIN doc 3 (df=1 -> kept, both copies)
+    val docs = Seq(
+      (1L, "nav bar alpha beta"),
+      (2L, "nav bar gamma delta"),
+      (3L, "own own own own epsilon")).toDF("doc_id", "text")
+    val r = Dedup.removeBoilerplateChunks(docs, "doc_id", "text",
+        w = 2, minDf = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getInt(2), x.getInt(3))).toMap
+    assert(r(1L) == (("alpha beta", 2, 1)))
+    assert(r(2L) == (("gamma delta", 2, 1)))
+    assert(r(3L) == (("own own own own epsilon", 3, 3)))
+  }
+
+  test("exactAgainst flags batch docs colliding with the corpus index") {
+    val corpus = Seq((10L, "known text"), (11L, "other text"))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, "known text"), (101L, "novel text"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.exact(corpus, "doc_id", "text")
+    val r = Dedup.exactAgainst(batch, idx, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(2)) None else Some(x.getLong(2)))).toMap
+    assert(r(100L) == Some(10L), "collides with corpus keep-id")
+    assert(r(101L).isEmpty, "novel text has no dup_of")
+  }
+
   test("overlapMatrix rolls near-dup pairs up to unordered group pairs") {
     val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L), (2L, 6L))
       .toDF("id_a", "id_b")
