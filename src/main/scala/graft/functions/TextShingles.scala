@@ -52,7 +52,55 @@ case class WordShingles(child: Expression, k: Int)
       : Expression = copy(child = newChild)
 }
 
+/** One-pass non-overlapping word chunking (the paragraph-granularity cut
+  * used by the chunk-dedup family).
+  *
+  * Semantically identical to
+  * `transform(sequence(0, ceil(size(ws)/w) - 1), i -> array_join(slice(
+  * ws, i*w + 1, w), ' '))` over `ws = split(trim(lower(text)), '\\s+')` —
+  * and to the oracle's `list_transform(range(...), i ->
+  * array_to_string(ws[i*w+1:i*w+w], ' '))` — but a single O(words) pass:
+  * the composed version pays an interpreted lambda + array slice + join
+  * allocation per chunk, tripled across the three chunk operators.
+  */
+case class WordChunks(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(w >= 1, "chunk width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.trimAll().toString
+    // "".split("\\s+") -> [""]: one empty word, hence ONE empty chunk,
+    // matching both the higher-order formulation and the DuckDB oracle
+    val words = s.split("\\s+")
+    val n = (words.length + w - 1) / w
+    val out = new Array[Any](n)
+    var c = 0
+    while (c < n) {
+      val sb = new java.lang.StringBuilder
+      var j = c * w
+      val end = math.min(j + w, words.length)
+      while (j < end) {
+        if (j > c * w) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object TextShingles {
   def wordShingles(text: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), k))
+
+  def wordChunks(text: Column, w: Int): Column =
+    ColumnBridge.column(WordChunks(ColumnBridge.expression(text), w))
 }

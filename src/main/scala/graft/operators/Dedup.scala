@@ -447,10 +447,7 @@ object Dedup {
   def chunkDupStats(docs: DataFrame, idCol: String, textCol: String,
                     w: Int = 8): DataFrame = {
     import graft.functions.StableHash
-    val ws = split(trim(lower(col(textCol))), "\\s+")
-    val nChunks = ceil(size(ws).cast("double") / w).cast("int")
-    val chunks = transform(sequence(lit(0), nChunks - 1),
-      i => array_join(slice(ws, i * lit(w) + 1, lit(w)), " "))
+    val chunks = graft.functions.TextShingles.wordChunks(col(textCol), w)
     val inst = docs.select(col(idCol).as("id"),
       explode(chunks).as("chunk"))
       .select(col("id"), StableHash.hash60(col("chunk")).as("h"))
@@ -522,10 +519,7 @@ object Dedup {
   def dropRepeatedChunks(docs: DataFrame, idCol: String, textCol: String,
                          w: Int = 8): DataFrame = {
     require(w >= 1, s"chunk width ($w) must be >= 1")
-    val ws = split(trim(lower(col(textCol))), "\\s+")
-    val nChunks = ceil(size(ws).cast("double") / w).cast("int")
-    val chunks = transform(sequence(lit(0), nChunks - 1),
-      i => array_join(slice(ws, i * lit(w) + 1, lit(w)), " "))
+    val chunks = graft.functions.TextShingles.wordChunks(col(textCol), w)
     // first-occurrence filter: array_position returns the FIRST 1-based
     // index of the value, so a chunk survives iff it sits at its own
     // first occurrence
@@ -561,10 +555,7 @@ object Dedup {
     require(w >= 1, s"chunk width ($w) must be >= 1")
     require(minDf >= 2, s"minDf ($minDf) must be >= 2")
     import graft.functions.StableHash
-    val ws = split(trim(lower(col(textCol))), "\\s+")
-    val nChunks = ceil(size(ws).cast("double") / w).cast("int")
-    val chunks = transform(sequence(lit(0), nChunks - 1),
-      i => array_join(slice(ws, i * lit(w) + 1, lit(w)), " "))
+    val chunks = graft.functions.TextShingles.wordChunks(col(textCol), w)
     val inst = docs.select(col(idCol).as("id"),
         posexplode(chunks).as(Seq("pos", "chunk")))
       .select(col("id"), col("pos"), col("chunk"),

@@ -581,6 +581,39 @@ object TrainingDataQueries {
        |FROM capped""".stripMargin
   }
 
+  /** Quantized-corpus ANN oracle: the storage-path composition — int8
+    * codes dequantized (q * scale, cast to FLOAT: both correctly-rounded
+    * IEEE ops) and brute-force cosine top-k over the reconstructed
+    * vectors. Every arithmetic step is exactly defined, so ranks are
+    * bit-reproducible across engines.
+    */
+  private val annQuantSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |    FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |  FROM e),
+       |qz AS (SELECT vec_id, scale,
+       |    list_transform(v, x -> CAST(floor(CASE WHEN scale = 0
+       |      THEN 0.0 ELSE x / scale + 0.5 END) AS INT)) AS q
+       |  FROM s),
+       |dq AS (SELECT vec_id, list_transform(q,
+       |    qq -> CAST(CAST(CAST(qq AS DOUBLE) * scale AS FLOAT)
+       |      AS DOUBLE)) AS dv
+       |  FROM qz),
+       |qry AS (SELECT vec_id AS query_id, dv AS qv FROM dq
+       |  WHERE vec_id < $AnnNumQueries),
+       |sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(qv, c.dv) /
+       |      (sqrt(list_dot_product(qv, qv))
+       |       * sqrt(list_dot_product(c.dv, c.dv))) AS sim
+       |  FROM qry, dq c WHERE query_id <> c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, neighbor_id FROM r
+       |WHERE rank <= $AnnK""".stripMargin
+
   /** DSIR target slice: documents from this source are "target-like". */
   private val DsirTarget = "src0"
   private val DsirScale = 10000L
@@ -730,6 +763,20 @@ object TrainingDataQueries {
           "doc_id", "text")
       },
       Some(incrExactSql)),
+
+    // the 4x storage path composes with search: quantize -> dequantize
+    // -> brute-force cosine top-k, rank-exact vs the oracle
+    "ann_quantized_topk" -> QueryDef(
+      (s, d) => {
+        import graft.functions.VectorOps
+        val dq = table(s, d, "embeddings").select(col("vec_id"),
+          VectorOps.dequantizeInt8(VectorOps.quantizeInt8(col("embedding")))
+            .as("embedding"))
+        Similarity.bruteForceTopK(dq,
+          dq.filter(col("vec_id") < AnnNumQueries), "vec_id", "embedding",
+          AnnK)
+      },
+      Some(annQuantSql)),
 
     "corpus_token_rollup" -> QueryDef(
       (s, d) => table(s, d, "documents")

@@ -28,4 +28,26 @@ object StreamingDedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")
+
+  /** Continuous incremental dedup against the PERSISTED corpus index —
+    * the streaming spelling of [[graft.operators.Dedup.exactAgainst]]:
+    * arrivals whose content hash already exists in the (static) keep-id
+    * index are dropped; survivors pass through unchanged, ready for
+    * [[dropDupTexts]] to also catch within-stream repeats.
+    *
+    * Spark-native shape: a stream-static LEFT ANTI join. The static side
+    * is the [[graft.operators.Dedup.exact]] output table — re-read per
+    * micro-batch by Structured Streaming's stream-static contract, so
+    * publishing a refreshed index (atomic swap, MergeSink.publish) is
+    * picked up without restarting the query. Broadcast it when it fits
+    * (hash+id pairs are ~16 bytes/doc); at full 100 TB-corpus scale the
+    * index is bucketed on `text_hash` and only the micro-batch shuffles.
+    */
+  def dropIndexedTexts(docs: DataFrame, textCol: String,
+                       corpusIndex: DataFrame): DataFrame =
+    docs
+      .withColumn("__text_hash", StableHash.hash60(col(textCol)))
+      .join(corpusIndex.select(col("text_hash").as("__text_hash")),
+        Seq("__text_hash"), "left_anti")
+      .drop("__text_hash")
 }

@@ -397,6 +397,26 @@ class OperatorsSpec extends SparkSpecBase {
     assert(r(3L) == (("solo", 1, 1)))
   }
 
+  test("wordChunks matches the transform/sequence formulation on edges") {
+    import graft.functions.TextShingles
+    val rows = Seq("", "   ", "one", "one two", "one two three",
+      "a b c d e f g h i", "  pad  ded   runs\tand\nlines  ",
+      "héllo wörld 漢字 MIXED Case")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    for (w <- Seq(1, 2, 4)) {
+      val ws = split(trim(lower(col("t"))), "\\s+")
+      val nChunks = ceil(size(ws).cast("double") / w).cast("int")
+      val composed = transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(ws, i * lit(w) + 1, lit(w)), " "))
+      val bad = rows.select(
+          TextShingles.wordChunks(col("t"), w).as("fast"),
+          composed.as("slow"))
+        .filter(not(col("fast") === col("slow"))).count()
+      assert(bad == 0, s"w=$w: fast chunking diverges from composed")
+    }
+  }
+
   test("removeBoilerplateChunks cuts cross-doc chunks, keeps in-doc ones") {
     // w=2: "nav bar" appears in docs 1 and 2 (df=2 -> cut everywhere);
     // "own own" repeats only WITHIN doc 3 (df=1 -> kept, both copies)

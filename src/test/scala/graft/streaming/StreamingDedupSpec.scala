@@ -42,4 +42,39 @@ class StreamingDedupSpec extends SparkSpecBase {
     assert(out == Set(1L, 2L, 4L),
       s"expected first arrivals only, got $out")
   }
+
+  test("dropIndexedTexts anti-joins arrivals against the corpus index") {
+    val dir = Files.createTempDirectory("sdedup-idx").toString
+    val srcDir = s"$dir/in"
+    val outDir = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    val idxDir = s"$dir/index"
+
+    // persisted corpus index: "known text" is already in the corpus
+    graft.operators.Dedup.exact(
+        Seq((10L, "known text"), (11L, "other known"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text")
+      .write.parquet(idxDir)
+
+    Seq((100L, "known text"), (101L, "fresh text"), (102L, "other known"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(srcDir)
+    val q = StreamingDedup.dropIndexedTexts(stream, "text",
+        spark.read.parquet(idxDir))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(101L), s"only the novel doc survives, got $out")
+  }
 }
