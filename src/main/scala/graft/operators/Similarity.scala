@@ -193,4 +193,28 @@ object Similarity {
     }
     centroids
   }
+
+  /** Embedding-table validation — the vector counterpart of
+    * [[graft.transform.Validation]]'s record checks: per vector, the
+    * dimension, NaN presence, and zero-norm flags, plus the composite
+    * `valid` verdict against the expected dimension. Route `NOT valid`
+    * rows to a dead-letter table before they poison similarity search
+    * (a single NaN component makes every cosine against that vector
+    * NaN; a zero vector divides by zero). Pure single-pass projection —
+    * no shuffle, runs at scan speed.
+    */
+  def validateEmbeddings(emb: DataFrame, idCol: String, vecCol: String,
+                         expectedDim: Int): DataFrame = {
+    require(expectedDim > 0, s"expectedDim ($expectedDim) must be > 0")
+    val v = col(vecCol)
+    val dim = size(v)
+    val hasNan = exists(v, x => isnan(x.cast("double")))
+    val isZero = !hasNan &&
+      array_max(transform(v, x => abs(x.cast("double")))) === 0.0
+    emb.select(col(idCol),
+      dim.as("dim"),
+      hasNan.as("has_nan"),
+      isZero.as("is_zero"),
+      (dim === expectedDim && !hasNan && !isZero).as("valid"))
+  }
 }

@@ -313,6 +313,37 @@ object TextAnalysis {
         maxMeanWordLen, minAlphaWordFrac, minStopwordHits).as("keep"))
   }
 
+  /** Out-of-vocabulary rate against a learned top-N vocabulary — the
+    * UNK-rate report that predicts tokenizer coverage: the vocabulary is
+    * the corpus's `vocabSize` most frequent words (ties broken
+    * lexicographically, same total order as [[topNgrams]]), and each
+    * document reports what fraction of its token instances fall outside
+    * it. Emits `(id, n_tokens, oov_tokens, oov_rate)`.
+    *
+    * Scale shape: the vocabulary is TakeOrderedAndProject over map-side
+    * partial counts (never a global sort) and is broadcast to the
+    * instance scan — one corpus-sized exchange for the word counts, a
+    * broadcast-hash probe for the tagging, map-side partial rollup per
+    * doc.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize ($vocabSize) must be positive")
+    val inst = docs.select(col(idCol),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("__w"))
+    val vocab = inst.groupBy(col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w"))
+      .limit(vocabSize)
+      .select(col("__w"), lit(true).as("__in_vocab"))
+    inst.join(broadcast(vocab), Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_if(col("__in_vocab").isNull).as("oov_tokens"))
+      .withColumn("oov_rate",
+        col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169) with
     * EXACT integer arithmetic: each document is scored by how much its

@@ -345,6 +345,34 @@ object AnalyticsQueries {
              |  GROUP BY e.user_id)
              |SELECT (SELECT count(*) FROM t1) AS n_signup,
              |  (SELECT count(*) FROM t2) AS n_viewed,
-             |  (SELECT count(*) FROM t3) AS n_purchased""".stripMargin))
+             |  (SELECT count(*) FROM t3) AS n_purchased""".stripMargin)),
+
+    // weekly retention cohorts: users grouped by first-seen week, counted
+    // once per (cohort, weeks-since-first) they were active in. Weeks are
+    // integer epoch-day buckets (floor(epoch_day/7)) — exact integer
+    // arithmetic in both engines, no date-truncation semantics to align.
+    // Shape: one exchange on user_id serves BOTH the first-seen min and
+    // the distinct (user, week) set (same partitioning), then a map-side
+    // combinable rollup of |cohort x offset| rows.
+    "cohort_retention" -> QueryDef(
+      (s, d) => {
+        val e = events(s, d).select(col("user_id"),
+          expr("(unix_micros(ts) div 86400000000) div 7").as("wk"))
+        val uw = e.distinct()
+        val first = uw.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort_week"))
+        uw.join(first, "user_id")
+          .groupBy(col("cohort_week"),
+            (col("wk") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+             |    epoch_us(ts) // 86400000000 // 7 AS wk FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort_week FROM uw
+             |  GROUP BY user_id)
+             |SELECT f.cohort_week, uw.wk - f.cohort_week AS week_offset,
+             |  count(*) AS n_users
+             |FROM uw JOIN f USING (user_id)
+             |GROUP BY 1, 2""".stripMargin))
   )
 }

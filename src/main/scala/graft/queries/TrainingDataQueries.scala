@@ -619,6 +619,10 @@ object TrainingDataQueries {
   private val DsirScale = 10000L
   // boilerplate chunk removal: cut chunks appearing in >= 2 documents
   private val BoilerMinDf = 2
+  // OOV-rate vocabulary size (top-N corpus words)
+  private val OovVocab = 30
+  // embeddings table dimension (driver-generated synthetic data)
+  private val EmbDim = 64
 
   /** Exact per-column profile oracle: one UNION ALL branch per column,
     * generated from the same column list the Spark query passes.
@@ -763,6 +767,39 @@ object TrainingDataQueries {
           "doc_id", "text")
       },
       Some(incrExactSql)),
+
+    "text_oov_rate" -> QueryDef(
+      (s, d) => TextAnalysis.oovRate(table(s, d, "documents"),
+        "doc_id", "text", OovVocab),
+      Some(s"""WITH $wordsCte,
+              |inst AS (SELECT doc_id, unnest(ws) AS w FROM words),
+              |voc AS (SELECT w FROM (SELECT w, count(*) AS c FROM inst
+              |  GROUP BY w ORDER BY c DESC, w LIMIT $OovVocab)),
+              |tag AS (SELECT doc_id,
+              |    CASE WHEN voc.w IS NULL THEN 1 ELSE 0 END AS miss
+              |  FROM inst LEFT JOIN voc ON inst.w = voc.w)
+              |SELECT doc_id, count(*) AS n_tokens,
+              |  CAST(sum(miss) AS BIGINT) AS oov_tokens,
+              |  CAST(sum(miss) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              |    AS oov_rate
+              |FROM tag GROUP BY doc_id""".stripMargin)),
+
+    "embedding_validate" -> QueryDef(
+      (s, d) => Similarity.validateEmbeddings(table(s, d, "embeddings"),
+        "vec_id", "embedding", expectedDim = EmbDim),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              |    FROM embeddings)
+              |SELECT vec_id, CAST(len(v) AS INT) AS dim,
+              |  len(list_filter(v, x -> isnan(x))) > 0 AS has_nan,
+              |  NOT (len(list_filter(v, x -> isnan(x))) > 0)
+              |    AND list_max(list_transform(v, x -> abs(x))) = 0
+              |    AS is_zero,
+              |  len(v) = $EmbDim
+              |    AND NOT (len(list_filter(v, x -> isnan(x))) > 0)
+              |    AND NOT (NOT (len(list_filter(v, x -> isnan(x))) > 0)
+              |      AND list_max(list_transform(v, x -> abs(x))) = 0)
+              |    AS valid
+              |FROM e""".stripMargin)),
 
     // the 4x storage path composes with search: quantize -> dequantize
     // -> brute-force cosine top-k, rank-exact vs the oracle

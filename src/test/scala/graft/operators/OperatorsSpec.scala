@@ -397,6 +397,39 @@ class OperatorsSpec extends SparkSpecBase {
     assert(r(3L) == (("solo", 1, 1)))
   }
 
+  test("oovRate: vocab misses counted per instance, vocab broadcast") {
+    // vocab size 2 -> {"aa", "bb"} (counts 3, 2); "zz"/"qq" are OOV
+    val docs = Seq((1L, "aa aa bb"), (2L, "aa bb zz"), (3L, "zz qq"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, "doc_id", "text", vocabSize = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab probe must broadcast, not shuffle the instances:\n$plan")
+    val r = out.collect().map(x => x.getLong(0) ->
+      (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((3L, 0L, 0.0)))
+    assert(r(2L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(r(3L) == ((2L, 2L, 1.0)))
+  }
+
+  test("validateEmbeddings flags dim, NaN and zero-norm vectors") {
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f)),                 // valid (dim 2)
+      (2L, Array(1.0f, Float.NaN)),            // NaN
+      (3L, Array(0.0f, 0.0f)),                 // zero norm
+      (4L, Array(1.0f, 2.0f, 3.0f)))           // wrong dim
+      .toDF("vec_id", "embedding")
+    val r = Similarity.validateEmbeddings(emb, "vec_id", "embedding",
+        expectedDim = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getInt(1), x.getBoolean(2), x.getBoolean(3), x.getBoolean(4)))
+      .toMap
+    assert(r(1L) == ((2, false, false, true)))
+    assert(r(2L) == ((2, true, false, false)))
+    assert(r(3L) == ((2, false, true, false)))
+    assert(r(4L) == ((3, false, false, false)))
+  }
+
   test("wordChunks matches the transform/sequence formulation on edges") {
     import graft.functions.TextShingles
     val rows = Seq("", "   ", "one", "one two", "one two three",
