@@ -107,6 +107,46 @@ object Dedup {
       .filter(col("sig_agreement") >= threshold)
   }
 
+  /** Estimator-quality audit for the minhash-LSH pipeline: every
+    * candidate pair's signature agreement next to its EXACT shingle
+    * Jaccard — the report that tunes (numHashes, rowsPerBand, threshold)
+    * before a 100 TB run commits to them. Emits
+    * `(id_a, id_b, sig_agreement, jaccard)`.
+    *
+    * Scale shape: exact Jaccard is only computed for the (small) LSH
+    * survivor set — the pair list joins the per-doc shingle-hash
+    * postings twice (intersection counts), never all-pairs. The postings
+    * side is corpus-sized but 16 bytes/row; at scale the pair set
+    * broadcasts into those scans.
+    */
+  def minhashPrecision(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, numHashes: Int = 12,
+                       rowsPerBand: Int = 3, threshold: Double = 0.5)
+      : DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, k, numHashes,
+      rowsPerBand, threshold)
+    val g = docs.select(col(idCol).as("__id"),
+        explode(array_distinct(shingles(col(textCol), k))).as("__g"))
+      .select(col("__id"), hash60(col("__g")).as("__h"))
+    val sz = g.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+    val inter = pairs.select(col("id_a"), col("id_b"))
+      .join(g.select(col("__id").as("id_a"), col("__h")), "id_a")
+      .join(g.select(col("__id").as("id_b"), col("__h")), Seq("id_b", "__h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("__inter", coalesce(col("__inter"), lit(0L)))
+      .join(sz.select(col("__id").as("id_a"), col("__sz").as("__sza")),
+        "id_a")
+      .join(sz.select(col("__id").as("id_b"), col("__sz").as("__szb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"), col("sig_agreement"),
+        (col("__inter").cast("double") /
+          (col("__sza") + col("__szb") - col("__inter")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** SimHash: 32-bit locality-sensitive fingerprint from word hashes.
     * For each bit b, sum +1/-1 over words by bit b of the word hash; the
     * sign gives the fingerprint bit. One explode + one aggregation — same

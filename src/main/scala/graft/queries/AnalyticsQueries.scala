@@ -358,10 +358,14 @@ object AnalyticsQueries {
       (s, d) => {
         val e = events(s, d).select(col("user_id"),
           expr("(unix_micros(ts) div 86400000000) div 7").as("wk"))
+        // first-seen week as a window over the distinct activity set:
+        // ONE scan of the fact table (a groupBy+join formulation
+        // re-scans events for the min side), windows only the distinct
+        // (user, week) rows
         val uw = e.distinct()
-        val first = uw.groupBy(col("user_id"))
-          .agg(min(col("wk")).as("cohort_week"))
-        uw.join(first, "user_id")
+        uw.withColumn("cohort_week",
+            min(col("wk")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))))
           .groupBy(col("cohort_week"),
             (col("wk") - col("cohort_week")).as("week_offset"))
           .agg(count(lit(1)).as("n_users"))

@@ -768,6 +768,30 @@ object TrainingDataQueries {
       },
       Some(incrExactSql)),
 
+    // estimator-quality audit: signature agreement vs exact Jaccard on
+    // the LSH survivor pairs (tunes numHashes/bands before a 100 TB run)
+    "dedup_minhash_precision" -> QueryDef(
+      (s, d) => Dedup.minhashPrecision(table(s, d, "documents"),
+        "doc_id", "text", ShingleK, NumHashes, RowsPerBand,
+        MinhashThreshold),
+      Some(s"""WITH $minhashLshCtes,
+              |p AS ($minhashLshSelect),
+              |sz AS (SELECT doc_id, count(*) AS sz FROM h
+              |  GROUP BY doc_id),
+              |i AS (SELECT p.id_a, p.id_b, count(*) AS inter
+              |  FROM p
+              |  JOIN h a ON a.doc_id = p.id_a
+              |  JOIN h b ON b.doc_id = p.id_b AND a.h = b.h
+              |  GROUP BY 1, 2)
+              |SELECT p.id_a, p.id_b, p.sig_agreement,
+              |  CAST(coalesce(i.inter, 0) AS DOUBLE)
+              |    / CAST(x.sz + y.sz - coalesce(i.inter, 0) AS DOUBLE)
+              |    AS jaccard
+              |FROM p
+              |LEFT JOIN i ON p.id_a = i.id_a AND p.id_b = i.id_b
+              |JOIN sz x ON p.id_a = x.doc_id
+              |JOIN sz y ON p.id_b = y.doc_id""".stripMargin)),
+
     "text_oov_rate" -> QueryDef(
       (s, d) => TextAnalysis.oovRate(table(s, d, "documents"),
         "doc_id", "text", OovVocab),

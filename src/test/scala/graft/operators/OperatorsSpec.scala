@@ -450,6 +450,39 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("property: chunk family invariants on random word streams") {
+    import org.scalacheck.Gen
+    // small vocab forces chunk collisions within and across docs
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val text = Gen.choose(0, 40)
+      .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val docs = Gen.listOfN(60, text).sample.getOrElse(Nil)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val w = 3
+    def referenceChunks(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").toSeq.grouped(w)
+        .map(_.mkString(" ")).toSeq
+    val dropped = Dedup.dropRepeatedChunks(docs, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    docs.collect().foreach { r =>
+      val (id, t) = (r.getLong(0), r.getString(1))
+      val ch = referenceChunks(t)
+      val (clean, total, kept) = dropped(id)
+      assert(total == ch.length, s"doc $id chunk count")
+      assert(kept == ch.distinct.length, s"doc $id kept count")
+      // reassembly = first occurrences in order
+      assert(clean == ch.distinct.mkString(" "), s"doc $id text")
+    }
+    // chunkDupStats total matches the same tiling on every doc
+    val stats = Dedup.chunkDupStats(docs, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.collect().foreach { r =>
+      assert(stats(r.getLong(0)) == referenceChunks(r.getString(1)).length)
+    }
+  }
+
   test("removeBoilerplateChunks cuts cross-doc chunks, keeps in-doc ones") {
     // w=2: "nav bar" appears in docs 1 and 2 (df=2 -> cut everywhere);
     // "own own" repeats only WITHIN doc 3 (df=1 -> kept, both copies)
