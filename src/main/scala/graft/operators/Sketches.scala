@@ -78,4 +78,28 @@ object Sketches {
         greatest(lit(1L), ceil(col("p") * col("n_sample")).cast("long")))
       .select(col("p"), col("n_sample"), col("value"))
   }
+
+  /** Deterministic quantile-bucket assignment — the curriculum /
+    * length-binning step: every row learns which inter-quantile bucket
+    * its `value` falls into (`bucket` = number of thresholds strictly
+    * below the value, 0..|probs|). Thresholds come from
+    * [[hashSampleQuantiles]], so membership is reproducible and stable
+    * under corpus growth. Emits `(key, value, bucket)`.
+    *
+    * Scale shape: the |probs| thresholds collapse to ONE array row that
+    * broadcasts into the corpus scan (catalyst folds the constant join
+    * key into a single-row broadcast nested loop — one broadcast, zero
+    * corpus shuffle); the bucket is a codegen'd array filter per row.
+    */
+  def quantileBuckets(df: DataFrame, keyCol: String, value: Column,
+                      sampleFrac: Double, probs: Seq[Double]): DataFrame = {
+    val th = hashSampleQuantiles(df, keyCol, value, sampleFrac, probs)
+      .agg(sort_array(collect_list(col("value"))).as("__ths"))
+      .withColumn("__k", lit(1))
+    df.select(col(keyCol), value.as("value"))
+      .withColumn("__k", lit(1))
+      .join(broadcast(th), Seq("__k"))
+      .select(col(keyCol), col("value"),
+        size(filter(col("__ths"), t => col("value") > t)).as("bucket"))
+  }
 }

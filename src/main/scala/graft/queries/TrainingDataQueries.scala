@@ -768,6 +768,38 @@ object TrainingDataQueries {
       },
       Some(incrExactSql)),
 
+    // curriculum length-binning: every doc assigned to its quartile
+    // bucket of token counts, thresholds from the deterministic
+    // hash-sample quantiles (stable under corpus growth)
+    "sample_length_buckets" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Sketches
+        Sketches.quantileBuckets(table(s, d, "documents"), "doc_id",
+          size(split(trim(lower(col("text"))), "\\s+")).cast("long"),
+          sampleFrac = 0.5, probs = Seq(0.25, 0.5, 0.75))
+      },
+      Some(s"""WITH smp AS (SELECT doc_id,
+              |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              |      AS BIGINT) AS value
+              |  FROM documents
+              |  WHERE ${graft.operators.Sampling.bucketSql("doc_id")}
+              |    < ${math.round(0.5 * graft.operators.Sampling.Buckets)}),
+              |r AS (SELECT value, doc_id, row_number() OVER (
+              |    ORDER BY value, doc_id) AS rn,
+              |    count(*) OVER () AS n_sample FROM smp),
+              |th AS (SELECT value
+              |  FROM r JOIN (VALUES (0.25), (0.5), (0.75)) AS ps(p)
+              |    ON rn = greatest(1, CAST(ceil(p * n_sample) AS BIGINT))),
+              |tl AS (SELECT list_sort(list(value)) AS ths FROM th),
+              |d AS (SELECT doc_id,
+              |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
+              |      AS BIGINT) AS value
+              |  FROM documents)
+              |SELECT doc_id, value,
+              |  CAST(len(list_filter(tl.ths, t -> d.value > t)) AS INT)
+              |    AS bucket
+              |FROM d, tl""".stripMargin)),
+
     // estimator-quality audit: signature agreement vs exact Jaccard on
     // the LSH survivor pairs (tunes numHashes/bands before a 100 TB run)
     "dedup_minhash_precision" -> QueryDef(

@@ -116,9 +116,9 @@ object MergeSink {
     * replacement is in place, so a crash at any point leaves either the
     * old table, the new table, or a recoverable `.old` copy.
     */
-  private def atomicSwapDir(fs: org.apache.hadoop.fs.FileSystem,
-                            stagePath: String, dstPath: String,
-                            oldPath: String): Unit = {
+  private[sink] def atomicSwapDir(fs: org.apache.hadoop.fs.FileSystem,
+                                  stagePath: String, dstPath: String,
+                                  oldPath: String): Unit = {
     val dst = new org.apache.hadoop.fs.Path(dstPath)
     val old = new org.apache.hadoop.fs.Path(oldPath)
     if (fs.exists(old)) fs.delete(old, true)

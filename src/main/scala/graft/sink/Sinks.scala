@@ -33,6 +33,43 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(dir)
 
+  /** Small-file compaction — the maintenance pass every long-running
+    * landing/merge layout needs at 100 TB: streaming flushes and
+    * incremental merges accrete files far below the ~128 MB scan-optimal
+    * size, and scan cost degrades with per-file open/footer overhead
+    * (plus driver-side listing). Rewrites `dir` into
+    * `ceil(rows / targetRecordsPerFile)` files via a staged write and the
+    * same atomic rename-swap [[graft.sink.MergeSink.publish]] uses —
+    * readers never observe a partial layout. Returns
+    * `(filesBefore, filesAfter)`.
+    *
+    * Scale notes: `repartition(n)` is a full shuffle of the data being
+    * compacted — compact per partition/bucket subdirectory (the natural
+    * unit the merge layouts already expose) rather than a whole 100 TB
+    * table at once. DeltaMerge's amortized `compact` covers the
+    * merge-on-read path; this is the standalone pass for append/landing
+    * dirs.
+    */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   targetRecordsPerFile: Long): (Int, Int) = {
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be > 0")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles(dir)
+    val df = spark.read.parquet(dir)
+    val rows = df.count()
+    val n = math.max(1, math.ceil(rows.toDouble / targetRecordsPerFile).toInt)
+    val staged = s"$dir.__compacting"
+    df.repartition(n).write.mode(SaveMode.Overwrite).parquet(staged)
+    // the publish() rename dance: old data is never deleted before the
+    // replacement is in place
+    MergeSink.atomicSwapDir(fs, staged, dir, s"$dir.__retired")
+    (before, dataFiles(dir))
+  }
+
   /** JDBC writer (target-postgres analogue). Append/overwrite via Spark's
     * JDBC sink; PK-merge semantics belong to MergeSink before the write
     * (the reference's temp-table + INSERT/UPDATE split maps to staging

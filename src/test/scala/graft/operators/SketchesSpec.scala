@@ -83,4 +83,27 @@ class SketchesSpec extends SparkSpecBase {
       plan.contains("SortAggregate"), plan)
     assert(!plan.contains("Expand") && !plan.contains("Window"), plan)
   }
+
+  test("quantileBuckets bins by sampled thresholds via broadcast") {
+    // values 1..1000, full sample -> quartile thresholds 250/500/750
+    val df = (1L to 1000L).map(i => (i, i)).toDF("id", "v")
+    val out = Sketches.quantileBuckets(df, "id", col("v"),
+      sampleFrac = 1.0, probs = Seq(0.25, 0.5, 0.75))
+    val plan = out.queryExecution.executedPlan.toString
+    // catalyst constant-folds the join key, leaving a broadcast of the
+    // single threshold row — either broadcast form is shuffle-free
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"thresholds must broadcast:\n$plan")
+    assert(!plan.contains("ShuffledHashJoin") &&
+      !plan.contains("SortMergeJoin"), plan)
+    val m = out.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(m(1L) == 0 && m(250L) == 0, "at/below p25 -> bucket 0")
+    assert(m(251L) == 1 && m(500L) == 1)
+    assert(m(501L) == 2 && m(750L) == 2)
+    assert(m(751L) == 3 && m(1000L) == 3)
+    // every bucket holds a quarter of the data
+    val sizes = m.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes == Map(0 -> 250, 1 -> 250, 2 -> 250, 3 -> 250), sizes)
+  }
 }

@@ -54,4 +54,21 @@ class SinksSpec extends SparkSpecBase {
     assert(out(1).getString(1) == "d")
     assert(out(2).getString(2) == "doc4")
   }
+
+  test("compactFiles rewrites a fragmented dir losslessly, atomically") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    val df = (1L to 500L).map(i => (i, s"row$i")).toDF("id", "v")
+    df.repartition(20).write.parquet(dir)
+    val (before, after) = Sinks.compactFiles(spark, dir, 1000L)
+    assert(before == 20, s"fragmented layout had $before files")
+    assert(after == 1, s"compacted layout has $after files")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 500L)
+    assert(back.except(df).isEmpty && df.except(back).isEmpty)
+    // no leftover staging/retired dirs
+    val names = new java.io.File(dir).getParentFile.list().toSet
+    assert(!names.exists(_.contains("__compacting")), names.toString)
+    assert(!names.exists(_.contains("__retired")), names.toString)
+  }
 }
