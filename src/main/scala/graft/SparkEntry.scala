@@ -59,5 +59,6 @@ object SparkEntry {
     // reassembly shuffle), the shuffle-free intra-doc dedup projection,
     // and the exact column profile (Expand-based distinct counts)
     "text_dsir_weights", "text_remove_boilerplate",
-    "dedup_intra_doc_chunks", "profile_columns")
+    "dedup_intra_doc_chunks", "profile_columns",
+    "dedup_minhash_precision", "text_oov_rate", "cohort_retention")
 }
