@@ -1358,6 +1358,68 @@ object TrainingDataQueries {
               |    AS keep_rate
               |FROM agg""".stripMargin)),
 
+    // CCNet-ordered cleaning pipeline: language + quality filters ->
+    // cross-doc boilerplate removal (doc-frequency over the FILTERED
+    // corpus — set-dependent) -> exact dedup on the CLEANED text (docs
+    // identical only after boilerplate is cut collapse) -> split. The
+    // second composed proof, with a different operator mix than
+    // pipeline_curate_corpus.
+    "pipeline_boilerplate_dedup" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Sampling
+        val docs = table(s, d, "documents")
+        val en = docs.filter(TextAnalysis.langId(col("text")) === "en")
+        val kept = TextAnalysis.gopherRules(en, "doc_id", "text",
+            minWords = GopherMinWords)
+          .filter(col("keep")).select("doc_id")
+        val base = en.join(kept, "doc_id")
+        val clean = Dedup.removeBoilerplateChunks(base, "doc_id", "text",
+            ChunkW, BoilerMinDf)
+          .select(col("id").as("doc_id"), col("clean_text"))
+        val keepx = Dedup.exact(clean, "doc_id", "clean_text")
+          .select(col("keep_id").as("doc_id"))
+        Sampling.hashSplit(base.join(keepx, "doc_id"), "doc_id",
+            Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+          .select(col("doc_id"), col("source"), col("split"))
+      },
+      Some {
+        val bucket = graft.operators.Sampling.bucketSql("doc_id")
+        s"""WITH lang AS ($langIdSql),
+           |gop AS ($gopherSql),
+           |base AS (SELECT d.doc_id, d.source, d.text
+           |  FROM documents d
+           |  JOIN lang ON d.doc_id = lang.doc_id
+           |  JOIN gop ON d.doc_id = gop.doc_id
+           |  WHERE lang.predicted_lang = 'en' AND gop.keep),
+           |w2 AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+           |  FROM base),
+           |u AS (SELECT doc_id, unnest(list_transform(
+           |    range(0, CAST(ceil(len(ws) / ${ChunkW}.0) AS BIGINT)),
+           |    i -> {'pos': i, 'chunk':
+           |      array_to_string(ws[i*$ChunkW+1:i*$ChunkW+$ChunkW],
+           |        ' ')})) AS s
+           |  FROM w2),
+           |e AS (SELECT doc_id, s.pos AS pos, s.chunk AS chunk,
+           |    ${StableHash.hash60Sql("s.chunk")} AS h FROM u),
+           |dd AS (SELECT doc_id, pos, chunk,
+           |    count(DISTINCT doc_id) OVER (PARTITION BY h) AS df
+           |  FROM e),
+           |clean AS (SELECT doc_id,
+           |    coalesce(string_agg(
+           |      CASE WHEN df < $BoilerMinDf THEN chunk END,
+           |      ' ' ORDER BY pos), '') AS ctext
+           |  FROM dd GROUP BY doc_id),
+           |nh AS (SELECT doc_id, ${StableHash.hash60Sql("ctext")} AS h
+           |  FROM clean),
+           |keepx AS (SELECT min(doc_id) AS doc_id FROM nh GROUP BY h)
+           |SELECT b.doc_id, b.source,
+           |  CASE WHEN $bucket < 9000 THEN 'train'
+           |       WHEN $bucket < 9500 THEN 'valid'
+           |       ELSE 'test' END AS split
+           |FROM base b JOIN keepx USING (doc_id)""".stripMargin
+      }),
+
     // the whole curation recipe as ONE verified query: every stage is an
     // operator proven above; this proves they COMPOSE (the set-dependent
     // stages see each other's survivors, not the base table)

@@ -41,4 +41,35 @@ object StreamingCurate {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__norm_hash")
       .drop("__norm_hash")
+
+  /** [[curate]] with intra-document repeated-chunk cleanup ahead of the
+    * dedup key — the within-doc half of the chunk family is a pure
+    * projection ([[graft.operators.Dedup.dropRepeatedChunks]]'s
+    * first-occurrence filter), so it composes into the stateless scan
+    * stage; the dedup key then hashes the CLEANED text, so re-crawls
+    * differing only in repeated boilerplate runs collapse. (Cross-doc
+    * boilerplate needs corpus-wide document frequencies — that stays a
+    * periodic batch pass, like the LSH sweeps.) Adds `clean_text`.
+    */
+  def curateCleaned(docs: DataFrame, textCol: String, tsCol: String,
+                    lang: String = "en",
+                    minWords: Int = TextAnalysis.GopherDefaults.MinWords,
+                    chunkWords: Int = 8,
+                    watermark: String = "1 hour"): DataFrame = {
+    val chunks = graft.functions.TextShingles
+      .wordChunks(col(textCol), chunkWords)
+    val cleaned = array_join(
+      filter(chunks, (c, i) =>
+        array_position(chunks, c) === (i + 1).cast("long")), " ")
+    docs
+      .filter(TextAnalysis.langId(col(textCol)) === lang)
+      .filter(TextAnalysis.gopherKeep(col(textCol), minWords = minWords))
+      .withColumn("clean_text", cleaned)
+      .withColumn("__norm_hash",
+        StableHash.hash60(
+          TextAnalysis.normalizeForHash(col("clean_text"))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__norm_hash")
+      .drop("__norm_hash")
+  }
 }

@@ -69,4 +69,30 @@ class StreamingCurateSpec extends SparkSpecBase {
     assert(out == Set(1L, 3L),
       s"dup across restart must drop via checkpointed state, got $out")
   }
+
+  test("curateCleaned collapses re-crawls differing in repeated chunks") {
+    val dir = Files.createTempDirectory("scurate3").toString
+    // doc 2 = doc 1 plus an exact repeat of its first 8-word chunk:
+    // after intra-doc cleanup both hash identically -> doc 2 drops.
+    // doc 3 genuinely differs after cleanup.
+    val base = good
+    val rep = base.split(" ").take(8).mkString(" ")
+    writeBatch(s"$dir/in", Seq(
+      (1L, base, "2024-01-01 00:00:01"),
+      (2L, base + " " + rep, "2024-01-01 00:00:02"),
+      (3L, base + " genuinely novel tail", "2024-01-01 00:00:03")), "b0")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val q = StreamingCurate.curateCleaned(stream, "text", "ts",
+        lang = "en", minWords = 20, chunkWords = 8, watermark = "1 hour")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L), s"got $out")
+  }
 }
