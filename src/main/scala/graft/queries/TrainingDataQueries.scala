@@ -1436,7 +1436,13 @@ object TrainingDataQueries {
           base.select(col("doc_id"),
             TextAnalysis.normalizeForHash(col("text")).as("__norm")),
           "doc_id", "__norm").select(col("keep_id").as("doc_id"))
+        // both the minhash sweep and the canonical keep-list consume
+        // edocs; without a persist each recomputes the full filter
+        // chain (language scan + gopher metrics + two joins). At 100 TB
+        // this materialization is the curated-corpus landing table the
+        // downstream stages read anyway.
         val edocs = base.join(keepExact, "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val labels = Dedup.connectedComponents(
           Dedup.minhashNearDups(edocs, "doc_id", "text", ShingleK,
             NumHashes, RowsPerBand, MinhashThreshold),
