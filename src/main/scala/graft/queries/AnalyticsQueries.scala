@@ -347,6 +347,93 @@ object AnalyticsQueries {
              |  (SELECT count(*) FROM t2) AS n_viewed,
              |  (SELECT count(*) FROM t3) AS n_purchased""".stripMargin)),
 
+    // TPC-H q6 shape: tight scan-side filter + one exact-decimal global
+    // aggregate. The whole query is a single pass — filters reach
+    // PushedFilters, the product folds in decimal, no exchange beyond
+    // the final single-row combine.
+    "q6_forecast_revenue" -> QueryDef(
+      (s, d) => table(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(dsumExpr(dec(col("l_extendedprice")) *
+          dec(col("l_discount"))).as("revenue")),
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |  CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= '1996-01-01'
+             |  AND l_shipdate < '1997-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H q4 shape (adapted: the synthetic lineitem has no
+    // commit/receipt dates, so the EXISTS predicate is "order has a
+    // returned item"): LEFT SEMI join — the build side is just order
+    // keys, no row multiplication — then a tiny priority rollup.
+    "q4_order_priority" -> QueryDef(
+      (s, d) => {
+        val returned = table(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"))
+        table(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01"))
+          .join(returned, col("o_orderkey") === col("l_orderkey"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= '1996-01-01'
+             |  AND o_orderdate < '1997-01-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // TPC-H q14 shape: fact-to-dim join + conditional exact-decimal
+    // sums; the promo share is a single final double division. The part
+    // dim broadcasts; lineitem never shuffles.
+    "q14_promo_share" -> QueryDef(
+      (s, d) => {
+        val part = table(s, d, "part")
+          .select(col("p_partkey"), col("p_type"))
+        table(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-03-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .agg(
+            dsumExpr(when(col("p_type") === "PROMO",
+              dec(col("l_extendedprice")) *
+                (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+              .otherwise(lit(0).cast("decimal(18,2)")))
+              .as("promo_revenue"),
+            dsumExpr(dec(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+              .as("total_revenue"))
+          .select(col("promo_revenue"), col("total_revenue"),
+            (col("promo_revenue") / col("total_revenue"))
+              .as("promo_share"))
+      },
+      Some("""WITH j AS (SELECT l_extendedprice, l_discount, p_type
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE l_shipdate >= '1996-03-01'
+             |    AND l_shipdate < '1996-04-01'),
+             |a AS (SELECT
+             |  CAST(sum(CASE WHEN p_type = 'PROMO'
+             |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |      (1 - CAST(l_discount AS DECIMAL(18,2)))
+             |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             |    AS promo_revenue,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |    AS total_revenue
+             |  FROM j)
+             |SELECT promo_revenue, total_revenue,
+             |  promo_revenue / total_revenue AS promo_share
+             |FROM a""".stripMargin)),
+
     // weekly retention cohorts: users grouped by first-seen week, counted
     // once per (cohort, weeks-since-first) they were active in. Weeks are
     // integer epoch-day buckets (floor(epoch_day/7)) — exact integer
