@@ -98,6 +98,17 @@ object GraftFunctions {
         require(args.length == 2,
           s"graft_min_k_distinct expects (hash, k), got ${args.length}")
         MinKDistinct(args(0), litInt(args(1), "sketch size k"))
+      }),
+
+    // count-min sketch aggregate: row-major d x w counter array
+    (FunctionIdentifier("graft_count_min"),
+      new ExpressionInfo(classOf[CountMin].getCanonicalName,
+        "graft_count_min"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_count_min expects (hash, d, w), got ${args.length}")
+        CountMin(args(0), litInt(args(1), "cms depth d"),
+          litInt(args(2), "cms width w"))
       }))
 
   /** Runtime registration into an existing session (idempotent —

@@ -79,6 +79,23 @@ object Sketches {
       .select(col("p"), col("n_sample"), col("value"))
   }
 
+  /** Frequency estimate of a hashed key against a [[graft.functions.CountMin]]
+    * sketch column: `min_i sketch[i*w + perm_i(h) mod w]` — pure
+    * built-in expressions (element_at + least), codegen'd per row.
+    * Upper-bounds the true count; error ~ N/w with probability
+    * 1 - 2^-d.
+    */
+  def cmsEstimate(sketch: Column, h: Column, d: Int, w: Int): Column = {
+    import graft.functions.StableHash
+    val terms = StableHash.minhashParams(d).zipWithIndex.map {
+      case ((a, b), i) =>
+        element_at(sketch,
+          (lit(i.toLong * w) + StableHash.minhashPerm(h, a, b) % w + 1L)
+            .cast("int"))
+    }
+    least(terms: _*)
+  }
+
   /** Deterministic quantile-bucket assignment — the curriculum /
     * length-binning step: every row learns which inter-quantile bucket
     * its `value` falls into (`bucket` = number of thresholds strictly

@@ -621,6 +621,10 @@ object TrainingDataQueries {
   private val BoilerMinDf = 2
   // OOV-rate vocabulary size (top-N corpus words)
   private val OovVocab = 30
+  // count-min sketch geometry + number of audited heavy hitters
+  private val CmsD = 4
+  private val CmsW = 2048
+  private val CmsTopK = 20
   // embeddings table dimension (driver-generated synthetic data)
   private val EmbDim = 64
 
@@ -767,6 +771,61 @@ object TrainingDataQueries {
           "doc_id", "text")
       },
       Some(incrExactSql)),
+
+    // deterministic count-min sketch vs exact heavy-hitter counts: the
+    // bounded-state frequency primitive (skew detection). The oracle
+    // reproduces each CM counter exactly: counter_i[b] is by definition
+    // the count of instances landing in bucket b under perm_i
+    "sketch_cms_topgrams" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Sketches
+        val docs = table(s, d, "documents")
+        val inst = docs.select(
+            explode(graft.functions.TextShingles.wordShingles(
+              col("text"), TopNgramK)).as("gram"))
+          .select(col("gram"), StableHash.hash60(col("gram")).as("h"))
+        val sk = inst.agg(graft.functions.CountMin.sketch(
+            col("h"), CmsD, CmsW).as("__sk"))
+          .withColumn("__k", lit(1))
+        TextAnalysis.topNgrams(docs, "text", TopNgramK, CmsTopK)
+          .withColumn("__k", lit(1))
+          .join(broadcast(sk), Seq("__k"))
+          .select(col("gram"), col("n_occurrences"),
+            Sketches.cmsEstimate(col("__sk"),
+              StableHash.hash60(col("gram")), CmsD, CmsW).as("cms_est"))
+      },
+      Some {
+        val perms = StableHash.minhashParams(CmsD).zipWithIndex
+        def bucketSql(hSql: String, a: Long, b: Long) =
+          s"(${StableHash.minhashPermSql(hSql, a, b)} % $CmsW)"
+        val bkCols = perms.map { case ((a, b), i) =>
+          s"${bucketSql("h", a, b)} AS b_$i" }.mkString(", ")
+        val cntCtes = perms.map { case (_, i) =>
+          s"c_$i AS (SELECT b_$i AS b, count(*) AS c FROM bk GROUP BY 1)"
+        }.mkString(",\n")
+        val qCols = perms.map { case ((a, b), i) =>
+          s"${bucketSql(StableHash.hash60Sql("gram"), a, b)} AS q_$i"
+        }.mkString(", ")
+        val joins = perms.map { case (_, i) =>
+          s"JOIN c_$i ON tq.q_$i = c_$i.b" }.mkString("\n")
+        val leastOf = perms.map { case (_, i) => s"c_$i.c" }
+          .mkString("least(", ", ", ")")
+        s"""WITH $wordsCte,
+           |sa AS (SELECT unnest(list_transform(
+           |    range(1, len(ws) - ${TopNgramK - 2}),
+           |    i -> array_to_string(ws[i:i+${TopNgramK - 1}], ' ')))
+           |  AS gram FROM words),
+           |hh AS (SELECT ${StableHash.hash60Sql("gram")} AS h FROM sa),
+           |bk AS (SELECT $bkCols FROM hh),
+           |$cntCtes,
+           |top AS (SELECT gram, count(*) AS n_occurrences FROM sa
+           |  GROUP BY gram ORDER BY n_occurrences DESC, gram
+           |  LIMIT $CmsTopK),
+           |tq AS (SELECT gram, n_occurrences, $qCols FROM top)
+           |SELECT tq.gram, tq.n_occurrences, $leastOf AS cms_est
+           |FROM tq
+           |$joins""".stripMargin
+      }),
 
     // curriculum length-binning: every doc assigned to its quartile
     // bucket of token counts, thresholds from the deterministic

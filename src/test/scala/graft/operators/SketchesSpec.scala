@@ -84,6 +84,48 @@ class SketchesSpec extends SparkSpecBase {
     assert(!plan.contains("Expand") && !plan.contains("Window"), plan)
   }
 
+  test("count-min: exact without collisions, upper bound always") {
+    import graft.functions.{CountMin, StableHash}
+    // 3 distinct keys, counts 100/10/1, w=64 >> 3 -> near-zero collision
+    // chance for this fixed hash family; estimates must be exact
+    val rows = (Seq.fill(100)("alpha") ++ Seq.fill(10)("beta") ++
+      Seq("gamma")).toDF("k")
+    val inst = rows.select(StableHash.hash60(col("k")).as("h"), col("k"))
+    val sk = inst.agg(CountMin.sketch(col("h"), 4, 64).as("sk"))
+      .withColumn("__j", lit(1))
+    val est = inst.distinct().withColumn("__j", lit(1))
+      .join(broadcast(sk), Seq("__j"))
+      .select(col("k"),
+        Sketches.cmsEstimate(col("sk"), col("h"), 4, 64).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("alpha" -> 100L, "beta" -> 10L, "gamma" -> 1L), est)
+  }
+
+  test("count-min: merge across partitions, bounded aggregate plan") {
+    import graft.functions.{CountMin, StableHash}
+    // heavy skew: key 0 appears 5000x among 50k rows over 8 partitions
+    val df = (1L to 50000L).map(i => if (i % 10 == 0) 0L else i)
+      .toDF("v").repartition(8)
+    val q = df.select(StableHash.hash60(col("v").cast("string")).as("h"))
+      .agg(CountMin.sketch(col("h"), 4, 4096).as("sk"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"), plan)
+    val sk = q.collect().head.getAs[scala.collection.Seq[Long]](0)
+    assert(sk.length == 4 * 4096)
+    // every row of the sketch sums to the total instance count
+    (0 until 4).foreach { i =>
+      assert(sk.slice(i * 4096, (i + 1) * 4096).sum == 50000L)
+    }
+    // the heavy key's estimate is >= its true count and close to it
+    // (45k light keys spread over 4096 buckets add ~11 each)
+    val est = df.sparkSession.range(1)
+      .select(Sketches.cmsEstimate(
+        typedLit(sk.toSeq), StableHash.hash60(lit("0")), 4, 4096)
+        .as("est")).collect().head.getLong(0)
+    assert(est >= 5000L && est < 5200L, s"heavy-key estimate $est")
+  }
+
   test("quantileBuckets bins by sampled thresholds via broadcast") {
     // values 1..1000, full sample -> quartile thresholds 250/500/750
     val df = (1L to 1000L).map(i => (i, i)).toDF("id", "v")
