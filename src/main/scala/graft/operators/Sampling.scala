@@ -138,6 +138,23 @@ object Sampling {
       .drop("__min_tok")
   }
 
+  /** Score-proportional deterministic sampling: keep a row iff its hash
+    * bucket falls below `rate * Buckets`, where `rate` is a PER-ROW
+    * column in [0, 1] (a quality score, a DSIR weight mapped to a keep
+    * probability, a per-source rate joined on). The hash-membership
+    * trick of [[stratifiedSampleByHash]] generalized from per-stratum
+    * constants to arbitrary row-level rates: reproducible, stable under
+    * corpus growth, shuffle-free (a codegen'd filter on the scan).
+    * Rates outside [0, 1] are clamped.
+    */
+  def sampleByRate(df: DataFrame, keyCol: String, rate: Column)
+      : DataFrame = {
+    val r = least(greatest(rate.cast("double"), lit(0.0)), lit(1.0))
+    // round like stratifiedSampleByHash: threshold = round(rate * Buckets)
+    df.filter(bucket(col(keyCol)) <
+      round(r * Buckets).cast("long"))
+  }
+
   /** Sequence-packing plan — the concat-and-chunk training-prep step:
     * documents are concatenated in a deterministic order and cut into
     * fixed `seqLen`-token training sequences; each document learns which

@@ -772,6 +772,25 @@ object TrainingDataQueries {
       },
       Some(incrExactSql)),
 
+    // quality-weighted deterministic sampling: keep probability = the
+    // document's quality score, membership by hash bucket (reproducible,
+    // growth-stable, shuffle-free)
+    "sample_quality_weighted" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        graft.operators.Sampling.sampleByRate(docs, "doc_id",
+            TextAnalysis.qualityScore(col("text")))
+          .select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality_score"))
+      },
+      Some(s"""WITH q AS ($qualitySql)
+              |SELECT d.doc_id, q.quality_score
+              |FROM documents d JOIN q ON d.doc_id = q.doc_id
+              |WHERE ${graft.operators.Sampling.bucketSql("d.doc_id")}
+              |  < CAST(round(q.quality_score
+              |      * ${graft.operators.Sampling.Buckets}) AS BIGINT)"""
+        .stripMargin)),
+
     // deterministic count-min sketch vs exact heavy-hitter counts: the
     // bounded-state frequency primitive (skew detection). The oracle
     // reproduces each CM counter exactly: counter_i[b] is by definition

@@ -162,6 +162,21 @@ class SamplingSpec extends SparkSpecBase {
       plan.contains("SortAggregate"), plan)
   }
 
+  test("sampleByRate keeps ~rate per row, deterministic, clamped") {
+    val df = (1L to 10000L).map(i =>
+      (i, if (i % 2 == 0) 0.9 else 0.1)).toDF("id", "r")
+    val out = Sampling.sampleByRate(df, "id", col("r"))
+    val counts = out.groupBy("r").count()
+      .collect().map(x => x.getDouble(0) -> x.getLong(1)).toMap
+    assert(math.abs(counts(0.9) - 4500L) < 300, counts.toString)
+    assert(math.abs(counts(0.1) - 500L) < 150, counts.toString)
+    // deterministic re-run; clamping keeps all at >=1, none at <=0
+    assert(out.except(Sampling.sampleByRate(df, "id", col("r")))
+      .count() == 0)
+    assert(Sampling.sampleByRate(df, "id", lit(5.0)).count() == 10000L)
+    assert(Sampling.sampleByRate(df, "id", lit(-1.0)).count() == 0L)
+  }
+
   test("sqrtTemperatureRates flattens toward sqrt, smallest keeps all") {
     // sources with 100 / 400 / 10000 tokens (one doc each)
     val docs = Seq(
