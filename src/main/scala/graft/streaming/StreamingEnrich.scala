@@ -36,7 +36,7 @@ object StreamingEnrich {
       l(leftTs) >= r(rightTs) &&
       l(leftTs) <= r(rightTs) + expr(s"interval $horizon")
     l.join(r, cond, "inner")
-      .select(left.columns.map(l(_)) ++
-        right.columns.filterNot(keys.contains).map(r(_)): _*)
+      .select((left.columns.map(l(_)) ++
+        right.columns.filterNot(keys.contains).map(r(_))).toIndexedSeq: _*)
   }
 }

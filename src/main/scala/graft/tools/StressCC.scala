@@ -42,7 +42,7 @@ object StressCC {
       .cache()
     val nodes = labels.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    val comps = labels.select(countDistinct(col("component_id"))).head.getLong(0)
+    val comps = labels.select(countDistinct(col("component_id"))).head().getLong(0)
     val starOk = labels.filter(col("id") >= 10000000L &&
       col("id") <= 10100000L && col("component_id") =!= 10000000L).count()
     val pathOk = labels.filter(col("id") >= 20000000L &&
