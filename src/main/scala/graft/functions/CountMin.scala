@@ -58,11 +58,16 @@ case class CountMin(
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
-      val hm = h % StableHash.MinhashPrime
+      // floorMod throughout: StableHash values are non-negative, but
+      // the SQL surface (graft_count_min) accepts any BIGINT and a
+      // signed % would produce a negative bucket -> AIOOBE. Matches
+      // Sketches.cmsEstimate's pmod spelling.
+      val hm = java.lang.Math.floorMod(h, StableHash.MinhashPrime)
       var i = 0
       while (i < d) {
         val (a, b) = params(i)
-        val bucket = (((a * hm + b) % StableHash.MinhashPrime) % w).toInt
+        val bucket = java.lang.Math.floorMod(
+          (a * hm + b) % StableHash.MinhashPrime, w.toLong).toInt
         buffer(i * w + bucket) += 1L
         i += 1
       }

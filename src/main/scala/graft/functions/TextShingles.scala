@@ -26,11 +26,15 @@ case class WordShingles(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    // same pipeline as split(trim(lower(text)), "\s+"): UTF8String
-    // lowercase (Spark lower() semantics), trim, whitespace tokenize
-    val s = input.asInstanceOf[UTF8String].toLowerCase.trimAll().toString
-    val words = s.split("\\s+")
-    if (words.length < k || s.isEmpty)
+    // EXACT pipeline of split(trim(lower(text)), "\s+"): UTF8String
+    // lowercase, SPACE-ONLY trim (SQL trim semantics — trimAll would
+    // also strip tabs/newlines, diverging from the composed form and
+    // the oracle on text with trailing non-space whitespace), and a
+    // limit=-1 split that KEEPS trailing empty tokens like Spark's
+    // split and DuckDB's string_split_regex do
+    val s = input.asInstanceOf[UTF8String].toLowerCase.trim().toString
+    val words = s.split("\\s+", -1)
+    if (words.length < k)
       return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](words.length - k + 1)
     var i = 0
@@ -71,10 +75,12 @@ case class WordChunks(child: Expression, w: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toLowerCase.trimAll().toString
-    // "".split("\\s+") -> [""]: one empty word, hence ONE empty chunk,
-    // matching both the higher-order formulation and the DuckDB oracle
-    val words = s.split("\\s+")
+    // same EXACT split(trim(lower(text)), "\s+") pipeline as
+    // WordShingles: space-only trim, limit=-1 split keeping trailing
+    // empty tokens. "".split -> [""]: one empty word, hence ONE empty
+    // chunk, matching the higher-order formulation and the oracle.
+    val s = input.asInstanceOf[UTF8String].toLowerCase.trim().toString
+    val words = s.split("\\s+", -1)
     val n = (words.length + w - 1) / w
     val out = new Array[Any](n)
     var c = 0

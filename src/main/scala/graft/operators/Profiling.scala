@@ -70,13 +70,8 @@ object Profiling {
     }
     val one = df.agg(count(lit(1)).as("__n_rows"), aggs: _*)
       .select(col("__n_rows") +: cols.flatMap { c =>
-        val mins = col(s"__mins_$c")
         Seq(col(s"__nn_$c"),
-          // the KMV estimator from Sketches.kmvDistinct: exact when the
-          // column has fewer than k distinct values
-          when(size(mins) < k, size(mins).cast("double"))
-            .otherwise(lit((k - 1).toDouble) * lit(Sketches.HashRange) /
-              element_at(mins, k).cast("double")).as(s"__nd_$c"))
+          Sketches.kmvEstimate(col(s"__mins_$c"), k).as(s"__nd_$c"))
       }: _*)
     val stackArgs: Seq[Column] = cols.flatMap { c =>
       Seq(lit(c), col(s"__nn_$c"), col(s"__nd_$c"))

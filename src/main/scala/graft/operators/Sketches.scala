@@ -28,6 +28,16 @@ object Sketches {
     * One exchange of <= k longs per group (ObjectHashAggregate map-side
     * partial) — never the distinct set, unlike `count(DISTINCT x)`.
     */
+  /** The KMV estimator over a [[MinKDistinct]] sketch column: exact
+    * (= the sketch size) when the group holds fewer than k distinct
+    * values, else `(k-1) * range / h_(k)`. Shared by [[kmvDistinct]]
+    * and [[Profiling.columnProfileSketch]] so the formula cannot drift.
+    */
+  def kmvEstimate(mins: Column, k: Int): Column =
+    when(size(mins) < k, size(mins).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashRange) /
+        element_at(mins, k).cast("double"))
+
   def kmvDistinct(df: DataFrame, groupCol: String, hash: Column, k: Int)
       : DataFrame = {
     require(k > 1, s"kmv k ($k) must be > 1")
@@ -35,11 +45,7 @@ object Sketches {
       .agg(MinKDistinct.minK(hash, k).as("__mins"))
       .select(col(groupCol),
         size(col("__mins")).as("kmv_size"),
-        when(size(col("__mins")) < k,
-          size(col("__mins")).cast("double"))
-          .otherwise(lit((k - 1).toDouble) * lit(HashRange) /
-            element_at(col("__mins"), k).cast("double"))
-          .as("est_distinct"))
+        kmvEstimate(col("__mins"), k).as("est_distinct"))
   }
 
   /** Deterministic discrete quantiles over a hash sample:
@@ -87,11 +93,15 @@ object Sketches {
     */
   def cmsEstimate(sketch: Column, h: Column, d: Int, w: Int): Column = {
     import graft.functions.StableHash
+    // pmod at BOTH reduction steps mirrors CountMin.update's floorMod:
+    // with a signed % a negative hash would land in a different (or,
+    // via element_at's negative indexing, a silently wrong) bucket
+    val hm = pmod(h, lit(StableHash.MinhashPrime))
     val terms = StableHash.minhashParams(d).zipWithIndex.map {
       case ((a, b), i) =>
+        val perm = (lit(a) * hm + lit(b)) % StableHash.MinhashPrime
         element_at(sketch,
-          (lit(i.toLong * w) + StableHash.minhashPerm(h, a, b) % w + 1L)
-            .cast("int"))
+          (lit(i.toLong * w) + perm % w + 1L).cast("int"))
     }
     least(terms: _*)
   }
@@ -113,10 +123,18 @@ object Sketches {
     val th = hashSampleQuantiles(df, keyCol, value, sampleFrac, probs)
       .agg(sort_array(collect_list(col("value"))).as("__ths"))
       .withColumn("__k", lit(1))
+    // an empty/undersized hash sample (tiny df x small sampleFrac)
+    // yields fewer thresholds than probs — every row would silently
+    // land in bucket 0 looking like a clean run; fail loudly instead
+    val checked = when(size(col("__ths")) === probs.size, col("__ths"))
+      .otherwise(raise_error(concat(
+        lit(s"quantileBuckets: hash sample produced "),
+        size(col("__ths")).cast("string"),
+        lit(s" of ${probs.size} thresholds — raise sampleFrac"))))
     df.select(col(keyCol), value.as("value"))
       .withColumn("__k", lit(1))
       .join(broadcast(th), Seq("__k"))
       .select(col(keyCol), col("value"),
-        size(filter(col("__ths"), t => col("value") > t)).as("bucket"))
+        size(filter(checked, t => col("value") > t)).as("bucket"))
   }
 }

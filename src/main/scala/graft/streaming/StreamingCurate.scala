@@ -56,20 +56,22 @@ object StreamingCurate {
                     minWords: Int = TextAnalysis.GopherDefaults.MinWords,
                     chunkWords: Int = 8,
                     watermark: String = "1 hour"): DataFrame = {
-    val chunks = graft.functions.TextShingles
-      .wordChunks(col(textCol), chunkWords)
-    val cleaned = array_join(
-      filter(chunks, (c, i) =>
-        array_position(chunks, c) === (i + 1).cast("long")), " ")
     docs
       .filter(TextAnalysis.langId(col(textCol)) === lang)
       .filter(TextAnalysis.gopherKeep(col(textCol), minWords = minWords))
-      .withColumn("clean_text", cleaned)
+      // materialize the chunk array BEFORE the first-occurrence filter:
+      // referencing the chunking expression inside the lambda would
+      // re-chunk the whole text once per array element
+      .withColumn("__ch", graft.functions.TextShingles
+        .wordChunks(col(textCol), chunkWords))
+      .withColumn("clean_text", array_join(
+        filter(col("__ch"), (c, i) =>
+          array_position(col("__ch"), c) === (i + 1).cast("long")), " "))
       .withColumn("__norm_hash",
         StableHash.hash60(
           TextAnalysis.normalizeForHash(col("clean_text"))))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__norm_hash")
-      .drop("__norm_hash")
+      .drop("__ch", "__norm_hash")
   }
 }

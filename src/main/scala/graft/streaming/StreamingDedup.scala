@@ -36,10 +36,14 @@ object StreamingDedup {
     * [[dropDupTexts]] to also catch within-stream repeats.
     *
     * Spark-native shape: a stream-static LEFT ANTI join. The static side
-    * is the [[graft.operators.Dedup.exact]] output table — re-read per
-    * micro-batch by Structured Streaming's stream-static contract, so
-    * publishing a refreshed index (atomic swap, MergeSink.publish) is
-    * picked up without restarting the query. Broadcast it when it fits
+    * is the [[graft.operators.Dedup.exact]] output table. NOTE on
+    * refresh: a parquet-backed static frame snapshots its FILE LISTING
+    * at creation — later batches keep reading the original files, so an
+    * atomically swapped index refresh is NOT picked up by this join (and
+    * the retired copy's deletion would eventually fail the query). To
+    * follow a refreshing index, re-create the static frame per
+    * micro-batch inside `foreachBatch` (the [[StreamingMerge]] pattern)
+    * or restart the query on publish. Broadcast the index when it fits
     * (hash+id pairs are ~16 bytes/doc); at full 100 TB-corpus scale the
     * index is bucketed on `text_hash` and only the micro-batch shuffles.
     */

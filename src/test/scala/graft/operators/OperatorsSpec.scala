@@ -24,6 +24,27 @@ class OperatorsSpec extends SparkSpecBase {
     assert(short.isEmpty)
   }
 
+  test("wordShingles matches split(trim(lower())) on whitespace edges") {
+    // the oracle tokenizes with SQL trim (spaces only) + a split that
+    // keeps trailing empty tokens; the one-pass expression must agree
+    // on tab/newline-wrapped text, not just spaces
+    val rows = Seq("", "   ", "one two three", "foo bar\n", "\tfoo bar",
+      "foo bar\t\n", "a b c ", " a\nb c")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    for (k <- Seq(1, 2, 3)) {
+      val ws = split(trim(lower(col("t"))), "\\s+")
+      val composed = when(size(ws) < k, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ws) - (k - 1)),
+          i => array_join(slice(ws, i, lit(k)), " ")))
+      val bad = rows.select(
+          graft.functions.TextShingles.wordShingles(col("t"), k)
+            .as("fast"), composed.as("slow"))
+        .filter(not(col("fast") === col("slow"))).count()
+      assert(bad == 0, s"k=$k: fast shingles diverge from composed")
+    }
+  }
+
   test("incremental minhash dedup finds batch-vs-corpus collisions only") {
     val base = (1 to 60).map(i => s"word$i").mkString(" ")
     val nearDup = base.replace("word30", "changed")
@@ -432,9 +453,13 @@ class OperatorsSpec extends SparkSpecBase {
 
   test("wordChunks matches the transform/sequence formulation on edges") {
     import graft.functions.TextShingles
+    // trailing/leading TAB and NEWLINE are the divergence traps: SQL
+    // trim strips spaces only, and split(-1) keeps trailing empty
+    // tokens — the one-pass expression must reproduce both
     val rows = Seq("", "   ", "one", "one two", "one two three",
       "a b c d e f g h i", "  pad  ded   runs\tand\nlines  ",
-      "héllo wörld 漢字 MIXED Case")
+      "héllo wörld 漢字 MIXED Case",
+      "foo bar\n", "\tfoo bar", "foo bar\t\n", "a\nb ")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "t")
     for (w <- Seq(1, 2, 4)) {

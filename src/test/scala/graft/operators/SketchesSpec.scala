@@ -126,6 +126,34 @@ class SketchesSpec extends SparkSpecBase {
     assert(est >= 5000L && est < 5200L, s"heavy-key estimate $est")
   }
 
+  test("count-min accepts negative hashes (SQL surface inputs)") {
+    import graft.functions.CountMin
+    // raw xxhash64-style negative longs: update must not throw, and the
+    // estimate must look up the SAME bucket the update incremented
+    val df = Seq(-1L, -1L, -1L, Long.MinValue, -42L).toDF("h")
+    val sk = df.agg(CountMin.sketch(col("h"), 4, 64).as("sk"))
+      .withColumn("__j", lit(1))
+    val est = df.distinct().withColumn("__j", lit(1))
+      .join(broadcast(sk), Seq("__j"))
+      .select(col("h"),
+        Sketches.cmsEstimate(col("sk"), col("h"), 4, 64).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est(-1L) == 3L, est.toString)
+    assert(est(Long.MinValue) >= 1L && est(-42L) >= 1L, est.toString)
+  }
+
+  test("quantileBuckets fails loudly on an undersized hash sample") {
+    val df = (1L to 500L).map(i => (i, i)).toDF("id", "v")
+    val e = intercept[Exception] {
+      Sketches.quantileBuckets(df, "id", col("v"),
+        sampleFrac = 0.0001, probs = Seq(0.5)).collect()
+    }
+    assert(e.getMessage.contains("raise sampleFrac") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("raise sampleFrac"),
+      e.getMessage)
+  }
+
   test("quantileBuckets bins by sampled thresholds via broadcast") {
     // values 1..1000, full sample -> quartile thresholds 250/500/750
     val df = (1L to 1000L).map(i => (i, i)).toDF("id", "v")
