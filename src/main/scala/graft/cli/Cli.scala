@@ -43,6 +43,9 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the graft_* SQL surface is part of the product: any spark.sql a
+    // CLI-driven pipeline runs sees the same deterministic primitives
+    graft.functions.GraftFunctions.register(spark)
     try run(spark, args.toSeq)
     finally spark.stop()
   }

@@ -475,6 +475,36 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("stress: boilerplate removal + DSIR at 100k docs") {
+    // 100k ~16-word docs; every doc shares one planted boilerplate
+    // chunk (df=100k) plus a unique tail. Checks the corpus-sized
+    // window paths complete and conserve invariants at 200x the oracle
+    // scale.
+    val docs = spark.range(100000L).selectExpr("id AS doc_id",
+      """concat('click here to accept all cookies now ok ',
+        |'tail', id, ' ', 'w', id % 97, ' w', id % 89, ' w', id % 83,
+        |' w', id % 79, ' w', id % 73, ' w', id % 71, ' w', id % 67)
+        |""".stripMargin.replaceAll("\n", "") + " AS text")
+    val boiler = Dedup.removeBoilerplateChunks(docs, "doc_id", "text",
+      w = 8, minDf = 2)
+    val agg = boiler.agg(
+      count(lit(1)), sum(col("total_chunks")), sum(col("kept_chunks")))
+      .collect().head
+    assert(agg.getLong(0) == 100000L)
+    // 2 chunks per doc (16 words, w=8); the planted chunk always drops
+    assert(agg.getLong(1) == 200000L)
+    assert(agg.getLong(2) <= 100000L, "shared chunk must be cut")
+    // DSIR over the same corpus: target = 1% of docs; score bounds
+    val scored = TextAnalysis.importanceWeights(docs, "doc_id", "text",
+      col("doc_id") % 100 === 0, scale = 10000L)
+    val s = scored.agg(count(lit(1)), min(col("dsir_score")),
+      max(col("dsir_score"))).collect().head
+    assert(s.getLong(0) == 100000L)
+    assert(s.getLong(1) >= 0L)
+    // per-token contrib <= scale, docs have 16 tokens
+    assert(s.getLong(2) <= 16L * 10000L)
+  }
+
   test("property: chunk family invariants on random word streams") {
     import org.scalacheck.Gen
     // small vocab forces chunk collisions within and across docs
