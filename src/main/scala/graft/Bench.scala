@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR,
   * prints ONE JSON line {"metric":...,"queries":{...}} on stdout AND
@@ -11,30 +11,34 @@ import org.apache.spark.sql.SparkSession
   * then SPARK_GRAFT_BENCH_ITERS (default 3) steady-state passes; the
   * reported per-query number is the MEDIAN across passes (single runs on
   * sub-second queries carry ±40% scheduler noise).
+  *
+  * Honesty guards: a query that throws during ANY pass is recorded in the
+  * JSON's `"failed"` list and the process exits non-zero — a broken query
+  * must fail the run, not read as a ~0 s entry. `"methodology_version": 2`
+  * marks the r8+ accounting (cache cleared between queries, each run pays
+  * its own persists); version 1 (<= r7) let steady-state passes reuse
+  * pass-1 InMemoryRelations, so per-query numbers across versions are NOT
+  * comparable and diffing tools should refuse the comparison.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** One full measurement run. Returns (json, failedQueryNames).
+    * Factored out of main so a spec can prove a deliberately-broken query
+    * lands in `failed` without the spec JVM being `sys.exit`ed.
+    */
+  def run(spark: SparkSession, sfDir: String, iters: Int,
+          names: Seq[String],
+          queries: Map[String, (SparkSession, String) => DataFrame])
+      : (String, Seq[String]) = {
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
 
     def once(name: String): Double = {
-      val fn = SparkEntry.queries(name)
+      val fn = queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable =>
-        // surface it: a swallowed failure would read as a fast query
         System.err.println(s"bench: $name FAILED: ${e.getMessage}")
+        failed += name
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop datasets the query persisted: each invocation re-persists
@@ -51,17 +55,37 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
-    val cold = SparkEntry.benchQueries.map(n => n -> once(n))
+    val cold = names.map(n => n -> once(n))
     val passes = (1 to math.max(1, iters))
-      .map(_ => SparkEntry.benchQueries.map(n => n -> once(n)).toMap)
-    val med = SparkEntry.benchQueries.map(n =>
-      n -> median(passes.map(_(n))))
+      .map(_ => names.map(n => n -> once(n)).toMap)
+    val med = names.map(n => n -> median(passes.map(_(n))))
     val qs = med.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"measurement":"per-query median of ${passes.size} steady-state runs (1st-run plan+codegen compile excluded; cache cleared between queries so each run pays its own persists - no cross-run InMemoryRelation reuse)"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"methodology_version":2,"failed":$failedJson,"measurement":"per-query median of ${passes.size} steady-state runs (1st-run plan+codegen compile excluded; cache cleared between queries so each run pays its own persists - no cross-run InMemoryRelation reuse)"}"""
+    (json, failed.toSeq)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (json, failed) =
+      run(spark, sfDir, iters, SparkEntry.benchQueries, SparkEntry.queries)
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")
@@ -70,5 +94,10 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"bench: could not write $out: ${e.getMessage}") }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"bench: ${failed.size} quer${
+        if (failed.size == 1) "y" else "ies"} failed: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -19,9 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * which dominated the dedup operators' runtime at corpus scale.
   */
 case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
   require(k >= 1, "shingle size must be >= 1")
+
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -68,9 +70,11 @@ case class WordShingles(child: Expression, k: Int)
   * allocation per chunk, tripled across the three chunk operators.
   */
 case class WordChunks(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
   require(w >= 1, "chunk width must be >= 1")
+
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

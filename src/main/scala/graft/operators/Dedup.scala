@@ -40,11 +40,35 @@ object Dedup {
     */
   def exactAgainst(newDocs: DataFrame, corpusIndex: DataFrame,
                    idCol: String, textCol: String): DataFrame =
-    newDocs
+    warnIfIndexShuffles(newDocs
       .select(col(idCol).as("id"), hash60(col(textCol)).as("text_hash"))
       .join(corpusIndex.select(col("text_hash"),
         col("keep_id").as("dup_of")), Seq("text_hash"), "left")
-      .select(col("id"), col("text_hash"), col("dup_of"))
+      .select(col("id"), col("text_hash"), col("dup_of")), "exactAgainst")
+
+  /** Runtime guard for the incremental ("...Against") operators' 100 TB
+    * contract: the persisted corpus index must NOT re-shuffle per batch.
+    * The healthy plans are a broadcast probe (batch broadcasts) or a
+    * one-sided exchange into a bucketed index scan; a plan that
+    * hash-exchanges BOTH join sides with no broadcast is the signature of
+    * an unbucketed index silently degrading to a full index shuffle per
+    * batch. Warn-only (correctness is unaffected); planning here costs
+    * milliseconds once per batch and never executes the query.
+    */
+  private[graft] def warnIfIndexShuffles(result: DataFrame, op: String)
+      : DataFrame = {
+    try {
+      val plan = result.queryExecution.executedPlan.toString
+      val exchanges =
+        "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      if (!plan.contains("BroadcastHashJoin") && exchanges >= 2)
+        System.err.println(s"[graft] $op: plan hash-exchanges both join " +
+          s"sides ($exchanges exchanges, no broadcast probe) - the corpus " +
+          "index is re-shuffling per batch. Persist the index bucketed on " +
+          "the join key (MergeSink.publishBucketed) so only the batch moves.")
+    } catch { case _: Throwable => () } // guard must never fail the operator
+    result
+  }
 
   /** Word shingles (k-grams) of a text column as array<string>.
     * Lowercased, whitespace-tokenized; single-pass custom expression
@@ -270,7 +294,7 @@ object Dedup {
     * materialization costs one pass that the caller was about to pay
     * anyway.
     */
-  private def releaseAfter(result: DataFrame, cached: DataFrame)
+  private[graft] def releaseAfter(result: DataFrame, cached: DataFrame)
       : DataFrame = {
     val out = result.localCheckpoint(eager = true)
     cached.unpersist()
@@ -366,12 +390,12 @@ object Dedup {
       zip_with(col("sig_new"), col("sig_corpus"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    banded(corpusSigs, "corpus")
+    warnIfIndexShuffles(banded(corpusSigs, "corpus")
       .join(broadcast(banded(newSigs, "new")), Seq("band_no", "bk"))
       .select(col("new_id"), col("corpus_id"),
         (agree.cast("double") / numHashes).as("sig_agreement"))
       .distinct()
-      .filter(col("sig_agreement") >= threshold)
+      .filter(col("sig_agreement") >= threshold), "minhashNearDupsAgainst")
   }
 
   /** Connected components over a near-dup pair graph — the cluster

@@ -443,8 +443,14 @@ object AnalyticsQueries {
     // combinable rollup of |cohort x offset| rows.
     "cohort_retention" -> QueryDef(
       (s, d) => {
+        // exact FLOOR division to match DuckDB's `//` on negative epochs
+        // too (Spark's `div` truncates toward zero): subtracting pmod
+        // makes the numerator exactly divisible, so `div` == floor
         val e = events(s, d).select(col("user_id"),
-          expr("(unix_micros(ts) div 86400000000) div 7").as("wk"))
+          expr("""((unix_micros(ts) - pmod(unix_micros(ts), 86400000000))
+                 |  div 86400000000)""".stripMargin).as("day"))
+          .select(col("user_id"),
+            expr("(day - pmod(day, 7)) div 7").as("wk"))
         // first-seen week as a window over the distinct activity set:
         // ONE scan of the fact table (a groupBy+join formulation
         // re-scans events for the min side), windows only the distinct

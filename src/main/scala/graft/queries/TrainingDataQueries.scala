@@ -1528,9 +1528,12 @@ object TrainingDataQueries {
         val canon = Dedup.keepCanonical(edocs, "doc_id", labels)
         val capped = Sampling.capPerGroup(canon, "source", "doc_id",
           col("n_chars"), DomainCap)
-        Sampling.hashSplit(capped, "doc_id",
+        val result = Sampling.hashSplit(capped, "doc_id",
             Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
           .select(col("doc_id"), col("source"), col("split"))
+        // release edocs once the result is materialized — without this the
+        // cache outlives the query and accumulates across a full registry run
+        Dedup.releaseAfter(result, edocs)
       },
       Some(curateSql))
   )

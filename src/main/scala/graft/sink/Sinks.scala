@@ -53,11 +53,21 @@ object Sinks {
   def compactFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
                    targetRecordsPerFile: Long): (Int, Int) = {
     require(targetRecordsPerFile > 0, "targetRecordsPerFile must be > 0")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def dataFiles(p: String): Int =
-      fs.listStatus(new org.apache.hadoop.fs.Path(p))
-        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    // derive the FS from the path, not the default FS: dir may live on a
+    // non-default scheme (s3a:// with an HDFS default, file:// in tests)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: String): Int = {
+      val entries = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      // flat-layout pass only: partitioned layouts (subdirectories) must be
+      // compacted per-partition dir — the unit the merge layouts expose
+      require(!entries.exists(e => e.isDirectory &&
+          !e.getPath.getName.startsWith("_") &&
+          !e.getPath.getName.startsWith(".")),
+        s"compactFiles expects a flat file layout; $p has subdirectories — " +
+          "compact each partition directory individually")
+      entries.count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
     val before = dataFiles(dir)
     val df = spark.read.parquet(dir)
     val rows = df.count()

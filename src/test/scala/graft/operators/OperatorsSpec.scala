@@ -567,6 +567,53 @@ class OperatorsSpec extends SparkSpecBase {
     assert(r(101L).isEmpty, "novel text has no dup_of")
   }
 
+  test("exactAgainst over a bucketed index never shuffles the index side") {
+    val t = "graft_exact_idx_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val corpus = (1 to 200).map(i => (i.toLong, s"corpus doc number $i"))
+      .toDF("doc_id", "text")
+    graft.sink.MergeSink.publishBucketed(
+      Dedup.exact(corpus, "doc_id", "text"), t, Seq("text_hash"),
+      numBuckets = 4)
+    val batch = Seq((1000L, "corpus doc number 7"), (1001L, "novel"))
+      .toDF("doc_id", "text")
+    // force the SMJ path (the 100 TB shape): a broadcast of the tiny test
+    // index would hide whether the index side is exchange-free
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Dedup.exactAgainst(batch, spark.table(t), "doc_id", "text")
+      val plan = out.queryExecution.executedPlan.toString
+      val exchanges =
+        "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+      assert(plan.contains("Bucketed: true"),
+        s"expected bucketed index scan in plan:\n$plan")
+      assert(exchanges == 1,
+        s"only the batch side may exchange, saw $exchanges:\n$plan")
+      assert(out.filter(col("dup_of").isNotNull).count() == 1)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("exactAgainst warns when an unbucketed index re-shuffles per batch") {
+    val corpus = (1 to 50).map(i => (i.toLong, s"doc $i"))
+      .toDF("doc_id", "text")
+    val batch = Seq((99L, "doc 1")).toDF("doc_id", "text")
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try Dedup.exactAgainst(batch, Dedup.exact(corpus, "doc_id", "text"),
+      "doc_id", "text")
+    finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      System.setErr(old)
+    }
+    assert(buf.toString("UTF-8").contains("re-shuffling per batch"),
+      s"expected index-shuffle warning, got: ${buf.toString("UTF-8")}")
+  }
+
   test("overlapMatrix rolls near-dup pairs up to unordered group pairs") {
     val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L), (2L, 6L))
       .toDF("id_a", "id_b")
