@@ -60,5 +60,8 @@ object SparkEntry {
     // and the exact column profile (Expand-based distinct counts)
     "text_dsir_weights", "text_remove_boilerplate",
     "dedup_intra_doc_chunks", "profile_columns",
-    "dedup_minhash_precision", "text_oov_rate", "cohort_retention")
+    "dedup_minhash_precision", "text_oov_rate", "cohort_retention",
+    // round-9 additions: learned-vocab tokenizer (train one exchange +
+    // zero-exchange trie encode)
+    "text_vocab_token_counts")
 }

@@ -45,6 +45,21 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def litStringArray(e: Expression, what: String): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    require(e.foldable && e.dataType.isInstanceOf[ArrayType] &&
+        e.dataType.asInstanceOf[ArrayType].elementType == StringType,
+      s"$what must be a foldable array<string> literal, got $e")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(StringType).toIndexedSeq.collect {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what evaluated to $other, expected an array")
+    }
+  }
+
   /** The function table (name -> builder). */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
@@ -78,6 +93,18 @@ object GraftFunctions {
         require(args.length == 2,
           s"graft_word_shingles expects (text, k), got ${args.length}")
         WordShingles(args.head, litInt(args(1), "shingle size k"))
+      }),
+
+    // learned-vocab greedy token count: vocab is a required array<string>
+    // literal (a model artifact — it parameterizes the trie, not a row)
+    (FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[GreedyTokenCount].getCanonicalName,
+        "graft_token_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_token_count expects (text, vocab), got ${args.length}")
+        GreedyTokenCount(args.head,
+          litStringArray(args(1), "tokenizer vocab"))
       }),
 
     // bounded top-k aggregate: array<long> of ids by (score desc, id asc)

@@ -80,11 +80,15 @@ object Sampling {
     * no second scan. Sources absent from `weights` are excluded.
     */
   def mixturePlan(docs: DataFrame, sourceCol: String, textCol: String,
-                  weights: Map[String, Double]): DataFrame = {
+                  weights: Map[String, Double],
+                  tokensCol: Option[Column] = None): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "weights must be non-empty and positive")
-    val tokens = size(split(trim(lower(col(textCol))), "\\s+"))
-      .cast("long")
+    // budgets default to whitespace counts; pass a learned-tokenizer
+    // column (TextAnalysis.vocabTokenCounts / GreedyTokenCount) to plan
+    // on real token counts
+    val tokens = tokensCol.getOrElse(
+      size(split(trim(lower(col(textCol))), "\\s+"))).cast("long")
     val perSource = docs
       .groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
@@ -121,9 +125,10 @@ object Sampling {
     * aggregate pass, then a window over the |sources|-row frame.
     */
   def sqrtTemperatureRates(docs: DataFrame, sourceCol: String,
-                           textCol: String): DataFrame = {
-    val tokens = size(split(trim(lower(col(textCol))), "\\s+"))
-      .cast("long")
+                           textCol: String,
+                           tokensCol: Option[Column] = None): DataFrame = {
+    val tokens = tokensCol.getOrElse(
+      size(split(trim(lower(col(textCol))), "\\s+"))).cast("long")
     val perSource = docs
       .groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
@@ -177,11 +182,13 @@ object Sampling {
     * only documents, never re-deals whole shards.
     */
   def packPlan(docs: DataFrame, idCol: String, textCol: String,
-               seqLen: Int, numShards: Int): DataFrame = {
+               seqLen: Int, numShards: Int,
+               tokensCol: Option[Column] = None): DataFrame = {
     require(seqLen > 0, s"seqLen ($seqLen) must be positive")
     require(numShards > 0, s"numShards ($numShards) must be positive")
     import org.apache.spark.sql.expressions.Window
-    val tokens = size(split(trim(lower(col(textCol))), "\\s+")).cast("long")
+    val tokens = tokensCol.getOrElse(
+      size(split(trim(lower(col(textCol))), "\\s+"))).cast("long")
     val base = docs.select(col(idCol).as("id"), tokens.as("n_tokens"))
       .withColumn("shard",
         pmod(StableHash.hash60(col("id").cast("string")), lit(numShards))

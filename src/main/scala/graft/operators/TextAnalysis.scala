@@ -344,6 +344,55 @@ object TextAnalysis {
         col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Train a BPE-style unit vocabulary: the `vocabSize` most frequent
+    * units among whole words UNION overlapping character bigrams (counted
+    * per word instance), ties broken lexicographically — frequent words
+    * tokenize whole, everything else falls back to learned bigram pieces
+    * then single-char UNKs (see [[graft.functions.GreedyTokenCount]]).
+    *
+    * Scale shape: unit counting is ONE corpus-sized exchange with
+    * map-side partial aggregation, then TakeOrderedAndProject — never a
+    * global sort. The returned vocab is a bounded model artifact
+    * (`vocabSize` strings) collected to the driver, exactly like IVF
+    * centroids: train once, encode any number of batches.
+    */
+  def trainUnitVocab(docs: DataFrame, textCol: String,
+                     vocabSize: Int): Array[String] = {
+    require(vocabSize > 0, s"vocabSize ($vocabSize) must be positive")
+    val inst = docs.select(
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("__w"))
+    val units = inst.filter(col("__w") =!= "")
+      .select(col("__w").as("__u"))
+      .unionAll(inst.filter(length(col("__w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(__w) - 1)," +
+            " i -> substring(__w, i, 2))")).as("__u")))
+    units.groupBy(col("__u")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__u"))
+      .limit(vocabSize)
+      .select(col("__u"))
+      .collect().map(_.getString(0))
+  }
+
+  /** Token counts under a learned vocabulary ([[trainUnitVocab]]):
+    * `(id, n_words, n_tokens)` where `n_tokens` is greedy longest-match
+    * segmentation against `vocab` — the REAL token budget for
+    * [[Sampling.mixturePlan]] / [[Sampling.packPlan]] /
+    * [[Sampling.sqrtTemperatureRates]], replacing the whitespace
+    * heuristic.
+    *
+    * Scale shape: a ZERO-exchange codegen-adjacent projection — the vocab
+    * rides inside the expression (task-serialized once), so the corpus is
+    * scanned exactly once with no join or shuffle (plan-asserted in
+    * TextAnalysisSpec).
+    */
+  def vocabTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                       vocab: Seq[String]): DataFrame =
+    docs.select(col(idCol),
+      wsTokenCount(col(textCol)).cast("long").as("n_words"),
+      graft.functions.GreedyTokenCount.tokenCount(col(textCol), vocab)
+        .as("n_tokens"))
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169) with
     * EXACT integer arithmetic: each document is scored by how much its

@@ -621,6 +621,11 @@ object TrainingDataQueries {
   private val BoilerMinDf = 2
   // OOV-rate vocabulary size (top-N corpus words)
   private val OovVocab = 30
+  // learned-tokenizer unit vocabulary (top-N words + char bigrams): 24
+  // keeps a mix of whole-word hits, bigram pieces, and char UNKs on the
+  // synthetic corpus (31 distinct words), so greedy longest-match is
+  // genuinely exercised
+  private val UnitVocab = 24
   // count-min sketch geometry + number of audited heavy hitters
   private val CmsD = 4
   private val CmsW = 2048
@@ -917,6 +922,48 @@ object TrainingDataQueries {
               |  CAST(sum(miss) AS DOUBLE) / CAST(count(*) AS DOUBLE)
               |    AS oov_rate
               |FROM tag GROUP BY doc_id""".stripMargin)),
+
+    // learned-vocab tokenizer: train top-N units (words + char bigrams)
+    // then greedy longest-match encode — real token counts for the
+    // mixture/pack budget functions. The oracle reproduces the greedy
+    // segmentation with a recursive CTE over (distinct word, position)
+    // states; the Spark side is a zero-exchange trie projection.
+    "text_vocab_token_counts" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val vocab = TextAnalysis.trainUnitVocab(docs, "text", UnitVocab)
+        TextAnalysis.vocabTokenCounts(docs, "doc_id", "text",
+          vocab.toIndexedSeq)
+      },
+      Some(s"""WITH RECURSIVE $wordsCte,
+              |inst AS (SELECT doc_id, unnest(ws) AS w FROM words),
+              |bgp AS (SELECT w, CAST(unnest(range(1, length(w))) AS INT)
+              |    AS p FROM inst WHERE length(w) >= 2),
+              |units AS (
+              |  SELECT w AS u FROM inst WHERE w <> ''
+              |  UNION ALL
+              |  SELECT substr(w, p, 2) AS u FROM bgp),
+              |voc AS (SELECT u FROM (SELECT u, count(*) AS c FROM units
+              |  GROUP BY u ORDER BY c DESC, u LIMIT $UnitVocab)),
+              |dw AS (SELECT DISTINCT w FROM inst WHERE w <> ''),
+              |pos AS (SELECT w,
+              |    CAST(unnest(range(1, length(w) + 1)) AS INT) AS p
+              |  FROM dw),
+              |m AS (SELECT pos.w, pos.p, max(length(voc.u)) AS ml
+              |  FROM pos JOIN voc
+              |    ON substr(pos.w, pos.p, length(voc.u)) = voc.u
+              |  GROUP BY pos.w, pos.p),
+              |r(w, p, t) AS (
+              |  SELECT w, 1, 0 FROM dw
+              |  UNION ALL
+              |  SELECT r.w, r.p + CAST(coalesce(m.ml, 1) AS INT), r.t + 1
+              |  FROM r LEFT JOIN m ON m.w = r.w AND m.p = r.p
+              |  WHERE r.p <= length(r.w)),
+              |seg AS (SELECT w, max(t) AS nt FROM r GROUP BY w)
+              |SELECT i.doc_id, count(*) AS n_words,
+              |  CAST(sum(coalesce(seg.nt, 0)) AS BIGINT) AS n_tokens
+              |FROM inst i LEFT JOIN seg ON i.w = seg.w
+              |GROUP BY i.doc_id""".stripMargin)),
 
     "embedding_validate" -> QueryDef(
       (s, d) => Similarity.validateEmbeddings(table(s, d, "embeddings"),

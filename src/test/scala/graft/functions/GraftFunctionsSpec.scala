@@ -42,6 +42,19 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(viaSql.except(viaDf).isEmpty && viaDf.except(viaSql).isEmpty)
   }
 
+  test("graft_token_count in SQL matches GreedyTokenCount") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_token_count('abcd xcdx zzz', array('abc','ab','cd','x'))")
+      .head().getLong(0)
+    assert(got == 8L) // abc+d, x+cd+x, z+z+z
+
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_token_count('a', array(1, 2))").collect()
+    }
+    assert(e.getMessage.contains("array<string>"), e.getMessage)
+  }
+
   test("k arguments must be integer literals") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {

@@ -433,6 +433,78 @@ class OperatorsSpec extends SparkSpecBase {
     assert(r(3L) == ((2L, 2L, 1.0)))
   }
 
+  test("GreedyTokenCount: longest match wins, UNK falls back to chars") {
+    import graft.functions.GreedyTokenCount
+    val vocab = Seq("abc", "ab", "cd", "x")
+    val rows = Seq(
+      ("abcd", 2L),     // "abc" (longest beats "ab") + "d" UNK
+      ("abcd abcd", 4L),
+      ("xcdx", 3L),     // "x" + "cd" + "x"
+      ("zzz", 3L),      // all UNK chars
+      ("", 0L),         // empty word contributes nothing
+      ("   ", 0L),
+      ("ab\tcd\nx", 3L) // whitespace-split like the other text ops
+    ).toDF("t", "expected")
+    val bad = rows.select(
+        GreedyTokenCount.tokenCount(col("t"), vocab).as("got"),
+        col("expected"))
+      .filter(col("got") =!= col("expected")).count()
+    assert(bad == 0, rows.select(col("t"),
+      GreedyTokenCount.tokenCount(col("t"), vocab)).collect().mkString(","))
+  }
+
+  test("GreedyTokenCount rejects non-string input at analysis time") {
+    import graft.functions.GreedyTokenCount
+    val e = intercept[Exception] {
+      Seq(1L).toDF("n")
+        .select(GreedyTokenCount.tokenCount(col("n"), Seq("a")))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"),
+      s"expected an analysis-time type error, got: ${e.getMessage}")
+  }
+
+  test("trainUnitVocab: words + bigrams, count-desc/lexicographic order") {
+    // instances: "aa" x3, "ab" x1; bigrams per instance: aa->"aa",
+    // ab->"ab". Counts: "aa" unit 3+3=6, "ab" unit 1+1=2
+    val docs = Seq((1L, "aa aa"), (2L, "aa ab")).toDF("doc_id", "text")
+    val v = TextAnalysis.trainUnitVocab(docs, "text", vocabSize = 2).toSeq
+    assert(v == Seq("aa", "ab"), s"got $v")
+  }
+
+  test("vocabTokenCounts is a zero-exchange projection") {
+    val docs = Seq((1L, "ab cd zz"), (2L, "abab")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabTokenCounts(docs, "doc_id", "text",
+      Seq("ab", "cd"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"encode must not shuffle or join:\n$plan")
+    val r = out.collect().map(x => x.getLong(0) ->
+      (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == ((3L, 4L)))  // ab + cd + z,z
+    assert(r(2L) == ((1L, 2L)))  // ab + ab
+  }
+
+  test("mixturePlan and packPlan budget on learned token counts") {
+    import graft.functions.GreedyTokenCount
+    val vocab = Seq("ab")
+    val docs = Seq(
+      (1L, "s1", "ab ab"),   // 2 vocab tokens (ws: 2)
+      (2L, "s1", "zzzz"),    // 4 UNK tokens  (ws: 1)
+      (3L, "s2", "ab"))      // 1 vocab token (ws: 1)
+      .toDF("doc_id", "source", "text")
+    val toks = GreedyTokenCount.tokenCount(col("text"), vocab)
+    val mix = Sampling.mixturePlan(docs, "source", "text",
+        Map("s1" -> 1.0, "s2" -> 1.0), tokensCol = Some(toks))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(mix == Map("s1" -> 6L, "s2" -> 1L),
+      s"learned counts must flow into the budget: $mix")
+    val pack = Sampling.packPlan(docs, "doc_id", "text", seqLen = 4,
+        numShards = 1, tokensCol = Some(toks))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pack == Map(1L -> 2L, 2L -> 4L, 3L -> 1L), s"got $pack")
+  }
+
   test("validateEmbeddings flags dim, NaN and zero-norm vectors") {
     val emb = Seq(
       (1L, Array(1.0f, 2.0f)),                 // valid (dim 2)
