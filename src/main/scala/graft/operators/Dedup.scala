@@ -198,17 +198,33 @@ object Dedup {
     * `maxHamming`. Bucketed join, not cross join.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      bits: Int = 32, maxHamming: Int = 3): DataFrame = {
-    val fps = simhash(docs, idCol, textCol, bits)
+                      bits: Int = 32, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(simhash(docs, idCol, textCol, bits), idCol,
+      "simhash", bits, maxHamming)
+
+  /** Byte-band Hamming LSH over ANY 64-bit-or-narrower fingerprint column
+    * (simhash, perceptual aHash, …): candidates are pairs sharing any
+    * 8-bit band of the fingerprint, verified by `bit_count(xor) <=
+    * maxHamming`. Pairs with Hamming <= bits/8 - 1 are caught with
+    * certainty (pigeonhole over `bits/8` bands); larger thresholds trade
+    * recall for the same bucketed cost — candidates are generated
+    * per-bucket (ONE shuffle on the band key), never as a cross join.
+    * Arithmetic-shift sign-fill is harmless: `& 255` extracts the true
+    * byte either way, so bit-63-set fingerprints band correctly.
+    */
+  def bandedHammingPairs(fps: DataFrame, idCol: String, hashCol: String,
+                         bits: Int, maxHamming: Int): DataFrame = {
+    require(bits % 8 == 0 && bits > 0 && bits <= 64,
+      s"bits ($bits) must be a positive multiple of 8, at most 64")
     val nBands = bits / 8
-    val banded = fps.select(col(idCol), col("simhash"),
+    val banded = fps.select(col(idCol), col(hashCol),
       posexplode(array((0 until nBands).map(b =>
         concat_ws("_", lit(b),
-          shiftright(col("simhash"), b * 8).bitwiseAND(255))): _*))
+          shiftright(col(hashCol), b * 8).bitwiseAND(255))): _*))
         .as(Seq("band_no", "bk")))
-    val l = banded.select(col(idCol).as("id_a"), col("simhash").as("fp_a"),
+    val l = banded.select(col(idCol).as("id_a"), col(hashCol).as("fp_a"),
       col("bk"))
-    val r = banded.select(col(idCol).as("id_b"), col("simhash").as("fp_b"),
+    val r = banded.select(col(idCol).as("id_b"), col(hashCol).as("fp_b"),
       col("bk"))
     l.join(r, Seq("bk")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

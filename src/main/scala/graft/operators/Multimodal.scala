@@ -85,6 +85,33 @@ object Multimodal {
       length(col("payload")).cast("long").as("n_bytes"),
       md5(col("payload")).as("checksum"))
 
+  /** 64-bit perceptual average-hash of a binary payload — see
+    * [[graft.functions.AHash64]] for the block-mean recipe and exactness
+    * argument. A zero-exchange projection (no decode kernel needed:
+    * pure integer arithmetic over the bytes).
+    */
+  def aHash(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.functions.AHash64.aHash(payload)
+
+  /** Perceptual near-duplicate media pairs: aHash each payload, then
+    * byte-band Hamming LSH ([[graft.operators.Dedup.bandedHammingPairs]]
+    * — the same bucketed machinery simhash text dedup uses). Emits
+    * `(id_a, id_b, hamming)` for pairs sharing any 8-bit band with
+    * Hamming distance <= `maxHamming`.
+    *
+    * Scale shape: hashing is a projection on the media scan (payload
+    * bytes never ride a shuffle — only the 8-byte fingerprint does), and
+    * candidates are generated per band bucket, never all-pairs. This
+    * makes image dedup first-class: the stats/features stubs describe
+    * media; this one deduplicates it.
+    */
+  def phashNearDups(media: DataFrame, idCol: String,
+                    payloadCol: String, maxHamming: Int): DataFrame =
+    graft.operators.Dedup.bandedHammingPairs(
+      media.select(col(idCol), aHash(col(payloadCol)).as("phash")),
+      idCol, "phash", bits = 64, maxHamming = maxHamming)
+
   /** Frame-sampling plumbing for video-like payloads: split a payload into
     * fixed-size "frames" (deterministic byte windows standing in for real
     * frame decode) and explode to one row per sampled frame.

@@ -28,6 +28,14 @@ object TrainingDataQueries {
   private val JaccardThreshold = 0.8
   private val SimhashBits = 32
   private val MaxHamming = 3
+  // perceptual-hash near-dup Hamming threshold: 12 keeps the synthetic
+  // corpus's near-dup tail (min observed distance 8) while the byte-band
+  // candidate step stays selective; pairs under bits/8 - 1 = 7 are
+  // caught with certainty, the rest by any-shared-band — the oracle
+  // replicates the banded semantics exactly (as dedup_simhash_pairs
+  // does). NOTE: must be declared BEFORE phashPairsSql (object vals
+  // initialize in declaration order).
+  private val PhashMaxHamming = 12
   private val AnnK = 10
   private val AnnNumQueries = 20
   // test-scale LSH constants: 16 planes banded 4x4 bits (the operator's
@@ -180,6 +188,44 @@ object TrainingDataQueries {
        |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $MaxHamming"""
       .stripMargin
+  }
+
+  /** Perceptual-hash pairs oracle, mirroring Multimodal.phashNearDups:
+    * aHash via exact integer block means (cross-multiplied comparison, no
+    * floats), then the same byte-band UNION join as simhashPairsSql.
+    * Bit 63 cannot be `1 << 63` in DuckDB (signed overflow), so the term
+    * is the Long.MinValue literal — same two's-complement value Spark's
+    * `1L << 63` produces.
+    */
+  private val phashPairsSql = {
+    val bandJoins = (0 until 8).map { b =>
+      s"""SELECT a.media_id AS id_a, a.phash AS fp_a,
+         |  b.media_id AS id_b, b.phash AS fp_b
+         |FROM fp a JOIN fp b
+         |  ON ((a.phash >> ${b * 8}) & 255) = ((b.phash >> ${b * 8}) & 255)
+         |  AND a.media_id < b.media_id""".stripMargin
+    }.mkString("\nUNION\n")
+    s"""WITH bts AS (SELECT doc_id AS media_id, length(text) AS n,
+       |    list_transform(range(0, length(text)),
+       |      i -> ord(substr(text, CAST(i AS INT) + 1, 1))) AS bv
+       |  FROM documents),
+       |tot AS (SELECT media_id, n, bv,
+       |    COALESCE(list_sum(bv), 0)::BIGINT AS total FROM bts),
+       |fp AS (SELECT media_id,
+       |  COALESCE(list_sum(list_transform(range(0, 64), k ->
+       |    CASE WHEN COALESCE(list_sum(
+       |            bv[CAST((k*n)//64 AS INT)+1 : CAST(((k+1)*n)//64 AS INT)]
+       |          ), 0)::BIGINT * n >
+       |          total * (((k+1)*n)//64 - (k*n)//64)
+       |      THEN CASE WHEN k = 63 THEN -9223372036854775808
+       |           ELSE (1::BIGINT << CAST(k AS INT)) END
+       |      ELSE 0 END)), 0)::BIGINT AS phash
+       |  FROM tot),
+       |cand AS ($bandJoins)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(fp_a, fp_b)) <= $PhashMaxHamming""".stripMargin
   }
 
   private val jaccardSql =
@@ -1181,6 +1227,16 @@ object TrainingDataQueries {
              |      CAST(floor(length(text) / 64) AS INT), 1))) AS frame_no
              |  FROM documents)
              |WHERE frame_no % 2 = 0""".stripMargin)),
+
+    // perceptual image dedup over the binary media fixture: aHash (exact
+    // integer block means) + byte-band Hamming LSH — the multimodal
+    // family's first-class dedup, not just stats
+    "media_phash_pairs" -> QueryDef(
+      (s, d) => Multimodal.phashNearDups(
+        table(s, d, "documents").select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload")),
+        "media_id", "payload", maxHamming = PhashMaxHamming),
+      Some(phashPairsSql)),
 
     "media_features_stub" -> QueryDef(
       (s, d) => Multimodal.extractFeatures(

@@ -505,6 +505,56 @@ class OperatorsSpec extends SparkSpecBase {
     assert(pack == Map(1L -> 2L, 2L -> 4L, 3L -> 1L), s"got $pack")
   }
 
+  test("AHash64 matches a reference implementation on random payloads") {
+    import graft.functions.AHash64
+    def ref(bytes: Array[Byte]): Long = {
+      val n = bytes.length
+      if (n == 0) return 0L
+      val total = bytes.map(b => (b & 0xff).toLong).sum
+      (0 until 64).foldLeft(0L) { (h, k) =>
+        val lo = ((k.toLong * n) / 64).toInt
+        val hi = (((k + 1).toLong * n) / 64).toInt
+        val sum = (lo until hi).map(j => (bytes(j) & 0xff).toLong).sum
+        if (sum * n > total * (hi - lo)) h | (1L << k) else h
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    // sizes straddle the blocks-per-byte boundaries: n < 64 has empty
+    // blocks, n = 64 exact, larger exercises uneven block widths
+    val payloads = Seq(Array.emptyByteArray,
+      Array.fill[Byte](7)(42), Array.fill[Byte](100)(7)) ++
+      Seq(3, 63, 64, 65, 1000).map(n =>
+        { val a = new Array[Byte](n); rnd.nextBytes(a); a })
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "payload")
+    val got = df.select(col("id"), AHash64.aHash(col("payload")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      assert(got(i.toLong) == ref(p), s"payload $i (${p.length} bytes)")
+    }
+    // constant payloads: no block exceeds the mean -> all bits unset
+    assert(got(1L) == 0L && got(2L) == 0L && got(0L) == 0L)
+  }
+
+  test("phashNearDups: banded pairs match brute force, no cross join") {
+    // two payloads differing in ONE byte are near-dups; a third is noise
+    val base = (0 until 256).map(i => ((i * 37) % 251).toByte).toArray
+    val tweaked = base.clone(); tweaked(100) = (tweaked(100) ^ 0x7f).toByte
+    val noise = (0 until 256).map(i => ((i * 113 + 55) % 241).toByte).toArray
+    val media = Seq((1L, base), (2L, tweaked), (3L, noise))
+      .toDF("media_id", "payload")
+    val out = Multimodal.phashNearDups(media, "media_id", "payload",
+      maxHamming = 12)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded join must not degenerate to all-pairs:\n$plan")
+    val pairs = out.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"planted near-dup missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"noise payload must not pair: $pairs")
+  }
+
   test("validateEmbeddings flags dim, NaN and zero-norm vectors") {
     val emb = Seq(
       (1L, Array(1.0f, 2.0f)),                 // valid (dim 2)
