@@ -62,6 +62,8 @@ object SparkEntry {
     "dedup_intra_doc_chunks", "profile_columns",
     "dedup_minhash_precision", "text_oov_rate", "cohort_retention",
     // round-9 additions: learned-vocab tokenizer (train one exchange +
-    // zero-exchange trie encode)
-    "text_vocab_token_counts")
+    // zero-exchange trie encode), perceptual-hash media dedup, and the
+    // composed sampling pipeline (DSIR -> temperature -> pack)
+    "text_vocab_token_counts", "media_phash_pairs",
+    "pipeline_weighted_mixture")
 }

@@ -478,14 +478,17 @@ object TrainingDataQueries {
        |    / count(*) AS dup_frac
        |FROM occ GROUP BY doc_id""".stripMargin
 
-  /** Per-source token totals for the mixture plan (escape-free val: the
-    * regex lives outside the interpolated string).
+  /** Per-source token totals for the mixture plan. `from` lets the
+    * composed weighted-mixture pipeline run the same fragment over its
+    * survivor CTE instead of the base table.
     */
-  private val mixTokCte =
-    """tok AS (SELECT source, count(*) AS n_docs,
-      |    CAST(sum(len(string_split_regex(trim(lower(text)), '\s+')))
-      |      AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY source)""".stripMargin
+  private def mixTokCteFrom(from: String) =
+    s"""tok AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+')))
+       |      AS BIGINT) AS n_tokens
+       |  FROM $from GROUP BY source)""".stripMargin
+
+  private val mixTokCte = mixTokCteFrom("documents")
 
   /** Mixture-plan oracle: budget = min over sources of tokens/weight
     * (window over the tiny aggregated frame, same as the operator).
@@ -557,28 +560,37 @@ object TrainingDataQueries {
     * Spark's truncating `div` on the negative `start_tok - 1` corner,
     * which `greatest` clamps identically in both engines.
     */
-  private val packPlanSql = {
+  /** Pack-plan CTE list + final select, parametrized on the input
+    * relation so the composed weighted-mixture pipeline can pack its
+    * survivor CTE with the identical fragment.
+    */
+  private def packPlanCtesFrom(from: String) = {
     val shardH = StableHash.hash60Sql("CAST(doc_id AS VARCHAR)")
     val ordH = StableHash.hash60Sql("'pack#' || CAST(doc_id AS VARCHAR)")
-    s"""WITH t AS (SELECT doc_id,
+    s"""t AS (SELECT doc_id,
        |    CAST(len(string_split_regex(trim(lower(text)), '\\s+'))
        |      AS BIGINT) AS n_tokens,
        |    CAST($shardH % $PackShards AS INT) AS shard,
        |    $ordH AS ord
-       |  FROM documents),
+       |  FROM $from),
        |c AS (SELECT doc_id, shard, n_tokens,
        |    COALESCE(sum(n_tokens) OVER (PARTITION BY shard
        |      ORDER BY ord, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
        |      0)::BIGINT AS start_tok
-       |  FROM t)
-       |SELECT doc_id AS id, shard, n_tokens,
+       |  FROM t)""".stripMargin
+  }
+
+  private val packPlanSelect =
+    s"""SELECT doc_id AS id, shard, n_tokens,
        |  start_tok // $PackSeqLen AS start_pack,
        |  greatest(start_tok // $PackSeqLen,
        |    (start_tok + n_tokens - 1) // $PackSeqLen) AS end_pack,
        |  start_tok % $PackSeqLen AS start_offset
        |FROM c""".stripMargin
-  }
+
+  private val packPlanSql =
+    s"WITH ${packPlanCtesFrom("documents")}\n$packPlanSelect"
 
   /** End-to-end curation pipeline oracle: language filter -> Gopher
     * rules -> exact dedup on normalized text -> minhash-LSH near-dup
@@ -728,8 +740,13 @@ object TrainingDataQueries {
   /** DSIR importance oracle: per-token corpus/target counts as windows
     * over the token-hash partitioning, exact integer ratio contributions.
     */
-  private val dsirSql =
-    s"""WITH w AS (SELECT doc_id, source = '$DsirTarget' AS t,
+  /** DSIR CTE list ending in `dsir(doc_id, n_tokens, dsir_score)` —
+    * shared verbatim by the standalone query and the weighted-mixture
+    * pipeline (DSIR is a corpus-wide metric: its windows always run over
+    * the FULL documents table, so the fragment is not FROM-parametrized).
+    */
+  private val dsirCtes =
+    s"""w AS (SELECT doc_id, source = '$DsirTarget' AS t,
        |    string_split_regex(trim(lower(text)), '\\s+') AS ws
        |  FROM documents),
        |inst AS (SELECT doc_id, t, unnest(ws) AS w FROM w),
@@ -738,10 +755,47 @@ object TrainingDataQueries {
        |st AS (SELECT doc_id,
        |    count(*) OVER (PARTITION BY h) AS rw,
        |    sum(CASE WHEN t THEN 1 ELSE 0 END) OVER (PARTITION BY h) AS tw
-       |  FROM hh)
-       |SELECT doc_id, count(*) AS n_tokens,
+       |  FROM hh),
+       |dsir AS (SELECT doc_id, count(*) AS n_tokens,
        |  CAST(sum((tw * $DsirScale) // rw) AS BIGINT) AS dsir_score
-       |FROM st GROUP BY doc_id""".stripMargin
+       |  FROM st GROUP BY doc_id)""".stripMargin
+
+  private val dsirSql =
+    s"WITH $dsirCtes\nSELECT doc_id, n_tokens, dsir_score FROM dsir"
+
+  /** Weighted-mixture pipeline oracle: DSIR weights -> rate-proportional
+    * keep (rate = score / (n_tokens * scale), exact-cast doubles) ->
+    * sqrt-temperature rates over the SURVIVORS -> salted second-stage
+    * hash sample -> pack plan of the final mixture. Every stage reuses
+    * the single-operator fragment (dsirCtes, mixTokCteFrom,
+    * packPlanCtesFrom) — what pipeline_curate_corpus proves for the
+    * dedup family, this proves for the sampling family: the
+    * set-dependent stages (temperature totals, pack offsets) see each
+    * other's survivors, not the base table. The second sampling stage
+    * salts its hash key ('mix#' prefix) so the two keep decisions are
+    * decorrelated.
+    */
+  private val weightedMixtureSql = {
+    val b1 = graft.operators.Sampling.bucketSql("d.doc_id")
+    val b2 = graft.operators.Sampling.bucketSql(
+      "'mix#' || CAST(doc_id AS VARCHAR)")
+    val buckets = graft.operators.Sampling.Buckets
+    s"""WITH $dsirCtes,
+       |s1 AS (SELECT d.doc_id, d.source, d.text
+       |  FROM documents d JOIN dsir ON d.doc_id = dsir.doc_id
+       |  WHERE $b1 < CAST(round(CAST(dsir.dsir_score AS DOUBLE)
+       |    / CAST(dsir.n_tokens * $DsirScale AS DOUBLE)
+       |    * $buckets) AS BIGINT)),
+       |${mixTokCteFrom("s1")},
+       |tr AS (SELECT source,
+       |    sqrt(CAST(mn AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS srate
+       |  FROM (SELECT source, n_tokens, min(n_tokens) OVER () AS mn
+       |    FROM tok)),
+       |s2 AS (SELECT doc_id, text FROM s1 JOIN tr USING (source)
+       |  WHERE $b2 < CAST(round(srate * $buckets) AS BIGINT)),
+       |${packPlanCtesFrom("s2")}
+       |$packPlanSelect""".stripMargin
+  }
 
   /** Temperature-2 mixture oracle: same per-source token totals as the
     * mixture plan; sqrt and / are correctly-rounded IEEE ops so the
@@ -1074,6 +1128,41 @@ object TrainingDataQueries {
       (s, d) => TextAnalysis.importanceWeights(table(s, d, "documents"),
         "doc_id", "text", col("source") === DsirTarget, DsirScale),
       Some(dsirSql)),
+
+    // the sampling family composed end to end: DSIR-weighted keep ->
+    // sqrt-temperature source rebalance over the survivors -> salted
+    // second-stage sample -> pack plan of the final mixture. The third
+    // composed pipeline (curation and boilerplate+dedup are the others).
+    "pipeline_weighted_mixture" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Sampling
+        val docs = table(s, d, "documents")
+        val wts = TextAnalysis.importanceWeights(docs, "doc_id", "text",
+          col("source") === DsirTarget, DsirScale)
+        val rated = docs.join(wts.select(col("doc_id"),
+          (col("dsir_score").cast("double") /
+            (col("n_tokens") * lit(DsirScale)).cast("double"))
+            .as("__keep_rate")), Seq("doc_id"))
+        // survivors feed two consumers (temperature totals + the final
+        // sample join) — persist once, like the other pipelines
+        val s1 = Sampling.sampleByRate(rated, "doc_id", col("__keep_rate"))
+          .select(col("doc_id"), col("source"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tr = Sampling.sqrtTemperatureRates(s1, "source", "text")
+          .select(col("source"), col("sample_rate"))
+        // salt the second-stage key so the two keep decisions are
+        // decorrelated (same bucket() on the same key would nest the
+        // samples instead of sampling independently)
+        val s2 = Sampling.sampleByRate(
+          s1.join(broadcast(tr), Seq("source"))
+            .withColumn("__mix_key",
+              concat(lit("mix#"), col("doc_id").cast("string"))),
+          "__mix_key", col("sample_rate"))
+        val result = Sampling.packPlan(s2, "doc_id", "text",
+          PackSeqLen, PackShards)
+        Dedup.releaseAfter(result, s1)
+      },
+      Some(weightedMixtureSql)),
 
     "sample_temperature_mixture" -> QueryDef(
       (s, d) => graft.operators.Sampling.sqrtTemperatureRates(
