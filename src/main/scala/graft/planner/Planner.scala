@@ -144,7 +144,8 @@ object Planner {
 
   def run(spark: SparkSession, pipeline: PipelineSpec,
           sourcePathFor: String => String,
-          onError: (String, Throwable) => Unit = defaultAlert): Bookmarks = {
+          onError: (String, Throwable) => Unit = defaultAlert,
+          logDir: Option[String] = None): Bookmarks = {
     var state = Bookmarks.load(pipeline.statePath)
     val writer = new Bookmarks.ThrottledWriter(pipeline.statePath)
     val stopMarker = java.nio.file.Paths.get(stopMarkerPath(pipeline))
@@ -154,20 +155,56 @@ object Planner {
     pipeline.streams.iterator.takeWhile { _ =>
       !java.nio.file.Files.exists(stopMarker)
     }.foreach { s =>
+      val log = logDir.map(new StreamLog(_, pipeline.id, s.name))
       try {
         state = runStream(spark, pipeline, s, sourcePathFor(s.table), state)
         writer.offer(state)
+        log.foreach(_.success())
       } catch {
         // a failed stream alerts and is skipped; the run continues and
         // its bookmark is untouched, so the next run retries it
         // (reference: send_alert + .failed log, pipelinewise.py:120,
         // commands.py:532-543)
-        case e: Throwable => onError(s.name, e)
+        case e: Throwable =>
+          log.foreach(_.fail(e))
+          onError(s.name, e)
       }
     }
     writer.flush()
     state.save(pipeline.statePath)
     state
+  }
+
+  /** Per-stream log-file status lifecycle, mirroring the reference's
+    * `log_file_with_status` naming and rename dance (commands.py:472-546):
+    * the log is written as `<name>.log.running` and renamed to
+    * `.log.success` / `.log.failed` when the stream finishes — the file
+    * EXTENSION is the stream's status, so `ls *.failed` is the triage
+    * surface and a crash leaves `.running` behind as evidence.
+    */
+  private final class StreamLog(dir: String, pipeline: String,
+                                stream: String) {
+    import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+    private val base = s"$dir/$pipeline-$stream.log"
+    private val running = Paths.get(base + ".running")
+    Files.createDirectories(Paths.get(dir))
+    Files.deleteIfExists(running)
+    append(s"stream=$stream start=${System.currentTimeMillis()}\n")
+
+    private def append(line: String): Unit =
+      Files.write(running, line.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+    private def finish(status: String): Unit =
+      Files.move(running, Paths.get(base + "." + status),
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+
+    def success(): Unit = { append("status=success\n"); finish("success") }
+
+    def fail(e: Throwable): Unit = {
+      append(s"status=failed error=${e.getMessage}\n")
+      finish("failed")
+    }
   }
 
   private def defaultAlert(stream: String, e: Throwable): Unit =

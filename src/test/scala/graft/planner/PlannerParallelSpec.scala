@@ -49,6 +49,59 @@ class PlannerParallelSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$dir/tgt/good").count() == 1)
   }
 
+  test("alert handlers fire on a failed stream; logs rename to .failed") {
+    val dir = Files.createTempDirectory("alerts").toString
+    Seq((1L, "x", 1L)).toDF("id", "v", "seq")
+      .write.parquet(s"$dir/src/good.parquet")
+    val pipeline = PipelineSpec("al2",
+      Seq(
+        StreamSpec("s-bad", "missing", Seq("id"),
+          ReplicationMethod.Incremental, Some("seq")),
+        StreamSpec("s-good", "good", Seq("id"),
+          ReplicationMethod.Incremental, Some("seq"))),
+      targetPath = s"$dir/tgt", statePath = s"$dir/state.json")
+    val alertFile = s"$dir/alerts.log"
+    val sender = new Alerts.AlertSender(
+      Map("file" -> Map("path" -> alertFile)))
+    Planner.run(spark, pipeline, t => s"$dir/src/$t.parquet",
+      onError = Alerts.onError(sender), logDir = Some(s"$dir/logs"))
+    // the handler fired exactly once, with level + stream + cause
+    val alerts = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(alertFile)), "UTF-8").linesIterator.toSeq
+    assert(alerts.size == 1 && alerts.head.startsWith("[error]") &&
+      alerts.head.contains("s-bad"), alerts.mkString("\n"))
+    // log lifecycle: .failed for the bad stream, .success for the good,
+    // no .running leftovers (commands.py:532-546 semantics)
+    def exists(n: String) =
+      Files.exists(java.nio.file.Paths.get(s"$dir/logs/$n"))
+    assert(exists("al2-s-bad.log.failed"), "failed log rename")
+    assert(exists("al2-s-good.log.success"), "success log rename")
+    assert(!exists("al2-s-bad.log.running") &&
+      !exists("al2-s-good.log.running"), "no running leftovers")
+  }
+
+  test("AlertSender registry: unconfigured and unimplemented types") {
+    val sender = new Alerts.AlertSender(Map("stderr" -> Map.empty))
+    intercept[Alerts.NotConfiguredAlertHandlerException] {
+      sender.sendToHandler("file", "m")
+    }
+    val custom = new Alerts.AlertSender(Map("webhook" -> Map.empty))
+    intercept[Alerts.NotImplementedAlertHandlerException] {
+      custom.sendToHandler("webhook", "m")
+    }
+    // the registry seam: plugging a custom handler type in makes it live
+    var got = List.empty[String]
+    val plugged = new Alerts.AlertSender(
+      Map("webhook" -> Map("url" -> "https://example.invalid")),
+      Alerts.registryWith("webhook" -> (cfg => new Alerts.AlertHandler {
+        override def send(message: String, level: String,
+                          exc: Option[Throwable]): Unit =
+          got ::= s"$level|${cfg("url")}|$message"
+      })))
+    assert(plugged.sendToAllHandlers("boom") == 1)
+    assert(got == List("error|https://example.invalid|boom"))
+  }
+
   test("full-table rerun replaces the table (ACTIVATE_VERSION swap)") {
     val dir = Files.createTempDirectory("ft").toString
     Seq((1L, "v1"), (2L, "v1")).toDF("id", "v")
