@@ -116,6 +116,22 @@ object Cli {
       }
       if (errors.isEmpty) println(s"valid: ${p.streams.size} streams")
       else { errors.foreach(System.err.println); sys.error("invalid spec") }
+    case Seq("import_project", dir) =>
+      // reference `import`: compile the YAML project (tap_*.yml joined
+      // with target_*.yml, vault values resolved) and validate every
+      // stream; config.yml's alert_handlers are validated against the
+      // registry at the same time
+      val specs = YamlProject.importProject(dir)
+      val handlers = YamlProject.loadAlertHandlers(dir)
+      handlers.keys.foreach { t =>
+        if (!graft.planner.Alerts.DefaultRegistry.contains(t))
+          System.err.println(s"warning: alert handler '$t' has no " +
+            "built-in implementation (plug one in via Alerts.registryWith)")
+      }
+      specs.foreach(p =>
+        println(s"${p.id}: ${p.streams.size} streams -> ${p.targetPath}"))
+      println(s"imported ${specs.size} pipeline(s), " +
+        s"${handlers.size} alert handler(s)")
     case Seq("init", dir) =>
       // scaffold a runnable sample pipeline (reference `init` sample project)
       val sample =
@@ -173,6 +189,7 @@ object Cli {
       |  reset_state <pipeline.json> [streams...]
       |  status <pipeline.json>
       |  validate <pipeline.json>
+      |  import_project <yaml project dir>   (GRAFT_VAULT_SECRET for vaulted values)
       |  init <dir>
       |  test_tap_connection <pipeline.json>
       |  stop_tap <pipeline.json>
