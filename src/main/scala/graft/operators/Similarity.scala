@@ -135,6 +135,61 @@ object Similarity {
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : DataFrame = spark.read.parquet(path)
 
+  /** Incremental index maintenance: assign an append batch with the
+    * EXISTING trained centroids and append it into the partitioned
+    * layout — the ANN counterpart of the dedup family's `...Against`
+    * operators. No retrain, no rewrite: dynamic-partition append touches
+    * only the cluster directories the batch lands in, and subsequent
+    * probes see the new vectors because membership is decided by the
+    * same centroids queries probe with. Returns the assignment so the
+    * caller can inspect / count what moved.
+    *
+    * Staleness is a measured quantity, not a guess: run
+    * [[centroidDriftReport]] periodically; when drift crosses the
+    * retrain threshold, rebuild with [[trainCentroids]] + a fresh
+    * [[writeIvfIndex]].
+    */
+  def appendToIvfIndex(batch: DataFrame, centroids: DataFrame,
+                       idCol: String, vecCol: String, path: String)
+      : DataFrame = {
+    val assigned = ivfAssign(batch, centroids, idCol, vecCol)
+    assigned.write.partitionBy("cluster")
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    assigned
+  }
+
+  /** Per-cluster centroid-drift report over a (possibly appended-to)
+    * index: how far each cluster's CURRENT member mean has wandered from
+    * its trained centroid — `drift = 1 - cosine(mean, centroid)` — plus
+    * the member count. Rising drift (or lopsided counts) is the retrain
+    * signal for an index maintained by [[appendToIvfIndex]].
+    *
+    * Scale shape: the mean is the same posexplode -> per-(cluster, dim)
+    * map-side-partial average `trainCentroids` uses (shuffle volume =
+    * clusters x dim tiny rows, never the corpus); centroids broadcast.
+    */
+  def centroidDriftReport(index: DataFrame, centroids: DataFrame,
+                          vecCol: String): DataFrame = {
+    val counts = index.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val means = index
+      .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+        .as("dm"))
+      .select(col("cluster"),
+        expr("transform(dm, e -> CAST(e.m AS FLOAT))").as("mean_vec"))
+    counts.join(means, Seq("cluster"))
+      .join(broadcast(centroids.select(
+        col("centroid_id").as("cluster"), col(vecCol).as("cent_vec"))),
+        Seq("cluster"))
+      .select(col("cluster"), col("n_vectors"),
+        (lit(1.0) - VectorOps.cosineF(col("mean_vec"), col("cent_vec")))
+          .as("drift"))
+  }
+
   /** Deterministic centroid seed: take every n-th vector by id as a
     * centroid (k-means init stand-in; deterministic so tests and the
     * oracle agree).

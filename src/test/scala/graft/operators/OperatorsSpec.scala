@@ -303,6 +303,63 @@ class OperatorsSpec extends SparkSpecBase {
     assert(index.count() == assigned.count())
   }
 
+  test("IVF append: new vectors probed without retrain; drift reported") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = graft.queries.Q.table(spark, sfDir, "embeddings")
+    val centroids = Similarity.seedCentroids(emb, "vec_id", "embedding",
+      every = 50)
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toString
+    val path = s"$dir/index"
+    Similarity.writeIvfIndex(
+      Similarity.ivfAssign(emb, centroids, "vec_id", "embedding"), path)
+    def partFiles(): Map[String, Int] =
+      new java.io.File(path).listFiles().filter(_.isDirectory)
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val before = partFiles()
+
+    // the append batch: near-copies of an existing vector, fresh ids
+    val seed = emb.filter(col("vec_id") === 7L)
+      .select(col("embedding")).as[Array[Float]].head()
+    val batch = (0 until 3).map(i =>
+      (100000L + i, seed.map(x => x + 0.001f * i)))
+      .toDF("vec_id", "embedding")
+    val assignedBatch = Similarity.appendToIvfIndex(batch, centroids,
+      "vec_id", "embedding", path)
+    val touched = assignedBatch.select("cluster").as[Long].collect()
+      .map(c => s"cluster=$c").toSet
+    // dynamic-partition append: ONLY the touched cluster dirs gained files
+    val after = partFiles()
+    after.foreach { case (p, n) =>
+      if (touched(p)) assert(n > before(p), s"$p must gain a file")
+      else assert(n == before.getOrElse(p, 0), s"$p must be untouched")
+    }
+
+    // a query equal to the seed vector now finds the appended near-copies
+    // through the SAME probe path, no retrain
+    val index = Similarity.readIvfIndex(spark, path)
+    val queries = Seq((7L, seed)).toDF("vec_id", "embedding")
+    val neighbors = Similarity.ivfTopK(index, centroids, queries,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(Set(100000L, 100001L, 100002L).subsetOf(neighbors),
+      s"appended vectors must be probed: $neighbors")
+
+    // drift report: every indexed cluster rows out with a finite drift,
+    // and the appended cluster's member count grew by the batch size
+    val drift = Similarity.centroidDriftReport(index, centroids,
+        "embedding")
+      .collect().map(r => r.getAs[Any]("cluster").toString.toLong ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val appendedCluster = assignedBatch.select("cluster").as[Long].head()
+    val baseCount = Similarity.ivfAssign(emb, centroids, "vec_id",
+        "embedding")
+      .filter(col("cluster") === appendedCluster).count()
+    assert(drift(appendedCluster)._1 == baseCount + 3)
+    assert(drift.values.forall { case (n, d) =>
+      n > 0 && !d.isNaN && d >= -1e-6 && d <= 2.0 })
+  }
+
   test("wordStats matches the split/regexp formulation on edge inputs") {
     import graft.functions.TextCounters
     val rows = Seq("", "   ", "one", "  leading and trailing  ",
