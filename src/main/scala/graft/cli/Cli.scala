@@ -132,6 +132,19 @@ object Cli {
         println(s"${p.id}: ${p.streams.size} streams -> ${p.targetPath}"))
       println(s"imported ${specs.size} pipeline(s), " +
         s"${handlers.size} alert handler(s)")
+    case Seq("run_project", dir) =>
+      // reference `run_tap` over an imported project: every compiled
+      // pipeline runs with config.yml's alert handlers and per-stream
+      // status logs under <dir>/.logs (commands.py's .running/.failed/
+      // .success lifecycle)
+      val sender = new graft.planner.Alerts.AlertSender(
+        YamlProject.loadAlertHandlers(dir))
+      YamlProject.importProject(dir).foreach { p =>
+        val st = Planner.run(spark, p, t => sourcePathFor(p, t),
+          onError = graft.planner.Alerts.onError(sender),
+          logDir = Some(s"$dir/.logs"))
+        println(s"${p.id}: ${st.bookmarks.size} bookmarks")
+      }
     case Seq("init", dir) =>
       // scaffold a runnable sample pipeline (reference `init` sample project)
       val sample =
@@ -190,6 +203,7 @@ object Cli {
       |  status <pipeline.json>
       |  validate <pipeline.json>
       |  import_project <yaml project dir>   (GRAFT_VAULT_SECRET for vaulted values)
+      |  run_project <yaml project dir>      (alerts from config.yml, logs in .logs/)
       |  init <dir>
       |  test_tap_connection <pipeline.json>
       |  stop_tap <pipeline.json>

@@ -86,6 +86,32 @@ class YamlProjectSpec extends SparkSpecBase {
       s"missing-table stream must alert via config.yml handler: $alerts")
   }
 
+  test("import_project and run_project CLI commands drive a YAML project") {
+    val dir = Files.createTempDirectory("yamlcli").toString
+    write(s"$dir/target_wh.yml",
+      s"""id: "wh"
+         |db_conn:
+         |  path: "$dir/wh"
+         |""".stripMargin)
+    write(s"$dir/tap_t.yml",
+      s"""id: "t"
+         |target: "wh"
+         |db_conn:
+         |  directory: "$dir/src"
+         |schemas:
+         |  - source_schema: "s"
+         |    tables:
+         |      - table_name: "a"
+         |        replication_method: "FULL_TABLE"
+         |""".stripMargin)
+    Seq((1L, "x")).toDF("id", "v").write.parquet(s"$dir/src/a.parquet")
+    Cli.run(spark, Seq("import_project", dir))
+    Cli.run(spark, Seq("run_project", dir))
+    assert(spark.read.parquet(s"$dir/wh/a").count() == 1)
+    assert(Files.exists(Paths.get(s"$dir/.logs/t-t-a.log.success")),
+      "run_project must leave a .success status log")
+  }
+
   test("unknown target and missing files fail with clear errors") {
     val dir = Files.createTempDirectory("yamlbad").toString
     write(s"$dir/tap_a.yml",
