@@ -357,7 +357,16 @@ object TextAnalysis {
     * centroids: train once, encode any number of batches.
     */
   def trainUnitVocab(docs: DataFrame, textCol: String,
-                     vocabSize: Int): Array[String] = {
+                     vocabSize: Int): Array[String] =
+    trainUnitVocabDf(docs, textCol, vocabSize)
+      .collect().map(_.getString(0))
+
+  /** The training plan behind [[trainUnitVocab]], exposed so specs can
+    * assert its shape (TakeOrderedAndProject over partial counts — never
+    * a global sort).
+    */
+  private[graft] def trainUnitVocabDf(docs: DataFrame, textCol: String,
+                                      vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize ($vocabSize) must be positive")
     val inst = docs.select(
       explode(split(trim(lower(col(textCol))), "\\s+")).as("__w"))
@@ -371,7 +380,6 @@ object TextAnalysis {
       .orderBy(col("__c").desc, col("__u"))
       .limit(vocabSize)
       .select(col("__u"))
-      .collect().map(_.getString(0))
   }
 
   /** Token counts under a learned vocabulary ([[trainUnitVocab]]):

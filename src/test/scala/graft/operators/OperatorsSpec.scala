@@ -684,6 +684,51 @@ class OperatorsSpec extends SparkSpecBase {
     assert(s.getLong(2) <= 16L * 10000L)
   }
 
+  test("stress: vocab tokenizer + perceptual hash at 100k rows") {
+    val docs = spark.range(100000L).selectExpr("id AS doc_id",
+      "concat('alpha beta gamma tail', id, ' w', id % 97, ' w', id % 89," +
+        " ' w', id % 83, ' w', id % 79) AS text")
+    // training plan must top-k with TakeOrderedAndProject, not a global
+    // sort of the unit counts
+    val vocabDf = TextAnalysis.trainUnitVocabDf(docs, "text", 32)
+    val trainPlan = vocabDf.queryExecution.executedPlan.toString
+    assert(trainPlan.contains("TakeOrderedAndProject"),
+      s"vocab training must not global-sort:\n$trainPlan")
+    val vocab = vocabDf.collect().map(_.getString(0)).toIndexedSeq
+    assert(vocab.size == 32 && vocab.contains("alpha"))
+    // encode the full corpus: conservation bounds hold at scale
+    // (tokens >= words when every word is non-empty; <= total chars)
+    val enc = TextAnalysis.vocabTokenCounts(docs, "doc_id", "text", vocab)
+      .join(docs, "doc_id")
+      .agg(count(lit(1)),
+        sum(when(col("n_tokens") >= col("n_words"), 0L).otherwise(1L)),
+        sum(when(col("n_tokens") <=
+          length(regexp_replace(col("text"), "\\s+", "")), 0L)
+          .otherwise(1L)))
+      .collect().head
+    assert(enc.getLong(0) == 100000L)
+    assert(enc.getLong(1) == 0L, "n_tokens >= n_words must hold per doc")
+    assert(enc.getLong(2) == 0L, "n_tokens <= non-ws chars must hold")
+
+    // perceptual hashing 100k DIVERSE payloads (md5-derived bytes — a
+    // 100k-identical-template corpus would rightly collapse into a few
+    // hash classes and pair quadratically, which is near-dup semantics,
+    // not a scale defect): distinct-rate sanity + the banded pair path
+    // completes without a cross join
+    val media = spark.range(100000L).selectExpr("id AS media_id",
+      "CAST(concat(md5(CAST(id AS STRING)), md5(CAST(id AS STRING) || 'a')," +
+        " md5(CAST(id AS STRING) || 'b'), md5(CAST(id AS STRING) || 'c'))" +
+        " AS BINARY) AS payload")
+    val hashed = media.select(
+      graft.functions.AHash64.aHash(col("payload")).as("h"))
+    assert(hashed.select(countDistinct(col("h"))).head().getLong(0)
+      > 90000L, "aHash must spread diverse payloads")
+    val pairs = Multimodal.phashNearDups(media, "media_id", "payload",
+      maxHamming = 2)
+    // tight threshold at 100k rows: completes and returns a bounded set
+    assert(pairs.count() < 100000L)
+  }
+
   test("property: chunk family invariants on random word streams") {
     import org.scalacheck.Gen
     // small vocab forces chunk collisions within and across docs
