@@ -197,15 +197,11 @@ object TrainingDataQueries {
     * is the Long.MinValue literal — same two's-complement value Spark's
     * `1L << 63` produces.
     */
-  private val phashPairsSql = {
-    val bandJoins = (0 until 8).map { b =>
-      s"""SELECT a.media_id AS id_a, a.phash AS fp_a,
-         |  b.media_id AS id_b, b.phash AS fp_b
-         |FROM fp a JOIN fp b
-         |  ON ((a.phash >> ${b * 8}) & 255) = ((b.phash >> ${b * 8}) & 255)
-         |  AND a.media_id < b.media_id""".stripMargin
-    }.mkString("\nUNION\n")
-    s"""WITH bts AS (SELECT doc_id AS media_id, length(text) AS n,
+  /** aHash fingerprint CTEs (bts/tot/fp) + the byte-band candidate UNION
+    * — shared by the pairs query and the canonical-keep composition.
+    */
+  private val phashFpCtes =
+    s"""bts AS (SELECT doc_id AS media_id, length(text) AS n,
        |    list_transform(range(0, length(text)),
        |      i -> ord(substr(text, CAST(i AS INT) + 1, 1))) AS bv
        |  FROM documents),
@@ -220,13 +216,50 @@ object TrainingDataQueries {
        |      THEN CASE WHEN k = 63 THEN -9223372036854775808
        |           ELSE (1::BIGINT << CAST(k AS INT)) END
        |      ELSE 0 END)), 0)::BIGINT AS phash
-       |  FROM tot),
-       |cand AS ($bandJoins)
+       |  FROM tot)""".stripMargin
+
+  private val phashCandCte = {
+    val bandJoins = (0 until 8).map { b =>
+      s"""SELECT a.media_id AS id_a, a.phash AS fp_a,
+         |  b.media_id AS id_b, b.phash AS fp_b
+         |FROM fp a JOIN fp b
+         |  ON ((a.phash >> ${b * 8}) & 255) = ((b.phash >> ${b * 8}) & 255)
+         |  AND a.media_id < b.media_id""".stripMargin
+    }.mkString("\nUNION\n")
+    s"cand AS ($bandJoins)"
+  }
+
+  private val phashPairsSql =
+    s"""WITH $phashFpCtes,
+       |$phashCandCte
        |SELECT id_a, id_b,
        |  CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
        |FROM cand
        |WHERE bit_count(xor(fp_a, fp_b)) <= $PhashMaxHamming""".stripMargin
-  }
+
+  /** Media canonical-keep oracle: the phash pair graph resolved to
+    * components (same recursive reach fragment as ccSql) and every
+    * media row labeled with its component (itself when unpaired) and
+    * whether it is the component's canonical (minimum-id) member.
+    */
+  private val phashCanonicalSql =
+    s"""WITH RECURSIVE $phashFpCtes,
+       |$phashCandCte,
+       |pairs AS (SELECT id_a, id_b FROM cand
+       |  WHERE bit_count(xor(fp_a, fp_b)) <= $PhashMaxHamming),
+       |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+       |cc AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+       |SELECT m.media_id,
+       |  coalesce(cc.component_id, m.media_id) AS component_id,
+       |  m.media_id = coalesce(cc.component_id, m.media_id)
+       |    AS is_canonical
+       |FROM (SELECT doc_id AS media_id FROM documents) m
+       |LEFT JOIN cc ON m.media_id = cc.id""".stripMargin
 
   private val jaccardSql =
     s"""WITH $wordsCte, ${shinglesCte(JaccardK)},
@@ -684,6 +717,40 @@ object TrainingDataQueries {
   // synthetic corpus (31 distinct words), so greedy longest-match is
   // genuinely exercised
   private val UnitVocab = 24
+
+  /** Tokenizer oracle CTE list (train vocab + greedy segmentation per
+    * distinct word), shared by the per-doc counts query and the
+    * learned-budget temperature query. Ends in `seg(w, nt)`; callers
+    * must open with WITH RECURSIVE (the `r` CTE walks positions).
+    * Declared AFTER UnitVocab — object vals initialize in declaration
+    * order.
+    */
+  private val vocabTokCtes =
+    s"""$wordsCte,
+       |inst AS (SELECT doc_id, unnest(ws) AS w FROM words),
+       |bgp AS (SELECT w, CAST(unnest(range(1, length(w))) AS INT)
+       |    AS p FROM inst WHERE length(w) >= 2),
+       |units AS (
+       |  SELECT w AS u FROM inst WHERE w <> ''
+       |  UNION ALL
+       |  SELECT substr(w, p, 2) AS u FROM bgp),
+       |voc AS (SELECT u FROM (SELECT u, count(*) AS c FROM units
+       |  GROUP BY u ORDER BY c DESC, u LIMIT $UnitVocab)),
+       |dw AS (SELECT DISTINCT w FROM inst WHERE w <> ''),
+       |pos AS (SELECT w,
+       |    CAST(unnest(range(1, length(w) + 1)) AS INT) AS p
+       |  FROM dw),
+       |m AS (SELECT pos.w, pos.p, max(length(voc.u)) AS ml
+       |  FROM pos JOIN voc
+       |    ON substr(pos.w, pos.p, length(voc.u)) = voc.u
+       |  GROUP BY pos.w, pos.p),
+       |r(w, p, t) AS (
+       |  SELECT w, 1, 0 FROM dw
+       |  UNION ALL
+       |  SELECT r.w, r.p + CAST(coalesce(m.ml, 1) AS INT), r.t + 1
+       |  FROM r LEFT JOIN m ON m.w = r.w AND m.p = r.p
+       |  WHERE r.p <= length(r.w)),
+       |seg AS (SELECT w, max(t) AS nt FROM r GROUP BY w)""".stripMargin
   // count-min sketch geometry + number of audited heavy hitters
   private val CmsD = 4
   private val CmsW = 2048
@@ -1035,35 +1102,39 @@ object TrainingDataQueries {
         TextAnalysis.vocabTokenCounts(docs, "doc_id", "text",
           vocab.toIndexedSeq)
       },
-      Some(s"""WITH RECURSIVE $wordsCte,
-              |inst AS (SELECT doc_id, unnest(ws) AS w FROM words),
-              |bgp AS (SELECT w, CAST(unnest(range(1, length(w))) AS INT)
-              |    AS p FROM inst WHERE length(w) >= 2),
-              |units AS (
-              |  SELECT w AS u FROM inst WHERE w <> ''
-              |  UNION ALL
-              |  SELECT substr(w, p, 2) AS u FROM bgp),
-              |voc AS (SELECT u FROM (SELECT u, count(*) AS c FROM units
-              |  GROUP BY u ORDER BY c DESC, u LIMIT $UnitVocab)),
-              |dw AS (SELECT DISTINCT w FROM inst WHERE w <> ''),
-              |pos AS (SELECT w,
-              |    CAST(unnest(range(1, length(w) + 1)) AS INT) AS p
-              |  FROM dw),
-              |m AS (SELECT pos.w, pos.p, max(length(voc.u)) AS ml
-              |  FROM pos JOIN voc
-              |    ON substr(pos.w, pos.p, length(voc.u)) = voc.u
-              |  GROUP BY pos.w, pos.p),
-              |r(w, p, t) AS (
-              |  SELECT w, 1, 0 FROM dw
-              |  UNION ALL
-              |  SELECT r.w, r.p + CAST(coalesce(m.ml, 1) AS INT), r.t + 1
-              |  FROM r LEFT JOIN m ON m.w = r.w AND m.p = r.p
-              |  WHERE r.p <= length(r.w)),
-              |seg AS (SELECT w, max(t) AS nt FROM r GROUP BY w)
+      Some(s"""WITH RECURSIVE $vocabTokCtes
               |SELECT i.doc_id, count(*) AS n_words,
               |  CAST(sum(coalesce(seg.nt, 0)) AS BIGINT) AS n_tokens
               |FROM inst i LEFT JOIN seg ON i.w = seg.w
               |GROUP BY i.doc_id""".stripMargin)),
+
+    // the budget functions CONSUME the learned counts, oracle-verified:
+    // sqrt-temperature source rebalance where n_tokens is the greedy
+    // tokenizer's count, not the whitespace heuristic
+    "sample_temperature_vocab" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val vocab = TextAnalysis.trainUnitVocab(docs, "text", UnitVocab)
+        graft.operators.Sampling.sqrtTemperatureRates(docs, "source",
+          "text", tokensCol = Some(graft.functions.GreedyTokenCount
+            .tokenCount(col("text"), vocab.toIndexedSeq)))
+      },
+      Some(s"""WITH RECURSIVE $vocabTokCtes,
+              |tokv AS (SELECT d.source,
+              |    CAST(count(DISTINCT i.doc_id) AS BIGINT) AS n_docs,
+              |    CAST(sum(coalesce(seg.nt, 0)) AS BIGINT) AS n_tokens
+              |  FROM inst i JOIN documents d USING (doc_id)
+              |  LEFT JOIN seg ON i.w = seg.w
+              |  GROUP BY d.source),
+              |mv AS (SELECT source, n_docs, n_tokens,
+              |  min(n_tokens) OVER () AS mn FROM tokv)
+              |SELECT source, n_docs, n_tokens,
+              |  sqrt(CAST(mn AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+              |    AS sample_rate,
+              |  CAST(n_tokens AS DOUBLE)
+              |    * sqrt(CAST(mn AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+              |    AS expected_tokens
+              |FROM mv""".stripMargin)),
 
     "embedding_validate" -> QueryDef(
       (s, d) => Similarity.validateEmbeddings(table(s, d, "embeddings"),
@@ -1326,6 +1397,28 @@ object TrainingDataQueries {
           col("text").cast("binary").as("payload")),
         "media_id", "payload", maxHamming = PhashMaxHamming),
       Some(phashPairsSql)),
+
+    // image dedup end to end: phash pairs -> connected components ->
+    // every media row labeled (component, canonical?) — the multimodal
+    // twin of the text keep-list path, one row per input medium
+    "media_dedup_canonical" -> QueryDef(
+      (s, d) => {
+        val media = table(s, d, "documents").select(
+          col("doc_id").as("media_id"),
+          col("text").cast("binary").as("payload"))
+        val pairs = Multimodal.phashNearDups(media, "media_id", "payload",
+          maxHamming = PhashMaxHamming)
+        val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        media.select(col("media_id"))
+          .join(labels.withColumnRenamed("id", "media_id"),
+            Seq("media_id"), "left")
+          .select(col("media_id"),
+            coalesce(col("component_id"), col("media_id"))
+              .as("component_id"))
+          .withColumn("is_canonical",
+            col("media_id") === col("component_id"))
+      },
+      Some(phashCanonicalSql)),
 
     "media_features_stub" -> QueryDef(
       (s, d) => Multimodal.extractFeatures(
