@@ -24,7 +24,17 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n===== $n =====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      // composed pipelines end in an EAGER localCheckpoint
+      // (Dedup.releaseAfter), so building the DataFrame already ran the
+      // interesting stages and the remaining plan is just the
+      // checkpointed scan — flag it instead of presenting a vacuous plan
+      val plan = df.queryExecution.executedPlan.toString
+      if (plan.contains("ExistingRDD"))
+        println("NOTE: query materializes eagerly (releaseAfter " +
+          "localCheckpoint); the plan below only scans the checkpoint — " +
+          "audit the stage plans in the operator code/specs instead")
+      df.explain("formatted")
     }
     spark.stop()
   }

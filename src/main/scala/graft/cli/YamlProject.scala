@@ -166,10 +166,15 @@ object YamlProject {
     if (!java.nio.file.Files.exists(f)) return Map.empty
     loadYaml(f.toString, secret).get("alert_handlers") match {
       case Some(m: Map[_, _]) =>
-        m.asInstanceOf[Map[String, Any]].collect {
+        m.asInstanceOf[Map[String, Any]].map {
           case (t, cfg: Map[_, _]) =>
             t -> cfg.asInstanceOf[Map[String, Any]]
               .map { case (k, v) => k -> String.valueOf(v) }
+          // a bare `stderr:` key parses as null — a handler with no
+          // config keys, NOT a handler to silently drop
+          case (t, null) => t -> Map.empty[String, String]
+          case (t, other) => sys.error(
+            s"alert handler '$t': expected a config mapping, got $other")
         }
       case _ => Map.empty
     }

@@ -52,8 +52,11 @@ object GraftFunctions {
       s"$what must be a foldable array<string> literal, got $e")
     e.eval() match {
       case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        a.toObjectArray(StringType).toIndexedSeq.collect {
+        a.toObjectArray(StringType).toIndexedSeq.map {
           case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case null => throw new IllegalArgumentException(
+            s"$what must not contain nulls") // a dropped entry would
+            // silently shrink the vocabulary the user specified
         }
       case other => throw new IllegalArgumentException(
         s"$what evaluated to $other, expected an array")

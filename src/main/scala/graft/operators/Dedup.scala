@@ -54,6 +54,12 @@ object Dedup {
     * an unbucketed index silently degrading to a full index shuffle per
     * batch. Warn-only (correctness is unaffected); planning here costs
     * milliseconds once per batch and never executes the query.
+    *
+    * AQE caveat: the string is the INITIAL plan — when the index is small
+    * enough AQE may still broadcast-convert the join at runtime, making
+    * the warning moot for that batch (the message says so). For a
+    * corpus-SIZED index, the case the 100 TB contract is about, no
+    * runtime conversion is possible and the warning is accurate.
     */
   private[graft] def warnIfIndexShuffles(result: DataFrame, op: String)
       : DataFrame = {
@@ -63,9 +69,11 @@ object Dedup {
         "Exchange hashpartitioning".r.findAllMatchIn(plan).size
       if (!plan.contains("BroadcastHashJoin") && exchanges >= 2)
         System.err.println(s"[graft] $op: plan hash-exchanges both join " +
-          s"sides ($exchanges exchanges, no broadcast probe) - the corpus " +
-          "index is re-shuffling per batch. Persist the index bucketed on " +
-          "the join key (MergeSink.publishBucketed) so only the batch moves.")
+          s"sides ($exchanges exchanges, no broadcast probe) - a " +
+          "corpus-sized index would re-shuffle per batch (AQE may still " +
+          "broadcast a small one at runtime). Persist the index bucketed " +
+          "on the join key (MergeSink.publishBucketed) so only the batch " +
+          "moves.")
     } catch { case _: Throwable => () } // guard must never fail the operator
     result
   }

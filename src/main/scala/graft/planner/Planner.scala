@@ -155,19 +155,28 @@ object Planner {
     pipeline.streams.iterator.takeWhile { _ =>
       !java.nio.file.Files.exists(stopMarker)
     }.foreach { s =>
-      val log = logDir.map(new StreamLog(_, pipeline.id, s.name))
+      // log/alert IO must NEVER abort replication: a full disk or a
+      // throwing alert handler still leaves the loop running, the state
+      // flushed, and the remaining streams synced
+      def quietly(what: String)(body: => Unit): Unit =
+        try body catch { case e: Throwable =>
+          System.err.println(s"[graft] $what failed: ${e.getMessage}") }
+      var log: Option[StreamLog] = None
+      quietly("stream log init") {
+        log = logDir.map(new StreamLog(_, pipeline.id, s.name))
+      }
       try {
         state = runStream(spark, pipeline, s, sourcePathFor(s.table), state)
         writer.offer(state)
-        log.foreach(_.success())
+        quietly("stream log")(log.foreach(_.success()))
       } catch {
         // a failed stream alerts and is skipped; the run continues and
         // its bookmark is untouched, so the next run retries it
         // (reference: send_alert + .failed log, pipelinewise.py:120,
         // commands.py:532-543)
         case e: Throwable =>
-          log.foreach(_.fail(e))
-          onError(s.name, e)
+          quietly("stream log")(log.foreach(_.fail(e)))
+          quietly("alert dispatch")(onError(s.name, e))
       }
     }
     writer.flush()

@@ -199,6 +199,12 @@ object TrainingDataQueries {
     */
   /** aHash fingerprint CTEs (bts/tot/fp) + the byte-band candidate UNION
     * — shared by the pairs query and the canonical-keep composition.
+    *
+    * ASCII coupling (asserted in OperatorsSpec): the Spark side hashes
+    * UTF-8 BYTES (text cast to binary) while this oracle walks CODE
+    * POINTS (ord/substr/length) — identical only while the documents
+    * fixture is pure ASCII. A non-ASCII fixture would need the oracle
+    * rewritten over encode(text)/blob indexing.
     */
   private val phashFpCtes =
     s"""bts AS (SELECT doc_id AS media_id, length(text) AS n,

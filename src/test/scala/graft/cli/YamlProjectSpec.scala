@@ -112,6 +112,17 @@ class YamlProjectSpec extends SparkSpecBase {
       "run_project must leave a .success status log")
   }
 
+  test("a bare config-less handler key parses as an empty config") {
+    val dir = Files.createTempDirectory("yamlnull").toString
+    write(s"$dir/config.yml",
+      """alert_handlers:
+        |  stderr:
+        |""".stripMargin)
+    assert(YamlProject.loadAlertHandlers(dir, secret = None) ==
+      Map("stderr" -> Map.empty[String, String]),
+      "stderr takes no config keys; a null value must not drop it")
+  }
+
   test("unknown target and missing files fail with clear errors") {
     val dir = Files.createTempDirectory("yamlbad").toString
     write(s"$dir/tap_a.yml",

@@ -360,6 +360,24 @@ class OperatorsSpec extends SparkSpecBase {
       n > 0 && !d.isNaN && d >= -1e-6 && d <= 2.0 })
   }
 
+  test("documents fixture is pure ASCII (phash/tokenizer oracle contract)") {
+    // the phash oracle walks CODE POINTS (ord/substr) while the Spark
+    // side hashes UTF-8 BYTES — identical only for ASCII. If the
+    // fixture ever gains a non-ASCII char this canary fails with a
+    // clear message instead of a baffling downstream hash mismatch.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = graft.queries.Q.table(spark, s"/root/testdata/$sf",
+        "documents")
+      val nonAscii = docs
+        .filter(length(col("text")) =!=
+          length(encode(col("text"), "UTF-8"))).count()
+      assert(nonAscii == 0L,
+        s"$sf: $nonAscii non-ASCII documents — the phash/tokenizer " +
+          "oracles assume byte==codepoint; rewrite them over " +
+          "encode(text) before changing the fixture")
+    }
+  }
+
   test("wordStats matches the split/regexp formulation on edge inputs") {
     import graft.functions.TextCounters
     val rows = Seq("", "   ", "one", "  leading and trailing  ",

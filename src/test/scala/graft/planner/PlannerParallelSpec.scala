@@ -80,6 +80,33 @@ class PlannerParallelSpec extends SparkSpecBase {
       !exists("al2-s-good.log.running"), "no running leftovers")
   }
 
+  test("a throwing alert handler never aborts the run or loses state") {
+    val dir = Files.createTempDirectory("alertthrow").toString
+    Seq((1L, "x", 1L)).toDF("id", "v", "seq")
+      .write.parquet(s"$dir/src/good.parquet")
+    val pipeline = PipelineSpec("at",
+      Seq(
+        StreamSpec("s-bad", "missing", Seq("id"),
+          ReplicationMethod.Incremental, Some("seq")),
+        StreamSpec("s-good", "good", Seq("id"),
+          ReplicationMethod.Incremental, Some("seq"))),
+      targetPath = s"$dir/tgt", statePath = s"$dir/state.json")
+    // handler type configured but not implemented -> onError throws;
+    // the run must still sync the good stream and save its bookmark
+    val sender = new Alerts.AlertSender(Map("victorops" -> Map.empty))
+    val old = System.err
+    System.setErr(new java.io.PrintStream(
+      new java.io.ByteArrayOutputStream(), true, "UTF-8"))
+    val state =
+      try Planner.run(spark, pipeline, t => s"$dir/src/$t.parquet",
+        onError = Alerts.onError(sender))
+      finally System.setErr(old)
+    assert(state.get("s-good").nonEmpty, "good stream must still sync")
+    assert(spark.read.parquet(s"$dir/tgt/good").count() == 1)
+    assert(graft.state.Bookmarks.load(s"$dir/state.json")
+      .get("s-good").nonEmpty, "state must be saved despite the throw")
+  }
+
   test("AlertSender registry: unconfigured and unimplemented types") {
     val sender = new Alerts.AlertSender(Map("stderr" -> Map.empty))
     intercept[Alerts.NotConfiguredAlertHandlerException] {
