@@ -852,7 +852,7 @@ class OperatorsSpec extends SparkSpecBase {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       System.setErr(old)
     }
-    assert(buf.toString("UTF-8").contains("re-shuffling per batch"),
+    assert(buf.toString("UTF-8").contains("re-shuffle per batch"),
       s"expected index-shuffle warning, got: ${buf.toString("UTF-8")}")
   }
 
