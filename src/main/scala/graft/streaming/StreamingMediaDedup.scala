@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Continuous perceptual near-duplicate detection over media payloads —
+  * the multimodal twin of [[StreamingNearDup]]: as images/blobs arrive,
+  * emit `(id_a, id_b, hamming)` for every pair whose aHash fingerprints
+  * share a byte band with Hamming distance <= `maxHamming`, both within
+  * the state horizon.
+  *
+  * Same algorithm as the batch
+  * [[graft.operators.Multimodal.phashNearDups]] (identical AHash64
+  * fingerprint, 8-bit band keys, Hamming verification — the parity spec
+  * asserts equal pair sets), restructured for unbounded input exactly
+  * like the text LSH stream:
+  *
+  *  - fingerprints are a STATELESS projection on the micro-batch scan
+  *    (the payload never enters state — only the 8-byte hash does);
+  *  - each fingerprint lands in its 8 band buckets via one posexplode,
+  *    and `flatMapGroupsWithState` keyed on (band, bucket) keeps the
+  *    bucket population `(id, phash, ts)` as state;
+  *  - state is pruned by event-time watermark and evicted wholesale by
+  *    an event-time timeout at `ts + horizon`.
+  *
+  * Pairs sharing several bands emit once per shared band
+  * (at-least-once); dedup downstream like the batch path's `distinct`.
+  */
+object StreamingMediaDedup {
+
+  private type Arrival = (String, Long, Long, java.sql.Timestamp)
+  private type Resident = (Long, Long, Long)
+
+  def phashPairs(media: DataFrame, idCol: String, payloadCol: String,
+                 tsCol: String, watermark: String,
+                 maxHamming: Int = 12,
+                 horizonMs: Long = 3600000L): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+
+    val bandKeys = array((0 until 8).map { b =>
+      concat_ws("_", lit(b),
+        shiftright(col("phash"), b * 8).bitwiseAND(255))
+    }: _*)
+
+    val arrivals = media
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.AHash64.aHash(col(payloadCol)).as("phash"),
+        col(tsCol).as("__ts"))
+      .select(col("id"), col("phash"), col("__ts"),
+        posexplode(bandKeys).as(Seq("band_no", "bk")))
+      .select(concat_ws("#", col("band_no"), col("bk")).as("key"),
+        col("id"), col("phash"), col("__ts"))
+      .as[Arrival]
+
+    def process(key: String, rows: Iterator[Arrival],
+                state: GroupState[List[Resident]])
+        : Iterator[(Long, Long, Int)] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val wm = state.getCurrentWatermarkMs()
+        var residents = state.getOption.getOrElse(Nil)
+          .filter(_._3 >= wm)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+        rows.toSeq.map(r => (r._2, r._3, r._4.getTime))
+          .sortBy(r => (r._3, r._1)).foreach { case (id, fp, tsMs) =>
+            residents.foreach { case (rid, rfp, _) =>
+              if (rid != id) {
+                val hamming = java.lang.Long.bitCount(fp ^ rfp)
+                if (hamming <= maxHamming)
+                  out += ((math.min(id, rid), math.max(id, rid), hamming))
+              }
+            }
+            residents = (id, fp, tsMs) :: residents.filterNot(_._1 == id)
+          }
+        if (residents.isEmpty) state.remove()
+        else {
+          state.update(residents)
+          state.setTimeoutTimestamp(residents.map(_._3).max + horizonMs)
+        }
+        out.iterator
+      }
+    }
+
+    arrivals
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(process)
+      .toDF("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpecBase
+import graft.operators.Multimodal
+
+/** StreamingMediaDedup: continuous perceptual near-dup pairs with
+  * bounded bucket state — batch parity, cross-batch memory through a
+  * checkpointed restart.
+  */
+class StreamingMediaDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // payloads: a base byte pattern, a one-byte tweak (near-dup), and two
+  // unrelated diverse patterns
+  private val base =
+    (0 until 256).map(i => ((i * 37) % 251).toByte).toArray
+  private val tweaked = {
+    val t = base.clone(); t(100) = (t(100) ^ 0x7f).toByte; t
+  }
+  private val other =
+    (0 until 256).map(i => ((i * 113 + 55) % 241).toByte).toArray
+  private val third =
+    (0 until 256).map(i => ((i * 59 + 17) % 239).toByte).toArray
+
+  private def writeBatch(dir: String,
+                         rows: Seq[(Long, Array[Byte], String)]): Unit =
+    rows.toDF("media_id", "payload", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .coalesce(1).write.mode("append").parquet(dir)
+
+  private def runStream(srcDir: String, outDir: String,
+                        ckpt: String): Unit = {
+    val stream = spark.readStream
+      .schema("media_id LONG, payload BINARY, ts TIMESTAMP")
+      .parquet(srcDir)
+    val q = StreamingMediaDedup.phashPairs(stream, "media_id", "payload",
+        "ts", watermark = "1 hour", maxHamming = 12,
+        horizonMs = 3600000L)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+  }
+
+  private def pairs(outDir: String): Set[(Long, Long)] =
+    spark.read.parquet(outDir).select("id_a", "id_b").distinct()
+      .as[(Long, Long)].collect().toSet
+
+  test("streaming media pairs match the batch operator") {
+    val media = Seq((1L, base), (2L, tweaked), (3L, other), (4L, third))
+    val batchPairs = Multimodal.phashNearDups(
+        media.toDF("media_id", "payload"), "media_id", "payload",
+        maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs.contains((1L, 2L)), s"fixture sanity: $batchPairs")
+
+    val dir = Files.createTempDirectory("smedia").toString
+    writeBatch(s"$dir/in",
+      media.map { case (id, p) => (id, p, s"2024-01-01 00:00:0$id") })
+    runStream(s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    assert(pairs(s"$dir/out") == batchPairs)
+  }
+
+  test("near-dup medium in a later micro-batch pairs from state") {
+    val dir = Files.createTempDirectory("smedia2").toString
+    writeBatch(s"$dir/in", Seq(
+      (1L, base, "2024-01-01 00:00:01"),
+      (3L, other, "2024-01-01 00:00:02")))
+    runStream(s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    assert(pairs(s"$dir/out").isEmpty)
+    // the tweak arrives later via a RESTARTED query: the pair must come
+    // from checkpointed bucket state
+    writeBatch(s"$dir/in", Seq((2L, tweaked, "2024-01-01 00:10:00")))
+    runStream(s"$dir/in", s"$dir/out", s"$dir/ckpt")
+    assert(pairs(s"$dir/out") == Set((1L, 2L)))
+  }
+}
