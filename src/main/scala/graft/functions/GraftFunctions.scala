@@ -98,6 +98,15 @@ object GraftFunctions {
         WordShingles(args.head, litInt(args(1), "shingle size k"))
       }),
 
+    // perceptual average-hash of a binary payload (media dedup from SQL)
+    (FunctionIdentifier("graft_ahash"),
+      new ExpressionInfo(classOf[AHash64].getCanonicalName, "graft_ahash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_ahash expects (payload), got ${args.length}")
+        AHash64(args.head)
+      }),
+
     // learned-vocab greedy token count: vocab is a required array<string>
     // literal (a model artifact — it parameterizes the trie, not a row)
     (FunctionIdentifier("graft_token_count"),

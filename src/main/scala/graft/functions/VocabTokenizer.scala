@@ -64,16 +64,17 @@ case class GreedyTokenCount(child: Expression, vocab: Seq[String])
 
 object GreedyTokenCount {
   /** Compact character trie: edges in one primitive-keyed map
-    * ((nodeId << 16) | char), terminals in a bitset — longestMatch walks
-    * the word once per start position with zero allocation.
+    * ((nodeId << 16) | char), terminal nodes mapped to their vocab
+    * index — longestMatch walks the word once per start position with
+    * zero allocation.
     */
   private[functions] final class Trie(vocab: Seq[String])
       extends Serializable {
     private val edges = new java.util.HashMap[Long, Integer]()
-    private val terminal = new java.util.BitSet()
+    private val termIdx = new java.util.HashMap[Integer, Integer]()
     private var nextId = 1
 
-    vocab.foreach { u =>
+    vocab.zipWithIndex.foreach { case (u, idx) =>
       if (u.nonEmpty) { // a zero-length unit would never advance the scan
         var cur = 0
         var i = 0
@@ -84,20 +85,28 @@ object GreedyTokenCount {
                 else { val id = nextId; nextId += 1; edges.put(key, id); id }
           i += 1
         }
-        terminal.set(cur)
+        termIdx.putIfAbsent(cur, idx) // first occurrence wins on dup units
       }
     }
 
     /** Length of the longest vocab unit matching `w` at `from`, or 0. */
-    def longestMatch(w: String, from: Int): Int = {
+    def longestMatch(w: String, from: Int): Int =
+      (longestMatchPacked(w, from) >>> 32).toInt
+
+    /** Packed (length << 32 | vocabIdx + 1) of the longest vocab unit
+      * matching `w` at `from`, or 0 when none matches.
+      */
+    def longestMatchPacked(w: String, from: Int): Long = {
       var cur = 0
-      var best = 0
+      var best = 0L
       var i = from
       while (i < w.length) {
         val child = edges.get((cur.toLong << 16) | w.charAt(i).toLong)
         if (child == null) return best
         cur = child.intValue()
-        if (terminal.get(cur)) best = i - from + 1
+        val t = termIdx.get(cur)
+        if (t != null)
+          best = ((i - from + 1).toLong << 32) | (t.intValue() + 1).toLong
         i += 1
       }
       best
@@ -107,4 +116,49 @@ object GreedyTokenCount {
   def tokenCount(text: Column, vocab: Seq[String]): Column =
     ColumnBridge.column(
       GreedyTokenCount(ColumnBridge.expression(text), vocab))
+}
+
+/** The encode half emitting TOKEN IDS instead of a count: per word,
+  * greedy longest-match segments map to their vocabulary index and
+  * unmatched characters to `-1` (UNK). `size(ids)` is by construction
+  * [[GreedyTokenCount]] of the same text/vocab (property-asserted in
+  * specs). Same zero-exchange projection shape.
+  */
+case class GreedyTokenIds(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  @transient private lazy val trie = new GreedyTokenCount.Trie(vocab)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.trim().toString
+    val words = s.split("\\s+", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      var p = 0
+      while (p < w.length) {
+        val m = trie.longestMatchPacked(w, p)
+        if (m == 0L) { out += (-1); p += 1 }
+        else { out += ((m & 0xffffffffL).toInt - 1); p += (m >>> 32).toInt }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object GreedyTokenIds {
+  def tokenIds(text: Column, vocab: Seq[String]): Column =
+    ColumnBridge.column(
+      GreedyTokenIds(ColumnBridge.expression(text), vocab))
 }

@@ -210,6 +210,46 @@ object Sampling {
         col("end_pack"), col("start_offset"))
   }
 
+  /** Materialize the packed training sequences [[packPlan]] describes:
+    * encode every document with the learned vocabulary
+    * ([[graft.functions.GreedyTokenIds]] — vocab index per token, -1 for
+    * UNK), lay the token streams end to end in the plan's deterministic
+    * per-shard order, and cut them into `seqLen`-token sequences. Output
+    * one row per packed sequence:
+    * `(shard, pack_no, n_tokens, token_ids)` — every pack holds exactly
+    * `seqLen` tokens except the last of each shard.
+    *
+    * Scale shape: the only corpus-sized movement is the ONE shuffle of
+    * token instances onto their (shard, pack) — inherent to
+    * materialization — and each group is bounded by `seqLen`, so no
+    * reducer ever holds more than one sequence's tokens. The plan side
+    * reuses [[packPlan]] unchanged (same window, same ordering), joined
+    * back by id, so plan and payload can never disagree on placement.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: Seq[String], seqLen: Int, numShards: Int)
+      : DataFrame = {
+    import graft.functions.{GreedyTokenCount, GreedyTokenIds}
+    val plan = packPlan(docs, idCol, textCol, seqLen, numShards,
+      tokensCol = Some(GreedyTokenCount.tokenCount(col(textCol), vocab)))
+    val ids = docs.select(col(idCol).as("id"),
+      GreedyTokenIds.tokenIds(col(textCol), vocab).as("__ids"))
+    ids.join(plan, Seq("id"))
+      .select(col("shard"),
+        (col("start_pack") * seqLen + col("start_offset")).as("__g0"),
+        posexplode(col("__ids")).as(Seq("__pos", "__tok")))
+      .select(col("shard"),
+        expr(s"(__g0 + __pos) div $seqLen").as("pack_no"),
+        ((col("__g0") + col("__pos")) % seqLen).as("__off"),
+        col("__tok"))
+      .groupBy(col("shard"), col("pack_no"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("__off"), col("__tok"))))
+          .as("__st"))
+      .select(col("shard"), col("pack_no"), col("n_tokens"),
+        expr("transform(__st, e -> e.__tok)").as("token_ids"))
+  }
+
   def stratifiedSampleByHash(df: DataFrame, keyCol: String,
                              strataCol: String,
                              fractions: Map[String, Double],

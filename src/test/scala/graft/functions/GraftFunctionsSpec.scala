@@ -42,6 +42,16 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(viaSql.except(viaDf).isEmpty && viaDf.except(viaSql).isEmpty)
   }
 
+  test("graft_ahash in SQL matches AHash64") {
+    GraftFunctions.register(spark)
+    val payload = "some moderately long payload with byte variety 0123456789"
+    val viaSql = spark.sql(
+      s"SELECT graft_ahash(CAST('$payload' AS BINARY))").head().getLong(0)
+    val viaDf = Seq(payload).toDF("t")
+      .select(AHash64.aHash(col("t").cast("binary"))).head().getLong(0)
+    assert(viaSql == viaDf && viaSql != 0L)
+  }
+
   test("graft_token_count in SQL matches GreedyTokenCount") {
     GraftFunctions.register(spark)
     val got = spark.sql(

@@ -99,6 +99,77 @@ class SamplingSpec extends SparkSpecBase {
     assert(plan == shuffled)
   }
 
+  test("GreedyTokenIds: ids map to vocab indices, -1 UNK, count parity") {
+    import graft.functions.{GreedyTokenCount, GreedyTokenIds}
+    val vocab = Seq("abc", "ab", "cd", "x")
+    val df = Seq("abcd xcdx zq", "", "ab").toDF("t")
+    val rows = df.select(
+        GreedyTokenIds.tokenIds(col("t"), vocab).as("ids"),
+        GreedyTokenCount.tokenCount(col("t"), vocab).as("n"))
+      .collect()
+    // "abcd" -> abc(0), d UNK; "xcdx" -> x(3), cd(2), x(3); z,q UNK
+    assert(rows(0).getSeq[Int](0) == Seq(0, -1, 3, 2, 3, -1, -1))
+    assert(rows(1).getSeq[Int](0) == Seq())
+    assert(rows(2).getSeq[Int](0) == Seq(1))
+    rows.foreach(r => assert(r.getSeq[Int](0).size.toLong == r.getLong(1),
+      "size(ids) must equal GreedyTokenCount"))
+  }
+
+  test("packSequences materializes the exact seqLen tiling of packPlan") {
+    val vocab = Seq("aa", "bb", "cc")
+    // 3 docs, all tokens in-vocab, single shard for hand verification
+    val docs = Seq(
+      (1L, "aa aa bb"),      // ids 0 0 1
+      (2L, "cc cc"),         // ids 2 2
+      (3L, "bb aa cc aa"))   // ids 1 0 2 0
+      .toDF("doc_id", "text")
+    val seqLen = 4
+    val packs = Sampling.packSequences(docs, "doc_id", "text", vocab,
+        seqLen, numShards = 1)
+      .orderBy("shard", "pack_no")
+      .as[(Int, Long, Long, Seq[Int])].collect()
+    // every pack full except the last; total conserved
+    assert(packs.map(_._3).sum == 9L)
+    packs.init.foreach(p => assert(p._3 == seqLen && p._4.size == seqLen))
+    assert(packs.last._3 == 9L % seqLen || packs.last._3 == seqLen)
+    // the concatenated packs equal the docs' id streams concatenated in
+    // packPlan's deterministic order
+    val plan = Sampling.packPlan(docs, "doc_id", "text", seqLen, 1,
+        tokensCol = Some(graft.functions.GreedyTokenCount
+          .tokenCount(col("text"), vocab)))
+      .select("id", "start_pack", "start_offset")
+      .as[(Long, Long, Long)].collect()
+      .sortBy(r => r._2 * seqLen + r._3).map(_._1)
+    val perDoc = Map(1L -> Seq(0, 0, 1), 2L -> Seq(2, 2),
+      3L -> Seq(1, 0, 2, 0))
+    assert(packs.flatMap(_._4).toSeq == plan.flatMap(perDoc).toSeq,
+      "payload placement must follow the plan order exactly")
+  }
+
+  test("packSequences invariants hold across shards at 300 docs") {
+    val vocab = Seq("w0", "w1", "w2", "w3", "w4")
+    // words all in-vocab so the expected token total is the word total
+    val docs = (1L to 300L)
+      .map(i => (i, (0 until (i % 5).toInt + 1).map(j => s"w$j")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val seqLen = 16
+    val packs = Sampling.packSequences(docs, "doc_id", "text", vocab,
+        seqLen, numShards = 4)
+      .as[(Int, Long, Long, Seq[Int])].collect()
+    val totalTokens = (1L to 300L).map(i => (i % 5) + 1).sum
+    assert(packs.map(_._3).sum == totalTokens)
+    packs.groupBy(_._1).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // contiguous pack numbering from 0, all full except the last
+      assert(sorted.map(_._2).toSeq == (0L until sorted.size).toSeq,
+        s"shard $shard pack numbering")
+      sorted.init.foreach(p => assert(p._3 == seqLen))
+      assert(sorted.last._3 <= seqLen)
+      rows.foreach(p => assert(p._4.forall(t => t >= 0 && t < 5)))
+    }
+  }
+
   test("mixturePlan caps the binding source at rate 1.0, scales the rest") {
     // sA: 8 tokens, weight 1 -> tokens/weight = 8
     // sB: 4 tokens, weight 2 -> tokens/weight = 2  (binding: budget = 2)
