@@ -135,6 +135,37 @@ object Similarity {
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : DataFrame = spark.read.parquet(path)
 
+  /** kNN label-agreement audit — the classifier-free label-noise /
+    * embedding-quality probe (confident-learning flavor): for each query
+    * vector, how many of its k nearest neighbors carry the query's own
+    * label. Low agreement flags mislabeled or out-of-distribution
+    * examples before they poison a training mix. Emits
+    * `(query_id, label, n_neighbors, n_same, agreement)` — integer
+    * counts plus ONE final division, so the numbers are oracle-exact.
+    *
+    * Scale shape: the neighbor list is [[bruteForceTopK]]'s output
+    * (O(queries x k) tiny rows) and is BROADCAST against the
+    * corpus-sized label projection — the corpus never re-shuffles for
+    * the audit; swap in [[ivfTopK]]'s candidates for the indexed path.
+    */
+  def knnLabelAgreement(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, labelCol: String,
+                        k: Int): DataFrame = {
+    val nn = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol), col(labelCol))
+    broadcast(nn)
+      .join(labels.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__nl")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("label"))), Seq("query_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("__nl") === col("label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .withColumn("agreement",
+        col("n_same").cast("double") / col("n_neighbors").cast("double"))
+  }
+
   /** Incremental index maintenance: assign an append batch with the
     * EXISTING trained centroids and append it into the partitioned
     * layout — the ANN counterpart of the dedup family's `...Against`

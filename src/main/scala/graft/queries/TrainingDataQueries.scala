@@ -313,8 +313,11 @@ object TrainingDataQueries {
       .stripMargin
   }
 
-  private val annSql =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  /** Brute-force cosine top-k CTEs ending in `r(query_id, neighbor_id,
+    * rank)` — shared by the ANN baseline and the label-agreement audit.
+    */
+  private val annTopkCtes =
+    s"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
        |  FROM embeddings WHERE vec_id < $AnnNumQueries),
        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
        |  FROM embeddings),
@@ -325,9 +328,29 @@ object TrainingDataQueries {
        |  FROM q, c WHERE query_id <> neighbor_id),
        |r AS (SELECT query_id, neighbor_id, row_number() OVER (
        |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-       |  FROM s)
+       |  FROM s)""".stripMargin
+
+  private val annSql =
+    s"""WITH $annTopkCtes
        |SELECT query_id, rank, neighbor_id FROM r
        |WHERE rank <= $AnnK""".stripMargin
+
+  /** kNN label-agreement oracle: the same top-k, labels joined for both
+    * endpoints, integer counts + one final division.
+    */
+  private val annLabelSql =
+    s"""WITH $annTopkCtes
+       |SELECT r.query_id, ql.label,
+       |  count(*) AS n_neighbors,
+       |  CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_same,
+       |  CAST(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS agreement
+       |FROM r
+       |JOIN embeddings nl ON r.neighbor_id = nl.vec_id
+       |JOIN embeddings ql ON r.query_id = ql.vec_id
+       |WHERE r.rank <= $AnnK
+       |GROUP BY r.query_id, ql.label""".stripMargin
 
   private val ivfSql =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1334,6 +1357,17 @@ object TrainingDataQueries {
           AnnK)
       },
       Some(annSql)),
+
+    // label-noise audit: per query vector, how many of its k nearest
+    // neighbors share its label — integer counts, one final division
+    "ann_label_agreement" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        Similarity.knnLabelAgreement(emb,
+          emb.filter(col("vec_id") < AnnNumQueries),
+          "vec_id", "embedding", "label", AnnK)
+      },
+      Some(annLabelSql)),
 
     "ann_ivf_topk" -> QueryDef(
       (s, d) => {

@@ -303,6 +303,29 @@ class OperatorsSpec extends SparkSpecBase {
     assert(index.count() == assigned.count())
   }
 
+  test("knnLabelAgreement flags a planted mislabeled vector") {
+    // two tight clusters in 2-D; vector 10 sits in cluster A but wears
+    // cluster B's label -> agreement 0 for it, 1.0 for clean vectors
+    val a = (0L to 10L).map(i =>
+      (i, Array(1.0f, 0.001f * i), if (i == 10L) 1 else 0))
+    val b = (20L to 29L).map(i =>
+      (i, Array(-1.0f, 0.001f * (i - 20)), 1))
+    val emb = (a ++ b).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAgreement(emb,
+        emb.filter(col("vec_id").isin(0L, 10L, 20L)),
+        "vec_id", "embedding", "label", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(10L) == 0.0, "mislabeled vector must have zero agreement")
+    assert(out(0L) == 1.0 && out(20L) == 1.0,
+      s"clean vectors must agree fully: $out")
+    // the audit must broadcast the tiny NN frame, never re-shuffle the
+    // corpus labels
+    val plan = Similarity.knnLabelAgreement(emb, emb.filter(
+        col("vec_id") < 3), "vec_id", "embedding", "label", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("IVF append: new vectors probed without retrain; drift reported") {
     val sfDir = "/root/testdata/sf0.001"
     val emb = graft.queries.Q.table(spark, sfDir, "embeddings")
