@@ -352,9 +352,31 @@ object TrainingDataQueries {
        |WHERE r.rank <= $AnnK
        |GROUP BY r.query_id, ql.label""".stripMargin
 
-  private val ivfSql =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cent AS (SELECT CAST(vec_id // 50 AS BIGINT) AS centroid_id, v AS cv
+  /** int8 quantize→dequantize chain ending in `e(vec_id, v)` over the
+    * reconstructed vectors — swap it for the plain `e` CTE to run any
+    * vector oracle over the 4x-compressed storage path (same arithmetic
+    * as annQuantSql: floor-spelled round-half-up, FLOAT-exact casts).
+    */
+  private val dequantVecCtes =
+    s"""raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sc0 AS (SELECT vec_id, v,
+       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+       |  FROM raw),
+       |qz0 AS (SELECT vec_id, scale,
+       |    list_transform(v, x -> CAST(floor(CASE WHEN scale = 0
+       |      THEN 0.0 ELSE x / scale + 0.5 END) AS INT)) AS q
+       |  FROM sc0),
+       |e AS (SELECT vec_id, list_transform(q,
+       |    qq -> CAST(CAST(CAST(qq AS DOUBLE) * scale AS FLOAT)
+       |      AS DOUBLE)) AS v
+       |  FROM qz0)""".stripMargin
+
+  /** IVF search body over an `e(vec_id, v)` CTE: deterministic seeded
+    * centroids, nearest-centroid assignment, 4-probe candidate join,
+    * per-query rank — shared by the plain and quantized-index oracles.
+    */
+  private val ivfBody =
+    s"""cent AS (SELECT CAST(vec_id // 50 AS BIGINT) AS centroid_id, v AS cv
        |  FROM e WHERE vec_id % 50 = 0),
        |asg AS (SELECT vec_id, v, centroid_id AS cluster FROM (
        |  SELECT e.vec_id, e.v, c.centroid_id, row_number() OVER (
@@ -378,9 +400,26 @@ object TrainingDataQueries {
        |    PARTITION BY query_id ORDER BY
        |    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv))
        |      * sqrt(list_dot_product(v, v))) DESC, vec_id) AS rank
-       |  FROM cand)
-       |SELECT query_id, rank, neighbor_id FROM r
+       |  FROM cand)""".stripMargin
+
+  private val ivfSelect =
+    s"""SELECT query_id, rank, neighbor_id FROM r
        |WHERE rank <= $AnnK""".stripMargin
+
+  private val ivfSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |    FROM embeddings),
+       |$ivfBody
+       |$ivfSelect""".stripMargin
+
+  /** Quantized-INDEX IVF: the 4x storage path composed with the
+    * inverted-file search — centroids, assignment, probes, and ranking
+    * all run over the reconstructed (dequantized) vectors.
+    */
+  private val ivfQuantSql =
+    s"""WITH $dequantVecCtes,
+       |$ivfBody
+       |$ivfSelect""".stripMargin
 
   /** SemDeDup oracle: the asg CTE is the same nearest-centroid argmax the
     * IVF oracle uses (sim desc, centroid_id asc tie-break = ivfAssign's
@@ -1381,6 +1420,25 @@ object TrainingDataQueries {
           AnnK, nprobe = 4)
       },
       Some(ivfSql)),
+
+    // the 4x-compressed index composed with inverted-file search: the
+    // whole IVF pipeline (centroids, assignment, probes, ranking) over
+    // int8-reconstructed vectors — rank-exact vs the oracle
+    "ann_ivf_quantized_topk" -> QueryDef(
+      (s, d) => {
+        import graft.functions.VectorOps
+        val dq = table(s, d, "embeddings").select(col("vec_id"),
+          VectorOps.dequantizeInt8(VectorOps.quantizeInt8(col("embedding")))
+            .as("embedding"))
+        val centroids = Similarity.seedCentroids(dq, "vec_id", "embedding",
+          every = 50)
+        val assigned = Similarity.ivfAssign(dq, centroids, "vec_id",
+          "embedding")
+        Similarity.ivfTopK(assigned, centroids,
+          dq.filter(col("vec_id") < AnnNumQueries), "vec_id", "embedding",
+          AnnK, nprobe = 4)
+      },
+      Some(ivfQuantSql)),
 
     "text_lang_id" -> QueryDef(
       (s, d) => table(s, d, "documents")
