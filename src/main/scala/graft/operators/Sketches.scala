@@ -106,6 +106,22 @@ object Sketches {
     least(terms: _*)
   }
 
+  /** Bloom-filter membership probe against a [[graft.functions.BloomBits]]
+    * sketch: true iff ALL k probe bits are set — definite-miss rows can
+    * be discarded before an expensive index join (no false negatives;
+    * false positives pass through to the exact check). Pure built-in
+    * expressions mirroring BloomBits.update's arithmetic.
+    */
+  def bloomMightContain(sketch: Column, h: Column, k: Int, m: Int)
+      : Column = {
+    import graft.functions.StableHash
+    val hm = pmod(h, lit(StableHash.MinhashPrime))
+    StableHash.minhashParams(k).map { case (a, b) =>
+      val perm = (lit(a) * hm + lit(b)) % StableHash.MinhashPrime
+      element_at(sketch, (perm % m + 1L).cast("int")) === 1L
+    }.reduce(_ && _)
+  }
+
   /** Deterministic quantile-bucket assignment — the curriculum /
     * length-binning step: every row learns which inter-quantile bucket
     * its `value` falls into (`bucket` = number of thresholds strictly

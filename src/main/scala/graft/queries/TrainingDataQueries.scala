@@ -780,6 +780,11 @@ object TrainingDataQueries {
   private val BoilerMinDf = 2
   // OOV-rate vocabulary size (top-N corpus words)
   private val OovVocab = 30
+  // bloom pre-filter geometry: 4 probes x 1024 bits over ~450 corpus
+  // keys -> a meaningful false-positive rate, so the probe query
+  // exercises BOTH hit paths deterministically in both engines
+  private val BloomK = 4
+  private val BloomM = 1024
   // learned-tokenizer unit vocabulary (top-N words + char bigrams): 24
   // keeps a mix of whole-word hits, bigram pieces, and char UNKs on the
   // synthetic corpus (31 distinct words), so greedy longest-match is
@@ -1234,6 +1239,53 @@ object TrainingDataQueries {
           AnnK)
       },
       Some(annQuantSql)),
+
+    // bloom pre-filter for the incremental-dedup probe shape: the
+    // corpus index's keys sketched into m bits, the batch tested
+    // against the broadcast sketch BEFORE any join — no false negatives
+    // (bloom_hit >= exact_hit row-wise), false positives identical in
+    // both engines because the bit arithmetic is StableHash-deterministic
+    "sketch_bloom_probe" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Sketches
+        val docs = table(s, d, "documents")
+        val corpus = docs.filter(col("doc_id") % IncrMod =!= 0)
+          .select(StableHash.hash60(col("text")).as("h"))
+        val sk = corpus.agg(graft.functions.BloomBits
+            .sketch(col("h"), BloomK, BloomM).as("__sk"))
+          .withColumn("__k", lit(1))
+        val batch = docs.filter(col("doc_id") % IncrMod === 0)
+          .select(col("doc_id"), StableHash.hash60(col("text")).as("h"))
+        val exact = corpus.distinct().withColumn("__exact", lit(true))
+        batch.withColumn("__k", lit(1))
+          .join(broadcast(sk), Seq("__k"))
+          .join(exact, Seq("h"), "left")
+          .select(col("doc_id"),
+            Sketches.bloomMightContain(col("__sk"), col("h"),
+              BloomK, BloomM).as("bloom_hit"),
+            coalesce(col("__exact"), lit(false)).as("exact_hit"))
+      },
+      Some {
+        val P = StableHash.MinhashPrime
+        def bitSql(hSql: String, a: Long, b: Long) =
+          s"((($a * ($hSql % $P) + $b) % $P) % $BloomM)"
+        val perms = StableHash.minhashParams(BloomK)
+        val corBits = perms.map { case (a, b) =>
+          s"SELECT ${bitSql("h", a, b)} AS bit FROM cor"
+        }.mkString("\nUNION\n")
+        val probeChecks = perms.map { case (a, b) =>
+          s"${bitSql("b.h", a, b)} IN (SELECT bit FROM bset)"
+        }.mkString("\n  AND ")
+        s"""WITH cor AS (SELECT DISTINCT ${StableHash.hash60Sql("text")}
+           |    AS h FROM documents WHERE doc_id % $IncrMod <> 0),
+           |bset AS ($corBits),
+           |bat AS (SELECT doc_id, ${StableHash.hash60Sql("text")} AS h
+           |  FROM documents WHERE doc_id % $IncrMod = 0)
+           |SELECT b.doc_id,
+           |  ($probeChecks) AS bloom_hit,
+           |  b.h IN (SELECT h FROM cor) AS exact_hit
+           |FROM bat b""".stripMargin
+      }),
 
     "corpus_token_rollup" -> QueryDef(
       (s, d) => table(s, d, "documents")

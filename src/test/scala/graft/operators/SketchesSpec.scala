@@ -176,4 +176,38 @@ class SketchesSpec extends SparkSpecBase {
     val sizes = m.values.groupBy(identity).view.mapValues(_.size).toMap
     assert(sizes == Map(0 -> 250, 1 -> 250, 2 -> 250, 3 -> 250), sizes)
   }
+
+  test("BloomBits: no false negatives, deterministic, merges partitions") {
+    import graft.functions.BloomBits
+    val k = 4
+    val m = 512
+    // member hashes spread over many partitions so map-side partials
+    // must merge; probe set = members ++ certain non-members
+    val members = (1L to 300L).map(_ * 7919L)
+    val sk = members.toDF("h").repartition(8)
+      .agg(BloomBits.sketch(col("h"), k, m).as("sk"))
+    val skRow = sk.head().getSeq[Long](0)
+    assert(skRow.size == m && skRow.forall(b => b == 0L || b == 1L))
+    // determinism: same input, different partitioning -> same bits
+    val skRow2 = members.reverse.toDF("h").repartition(3)
+      .agg(BloomBits.sketch(col("h"), k, m).as("sk"))
+      .head().getSeq[Long](0)
+    assert(skRow == skRow2)
+
+    val probes = (members ++ (1L to 300L).map(_ * 104729L + 13L))
+      .toDF("h").crossJoin(broadcast(sk))
+    val checked = probes.select(col("h"),
+        Sketches.bloomMightContain(col("sk"), col("h"), k, m).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // every member hits (the Bloom guarantee)
+    members.foreach(h => assert(checked(h), s"false negative for $h"))
+    // the geometry is sized to produce SOME false positives (fill
+    // ratio ~90%), proving the probe exercises both outcomes — but not
+    // all non-members may hit
+    val nonMembers = (1L to 300L).map(_ * 104729L + 13L)
+      .filterNot(members.toSet)
+    val fp = nonMembers.count(checked)
+    assert(fp > 0 && fp < nonMembers.size,
+      s"expected a mixed false-positive outcome, got $fp/${nonMembers.size}")
+  }
 }
