@@ -46,6 +46,45 @@ object Dedup {
         col("keep_id").as("dup_of")), Seq("text_hash"), "left")
       .select(col("id"), col("text_hash"), col("dup_of")), "exactAgainst")
 
+  /** Build the Bloom pre-filter of a persisted corpus index's keys
+    * (ONE scan at index-publish time; store it next to the index like
+    * centroids or a vocab — it is a bounded model artifact of
+    * `m * 8` bytes, broadcastable into every future batch scan).
+    */
+  def buildIndexBloom(corpusIndex: DataFrame, keyCol: String,
+                      k: Int, m: Int): Array[Long] =
+    corpusIndex.agg(graft.functions.BloomBits
+        .sketch(col(keyCol), k, m).as("sk"))
+      .head().getSeq[Long](0).toArray
+
+  /** [[exactAgainst]] with a Bloom short-circuit: batch rows whose hash
+    * definitely isn't in the index (no false negatives — Bloom's
+    * guarantee) resolve to `dup_of = null` WITHOUT touching the index
+    * join; only possible-hits join. For novel-heavy batches (the common
+    * crawl-ingest case) this cuts the join input to the false-positive
+    * band. Result rows are identical to [[exactAgainst]]'s
+    * (spec-asserted parity).
+    */
+  def exactAgainstBloomed(newDocs: DataFrame, corpusIndex: DataFrame,
+                          idCol: String, textCol: String,
+                          bloomBits: Array[Long], bloomK: Int)
+      : DataFrame = {
+    import graft.operators.Sketches
+    val sk = typedLit(bloomBits.toIndexedSeq)
+    val hashed = newDocs.select(col(idCol).as("id"),
+        hash60(col(textCol)).as("text_hash"))
+      .withColumn("__might", Sketches.bloomMightContain(sk,
+        col("text_hash"), bloomK, bloomBits.length))
+    val misses = hashed.filter(!col("__might"))
+      .select(col("id"), col("text_hash"),
+        lit(null).cast("long").as("dup_of"))
+    val hits = hashed.filter(col("__might"))
+      .join(corpusIndex.select(col("text_hash"),
+        col("keep_id").as("dup_of")), Seq("text_hash"), "left")
+      .select(col("id"), col("text_hash"), col("dup_of"))
+    misses.unionByName(hits)
+  }
+
   /** Runtime guard for the incremental ("...Against") operators' 100 TB
     * contract: the persisted corpus index must NOT re-shuffle per batch.
     * The healthy plans are a broadcast probe (batch broadcasts) or a

@@ -861,6 +861,26 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("exactAgainstBloomed matches exactAgainst exactly") {
+    val corpus = (1 to 200).map(i => (i.toLong, s"corpus text $i"))
+      .toDF("doc_id", "text")
+    val batch = ((1 to 30).map(i => (1000L + i, s"novel text $i")) ++
+      Seq((2000L, "corpus text 7"), (2001L, "corpus text 150")))
+      .toDF("doc_id", "text")
+    val idx = Dedup.exact(corpus, "doc_id", "text")
+    val bloom = Dedup.buildIndexBloom(idx, "text_hash", k = 4, m = 2048)
+    val plain = Dedup.exactAgainst(batch, idx, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val bloomed = Dedup.exactAgainstBloomed(batch, idx, "doc_id", "text",
+        bloom, bloomK = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(bloomed == plain,
+      "the Bloom short-circuit must never change results")
+    assert(plain.count(_._3 >= 0) == 2, "fixture sanity: two collisions")
+  }
+
   test("exactAgainst warns when an unbucketed index re-shuffles per batch") {
     val corpus = (1 to 50).map(i => (i.toLong, s"doc $i"))
       .toDF("doc_id", "text")
