@@ -418,6 +418,74 @@ object Dedup {
     releaseAfter(pairs, sets)
   }
 
+  /** Edit-distance-verified near-duplicate pairs — Ed-Join-style q-gram
+    * prefix filtering (Xiao et al., "Ed-Join", PVLDB 2008) with bounded
+    * Levenshtein verification. Text is normalized (lowercase, whitespace
+    * collapsed), cut into distinct character `q`-grams, and candidate
+    * pairs must (a) share a gram inside the `q*maxEdit + 1`-length
+    * df-ascending prefix of each gram set and (b) differ in length by at
+    * most `maxEdit` — both filters are SOUND for edit distance: one edit
+    * destroys at most `q` positional grams, so `ed <= maxEdit` implies
+    * the distinct-gram sets differ by at most `q*maxEdit` elements, and
+    * the classic prefix-filter theorem then guarantees a shared gram in
+    * the first `q*maxEdit + 1` grams under any global ordering. Emits
+    * `(id_a, id_b, edit_dist)` for verified pairs with
+    * `ed(a, b) <= maxEdit`.
+    *
+    * Complements [[ngramJaccardPairs]] (set similarity ignores order and
+    * multiplicity; edit distance is the literature's strictest near-dup
+    * criterion) and [[simhashNearDups]] (whose 32-bit fingerprint is too
+    * coarse to separate small-edit pairs on short documents — measured on
+    * the synthetic corpus: a 4-edit pair lands at Hamming 8).
+    *
+    * Scale shape: the gram sets are persisted ONCE for the three
+    * consumers (df, prefix index, verification); candidates are generated
+    * per shared-gram bucket (ONE shuffle on the gram), never as a cross
+    * join; df-ascending ordering keeps prefix buckets rare by
+    * construction. Verification cost is bounded by Spark's thresholded
+    * `levenshtein(l, r, maxEdit)` — O(maxEdit * min(len)) per candidate
+    * via the banded DP, not O(len^2). Documents shorter than `q`
+    * characters produce no grams and never pair (both engines agree).
+    */
+  def editVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                        q: Int = 5, maxEdit: Int = 12): DataFrame = {
+    require(q >= 2, s"gram size ($q) must be >= 2")
+    require(maxEdit >= 1, s"maxEdit ($maxEdit) must be >= 1")
+    val norm = regexp_replace(trim(lower(col(textCol))), "\\s+", " ")
+    val sets = docs.select(col(idCol).as("id"), norm.as("__t"))
+      .withColumn("gs", when(length(col("__t")) >= q,
+        array_distinct(transform(
+          sequence(lit(1), length(col("__t")) - (q - 1)),
+          i => col("__t").substr(i, lit(q)))))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("len", length(col("__t")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = sets.select(col("id"), col("len"), explode(col("gs")).as("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("g").asc)
+    val prefix = grams.join(dfreq, "g")
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= q * maxEdit + 1)
+      .select(col("id"), col("g"), col("len"))
+    val l = prefix.select(col("id").as("id_a"), col("g"),
+      col("len").as("len_a"))
+    val r = prefix.select(col("id").as("id_b"), col("g"),
+      col("len").as("len_b"))
+    val candidates = l.join(r, Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxEdit)
+      .select(col("id_a"), col("id_b")).distinct()
+    val pairs = candidates
+      .join(sets.select(col("id").as("id_a"), col("__t").as("__ta")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("__t").as("__tb")), "id_b")
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb"), maxEdit).cast("int"))
+      .filter(col("edit_dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+    releaseAfter(pairs, sets)
+  }
+
   /** Incremental near-dup check — the production shape at 100 TB: a new
     * ingest batch is screened against the EXISTING corpus's persisted
     * minhash-signature index (the output of [[minhashSignatures]], stored

@@ -28,6 +28,11 @@ object TrainingDataQueries {
   private val JaccardThreshold = 0.8
   private val SimhashBits = 32
   private val MaxHamming = 3
+  // Ed-Join: character q-gram size + edit-distance threshold. Measured on
+  // the synthetic corpus: true near-dup pairs sit at edit distance 4-12,
+  // the next cluster starts at 34 — 12 separates cleanly.
+  private val EditQ = 5
+  private val EditMax = 12
   // perceptual-hash near-dup Hamming threshold: 12 keeps the synthetic
   // corpus's near-dup tail (min observed distance 8) while the byte-band
   // candidate step stays selective; pairs under bits/8 - 1 = 7 are
@@ -278,6 +283,30 @@ object TrainingDataQueries {
        |FROM i JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
        |WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter)
        |  >= $JaccardThreshold""".stripMargin
+
+  /** Edit-distance pair oracle, mirroring Dedup.editVerifiedPairs. The
+    * oracle skips the prefix filter (sound-only pruning — the final
+    * `levenshtein <= EditMax` predicate makes any-shared-gram candidates
+    * produce the identical verified set) and keeps the length filter so
+    * the candidate join stays small at oracle scale.
+    */
+  private val editPairsSql =
+    s"""WITH t AS (SELECT doc_id,
+       |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+       |  FROM documents),
+       |g AS (SELECT doc_id, len(t) AS len,
+       |    unnest(list_distinct(list_transform(
+       |      range(1, len(t) - $EditQ + 2),
+       |      i -> t[i:i+${EditQ - 1}]))) AS g
+       |  FROM t WHERE len(t) >= $EditQ),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+       |    AND abs(a.len - b.len) <= $EditMax)
+       |SELECT c.id_a, c.id_b,
+       |  CAST(levenshtein(x.t, y.t) AS INT) AS edit_dist
+       |FROM cand c JOIN t x ON c.id_a = x.doc_id
+       |JOIN t y ON c.id_b = y.doc_id
+       |WHERE levenshtein(x.t, y.t) <= $EditMax""".stripMargin
 
   /** Hyperplane-LSH near-dup oracle, mirroring Dedup.embeddingNearDups:
     * dense plane ids via row_number over the lowest-EmbPlanes vectors,
@@ -1433,6 +1462,11 @@ object TrainingDataQueries {
       (s, d) => Dedup.ngramJaccardPairs(table(s, d, "documents"),
         "doc_id", "text", JaccardK, JaccardThreshold),
       Some(jaccardSql)),
+
+    "dedup_edit_verified" -> QueryDef(
+      (s, d) => Dedup.editVerifiedPairs(table(s, d, "documents"),
+        "doc_id", "text", q = EditQ, maxEdit = EditMax),
+      Some(editPairsSql)),
 
     "dedup_embedding_cosine" -> QueryDef(
       (s, d) => Dedup.embeddingNearDups(table(s, d, "embeddings"),

@@ -156,6 +156,31 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("editVerifiedPairs finds small-edit pairs, rejects distant ones") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val oneEdit = base.replace("quick", "quickk")      // ed 1
+    val fourEdit = base.replace("jumps over", "leaps over") // small edit
+    val far = "completely different content with no shared phrasing at all"
+    val docs = Seq((1L, base), (2L, oneEdit), (3L, fourEdit), (4L, far))
+      .toDF("doc_id", "text")
+    val out = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+      q = 5, maxEdit = 12)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram-bucket join must not degenerate to all-pairs:\n$plan")
+    val got = out.as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 1, s"one-edit pair: $got")
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) <= 5, s"small edit: $got")
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      s"distant doc must not pair: $got")
+    // edit distance exceeding maxEdit is cut even when grams are shared
+    val tight = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+      q = 5, maxEdit = 2).as[(Long, Long, Int)].collect()
+    assert(tight.toSeq == Seq((1L, 2L, 1)), s"maxEdit=2: ${tight.toSeq}")
+  }
+
   test("vector dot expression matches manual computation (and codegen)") {
     val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
       .toDF("a", "b")
