@@ -11,6 +11,46 @@ import graft.functions.StableHash._
   */
 object TextAnalysis {
 
+  /** FastText-style hashed linear classifier — the SERVING path of a
+    * trained quality/topic classifier (Joulin et al. 2016, "Bag of Tricks
+    * for Efficient Text Classification"); the reference pipeline has no
+    * classifier stage, but corpus curation at 100 TB does (CCNet /
+    * FineWeb-Edu-style quality filtering). Features are the word unigrams
+    * plus word bigrams of the normalized text (multiset, as fastText
+    * sums them), hashed into `weights.length` buckets (the hashing
+    * trick); the document score is the mean bucket weight. `weights` IS
+    * the model artifact: training happens offline on a sample with any
+    * trainer, and the learned vector is what ships — supplied as integer
+    * weights (fixed-point, so sums are exact and cross-engine
+    * reproducible; scale fractional weights by 1000 upstream).
+    *
+    * Scale shape: a ZERO-exchange codegen projection — the weight vector
+    * rides the plan as a literal array (the tokenizer-vocab pattern),
+    * features never leave their row, no shuffle at any corpus size.
+    * Emits `(<id>, n_feats, raw_score, score, keep)` with
+    * `keep = score >= threshold`.
+    */
+  def hashedClassifierScore(docs: DataFrame, idCol: String, textCol: String,
+                            weights: Seq[Int], threshold: Double = 0.0)
+      : DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val dim = weights.length
+    val warr = array(weights.map(w => lit(w)): _*)
+    val uni = split(trim(lower(col(textCol))), "\\s+")
+    val bi = Dedup.shingles(col(textCol), 2)
+    docs.select(col(idCol), concat(uni, bi).as("__f"))
+      .select(col(idCol),
+        size(col("__f")).cast("long").as("n_feats"),
+        aggregate(
+          transform(col("__f"), f =>
+            element_at(warr, (hash60(f) % dim + 1).cast("int"))
+              .cast("long")),
+          lit(0L), (acc, x) => acc + x).as("raw_score"))
+      .withColumn("score", col("raw_score").cast("double") /
+        greatest(col("n_feats"), lit(1L)).cast("double"))
+      .withColumn("keep", col("score") >= threshold)
+  }
+
   /** Stopword marker lists per language for the n-gram/stopword heuristic
     * language identifier. Public knowledge (common function words).
     */

@@ -33,6 +33,15 @@ object TrainingDataQueries {
   // the next cluster starts at 34 — 12 separates cleanly.
   private val EditQ = 5
   private val EditMax = 12
+  // hashed-classifier fixture: bucket count + a deterministic integer
+  // weight per bucket (pair #14 of the minhash permutation family, past
+  // the 12 the minhash sigs use). The WEIGHTS are a
+  // stand-in for a trained model; the serving path (hashing trick,
+  // literal weight vector, zero-exchange scoring) is the real operator.
+  private val ClsDim = 512
+  private val (clsA, clsB) = StableHash.minhashParams(14).last
+  private val ClsWeights: Seq[Int] =
+    (0 until ClsDim).map(j => (((clsA * j + clsB) % P) % 2001 - 1000).toInt)
   // perceptual-hash near-dup Hamming threshold: 12 keeps the synthetic
   // corpus's near-dup tail (min observed distance 8) while the byte-band
   // candidate step stays selective; pairs under bits/8 - 1 = 7 are
@@ -307,6 +316,31 @@ object TrainingDataQueries {
        |FROM cand c JOIN t x ON c.id_a = x.doc_id
        |JOIN t y ON c.id_b = y.doc_id
        |WHERE levenshtein(x.t, y.t) <= $EditMax""".stripMargin
+
+  /** Hashed-linear-classifier oracle, mirroring
+    * TextAnalysis.hashedClassifierScore: unigram+bigram multiset features,
+    * hash-bucketed, weight = the same (clsA, clsB) fixture formula the
+    * Scala side bakes into its literal weight array. sum(int) is HUGEINT
+    * in DuckDB — cast back to BIGINT for schema parity.
+    */
+  private val classifierSql = {
+    val w = s"((($clsA * j + $clsB) % $P) % 2001 - 1000)"
+    s"""WITH $wordsCte,
+       |fe AS (SELECT doc_id, unnest(list_concat(ws,
+       |    list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i+1]))) AS f
+       |  FROM words),
+       |b AS (SELECT doc_id,
+       |    ${StableHash.hash60Sql("f")} % $ClsDim AS j
+       |  FROM fe),
+       |s AS (SELECT doc_id, count(*) AS n_feats,
+       |    CAST(sum($w) AS BIGINT) AS raw
+       |  FROM b GROUP BY doc_id)
+       |SELECT doc_id, n_feats, raw AS raw_score,
+       |  CAST(raw AS DOUBLE) / greatest(n_feats, 1) AS score,
+       |  CAST(raw AS DOUBLE) / greatest(n_feats, 1) >= 0.0 AS keep
+       |FROM s""".stripMargin
+  }
 
   /** Hyperplane-LSH near-dup oracle, mirroring Dedup.embeddingNearDups:
     * dense plane ids via row_number over the lowest-EmbPlanes vectors,
@@ -1531,6 +1565,11 @@ object TrainingDataQueries {
         .select(col("doc_id"),
           TextAnalysis.langId(col("text")).as("predicted_lang")),
       Some(langIdSql)),
+
+    "text_classifier_score" -> QueryDef(
+      (s, d) => TextAnalysis.hashedClassifierScore(
+        table(s, d, "documents"), "doc_id", "text", ClsWeights),
+      Some(classifierSql)),
 
     "text_quality_score" -> QueryDef(
       (s, d) => table(s, d, "documents")

@@ -541,6 +541,26 @@ class OperatorsSpec extends SparkSpecBase {
     assert(r(3L) == (("solo", 1, 1)))
   }
 
+  test("hashedClassifierScore: hand-computed score, zero exchanges") {
+    // dim 1, weight {7}: every feature hits bucket 0 -> raw = n_feats * 7
+    val docs = Seq((1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
+    val one = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text",
+      Seq(7))
+    val plan = one.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"classifier scoring is a pure projection, no shuffle:\n$plan")
+    val r = one.collect().map(x => x.getLong(0) ->
+      ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4))))
+      .toMap
+    // "a b c": 3 unigrams + 2 bigrams = 5 feats; "solo": 1 + 0
+    assert(r(1L) == ((5L, 35L, 7.0, true)))
+    assert(r(2L) == ((1L, 7L, 7.0, true)))
+    // negative-weight vector flips keep at threshold 0
+    val neg = TextAnalysis.hashedClassifierScore(docs, "doc_id", "text",
+      Seq(-3)).collect().map(x => x.getBoolean(4))
+    assert(neg.forall(_ == false))
+  }
+
   test("oovRate: vocab misses counted per instance, vocab broadcast") {
     // vocab size 2 -> {"aa", "bb"} (counts 3, 2); "zz"/"qq" are OOV
     val docs = Seq((1L, "aa aa bb"), (2L, "aa bb zz"), (3L, "zz qq"))
