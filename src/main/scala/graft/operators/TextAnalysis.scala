@@ -333,6 +333,33 @@ object TextAnalysis {
       alphaFrac >= minAlphaWordFrac && stopHits >= minStopwordHits
   }
 
+  /** Single-pass curation-funnel audit: survivor counts of the staged
+    * lang → Gopher → repetition → quality filter chain as ONE conditional
+    * aggregation over ONE corpus scan. Running the four filters as
+    * separate jobs to get per-stage attrition (the number every curation
+    * report leads with) would scan the corpus four times; here each
+    * stage's predicate is ANDed cumulatively into a `sum(when(...))`
+    * column, so at 100 TB the audit costs exactly one scan and a
+    * single-row exchange. Emits one row:
+    * `(n_total, n_lang, n_gopher, n_repetition, n_quality, keep_frac)`.
+    */
+  def filterFunnel(docs: DataFrame, textCol: String, lang: String = "en",
+                   minWords: Int = GopherDefaults.MinWords,
+                   maxRepetition: Double = 0.2, minQuality: Double = 0.6)
+      : DataFrame = {
+    val t = col(textCol)
+    val s1 = langId(t) === lang
+    val s2 = s1 && gopherKeep(t, minWords = minWords)
+    val s3 = s2 && (repetitionRatio(t) <= maxRepetition)
+    val s4 = s3 && (qualityScore(t) >= minQuality)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    docs.agg(count(lit(1)).as("n_total"),
+        cnt(s1).as("n_lang"), cnt(s2).as("n_gopher"),
+        cnt(s3).as("n_repetition"), cnt(s4).as("n_quality"))
+      .withColumn("keep_frac", col("n_quality").cast("double") /
+        greatest(col("n_total"), lit(1L)).cast("double"))
+  }
+
   def gopherRules(docs: DataFrame, idCol: String, textCol: String,
                   minWords: Int = GopherDefaults.MinWords,
                   maxWords: Int = GopherDefaults.MaxWords,

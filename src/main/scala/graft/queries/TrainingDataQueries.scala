@@ -42,6 +42,12 @@ object TrainingDataQueries {
   private val (clsA, clsB) = StableHash.minhashParams(14).last
   private val ClsWeights: Seq[Int] =
     (0 until ClsDim).map(j => (((clsA * j + clsB) % P) % 2001 - 1000).toInt)
+  // funnel stage thresholds, calibrated so every stage drops documents on
+  // the synthetic corpus (500 -> 392 -> 253 -> 228 -> 202 at sf0.001):
+  // rep_ratio is ~0 for most docs (0.01 cuts the tail), quality clusters
+  // at ~0.9 (0.905 splits it)
+  private val FunnelRepMax = 0.01
+  private val FunnelQualityMin = 0.905
   // perceptual-hash near-dup Hamming threshold: 12 keeps the synthetic
   // corpus's near-dup tail (min observed distance 8) while the byte-band
   // candidate step stays selective; pairs under bits/8 - 1 = 7 are
@@ -585,6 +591,47 @@ object TrainingDataQueries {
        |  AS quality_score
        |FROM m""".stripMargin
   }
+
+  private val repRatioSql =
+    """WITH words AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS ws
+      |  FROM documents),
+      |  sh AS (SELECT doc_id,
+      |    list_transform(range(1, len(ws) - 1),
+      |      i -> array_to_string(ws[i:i+2], ' ')) AS g
+      |  FROM words)
+      |SELECT doc_id,
+      |  CASE WHEN len(g) <= 0 THEN 0.0
+      |       ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+      |            / CAST(len(g) AS DOUBLE) END AS rep_ratio
+      |FROM sh""".stripMargin
+
+  /** Funnel oracle: the four per-doc stage predicates joined back onto
+    * the corpus and counted cumulatively — the oracle pays four CTE
+    * passes; the Spark side is the one-scan path (plan-asserted).
+    */
+  private val funnelSql =
+    s"""WITH lang AS ($langIdSql), gop AS ($gopherSql),
+       |qual AS ($qualitySql), rep AS ($repRatioSql),
+       |j AS (SELECT predicted_lang = 'en' AS s1,
+       |    predicted_lang = 'en' AND keep AS s2,
+       |    predicted_lang = 'en' AND keep
+       |      AND rep_ratio <= $FunnelRepMax::DOUBLE AS s3,
+       |    predicted_lang = 'en' AND keep
+       |      AND rep_ratio <= $FunnelRepMax::DOUBLE
+       |      AND quality_score >= $FunnelQualityMin::DOUBLE AS s4
+       |  FROM documents d JOIN lang USING (doc_id)
+       |  JOIN gop USING (doc_id) JOIN qual USING (doc_id)
+       |  JOIN rep USING (doc_id))
+       |SELECT count(*) AS n_total,
+       |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       |  CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+       |  CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_repetition,
+       |  CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / greatest(count(*), 1) AS keep_frac
+       |FROM j""".stripMargin
 
   private val tokenCountSql =
     """SELECT doc_id,
@@ -1571,6 +1618,12 @@ object TrainingDataQueries {
         table(s, d, "documents"), "doc_id", "text", ClsWeights),
       Some(classifierSql)),
 
+    "pipeline_filter_funnel" -> QueryDef(
+      (s, d) => TextAnalysis.filterFunnel(table(s, d, "documents"),
+        "text", lang = "en", minWords = GopherMinWords,
+        maxRepetition = FunnelRepMax, minQuality = FunnelQualityMin),
+      Some(funnelSql)),
+
     "text_quality_score" -> QueryDef(
       (s, d) => table(s, d, "documents")
         .select(col("doc_id"),
@@ -1661,18 +1714,7 @@ object TrainingDataQueries {
     "text_repetition_ratio" -> QueryDef(
       (s, d) => table(s, d, "documents").select(col("doc_id"),
         TextAnalysis.repetitionRatio(col("text"), k = 3).as("rep_ratio")),
-      Some("""WITH words AS (SELECT doc_id,
-             |    string_split_regex(trim(lower(text)), '\s+') AS ws
-             |  FROM documents),
-             |  sh AS (SELECT doc_id,
-             |    list_transform(range(1, len(ws) - 1),
-             |      i -> array_to_string(ws[i:i+2], ' ')) AS g
-             |  FROM words)
-             |SELECT doc_id,
-             |  CASE WHEN len(g) <= 0 THEN 0.0
-             |       ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
-             |            / CAST(len(g) AS DOUBLE) END AS rep_ratio
-             |FROM sh""".stripMargin)),
+      Some(repRatioSql)),
 
     // ---- deterministic sampling / splitting ---------------------------
 

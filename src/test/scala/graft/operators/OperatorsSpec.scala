@@ -541,6 +541,30 @@ class OperatorsSpec extends SparkSpecBase {
     assert(r(3L) == (("solo", 1, 1)))
   }
 
+  test("filterFunnel: cumulative stage counts in one scan, no joins") {
+    val en = "the quick brown fox and the lazy dog walk to the old town " +
+      "with many other animals in that green field of grass and flowers " +
+      "that is wide and open with room to run and play in the summer sun"
+    val docs = Seq(
+      (1L, en),                                  // passes everything
+      (2L, "der hund und die katze mit dem ball"), // fails lang
+      (3L, "the of and to is in that with"))      // en but fails Gopher
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.filterFunnel(docs, "text", lang = "en",
+      minWords = 20, maxRepetition = 0.5, minQuality = 0.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"funnel must not join the stages:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      s"one scan + the single-row exchange only:\n$plan")
+    val r = out.collect()(0)
+    assert(r.getAs[Long]("n_total") == 3L)
+    assert(r.getAs[Long]("n_lang") == 2L)
+    assert(r.getAs[Long]("n_gopher") == 1L)
+    assert(r.getAs[Long]("n_quality") == 1L)
+    assert(r.getAs[Double]("keep_frac") == 1.0 / 3.0)
+  }
+
   test("hashedClassifierScore: hand-computed score, zero exchanges") {
     // dim 1, weight {7}: every feature hits bucket 0 -> raw = n_feats * 7
     val docs = Seq((1L, "a b c"), (2L, "solo")).toDF("doc_id", "text")
