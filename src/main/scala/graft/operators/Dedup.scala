@@ -730,6 +730,61 @@ object Dedup {
         size(col("__kept")).as("kept_chunks"))
   }
 
+  /** Exact duplicated-run removal — the distributed analogue of
+    * suffix-array ExactSubstr dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): any `w`-word span of
+    * text that occurs more than once ANYWHERE in the corpus (across docs
+    * or within one) is removed from every occurrence except the globally
+    * first (ordered by (doc, position)), and each document's survivors
+    * are reassembled in order. Overlapping duplicated windows merge into
+    * covered RUNS, so a long shared passage is excised wholesale from
+    * every non-canonical copy while the first copy keeps it — keep-one
+    * semantics, unlike [[removeBoilerplateChunks]]'s drop-everywhere
+    * df-threshold filter (and unlike its non-overlapping chunk grid,
+    * which misses duplicated spans that straddle chunk boundaries).
+    *
+    * Scale shape: a suffix array over 100 TB is not distributable;
+    * overlapping `w`-word windows are — each window instance rides ONE
+    * shuffle as a 60-bit hash with (doc, pos) provenance, the
+    * occurrence count and first-occurrence rank come from the same
+    * hash-partitioned exchange (two window functions, one partitioning),
+    * and the per-doc rollup of covered starts is the second exchange.
+    * Only the reassembly join moves text. Coverage expansion
+    * (start -> [start, start+w-1]) happens per-doc in a projection over
+    * the bounded starts array. Docs shorter than `w` words produce no
+    * windows and pass through untouched.
+    *
+    * Emits `(id, clean_text, total_words, kept_words)`.
+    */
+  def removeDuplicateRuns(docs: DataFrame, idCol: String, textCol: String,
+                          w: Int = 8): DataFrame = {
+    require(w >= 2, s"window width ($w) must be >= 2")
+    val base = docs.select(col(idCol).as("id"),
+      split(trim(lower(col(textCol))), "\\s+").as("__ws"))
+    val win = base.select(col("id"),
+      posexplode(when(size(col("__ws")) >= w,
+        transform(sequence(lit(0), size(col("__ws")) - w),
+          i => hash60(array_join(slice(col("__ws"), i + 1, lit(w)), " "))))
+        .otherwise(array().cast("array<long>"))).as(Seq("pos", "h")))
+    val perH = Window.partitionBy(col("h"))
+    val firstH = perH.orderBy(col("id"), col("pos"))
+    val dupStarts = win
+      .withColumn("n_occ", count(lit(1)).over(perH))
+      .withColumn("rn", row_number().over(firstH))
+      .filter(col("n_occ") >= 2 && col("rn") > 1)
+      .groupBy(col("id"))
+      .agg(collect_list(col("pos")).as("__cps"))
+    base.join(dupStarts, Seq("id"), "left")
+      .withColumn("__cps",
+        coalesce(col("__cps"), array().cast("array<int>")))
+      .withColumn("__kept", filter(col("__ws"), (wd, i) =>
+        !exists(col("__cps"), p => i >= p && i <= p + (w - 1))))
+      .select(col("id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__ws")).as("total_words"),
+        size(col("__kept")).as("kept_words"))
+  }
+
   /** Cross-document boilerplate removal — the CCNet-style passage filter
     * as a TRANSFORM (where [[chunkDupStats]] only reports): chunks whose
     * exact text occurs in at least `minDf` documents across the corpus

@@ -42,6 +42,10 @@ object TrainingDataQueries {
   private val (clsA, clsB) = StableHash.minhashParams(14).last
   private val ClsWeights: Seq[Int] =
     (0 until ClsDim).map(j => (((clsA * j + clsB) % P) % 2001 - 1000).toInt)
+  // duplicated-run window width (words) — the ExactSubstr analogue of
+  // ChunkW; overlapping windows, so runs straddling chunk boundaries are
+  // caught
+  private val RunW = 8
   // funnel stage thresholds, calibrated so every stage drops documents on
   // the synthetic corpus (500 -> 392 -> 253 -> 228 -> 202 at sf0.001):
   // rep_ratio is ~0 for most docs (0.01 cuts the tail), quality clusters
@@ -1087,6 +1091,38 @@ object TrainingDataQueries {
        |    AS kept_chunks
        |FROM d GROUP BY doc_id""".stripMargin
 
+  /** Duplicated-run removal oracle, mirroring Dedup.removeDuplicateRuns:
+    * overlapping RunW-word window hashes, occurrence count + global
+    * first-occurrence rank per hash, covered starts rolled up per doc,
+    * keep = word positions outside every covered [start, start+W-1] run.
+    */
+  private val dupRunsSql =
+    s"""WITH $wordsCte,
+       |u AS (SELECT doc_id, unnest(list_transform(
+       |    range(0, len(ws) - ${RunW - 1}),
+       |    i -> {'pos': i,
+       |      'g': array_to_string(ws[i+1:i+$RunW], ' ')})) AS s
+       |  FROM words),
+       |e AS (SELECT doc_id, s.pos AS pos,
+       |    ${StableHash.hash60Sql("s.g")} AS h FROM u),
+       |d AS (SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY h) AS n_occ,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM e),
+       |cova AS (SELECT doc_id, list(pos) AS cps FROM d
+       |  WHERE n_occ >= 2 AND rn > 1 GROUP BY doc_id),
+       |k AS (SELECT w.doc_id AS id, w.ws AS ws,
+       |    list_filter(range(1, len(w.ws) + 1),
+       |      i -> len(list_filter(coalesce(c.cps, []::BIGINT[]),
+       |        p -> i - 1 >= p AND i - 1 <= p + ${RunW - 1})) = 0) AS ki
+       |  FROM words w LEFT JOIN cova c USING (doc_id))
+       |SELECT id,
+       |  coalesce(array_to_string(list_transform(ki, i -> ws[i]), ' '),
+       |    '') AS clean_text,
+       |  CAST(len(ws) AS INT) AS total_words,
+       |  CAST(len(ki) AS INT) AS kept_words
+       |FROM k""".stripMargin
+
   /** Incremental exact dedup oracle: the batch's text hashes left-joined
     * against the corpus-side keep-id index.
     */
@@ -1115,6 +1151,11 @@ object TrainingDataQueries {
       (s, d) => Dedup.removeBoilerplateChunks(table(s, d, "documents"),
         "doc_id", "text", ChunkW, BoilerMinDf),
       Some(boilerplateSql)),
+
+    "dedup_duplicate_runs" -> QueryDef(
+      (s, d) => Dedup.removeDuplicateRuns(table(s, d, "documents"),
+        "doc_id", "text", RunW),
+      Some(dupRunsSql)),
 
     "dedup_incremental_exact" -> QueryDef(
       (s, d) => {

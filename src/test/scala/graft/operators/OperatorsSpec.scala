@@ -541,6 +541,28 @@ class OperatorsSpec extends SparkSpecBase {
     assert(r(3L) == (("solo", 1, 1)))
   }
 
+  test("removeDuplicateRuns: keep-first excision of shared spans") {
+    val run = "one two three four five six seven eight nine ten"  // 10 w
+    val docs = Seq(
+      (1L, s"alpha beta $run gamma delta"),   // first occurrence: kept
+      (2L, s"intro words here $run tail end"),// later copy: run excised
+      (3L, "totally unrelated text with no shared span at all okay"),
+      (4L, s"$run"))                          // exact copy of the run
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateRuns(docs, "doc_id", "text", w = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"no all-pairs:\n$plan")
+    val r = out.collect().map(x => x.getLong(0) ->
+      ((x.getString(1), x.getInt(2), x.getInt(3)))).toMap
+    // doc 1 is globally first for every window of the run: untouched
+    assert(r(1L)._1 == s"alpha beta $run gamma delta", r(1L).toString)
+    // docs 2/4: every word of the run is covered; the rest survives
+    assert(r(2L)._1 == "intro words here tail end", r(2L).toString)
+    assert(r(4L) == (("", 10, 0)), r(4L).toString)
+    assert(r(3L)._2 == r(3L)._3, "untouched doc keeps all words")
+  }
+
   test("filterFunnel: cumulative stage counts in one scan, no joins") {
     val en = "the quick brown fox and the lazy dog walk to the old town " +
       "with many other animals in that green field of grass and flowers " +
