@@ -143,6 +143,53 @@ object Sampling {
       .drop("__min_tok")
   }
 
+  /** Token-budget epoch plan — the data-constrained side of mixture
+    * planning (the regime of Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): [[mixturePlan]] downsamples big
+    * sources to hit target weights; when the training BUDGET exceeds a
+    * source's stock, the source must instead REPEAT. Given a total token
+    * budget and per-source weight FRACTIONS (caller-normalized — they are
+    * interpolated verbatim into both engines, so normalize upstream where
+    * the arithmetic is deterministic), emits per source:
+    * `target_tokens = floor(budget * weight)`,
+    * `epochs = ceil(target / stock)` (integer ceil-div on exact long
+    * sums — no float in the pass count), and `last_pass_frac`, the
+    * consumed fraction of the final pass. Sources with no entry in
+    * `weights` are dropped (weight-0 sources contribute nothing).
+    *
+    * Scale shape: one map-side-combinable aggregate down to |sources|
+    * rows; everything after is arithmetic on the tiny frame.
+    */
+  def epochPlan(docs: DataFrame, sourceCol: String, textCol: String,
+                budget: Long, weights: Map[String, Double],
+                tokensCol: Option[Column] = None): DataFrame = {
+    require(budget > 0, s"budget ($budget) must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
+    val tokens = tokensCol.getOrElse(
+      size(split(trim(lower(col(textCol))), "\\s+"))).cast("long")
+    val perSource = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
+    val w = weights.toSeq.sortBy(_._1).foldLeft(
+      lit(null).cast("double")) { case (rest, (s, wt)) =>
+      when(col("source") === s, lit(wt)).otherwise(rest)
+    }
+    perSource.withColumn("weight", w)
+      .filter(col("weight").isNotNull)
+      .withColumn("target_tokens",
+        floor(lit(budget).cast("double") * col("weight")).cast("long"))
+      // integer ceil-div; operands are non-negative, so Spark's
+      // truncating `div` equals floor division here (the DuckDB `//`
+      // parity caveat from cohort_retention does not bite)
+      .withColumn("epochs",
+        expr("(target_tokens + n_tokens - 1) div n_tokens"))
+      .withColumn("last_pass_frac",
+        when(col("epochs") === 0, lit(0.0)).otherwise(
+          (col("target_tokens") - (col("epochs") - 1) * col("n_tokens"))
+            .cast("double") / col("n_tokens").cast("double")))
+  }
+
   /** Score-proportional deterministic sampling: keep a row iff its hash
     * bucket falls below `rate * Buckets`, where `rate` is a PER-ROW
     * column in [0, 1] (a quality score, a DSIR weight mapped to a keep

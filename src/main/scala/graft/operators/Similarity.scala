@@ -56,6 +56,31 @@ object Similarity {
     topKRanked(scored, k)
   }
 
+  /** ANN recall@k audit: per query, the fraction of the EXACT top-k an
+    * approximate search recovered — the acceptance metric every ANN
+    * deployment is tuned against (recall@k vs nprobe/band geometry).
+    * Takes the two ranked result sets ((query_id, rank, neighbor_id),
+    * the shape [[bruteForceTopK]] / [[ivfTopK]] emit), left-joins the
+    * approximate hits onto the exact set, and counts. Completes the
+    * audit family: [[graft.operators.Dedup.minhashPrecision]] audits the
+    * LSH pipeline, [[knnLabelAgreement]] the label quality, this one the
+    * index geometry. Emits `(query_id, n_exact, n_hit, recall)`.
+    *
+    * Scale shape: audits run over a SAMPLED query panel — both inputs
+    * are (queries x k) rows, so the join is broadcast-sized regardless
+    * of corpus size; the heavy work stays inside the upstream searches.
+    */
+  def recallAudit(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") /
+        col("n_exact").cast("double"))
+
   /** IVF (inverted-file) ANN: assign every corpus vector to its nearest
     * of `centroids` (a small broadcast table), bucket the corpus by
     * centroid, and at query time search only the `nprobe` closest buckets.

@@ -92,6 +92,18 @@ object TrainingDataQueries {
   private val MixtureWeights: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (1.0 + i % 3)).toMap
 
+  // epoch plan: total token budget + NORMALIZED weight fractions (the
+  // operator contract). Normalization happens here, driver-side, so both
+  // engines see the identical double literals (shortest-roundtrip
+  // toString); budget 500k vs ~1.2-1.7k-token stocks -> epochs ~8-30,
+  // exercising the repeat regime. NOTE: must stay AFTER MixtureWeights
+  // (object vals initialize in declaration order).
+  private val EpochBudget = 500000L
+  private val EpochWeights: Map[String, Double] = {
+    val total = MixtureWeights.values.sum
+    MixtureWeights.map { case (s, w) => s -> (w / total) }
+  }
+
   // ---- generated oracle-SQL fragments ---------------------------------
 
   /** words CTE: whitespace-tokenized lowercase text. `from` lets the
@@ -720,6 +732,44 @@ object TrainingDataQueries {
        |    / CAST(n_tokens AS DOUBLE) AS sample_rate
        |FROM j""".stripMargin
   }
+
+  /** Epoch-plan oracle: same exact-long stocks, floor(budget*weight)
+    * targets, integer ceil-div epochs (`//` floors, but operands are
+    * non-negative so it matches Spark's truncating `div`).
+    */
+  private val epochPlanSql = {
+    val rows = EpochWeights.toSeq.sortBy(_._1)
+      .map { case (src, wt) => s"('$src', $wt::DOUBLE)" }.mkString(", ")
+    s"""WITH $mixTokCte,
+       |w(source, weight) AS (VALUES $rows),
+       |j AS (SELECT t.source, n_docs, n_tokens, weight
+       |  FROM tok t JOIN w USING (source)),
+       |p AS (SELECT *, CAST(floor($EpochBudget::DOUBLE * weight)
+       |    AS BIGINT) AS target_tokens FROM j),
+       |q AS (SELECT *, (target_tokens + n_tokens - 1) // n_tokens
+       |    AS epochs FROM p)
+       |SELECT source, n_docs, n_tokens, weight, target_tokens, epochs,
+       |  CASE WHEN epochs = 0 THEN 0.0::DOUBLE
+       |       ELSE CAST(target_tokens - (epochs - 1) * n_tokens AS DOUBLE)
+       |         / CAST(n_tokens AS DOUBLE) END AS last_pass_frac
+       |FROM q""".stripMargin
+  }
+
+  /** Recall@k oracle: the brute-force and IVF top-k oracles embedded as
+    * CTEs, approximate hits left-joined onto the exact set.
+    */
+  private val recallAuditSql =
+    s"""WITH bf AS ($annSql),
+       |iv AS ($ivfSql),
+       |h AS (SELECT b.query_id, count(*) AS n_exact,
+       |    CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hit
+       |  FROM bf b LEFT JOIN iv i ON b.query_id = i.query_id
+       |    AND b.neighbor_id = i.neighbor_id
+       |  GROUP BY b.query_id)
+       |SELECT query_id, n_exact, n_hit,
+       |  CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall
+       |FROM h""".stripMargin
 
   // sequence-packing constants: 512-token sequences, 8 parallel shards
   private val PackSeqLen = 512
@@ -1806,6 +1856,28 @@ object TrainingDataQueries {
       (s, d) => graft.operators.Sampling.mixturePlan(
         table(s, d, "documents"), "source", "text", MixtureWeights),
       Some(mixturePlanSql)),
+
+    "sample_epoch_plan" -> QueryDef(
+      (s, d) => graft.operators.Sampling.epochPlan(
+        table(s, d, "documents"), "source", "text",
+        EpochBudget, EpochWeights),
+      Some(epochPlanSql)),
+
+    "ann_recall_audit" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < AnnNumQueries)
+        val exact = Similarity.bruteForceTopK(emb, queries,
+          "vec_id", "embedding", AnnK)
+        val centroids = Similarity.seedCentroids(emb, "vec_id",
+          "embedding", every = 50)
+        val assigned = Similarity.ivfAssign(emb, centroids, "vec_id",
+          "embedding")
+        val approx = Similarity.ivfTopK(assigned, centroids, queries,
+          "vec_id", "embedding", AnnK, nprobe = 4)
+        Similarity.recallAudit(exact, approx)
+      },
+      Some(recallAuditSql)),
 
     "dedup_incremental_minhash" -> QueryDef(
       (s, d) => {

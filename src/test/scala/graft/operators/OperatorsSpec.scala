@@ -541,6 +541,40 @@ class OperatorsSpec extends SparkSpecBase {
     assert(r(3L) == (("solo", 1, 1)))
   }
 
+  test("epochPlan: integer ceil-div epochs and last-pass fraction") {
+    // stock: a=4 tokens (2 docs), b=10 tokens (1 doc)
+    val docs = Seq((1L, "w x", "a"), (2L, "y z", "a"),
+      (3L, "a b c d e f g h i j", "b")).toDF("doc_id", "text", "source")
+    val out = graft.operators.Sampling.epochPlan(docs, "source", "text",
+      budget = 100L, weights = Map("a" -> 0.1, "b" -> 0.5))
+    val r = out.collect().map(x => x.getAs[String]("source") ->
+      ((x.getAs[Long]("target_tokens"), x.getAs[Long]("epochs"),
+        x.getAs[Double]("last_pass_frac")))).toMap
+    // a: target 10 over stock 4 -> 3 epochs, last pass 2/4
+    assert(r("a") == ((10L, 3L, 0.5)), r.toString)
+    // b: target 50 over stock 10 -> 5 full epochs
+    assert(r("b") == ((50L, 5L, 1.0)), r.toString)
+    // unweighted sources are dropped; tiny weight -> 0 epochs, frac 0
+    val zero = graft.operators.Sampling.epochPlan(docs, "source", "text",
+      budget = 1L, weights = Map("a" -> 0.2))
+    val z = zero.collect().map(x => x.getAs[String]("source") ->
+      ((x.getAs[Long]("epochs"), x.getAs[Double]("last_pass_frac"))))
+      .toMap
+    assert(z == Map("a" -> ((0L, 0.0))), z.toString)
+  }
+
+  test("recallAudit: per-query hit fraction against the exact set") {
+    val exact = Seq((1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 20L),
+      (2L, 2L, 21L)).toDF("query_id", "rank", "neighbor_id")
+    val approx = Seq((1L, 1L, 10L), (1L, 2L, 99L), (2L, 1L, 21L),
+      (2L, 2L, 20L)).toDF("query_id", "rank", "neighbor_id")
+    val r = Similarity.recallAudit(exact, approx)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((2L, 1L, 0.5)), r.toString)  // one of two recovered
+    assert(r(2L) == ((2L, 2L, 1.0)), r.toString)  // order doesn't matter
+  }
+
   test("removeDuplicateRuns: keep-first excision of shared spans") {
     val run = "one two three four five six seven eight nine ten"  // 10 w
     val docs = Seq(
