@@ -82,4 +82,46 @@ object Profiling {
       .select(col("col_name"), col("__n_rows").as("n_rows"),
         col("n_nonnull"), col("est_distinct"))
   }
+
+  /** Exact-reproducible Pearson correlation matrix over 2-decimal numeric
+    * columns — the cross-column half of the dataset card (which measures
+    * drive the same variance; what a partition/sort key correlates with).
+    * Spark's built-in `corr` accumulates in floating point, so its result
+    * depends on partitioning; here every sum (Σx, Σxy, Σx²) is an exact
+    * DECIMAL(38,4) aggregate (order-insensitive), and only the final
+    * combination — `(n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²))` —
+    * runs in fixed-order IEEE double arithmetic, identical in any engine
+    * at any parallelism.
+    *
+    * Scale shape: ONE scan, one single-row aggregate carrying
+    * |cols| + |cols|·(|cols|+1)/2 exact sums (map-side combinable); the
+    * pair unpivot is a local projection over that one row. Emits
+    * `(col_x, col_y, corr)` for each unordered pair.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    def d(c: String) = col(c).cast("decimal(18,2)")
+    val pairs = for { i <- cols.indices; j <- i until cols.size }
+      yield (i, j)
+    val aggs = cols.map(c => sum(d(c)).cast("double").as(s"__s_$c")) ++
+      pairs.map { case (i, j) =>
+        sum(d(cols(i)) * d(cols(j))).cast("double").as(s"__p_${i}_$j") }
+    val one = df.agg(count(lit(1)).cast("double").as("__n"),
+      aggs: _*)
+    val rows = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield {
+        val sx = col(s"__s_${cols(i)}")
+        val sy = col(s"__s_${cols(j)}")
+        val pxy = col(s"__p_${i}_$j")
+        val pxx = col(s"__p_${i}_$i")
+        val pyy = col(s"__p_${j}_$j")
+        struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+          ((col("__n") * pxy - sx * sy) /
+            (sqrt(col("__n") * pxx - sx * sx) *
+              sqrt(col("__n") * pyy - sy * sy))).as("corr"))
+      }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.col_x").as("col_x"), col("r.col_y").as("col_y"),
+        col("r.corr").as("corr"))
+  }
 }

@@ -470,6 +470,43 @@ object AnalyticsQueries {
              |SELECT f.cohort_week, uw.wk - f.cohort_week AS week_offset,
              |  count(*) AS n_users
              |FROM uw JOIN f USING (user_id)
-             |GROUP BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // exact-reproducible Pearson matrix: decimal-exact sums, fixed-order
+    // double combination — the SQL is generated from the same column
+    // list and mirrors the Spark expression term for term
+    "profile_correlation" -> QueryDef(
+      (s, d) => graft.operators.Profiling.correlationMatrix(
+        table(s, d, "lineitem"), CorrCols),
+      Some(correlationSql)
+    )
   )
+
+  // correlation-profile columns (2-decimal numerics of the fact table).
+  // lazy (like correlationSql): both sit below the defs map, and the map
+  // forces correlationSql -> CorrCols during object init
+  private lazy val CorrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  private lazy val correlationSql = {
+    def dsql(c: String) = s"CAST($c AS DECIMAL(18,2))"
+    val sums = CorrCols.map(c =>
+      s"CAST(sum(${dsql(c)}) AS DOUBLE) AS s_$c")
+    val prods = for { i <- CorrCols.indices; j <- i until CorrCols.size }
+      yield s"CAST(sum(${dsql(CorrCols(i))} * ${dsql(CorrCols(j))}) " +
+        s"AS DOUBLE) AS p_${i}_$j"
+    val rows = for { i <- CorrCols.indices; j <- i + 1 until CorrCols.size }
+      yield {
+        val (sx, sy) = (s"s_${CorrCols(i)}", s"s_${CorrCols(j)}")
+        s"""SELECT '${CorrCols(i)}' AS col_x, '${CorrCols(j)}' AS col_y,
+           |  (n * p_${i}_$j - $sx * $sy)
+           |    / (sqrt(n * p_${i}_$i - $sx * $sx)
+           |      * sqrt(n * p_${j}_$j - $sy * $sy)) AS corr
+           |FROM a""".stripMargin
+      }
+    s"""WITH a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  ${(sums ++ prods).mkString(",\n  ")}
+       |  FROM lineitem)
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 }

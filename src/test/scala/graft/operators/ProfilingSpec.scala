@@ -44,4 +44,20 @@ class ProfilingSpec extends SparkSpecBase {
     assert(math.abs(est - 9973.0) / 9973.0 < 0.15,
       s"KMV estimate $est vs exact 9973")
   }
+
+  test("correlationMatrix: exact +1/-1 on linear columns, one scan") {
+    // values chosen so every n*Σx²−(Σx)² is a perfect square: the sqrt
+    // terms are exact integers and ±1.0 comes out bit-exact
+    val t = Seq((0.0, 0.0, 0.0), (3.0, 6.0, -3.0)).toDF("x", "y2x", "neg")
+    val out = Profiling.correlationMatrix(t, Seq("x", "y2x", "neg"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand") && !plan.contains("Join"),
+      s"one aggregate pass, no Expand/Join:\n$plan")
+    val r = out.collect().map(x =>
+      (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    // decimal-exact sums make perfectly linear relations EXACTLY +-1
+    assert(r(("x", "y2x")) == 1.0, r.toString)
+    assert(r(("x", "neg")) == -1.0, r.toString)
+    assert(r(("y2x", "neg")) == -1.0, r.toString)
+  }
 }
