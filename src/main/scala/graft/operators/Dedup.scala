@@ -759,13 +759,8 @@ object Dedup {
   def removeDuplicateRuns(docs: DataFrame, idCol: String, textCol: String,
                           w: Int = 8): DataFrame = {
     require(w >= 2, s"window width ($w) must be >= 2")
-    val base = docs.select(col(idCol).as("id"),
-      split(trim(lower(col(textCol))), "\\s+").as("__ws"))
-    val win = base.select(col("id"),
-      posexplode(when(size(col("__ws")) >= w,
-        transform(sequence(lit(0), size(col("__ws")) - w),
-          i => hash60(array_join(slice(col("__ws"), i + 1, lit(w)), " "))))
-        .otherwise(array().cast("array<long>"))).as(Seq("pos", "h")))
+    val base = runBase(docs, idCol, textCol)
+    val win = runWindows(base, w)
     val perH = Window.partitionBy(col("h"))
     val firstH = perH.orderBy(col("id"), col("pos"))
     val dupStarts = win
@@ -774,7 +769,34 @@ object Dedup {
       .filter(col("n_occ") >= 2 && col("rn") > 1)
       .groupBy(col("id"))
       .agg(collect_list(col("pos")).as("__cps"))
-    base.join(dupStarts, Seq("id"), "left")
+    exciseRuns(base, dupStarts, w)
+  }
+
+  /** `(id, __ws)` normalized word arrays — the shared input shape of the
+    * duplicated-run family.
+    */
+  private def runBase(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol).as("id"),
+      split(trim(lower(col(textCol))), "\\s+").as("__ws"))
+
+  /** Overlapping `w`-word window hashes with position:
+    * `(id, pos, h)`, one row per window instance.
+    */
+  private def runWindows(base: DataFrame, w: Int): DataFrame =
+    base.select(col("id"),
+      posexplode(when(size(col("__ws")) >= w,
+        transform(sequence(lit(0), size(col("__ws")) - w),
+          i => hash60(array_join(slice(col("__ws"), i + 1, lit(w)), " "))))
+        .otherwise(array().cast("array<long>"))).as(Seq("pos", "h")))
+
+  /** Reassembly: drop every word position covered by a start in
+    * `coveredStarts` `(id, __cps: array<int>)` expanded to
+    * `[start, start+w-1]`, rejoin the survivors in order.
+    */
+  private def exciseRuns(base: DataFrame, coveredStarts: DataFrame,
+                         w: Int): DataFrame =
+    base.join(coveredStarts, Seq("id"), "left")
       .withColumn("__cps",
         coalesce(col("__cps"), array().cast("array<int>")))
       .withColumn("__kept", filter(col("__ws"), (wd, i) =>
@@ -783,6 +805,55 @@ object Dedup {
         array_join(col("__kept"), " ").as("clean_text"),
         size(col("__ws")).as("total_words"),
         size(col("__kept")).as("kept_words"))
+
+  /** Persistable run index for [[removeDuplicateRunsAgainst]]: the
+    * DISTINCT `w`-word window hashes of the corpus. Store it bucketed on
+    * `h` (MergeSink.publishBucketed) like the other incremental-dedup
+    * indexes; at 100 TB it is append-maintained — new batches' window
+    * hashes union in after screening.
+    */
+  def buildRunIndex(docs: DataFrame, idCol: String, textCol: String,
+                    w: Int = 8): DataFrame = {
+    require(w >= 2, s"window width ($w) must be >= 2")
+    runWindows(runBase(docs, idCol, textCol), w).select(col("h")).distinct()
+  }
+
+  /** Incremental duplicated-run removal — the production shape: screen
+    * an ingest batch against the EXISTING corpus's persisted window-hash
+    * index ([[buildRunIndex]]) instead of re-running the corpus-wide
+    * window pass. A batch span matching the index is excised (the corpus
+    * already holds the canonical copy); spans duplicated WITHIN the
+    * batch keep their batch-first occurrence, consistent with
+    * [[removeDuplicateRuns]]'s global keep-first order where the corpus
+    * is "earlier" than every batch row.
+    *
+    * Scale design: the batch's distinct window hashes BROADCAST into the
+    * index scan, so the corpus index is probed map-side and never
+    * shuffles ([[warnIfIndexShuffles]] guards the contract); everything
+    * else — marking, rollup, reassembly — is batch-sized. A daily 1M-doc
+    * batch against a 10B-doc index touches the index once, in place.
+    */
+  def removeDuplicateRunsAgainst(batch: DataFrame, runIndex: DataFrame,
+                                 idCol: String, textCol: String,
+                                 w: Int = 8): DataFrame = {
+    require(w >= 2, s"window width ($w) must be >= 2")
+    val base = runBase(batch, idCol, textCol)
+    val win = runWindows(base, w)
+    val perH = Window.partitionBy(col("h"))
+    val firstH = perH.orderBy(col("id"), col("pos"))
+    val marked = win
+      .withColumn("n_occ", count(lit(1)).over(perH))
+      .withColumn("rn", row_number().over(firstH))
+    val matches = runIndex.select(col("h"))
+      .join(broadcast(win.select(col("h")).distinct()), Seq("h"))
+      .withColumn("__in_corpus", lit(1))
+    val covered = marked.join(matches, Seq("h"), "left")
+      .filter(col("__in_corpus").isNotNull ||
+        (col("n_occ") >= 2 && col("rn") > 1))
+      .groupBy(col("id"))
+      .agg(collect_list(col("pos")).as("__cps"))
+    warnIfIndexShuffles(exciseRuns(base, covered, w),
+      "removeDuplicateRunsAgainst")
   }
 
   /** Cross-document boilerplate removal — the CCNet-style passage filter

@@ -1146,32 +1146,68 @@ object TrainingDataQueries {
     * first-occurrence rank per hash, covered starts rolled up per doc,
     * keep = word positions outside every covered [start, start+W-1] run.
     */
-  private val dupRunsSql =
-    s"""WITH $wordsCte,
-       |u AS (SELECT doc_id, unnest(list_transform(
+  /** Window-instance CTEs (`<p>u`, `<p>e`) over a words CTE `src`:
+    * overlapping RunW-word window hashes with 0-based start positions.
+    */
+  private def runWinCtes(src: String, p: String) =
+    s"""${p}u AS (SELECT doc_id, unnest(list_transform(
        |    range(0, len(ws) - ${RunW - 1}),
        |    i -> {'pos': i,
        |      'g': array_to_string(ws[i+1:i+$RunW], ' ')})) AS s
-       |  FROM words),
-       |e AS (SELECT doc_id, s.pos AS pos,
-       |    ${StableHash.hash60Sql("s.g")} AS h FROM u),
-       |d AS (SELECT doc_id, pos,
-       |    count(*) OVER (PARTITION BY h) AS n_occ,
-       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-       |  FROM e),
-       |cova AS (SELECT doc_id, list(pos) AS cps FROM d
-       |  WHERE n_occ >= 2 AND rn > 1 GROUP BY doc_id),
-       |k AS (SELECT w.doc_id AS id, w.ws AS ws,
+       |  FROM $src),
+       |${p}e AS (SELECT doc_id, s.pos AS pos,
+       |    ${StableHash.hash60Sql("s.g")} AS h FROM ${p}u)""".stripMargin
+
+  /** Reassembly tail shared by the run-removal oracles: covered starts
+    * (`cova(doc_id, cps)`) expanded to runs, surviving word positions
+    * rejoined in order over the words CTE `src`.
+    */
+  private def runExciseSelect(src: String) =
+    s"""k AS (SELECT w.doc_id AS id, w.ws AS ws,
        |    list_filter(range(1, len(w.ws) + 1),
        |      i -> len(list_filter(coalesce(c.cps, []::BIGINT[]),
        |        p -> i - 1 >= p AND i - 1 <= p + ${RunW - 1})) = 0) AS ki
-       |  FROM words w LEFT JOIN cova c USING (doc_id))
+       |  FROM $src w LEFT JOIN cova c USING (doc_id))
        |SELECT id,
        |  coalesce(array_to_string(list_transform(ki, i -> ws[i]), ' '),
        |    '') AS clean_text,
        |  CAST(len(ws) AS INT) AS total_words,
        |  CAST(len(ki) AS INT) AS kept_words
        |FROM k""".stripMargin
+
+  private val dupRunsSql =
+    s"""WITH $wordsCte,
+       |${runWinCtes("words", "")},
+       |d AS (SELECT doc_id, pos,
+       |    count(*) OVER (PARTITION BY h) AS n_occ,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM e),
+       |cova AS (SELECT doc_id, list(pos) AS cps FROM d
+       |  WHERE n_occ >= 2 AND rn > 1 GROUP BY doc_id),
+       |${runExciseSelect("words")}""".stripMargin
+
+  /** Incremental run-removal oracle: batch (doc_id % IncrMod = 0) spans
+    * matching the corpus-side window-hash set are excised uncondition-
+    * ally; batch-internal repeats keep their batch-first occurrence.
+    */
+  private val incrRunsSql =
+    s"""WITH bw AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents WHERE doc_id % $IncrMod = 0),
+       |cw AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS ws
+       |  FROM documents WHERE doc_id % $IncrMod <> 0),
+       |${runWinCtes("bw", "b")},
+       |${runWinCtes("cw", "c")},
+       |cor AS (SELECT DISTINCT h FROM ce),
+       |d AS (SELECT doc_id, pos, h,
+       |    count(*) OVER (PARTITION BY h) AS n_occ,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM be),
+       |cova AS (SELECT doc_id, list(pos) AS cps FROM d
+       |  WHERE h IN (SELECT h FROM cor) OR (n_occ >= 2 AND rn > 1)
+       |  GROUP BY doc_id),
+       |${runExciseSelect("bw")}""".stripMargin
 
   /** Incremental exact dedup oracle: the batch's text hashes left-joined
     * against the corpus-side keep-id index.
@@ -1206,6 +1242,18 @@ object TrainingDataQueries {
       (s, d) => Dedup.removeDuplicateRuns(table(s, d, "documents"),
         "doc_id", "text", RunW),
       Some(dupRunsSql)),
+
+    "dedup_incremental_runs" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val idx = Dedup.buildRunIndex(
+          docs.filter(col("doc_id") % IncrMod =!= 0), "doc_id", "text",
+          RunW)
+        Dedup.removeDuplicateRunsAgainst(
+          docs.filter(col("doc_id") % IncrMod === 0), idx,
+          "doc_id", "text", RunW)
+      },
+      Some(incrRunsSql)),
 
     "dedup_incremental_exact" -> QueryDef(
       (s, d) => {

@@ -597,6 +597,42 @@ class OperatorsSpec extends SparkSpecBase {
     assert(r(3L)._2 == r(3L)._3, "untouched doc keeps all words")
   }
 
+  test("removeDuplicateRunsAgainst: corpus spans excised, index probed " +
+      "by broadcast") {
+    val run = "one two three four five six seven eight nine ten"
+    val corpus = Seq((1L, s"corpus doc holds $run inside itself fine"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildRunIndex(corpus, "doc_id", "text", w = 8)
+    val batch = Seq(
+      (10L, s"batch copy of $run plus new words"),  // corpus span: excised
+      (11L, "entirely novel batch content nothing shared here at all"),
+      (12L, s"unrelated preamble text $run closing remark words"))
+      .toDF("doc_id", "text")          // corpus span: also excised
+    val out = Dedup.removeDuplicateRunsAgainst(batch, idx,
+      "doc_id", "text", w = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"index probe must be a broadcast join:\n$plan")
+    val r = out.collect().map(x => x.getLong(0) ->
+      ((x.getString(1), x.getInt(2), x.getInt(3)))).toMap
+    assert(r(10L)._1 == "batch copy of plus new words", r(10L).toString)
+    assert(r(11L)._2 == r(11L)._3, "novel doc untouched")
+    // doc 12 shares the run with BOTH corpus and doc 10: corpus match
+    // wins, both batch copies are excised (no batch-first exemption)
+    assert(r(12L)._1 == "unrelated preamble text closing remark words",
+      r(12L).toString)
+    // batch-internal-only repeats keep the batch-first occurrence
+    val b2 = Seq((20L, "fresh span alpha beta gamma delta epsilon zeta " +
+        "eta theta close"),
+      (21L, "later copy alpha beta gamma delta epsilon zeta eta theta " +
+        "end here")).toDF("doc_id", "text")
+    val r2 = Dedup.removeDuplicateRunsAgainst(b2, idx, "doc_id", "text",
+        w = 8).collect()
+      .map(x => x.getLong(0) -> x.getInt(3)).toMap
+    assert(r2(20L) == 11 && r2(21L) == 4,
+      s"keep batch-first among batch-only repeats: $r2")
+  }
+
   test("filterFunnel: cumulative stage counts in one scan, no joins") {
     val en = "the quick brown fox and the lazy dog walk to the old town " +
       "with many other animals in that green field of grass and flowers " +
