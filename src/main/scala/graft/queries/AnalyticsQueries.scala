@@ -434,6 +434,306 @@ object AnalyticsQueries {
              |  promo_revenue / total_revenue AS promo_share
              |FROM a""".stripMargin)),
 
+    // TPC-H q7 shape: the SAME dimension (nation) plays two roles —
+    // supplier nation and customer nation — so it broadcasts twice under
+    // different aliases; the asymmetric pair predicate applies after both
+    // roles are bound. Fact scans keep their pushed date filter; the
+    // rollup is |pairs × years| rows.
+    "q7_volume_shipping" -> QueryDef(
+      (s, d) => {
+        val n1 = table(s, d, "nation").filter(col("n_nationkey") < 5)
+          .select(col("n_nationkey").as("n1_key"),
+            col("n_name").as("supp_nation"))
+        val n2 = table(s, d, "nation").filter(col("n_nationkey") < 5)
+          .select(col("n_nationkey").as("n2_key"),
+            col("n_name").as("cust_nation"))
+        val supp = table(s, d, "supplier")
+          .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+          .select(col("s_suppkey"), col("n1_key"), col("supp_nation"))
+        val cust = table(s, d, "customer")
+          .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+          .select(col("c_custkey"), col("n2_key"), col("cust_nation"))
+        val ord = table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        table(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            (dec(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+              .as("volume"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter(col("n1_key") =!= col("n2_key"))
+          .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+          .agg(sum(col("volume")).cast("double").as("revenue"))
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |  year(l_shipdate) AS l_year,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |    AS revenue
+             |FROM lineitem
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |WHERE n1.n_nationkey < 5 AND n2.n_nationkey < 5
+             |  AND n1.n_nationkey <> n2.n_nationkey
+             |  AND l_shipdate >= '1996-01-01'
+             |  AND l_shipdate < '1998-01-01'
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H q10 shape: returned-revenue per customer over one quarter,
+    // top 20. The revenue rollup groups on the (already joined) customer
+    // attributes, so no second join back to customer; nation broadcasts.
+    "q10_returned_items" -> QueryDef(
+      (s, d) => {
+        val nat = broadcast(table(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name")))
+        val cust = table(s, d, "customer")
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+        val ord = table(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1996-04-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        table(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (dec(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+              .as("rev"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+          .agg(sum(col("rev")).as("rev_dec"))
+          .orderBy(col("rev_dec").desc, col("c_custkey").asc)
+          .limit(20)
+          .select(col("c_custkey"), col("c_name"),
+            col("rev_dec").cast("double").as("revenue"),
+            col("c_acctbal"), col("n_name"))
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |    AS revenue,
+             |  c_acctbal, n_name
+             |FROM customer, orders, lineitem, nation
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND o_orderdate >= '1996-01-01'
+             |  AND o_orderdate < '1996-04-01'
+             |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name
+             |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |  (1 - CAST(l_discount AS DECIMAL(18,2)))) DESC, c_custkey
+             |LIMIT 20""".stripMargin)),
+
+    // TPC-H q13 shape (adapted: the synthetic orders table has no
+    // o_comment to exclude): LEFT OUTER join so zero-order customers
+    // survive with c_count = 0, then a histogram of the counts — the
+    // one double-aggregation query in the suite. count(o_orderkey)
+    // counts non-null keys only, exactly the outer-join semantics the
+    // oracle uses.
+    "q13_order_distribution" -> QueryDef(
+      (s, d) => {
+        val ord = table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        table(s, d, "customer").select(col("c_custkey"))
+          .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey)
+             |GROUP BY c_count""".stripMargin)),
+
+    // TPC-H q15 shape: quarterly revenue per supplier, then the
+    // suppliers achieving the global max. The max is a one-row aggregate
+    // of the (already small) revenue view — broadcast back as an
+    // equality filter, never a global sort. Revenue stays decimal until
+    // after the max-equality so ties are exact.
+    "q15_top_supplier" -> QueryDef(
+      (s, d) => {
+        val rev = table(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .as("tr"))
+        val mx = rev.agg(max(col("tr")).as("mx"))
+        rev.join(broadcast(mx), col("tr") === col("mx"))
+          .join(broadcast(table(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("tr").cast("double").as("total_revenue"))
+      },
+      Some("""WITH r AS (SELECT l_suppkey,
+             |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS tr
+             |  FROM lineitem
+             |  WHERE l_shipdate >= '1996-01-01'
+             |    AND l_shipdate < '1996-04-01'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
+             |FROM r JOIN supplier ON s_suppkey = l_suppkey
+             |WHERE tr = (SELECT max(tr) FROM r)""".stripMargin)),
+
+    // TPC-H q17 shape (adapted: no p_container, the brand filter alone
+    // selects the part subset): lineitems below 20% of their part's
+    // average quantity. The correlated scalar subquery decorrelates into
+    // a per-part aggregate joined back to the fact; the comparison is
+    // cross-multiplied (qty * 5 * n < sum) so it stays in exact decimal
+    // arithmetic — no division, no float drift.
+    "q17_small_quantity_revenue" -> QueryDef(
+      (s, d) => {
+        val perPart = table(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sum(dec(col("l_quantity"))).as("qty_sum"),
+            count(lit(1)).as("qty_n"))
+        val brandParts = broadcast(table(s, d, "part")
+          .filter(col("p_brand") === "Brand#23")
+          .select(col("p_partkey")))
+        table(s, d, "lineitem")
+          .join(brandParts, col("l_partkey") === col("p_partkey"))
+          .join(perPart, col("l_partkey") === col("pk"))
+          .filter(dec(col("l_quantity")) * 5 * col("qty_n") <
+            col("qty_sum"))
+          .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+      },
+      Some("""WITH a AS (SELECT l_partkey AS pk,
+             |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+             |    count(*) AS qty_n
+             |  FROM lineitem GROUP BY 1)
+             |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |    AS DOUBLE) / 7.0 AS avg_yearly
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey
+             |JOIN a ON pk = l_partkey
+             |WHERE p_brand = 'Brand#23'
+             |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_n < qty_sum"""
+        .stripMargin)),
+
+    // TPC-H q18 shape: orders whose total quantity exceeds a threshold
+    // (HAVING on the fact rollup), joined back to the order/customer
+    // detail plus the same rollup value. The big-order keyset is tiny
+    // (46 at sf0.01) so it broadcasts into both re-joins.
+    "q18_large_volume_customers" -> QueryDef(
+      (s, d) => {
+        val big = table(s, d, "lineitem")
+          .groupBy(col("l_orderkey").as("big_key"))
+          .agg(sum(dec(col("l_quantity"))).as("total_qty_dec"))
+          .filter(col("total_qty_dec") > 300)
+        val ord = table(s, d, "orders")
+          .join(broadcast(big), col("o_orderkey") === col("big_key"))
+        table(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"))
+          .join(ord, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd")
+              .as("o_orderdate"),
+            col("o_totalprice"),
+            col("total_qty_dec").cast("double").as("total_qty"))
+      },
+      Some("""WITH big AS (SELECT l_orderkey AS big_key,
+             |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty_dec
+             |  FROM lineitem GROUP BY 1
+             |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+             |SELECT c_custkey, c_name, o_orderkey,
+             |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             |  o_totalprice, CAST(total_qty_dec AS DOUBLE) AS total_qty
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN big ON o_orderkey = big_key""".stripMargin)),
+
+    // TPC-H q19 shape: disjunctive join predicates — an equi-join on
+    // partkey with an OR-of-ANDs residual mixing columns from BOTH
+    // sides. Catalyst keeps the equi-join hashable and evaluates the
+    // disjunction as a post-join filter; a naive engine degrades to a
+    // nested-loop join here.
+    "q19_disjunctive_revenue" -> QueryDef(
+      (s, d) => {
+        val part = broadcast(table(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size")))
+        table(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"),
+            (dec(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+              .as("rev"))
+          .join(part, col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#12" &&
+              col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" &&
+              col("p_size").between(1, 20) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" &&
+              col("p_size").between(1, 25) &&
+              col("l_quantity").between(20, 30)))
+          .agg(dsumExpr(col("rev")).as("revenue"))
+      },
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |  (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |  AS revenue
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             |    AND l_quantity BETWEEN 1 AND 11)
+             |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+             |    AND l_quantity BETWEEN 10 AND 20)
+             |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+             |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // TPC-H q22 shape (adapted: every synthetic customer has orders and
+    // there is no c_phone, so "idle" = above-average balance with no
+    // order since 2000-01-01): scalar-subquery threshold broadcast as a
+    // one-row cross join + LEFT ANTI join against the recent-order
+    // keyset. The threshold divides an exact decimal sum as the very
+    // last step, so both engines compare the same IEEE double.
+    "q22_idle_balance" -> QueryDef(
+      (s, d) => {
+        val cust = table(s, d, "customer")
+        val thr = cust.filter(col("c_acctbal") > 0)
+          .agg((dsum(col("c_acctbal")) / count(lit(1))).as("thr"))
+        val recent = table(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey"))
+        val nat = broadcast(table(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name")))
+        cust.crossJoin(broadcast(thr))
+          .filter(col("c_acctbal") > col("thr"))
+          .join(recent, col("c_custkey") === col("o_custkey"),
+            "left_anti")
+          .join(nat, col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("numcust"),
+            dsum(col("c_acctbal")).as("totacctbal"))
+      },
+      Some("""WITH thr AS (SELECT
+             |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |      / count(*) AS thr
+             |  FROM customer WHERE c_acctbal > 0)
+             |SELECT n_name, count(*) AS numcust,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS totacctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_acctbal > (SELECT thr FROM thr)
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |    WHERE o_custkey = c_custkey
+             |      AND o_orderdate >= '2000-01-01')
+             |GROUP BY n_name""".stripMargin)),
+
     // weekly retention cohorts: users grouped by first-seen week, counted
     // once per (cohort, weeks-since-first) they were active in. Weeks are
     // integer epoch-day buckets (floor(epoch_day/7)) — exact integer
