@@ -2246,6 +2246,43 @@ object TrainingDataQueries {
         // cache outlives the query and accumulates across a full registry run
         Dedup.releaseAfter(result, edocs)
       },
-      Some(curateSql))
+      Some(curateSql)),
+
+    // snapshot drift audit: two deterministic corpus versions derived
+    // from the same table (old drops doc_id%10==0 and carries a '[rev1]'
+    // suffix on doc_id%7==0; new drops doc_id%9==0), diffed by content
+    // hash. Text never rides the full-outer shuffle — only (key, hash60,
+    // length, source) does — so the diff moves ~40 bytes/doc at 100 TB.
+    "corpus_snapshot_diff" -> QueryDef(
+      (s, d) => {
+        import graft.operators.CorpusDiff
+        val docs = table(s, d, "documents")
+        val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" [rev1]"))).otherwise(col("text")))
+        val newSnap = docs.filter(col("doc_id") % 9 =!= 0)
+        CorpusDiff.diffSummary(
+          CorpusDiff.snapshotDiff(oldSnap, newSnap, "doc_id", "text",
+            carry = Seq("source")),
+          "source")
+      },
+      Some("""WITH old AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev1]'
+             |         ELSE text END AS text, source
+             |  FROM documents WHERE doc_id % 10 <> 0),
+             |new AS (SELECT doc_id, text, source FROM documents
+             |  WHERE doc_id % 9 <> 0),
+             |d AS (SELECT
+             |    CASE WHEN o.doc_id IS NULL THEN 'added'
+             |         WHEN n.doc_id IS NULL THEN 'removed'
+             |         WHEN o.text <> n.text THEN 'changed'
+             |         ELSE 'unchanged' END AS status,
+             |    length(o.text) AS old_len, length(n.text) AS new_len,
+             |    coalesce(n.source, o.source) AS source
+             |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+             |SELECT status, source, count(*) AS n_docs,
+             |  CAST(sum(coalesce(new_len, 0) - coalesce(old_len, 0))
+             |    AS BIGINT) AS delta_chars
+             |FROM d GROUP BY 1, 2""".stripMargin))
   )
 }

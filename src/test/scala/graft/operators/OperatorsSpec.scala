@@ -1090,4 +1090,38 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out(3L) == ((2L, 33L)))
     assert(out(4L) == ((3L, 33L)))
   }
+
+  test("snapshotDiff: statuses + carry; text pruned before the join") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "same", "a"), (2L, "before", "a"),
+      (3L, "gone", "b")).toDF("doc_id", "text", "source")
+    val newSnap = Seq((1L, "same", "a"), (2L, "after!", "a"),
+      (4L, "fresh", "b")).toDF("doc_id", "text", "source")
+    val diff = CorpusDiff.snapshotDiff(oldSnap, newSnap, "doc_id", "text",
+      carry = Seq("source"))
+    val r = diff.collect().map(x => x.getLong(0) ->
+      ((x.getString(1), Option(x.get(2)), Option(x.get(3)),
+        x.getString(4)))).toMap
+    assert(r(1L) == (("unchanged", Some(4L), Some(4L), "a")))
+    assert(r(2L) == (("changed", Some(6L), Some(6L), "a")))
+    assert(r(3L) == (("removed", Some(4L), None, "b")))
+    assert(r(4L) == (("added", None, Some(5L), "b")))
+    // 100 TB contract: only (key, hash, len, carry) reach the full-outer
+    // join — the text column is projected away below it on both sides
+    val joins = diff.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val names = (j.left.output ++ j.right.output).map(_.name)
+      assert(!names.contains("text"),
+        s"text must not ride the diff shuffle: $names")
+    }
+    val summary = CorpusDiff.diffSummary(diff, "source").collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3)))).toMap
+    assert(summary(("removed", "b")) == ((1L, -4L)))
+    assert(summary(("added", "b")) == ((1L, 5L)))
+    assert(summary(("changed", "a")) == ((1L, 0L)))
+  }
 }
