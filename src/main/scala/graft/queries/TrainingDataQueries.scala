@@ -2283,6 +2283,37 @@ object TrainingDataQueries {
              |SELECT status, source, count(*) AS n_docs,
              |  CAST(sum(coalesce(new_len, 0) - coalesce(old_len, 0))
              |    AS BIGINT) AS delta_chars
-             |FROM d GROUP BY 1, 2""".stripMargin))
+             |FROM d GROUP BY 1, 2""".stripMargin)),
+
+    // distributed PCA, exact half: globally-scaled int8 quantization →
+    // one-pass integer moment aggregate ([n, Σq, Σq·qᵀ] as BIGINTs —
+    // partition-order independent, hash-exact vs the oracle's replay).
+    // The float covariance/eigen step happens on the driver over this
+    // bounded artifact (Pca.covariance/topComponents, spec-verified);
+    // nothing vector-sized ever shuffles.
+    "embedding_gram_quantized" -> QueryDef(
+      (s, d) => graft.operators.Pca.momentRows(
+        table(s, d, "embeddings"), "embedding", 64),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+             |    FROM embeddings),
+             |g AS (SELECT max(list_max(list_transform(v, x -> abs(x))))
+             |    / 127.0 AS gscale FROM e),
+             |q AS (SELECT vec_id, list_transform(v, x ->
+             |    CAST(floor(CASE WHEN gscale = 0 THEN 0.0
+             |      ELSE x / gscale + 0.5 END) AS INT)) AS q FROM e, g),
+             |u AS (SELECT vec_id, s.i AS i, s.qi AS qi FROM q,
+             |    unnest(list_transform(range(1, len(q) + 1),
+             |      k -> {'i': CAST(k - 1 AS INT), 'qi': q[k]})) AS t(s)),
+             |gram AS (SELECT u1.i AS i, u2.i AS j,
+             |    CAST(sum(CAST(u1.qi AS BIGINT) * u2.qi) AS BIGINT) AS s
+             |  FROM u u1 JOIN u u2
+             |    ON u1.vec_id = u2.vec_id AND u1.i <= u2.i
+             |  GROUP BY 1, 2),
+             |sums AS (SELECT i, CAST(-1 AS INT) AS j,
+             |    CAST(sum(qi) AS BIGINT) AS s FROM u GROUP BY 1),
+             |n AS (SELECT CAST(-1 AS INT) AS i, CAST(-1 AS INT) AS j,
+             |  count(*) AS s FROM e)
+             |SELECT * FROM gram UNION ALL SELECT * FROM sums
+             |UNION ALL SELECT * FROM n""".stripMargin))
   )
 }

@@ -1124,4 +1124,49 @@ class OperatorsSpec extends SparkSpecBase {
     assert(summary(("added", "b")) == ((1L, 5L)))
     assert(summary(("changed", "a")) == ((1L, 0L)))
   }
+
+  test("Pca: exact integer moments, eigen recovery, no-exchange project") {
+    import spark.implicits._
+    // corpus with dominant variance along (1,1,0,0)/√2 and a weaker
+    // orthogonal mode along (0,0,1,-1)/√2. max|x| = 127 makes the global
+    // scale exactly 1.0 (lossless integer quantization); b = |t| % 3 is
+    // an even function of t, so the a-b cross moment is exactly 0 and
+    // the two eigenmodes stay orthogonal
+    val rows = (-127 to 127).map { t =>
+      val a = t.toFloat
+      val b = (math.abs(t) % 3).toFloat
+      (t.toLong, Array(a, a, b, -b))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val moments = Pca.momentRows(df, "embedding", 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(moments((-1, -1)) == 255L)
+    // Σt over -127..127 = 0; Σt² = 2*(127*128*255)/6 = 1,381,760
+    assert(moments((0, -1)) == 0L)
+    assert(moments((0, 0)) == 1381760L)
+    assert(moments((0, 1)) == 1381760L)
+    assert(moments((0, 2)) == 0L)
+    assert(moments((2, 3)) == -moments((2, 2)))
+    val (stats, gscale) = Pca.gramStats(df, "embedding", 4)
+    assert(gscale == 1.0)
+    val cov = Pca.covariance(stats, gscale, 4)
+    val (vals, vecs) = Pca.topComponents(cov, 2)
+    assert(vals(0) > vals(1) && vals(1) > 0.0)
+    // top component aligns with (1,1,0,0)/√2 up to sign
+    val align0 = math.abs((vecs(0)(0) + vecs(0)(1)) / math.sqrt(2.0))
+    assert(align0 > 0.999, vecs(0).mkString(","))
+    val align1 = math.abs((vecs(1)(2) - vecs(1)(3)) / math.sqrt(2.0))
+    assert(align1 > 0.999, vecs(1).mkString(","))
+    // projection is a pure scan: no exchange in the plan
+    val proj = df.select(col("vec_id"),
+      Pca.projectCol(col("embedding"), vecs).as("pc"))
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"PCA projection must be a zero-exchange scan:\n$plan")
+    val p = proj.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // vec (126,126,0,0) projects to ±126√2 on pc0 and ~0 on pc1
+    assert(math.abs(math.abs(p(126L)(0)) - 126.0 * math.sqrt(2.0)) < 0.1)
+    assert(math.abs(p(126L)(1)) < 0.1)
+  }
 }
