@@ -148,6 +148,16 @@ object GraftFunctions {
           s"graft_count_min expects (hash, d, w), got ${args.length}")
         CountMin(args(0), litInt(args(1), "cms depth d"),
           litInt(args(2), "cms width w"))
+      }),
+
+    // exact integer moment aggregate over array<int> codes:
+    // [n, sums(d), gram upper triangle] as one array<long> (PCA input)
+    (FunctionIdentifier("graft_gram"),
+      new ExpressionInfo(classOf[GramAgg].getCanonicalName, "graft_gram"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_gram expects (codes, dim), got ${args.length}")
+        GramAgg(args(0), litInt(args(1), "gram dim"))
       }))
 
   /** Runtime registration into an existing session (idempotent —

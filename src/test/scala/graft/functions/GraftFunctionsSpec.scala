@@ -65,6 +65,21 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("array<string>"), e.getMessage)
   }
 
+  test("graft_gram in SQL matches GramAgg / Pca.momentRows layout") {
+    GraftFunctions.register(spark)
+    val df = Seq(Array(1, 2), Array(3, 4), Array(-1, 0))
+      .toDF("q")
+    df.createOrReplaceTempView("gfs_codes")
+    val viaSql = spark.sql(
+      "SELECT graft_gram(q, 2) AS st FROM gfs_codes")
+      .head().getSeq[Long](0)
+    // layout [n, s0, s1, g00, g01, g11]
+    assert(viaSql == Seq(3L, 3L, 6L, 11L, 14L, 20L))
+    val viaDf = df.agg(GramAgg.gram(col("q"), 2).as("st"))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaDf)
+  }
+
   test("k arguments must be integer literals") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
