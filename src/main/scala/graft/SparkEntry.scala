@@ -65,5 +65,11 @@ object SparkEntry {
     // zero-exchange trie encode), perceptual-hash media dedup, and the
     // composed sampling pipeline (DSIR -> temperature -> pack)
     "text_vocab_token_counts", "media_phash_pairs",
-    "pipeline_weighted_mixture")
+    "pipeline_weighted_mixture",
+    // round-9 late additions: the corpus-version diff (full-outer join
+    // over slimmed rows), the exact PCA moment aggregate (one-pass
+    // ObjectHashAggregate over the embedding corpus), and the widest of
+    // the new TPC-H shapes (dual-role dimension + three fact joins)
+    "corpus_snapshot_diff", "embedding_gram_quantized",
+    "q7_volume_shipping")
 }

@@ -563,7 +563,7 @@ object TrainingDataQueries {
        |FROM m""".stripMargin
   }
 
-  private val langIdSql = {
+  private def langIdSqlFrom(from: String) = {
     val counts = TextAnalysis.StopwordPatterns.map { case (lang, p) =>
       s"len(regexp_extract_all(lower(text), '$p')) AS c_$lang"
     }.mkString(", ")
@@ -571,13 +571,15 @@ object TrainingDataQueries {
     val best = s"greatest(${langs.map(l => s"c_$l").mkString(", ")})"
     val pick = langs.map(l =>
       s"WHEN c_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
-    s"""WITH c AS (SELECT doc_id, text, $counts FROM documents)
+    s"""WITH c AS (SELECT doc_id, text, $counts FROM $from)
        |SELECT doc_id,
        |  CASE WHEN len(regexp_extract_all(text,
        |      '${TextAnalysis.CjkPattern}')) > 0 THEN 'zh'
        |    ELSE CASE $pick ELSE 'und' END END AS predicted_lang
        |FROM c""".stripMargin
   }
+
+  private val langIdSql = langIdSqlFrom("documents")
 
   private val qualitySql = {
     val stopPat = TextAnalysis.StopwordPatterns.head._2
@@ -2314,6 +2316,76 @@ object TrainingDataQueries {
              |n AS (SELECT CAST(-1 AS INT) AS i, CAST(-1 AS INT) AS j,
              |  count(*) AS s FROM e)
              |SELECT * FROM gram UNION ALL SELECT * FROM sums
-             |UNION ALL SELECT * FROM n""".stripMargin))
+             |UNION ALL SELECT * FROM n""".stripMargin)),
+
+    // fourth composed pipeline — the daily-crawl refresh: snapshot diff
+    // finds the delta (added + changed docs), the delta probes the OLD
+    // corpus's exact-hash index (a changed doc whose new text collides
+    // with any old doc is a dup, not new work), and the survivors gate
+    // on language before entering the embed queue. Set-dependent stages
+    // (diff feeds the probe input, the probe feeds the gate) verified
+    // as one query. Scale: the diff join moves slimmed rows, the index
+    // side stays put (bucketed-index contract of exactAgainst), the
+    // lang gate is a scan.
+    "pipeline_incremental_refresh" -> QueryDef(
+      (s, d) => {
+        import graft.operators.CorpusDiff
+        val docs = table(s, d, "documents")
+        // both snapshots redact some docs to the same placeholder text
+        // (disjoint id sets) — the realistic source of cross-doc exact
+        // dups the probe stage must catch
+        val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 19 === 0, lit("CONTENT REMOVED"))
+              .when(col("doc_id") % 7 === 0,
+                concat(col("text"), lit(" [rev1]")))
+              .otherwise(col("text")))
+        val newSnap = docs.filter(col("doc_id") % 9 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 17 === 0, lit("CONTENT REMOVED"))
+              .otherwise(col("text")))
+        val delta = CorpusDiff.snapshotDiff(oldSnap, newSnap, "doc_id",
+            "text", carry = Seq("source"))
+          .filter(col("status").isin("added", "changed"))
+          .select("doc_id")
+          .join(newSnap, "doc_id")
+        val probed = Dedup.exactAgainst(delta,
+            Dedup.exact(oldSnap, "doc_id", "text"), "doc_id", "text")
+          .select(col("id").as("doc_id"), col("dup_of"))
+        delta.select(col("doc_id"), col("source"),
+            TextAnalysis.langId(col("text")).as("lang_pred"))
+          .join(probed, "doc_id")
+          .select(col("doc_id"), col("source"),
+            when(col("dup_of").isNotNull, "skip_dup")
+              .when(col("lang_pred") =!= "en", "skip_lang")
+              .otherwise("embed").as("action"),
+            col("dup_of"))
+      },
+      Some(s"""WITH old AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 19 = 0 THEN 'CONTENT REMOVED'
+              |         WHEN doc_id % 7 = 0 THEN text || ' [rev1]'
+              |         ELSE text END AS text, source
+              |  FROM documents WHERE doc_id % 10 <> 0),
+              |new AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 17 = 0 THEN 'CONTENT REMOVED'
+              |         ELSE text END AS text, source
+              |  FROM documents WHERE doc_id % 9 <> 0),
+              |delta AS (SELECT n.doc_id, n.text, n.source
+              |  FROM new n LEFT JOIN old o ON o.doc_id = n.doc_id
+              |  WHERE o.doc_id IS NULL OR o.text <> n.text),
+              |cor AS (SELECT ${StableHash.hash60Sql("text")} AS text_hash,
+              |    min(doc_id) AS keep_id
+              |  FROM old GROUP BY 1),
+              |probe AS (SELECT d.doc_id, d.source, cor.keep_id AS dup_of
+              |  FROM delta d LEFT JOIN cor
+              |    ON ${StableHash.hash60Sql("d.text")} = cor.text_hash),
+              |lang AS (${langIdSqlFrom("delta")})
+              |SELECT p.doc_id, p.source,
+              |  CASE WHEN p.dup_of IS NOT NULL THEN 'skip_dup'
+              |       WHEN l.predicted_lang <> 'en' THEN 'skip_lang'
+              |       ELSE 'embed' END AS action,
+              |  p.dup_of
+              |FROM probe p JOIN lang l ON p.doc_id = l.doc_id"""
+        .stripMargin))
   )
 }
