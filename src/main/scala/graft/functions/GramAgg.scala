@@ -56,6 +56,13 @@ case class GramAgg(
       val arr = v.asInstanceOf[ArrayData]
       require(arr.numElements() == dim,
         s"gram input has ${arr.numElements()} elements, expected $dim")
+      // O(d) null pre-scan (the SQL surface accepts arbitrary arrays; a
+      // null element must fail loudly, not read as an undefined value)
+      var p = 0
+      while (p < dim) {
+        require(!arr.isNullAt(p), s"gram input has a null at position $p")
+        p += 1
+      }
       buffer(0) += 1L
       var i = 0
       while (i < dim) {

@@ -328,4 +328,46 @@ object Similarity {
       isZero.as("is_zero"),
       (dim === expectedDim && !hasNan && !isZero).as("valid"))
   }
+
+  /** PCA-prefiltered ANN: both sides project onto `components` (literal
+    * vectors from [[Pca.topComponents]] — a zero-exchange codegen scan),
+    * a coarse top-`m` runs in the reduced space (dim′ ≪ dim, so the
+    * dominant queries×corpus multiply-add loop shrinks by dim/dim′), and
+    * only the m survivors per query re-rank exactly in the original
+    * space. The candidate re-join moves (queries × m) ids — never
+    * vectors — and the final exact pass touches (queries × m) rows
+    * instead of the whole corpus.
+    *
+    * The third index geometry next to IVF (partition pruning) and
+    * quantization (storage): dimensionality reduction (compute). Recall
+    * is tunable via m and the captured variance of the components;
+    * audit with [[recallAudit]] like any other approximate path.
+    */
+  def pcaPrefilterTopK(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String,
+                       components: Array[Array[Double]],
+                       m: Int, k: Int): DataFrame = {
+    require(m >= k, s"coarse candidate count m ($m) must be >= k ($k)")
+    def reduced(df: DataFrame, out: String) =
+      df.select(col(idCol).as(out),
+        transform(Pca.projectCol(col(vecCol), components),
+          x => x.cast("float")).as(s"__r_$out"))
+    val cand = {
+      val q = broadcast(reduced(queries, "query_id"))
+      val c = reduced(corpus, "neighbor_id")
+      val sim = VectorOps.cosineF(col("__r_query_id"),
+        col("__r_neighbor_id"))
+      topKRanked(q.join(c, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), sim.as("sim")), m)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec")))
+    val cv = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("c_vec"))
+    val rescored = cand.join(cv, "neighbor_id").join(qv, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosineF(col("q_vec"), col("c_vec")).as("sim"))
+    topKRanked(rescored, k)
+  }
 }

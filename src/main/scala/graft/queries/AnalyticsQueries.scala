@@ -561,7 +561,10 @@ object AnalyticsQueries {
     // suppliers achieving the global max. The max is a one-row aggregate
     // of the (already small) revenue view — broadcast back as an
     // equality filter, never a global sort. Revenue stays decimal until
-    // after the max-equality so ties are exact.
+    // after the max-equality so ties are exact. The revenue view is
+    // persisted for its two consumers (rows + max): AQE does NOT reuse
+    // the aggregation shuffle across the branches (verified on the
+    // runtime plan), so without the persist the fact table scans twice.
     "q15_top_supplier" -> QueryDef(
       (s, d) => {
         val rev = table(s, d, "lineitem")
@@ -571,13 +574,15 @@ object AnalyticsQueries {
           .agg(sum(dec(col("l_extendedprice")) *
             (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
             .as("tr"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val mx = rev.agg(max(col("tr")).as("mx"))
-        rev.join(broadcast(mx), col("tr") === col("mx"))
+        graft.operators.Dedup.releaseAfter(
+          rev.join(broadcast(mx), col("tr") === col("mx"))
           .join(broadcast(table(s, d, "supplier")
             .select(col("s_suppkey"), col("s_name"))),
             col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"),
-            col("tr").cast("double").as("total_revenue"))
+            col("tr").cast("double").as("total_revenue")), rev)
       },
       Some("""WITH r AS (SELECT l_suppkey,
              |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -1169,4 +1169,33 @@ class OperatorsSpec extends SparkSpecBase {
     assert(math.abs(math.abs(p(126L)(0)) - 126.0 * math.sqrt(2.0)) < 0.1)
     assert(math.abs(p(126L)(1)) < 0.1)
   }
+
+  test("pcaPrefilterTopK: lossless on subspace data, matches brute force") {
+    import spark.implicits._
+    // all vectors live in span{(1,1,0,0), (0,0,1,-1)} with pairwise
+    // distinct directions — projection onto the 2 principal components
+    // preserves cosines, so the prefiltered search must reproduce the
+    // exact brute-force ranking
+    val dirs = Seq((1, 1), (2, 1), (3, 1), (1, 2), (3, 2), (1, 3),
+      (2, 3), (5, 1), (1, 5), (4, 3), (3, 4), (5, 4))
+    val corpus = dirs.zipWithIndex.map { case ((a, b), i) =>
+      (i.toLong, Array(a.toFloat, a.toFloat, b.toFloat, -b.toFloat))
+    }.toDF("vec_id", "embedding")
+    val (stats, gscale) = Pca.gramStats(corpus, "embedding", 4)
+    val (_, comps) = Pca.topComponents(
+      Pca.covariance(stats, gscale, 4), 2)
+    val queries = corpus.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", k = 3).collect().toSet
+    val pre = Similarity.pcaPrefilterTopK(corpus, queries,
+      "vec_id", "embedding", comps, m = 6, k = 3).collect().toSet
+    assert(pre == exact,
+      s"prefilter must be lossless on subspace data:\n$pre\nvs\n$exact")
+    val audit = Similarity.recallAudit(
+      Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 3),
+      Similarity.pcaPrefilterTopK(corpus, queries, "vec_id", "embedding",
+        comps, 6, 3))
+      .collect().map(_.getAs[Double]("recall"))
+    assert(audit.forall(_ == 1.0))
+  }
 }
