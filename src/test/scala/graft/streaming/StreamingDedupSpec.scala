@@ -77,4 +77,45 @@ class StreamingDedupSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(101L), s"only the novel doc survives, got $out")
   }
+
+  test("StreamingDiff classifies arrivals against the old snapshot") {
+    val dir = Files.createTempDirectory("sdiff").toString
+    val srcDir = s"$dir/in"
+    val outDir = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    val snapDir = s"$dir/snap"
+
+    Seq((1L, "same text"), (2L, "old body"))
+      .toDF("doc_id", "text").write.parquet(snapDir)
+    Seq((1L, "same text"),   // unchanged
+        (2L, "new body"),    // changed
+        (3L, "brand new"))   // added
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(srcDir)
+    val q = StreamingDiff.classifyArrivals(stream,
+        spark.read.parquet(snapDir), "doc_id", "text")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.read.parquet(outDir)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "added"),
+      s"got $out")
+    // batch parity: same statuses as CorpusDiff.snapshotDiff (minus the
+    // stream-invisible 'removed' rows)
+    val batch = graft.operators.CorpusDiff.snapshotDiff(
+        spark.read.parquet(snapDir), spark.read.parquet(srcDir),
+        "doc_id", "text")
+      .filter(col("status") =!= "removed")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(batch == out, s"stream/batch divergence: $batch vs $out")
+  }
 }
