@@ -2344,17 +2344,24 @@ object TrainingDataQueries {
           .withColumn("text",
             when(col("doc_id") % 17 === 0, lit("CONTENT REMOVED"))
               .otherwise(col("text")))
+        // ONE delta pass: language id + content hash fold into a single
+        // projection over the recovered delta rows, so the probe is one
+        // left join against the index (the exactAgainst join shape,
+        // inlined here to keep the lang gate in the same scan — a
+        // two-branch formulation recomputes the whole diff per branch,
+        // caught in the plan audit)
         val delta = CorpusDiff.snapshotDiff(oldSnap, newSnap, "doc_id",
             "text", carry = Seq("source"))
           .filter(col("status").isin("added", "changed"))
           .select("doc_id")
           .join(newSnap, "doc_id")
-        val probed = Dedup.exactAgainst(delta,
-            Dedup.exact(oldSnap, "doc_id", "text"), "doc_id", "text")
-          .select(col("id").as("doc_id"), col("dup_of"))
-        delta.select(col("doc_id"), col("source"),
-            TextAnalysis.langId(col("text")).as("lang_pred"))
-          .join(probed, "doc_id")
+          .select(col("doc_id"), col("source"),
+            TextAnalysis.langId(col("text")).as("lang_pred"),
+            StableHash.hash60(col("text")).as("text_hash"))
+        delta
+          .join(Dedup.exact(oldSnap, "doc_id", "text")
+            .select(col("text_hash"), col("keep_id").as("dup_of")),
+            Seq("text_hash"), "left")
           .select(col("doc_id"), col("source"),
             when(col("dup_of").isNotNull, "skip_dup")
               .when(col("lang_pred") =!= "en", "skip_lang")
