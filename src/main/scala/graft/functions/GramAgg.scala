@@ -56,11 +56,20 @@ case class GramAgg(
       val arr = v.asInstanceOf[ArrayData]
       require(arr.numElements() == dim,
         s"gram input has ${arr.numElements()} elements, expected $dim")
-      // O(d) null pre-scan (the SQL surface accepts arbitrary arrays; a
-      // null element must fail loudly, not read as an undefined value)
+      // O(d) pre-scan (the SQL surface accepts arbitrary arrays): a null
+      // element must fail loudly, not read as an undefined value, and a
+      // magnitude past 2^20 must fail loudly, not wrap the BIGINT
+      // accumulators Spark-side while the oracle's checked sum aborts —
+      // the exactness claim only holds inside this bound (|q| ≤ 2^20 →
+      // per-row product ≤ 2^40, ≥ 2^22 rows of headroom worst-case;
+      // int8 codes, the intended input, leave 2^49 rows)
       var p = 0
       while (p < dim) {
         require(!arr.isNullAt(p), s"gram input has a null at position $p")
+        val q = arr.getInt(p)
+        require(q >= -GramAgg.MaxMagnitude && q <= GramAgg.MaxMagnitude,
+          s"gram input value $q at position $p exceeds " +
+            s"|${GramAgg.MaxMagnitude}|")
         p += 1
       }
       buffer(0) += 1L
@@ -115,6 +124,9 @@ case class GramAgg(
 }
 
 object GramAgg {
+  /** Accumulator-overflow guard: values must satisfy `|q| ≤ 2^20`. */
+  val MaxMagnitude: Int = 1 << 20
+
   /** `array<long>` of `[n, sums(d), gram upper triangle (d(d+1)/2)]` over
     * an `array<int>` column.
     */

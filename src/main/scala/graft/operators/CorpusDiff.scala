@@ -29,17 +29,22 @@ object CorpusDiff {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
       textCol: String, carry: Seq[String] = Nil): DataFrame = {
+    // presence flags (not key-null checks) decide added/removed: a
+    // null-KEY row never joins, so it must read as present-on-its-side,
+    // not as the other side's absence; hash comparison is null-SAFE so
+    // a null text on one side classifies as 'changed', not 'unchanged'
     def slim(df: DataFrame, side: String) =
       df.select(
         col(key).as(s"${side}_key") +:
+          lit(true).as(s"${side}_present") +:
           StableHash.hash60(col(textCol)).as(s"${side}_hash") +:
           length(col(textCol)).cast("long").as(s"${side}_len") +:
           carry.map(c => col(c).as(s"${side}_$c")): _*)
     val o = slim(oldDf, "old")
     val n = slim(newDf, "new")
-    val status = when(col("old_key").isNull, "added")
-      .when(col("new_key").isNull, "removed")
-      .when(col("old_hash") =!= col("new_hash"), "changed")
+    val status = when(!coalesce(col("old_present"), lit(false)), "added")
+      .when(!coalesce(col("new_present"), lit(false)), "removed")
+      .when(!(col("old_hash") <=> col("new_hash")), "changed")
       .otherwise("unchanged")
     o.join(n, col("old_key") === col("new_key"), "full_outer")
       .select(

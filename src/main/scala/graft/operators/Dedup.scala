@@ -71,10 +71,15 @@ object Dedup {
       : DataFrame = {
     import graft.operators.Sketches
     val sk = typedLit(bloomBits.toIndexedSeq)
+    // persisted: both the misses and hits branches consume this frame —
+    // without the persist each branch re-scans the batch and re-md5s
+    // every text, costing a second full hash pass that can exceed the
+    // join work the Bloom filter saves
     val hashed = newDocs.select(col(idCol).as("id"),
         hash60(col(textCol)).as("text_hash"))
       .withColumn("__might", Sketches.bloomMightContain(sk,
         col("text_hash"), bloomK, bloomBits.length))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val misses = hashed.filter(!col("__might"))
       .select(col("id"), col("text_hash"),
         lit(null).cast("long").as("dup_of"))
@@ -82,7 +87,8 @@ object Dedup {
       .join(corpusIndex.select(col("text_hash"),
         col("keep_id").as("dup_of")), Seq("text_hash"), "left")
       .select(col("id"), col("text_hash"), col("dup_of"))
-    misses.unionByName(hits)
+    releaseAfter(warnIfIndexShuffles(misses.unionByName(hits),
+      "exactAgainstBloomed"), hashed)
   }
 
   /** Runtime guard for the incremental ("...Against") operators' 100 TB
@@ -358,9 +364,16 @@ object Dedup {
     * anyway.
     */
   private[graft] def releaseAfter(result: DataFrame, cached: DataFrame)
-      : DataFrame = {
+      : DataFrame = releaseAfterAll(result, cached)
+
+  /** [[releaseAfter]] for multiple cached frames: ONE eager checkpoint,
+    * then every frame unpersists (nesting releaseAfter would checkpoint
+    * the already-materialized result once per frame).
+    */
+  private[graft] def releaseAfterAll(result: DataFrame,
+      cached: DataFrame*): DataFrame = {
     val out = result.localCheckpoint(eager = true)
-    cached.unpersist()
+    cached.foreach(_.unpersist())
     out
   }
 
@@ -759,7 +772,11 @@ object Dedup {
   def removeDuplicateRuns(docs: DataFrame, idCol: String, textCol: String,
                           w: Int = 8): DataFrame = {
     require(w >= 2, s"window width ($w) must be >= 2")
+    // persisted: base feeds both the window pass and the reassembly
+    // join — without it the corpus text is re-scanned, re-split, and
+    // every window re-hashed for the second consumer
     val base = runBase(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val win = runWindows(base, w)
     val perH = Window.partitionBy(col("h"))
     val firstH = perH.orderBy(col("id"), col("pos"))
@@ -769,7 +786,7 @@ object Dedup {
       .filter(col("n_occ") >= 2 && col("rn") > 1)
       .groupBy(col("id"))
       .agg(collect_list(col("pos")).as("__cps"))
-    exciseRuns(base, dupStarts, w)
+    releaseAfter(exciseRuns(base, dupStarts, w), base)
   }
 
   /** `(id, __ws)` normalized word arrays — the shared input shape of the
@@ -827,33 +844,47 @@ object Dedup {
     * [[removeDuplicateRuns]]'s global keep-first order where the corpus
     * is "earlier" than every batch row.
     *
-    * Scale design: the batch's distinct window hashes BROADCAST into the
-    * index scan, so the corpus index is probed map-side and never
-    * shuffles ([[warnIfIndexShuffles]] guards the contract); everything
-    * else — marking, rollup, reassembly — is batch-sized. A daily 1M-doc
-    * batch against a 10B-doc index touches the index once, in place.
+    * Scale design: with `probeBroadcast` (the default) the batch's
+    * distinct window hashes broadcast into the index scan, so the
+    * corpus index is probed map-side and never shuffles
+    * ([[warnIfIndexShuffles]] guards the contract). NOTE the broadcast
+    * unit is one hash per batch WORD (not per doc, unlike
+    * [[exactAgainst]]) — right for incremental batches up to ~10⁸
+    * windows (~800 MB). Beyond that, set `probeBroadcast = false` and
+    * bucket the index on `h`: the probe becomes a one-sided exchange of
+    * the batch hashes into the index's bucketing, still never moving
+    * the index. Everything else — marking, rollup, reassembly — is
+    * batch-sized.
     */
   def removeDuplicateRunsAgainst(batch: DataFrame, runIndex: DataFrame,
                                  idCol: String, textCol: String,
-                                 w: Int = 8): DataFrame = {
+                                 w: Int = 8,
+                                 probeBroadcast: Boolean = true)
+      : DataFrame = {
     require(w >= 2, s"window width ($w) must be >= 2")
+    // persisted: base feeds the window pass and the reassembly join;
+    // win feeds the marking pass and the index probe
     val base = runBase(batch, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val win = runWindows(base, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perH = Window.partitionBy(col("h"))
     val firstH = perH.orderBy(col("id"), col("pos"))
     val marked = win
       .withColumn("n_occ", count(lit(1)).over(perH))
       .withColumn("rn", row_number().over(firstH))
+    val probe = win.select(col("h")).distinct()
     val matches = runIndex.select(col("h"))
-      .join(broadcast(win.select(col("h")).distinct()), Seq("h"))
+      .join(if (probeBroadcast) broadcast(probe) else probe, Seq("h"))
       .withColumn("__in_corpus", lit(1))
     val covered = marked.join(matches, Seq("h"), "left")
       .filter(col("__in_corpus").isNotNull ||
         (col("n_occ") >= 2 && col("rn") > 1))
       .groupBy(col("id"))
       .agg(collect_list(col("pos")).as("__cps"))
-    warnIfIndexShuffles(exciseRuns(base, covered, w),
-      "removeDuplicateRunsAgainst")
+    releaseAfterAll(warnIfIndexShuffles(
+      exciseRuns(base, covered, w), "removeDuplicateRunsAgainst"),
+      win, base)
   }
 
   /** Cross-document boilerplate removal — the CCNet-style passage filter

@@ -106,9 +106,15 @@ object Pca {
   }
 
   /** Top-k eigenpairs of a symmetric matrix by power iteration with
-    * deflation. Deterministic: starts from the basis vector of the
-    * largest diagonal entry, fixed iteration count. Returns
-    * (eigenvalues desc, row-major eigenvectors).
+    * deflation. Deterministic: each component iterates from TWO fixed
+    * starts — a dense all-nonzero vector and the basis vector of the
+    * largest diagonal entry — and keeps the larger Rayleigh quotient.
+    * A single basis start can sit exactly on a fixed point orthogonal
+    * to the dominant eigenvector (block-diagonal matrices with exact
+    * zeros — precisely what the integer-exact moments produce on
+    * structured data); the dense start breaks that symmetry, and the
+    * basis start covers the dense start's own orthogonality corner.
+    * Returns (eigenvalues desc, row-major eigenvectors).
     */
   def topComponents(cov: Array[Array[Double]], k: Int, iters: Int = 200)
       : (Array[Double], Array[Array[Double]]) = {
@@ -122,16 +128,11 @@ object Pca {
       var best = a(0)(0)
       var i = 1
       while (i < d) { if (a(i)(i) > best) { best = a(i)(i); start = i }; i += 1 }
-      var v = Array.tabulate(d)(i => if (i == start) 1.0 else 0.0)
-      var it = 0
-      while (it < iters) {
-        val w = mulSym(a, v)
-        val nrm = math.sqrt(w.map(x => x * x).sum)
-        if (nrm == 0.0) it = iters
-        else { v = w.map(_ / nrm); it += 1 }
-      }
-      val av = mulSym(a, v)
-      val lambda = v.indices.map(i => v(i) * av(i)).sum
+      val basis = Array.tabulate(d)(i => if (i == start) 1.0 else 0.0)
+      val dense = Array.tabulate(d)(i => 1.0 + i.toDouble / (d + 1))
+      val (lb, vb) = powerIter(a, basis, iters)
+      val (ld, vd) = powerIter(a, dense, iters)
+      val (lambda, v) = if (ld > lb) (ld, vd) else (lb, vb)
       vals(c) = lambda
       vecs(c) = v
       i = 0
@@ -143,6 +144,26 @@ object Pca {
       c += 1
     }
     (vals, vecs)
+  }
+
+  /** Fixed-iteration power method from a given start; returns the
+    * Rayleigh quotient and the final unit vector.
+    */
+  private def powerIter(a: Array[Array[Double]], v0: Array[Double],
+      iters: Int): (Double, Array[Double]) = {
+    var v = {
+      val n0 = math.sqrt(v0.map(x => x * x).sum)
+      if (n0 == 0.0) v0 else v0.map(_ / n0)
+    }
+    var it = 0
+    while (it < iters) {
+      val w = mulSym(a, v)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      if (nrm == 0.0) it = iters
+      else { v = w.map(_ / nrm); it += 1 }
+    }
+    val av = mulSym(a, v)
+    (v.indices.map(i => v(i) * av(i)).sum, v)
   }
 
   private def mulSym(a: Array[Array[Double]], v: Array[Double])

@@ -105,7 +105,12 @@ object Profiling {
       yield (i, j)
     val aggs = cols.map(c => sum(d(c)).cast("double").as(s"__s_$c")) ++
       pairs.map { case (i, j) =>
-        sum(d(cols(i)) * d(cols(j))).cast("double").as(s"__p_${i}_$j") }
+        sum(d(cols(i)) * d(cols(j))).cast("double").as(s"__p_${i}_$j") } ++
+      // per-column null counts: sums skip NULLs while n counts all rows,
+      // so a nullable column would yield mismatched moments — a WRONG
+      // Pearson value, not an imprecise one. Emitting NULL is honest.
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+        .as(s"__nn_$c"))
     val one = df.agg(count(lit(1)).cast("double").as("__n"),
       aggs: _*)
     val rows = for { i <- cols.indices; j <- i + 1 until cols.size }
@@ -115,10 +120,14 @@ object Profiling {
         val pxy = col(s"__p_${i}_$j")
         val pxx = col(s"__p_${i}_$i")
         val pyy = col(s"__p_${j}_$j")
-        struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
-          ((col("__n") * pxy - sx * sy) /
+        val corr = when(col(s"__nn_${cols(i)}") > 0 ||
+            col(s"__nn_${cols(j)}") > 0,
+            lit(null).cast("double"))
+          .otherwise((col("__n") * pxy - sx * sy) /
             (sqrt(col("__n") * pxx - sx * sx) *
-              sqrt(col("__n") * pyy - sy * sy))).as("corr"))
+              sqrt(col("__n") * pyy - sy * sy)))
+        struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
+          corr.as("corr"))
       }
     one.select(explode(array(rows: _*)).as("r"))
       .select(col("r.col_x").as("col_x"), col("r.col_y").as("col_y"),

@@ -800,17 +800,23 @@ object AnalyticsQueries {
     val prods = for { i <- CorrCols.indices; j <- i until CorrCols.size }
       yield s"CAST(sum(${dsql(CorrCols(i))} * ${dsql(CorrCols(j))}) " +
         s"AS DOUBLE) AS p_${i}_$j"
+    // mirrors the Spark side's null discipline: any NULL in either
+    // column makes the pair's corr NULL instead of silently wrong
+    val nulls = CorrCols.map(c =>
+      s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS nn_$c")
     val rows = for { i <- CorrCols.indices; j <- i + 1 until CorrCols.size }
       yield {
         val (sx, sy) = (s"s_${CorrCols(i)}", s"s_${CorrCols(j)}")
         s"""SELECT '${CorrCols(i)}' AS col_x, '${CorrCols(j)}' AS col_y,
-           |  (n * p_${i}_$j - $sx * $sy)
-           |    / (sqrt(n * p_${i}_$i - $sx * $sx)
-           |      * sqrt(n * p_${j}_$j - $sy * $sy)) AS corr
+           |  CASE WHEN nn_${CorrCols(i)} > 0 OR nn_${CorrCols(j)} > 0
+           |    THEN NULL
+           |    ELSE (n * p_${i}_$j - $sx * $sy)
+           |      / (sqrt(n * p_${i}_$i - $sx * $sx)
+           |        * sqrt(n * p_${j}_$j - $sy * $sy)) END AS corr
            |FROM a""".stripMargin
       }
     s"""WITH a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-       |  ${(sums ++ prods).mkString(",\n  ")}
+       |  ${(sums ++ prods ++ nulls).mkString(",\n  ")}
        |  FROM lineitem)
        |${rows.mkString("\nUNION ALL\n")}""".stripMargin
   }

@@ -2277,7 +2277,7 @@ object TrainingDataQueries {
              |d AS (SELECT
              |    CASE WHEN o.doc_id IS NULL THEN 'added'
              |         WHEN n.doc_id IS NULL THEN 'removed'
-             |         WHEN o.text <> n.text THEN 'changed'
+             |         WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
              |         ELSE 'unchanged' END AS status,
              |    length(o.text) AS old_len, length(n.text) AS new_len,
              |    coalesce(n.source, o.source) AS source
@@ -2379,7 +2379,7 @@ object TrainingDataQueries {
               |  FROM documents WHERE doc_id % 9 <> 0),
               |delta AS (SELECT n.doc_id, n.text, n.source
               |  FROM new n LEFT JOIN old o ON o.doc_id = n.doc_id
-              |  WHERE o.doc_id IS NULL OR o.text <> n.text),
+              |  WHERE o.doc_id IS NULL OR o.text IS DISTINCT FROM n.text),
               |cor AS (SELECT ${StableHash.hash60Sql("text")} AS text_hash,
               |    min(doc_id) AS keep_id
               |  FROM old GROUP BY 1),

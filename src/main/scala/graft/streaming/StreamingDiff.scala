@@ -31,15 +31,20 @@ object StreamingDiff {
     */
   def classifyArrivals(docs: DataFrame, oldSnapshot: DataFrame,
                        key: String, textCol: String): DataFrame = {
+    // same null discipline as the batch twin (spec-asserted parity): a
+    // presence flag decides 'added' (a snapshot row with NULL text is
+    // present — its hash is null, which must read as 'changed'), and
+    // the hash comparison is null-safe
     val old = oldSnapshot.select(col(key),
+      lit(true).as("__old_present"),
       StableHash.hash60(col(textCol)).as("__old_hash"))
     docs
       .withColumn("__new_hash", StableHash.hash60(col(textCol)))
       .join(old, Seq(key), "left_outer")
       .withColumn("status",
-        when(col("__old_hash").isNull, "added")
-          .when(col("__old_hash") =!= col("__new_hash"), "changed")
+        when(!coalesce(col("__old_present"), lit(false)), "added")
+          .when(!(col("__old_hash") <=> col("__new_hash")), "changed")
           .otherwise("unchanged"))
-      .drop("__old_hash", "__new_hash")
+      .drop("__old_present", "__old_hash", "__new_hash")
   }
 }

@@ -608,11 +608,24 @@ class OperatorsSpec extends SparkSpecBase {
       (11L, "entirely novel batch content nothing shared here at all"),
       (12L, s"unrelated preamble text $run closing remark words"))
       .toDF("doc_id", "text")          // corpus span: also excised
-    val out = Dedup.removeDuplicateRunsAgainst(batch, idx,
-      "doc_id", "text", w = 8)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"index probe must be a broadcast join:\n$plan")
+    // the result is eagerly checkpointed (cache release), so the probe
+    // plan is asserted via the warn guard: with auto-broadcast disabled,
+    // only the operator's explicit broadcast hint prevents the
+    // index-shuffle warning — its absence proves the broadcast probe
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val out =
+      try Dedup.removeDuplicateRunsAgainst(batch, idx,
+        "doc_id", "text", w = 8)
+      finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        System.setErr(old)
+      }
+    assert(!buf.toString("UTF-8").contains("re-shuffle per batch"),
+      s"broadcast probe must not trigger the index-shuffle warning: " +
+        buf.toString("UTF-8"))
     val r = out.collect().map(x => x.getLong(0) ->
       ((x.getString(1), x.getInt(2), x.getInt(3)))).toMap
     assert(r(10L)._1 == "batch copy of plus new words", r(10L).toString)
@@ -1168,6 +1181,56 @@ class OperatorsSpec extends SparkSpecBase {
     // vec (126,126,0,0) projects to ±126√2 on pc0 and ~0 on pc1
     assert(math.abs(math.abs(p(126L)(0)) - 126.0 * math.sqrt(2.0)) < 0.1)
     assert(math.abs(p(126L)(1)) < 0.1)
+  }
+
+  test("topComponents escapes a basis-start fixed point") {
+    // block-diagonal with exact zeros: largest diagonal (5, index 0) is
+    // NOT on the dominant eigenpair (λ=7, v=(0,1,1)/√2) and A·e0 = 5·e0
+    // is a fixed point — a single basis start would return [5, 7]
+    val a = Array(
+      Array(5.0, 0.0, 0.0),
+      Array(0.0, 4.0, 3.0),
+      Array(0.0, 3.0, 4.0))
+    val (vals, vecs) = Pca.topComponents(a, 2)
+    assert(math.abs(vals(0) - 7.0) < 1e-9, vals.mkString(","))
+    assert(math.abs(vals(1) - 5.0) < 1e-9, vals.mkString(","))
+    assert(math.abs((vecs(0)(1) + vecs(0)(2)) / math.sqrt(2.0)) > 0.999)
+  }
+
+  test("snapshotDiff: null text and null key classify safely") {
+    import spark.implicits._
+    val oldSnap = Seq((java.lang.Long.valueOf(1L), null: String),
+      (java.lang.Long.valueOf(2L), "kept"),
+      (null: java.lang.Long, "null-key old"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((java.lang.Long.valueOf(1L), "filled in"),
+      (java.lang.Long.valueOf(2L), "kept"))
+      .toDF("doc_id", "text")
+    val r = CorpusDiff.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect()
+      .map(x => Option(x.get(0)) -> x.getString(1)).toMap
+    // old text NULL, new text present -> changed (null-safe compare)
+    assert(r(Some(1L)) == "changed", r.toString)
+    assert(r(Some(2L)) == "unchanged")
+    // a null-KEY old row is a removed old doc, never 'added'
+    assert(r(None) == "removed", r.toString)
+  }
+
+  test("correlationMatrix: nulls yield NULL corr, not a wrong value") {
+    import spark.implicits._
+    val df = Seq((Some(1.0), 2.0, 1.0), (Some(2.0), 4.0, 2.0),
+      (None, 6.0, 3.0)).toDF("x", "y", "z")
+    val r = Profiling.correlationMatrix(df, Seq("x", "y", "z"))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        Option(x.get(2))).toMap
+    assert(r(("x", "y")).isEmpty, "nullable pair must yield NULL corr")
+    assert(r(("x", "z")).isEmpty)
+    // the non-null pair is linear: y = 2z -> corr 1.0 (up to the final
+    // fixed-order double combination)
+    val yz = r(("y", "z"))
+    assert(yz.exists(v =>
+      math.abs(v.asInstanceOf[Double] - 1.0) < 1e-12), r.toString)
   }
 
   test("pcaPrefilterTopK: lossless on subspace data, matches brute force") {
