@@ -188,4 +188,17 @@ object Pca {
   def projectCol(vec: Column, components: Array[Array[Double]]): Column =
     array(components.map(comp =>
       VectorOps.dotF(vec, typedlit(comp.map(_.toFloat).toSeq))): _*)
+
+  /** Whitening variant of the components: each eigenvector scaled by
+    * `1/√λ`, so [[projectCol]] with the result yields unit-variance
+    * coordinates (the usual preprocessing before cosine/euclidean ANN
+    * when feature scales differ). Non-positive eigenvalues (numerical
+    * zeros from deflation) keep their unscaled direction — whitening a
+    * zero-variance axis would divide by zero for no information gain.
+    */
+  def whitenedComponents(vals: Array[Double], vecs: Array[Array[Double]])
+      : Array[Array[Double]] =
+    vals.zip(vecs).map { case (l, v) =>
+      if (l > 0.0) v.map(_ / math.sqrt(l)) else v
+    }
 }

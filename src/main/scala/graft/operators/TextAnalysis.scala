@@ -502,4 +502,34 @@ object TextAnalysis {
         sum(expr(s"(__tw * CAST($scale AS BIGINT)) div __rw"))
           .as("dsir_score"))
   }
+
+  /** Vocabulary drift between two corpus versions: the top-N k-gram
+    * lists of each side (instance counts, [[topNgrams]]' total order)
+    * full-outer joined on the gram. A NULL `old_rank` means the gram
+    * ENTERED the top-N, a NULL `new_rank` means it left — the cheap
+    * distribution-shift alarm a recrawl/refresh pipeline checks before
+    * re-mixing sources ([[graft.operators.CorpusDiff]] reports row
+    * drift; this reports content drift).
+    *
+    * Scale shape: two [[topNgrams]] passes (map-side partial counts +
+    * TakeOrderedAndProject, no global sort); ranks are windows over the
+    * two bounded top-N frames; the final join is topN×topN-bounded.
+    * Emits `(gram, old_rank, new_rank, old_n, new_n)`.
+    */
+  def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame, textCol: String,
+                 k: Int = 3, topN: Int = 100): DataFrame = {
+    def ranked(df: DataFrame, side: String) =
+      topNgrams(df, textCol, k, topN)
+        .withColumn(s"${side}_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_occurrences").desc, col("gram").asc))
+            .cast("long"))
+        .select(col("gram"),
+          col(s"${side}_rank"),
+          col("n_occurrences").as(s"${side}_n"))
+    ranked(oldDocs, "old")
+      .join(ranked(newDocs, "new"), Seq("gram"), "full_outer")
+      .select(col("gram"), col("old_rank"), col("new_rank"),
+        col("old_n"), col("new_n"))
+  }
 }

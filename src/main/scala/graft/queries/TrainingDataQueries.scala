@@ -2393,6 +2393,49 @@ object TrainingDataQueries {
               |       ELSE 'embed' END AS action,
               |  p.dup_of
               |FROM probe p JOIN lang l ON p.doc_id = l.doc_id"""
+        .stripMargin)),
+
+    // content-drift alarm between the same two snapshot versions the
+    // row diff uses: top-20 3-gram lists of each side, full-outer
+    // joined — NULL old_rank = gram entered the vocabulary head, NULL
+    // new_rank = it left. Bounded end to end (two TakeOrderedAndProject
+    // passes + a 20×20 join).
+    "corpus_vocab_drift" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" [rev1]"))).otherwise(col("text")))
+        val newSnap = docs.filter(col("doc_id") % 9 =!= 0)
+        TextAnalysis.vocabDrift(oldSnap, newSnap, "text",
+          k = 3, topN = 20)
+      },
+      Some("""WITH old AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev1]'
+             |         ELSE text END AS text
+             |  FROM documents WHERE doc_id % 10 <> 0),
+             |new AS (SELECT doc_id, text FROM documents
+             |  WHERE doc_id % 9 <> 0),
+             |og AS (SELECT unnest(list_transform(range(1, len(ws) - 1),
+             |    i -> array_to_string(ws[i:i+2], ' '))) AS gram
+             |  FROM (SELECT string_split_regex(trim(lower(text)), '\s+')
+             |    AS ws FROM old)),
+             |oc AS (SELECT gram, count(*) AS n FROM og GROUP BY 1
+             |  ORDER BY n DESC, gram LIMIT 20),
+             |orank AS (SELECT gram, n,
+             |  row_number() OVER (ORDER BY n DESC, gram) AS rank FROM oc),
+             |ng AS (SELECT unnest(list_transform(range(1, len(ws) - 1),
+             |    i -> array_to_string(ws[i:i+2], ' '))) AS gram
+             |  FROM (SELECT string_split_regex(trim(lower(text)), '\s+')
+             |    AS ws FROM new)),
+             |nc AS (SELECT gram, count(*) AS n FROM ng GROUP BY 1
+             |  ORDER BY n DESC, gram LIMIT 20),
+             |nrank AS (SELECT gram, n,
+             |  row_number() OVER (ORDER BY n DESC, gram) AS rank FROM nc)
+             |SELECT coalesce(o.gram, nn.gram) AS gram,
+             |  o.rank AS old_rank, nn.rank AS new_rank,
+             |  o.n AS old_n, nn.n AS new_n
+             |FROM orank o FULL OUTER JOIN nrank nn ON o.gram = nn.gram"""
         .stripMargin))
   )
 }

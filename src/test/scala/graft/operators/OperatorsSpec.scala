@@ -1181,6 +1181,12 @@ class OperatorsSpec extends SparkSpecBase {
     // vec (126,126,0,0) projects to ±126√2 on pc0 and ~0 on pc1
     assert(math.abs(math.abs(p(126L)(0)) - 126.0 * math.sqrt(2.0)) < 0.1)
     assert(math.abs(p(126L)(1)) < 0.1)
+    // whitening: each component's norm² becomes 1/λ (unit variance
+    // after projection); a zero eigenvalue keeps its direction unscaled
+    val white = Pca.whitenedComponents(vals, vecs)
+    assert(math.abs(white(0).map(x => x * x).sum - 1.0 / vals(0)) < 1e-12)
+    val z = Pca.whitenedComponents(Array(0.0), Array(Array(0.5, 0.5)))
+    assert(z(0).toSeq == Seq(0.5, 0.5))
   }
 
   test("topComponents escapes a basis-start fixed point") {
