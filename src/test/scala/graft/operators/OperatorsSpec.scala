@@ -944,6 +944,62 @@ class OperatorsSpec extends SparkSpecBase {
     assert(pairs.count() < 100000L)
   }
 
+  test("stress: snapshot diff + gram moments + vocab drift at 100k rows") {
+    // same membership/change derivation as the registry queries, at
+    // 200x the oracle scale; expected status counts replayed exactly
+    // by a driver loop over the id space
+    val docs = spark.range(100000L).selectExpr("id AS doc_id",
+      "concat('base text w', id % 97, ' w', id % 89, ' tail', id) AS text")
+    val oldSnap = docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v1"))).otherwise(col("text")))
+    val newSnap = docs.filter(col("doc_id") % 9 =!= 0)
+    val got = CorpusDiff.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var (added, removed, changed, unchanged) = (0L, 0L, 0L, 0L)
+    (0L until 100000L).foreach { id =>
+      val inOld = id % 10 != 0
+      val inNew = id % 9 != 0
+      if (!inOld && inNew) added += 1
+      else if (inOld && !inNew) removed += 1
+      else if (inOld && inNew) {
+        if (id % 7 == 0) changed += 1 else unchanged += 1
+      }
+    }
+    assert(got == Map("added" -> added, "removed" -> removed,
+      "changed" -> changed, "unchanged" -> unchanged), got.toString)
+
+    // gram moments over 100k 8-dim vectors with values in [-127, 127]
+    // (global scale exactly 1 -> lossless codes, driver-replayable)
+    val emb = spark.range(100000L).selectExpr("id AS vec_id",
+      ("array(" + (0 until 8).map(k =>
+        s"CAST((id + $k) % 255 - 127 AS FLOAT)").mkString(", ") +
+        ") AS embedding"))
+    val m = Pca.momentRows(emb, "embedding", 8).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def q(id: Long, k: Int): Long = (id + k) % 255 - 127
+    var (s0, p00, p01) = (0L, 0L, 0L)
+    (0L until 100000L).foreach { id =>
+      s0 += q(id, 0); p00 += q(id, 0) * q(id, 0)
+      p01 += q(id, 0) * q(id, 1)
+    }
+    assert(m((-1, -1)) == 100000L)
+    assert(m((0, -1)) == s0, s"sum0 ${m((0, -1))} vs $s0")
+    assert(m((0, 0)) == p00)
+    assert(m((0, 1)) == p01)
+
+    // vocab drift between the two snapshots: bounded output, valid ranks
+    val drift = TextAnalysis.vocabDrift(oldSnap, newSnap, "text",
+      k = 3, topN = 50).collect()
+    assert(drift.length >= 50 && drift.length <= 100, drift.length)
+    assert(drift.forall { r =>
+      val or = Option(r.get(1)).map(_.asInstanceOf[Long])
+      val nr = Option(r.get(2)).map(_.asInstanceOf[Long])
+      or.forall(v => v >= 1 && v <= 50) && nr.forall(v => v >= 1 && v <= 50)
+    })
+  }
+
   test("property: chunk family invariants on random word streams") {
     import org.scalacheck.Gen
     // small vocab forces chunk collisions within and across docs
