@@ -449,6 +449,76 @@ object TextAnalysis {
       .select(col("__u"))
   }
 
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units") over
+    * the corpus word-frequency table. The distributed half is the word
+    * count — one exchange + TakeOrderedAndProject to the top `maxWords`
+    * types, exactly the frequency dict the standard BPE trainer
+    * consumes; the merge loop then runs driver-side over that bounded
+    * artifact (O(maxWords · merges), a model-training step like k-means
+    * centroids or [[trainUnitVocab]], never data-sized). Deterministic:
+    * the word list orders (count desc, word asc) and each round's pair
+    * argmax breaks ties (count desc, pair lexicographic asc).
+    *
+    * Returns the unit vocabulary — every character of the retained
+    * words plus one merged unit per round — for the greedy
+    * longest-match encoder ([[vocabTokenCounts]] / GreedyTokenIds):
+    * greedy segmentation over BPE-trained units is the WordPiece-style
+    * serving path, so the ENCODE stays the same zero-exchange,
+    * oracle-verified expression regardless of how the vocab was
+    * trained. (The merge loop itself is not SQL-replayable, which is
+    * why the trainer is spec-verified rather than oracle-verified.)
+    */
+  def trainBpeUnits(docs: DataFrame, textCol: String,
+                    maxWords: Int, merges: Int): Seq[String] = {
+    require(maxWords > 0 && merges >= 0,
+      s"maxWords ($maxWords) must be positive, merges ($merges) >= 0")
+    val wordCounts = docs.select(
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      wordCounts.map { case (w, n) => (w.map(_.toString).toArray, n) }
+    val units = scala.collection.mutable.LinkedHashSet.empty[String]
+    words.foreach { case (syms, _) => syms.foreach(units += _) }
+    var round = 0
+    var exhausted = false
+    while (round < merges && !exhausted) {
+      val pairCounts =
+        scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + n)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val (a, b) = pairCounts.toSeq
+          .minBy { case ((x, y), n) => (-n, x, y) }._1
+        val merged = a + b
+        units += merged
+        words = words.map { case (syms, n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, n)
+        }
+        round += 1
+      }
+    }
+    units.toSeq
+  }
+
   /** Token counts under a learned vocabulary ([[trainUnitVocab]]):
     * `(id, n_words, n_tokens)` where `n_tokens` is greedy longest-match
     * segmentation against `vocab` — the REAL token budget for

@@ -1000,6 +1000,36 @@ class OperatorsSpec extends SparkSpecBase {
     })
   }
 
+  test("trainBpeUnits: classic merge order on the Sennrich toy corpus") {
+    import spark.implicits._
+    // word frequencies: low×5, lower×2, newest×6, widest×3 — the
+    // canonical BPE example; expected merges hand-computed:
+    // (e,s)=9 ties (s,t)=9 -> lexicographic 'es'; then (es,t)=9 ->
+    // 'est'; then (l,o)=7 ties (o,w)=7 -> 'lo'; then (lo,w)=7 -> 'low'
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val units = TextAnalysis.trainBpeUnits(docs, "text",
+      maxWords = 100, merges = 4)
+    val mergedInOrder = units.filter(_.length > 1)
+    assert(mergedInOrder == Seq("es", "est", "lo", "low"),
+      units.toString)
+    // the greedy encoder consumes the BPE vocab unchanged:
+    // "newest" -> n|e|w|est (4 tokens), "low" -> low (1 token)
+    val enc = TextAnalysis.vocabTokenCounts(docs, "doc_id", "text", units)
+      .join(docs, "doc_id").select(col("text"), col("n_tokens"))
+      .distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(enc("newest") == 4L, enc.toString)
+    assert(enc("low") == 1L)
+    assert(enc("lower") == 3L, "expected low|e|r: " + enc.toString)
+    // merge exhaustion: more rounds than pairs terminates cleanly
+    val tiny = Seq((1L, "ab")).toDF("doc_id", "text")
+    val u2 = TextAnalysis.trainBpeUnits(tiny, "text", 10, 50)
+    assert(u2 == Seq("a", "b", "ab"))
+  }
+
   test("property: chunk family invariants on random word streams") {
     import org.scalacheck.Gen
     // small vocab forces chunk collisions within and across docs

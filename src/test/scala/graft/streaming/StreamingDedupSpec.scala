@@ -118,4 +118,58 @@ class StreamingDedupSpec extends SparkSpecBase {
       .select("doc_id", "status").as[(Long, String)].collect().toMap
     assert(batch == out, s"stream/batch divergence: $batch vs $out")
   }
+
+  test("streaming refresh: diff -> index probe -> lang gate composes") {
+    // the continuous spelling of pipeline_incremental_refresh: classify
+    // arrivals against the old snapshot, keep added/changed, drop exact
+    // dups of the old corpus, gate on language — all stream-stateless
+    val dir = Files.createTempDirectory("srefresh").toString
+    val srcDir = s"$dir/in"
+    val outDir = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    val snapDir = s"$dir/snap"
+    val idxDir = s"$dir/index"
+
+    val english = "the quick brown fox jumps over the lazy dog again and"
+    val spanish = "el que de la los una por y con para este cada"
+    Seq((1L, english + " v0"), (2L, "shared boilerplate page"))
+      .toDF("doc_id", "text").write.parquet(snapDir)
+    graft.operators.Dedup.exact(
+        spark.read.parquet(snapDir), "doc_id", "text")
+      .write.parquet(idxDir)
+    Seq(
+      (1L, english + " v1"),              // changed + en    -> embed
+      (2L, "shared boilerplate page"),    // unchanged       -> dropped
+      (3L, "shared boilerplate page"),    // added, dup of 2 -> skip_dup
+      (4L, spanish),                      // added, not en   -> skip_lang
+      (5L, english + " brand new"))       // added + en      -> embed
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(srcDir)
+    val delta = StreamingDiff.classifyArrivals(stream,
+        spark.read.parquet(snapDir), "doc_id", "text")
+      .filter(col("status").isin("added", "changed"))
+    val novel = StreamingDedup.dropIndexedTexts(delta, "text",
+      spark.read.parquet(idxDir))
+    val q = novel
+      .withColumn("action",
+        when(graft.operators.TextAnalysis.langId(col("text")) =!= "en",
+          "skip_lang").otherwise("embed"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.read.parquet(outDir)
+      .select("doc_id", "action").as[(Long, String)].collect().toMap
+    // doc 2 dropped as unchanged, doc 3 dropped by the index anti-join
+    // (the streaming spelling of skip_dup: never re-embed known text)
+    assert(out == Map(1L -> "embed", 4L -> "skip_lang", 5L -> "embed"),
+      s"got $out")
+  }
 }
