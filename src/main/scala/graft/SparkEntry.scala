@@ -71,5 +71,7 @@ object SparkEntry {
     // ObjectHashAggregate over the embedding corpus), and the widest of
     // the new TPC-H shapes (dual-role dimension + three fact joins)
     "corpus_snapshot_diff", "embedding_gram_quantized",
-    "q7_volume_shipping")
+    "q7_volume_shipping",
+    // the fourth composed pipeline: diff -> index probe -> lang gate
+    "pipeline_incremental_refresh")
 }
