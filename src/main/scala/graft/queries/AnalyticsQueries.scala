@@ -487,6 +487,147 @@ object AnalyticsQueries {
              |  AND l_shipdate < '1998-01-01'
              |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // TPC-H q8 shape: national market share — a conditional share of a
+    // region-gated 7-way join, per year. Nation binds twice (supplier
+    // role feeds the share condition, customer role gates through
+    // region); the share is two exact-decimal conditional sums and ONE
+    // final double division per year (q14's discipline at q8's width).
+    "q8_market_share" -> QueryDef(
+      (s, d) => {
+        val nation = table(s, d, "nation")
+        val region = table(s, d, "region")
+        // the region NATION_1 belongs to, resolved from the dims (no
+        // hardcoded key), gates the CUSTOMER side
+        val homeRegion = nation.filter(col("n_name") === "NATION_1")
+          .join(region, col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_regionkey").as("home_rk"))
+        val custGeo = broadcast(nation
+          .join(broadcast(homeRegion),
+            col("n_regionkey") === col("home_rk"))
+          .select(col("n_nationkey").as("cn_key")))
+        val suppGeo = broadcast(table(s, d, "supplier")
+          .join(broadcast(nation.select(col("n_nationkey"),
+            col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("supp_nation")))
+        val promoParts = broadcast(table(s, d, "part")
+          .filter(col("p_type") === "PROMO").select(col("p_partkey")))
+        val ord = table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+        val cust = table(s, d, "customer")
+          .join(custGeo, col("c_nationkey") === col("cn_key"))
+          .select(col("c_custkey"))
+        table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            (dec(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+              .as("volume"))
+          .join(promoParts, col("l_partkey") === col("p_partkey"))
+          .join(suppGeo, col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_year"))
+          .agg(
+            dsumExpr(when(col("supp_nation") === "NATION_1",
+              col("volume")).otherwise(lit(0).cast("decimal(18,2)")))
+              .as("nation_volume"),
+            dsumExpr(col("volume")).as("total_volume"))
+          .select(col("o_year"), col("nation_volume"),
+            col("total_volume"),
+            (col("nation_volume") / col("total_volume"))
+              .as("mkt_share"))
+      },
+      Some("""WITH home AS (SELECT r_regionkey AS home_rk
+             |  FROM region JOIN nation ON n_regionkey = r_regionkey
+             |  WHERE n_name = 'NATION_1'),
+             |j AS (SELECT year(o_orderdate) AS o_year,
+             |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |      (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             |    sn.n_name AS supp_nation
+             |  FROM lineitem
+             |  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN nation sn ON sn.n_nationkey = s_nationkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation cn ON cn.n_nationkey = c_nationkey
+             |  JOIN home ON cn.n_regionkey = home_rk)
+             |SELECT o_year,
+             |  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+             |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             |    AS nation_volume,
+             |  CAST(sum(volume) AS DOUBLE) AS total_volume,
+             |  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+             |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             |    / CAST(sum(volume) AS DOUBLE) AS mkt_share
+             |FROM j GROUP BY o_year""".stripMargin)),
+
+    // TPC-H q9 shape (adapted: no partsupp/ps_supplycost, so cost =
+    // 5% of retail price x quantity — the same triple-decimal product
+    // discipline as q1's sum_charge): profit rollup by supplier nation
+    // x order year across a 6-way join.
+    "q9_product_profit" -> QueryDef(
+      (s, d) => {
+        val suppGeo = broadcast(table(s, d, "supplier")
+          .join(broadcast(table(s, d, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name")))
+        val stdParts = broadcast(table(s, d, "part")
+          .filter(col("p_type") === "STANDARD")
+          .select(col("p_partkey"), col("p_retailprice")))
+        val ord = table(s, d, "orders")
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+        table(s, d, "lineitem")
+          .join(stdParts, col("l_partkey") === col("p_partkey"))
+          .join(suppGeo, col("l_suppkey") === col("s_suppkey"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"), col("o_year"))
+          .agg(dsumExpr(
+            dec(col("l_extendedprice")) *
+              (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))) -
+            dec(col("l_quantity")) * dec(col("p_retailprice")) *
+              lit(0.05).cast("decimal(3,2)"))
+            .as("profit"))
+      },
+      Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |    (1 - CAST(l_discount AS DECIMAL(18,2))) -
+             |    CAST(l_quantity AS DECIMAL(18,2)) *
+             |    CAST(p_retailprice AS DECIMAL(18,2)) *
+             |    CAST(0.05 AS DECIMAL(3,2))) AS DOUBLE) AS profit
+             |FROM lineitem
+             |JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+             |JOIN supplier ON s_suppkey = l_suppkey
+             |JOIN nation ON n_nationkey = s_nationkey
+             |JOIN orders ON o_orderkey = l_orderkey
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // TPC-H q16 shape (adapted: supplier participation from lineitem —
+    // the synthetic schema has no partsupp): DISTINCT-count aggregation
+    // over a fact-to-dim join, the one aggregate flavor the analytics
+    // family didn't cover yet. Spark plans count(DISTINCT) as the
+    // two-level Expand-free partial-distinct rollup.
+    "q16_supplier_part_counts" -> QueryDef(
+      (s, d) => {
+        val parts = broadcast(table(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 10)
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size")))
+        table(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
+          .join(parts, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  count(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |WHERE p_brand <> 'Brand#1' AND p_size <= 10
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // TPC-H q10 shape: returned-revenue per customer over one quarter,
     // top 20. The revenue rollup groups on the (already joined) customer
     // attributes, so no second join back to customer; nation broadcasts.
