@@ -192,13 +192,17 @@ object Pca {
   /** Whitening variant of the components: each eigenvector scaled by
     * `1/√λ`, so [[projectCol]] with the result yields unit-variance
     * coordinates (the usual preprocessing before cosine/euclidean ANN
-    * when feature scales differ). Non-positive eigenvalues (numerical
-    * zeros from deflation) keep their unscaled direction — whitening a
-    * zero-variance axis would divide by zero for no information gain.
+    * when feature scales differ). Numerically-zero eigenvalues keep
+    * their unscaled direction: deflation leaves null-axis residues that
+    * are as often +1e-13 as -1e-13, and whitening a +ε axis would blow
+    * rounding noise up by 1/√ε — so the guard is RELATIVE to the top
+    * eigenvalue, not a sign test.
     */
   def whitenedComponents(vals: Array[Double], vecs: Array[Array[Double]])
-      : Array[Array[Double]] =
+      : Array[Array[Double]] = {
+    val eps = if (vals.isEmpty) 0.0 else vals.max * 1e-10
     vals.zip(vecs).map { case (l, v) =>
-      if (l > 0.0) v.map(_ / math.sqrt(l)) else v
+      if (l > eps && eps > 0.0) v.map(_ / math.sqrt(l)) else v
     }
+  }
 }

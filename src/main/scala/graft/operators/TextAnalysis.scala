@@ -396,12 +396,8 @@ object TextAnalysis {
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
               vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize ($vocabSize) must be positive")
-    val inst = docs.select(col(idCol),
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("__w"))
-    val vocab = inst.groupBy(col("__w"))
-      .agg(count(lit(1)).as("__c"))
-      .orderBy(col("__c").desc, col("__w"))
-      .limit(vocabSize)
+    val inst = wordInstances(docs, textCol, Seq(col(idCol)))
+    val vocab = topUnits(inst, "__w", vocabSize)
       .select(col("__w"), lit(true).as("__in_vocab"))
     inst.join(broadcast(vocab), Seq("__w"), "left")
       .groupBy(col(idCol))
@@ -435,19 +431,36 @@ object TextAnalysis {
   private[graft] def trainUnitVocabDf(docs: DataFrame, textCol: String,
                                       vocabSize: Int): DataFrame = {
     require(vocabSize > 0, s"vocabSize ($vocabSize) must be positive")
-    val inst = docs.select(
-      explode(split(trim(lower(col(textCol))), "\\s+")).as("__w"))
+    val inst = wordInstances(docs, textCol)
     val units = inst.filter(col("__w") =!= "")
       .select(col("__w").as("__u"))
       .unionAll(inst.filter(length(col("__w")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, length(__w) - 1)," +
             " i -> substring(__w, i, 2))")).as("__u")))
-    units.groupBy(col("__u")).agg(count(lit(1)).as("__c"))
-      .orderBy(col("__c").desc, col("__u"))
-      .limit(vocabSize)
-      .select(col("__u"))
+    topUnits(units, "__u", vocabSize).select(col("__u"))
   }
+
+  /** Word instances `__w` of a text column — THE tokenization contract
+    * (lowercase, trim, whitespace split) every frequency consumer
+    * ([[oovRate]]'s vocab, [[trainUnitVocabDf]], [[trainBpeUnits]]'s
+    * word table) shares, so a semantics tweak lands everywhere at once
+    * and cross-engine oracle parity cannot silently diverge per copy.
+    */
+  private def wordInstances(docs: DataFrame, textCol: String,
+                            keep: Seq[Column] = Nil): DataFrame =
+    docs.select(keep :+
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("__w"): _*)
+
+  /** The shared top-N frequency selection: count per unit, total order
+    * (count desc, unit asc), deterministic LIMIT — plans as map-side
+    * partials + TakeOrderedAndProject, never a global sort.
+    */
+  private def topUnits(units: DataFrame, unitCol: String,
+                       n: Int): DataFrame =
+    units.groupBy(col(unitCol)).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col(unitCol).asc)
+      .limit(n)
 
   /** Byte-pair-encoding merge training (Sennrich et al. 2016,
     * "Neural Machine Translation of Rare Words with Subword Units") over
@@ -473,12 +486,9 @@ object TextAnalysis {
                     maxWords: Int, merges: Int): Seq[String] = {
     require(maxWords > 0 && merges >= 0,
       s"maxWords ($maxWords) must be positive, merges ($merges) >= 0")
-    val wordCounts = docs.select(
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("__w"))
-      .filter(col("__w") =!= "")
-      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
-      .orderBy(col("__c").desc, col("__w").asc)
-      .limit(maxWords)
+    val wordCounts = topUnits(
+        wordInstances(docs, textCol).filter(col("__w") =!= ""),
+        "__w", maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     var words: Array[(Array[String], Long)] =
       wordCounts.map { case (w, n) => (w.map(_.toString).toArray, n) }

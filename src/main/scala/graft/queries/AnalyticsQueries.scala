@@ -488,19 +488,19 @@ object AnalyticsQueries {
              |GROUP BY 1, 2, 3""".stripMargin)),
 
     // TPC-H q8 shape: national market share — a conditional share of a
-    // region-gated 7-way join, per year. Nation binds twice (supplier
-    // role feeds the share condition, customer role gates through
-    // region); the share is two exact-decimal conditional sums and ONE
-    // final double division per year (q14's discipline at q8's width).
+    // region-gated 6-way join, per year. Nation binds twice (supplier
+    // role feeds the share condition, customer role gates on the home
+    // nation's region key — nation already carries n_regionkey, so no
+    // region-table join is needed to resolve it); the share is two
+    // exact-decimal conditional sums and ONE final double division per
+    // year (q14's discipline at q8's width). NATION_3 has suppliers at
+    // BOTH verified scale factors, so the conditional numerator is
+    // non-degenerate everywhere the oracle runs.
     "q8_market_share" -> QueryDef(
       (s, d) => {
         val nation = table(s, d, "nation")
-        val region = table(s, d, "region")
-        // the region NATION_1 belongs to, resolved from the dims (no
-        // hardcoded key), gates the CUSTOMER side
-        val homeRegion = nation.filter(col("n_name") === "NATION_1")
-          .join(region, col("n_regionkey") === col("r_regionkey"))
-          .select(col("r_regionkey").as("home_rk"))
+        val homeRegion = nation.filter(col("n_name") === "NATION_3")
+          .select(col("n_regionkey").as("home_rk"))
         val custGeo = broadcast(nation
           .join(broadcast(homeRegion),
             col("n_regionkey") === col("home_rk"))
@@ -529,7 +529,7 @@ object AnalyticsQueries {
           .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("o_year"))
           .agg(
-            dsumExpr(when(col("supp_nation") === "NATION_1",
+            dsumExpr(when(col("supp_nation") === "NATION_3",
               col("volume")).otherwise(lit(0).cast("decimal(18,2)")))
               .as("nation_volume"),
             dsumExpr(col("volume")).as("total_volume"))
@@ -538,9 +538,8 @@ object AnalyticsQueries {
             (col("nation_volume") / col("total_volume"))
               .as("mkt_share"))
       },
-      Some("""WITH home AS (SELECT r_regionkey AS home_rk
-             |  FROM region JOIN nation ON n_regionkey = r_regionkey
-             |  WHERE n_name = 'NATION_1'),
+      Some("""WITH home AS (SELECT n_regionkey AS home_rk
+             |  FROM nation WHERE n_name = 'NATION_3'),
              |j AS (SELECT year(o_orderdate) AS o_year,
              |    CAST(l_extendedprice AS DECIMAL(18,2)) *
              |      (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
@@ -554,11 +553,11 @@ object AnalyticsQueries {
              |  JOIN nation cn ON cn.n_nationkey = c_nationkey
              |  JOIN home ON cn.n_regionkey = home_rk)
              |SELECT o_year,
-             |  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+             |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
              |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
              |    AS nation_volume,
              |  CAST(sum(volume) AS DOUBLE) AS total_volume,
-             |  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+             |  CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
              |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
              |    / CAST(sum(volume) AS DOUBLE) AS mkt_share
              |FROM j GROUP BY o_year""".stripMargin)),
