@@ -442,11 +442,14 @@ object TrainingDataQueries {
     * vector oracle over the 4x-compressed storage path (same arithmetic
     * as annQuantSql: floor-spelled round-half-up, FLOAT-exact casts).
     */
-  private val dequantVecCtes =
-    s"""raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |sc0 AS (SELECT vec_id, v,
+  /** The same chain over any `(vec_id, v DOUBLE[])` relation, so the
+    * composed embedding pipeline can quantize its VALIDATED subset with
+    * the identical fragment.
+    */
+  private def dequantVecCtesOver(src: String) =
+    s"""sc0 AS (SELECT vec_id, v,
        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-       |  FROM raw),
+       |  FROM $src),
        |qz0 AS (SELECT vec_id, scale,
        |    list_transform(v, x -> CAST(floor(CASE WHEN scale = 0
        |      THEN 0.0 ELSE x / scale + 0.5 END) AS INT)) AS q
@@ -455,6 +458,10 @@ object TrainingDataQueries {
        |    qq -> CAST(CAST(CAST(qq AS DOUBLE) * scale AS FLOAT)
        |      AS DOUBLE)) AS v
        |  FROM qz0)""".stripMargin
+
+  private val dequantVecCtes =
+    s"""raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${dequantVecCtesOver("raw")}""".stripMargin
 
   /** IVF search body over an `e(vec_id, v)` CTE: deterministic seeded
     * centroids, nearest-centroid assignment, 4-probe candidate join,
@@ -2436,6 +2443,56 @@ object TrainingDataQueries {
              |  o.rank AS old_rank, nn.rank AS new_rank,
              |  o.n AS old_n, nn.n AS new_n
              |FROM orank o FULL OUTER JOIN nrank nn ON o.gram = nn.gram"""
-        .stripMargin))
+        .stripMargin)),
+
+    // fifth composed pipeline — the embedding-index build: deterministic
+    // corruption (1-in-23 zeroed => zero-norm, 1-in-37 truncated =>
+    // wrong dim) → validation gate → int8 quantize/reconstruct → IVF
+    // (seeded centroids, assignment, 4-probe search). Set-dependent by
+    // construction: the corruption moduli are coprime to the centroid
+    // seed stride (50), so dropped invalids CHANGE the seed set and the
+    // whole downstream index — a stage skipped or reordered cannot
+    // hash-match. The oracle reuses the validate/dequant/IVF fragments.
+    "pipeline_embedding_index" -> QueryDef(
+      (s, d) => {
+        import graft.functions.VectorOps
+        val emb = table(s, d, "embeddings")
+        val mutated = emb.select(col("vec_id"),
+          when(col("vec_id") % 23 === 0,
+            transform(col("embedding"), _ => lit(0.0f)))
+            .when(col("vec_id") % 37 === 0,
+              slice(col("embedding"), 1, 32))
+            .otherwise(col("embedding")).as("embedding"))
+        val keep = Similarity.validateEmbeddings(mutated, "vec_id",
+            "embedding", expectedDim = 64)
+          .filter(col("valid")).select("vec_id")
+        val dq = mutated.join(keep, "vec_id")
+          .select(col("vec_id"),
+            VectorOps.dequantizeInt8(
+              VectorOps.quantizeInt8(col("embedding"))).as("embedding"))
+        val centroids = Similarity.seedCentroids(dq, "vec_id",
+          "embedding", every = 50)
+        val assigned = Similarity.ivfAssign(dq, centroids, "vec_id",
+          "embedding")
+        Similarity.ivfTopK(assigned, centroids,
+          dq.filter(col("vec_id") < AnnNumQueries), "vec_id",
+          "embedding", AnnK, nprobe = 4)
+      },
+      Some(s"""WITH raw0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0
+              |    FROM embeddings),
+              |mut AS (SELECT vec_id,
+              |    CASE WHEN vec_id % 23 = 0
+              |           THEN list_transform(v0, x -> 0.0)
+              |         WHEN vec_id % 37 = 0 THEN v0[1:32]
+              |         ELSE v0 END AS v0
+              |  FROM raw0),
+              |valid AS (SELECT vec_id, v0 AS v FROM mut
+              |  WHERE len(v0) = 64
+              |    AND list_max(list_transform(v0,
+              |      x -> CASE WHEN isnan(x) THEN 1 ELSE 0 END)) = 0
+              |    AND list_max(list_transform(v0, x -> abs(x))) <> 0),
+              |${dequantVecCtesOver("valid")},
+              |$ivfBody
+              |$ivfSelect""".stripMargin))
   )
 }

@@ -1030,6 +1030,46 @@ class OperatorsSpec extends SparkSpecBase {
     assert(u2 == Seq("a", "b", "ab"))
   }
 
+  test("property: snapshotDiff statuses match a reference model") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // small key/value spaces force every status to occur
+    val kv = for {
+      k <- Gen.choose(0L, 30L)
+      v <- Gen.oneOf("a", "b", "c", "shared dup text")
+    } yield (k, v)
+    def sample() = Gen.listOfN(40, kv).sample.getOrElse(Nil)
+      .distinctBy(_._1)
+    val oldRows = sample()
+    val newRows = sample()
+    val oldDf = oldRows.toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+    val newDf = newRows.toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+    val diff = CorpusDiff.snapshotDiff(oldDf, newDf, "doc_id", "text",
+      carry = Seq("source"))
+    val got = diff.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val om = oldRows.toMap
+    val nm = newRows.toMap
+    val expected = (om.keySet ++ nm.keySet).map { k =>
+      k -> ((om.get(k), nm.get(k)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a != b => "changed"
+        case _ => "unchanged"
+      })
+    }.toMap
+    assert(got == expected, s"got $got\nexpected $expected")
+    // rollup conservation: Σ delta_chars over every status equals the
+    // corpus-wide character delta
+    val total = CorpusDiff.diffSummary(diff, "source")
+      .agg(sum(col("delta_chars"))).head().getLong(0)
+    val charDelta = nm.values.map(_.length.toLong).sum -
+      om.values.map(_.length.toLong).sum
+    assert(total == charDelta, s"$total vs $charDelta")
+  }
+
   test("property: chunk family invariants on random word streams") {
     import org.scalacheck.Gen
     // small vocab forces chunk collisions within and across docs
