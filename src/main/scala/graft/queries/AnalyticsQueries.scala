@@ -879,6 +879,34 @@ object AnalyticsQueries {
              |      AND o_orderdate >= '2000-01-01')
              |GROUP BY n_name""".stripMargin)),
 
+    // incremental aggregate maintenance under CDC: the engine MAINTAINS
+    // the rollup (base + inserted − deleted, exact decimal algebra,
+    // O(batch + touched groups)); the oracle RECOMPUTES it from scratch
+    // over the final row set — hash equality proves the maintenance is
+    // exactly equivalent to a full fact-table re-aggregation.
+    "agg_incremental_maintenance" -> QueryDef(
+      (s, d) => {
+        import graft.operators.IncrementalAgg
+        val li = table(s, d, "lineitem")
+        val gk = Seq("l_returnflag", "l_linestatus")
+        val baseFacts = li.filter(col("l_orderkey") % 10 =!= 0)
+        val base = IncrementalAgg.sumCountRollup(baseFacts, gk,
+          col("l_quantity"))
+        val inserted = li.filter(col("l_orderkey") % 10 === 0)
+        val deleted = baseFacts.filter(col("l_orderkey") % 7 === 0)
+        IncrementalAgg.maintainSumCount(base, inserted, deleted, gk,
+            col("l_quantity"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("n_rows"), col("sum_val").cast("double").as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM lineitem
+             |WHERE (l_orderkey % 10 <> 0 AND l_orderkey % 7 <> 0)
+             |   OR l_orderkey % 10 = 0
+             |GROUP BY 1, 2""".stripMargin)),
+
     // weekly retention cohorts: users grouped by first-seen week, counted
     // once per (cohort, weeks-since-first) they were active in. Weeks are
     // integer epoch-day buckets (floor(epoch_day/7)) — exact integer

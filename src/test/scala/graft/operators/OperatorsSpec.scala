@@ -1030,6 +1030,41 @@ class OperatorsSpec extends SparkSpecBase {
     assert(u2 == Seq("a", "b", "ab"))
   }
 
+  test("maintainSumCount: delta algebra, group birth/death, bad deletes") {
+    import spark.implicits._
+    val facts = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0))
+      .toDF("k", "v")
+    val base = IncrementalAgg.sumCountRollup(facts, Seq("k"), col("v"))
+    // insert into a NEW group c and existing a; delete ALL of b
+    val ins = Seq(("a", 4.0), ("c", 7.0)).toDF("k", "v")
+    val del = Seq(("b", 5.0)).toDF("k", "v")
+    val out = IncrementalAgg.maintainSumCount(base, ins, del,
+      Seq("k"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue()))).toMap
+    // a: 2 rows +1 = 3, sum 3+4=7; b: vanished; c: born with 1 row
+    assert(out == Map("a" -> ((3L, 7.0)), "c" -> ((1L, 7.0))), out.toString)
+    // maintained result equals a from-scratch rollup of the final set
+    val finalFacts = Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("c", 7.0))
+      .toDF("k", "v")
+    val scratch = IncrementalAgg.sumCountRollup(finalFacts, Seq("k"),
+        col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue()))).toMap
+    assert(scratch == out)
+    // deleting more rows than the base holds must fail loudly
+    val bad = Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 1.0))
+      .toDF("k", "v")
+    val ex = intercept[Exception] {
+      IncrementalAgg.maintainSumCount(base, ins.limit(0), bad,
+        Seq("k"), col("v")).collect()
+    }
+    assert(ex.getMessage.contains("negative maintained count") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("negative maintained count")),
+      ex.toString)
+  }
+
   test("property: snapshotDiff statuses match a reference model") {
     import spark.implicits._
     import org.scalacheck.Gen
