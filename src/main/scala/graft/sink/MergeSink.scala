@@ -116,7 +116,7 @@ object MergeSink {
     * replacement is in place, so a crash at any point leaves either the
     * old table, the new table, or a recoverable `.old` copy.
     */
-  private[sink] def atomicSwapDir(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def atomicSwapDir(fs: org.apache.hadoop.fs.FileSystem,
                                   stagePath: String, dstPath: String,
                                   oldPath: String): Unit = {
     val dst = new org.apache.hadoop.fs.Path(dstPath)
