@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * recompute would produce; a negative count means the delete stream
   * disagrees with the base and fails loudly rather than silently
   * persisting an impossible rollup.
+  *
+  * Scope: sum/count (and anything derivable from them — avg, share,
+  * revenue-style products folded before the sum) ONLY. min/max are
+  * deliberately excluded: they are not group-invertible — deleting the
+  * current minimum requires the group's remaining values (a per-group
+  * value buffer or a rescan), which is different machinery with a
+  * different state contract, not a variant of this delta algebra.
   */
 object IncrementalAgg {
 
