@@ -100,32 +100,47 @@ object Profiling {
     */
   def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "correlationMatrix needs at least two columns")
-    def d(c: String) = col(c).cast("decimal(18,2)")
+    // 2-decimal values scale to EXACT integers (×100, decimal(18,0)):
+    // the cancellation-prone `n·Σxy − Σx·Σy` terms then evaluate in
+    // exact integer-decimal arithmetic. This matters cross-engine: as a
+    // DOUBLE expression `a*b - c*d` is FMA-eligible, and an engine that
+    // contracts it (DuckDB does) lands 1 ulp away from one that doesn't
+    // (the JVM) — caught by the sf0.1 differential. Only the final
+    // divide/sqrt run in IEEE doubles, and those have no fusable form.
+    // Width budget (documented, value-checked at 38 digits): n ≤ 10⁷
+    // rows, scaled sums ≤ 10¹⁹, scaled second moments ≤ 10³¹ — shard
+    // the profile per partition and combine if a corpus outgrows it.
+    def d100(c: String) =
+      (col(c).cast("decimal(18,2)") * 100).cast("decimal(18,0)")
     val pairs = for { i <- cols.indices; j <- i until cols.size }
       yield (i, j)
-    val aggs = cols.map(c => sum(d(c)).cast("double").as(s"__s_$c")) ++
+    val aggs = cols.map(c =>
+      sum(d100(c)).cast("decimal(19,0)").as(s"__s_$c")) ++
       pairs.map { case (i, j) =>
-        sum(d(cols(i)) * d(cols(j))).cast("double").as(s"__p_${i}_$j") } ++
+        sum(d100(cols(i)) * d100(cols(j))).cast("decimal(31,0)")
+          .as(s"__p_${i}_$j") } ++
       // per-column null counts: sums skip NULLs while n counts all rows,
       // so a nullable column would yield mismatched moments — a WRONG
       // Pearson value, not an imprecise one. Emitting NULL is honest.
       cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
         .as(s"__nn_$c"))
-    val one = df.agg(count(lit(1)).cast("double").as("__n"),
+    val one = df.agg(count(lit(1)).cast("decimal(7,0)").as("__n"),
       aggs: _*)
     val rows = for { i <- cols.indices; j <- i + 1 until cols.size }
       yield {
         val sx = col(s"__s_${cols(i)}")
         val sy = col(s"__s_${cols(j)}")
-        val pxy = col(s"__p_${i}_$j")
-        val pxx = col(s"__p_${i}_$i")
-        val pyy = col(s"__p_${j}_$j")
+        // exact integer variance/covariance terms (the ×100² scale
+        // factors cancel between numerator and denominator)
+        def v(p: Column, a: Column, b: Column) =
+          (col("__n") * p - a * b).cast("double")
+        val num = v(col(s"__p_${i}_$j"), sx, sy)
+        val vx = v(col(s"__p_${i}_$i"), sx, sx)
+        val vy = v(col(s"__p_${j}_$j"), sy, sy)
         val corr = when(col(s"__nn_${cols(i)}") > 0 ||
             col(s"__nn_${cols(j)}") > 0,
             lit(null).cast("double"))
-          .otherwise((col("__n") * pxy - sx * sy) /
-            (sqrt(col("__n") * pxx - sx * sx) *
-              sqrt(col("__n") * pyy - sy * sy)))
+          .otherwise(num / (sqrt(vx) * sqrt(vy)))
         struct(lit(cols(i)).as("col_x"), lit(cols(j)).as("col_y"),
           corr.as("corr"))
       }

@@ -962,28 +962,36 @@ object AnalyticsQueries {
     Seq("l_quantity", "l_extendedprice", "l_discount")
 
   private lazy val correlationSql = {
-    def dsql(c: String) = s"CAST($c AS DECIMAL(18,2))"
+    // mirrors Profiling.correlationMatrix's exact-integer moment
+    // algebra: 2-decimal values scale ×100 into DECIMAL(18,0), the
+    // n·Σxy − Σx·Σy terms evaluate in exact decimal (FMA-immune —
+    // DuckDB contracts the DOUBLE spelling of a*b - c*d and lands 1 ulp
+    // off the JVM), and only divide/sqrt run in IEEE doubles.
+    def dsql(c: String) =
+      s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0))"
     val sums = CorrCols.map(c =>
-      s"CAST(sum(${dsql(c)}) AS DOUBLE) AS s_$c")
+      s"CAST(sum(${dsql(c)}) AS DECIMAL(19,0)) AS s_$c")
     val prods = for { i <- CorrCols.indices; j <- i until CorrCols.size }
       yield s"CAST(sum(${dsql(CorrCols(i))} * ${dsql(CorrCols(j))}) " +
-        s"AS DOUBLE) AS p_${i}_$j"
+        s"AS DECIMAL(31,0)) AS p_${i}_$j"
     // mirrors the Spark side's null discipline: any NULL in either
     // column makes the pair's corr NULL instead of silently wrong
     val nulls = CorrCols.map(c =>
       s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS nn_$c")
+    def v(p: String, a: String, b: String) =
+      s"CAST(n * $p - $a * $b AS DOUBLE)"
     val rows = for { i <- CorrCols.indices; j <- i + 1 until CorrCols.size }
       yield {
         val (sx, sy) = (s"s_${CorrCols(i)}", s"s_${CorrCols(j)}")
         s"""SELECT '${CorrCols(i)}' AS col_x, '${CorrCols(j)}' AS col_y,
            |  CASE WHEN nn_${CorrCols(i)} > 0 OR nn_${CorrCols(j)} > 0
            |    THEN NULL
-           |    ELSE (n * p_${i}_$j - $sx * $sy)
-           |      / (sqrt(n * p_${i}_$i - $sx * $sx)
-           |        * sqrt(n * p_${j}_$j - $sy * $sy)) END AS corr
+           |    ELSE ${v(s"p_${i}_$j", sx, sy)}
+           |      / (sqrt(${v(s"p_${i}_$i", sx, sx)})
+           |        * sqrt(${v(s"p_${j}_$j", sy, sy)})) END AS corr
            |FROM a""".stripMargin
       }
-    s"""WITH a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+    s"""WITH a AS (SELECT CAST(count(*) AS DECIMAL(7,0)) AS n,
        |  ${(sums ++ prods ++ nulls).mkString(",\n  ")}
        |  FROM lineitem)
        |${rows.mkString("\nUNION ALL\n")}""".stripMargin
