@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
   * maintained result is bit-identical to a from-scratch recompute (the
   * registry query verifies exactly that equivalence against the oracle).
   * Groups whose row count reaches zero are dropped, matching what a
-  * recompute would produce; a negative count means the delete stream
-  * disagrees with the base and fails loudly rather than silently
-  * persisting an impossible rollup.
+  * recompute would produce. A batch that deletes MORE rows from a group
+  * than the base rollup holds fails loudly rather than silently
+  * persisting an impossible rollup — insert and delete counts are
+  * compared against the base separately, so co-arriving inserts cannot
+  * mask an over-delete. (What count algebra cannot detect: a delete
+  * whose VALUE never existed in the group while its count does —
+  * catching that needs per-row state, i.e. the merge path, not a
+  * rollup.)
   *
   * Scope: sum/count (and anything derivable from them — avg, share,
   * revenue-style products folded before the sum) ONLY. min/max are
@@ -46,31 +51,37 @@ object IncrementalAgg {
                        value: Column): DataFrame = {
     require(keys.nonEmpty, "at least one group key required")
     val kc = keys.map(col)
+    // insert and delete counts stay SEPARATE through the join: the
+    // over-delete guard compares deletes against the base alone, so a
+    // batch that deletes more rows than the base holds is caught even
+    // when co-arriving inserts net the count back to >= 0
     val ins = inserted.groupBy(kc: _*)
-      .agg(count(lit(1)).as("__dn"),
-        sum(value.cast("decimal(18,2)")).as("__ds"))
+      .agg(count(lit(1)).as("__ni"),
+        sum(value.cast("decimal(18,2)")).as("__si"))
     val del = deleted.groupBy(kc: _*)
-      .agg((-count(lit(1))).as("__dn"),
-        (-sum(value.cast("decimal(18,2)"))).as("__ds"))
-    val delta = ins.unionByName(del)
-      .groupBy(kc: _*)
-      .agg(sum(col("__dn")).as("__dn"), sum(col("__ds")).as("__ds"))
-    val nRows = coalesce(col("n_rows"), lit(0L)) +
-      coalesce(col("__dn"), lit(0L))
+      .agg(count(lit(1)).as("__nd"),
+        sum(value.cast("decimal(18,2)")).as("__sd"))
+    val delta = ins.join(del, keys, "full_outer")
+    def dz(c: String) = coalesce(col(c).cast("decimal(28,2)"),
+      lit(0).cast("decimal(28,2)"))
+    def lz(c: String) = coalesce(col(c), lit(0L))
+    val baseN = coalesce(col("n_rows"), lit(0L))
     base.join(delta, keys, "full_outer")
       .select(kc :+
-        nRows.as("n_rows") :+
-        (coalesce(col("sum_val").cast("decimal(28,2)"),
-          lit(0).cast("decimal(28,2)")) +
-          coalesce(col("__ds").cast("decimal(28,2)"),
-            lit(0).cast("decimal(28,2)"))).as("sum_val"): _*)
-      // the guard lives IN the filter predicate: a projection-side
+        baseN.as("__bn") :+
+        lz("__nd").as("__dn") :+
+        (baseN + lz("__ni") - lz("__nd")).as("n_rows") :+
+        (dz("sum_val") + dz("__si") - dz("__sd"))
+          .cast("decimal(28,2)").as("sum_val"): _*)
+      // guards live IN the filter predicate: a projection-side
       // raise_error would be pruned away when Catalyst pushes the
       // n_rows > 0 filter below it, silently dropping impossible rows
-      .filter(when(col("n_rows") < 0, raise_error(concat(
-        lit("negative maintained count: delete stream disagrees with " +
-          "the base rollup ("), col("n_rows").cast("string"), lit(")"))))
+      .filter(when(col("__dn") > col("__bn"), raise_error(concat(
+        lit("over-delete: batch deletes "), col("__dn").cast("string"),
+        lit(" rows from a group the base rollup holds "),
+        col("__bn").cast("string"), lit(" of"))))
         .otherwise(col("n_rows") > 0))
+      .drop("__bn", "__dn")
   }
 
   /** The from-scratch rollup in the same shape `maintainSumCount`

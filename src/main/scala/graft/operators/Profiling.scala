@@ -107,9 +107,12 @@ object Profiling {
     // contracts it (DuckDB does) lands 1 ulp away from one that doesn't
     // (the JVM) — caught by the sf0.1 differential. Only the final
     // divide/sqrt run in IEEE doubles, and those have no fusable form.
-    // Width budget (documented, value-checked at 38 digits): n ≤ 10⁷
-    // rows, scaled sums ≤ 10¹⁹, scaled second moments ≤ 10³¹ — shard
-    // the profile per partition and combine if a corpus outgrows it.
+    // Width budget (the cast widths ARE the budget — no silent cliff
+    // inside it): n ≤ 10¹⁰ rows, scaled sums ≤ 10¹⁹, scaled second
+    // moments ≤ 10²⁸ (so n·p and s·s both stay within 38 digits; DuckDB
+    // rejects wider multiplies at bind time, keeping both engines
+    // honest). Shard the profile per partition and combine if a corpus
+    // outgrows it.
     def d100(c: String) =
       (col(c).cast("decimal(18,2)") * 100).cast("decimal(18,0)")
     val pairs = for { i <- cols.indices; j <- i until cols.size }
@@ -117,14 +120,14 @@ object Profiling {
     val aggs = cols.map(c =>
       sum(d100(c)).cast("decimal(19,0)").as(s"__s_$c")) ++
       pairs.map { case (i, j) =>
-        sum(d100(cols(i)) * d100(cols(j))).cast("decimal(31,0)")
+        sum(d100(cols(i)) * d100(cols(j))).cast("decimal(28,0)")
           .as(s"__p_${i}_$j") } ++
       // per-column null counts: sums skip NULLs while n counts all rows,
       // so a nullable column would yield mismatched moments — a WRONG
       // Pearson value, not an imprecise one. Emitting NULL is honest.
       cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
         .as(s"__nn_$c"))
-    val one = df.agg(count(lit(1)).cast("decimal(7,0)").as("__n"),
+    val one = df.agg(count(lit(1)).cast("decimal(10,0)").as("__n"),
       aggs: _*)
     val rows = for { i <- cols.indices; j <- i + 1 until cols.size }
       yield {

@@ -973,7 +973,7 @@ object AnalyticsQueries {
       s"CAST(sum(${dsql(c)}) AS DECIMAL(19,0)) AS s_$c")
     val prods = for { i <- CorrCols.indices; j <- i until CorrCols.size }
       yield s"CAST(sum(${dsql(CorrCols(i))} * ${dsql(CorrCols(j))}) " +
-        s"AS DECIMAL(31,0)) AS p_${i}_$j"
+        s"AS DECIMAL(28,0)) AS p_${i}_$j"
     // mirrors the Spark side's null discipline: any NULL in either
     // column makes the pair's corr NULL instead of silently wrong
     val nulls = CorrCols.map(c =>
@@ -991,7 +991,7 @@ object AnalyticsQueries {
            |        * sqrt(${v(s"p_${j}_$j", sy, sy)})) END AS corr
            |FROM a""".stripMargin
       }
-    s"""WITH a AS (SELECT CAST(count(*) AS DECIMAL(7,0)) AS n,
+    s"""WITH a AS (SELECT CAST(count(*) AS DECIMAL(10,0)) AS n,
        |  ${(sums ++ prods ++ nulls).mkString(",\n  ")}
        |  FROM lineitem)
        |${rows.mkString("\nUNION ALL\n")}""".stripMargin

@@ -121,9 +121,17 @@ object MergeSink {
                                   oldPath: String): Unit = {
     val dst = new org.apache.hadoop.fs.Path(dstPath)
     val old = new org.apache.hadoop.fs.Path(oldPath)
+    // Hadoop FileSystems signal rename failure by RETURNING FALSE, not
+    // throwing — ignoring it here would fall through to the delete and
+    // destroy the only remaining copy of the table
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(dst)) fs.rename(dst, old)
-    fs.rename(new org.apache.hadoop.fs.Path(stagePath), dst)
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(
+        s"swap: could not retire $dstPath to $oldPath")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(stagePath), dst))
+      throw new java.io.IOException(
+        s"swap: could not promote $stagePath to $dstPath" +
+          s" (previous table preserved at $oldPath)")
     fs.delete(old, true)
   }
 

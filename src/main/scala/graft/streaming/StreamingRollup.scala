@@ -57,6 +57,13 @@ object StreamingRollup {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(tablePath).getFileSystem(conf)
+    // crash recovery FIRST: a death inside the previous swap's rename
+    // window leaves the table retired to .old and no promoted copy — a
+    // bootstrap from empty here would rebuild from one batch and then
+    // destroy .old, losing all history. Resume the interrupted swap.
+    if (!fs.exists(new Path(tablePath)) &&
+        fs.exists(new Path(tablePath + ".old")))
+      fs.rename(new Path(tablePath + ".old"), new Path(tablePath))
     if (lastApplied(spark, tablePath).exists(_ >= batchId)) return
     val base =
       if (fs.exists(new Path(tablePath)))
@@ -65,7 +72,14 @@ object StreamingRollup {
         val zero = batch.limit(0)
         IncrementalAgg.sumCountRollup(zero, keys, col(valueCol))
       }
-    val ins = batch.filter(col(opCol) === "I")
+    // fail-loud op discipline: a row that is neither an insert nor a
+    // delete (an un-decomposed 'U', a case variant, a null) would
+    // silently vanish from both branches and corrupt the rollup forever
+    val ins = batch.filter(
+      when(!col(opCol).isin("I", "D"), raise_error(concat(
+        lit("unknown op tag '"), coalesce(col(opCol), lit("null")),
+        lit("': rollup streams carry I/D only (updates = D old + I new)"))))
+        .otherwise(col(opCol) === "I"))
     val del = batch.filter(col(opCol) === "D")
     val next = IncrementalAgg.maintainSumCount(base, ins, del, keys,
       col(valueCol))

@@ -1055,14 +1055,22 @@ class OperatorsSpec extends SparkSpecBase {
     // deleting more rows than the base holds must fail loudly
     val bad = Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 1.0))
       .toDF("k", "v")
+    def overDelete(e: Exception): Boolean =
+      e.getMessage.contains("over-delete") ||
+        Option(e.getCause).exists(_.getMessage.contains("over-delete"))
     val ex = intercept[Exception] {
       IncrementalAgg.maintainSumCount(base, ins.limit(0), bad,
         Seq("k"), col("v")).collect()
     }
-    assert(ex.getMessage.contains("negative maintained count") ||
-      Option(ex.getCause).exists(
-        _.getMessage.contains("negative maintained count")),
-      ex.toString)
+    assert(overDelete(ex), ex.toString)
+    // ...even when co-arriving inserts net the count back >= 0
+    val masked = intercept[Exception] {
+      IncrementalAgg.maintainSumCount(base,
+        Seq(("a", 9.0), ("a", 9.0)).toDF("k", "v"),
+        Seq(("a", 1.0), ("a", 1.0), ("a", 2.0)).toDF("k", "v"),
+        Seq("k"), col("v")).collect()
+    }
+    assert(overDelete(masked), masked.toString)
   }
 
   test("property: snapshotDiff statuses match a reference model") {

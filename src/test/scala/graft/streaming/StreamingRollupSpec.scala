@@ -57,5 +57,33 @@ class StreamingRollupSpec extends SparkSpecBase {
     StreamingRollup.applyBatch(replay, batchId = 2L, table,
       Seq("k"), "v", "op")
     assert(readRollup(table) == Map("a" -> ((3L, 13.0))))
+
+    // crash INSIDE the swap's rename window: the table sits retired at
+    // .old with nothing promoted. The next epoch must resume the swap
+    // (recovering history + marker), not bootstrap from empty
+    val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(table),
+      new org.apache.hadoop.fs.Path(table + ".old"))
+    StreamingRollup.applyBatch(replay, batchId = 2L, table,
+      Seq("k"), "v", "op")
+    assert(readRollup(table) == Map("a" -> ((3L, 13.0))),
+      "recovered swap must preserve history and skip the applied epoch")
+    StreamingRollup.applyBatch(replay, batchId = 3L, table,
+      Seq("k"), "v", "op")
+    assert(readRollup(table) == Map("a" -> ((4L, 19.0))))
+  }
+
+  test("unknown op tags fail loudly instead of silently vanishing") {
+    val dir = Files.createTempDirectory("srollup-op").toString
+    val table = s"$dir/rollup"
+    val bad = Seq(("a", 1.0, "U")).toDF("k", "v", "op")
+    val ex = intercept[Exception] {
+      StreamingRollup.applyBatch(bad, batchId = 0L, table,
+        Seq("k"), "v", "op")
+    }
+    assert(ex.getMessage.contains("unknown op tag") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("unknown op tag")), ex.toString)
   }
 }
