@@ -72,15 +72,22 @@ case class GramAgg(
             s"|${GramAgg.MaxMagnitude}|")
         p += 1
       }
-      buffer(0) += 1L
+      // checked accumulation: |q| ≤ 2^20 bounds each per-row product at
+      // 2^40, but the SUM across rows has no such bound — ~2^22 rows of
+      // worst-case magnitude wrap a raw Long silently while the result
+      // is advertised as exact. addExact (JIT-intrinsic add + overflow
+      // branch) makes a wrap fail loudly instead; the oracle's checked
+      // BIGINT sum aborts the same way, so both engines agree
+      buffer(0) = Math.addExact(buffer(0), 1L)
       var i = 0
       while (i < dim) {
         val qi = arr.getInt(i).toLong
-        buffer(1 + i) += qi
+        buffer(1 + i) = Math.addExact(buffer(1 + i), qi)
         val base = 1 + dim + (i * (2 * dim - i + 1)) / 2 - i
         var j = i
         while (j < dim) {
-          buffer(base + j) += qi * arr.getInt(j)
+          buffer(base + j) = Math.addExact(buffer(base + j),
+            qi * arr.getInt(j))
           j += 1
         }
         i += 1
@@ -91,7 +98,9 @@ case class GramAgg(
 
   override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < bufLen) { buffer(i) += other(i); i += 1 }
+    while (i < bufLen) {
+      buffer(i) = Math.addExact(buffer(i), other(i)); i += 1
+    }
     buffer
   }
 

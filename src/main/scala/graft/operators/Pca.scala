@@ -49,7 +49,11 @@ object Pca {
     * hash-exact relational result.
     */
   def momentRows(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
-    val stats = quantizeGlobal(df, vecCol)
+    // NULL vectors are excluded EXPLICITLY on both engines (the oracle
+    // filters the same way): GramAgg.update already skips null arrays,
+    // but leaving the scale max / oracle count(*) to disagree about them
+    // would make hash parity depend on the dataset never containing one
+    val stats = quantizeGlobal(df.filter(col(vecCol).isNotNull), vecCol)
       .agg(GramAgg.gram(col("q"), dim).as("st"))
     val (iIdx, jIdx) = momentIndex(dim)
     stats.select(posexplode(col("st")).as(Seq("pos", "s")))
@@ -98,7 +102,7 @@ object Pca {
     */
   def gramStats(df: DataFrame, vecCol: String, dim: Int)
       : (Array[Long], Double) = {
-    val row = quantizeGlobal(df, vecCol)
+    val row = quantizeGlobal(df.filter(col(vecCol).isNotNull), vecCol)
       .agg(GramAgg.gram(col("q"), dim).as("st"),
         first(col("gscale")).as("gscale"))
       .head()

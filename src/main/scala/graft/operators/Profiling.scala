@@ -117,18 +117,39 @@ object Profiling {
       (col(c).cast("decimal(18,2)") * 100).cast("decimal(18,0)")
     val pairs = for { i <- cols.indices; j <- i until cols.size }
       yield (i, j)
+    // budget overruns fail LOUDLY: the narrowing casts below document
+    // the width budget, but a non-ANSI cast past it returns NULL — a
+    // silent NULL corr is indistinguishable from the legitimate
+    // nullable-column case, so each narrowing is guarded by an explicit
+    // bound check (and a null-sum-with-nonnull-inputs check, catching an
+    // overflow INSIDE the 38-digit accumulator) that raises instead
+    def budgeted(s: Column, nonNullCnt: Column, digits: Int,
+                 what: String): Column = {
+      val bound = lit(BigDecimal(10).pow(digits))
+      when(s.isNull && nonNullCnt > 0L, raise_error(lit(
+          s"correlation width budget exceeded: $what sum overflowed " +
+            "the decimal accumulator — shard the profile and combine")))
+        .when(abs(s) >= bound, raise_error(lit(
+          s"correlation width budget exceeded: |$what sum| >= 1e$digits " +
+            "— shard the profile and combine")))
+        .otherwise(s.cast(s"decimal($digits,0)"))
+    }
     val aggs = cols.map(c =>
-      sum(d100(c)).cast("decimal(19,0)").as(s"__s_$c")) ++
+      budgeted(sum(d100(c)), count(d100(c)), 19, s"Σ$c").as(s"__s_$c")) ++
       pairs.map { case (i, j) =>
-        sum(d100(cols(i)) * d100(cols(j))).cast("decimal(28,0)")
-          .as(s"__p_${i}_$j") } ++
+        val prod = d100(cols(i)) * d100(cols(j))
+        budgeted(sum(prod), count(prod), 28,
+          s"Σ${cols(i)}·${cols(j)}").as(s"__p_${i}_$j") } ++
       // per-column null counts: sums skip NULLs while n counts all rows,
       // so a nullable column would yield mismatched moments — a WRONG
       // Pearson value, not an imprecise one. Emitting NULL is honest.
       cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
         .as(s"__nn_$c"))
-    val one = df.agg(count(lit(1)).cast("decimal(10,0)").as("__n"),
-      aggs: _*)
+    val nGuarded = when(count(lit(1)) >= 10000000000L, raise_error(lit(
+        "correlation width budget exceeded: n >= 1e10 rows — shard " +
+          "the profile and combine")))
+      .otherwise(count(lit(1)).cast("decimal(10,0)"))
+    val one = df.agg(nGuarded.as("__n"), aggs: _*)
     val rows = for { i <- cols.indices; j <- i + 1 until cols.size }
       yield {
         val sx = col(s"__s_${cols(i)}")

@@ -897,9 +897,11 @@ object AnalyticsQueries {
         IncrementalAgg.maintainSumCount(base, inserted, deleted, gk,
             col("l_quantity"))
           .select(col("l_returnflag"), col("l_linestatus"),
-            col("n_rows"), col("sum_val").cast("double").as("sum_qty"))
+            col("n_rows"), col("n_vals"),
+            col("sum_val").cast("double").as("sum_qty"))
       },
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+             |  count(CAST(l_quantity AS DECIMAL(18,2))) AS n_vals,
              |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
              |    AS sum_qty
              |FROM lineitem

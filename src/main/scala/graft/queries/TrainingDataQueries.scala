@@ -2304,7 +2304,7 @@ object TrainingDataQueries {
       (s, d) => graft.operators.Pca.momentRows(
         table(s, d, "embeddings"), "embedding", 64),
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-             |    FROM embeddings),
+             |    FROM embeddings WHERE embedding IS NOT NULL),
              |g AS (SELECT max(list_max(list_transform(v, x -> abs(x))))
              |    / 127.0 AS gscale FROM e),
              |q AS (SELECT vec_id, list_transform(v, x ->

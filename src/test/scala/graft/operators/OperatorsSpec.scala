@@ -1038,20 +1038,48 @@ class OperatorsSpec extends SparkSpecBase {
     // insert into a NEW group c and existing a; delete ALL of b
     val ins = Seq(("a", 4.0), ("c", 7.0)).toDF("k", "v")
     val del = Seq(("b", 5.0)).toDF("k", "v")
-    val out = IncrementalAgg.maintainSumCount(base, ins, del,
-      Seq("k"), col("v"))
-      .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getDecimal(2).doubleValue()))).toMap
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.getDecimal(3)).map(_.doubleValue())))).toMap
+    val out = asMap(IncrementalAgg.maintainSumCount(base, ins, del,
+      Seq("k"), col("v")))
     // a: 2 rows +1 = 3, sum 3+4=7; b: vanished; c: born with 1 row
-    assert(out == Map("a" -> ((3L, 7.0)), "c" -> ((1L, 7.0))), out.toString)
+    assert(out == Map("a" -> ((3L, 3L, Some(7.0))),
+      "c" -> ((1L, 1L, Some(7.0)))), out.toString)
     // maintained result equals a from-scratch rollup of the final set
     val finalFacts = Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("c", 7.0))
       .toDF("k", "v")
-    val scratch = IncrementalAgg.sumCountRollup(finalFacts, Seq("k"),
-        col("v"))
-      .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getDecimal(2).doubleValue()))).toMap
+    val scratch = asMap(IncrementalAgg.sumCountRollup(finalFacts, Seq("k"),
+      col("v")))
     assert(scratch == out)
+    // NULL discipline: a group whose surviving rows are all NULL-valued
+    // yields sum_val = NULL (recompute semantics), not the delta
+    // algebra's cancelled 0 — and counts still track every row
+    val nBase = IncrementalAgg.sumCountRollup(
+      Seq(("n", Some(3.0)), ("n", None)).toDF("k", "v"), Seq("k"),
+      col("v"))
+    val nOut = asMap(IncrementalAgg.maintainSumCount(nBase,
+      Seq(("n", Option.empty[Double])).toDF("k", "v"),
+      Seq(("n", Some(3.0))).toDF("k", "v"), Seq("k"), col("v")))
+    assert(nOut == Map("n" -> ((2L, 0L, None))), nOut.toString)
+    val nScratch = asMap(IncrementalAgg.sumCountRollup(
+      Seq(("n", Option.empty[Double]), ("n", Option.empty[Double]))
+        .toDF("k", "v"), Seq("k"), col("v")))
+    assert(nScratch == nOut)
+    // a non-null measure that cannot fit decimal(18,2) fails loudly
+    // instead of silently dropping from the sum while being counted
+    val big = intercept[Exception] {
+      IncrementalAgg.sumCountRollup(
+        Seq(("x", "99999999999999999999")).toDF("k", "v"), Seq("k"),
+        col("v")).collect()
+    }
+    // under ANSI (the default) the cast itself raises; under non-ANSI
+    // the explicit checkedVal guard does — either way it is loud
+    def loud(m: String) = m.contains("decimal(18,2)") ||
+      m.contains("Decimal(18, 2)")
+    assert(loud(big.getMessage) ||
+      Option(big.getCause).exists(c => loud(c.getMessage)), big.toString)
     // deleting more rows than the base holds must fail loudly
     val bad = Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 1.0))
       .toDF("k", "v")

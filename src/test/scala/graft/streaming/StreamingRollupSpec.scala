@@ -13,7 +13,8 @@ class StreamingRollupSpec extends SparkSpecBase {
   private val schema = "k STRING, v DOUBLE, op STRING"
 
   private def readRollup(path: String) =
-    spark.read.parquet(path).collect()
+    spark.read.parquet(path)
+      .select("k", "n_rows", "sum_val").collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getDecimal(2).doubleValue()))).toMap
 
