@@ -55,17 +55,26 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
-    val cold = names.map(n => n -> once(n))
-    val passes = (1 to math.max(1, iters))
-      .map(_ => names.map(n => n -> once(n)).toMap)
+    // machine-context guard: each pass is wrapped in a wall/CPU/
+    // runqueue-wait snapshot so a run on a contended sandbox carries a
+    // machine-readable "contended": true instead of reading as a code
+    // regression (the r9 lesson — see BASELINE.md)
+    val loadBefore = BenchEnv.loadavg()
+    val (cold, coldEnv) = BenchEnv.measurePass(names.map(n => n -> once(n)))
+    val measured = (1 to math.max(1, iters))
+      .map(_ => BenchEnv.measurePass(names.map(n => n -> once(n)).toMap))
+    val loadAfter = BenchEnv.loadavg()
+    val passes = measured.map(_._1)
+    val passEnvs = coldEnv +: measured.map(_._2)
     val med = names.map(n => n -> median(passes.map(_(n))))
     val qs = med.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val envJson = BenchEnv.runJson(passEnvs, loadBefore, loadAfter)
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"methodology_version":2,"failed":$failedJson,"measurement":"per-query median of ${passes.size} steady-state runs (1st-run plan+codegen compile excluded; cache cleared between queries so each run pays its own persists - no cross-run InMemoryRelation reuse)"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"methodology_version":2,"failed":$failedJson,"env":$envJson,"measurement":"per-query median of ${passes.size} steady-state runs (1st-run plan+codegen compile excluded; cache cleared between queries so each run pays its own persists - no cross-run InMemoryRelation reuse); env.contended=true means external runqueue pressure stole cycles during this run - numbers are then an upper bound, not a regression signal"}"""
     (json, failed.toSeq)
   }
 

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,11 +26,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * join, no shuffle, one scan. The per-row cost is O(chars) via a
   * character trie with no per-probe allocation.
   *
+  * Codegen: this is the hottest scalar on a 100 TB text pipeline, so it
+  * participates in whole-stage codegen instead of falling back — the trie
+  * is bound into the generated class as a reference object (the same
+  * mechanism built-ins use for compiled regex patterns) and the generated
+  * code makes ONE monomorphic call on it per row, returning a primitive
+  * long. No interpreted-projection boundary, no per-row boxing.
+  *
   * Training (choosing the units) is
   * [[graft.operators.TextAnalysis.trainUnitVocab]].
   */
 case class GreedyTokenCount(child: Expression, vocab: Seq[String])
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
 
@@ -38,24 +46,15 @@ case class GreedyTokenCount(child: Expression, vocab: Seq[String])
   // built once per task on first eval; edges keyed (nodeId << 16 | char)
   @transient private lazy val trie = new GreedyTokenCount.Trie(vocab)
 
-  override def nullSafeEval(input: Any): Any = {
-    // EXACT split(trim(lower(text)), "\s+") pipeline shared with
-    // WordShingles/WordChunks: space-only trim, limit=-1 split
-    val s = input.asInstanceOf[UTF8String].toLowerCase.trim().toString
-    val words = s.split("\\s+", -1)
-    var total = 0L
-    var wi = 0
-    while (wi < words.length) {
-      val w = words(wi)
-      var p = 0
-      while (p < w.length) {
-        val m = trie.longestMatch(w, p)
-        p += (if (m > 0) m else 1)
-        total += 1L
-      }
-      wi += 1
-    }
-    total
+  override def nullSafeEval(input: Any): Any =
+    trie.countTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val trieRef = ctx.addReferenceObj("tokTrie", trie,
+      classOf[GreedyTokenCount.Trie].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $trieRef.countTokens($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression)
@@ -66,10 +65,10 @@ object GreedyTokenCount {
   /** Compact character trie: edges in one primitive-keyed map
     * ((nodeId << 16) | char), terminal nodes mapped to their vocab
     * index — longestMatch walks the word once per start position with
-    * zero allocation.
+    * zero allocation. `final` so the per-row call from generated code
+    * stays monomorphic.
     */
-  private[functions] final class Trie(vocab: Seq[String])
-      extends Serializable {
+  final class Trie(vocab: Seq[String]) extends Serializable {
     private val edges = new java.util.HashMap[Long, Integer]()
     private val termIdx = new java.util.HashMap[Integer, Integer]()
     private var nextId = 1
@@ -111,6 +110,51 @@ object GreedyTokenCount {
       }
       best
     }
+
+    /** Whole-row greedy token count — the per-row kernel both the
+      * interpreted eval and the generated code call. EXACT
+      * split(trim(lower(text)), "\s+") pipeline shared with
+      * WordShingles/WordChunks: space-only trim, limit=-1 split.
+      */
+    def countTokens(input: UTF8String): Long = {
+      val s = input.toLowerCase.trim().toString
+      val words = s.split("\\s+", -1)
+      var total = 0L
+      var wi = 0
+      while (wi < words.length) {
+        val w = words(wi)
+        var p = 0
+        while (p < w.length) {
+          val m = longestMatch(w, p)
+          p += (if (m > 0) m else 1)
+          total += 1L
+        }
+        wi += 1
+      }
+      total
+    }
+
+    /** Whole-row greedy encode to vocab ids (-1 = UNK char). */
+    def encodeIds(input: UTF8String): GenericArrayData = {
+      val s = input.toLowerCase.trim().toString
+      val words = s.split("\\s+", -1)
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      var wi = 0
+      while (wi < words.length) {
+        val w = words(wi)
+        var p = 0
+        while (p < w.length) {
+          val m = longestMatchPacked(w, p)
+          if (m == 0L) { out += (-1); p += 1 }
+          else {
+            out += ((m & 0xffffffffL).toInt - 1)
+            p += (m >>> 32).toInt
+          }
+        }
+        wi += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
   }
 
   def tokenCount(text: Column, vocab: Seq[String]): Column =
@@ -122,10 +166,11 @@ object GreedyTokenCount {
   * greedy longest-match segments map to their vocabulary index and
   * unmatched characters to `-1` (UNK). `size(ids)` is by construction
   * [[GreedyTokenCount]] of the same text/vocab (property-asserted in
-  * specs). Same zero-exchange projection shape.
+  * specs). Same zero-exchange projection shape, same codegen
+  * participation (one monomorphic trie call per row).
   */
 case class GreedyTokenIds(child: Expression, vocab: Seq[String])
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
 
@@ -135,22 +180,15 @@ case class GreedyTokenIds(child: Expression, vocab: Seq[String])
 
   @transient private lazy val trie = new GreedyTokenCount.Trie(vocab)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toLowerCase.trim().toString
-    val words = s.split("\\s+", -1)
-    val out = new scala.collection.mutable.ArrayBuffer[Any]()
-    var wi = 0
-    while (wi < words.length) {
-      val w = words(wi)
-      var p = 0
-      while (p < w.length) {
-        val m = trie.longestMatchPacked(w, p)
-        if (m == 0L) { out += (-1); p += 1 }
-        else { out += ((m & 0xffffffffL).toInt - 1); p += (m >>> 32).toInt }
-      }
-      wi += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  override def nullSafeEval(input: Any): Any =
+    trie.encodeIds(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val trieRef = ctx.addReferenceObj("tokTrie", trie,
+      classOf[GreedyTokenCount.Trie].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $trieRef.encodeIds($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression)

@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   *
   * Media are opaque `binary` columns with a typed metadata struct —
   * `(media_id, modality, payload binary, meta struct<mime,width,height,
-  * duration_ms>)`. The decode / feature-extract kernels would be native
-  * libraries in production (not present in this container), so the decode
-  * step is a clearly-marked deterministic STUB; everything Spark-side —
-  * schema, batch iteration via mapPartitions (the Scala analogue of
-  * mapInPandas' batched UDF shape), partition sizing, feature schema — is
-  * real and tested.
+  * duration_ms>)`. The decode kernel is now REAL for every format
+  * decodable with pure byte arithmetic — PGM/PPM images, uncompressed
+  * 24-bpp BMP, and PCM-16 WAV audio ([[graft.functions.MediaCodec]]);
+  * compressed codecs (JPEG/MP3/H.264) need entropy-coder jars absent in
+  * this container and decode to null (dead-letter routable), never a fake
+  * answer. Feature extraction, stats, and the perceptual hash all run
+  * over DECODED pixels/samples; the byte-level [[aHash]] remains for
+  * genuinely opaque payloads.
   */
 object Multimodal {
 
@@ -33,32 +35,19 @@ object Multimodal {
     StructField("modality", StringType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("checksum", StringType, nullable = false),
-    StructField("features", ArrayType(FloatType), nullable = false)))
-
-  /** STUB decode kernel: a real implementation would call an image/audio
-    * codec here (libjpeg / ffmpeg et al., unavailable in this container).
-    * The deterministic fake derives an 8-dim "feature vector" from payload
-    * bytes so the plumbing (batching, schema, shuffle boundaries) is
-    * testable end-to-end.
-    */
-  private def stubDecode(payload: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](8)
-    var i = 0
-    while (i < payload.length) {
-      out(i % 8) += (payload(i) & 0xff) / 255.0f
-      i += 1
-    }
-    out
-  }
+    StructField("features", ArrayType(FloatType), nullable = true)))
 
   /** Batched feature extraction over binary payloads. mapPartitions keeps
-    * the (native-library) kernel initialization per-partition, exactly the
-    * batching contract of a pandas-UDF `mapInPandas` pipeline: the
-    * expensive setup amortizes over the whole partition, and partition
-    * size is controlled upstream by `repartition`/maxPartitionBytes.
+    * kernel initialization per-partition, exactly the batching contract of
+    * a pandas-UDF `mapInPandas` pipeline: expensive setup amortizes over
+    * the whole partition, and partition size is controlled upstream by
+    * `repartition`/maxPartitionBytes. The kernel is the REAL pure-JVM
+    * decoder ([[graft.functions.MediaCodec.blockMeans]]): 64 decoded
+    * block means (2-D pixel blocks for images, 1-D sample ranges for
+    * audio). Undecodable payloads get null features (route to dead
+    * letter), with length+checksum still populated for provenance.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     media.select(col("media_id"), col("modality"), col("payload"))
       .mapPartitions { rows =>
@@ -71,9 +60,30 @@ object Multimodal {
           val checksum = md.digest(payload)
             .map(b => f"${b & 0xff}%02x").mkString
           Row(r.getLong(0), r.getString(1), payload.length.toLong,
-            checksum, stubDecode(payload))
+            checksum, graft.functions.MediaCodec.blockMeans(payload))
         }
       }(enc)
+  }
+
+  /** Decoded media descriptor — one row per payload with real parsed
+    * dimensions/channels plus the decoded perceptual hash: `(media_id,
+    * format, width, height, channels, n_units, phash)`. Pure projection
+    * on the media scan (zero exchanges, whole-stage codegen); payload
+    * bytes never leave the scan stage. Undecodable rows surface with
+    * null format/phash for dead-letter routing.
+    */
+  def decodedStats(media: DataFrame, idCol: String, payloadCol: String)
+      : DataFrame = {
+    val info = graft.functions.MediaCodec.mediaInfo(col(payloadCol))
+    media.select(col(idCol).as("media_id"), info.as("info"),
+        graft.functions.MediaCodec.mediaPhash(col(payloadCol)).as("phash"))
+      .select(col("media_id"),
+        col("info.format").as("format"),
+        col("info.width").as("width"),
+        col("info.height").as("height"),
+        col("info.channels").as("channels"),
+        col("info.n_units").as("n_units"),
+        col("phash"))
   }
 
   /** Expression-only media stats (no kernel needed): length + checksum —
@@ -110,6 +120,22 @@ object Multimodal {
                     payloadCol: String, maxHamming: Int): DataFrame =
     graft.operators.Dedup.bandedHammingPairs(
       media.select(col(idCol), aHash(col(payloadCol)).as("phash")),
+      idCol, "phash", bits = 64, maxHamming = maxHamming)
+
+  /** Perceptual near-duplicate pairs over DECODED media: the true 2-D
+    * block aHash ([[graft.functions.MediaCodec.phash2D]]) instead of the
+    * byte-range fallback — robust to 2-D local edits the way real image
+    * dedup must be. Undecodable payloads (null hash) are excluded from
+    * the pair graph (they go to dead letter, not to dedup). Same scale
+    * shape: only the 8-byte fingerprint rides the band join.
+    */
+  def phashNearDupsDecoded(media: DataFrame, idCol: String,
+                           payloadCol: String, maxHamming: Int): DataFrame =
+    graft.operators.Dedup.bandedHammingPairs(
+      media.select(col(idCol),
+          graft.functions.MediaCodec.mediaPhash(col(payloadCol))
+            .as("phash"))
+        .filter(col("phash").isNotNull),
       idCol, "phash", bits = 64, maxHamming = maxHamming)
 
   /** Frame-sampling plumbing for video-like payloads: split a payload into

@@ -370,4 +370,90 @@ object Similarity {
         VectorOps.cosineF(col("q_vec"), col("c_vec")).as("sim"))
     topKRanked(rescored, k)
   }
+
+  // ---- product quantization (the 16-32x ANN memory path) ----------------
+
+  /** Train a PQ codebook from the deterministic seeded-hash sample: the
+    * `ksub` corpus vectors with the smallest `hash60(id)` (ties by id)
+    * become the codebook, each split into `m` subspaces at use time.
+    * Driver artifact = ksub × dim doubles (bounded model size, like the
+    * IVF centroids) — at production parameters (ksub 256, dim 768) this
+    * is ~1.5 MB; k-means refinement of the sampled codebook would change
+    * none of the downstream expressions. Null vectors are skipped (they
+    * belong to [[validateEmbeddings]]' dead letter, not in a codebook).
+    */
+  def pqTrainSampled(corpus: DataFrame, idCol: String, vecCol: String,
+                     m: Int, ksub: Int): graft.functions.PqOps.PqCodebook = {
+    require(m > 0 && ksub > 0, "m and ksub must be positive")
+    val sampled = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(vecCol),
+        graft.functions.StableHash.hash60(col(idCol).cast("string"))
+          .as("__h"), col(idCol).as("__id"))
+      .orderBy(col("__h").asc, col("__id").asc)
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sampled.nonEmpty, "cannot train a PQ codebook on no vectors")
+    val dim = sampled.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    graft.functions.PqOps.PqCodebook(m, dim / m, sampled)
+  }
+
+  /** Encode a corpus to PQ codes: `(id, codes array<int>)` — a
+    * zero-exchange codegen projection; this (plus the id) is ALL that
+    * needs to live in memory or ride a shuffle for PQ search.
+    */
+  def pqEncode(corpus: DataFrame, cb: graft.functions.PqOps.PqCodebook,
+               idCol: String, vecCol: String): DataFrame =
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.PqOps.encode(col(vecCol), cb).as("codes"))
+
+  /** Brute-force ADC top-k over PQ codes: per broadcast query, the LUT
+    * (m·ksub subspace distances) is computed once, and every candidate
+    * costs O(m) lookups — the corpus streams through without shuffling,
+    * exactly [[bruteForceTopK]]'s shape at 1/16th the FLOPs and memory.
+    * Ranks by (distance asc, id asc). Output (query_id, rank,
+    * neighbor_id) — audit vs the exact path with [[recallAudit]].
+    */
+  def pqTopK(encoded: DataFrame, cb: graft.functions.PqOps.PqCodebook,
+             queries: DataFrame, idCol: String, vecCol: String, k: Int)
+      : DataFrame = {
+    val q = broadcast(queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"),
+        graft.functions.PqOps.lut(col(vecCol), cb).as("__lut")))
+    val scored = q.join(
+        encoded.select(col(idCol).as("neighbor_id"), col("codes")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-graft.functions.PqOps.adc(col("codes"), col("__lut"), cb))
+          .as("sim"))
+    topKRanked(scored, k)
+  }
+
+  /** IVF + PQ: the production composition — partition pruning picks the
+    * `nprobe` candidate clusters, ADC scores only their members.
+    * `assignedCodes` is an [[ivfAssign]] output with a `codes` column
+    * (e.g. `pqEncode` joined in, or encode run on the assigned frame) —
+    * the probed scan reads (id, cluster, codes), never float vectors.
+    */
+  def ivfTopKPq(assignedCodes: DataFrame, centroids: DataFrame,
+                queries: DataFrame,
+                cb: graft.functions.PqOps.PqCodebook,
+                idCol: String, vecCol: String, k: Int, nprobe: Int)
+      : DataFrame = {
+    val qc = broadcast(
+      ivfProbe(queries, centroids, idCol, vecCol, nprobe)
+        .select(col("query_id"), col("cluster"),
+          graft.functions.PqOps.lut(col("q_vec"), cb).as("__lut")))
+    val scored = assignedCodes
+      .select(col(idCol), col("cluster"), col("codes"))
+      .join(qc, Seq("cluster"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (-graft.functions.PqOps.adc(col("codes"), col("__lut"), cb))
+          .as("sim"))
+    topKRanked(scored, k)
+  }
 }

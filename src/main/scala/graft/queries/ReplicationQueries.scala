@@ -399,6 +399,100 @@ object ReplicationQueries {
              |SELECT user_id, event_id AS last_event_id, op, value
              |FROM applied WHERE rn = 1 AND op <> 'd'""".stripMargin)),
 
+    // composed pipeline #6 — CDC to fresh rollup: raw wal2json lines in,
+    // MAINTAINED reporting rollup out, no fact-table re-scan. The events
+    // history splits into a base snapshot (current-state table + its
+    // sum/count rollup) and a WAL tail (every 4th event, re-numbered
+    // after all base LSNs, exactly the replication-slot contract that
+    // the WAL strictly follows the snapshot). The tail flows
+    // Wal2Json.decode -> StreamingMerge.applyEnvelope (tombstones) ->
+    // per-PK effective change -> IncrementalAgg.maintainSumCount, and
+    // the oracle recomputes the rollup from scratch over the FINAL row
+    // set — proving decoded-CDC maintenance ≡ recompute, entered from
+    // raw protocol bytes instead of synthetic deltas.
+    // Scale shape: decode is codegen'd in the scan stage; the change
+    // batch aggregates to |touched users| rows; the only fact-sized
+    // input is the base state the merge already owns.
+    "pipeline_cdc_rollup" -> QueryDef(
+      (s, d) => {
+        import graft.operators.IncrementalAgg
+        import graft.streaming.StreamingMerge
+        val iu = """{"action":"%s","schema":"public","table":"events",""" +
+          """"columns":[{"name":"user_id","type":"bigint","value":%s},""" +
+          """{"name":"event_id","type":"bigint","value":%s},""" +
+          """{"name":"value","type":"double precision","value":%s}]}"""
+        val del = """{"action":"D","schema":"public","table":"events",""" +
+          """"identity":[{"name":"user_id","type":"bigint","value":%s},""" +
+          """{"name":"event_id","type":"bigint","value":%s}]}"""
+        val LsnShift = 1000000000000L
+        val ev = events(s, d)
+        val op = when(col("event_type") === "signup", "c")
+          .when(col("event_type") === "error", "d").otherwise("u")
+        // base snapshot: changelog applied -> current state + its rollup
+        val baseState = MergeSink.dedupLastWins(
+            ev.filter(col("event_id") % 4 =!= 0).withColumn("op", op),
+            Seq("user_id"), "event_id")
+          .filter(col("op") =!= "d")
+          .select(col("user_id"), (col("user_id") % 10).as("cohort"),
+            col("value"))
+        val r0 = IncrementalAgg.sumCountRollup(baseState, Seq("cohort"),
+          col("value"))
+        // WAL tail: raw wal2json lines, LSNs strictly after the snapshot
+        val payload =
+          when(col("event_type") === "signup",
+            format_string(iu, lit("I"), col("user_id"), col("event_id"),
+              col("value")))
+          .when(col("event_type") === "error",
+            format_string(del, col("user_id"), col("event_id")))
+          .otherwise(
+            format_string(iu, lit("U"), col("user_id"), col("event_id"),
+              col("value")))
+        val lines = ev.filter(col("event_id") % 4 === 0)
+          .select((col("event_id") + LsnShift).as("lsn"),
+            payload.as("payload"))
+        val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("user_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType)))
+        val decoded = Wal2Json.decode(lines, "payload", "lsn", "public",
+          "events", rowSchema)
+        // envelope (op=d -> tombstone), then the per-PK effective change
+        val batchEff = MergeSink.dedupLastWins(
+          StreamingMerge.applyEnvelope(decoded), Seq("user_id"),
+          "_sdc_lsn")
+        // maintenance deltas: every touched user's old row leaves the
+        // rollup; surviving (non-tombstone) winners enter it
+        val inserted = batchEff.filter(col("_sdc_deleted_at").isNull)
+          .select((col("user_id") % 10).as("cohort"), col("value"))
+        val deleted = baseState
+          .join(batchEff.select("user_id"), Seq("user_id"), "left_semi")
+          .select(col("cohort"), col("value"))
+        IncrementalAgg.maintainSumCount(r0, inserted, deleted,
+            Seq("cohort"), col("value"))
+          .select(col("cohort"), col("n_rows"), col("n_vals"),
+            col("sum_val").cast("double").as("sum_val"))
+      },
+      // from-scratch recompute over the FINAL row set: last-write-wins
+      // over the whole (re-numbered) changelog, tombstones dropped
+      Some("""WITH log AS (SELECT user_id, value,
+             |    CASE WHEN event_type = 'signup' THEN 'c'
+             |      WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+             |    CASE WHEN event_id % 4 = 0
+             |      THEN event_id + 1000000000000 ELSE event_id END AS lsn
+             |  FROM events),
+             |applied AS (SELECT *, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY lsn DESC) AS rn FROM log),
+             |final AS (SELECT user_id, value FROM applied
+             |  WHERE rn = 1 AND op <> 'd')
+             |SELECT user_id % 10 AS cohort, count(*) AS n_rows,
+             |  count(CAST(value AS DECIMAL(18,2))) AS n_vals,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_val
+             |FROM final GROUP BY 1""".stripMargin)),
+
     // MySQL binlog row-event decode: same replay, rendered as landed
     // write_rows/update_rows/delete_rows events (multi-row-capable,
     // (log_file, log_pos, row_idx) total order, tombstone timestamps).

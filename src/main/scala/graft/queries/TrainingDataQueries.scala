@@ -62,6 +62,15 @@ object TrainingDataQueries {
   private val PhashMaxHamming = 12
   private val AnnK = 10
   private val AnnNumQueries = 20
+  // product quantization at test scale: 32 subspaces x 32 codes over the
+  // fixture's dim-64 embeddings — measured best sampled-codebook recall
+  // (0.57-0.59 @ recall@10 vs 0.42 for 16x32) at 8x compression
+  // (32 byte-able codes vs 64 floats). Prod: 16-32 subspaces x 256
+  // k-means codes — parameters, not structure; the oracle replays
+  // whatever these say
+  private val PqM = 32
+  private val PqKsub = 32
+  private val PqDsub = 2 // fixture dim 64 / PqM
   // test-scale LSH constants: 16 planes banded 4x4 bits (the operator's
   // 100 TB default is 32 planes / 16-bit bands = 64k buckets per band;
   // 4-bit bands keep bucket occupancy testable on 500-5000 vectors)
@@ -233,32 +242,97 @@ object TrainingDataQueries {
     * is the Long.MinValue literal — same two's-complement value Spark's
     * `1L << 63` produces.
     */
-  /** aHash fingerprint CTEs (bts/tot/fp) + the byte-band candidate UNION
-    * — shared by the pairs query and the canonical-keep composition.
+  /** Decoded-media fixture: every non-empty document becomes a synthetic
+    * netpbm image — grayscale PGM (P5) or RGB PPM (P6) — whose raster is
+    * the doc's text bytes repeated cyclically (`rpad(text, bpp*w*h,
+    * text)`) under data-dependent dims `w = 8 + id%17, h = 8 + id%13`.
+    * Both engines derive pixels from the SAME rpad rule, so the oracle
+    * replays the decoded 2-D block math exactly, while the Spark side
+    * additionally roundtrips through REAL PNM bytes (header write →
+    * [[graft.functions.MediaCodec]] parse — the parser itself is asserted
+    * against hand-built fixtures incl. BMP/WAV in MediaCodecSpec).
     *
-    * ASCII coupling (asserted in OperatorsSpec): the Spark side hashes
-    * UTF-8 BYTES (text cast to binary) while this oracle walks CODE
-    * POINTS (ord/substr/length) — identical only while the documents
-    * fixture is pure ASCII. A non-ASCII fixture would need the oracle
-    * rewritten over encode(text)/blob indexing.
+    * ASCII coupling (asserted in OperatorsSpec): Spark walks UTF-8 BYTES
+    * while the oracle walks CODE POINTS (ord/substr) — identical only
+    * while the documents fixture is pure ASCII.
+    */
+  /** Spark side of the decoded-media fixture: genuine PNM bytes (header
+    * + cyclic-text raster). The raster uses the SAME `rpad` rule the
+    * oracle CTEs replay; the header is real and parsed back by
+    * [[graft.functions.MediaCodec]] — write→parse asymmetry is covered
+    * by hand-built byte fixtures in MediaCodecSpec.
+    */
+  private def mediaFixture(s: org.apache.spark.sql.SparkSession,
+                           d: String, rgb: Boolean)
+      : org.apache.spark.sql.DataFrame = {
+    val bpp = if (rgb) 3 else 1
+    val magic = if (rgb) "P6" else "P5"
+    table(s, d, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id").as("media_id"),
+        (lit(8) + col("doc_id") % 17).cast("int").as("w"),
+        (lit(8) + col("doc_id") % 13).cast("int").as("h"),
+        col("text"))
+      .select(col("media_id"),
+        concat(
+          concat(lit(magic + "\n"), col("w").cast("string"), lit(" "),
+            col("h").cast("string"), lit("\n255\n")).cast("binary"),
+          expr(s"cast(rpad(text, $bpp * w * h, text) as binary)"))
+          .as("payload"))
+  }
+
+  private val mediaDimsCte =
+    """d AS (SELECT doc_id AS media_id,
+      |    CAST(8 + doc_id % 17 AS INT) AS w,
+      |    CAST(8 + doc_id % 13 AS INT) AS h, text
+      |  FROM documents WHERE length(text) > 0)""".stripMargin
+
+  /** Per-pixel value lists for the PGM fixture (1 byte/pixel). */
+  private val pgmBvCtes =
+    s"""$mediaDimsCte,
+       |sx AS (SELECT media_id, w, h, rpad(text, w*h, text) AS px FROM d),
+       |bts AS (SELECT media_id, w, h,
+       |    list_transform(range(0, w*h),
+       |      i -> ord(substr(px, CAST(i AS INT) + 1, 1))) AS bv
+       |  FROM sx)""".stripMargin
+
+  /** Per-pixel CHANNEL-SUM lists for the PPM fixture (3 bytes/pixel —
+    * `r+g+b`, the exact-integer luminance [[graft.functions.MediaCodec]]
+    * decodes to; any positive scaling is threshold-invariant under
+    * cross-multiplied block means).
+    */
+  private val ppmBvCtes =
+    s"""$mediaDimsCte,
+       |sx AS (SELECT media_id, w, h, rpad(text, 3*w*h, text) AS px FROM d),
+       |bts AS (SELECT media_id, w, h,
+       |    list_transform(range(0, w*h), i ->
+       |      ord(substr(px, 3*CAST(i AS INT) + 1, 1))
+       |        + ord(substr(px, 3*CAST(i AS INT) + 2, 1))
+       |        + ord(substr(px, 3*CAST(i AS INT) + 3, 1))) AS bv
+       |  FROM sx)""".stripMargin
+
+  /** True 2-D 8×8-block aHash over a decoded pixel list `bv` (row-major,
+    * dims w×h): bit `k = r*8+c` set iff block (r,c)'s mean exceeds the
+    * global mean, compared exactly by cross-multiplication — replays
+    * [[graft.functions.MediaCodec.phash2D]] bit for bit.
     */
   private val phashFpCtes =
-    s"""bts AS (SELECT doc_id AS media_id, length(text) AS n,
-       |    list_transform(range(0, length(text)),
-       |      i -> ord(substr(text, CAST(i AS INT) + 1, 1))) AS bv
-       |  FROM documents),
-       |tot AS (SELECT media_id, n, bv,
-       |    COALESCE(list_sum(bv), 0)::BIGINT AS total FROM bts),
-       |fp AS (SELECT media_id,
-       |  COALESCE(list_sum(list_transform(range(0, 64), k ->
-       |    CASE WHEN COALESCE(list_sum(
-       |            bv[CAST((k*n)//64 AS INT)+1 : CAST(((k+1)*n)//64 AS INT)]
-       |          ), 0)::BIGINT * n >
-       |          total * (((k+1)*n)//64 - (k*n)//64)
-       |      THEN CASE WHEN k = 63 THEN -9223372036854775808
-       |           ELSE (1::BIGINT << CAST(k AS INT)) END
-       |      ELSE 0 END)), 0)::BIGINT AS phash
-       |  FROM tot)""".stripMargin
+    """tot AS (SELECT media_id, w, h, bv,
+      |    COALESCE(list_sum(bv), 0)::BIGINT AS total FROM bts),
+      |fp AS (SELECT media_id, w, h,
+      |  COALESCE(list_sum(list_transform(range(0, 64), k ->
+      |    CASE WHEN COALESCE(list_sum(list_transform(
+      |            range((k//8)*h//8, (k//8+1)*h//8), rr ->
+      |              COALESCE(list_sum(
+      |                bv[CAST(rr*w + (k%8)*w//8 AS INT) + 1 :
+      |                   CAST(rr*w + (k%8+1)*w//8 AS INT)]), 0))),
+      |          0)::BIGINT * (w*h) >
+      |          total * (((k//8+1)*h//8 - (k//8)*h//8)
+      |                   * ((k%8+1)*w//8 - (k%8)*w//8))
+      |      THEN CASE WHEN k = 63 THEN -9223372036854775808
+      |           ELSE (1::BIGINT << CAST(k AS INT)) END
+      |      ELSE 0 END)), 0)::BIGINT AS phash
+      |  FROM tot)""".stripMargin
 
   private val phashCandCte = {
     val bandJoins = (0 until 8).map { b =>
@@ -272,7 +346,8 @@ object TrainingDataQueries {
   }
 
   private val phashPairsSql =
-    s"""WITH $phashFpCtes,
+    s"""WITH $pgmBvCtes,
+       |$phashFpCtes,
        |$phashCandCte
        |SELECT id_a, id_b,
        |  CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
@@ -285,7 +360,8 @@ object TrainingDataQueries {
     * whether it is the component's canonical (minimum-id) member.
     */
   private val phashCanonicalSql =
-    s"""WITH RECURSIVE $phashFpCtes,
+    s"""WITH RECURSIVE $pgmBvCtes,
+       |$phashFpCtes,
        |$phashCandCte,
        |pairs AS (SELECT id_a, id_b FROM cand
        |  WHERE bit_count(xor(fp_a, fp_b)) <= $PhashMaxHamming),
@@ -300,7 +376,8 @@ object TrainingDataQueries {
        |  coalesce(cc.component_id, m.media_id) AS component_id,
        |  m.media_id = coalesce(cc.component_id, m.media_id)
        |    AS is_canonical
-       |FROM (SELECT doc_id AS media_id FROM documents) m
+       |FROM (SELECT doc_id AS media_id FROM documents
+       |      WHERE length(text) > 0) m
        |LEFT JOIN cc ON m.media_id = cc.id""".stripMargin
 
   private val jaccardSql =
@@ -419,6 +496,77 @@ object TrainingDataQueries {
     s"""WITH $annTopkCtes
        |SELECT query_id, rank, neighbor_id FROM r
        |WHERE rank <= $AnnK""".stripMargin
+
+  /** Product-quantization chain ending in `pqr(query_id, neighbor_id,
+    * rank)` — replays [[graft.functions.PqOps]] exactly: seeded-hash
+    * codebook (the PqKsub smallest-hash vectors), per-subspace argmin
+    * encode (ties to the lowest code), per-query LUT, ADC scores summed
+    * j-ascending via materialized lists (list_transform THEN list_sum, so
+    * neither engine can fuse a multiply-add — the FMA lesson from the
+    * correlation oracle), ranks by (distance asc, id asc). CTE names are
+    * pq-prefixed so the chain composes with `annTopkCtes` in one WITH
+    * for the recall audit.
+    */
+  private val pqCtes = {
+    val h = StableHash.hash60Sql("CAST(vec_id AS VARCHAR)")
+    val sub = s"""list_sum(list_transform(range(1, ${PqDsub + 1}), t ->
+       |      (a.v[CAST(jj*$PqDsub + t AS INT)]
+       |         - b.cv[CAST(jj*$PqDsub + t AS INT)])
+       |      * (a.v[CAST(jj*$PqDsub + t AS INT)]
+       |         - b.cv[CAST(jj*$PqDsub + t AS INT)])))""".stripMargin
+    s"""pe0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |pe1 AS (SELECT vec_id, v0,
+       |    sqrt(list_sum(list_transform(v0, x -> x * x))) AS nrm
+       |  FROM pe0),
+       |pe AS (SELECT vec_id, CASE WHEN nrm = 0 THEN v0
+       |    ELSE list_transform(v0, x -> x / nrm) END AS v
+       |  FROM pe1),
+       |pcb AS (SELECT code, cv FROM (
+       |    SELECT row_number() OVER (ORDER BY $h, vec_id) - 1 AS code,
+       |      v AS cv FROM pe)
+       |  WHERE code < $PqKsub),
+       |pjs AS (SELECT unnest(range(0, $PqM)) AS jj),
+       |pdist AS (SELECT a.vec_id, jj, b.code, $sub AS d2
+       |  FROM pe a, pjs, pcb b),
+       |pcodes AS (SELECT vec_id, list(code ORDER BY jj) AS codes FROM (
+       |    SELECT vec_id, jj, code, row_number() OVER (
+       |      PARTITION BY vec_id, jj ORDER BY d2, code) AS rn FROM pdist)
+       |  WHERE rn = 1 GROUP BY vec_id),
+       |plutq AS (SELECT a.vec_id AS query_id, jj, b.code, $sub AS d2
+       |  FROM pe a, pjs, pcb b WHERE a.vec_id < $AnnNumQueries),
+       |plut AS (SELECT query_id, list(d2 ORDER BY jj, code) AS lut
+       |  FROM plutq GROUP BY query_id),
+       |pscored AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(0, $PqM), j ->
+       |      l.lut[CAST(j*$PqKsub AS INT)
+       |            + c.codes[CAST(j AS INT) + 1] + 1])) AS dist
+       |  FROM pcodes c, plut l WHERE l.query_id <> c.vec_id),
+       |pqr AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rank
+       |  FROM pscored)""".stripMargin
+  }
+
+  private val pqSql =
+    s"""WITH $pqCtes
+       |SELECT query_id, rank, neighbor_id FROM pqr
+       |WHERE rank <= $AnnK""".stripMargin
+
+  /** Recall@k of the PQ path vs the exact baseline, both replayed. */
+  private val pqRecallSql =
+    s"""WITH $annTopkCtes,
+       |$pqCtes,
+       |ex AS (SELECT query_id, neighbor_id FROM r WHERE rank <= $AnnK),
+       |ap AS (SELECT query_id, neighbor_id FROM pqr WHERE rank <= $AnnK)
+       |SELECT ex.query_id, count(*) AS n_exact,
+       |  CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM ex LEFT JOIN ap
+       |  ON ex.query_id = ap.query_id
+       |  AND ex.neighbor_id = ap.neighbor_id
+       |GROUP BY ex.query_id""".stripMargin
 
   /** kNN label-agreement oracle: the same top-k, labels joined for both
     * endpoints, integer counts + one final division.
@@ -1736,6 +1884,38 @@ object TrainingDataQueries {
       },
       Some(ivfSql)),
 
+    // product quantization: seeded codebook -> zero-exchange encode ->
+    // per-query LUT -> ADC ranking, rank-exact vs the oracle replaying
+    // the whole chain (codebook choice included) in SQL
+    "ann_pq_topk" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val cb = Similarity.pqTrainSampled(emb, "vec_id", "embedding",
+          PqM, PqKsub)
+        val encoded = Similarity.pqEncode(emb, cb, "vec_id", "embedding")
+        Similarity.pqTopK(encoded, cb,
+          emb.filter(col("vec_id") < AnnNumQueries),
+          "vec_id", "embedding", AnnK)
+      },
+      Some(pqSql)),
+
+    // PQ recall@k vs the exact baseline — BOTH paths replayed by the
+    // oracle, so the quality number itself is verified, not asserted
+    "ann_pq_recall" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val cb = Similarity.pqTrainSampled(emb, "vec_id", "embedding",
+          PqM, PqKsub)
+        val queries = emb.filter(col("vec_id") < AnnNumQueries)
+        val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+          "embedding", AnnK)
+        val approx = Similarity.pqTopK(
+          Similarity.pqEncode(emb, cb, "vec_id", "embedding"), cb,
+          queries, "vec_id", "embedding", AnnK)
+        Similarity.recallAudit(exact, approx)
+      },
+      Some(pqRecallSql)),
+
     // the 4x-compressed index composed with inverted-file search: the
     // whole IVF pipeline (centroids, assignment, probes, ranking) over
     // int8-reconstructed vectors — rank-exact vs the oracle
@@ -1812,13 +1992,37 @@ object TrainingDataQueries {
              |  FROM documents)
              |WHERE frame_no % 2 = 0""".stripMargin)),
 
-    // perceptual image dedup over the binary media fixture: aHash (exact
-    // integer block means) + byte-band Hamming LSH — the multimodal
-    // family's first-class dedup, not just stats
+    // REAL decode end to end: the PGM fixture's bytes are parsed by the
+    // pure-JVM MediaCodec (header walk -> raster) and the decoded dims +
+    // 2-D block phash are hash-exact vs the oracle replaying the pixel
+    // math from the shared rpad rule
+    "media_features_decoded" -> QueryDef(
+      (s, d) => Multimodal.decodedStats(
+        mediaFixture(s, d, rgb = false), "media_id", "payload"),
+      Some(s"""WITH $pgmBvCtes,
+              |$phashFpCtes
+              |SELECT media_id, 'pgm' AS format, w AS width, h AS height,
+              |  CAST(1 AS INT) AS channels,
+              |  CAST(w*h AS BIGINT) AS n_units, phash
+              |FROM fp""".stripMargin)),
+
+    // same through the 3-channel PPM decoder (interleaved RGB raster ->
+    // exact-integer channel-sum luminance)
+    "media_decode_ppm" -> QueryDef(
+      (s, d) => Multimodal.decodedStats(
+        mediaFixture(s, d, rgb = true), "media_id", "payload"),
+      Some(s"""WITH $ppmBvCtes,
+              |$phashFpCtes
+              |SELECT media_id, 'ppm' AS format, w AS width, h AS height,
+              |  CAST(3 AS INT) AS channels,
+              |  CAST(w*h AS BIGINT) AS n_units, phash
+              |FROM fp""".stripMargin)),
+
+    // perceptual image dedup over DECODED pixels: true 2-D block aHash +
+    // byte-band Hamming LSH — the multimodal family's first-class dedup
     "media_phash_pairs" -> QueryDef(
-      (s, d) => Multimodal.phashNearDups(
-        table(s, d, "documents").select(col("doc_id").as("media_id"),
-          col("text").cast("binary").as("payload")),
+      (s, d) => Multimodal.phashNearDupsDecoded(
+        mediaFixture(s, d, rgb = false),
         "media_id", "payload", maxHamming = PhashMaxHamming),
       Some(phashPairsSql)),
 
@@ -1827,11 +2031,9 @@ object TrainingDataQueries {
     // twin of the text keep-list path, one row per input medium
     "media_dedup_canonical" -> QueryDef(
       (s, d) => {
-        val media = table(s, d, "documents").select(
-          col("doc_id").as("media_id"),
-          col("text").cast("binary").as("payload"))
-        val pairs = Multimodal.phashNearDups(media, "media_id", "payload",
-          maxHamming = PhashMaxHamming)
+        val media = mediaFixture(s, d, rgb = false)
+        val pairs = Multimodal.phashNearDupsDecoded(media, "media_id",
+          "payload", maxHamming = PhashMaxHamming)
         val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
         media.select(col("media_id"))
           .join(labels.withColumnRenamed("id", "media_id"),
@@ -1844,20 +2046,26 @@ object TrainingDataQueries {
       },
       Some(phashCanonicalSql)),
 
-    "media_features_stub" -> QueryDef(
+    // the batched mapPartitions extraction path (mapInPandas contract)
+    // over the decoded kernel — provenance columns have an exact oracle
+    // (the oracle rebuilds the identical PNM payload string); the float
+    // block-mean features are parity-asserted vs MediaBlockMeans in specs
+    "media_features_batch" -> QueryDef(
       (s, d) => Multimodal.extractFeatures(
-        table(s, d, "documents").select(col("doc_id").as("media_id"),
-          lit("text-bytes").as("modality"),
-          col("text").cast("binary").as("payload")))
+        mediaFixture(s, d, rgb = false)
+          .select(col("media_id"), lit("image").as("modality"),
+            col("payload")))
         .select(col("media_id"), col("modality"), col("n_bytes"),
           col("checksum")),
-      // features come from the stub kernel; the Spark-side plumbing
-      // (schema/batching) is what's under test — checksum+length have an
-      // exact oracle
-      Some("""SELECT doc_id AS media_id, 'text-bytes' AS modality,
-             |  CAST(length(text) AS BIGINT) AS n_bytes,
-             |  md5(text) AS checksum
-             |FROM documents""".stripMargin)),
+      Some(s"""WITH $mediaDimsCte,
+              |pay AS (SELECT media_id,
+              |    concat('P5', chr(10), CAST(w AS VARCHAR), ' ',
+              |      CAST(h AS VARCHAR), chr(10), '255', chr(10),
+              |      rpad(text, w*h, text)) AS s
+              |  FROM d)
+              |SELECT media_id, 'image' AS modality,
+              |  CAST(length(s) AS BIGINT) AS n_bytes, md5(s) AS checksum
+              |FROM pay""".stripMargin)),
 
     "text_repetition_ratio" -> QueryDef(
       (s, d) => table(s, d, "documents").select(col("doc_id"),

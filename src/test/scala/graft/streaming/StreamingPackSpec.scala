@@ -1,0 +1,152 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.operators.Sampling
+
+/** StreamingPack: continuous sequence packing — batch parity, watermark
+  * flush of partial tails, and checkpointed exactly-once restart.
+  */
+class StreamingPackSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val vocab = Seq("ab", "cd")
+  private val SeqLen = 5
+
+  /** Docs with known token counts: each "ab"/"cd" word is one token. */
+  private def docs: Seq[(Long, String)] = Seq(
+    (1L, "ab ab ab"),          // 3 tokens
+    (2L, "cd cd"),             // 2
+    (3L, "ab cd ab cd"),       // 4
+    (4L, "cd"),                // 1
+    (5L, "ab ab ab ab ab"),    // 5
+    (6L, "cd ab cd ab cd"))    // 5  -> total 20 = 4 packs of 5 exactly
+
+  private def streamPack(srcGlob: String, outDir: String, ckpt: String,
+                         numShards: Int = 1,
+                         horizonMs: Long = 3600000L): Unit = {
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+      .parquet(srcGlob)
+    val q = StreamingPack.packSequences(stream, "doc_id", "text", "ts",
+        vocab, SeqLen, numShards = numShards, watermark = "0 seconds",
+        flushHorizonMs = horizonMs)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .format("parquet")
+      .option("path", outDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+  }
+
+  private def readPacks(outDir: String) =
+    spark.read.parquet(outDir)
+      .orderBy("shard", "pack_no")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3), r.getBoolean(4)))
+
+  test("streamed packs bit-match the batch packer given the same order") {
+    val dir = Files.createTempDirectory("spack").toString
+    new java.io.File(s"$dir/in").mkdirs()
+
+    // batch reference (single shard): packSequences orders docs by the
+    // salted hash; encode that order into the stream's event times so
+    // both packers see the identical document sequence
+    val batchDf = docs.toDF("doc_id", "text")
+    val expected = Sampling
+      .packSequences(batchDf, "doc_id", "text", vocab, SeqLen,
+        numShards = 1)
+      .orderBy("shard", "pack_no").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3)))
+    val order = Sampling
+      .packPlan(batchDf, "doc_id", "text", SeqLen, numShards = 1)
+      .orderBy("start_pack", "start_offset")
+      .select("id").as[Long].collect()
+    val ts = order.zipWithIndex
+      .map { case (id, i) => id -> new java.sql.Timestamp(1000L * (i + 1)) }
+      .toMap
+    docs.map { case (id, text) => (id, text, ts(id)) }
+      .toDF("doc_id", "text", "ts")
+      .coalesce(1).write.parquet(s"$dir/in/f1")
+
+    streamPack(s"$dir/in/*", s"$dir/out", s"$dir/ckpt")
+    val got = readPacks(s"$dir/out")
+    // 20 tokens / seqLen 5 -> 4 complete packs; nothing buffered
+    assert(got.length == 4 && got.forall(!_._5), got.mkString("\n"))
+    assert(got.map(p => (p._1, p._2, p._3, p._4)).toSeq == expected.toSeq)
+  }
+
+  test("watermark flush emits the partial tail as is_final; numbering continues") {
+    val dir = Files.createTempDirectory("spack-flush").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+
+    // a group that receives data in a batch processes rows instead of
+    // timing out — so the watermark-advancing dummies must land in the
+    // OTHER shard. Pick ids by their actual shard assignment.
+    val shardOf = (1L to 300L).map { id => id ->
+      spark.range(1).select(pmod(graft.functions.StableHash
+          .hash60(lit(id).cast("string")), lit(2)).cast("int"))
+        .collect()(0).getInt(0)
+    }.toMap
+    val s0 = shardOf(1L)
+    val mate = (2L to 300L).find(shardOf(_) == s0).get
+    val others = (2L to 300L).filter(shardOf(_) != s0).take(2)
+
+    // 7 tokens in shard s0 -> one full pack + 2 buffered
+    Seq((1L, "ab ab ab ab ab", t(1000L)), (mate, "cd cd", t(2000L)))
+      .toDF("doc_id", "text", "ts")
+      .coalesce(1).write.parquet(s"$dir/in/f1")
+    streamPack(s"$dir/in/*", s"$dir/out", s"$dir/ckpt", numShards = 2,
+      horizonMs = 10L)
+    assert(readPacks(s"$dir/out").map(p => (p._2, p._3, p._5)).toSeq ==
+      Seq((0L, 5L, false)))
+
+    // late arrivals in the other shard push the watermark past the flush
+    // horizon; the timeout fires at the START of a batch, so two nudges:
+    // one advances the watermark, the next delivers the flush
+    Seq((others(0), "ab", t(7200000L))).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.parquet(s"$dir/in/f2")
+    streamPack(s"$dir/in/*", s"$dir/out", s"$dir/ckpt", numShards = 2,
+      horizonMs = 10L)
+    Seq((others(1), "cd", t(14400000L))).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.parquet(s"$dir/in/f3")
+    streamPack(s"$dir/in/*", s"$dir/out", s"$dir/ckpt", numShards = 2,
+      horizonMs = 10L)
+
+    val flushed = readPacks(s"$dir/out").filter(_._5)
+    assert(flushed.map(p => (p._1, p._2, p._3)).toSeq == Seq((s0, 1L, 2L)),
+      s"expected the 2-token tail flushed as pack 1:\n${flushed.toSeq}")
+    // the flushed pack carries the mate doc's tokens (cd cd -> vocab 1)
+    assert(flushed.head._4 == Seq(1, 1))
+  }
+
+  test("checkpointed restart continues numbering, no replay, no loss") {
+    val dir = Files.createTempDirectory("spack-restart").toString
+    new java.io.File(s"$dir/in").mkdirs()
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+
+    Seq((1L, "ab ab ab ab ab", t(1000L)),   // pack 0 complete
+        (2L, "cd cd cd", t(2000L)))          // 3 buffered
+      .toDF("doc_id", "text", "ts")
+      .coalesce(1).write.parquet(s"$dir/in/f1")
+    streamPack(s"$dir/in/*", s"$dir/out", s"$dir/ckpt")
+    assert(readPacks(s"$dir/out").map(_._2).toSeq == Seq(0L))
+
+    // restart from the same checkpoint with new arrivals: the carry
+    // buffer (3 tokens) completes pack 1 with 2 of the new tokens
+    Seq((3L, "ab ab ab ab", t(3000L))).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.parquet(s"$dir/in/f2")
+    streamPack(s"$dir/in/*", s"$dir/out", s"$dir/ckpt")
+
+    val got = readPacks(s"$dir/out")
+    assert(got.map(_._2).toSeq == Seq(0L, 1L), got.mkString("\n"))
+    // pack 1 = buffered (cd cd cd = 1,1,1) + first two of (ab x4 = 0,0)
+    assert(got(1)._4 == Seq(1, 1, 1, 0, 0))
+    assert(got.forall(p => p._3 == 5L && !p._5))
+  }
+}
