@@ -35,30 +35,64 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failed = dumpAll(spark, sfDir, outDir, only)
+    writeOracleJson(outDir)
     spark.stop()
+    // Honesty guard (mirrors Bench.scala): a query that throws must fail
+    // the whole run — otherwise the driver's CORRECTNESS file silently
+    // shrinks and every listed row still reads green.
+    if (failed.nonEmpty) {
+      System.err.println(
+        s"[verify] FAILED ${failed.size} queries: ${failed.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
+
+  /** Dumps each selected query to `outDir/<name>` parquet; on failure
+    * writes `outDir/<name>/_ERROR.json` instead. Returns failed names. */
+  def dumpAll(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]] = None): Seq[String] =
+    SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          None
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val dir = Paths.get(s"$outDir/$name")
+          // drop any partial parquet output — the driver must see the
+          // error marker, never a half-written "result"
+          if (Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(dir).iterator().asScala.toSeq.reverse
+              .foreach(p => Files.deleteIfExists(p))
+          }
+          Files.createDirectories(dir)
+          Files.writeString(dir.resolve("_ERROR.json"),
+            s"""{"query": ${jstr(name)}, "err": ${jstr(
+              s"${e.getClass.getName}: ${String.valueOf(e.getMessage)}")}}""")
+          Some(name)
+        }
+      }
+
+  def writeOracleJson(outDir: String): Unit = {
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+  }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

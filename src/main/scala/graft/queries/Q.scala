@@ -24,15 +24,25 @@ object Q {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table with its TIMESTAMP(NANOS) column (unsupported by
-    * Spark's parquet reader) converted to a microsecond timestamp. The
-    * session must set spark.sql.legacy.parquet.nanosAsLong=true (done in
-    * Verify/Bench/tests); the ns->us truncation is lossless for the
-    * synthetic data (microsecond resolution) and matches the oracle.
+  /** The events table normalized to a session-zone TIMESTAMP `ts`,
+    * accepting either fixture encoding the driver has shipped:
+    *  - parquet TIMESTAMP(NANOS): Spark reads it as BIGINT under
+    *    spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench/
+    *    tests); ns->us truncation is lossless for the synthetic data;
+    *  - parquet timestamp[us] (isAdjustedToUTC=false): Spark reads it as
+    *    TIMESTAMP_NTZ; the session zone is pinned to UTC everywhere, so
+    *    the NTZ->TIMESTAMP cast is value-identity and matches the DuckDB
+    *    oracle's epoch_us(ts).
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Exact decimal view of a 2-decimal double column. */
   def dec(c: Column): Column = c.cast("decimal(18,2)")

@@ -45,8 +45,7 @@ object ProfileWal {
       """{"name":"value","type":"double precision","value":%s}]}"""
     val payload = format_string(iu, lit("I"), col("user_id"),
       col("event_id"), col("value"))
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.queries.Q.events(spark, sfDir)
     val lines = events.select(col("event_id").as("lsn"),
       payload.as("payload"))
 
