@@ -629,14 +629,20 @@ object Dedup {
   /** Keep-list after cluster resolution: drops every document whose id is
     * a non-canonical member of a near-dup component (canonical = the
     * component min, the id [[connectedComponents]] labels with itself).
-    * Docs that appear in no pair are kept untouched. One broadcast-able
-    * anti-join — the drop list is the (tiny) set of non-canonical ids.
+    * Docs that appear in no pair are kept untouched.
+    *
+    * No broadcast hint on purpose: the drop list is the duplicate
+    * fraction of the corpus — tiny at test scale, but a web-scale crawl
+    * dedups 30-50% of billions of docs, and a forced broadcast of
+    * billions of ids kills the driver. AQE sees the actual runtime size
+    * and picks broadcast exactly when the list fits (it does at every
+    * scale we bench), shuffle anti-join when it doesn't.
     */
   def keepCanonical(docs: DataFrame, idCol: String,
                     labels: DataFrame): DataFrame = {
     val drop = labels.filter(col("id") =!= col("component_id"))
       .select(col("id").as(idCol))
-    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+    docs.join(drop, Seq(idCol), "left_anti")
   }
 
   /** Per-document duplicated-chunk statistics — paragraph-granularity

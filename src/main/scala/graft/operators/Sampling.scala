@@ -163,14 +163,25 @@ object Sampling {
   def epochPlan(docs: DataFrame, sourceCol: String, textCol: String,
                 budget: Long, weights: Map[String, Double],
                 tokensCol: Option[Column] = None): DataFrame = {
-    require(budget > 0, s"budget ($budget) must be positive")
-    require(weights.nonEmpty && weights.values.forall(_ > 0),
-      "weights must be non-empty and positive")
     val tokens = tokensCol.getOrElse(
       size(split(trim(lower(col(textCol))), "\\s+"))).cast("long")
     val perSource = docs
       .groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
+    epochPlanFromTotals(perSource, budget, weights)
+  }
+
+  /** The arithmetic half of [[epochPlan]], over already-reduced
+    * per-source totals `(source, n_docs, n_tokens)` — the entry point
+    * for continuously-maintained totals
+    * ([[graft.streaming.StreamingSample]]): the plan derives from the
+    * maintained frame without re-scanning the corpus.
+    */
+  def epochPlanFromTotals(perSource: DataFrame, budget: Long,
+                          weights: Map[String, Double]): DataFrame = {
+    require(budget > 0, s"budget ($budget) must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
     val w = weights.toSeq.sortBy(_._1).foldLeft(
       lit(null).cast("double")) { case (rest, (s, wt)) =>
       when(col("source") === s, lit(wt)).otherwise(rest)
