@@ -35,6 +35,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fixture-drift diagnostic first: when the driver regenerates a
+    // fixture with a type the engine can't read, the per-query failures
+    // below all share this one root cause — name it once, pointedly.
+    // Diagnostic only: queries still run so their individual markers dump.
+    graft.catalog.FixtureContract.check(spark, sfDir).foreach(v =>
+      System.err.println(s"[verify] fixture-contract: $v"))
     val failed = dumpAll(spark, sfDir, outDir, only)
     writeOracleJson(outDir)
     spark.stop()

@@ -153,10 +153,25 @@ object Dedup {
     *
     * The band join is the scale path: candidates are generated per-bucket
     * (shuffle on band hash), never as a global cross join.
+    *
+    * `maxBucket` guards the remaining quadratic term: a band bucket with
+    * B members emits B^2/2 pair rows, and a web-scale crawl's viral
+    * boilerplate cluster (the same page mirrored a million times) lands
+    * its million members in ONE bucket — 5*10^11 pairs from a single
+    * key, found as the dominant cost of the StressCurate soak
+    * (docs/CURATE_SOAK.md). Buckets larger than `maxBucket` switch to a
+    * STAR over the bucket's min id: B-1 member↔hub pairs, each still
+    * signature-verified against `threshold`. For the downstream
+    * connected-components/keep-canonical use the star is
+    * connectivity-equivalent on true dup clusters (members agree with
+    * the hub as they do with each other); pair-level recall inside the
+    * capped bucket is intentionally traded for survival. Default keeps
+    * every bucket exact (oracle-parity behavior).
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, k, numHashes)
     val numBands = numHashes / rowsPerBand
     // one posexplode over band keys -> ONE shuffle for all bands (vs one
@@ -169,15 +184,38 @@ object Dedup {
     }: _*)
     val banded = sigs.select(col(idCol).as("id"), sigArr.as("sig"),
       posexplode(bandKeys).as(Seq("band_no", "bk")))
-    val l = banded.select(col("band_no"), col("bk"), col("id").as("id_a"),
-      col("sig").as("sig_a"))
-    val r = banded.select(col("band_no"), col("bk"), col("id").as("id_b"),
-      col("sig").as("sig_b"))
+    def lside(df: DataFrame) = df.select(col("band_no"), col("bk"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    def rside(df: DataFrame) = df.select(col("band_no"), col("bk"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val candidates =
+      if (maxBucket == Int.MaxValue)
+        lside(banded).join(rside(banded), Seq("band_no", "bk"))
+          .filter(col("id_a") < col("id_b"))
+      else {
+        // bucket size + min in one window pass over the same key the
+        // join shuffles on; the heavy bucket is one linear task here
+        // instead of a quadratic join key
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_no"), col("bk"))
+        val sized = banded
+          .withColumn("__bn", count(lit(1)).over(w))
+          .withColumn("__hub", min(col("id")).over(w))
+        val small = sized.filter(col("__bn") <= maxBucket)
+        val big = sized.filter(col("__bn") > maxBucket)
+        lside(small).join(rside(small), Seq("band_no", "bk"))
+          .filter(col("id_a") < col("id_b"))
+          // hub = bucket min, so id_a < id_b holds on the star too and
+          // cross-band duplicates collapse in the shared distinct below
+          .unionByName(rside(big.filter(col("id") =!= col("__hub")))
+            .join(lside(big.filter(col("id") === col("__hub"))),
+              Seq("band_no", "bk")))
+      }
     val agree = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    l.join(r, Seq("band_no", "bk")).filter(col("id_a") < col("id_b"))
+    candidates
       .select(col("id_a"), col("id_b"),
         (agree.cast("double") / numHashes).as("sig_agreement"))
       .distinct()

@@ -81,10 +81,15 @@ object StressCurate {
       .withColumn("seed",
         when(col("cls").between(15, 39), pmod(col("doc_id"), lit(nDocs / 10)))
           .otherwise(col("doc_id")))
+      // length derives from the SEED, not the doc's own hash — a
+      // duplicate must reproduce its basis doc's exact word sequence,
+      // length included (basis docs have seed == doc_id, so this is
+      // their own length too)
       .withColumn("n_words",
         when(col("cls").between(10, 14),
           (pmod(col("h"), lit(30)) + 10).cast("int"))  // 10-39 words: short
-          .otherwise((pmod(col("h"), lit(180)) + 70).cast("int")))  // 70-249
+          .otherwise((pmod(abs(xxhash64(col("seed"))), lit(180)) + 70)
+            .cast("int")))  // 70-249 words
       .withColumn("is_de", col("cls") < 10)
       // skewed source mix: floor(sqrt(h % 400)) in [0,19], quadratically
       // weighted toward the high ids — src_19 is ~10% of the corpus,
@@ -116,6 +121,9 @@ object StressCurate {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 5000000L
     val workDir = if (args.length > 1) args(1) else "/tmp/graft-curate-soak"
+    // 0 = exact buckets (the oracle-parity default); >0 caps each LSH
+    // band bucket, starring viral clusters instead of squaring them
+    val maxBucket = if (args.length > 2) args(2).toInt else 0
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -160,7 +168,8 @@ object StressCurate {
     mark("lang+gopher+exact", edocs.count())
 
     val pairs = Dedup.minhashNearDups(edocs, "doc_id", "text",
-      k = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.5)
+      k = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.5,
+      maxBucket = if (maxBucket > 0) maxBucket else Int.MaxValue)
     val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
     val canon = Dedup.keepCanonical(edocs, "doc_id", labels)
     mark("minhash+cc+canonical", canon.count())
@@ -177,7 +186,8 @@ object StressCurate {
     val stagesJson = stages.map { case (k, (n, s)) =>
       s""""$k":{"rows":$n,"at_sec":${f"$s%.1f"}}""" }.mkString(",")
     println(
-      s"""{"metric":"curate_soak","n_docs":$nDocs,"total_sec":${f"$secs%.1f"},""" +
+      s"""{"metric":"curate_soak","n_docs":$nDocs,"max_bucket":$maxBucket,""" +
+      s""""total_sec":${f"$secs%.1f"},""" +
       s""""stages":{$stagesJson},""" +
       s""""shuffle_write_gb":${f"${m.shuffleWrite.get / 1e9}%.2f"},""" +
       s""""shuffle_read_gb":${f"${m.shuffleRead.get / 1e9}%.2f"},""" +

@@ -124,6 +124,37 @@ class OperatorsSpec extends SparkSpecBase {
     assert(pairs.toSeq.contains((1L, 2L)))
   }
 
+  test("minhash maxBucket: viral bucket emits a linear star, CC-equivalent") {
+    // 40 identical docs (one viral boilerplate cluster: every band
+    // bucket holds all 40) + a distinct near-dup pair + unrelated noise
+    val viral = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"w$i").mkString(" ")
+    val docs = ((1L to 40L).map(i => (i, viral)) ++ Seq(
+      (50L, other), (51L, other.replace("w130", "x")),
+      (60L, "totally unrelated z q m")))
+      .toDF("doc_id", "text")
+    val exact = Dedup.minhashNearDups(docs, "doc_id", "text",
+      k = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.3)
+    val capped = Dedup.minhashNearDups(docs, "doc_id", "text",
+      k = 3, numHashes = 12, rowsPerBand = 3, threshold = 0.3,
+      maxBucket = 10)
+    // exact: full clique = 40*39/2 pairs; capped: the star = 39
+    val cliquePairs = exact.filter(col("id_b") <= 40L).count()
+    val starPairs = capped.filter(col("id_b") <= 40L).collect()
+    assert(cliquePairs == 780L, s"expected full clique, got $cliquePairs")
+    assert(starPairs.length == 39 &&
+      starPairs.forall(_.getLong(0) == 1L),
+      "capped bucket must emit exactly the hub star")
+    // the under-cap pair is untouched by the cap
+    assert(capped.filter(col("id_a") === 50L && col("id_b") === 51L)
+      .count() == 1L)
+    // downstream equivalence: CC gives the same components either way
+    def labels(p: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(p, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+    assert(labels(exact) == labels(capped))
+  }
+
   test("simhash of identical docs is identical; hamming pairs found") {
     val docs = Seq((1L, "alpha beta gamma delta"),
       (2L, "alpha beta gamma delta"), (3L, "unrelated content entirely z"))
