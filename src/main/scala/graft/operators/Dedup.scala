@@ -184,33 +184,8 @@ object Dedup {
     }: _*)
     val banded = sigs.select(col(idCol).as("id"), sigArr.as("sig"),
       posexplode(bandKeys).as(Seq("band_no", "bk")))
-    def lside(df: DataFrame) = df.select(col("band_no"), col("bk"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    def rside(df: DataFrame) = df.select(col("band_no"), col("bk"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    val candidates =
-      if (maxBucket == Int.MaxValue)
-        lside(banded).join(rside(banded), Seq("band_no", "bk"))
-          .filter(col("id_a") < col("id_b"))
-      else {
-        // bucket size + min in one window pass over the same key the
-        // join shuffles on; the heavy bucket is one linear task here
-        // instead of a quadratic join key
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_no"), col("bk"))
-        val sized = banded
-          .withColumn("__bn", count(lit(1)).over(w))
-          .withColumn("__hub", min(col("id")).over(w))
-        val small = sized.filter(col("__bn") <= maxBucket)
-        val big = sized.filter(col("__bn") > maxBucket)
-        lside(small).join(rside(small), Seq("band_no", "bk"))
-          .filter(col("id_a") < col("id_b"))
-          // hub = bucket min, so id_a < id_b holds on the star too and
-          // cross-band duplicates collapse in the shared distinct below
-          .unionByName(rside(big.filter(col("id") =!= col("__hub")))
-            .join(lside(big.filter(col("id") === col("__hub"))),
-              Seq("band_no", "bk")))
-      }
+    val candidates = bucketPairs(banded, Seq("band_no", "bk"), "id",
+      Seq("sig"), maxBucket)
     val agree = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0)),
@@ -262,6 +237,42 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** The within-bucket self-join shared by every LSH family (minhash
+    * bands, Hamming byte-bands, hyperplane-signature bands), with the
+    * viral-bucket guard: buckets up to `maxBucket` emit the exact
+    * clique (B^2/2 pairs); larger buckets emit a STAR over the
+    * bucket-min hub (B-1 pairs) so one mega-cluster can't square the
+    * job to death. Bucket size + hub come from ONE window pass over the
+    * same key the join shuffles on — the heavy bucket costs one linear
+    * task instead of a quadratic join key. `payload` columns ride to
+    * both sides as `<name>_a` / `<name>_b`; hub = bucket min, so
+    * `id_a < id_b` holds on star pairs too and cross-band duplicates
+    * collapse in the caller's distinct.
+    */
+  private def bucketPairs(banded: DataFrame, keyCols: Seq[String],
+      idName: String, payload: Seq[String], maxBucket: Int): DataFrame = {
+    def side(df: DataFrame, sfx: String) =
+      df.select(keyCols.map(col) ++ (col(idName).as(s"id$sfx") +:
+        payload.map(p => col(p).as(s"$p$sfx"))): _*)
+    if (maxBucket == Int.MaxValue)
+      side(banded, "_a").join(side(banded, "_b"), keyCols)
+        .filter(col("id_a") < col("id_b"))
+    else {
+      val w = Window.partitionBy(keyCols.map(col): _*)
+      val sized = banded
+        .withColumn("__bn", count(lit(1)).over(w))
+        .withColumn("__hub", min(col(idName)).over(w))
+      val small = sized.filter(col("__bn") <= maxBucket)
+      val big = sized.filter(col("__bn") > maxBucket)
+      side(small, "_a").join(side(small, "_b"), keyCols)
+        .filter(col("id_a") < col("id_b"))
+        .unionByName(
+          side(big.filter(col(idName) =!= col("__hub")), "_b")
+            .join(side(big.filter(col(idName) === col("__hub")), "_a"),
+              keyCols))
+    }
+  }
+
   /** SimHash: 32-bit locality-sensitive fingerprint from word hashes.
     * For each bit b, sum +1/-1 over words by bit b of the word hash; the
     * sign gives the fingerprint bit. One explode + one aggregation — same
@@ -289,9 +300,10 @@ object Dedup {
     * `maxHamming`. Bucketed join, not cross join.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      bits: Int = 32, maxHamming: Int = 3): DataFrame =
+                      bits: Int = 32, maxHamming: Int = 3,
+                      maxBucket: Int = Int.MaxValue): DataFrame =
     bandedHammingPairs(simhash(docs, idCol, textCol, bits), idCol,
-      "simhash", bits, maxHamming)
+      "simhash", bits, maxHamming, maxBucket)
 
   /** Byte-band Hamming LSH over ANY 64-bit-or-narrower fingerprint column
     * (simhash, perceptual aHash, …): candidates are pairs sharing any
@@ -304,20 +316,20 @@ object Dedup {
     * byte either way, so bit-63-set fingerprints band correctly.
     */
   def bandedHammingPairs(fps: DataFrame, idCol: String, hashCol: String,
-                         bits: Int, maxHamming: Int): DataFrame = {
+                         bits: Int, maxHamming: Int,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
     require(bits % 8 == 0 && bits > 0 && bits <= 64,
       s"bits ($bits) must be a positive multiple of 8, at most 64")
     val nBands = bits / 8
-    val banded = fps.select(col(idCol), col(hashCol),
+    val banded = fps.select(col(idCol).as("id"), col(hashCol).as("fp"),
       posexplode(array((0 until nBands).map(b =>
         concat_ws("_", lit(b),
           shiftright(col(hashCol), b * 8).bitwiseAND(255))): _*))
         .as(Seq("band_no", "bk")))
-    val l = banded.select(col(idCol).as("id_a"), col(hashCol).as("fp_a"),
-      col("bk"))
-    val r = banded.select(col(idCol).as("id_b"), col(hashCol).as("fp_b"),
-      col("bk"))
-    l.join(r, Seq("bk")).filter(col("id_a") < col("id_b"))
+    // viral guard (see bucketPairs): a cluster of IDENTICAL fingerprints
+    // shares every band, so an uncapped mega-cluster squares in all
+    // bits/8 buckets at once
+    bucketPairs(banded, Seq("bk"), "id", Seq("fp"), maxBucket)
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .distinct()
@@ -343,7 +355,8 @@ object Dedup {
     */
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                         numPlanes: Int = 32, bandBits: Int = 16,
-                        threshold: Double = 0.9): DataFrame = {
+                        threshold: Double = 0.9,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.functions.VectorOps
     require(bandBits > 0, s"bandBits ($bandBits) must be positive")
     require(numPlanes % bandBits == 0 && numPlanes <= 63,
@@ -378,10 +391,8 @@ object Dedup {
     }: _*)
     val banded = sigs.select(col("id"),
       posexplode(bandKeys).as(Seq("band_no", "bk")))
-    val l = banded.select(col("band_no"), col("bk"), col("id").as("id_a"))
-    val r = banded.select(col("band_no"), col("bk"), col("id").as("id_b"))
-    val cand = l.join(r, Seq("band_no", "bk"))
-      .filter(col("id_a") < col("id_b"))
+    val cand = bucketPairs(banded, Seq("band_no", "bk"), "id", Seq(),
+        maxBucket)
       .select(col("id_a"), col("id_b")).distinct()
     val vecs = proj.select(col("id").as("vid"), col("v").as("vv"))
     val pairs = cand

@@ -155,6 +155,29 @@ class OperatorsSpec extends SparkSpecBase {
     assert(labels(exact) == labels(capped))
   }
 
+  test("hamming and embedding LSH share the viral-bucket star guard") {
+    // identical texts -> identical simhash -> every byte-band collides,
+    // so an uncapped mega-cluster squares in all bands at once
+    val docs = ((1L to 30L).map(i => (i, "same words every time here")) :+
+      ((40L, "other thing entirely"))).toDF("doc_id", "text")
+    val exact = Dedup.simhashNearDups(docs, "doc_id", "text")
+    val capped = Dedup.simhashNearDups(docs, "doc_id", "text",
+      maxBucket = 5)
+    assert(exact.filter(col("id_b") <= 30L).count() == 435L) // 30*29/2
+    val star = capped.filter(col("id_b") <= 30L).collect()
+    assert(star.length == 29 && star.forall(_.getLong(0) == 1L),
+      "capped hamming bucket must emit exactly the hub star")
+    // embedding twin: one repeated vector forms the viral bucket; the
+    // outlier may band-collide into it but fails cosine verification
+    val vecs = ((1L to 30L).map(i => (i, Seq(1.0f, 0.5f, 0.25f))) :+
+      ((40L, Seq(-1.0f, 0.2f, 0.9f)))).toDF("vec_id", "embedding")
+    val starE = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      numPlanes = 8, bandBits = 4, threshold = 0.99, maxBucket = 5)
+      .collect()
+    assert(starE.length == 29 && starE.forall(_.getLong(0) == 1L),
+      s"expected the 29-pair hub star, got ${starE.length}")
+  }
+
   test("simhash of identical docs is identical; hamming pairs found") {
     val docs = Seq((1L, "alpha beta gamma delta"),
       (2L, "alpha beta gamma delta"), (3L, "unrelated content entirely z"))
