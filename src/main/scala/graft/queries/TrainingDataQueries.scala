@@ -2374,11 +2374,11 @@ object TrainingDataQueries {
       (s, d) => {
         import graft.operators.Sampling
         val docs = table(s, d, "documents")
-        val en = docs.filter(TextAnalysis.langId(col("text")) === "en")
-        val kept = TextAnalysis.gopherRules(en, "doc_id", "text",
-            minWords = GopherMinWords)
-          .filter(col("keep")).select("doc_id")
-        val base = en.join(kept, "doc_id")
+        // predicate composition on the scan — see pipeline_curate_corpus
+        val base = docs.filter(
+          TextAnalysis.langId(col("text")) === "en" &&
+            TextAnalysis.gopherKeep(col("text"),
+              minWords = GopherMinWords))
         val clean = Dedup.removeBoilerplateChunks(base, "doc_id", "text",
             ChunkW, BoilerMinDf)
           .select(col("id").as("doc_id"), col("clean_text"))
@@ -2433,11 +2433,14 @@ object TrainingDataQueries {
       (s, d) => {
         import graft.operators.Sampling
         val docs = table(s, d, "documents")
-        val en = docs.filter(TextAnalysis.langId(col("text")) === "en")
-        val kept = TextAnalysis.gopherRules(en, "doc_id", "text",
-            minWords = GopherMinWords)
-          .filter(col("keep")).select("doc_id")
-        val base = en.join(kept, "doc_id")
+        // lang-id + gopher are per-row predicates: compose them ON the
+        // scan (zero-shuffle codegen'd filter) instead of materializing
+        // a keep-list and joining it back — the join shuffles the full
+        // text column twice at 100 TB for what one filter expresses
+        val base = docs.filter(
+          TextAnalysis.langId(col("text")) === "en" &&
+            TextAnalysis.gopherKeep(col("text"),
+              minWords = GopherMinWords))
         val keepExact = Dedup.exact(
           base.select(col("doc_id"),
             TextAnalysis.normalizeForHash(col("text")).as("__norm")),

@@ -155,10 +155,8 @@ object StressCurate {
     val docs = spark.read.parquet(corpusPath)
     mark("input", docs.count())
 
-    val en = docs.filter(TextAnalysis.langId(col("text")) === "en")
-    val kept = TextAnalysis.gopherRules(en, "doc_id", "text", minWords = 50)
-      .filter(col("keep")).select("doc_id")
-    val base = en.join(kept, "doc_id")
+    val base = docs.filter(TextAnalysis.langId(col("text")) === "en" &&
+      TextAnalysis.gopherKeep(col("text"), minWords = 50))
     val keepExact = Dedup.exact(
       base.select(col("doc_id"),
         TextAnalysis.normalizeForHash(col("text")).as("__norm")),
