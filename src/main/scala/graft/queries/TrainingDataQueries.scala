@@ -186,6 +186,35 @@ object TrainingDataQueries {
   private val minhashLshSql =
     s"WITH $minhashLshCtes\n$minhashLshSelect"
 
+  /** Oracle for the viral-bucket guard (minhashNearDups maxBucket): per
+    * band, buckets up to the cap contribute the exact clique, larger
+    * ones the star over the bucket-min hub; the shared verification /
+    * threshold runs unchanged on the union. CapBucket=2 is small enough
+    * that the fixture's real dup clusters exercise the star path.
+    */
+  private val CapBucket = 2
+  private val minhashCappedSql = {
+    val perBand = (0 until NumBands).map { b =>
+      s"""s$b AS (SELECT doc_id, band_$b,
+         |  count(*) OVER (PARTITION BY band_$b) AS bn,
+         |  min(doc_id) OVER (PARTITION BY band_$b) AS hub
+         |  FROM banded)""".stripMargin
+    }.mkString(",\n")
+    val cands = (0 until NumBands).map { b =>
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM s$b a JOIN s$b b ON a.band_$b = b.band_$b
+         |  AND a.doc_id < b.doc_id WHERE a.bn <= $CapBucket
+         |UNION
+         |SELECT hub AS id_a, doc_id AS id_b FROM s$b
+         |WHERE bn > $CapBucket AND doc_id <> hub""".stripMargin
+    }.mkString("\nUNION\n")
+    s"""WITH $wordsCte, ${shinglesCte(ShingleK)}, $hashCte, $sigCte,
+       |banded AS (SELECT doc_id, $bandExprs FROM sig),
+       |$perBand,
+       |cand AS ($cands)
+       |$minhashLshSelect""".stripMargin
+  }
+
   /** Connected-components oracle over the minhash-LSH pair graph: the
     * recursive CTE enumerates every node reachable from each endpoint
     * (edges symmetrized), and `min(reachable)` is exactly the
@@ -1824,6 +1853,12 @@ object TrainingDataQueries {
         "doc_id", "text", ShingleK, NumHashes, RowsPerBand,
         MinhashThreshold),
       Some(minhashLshSql)),
+
+    "dedup_minhash_capped" -> QueryDef(
+      (s, d) => Dedup.minhashNearDups(table(s, d, "documents"),
+        "doc_id", "text", ShingleK, NumHashes, RowsPerBand,
+        MinhashThreshold, maxBucket = CapBucket),
+      Some(minhashCappedSql)),
 
     "dedup_simhash" -> QueryDef(
       (s, d) => Dedup.simhash(table(s, d, "documents"), "doc_id", "text",
