@@ -172,7 +172,16 @@ object Dedup {
                       k: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
                       threshold: Double = 0.5,
                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    // persist the signature frame: the self-join references it on both
+    // sides (four references when maxBucket splits small/big), and the
+    // planner does NOT reuse the subtree across join sides (verified on
+    // the executed plan: 2-4 'Scan parquet' of the corpus without this,
+    // ReusedExchange never fires — alias-renamed sides defeat
+    // sameResult). Signatures are ~(numHashes+1)*8 bytes/doc, a bounded
+    // fraction of the corpus; recomputing them per side re-scans the
+    // full text and re-explodes shingles per reference.
     val sigs = minhashSignatures(docs, idCol, textCol, k, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val numBands = numHashes / rowsPerBand
     // one posexplode over band keys -> ONE shuffle for all bands (vs one
     // self-join per band), carrying the signature array so agreement is
@@ -190,11 +199,12 @@ object Dedup {
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    candidates
+    val pairs = candidates
       .select(col("id_a"), col("id_b"),
         (agree.cast("double") / numHashes).as("sig_agreement"))
       .distinct()
       .filter(col("sig_agreement") >= threshold)
+    releaseAfter(pairs, sigs)
   }
 
   /** Estimator-quality audit for the minhash-LSH pipeline: every
@@ -321,19 +331,25 @@ object Dedup {
     require(bits % 8 == 0 && bits > 0 && bits <= 64,
       s"bits ($bits) must be a positive multiple of 8, at most 64")
     val nBands = bits / 8
-    val banded = fps.select(col(idCol).as("id"), col(hashCol).as("fp"),
+    // persist: both join sides reference the fingerprint pipeline and
+    // the planner does not reuse it across sides (see minhashNearDups);
+    // fingerprints are 16 bytes/doc
+    val fpP = fps.select(col(idCol).as("id"), col(hashCol).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = fpP.select(col("id"), col("fp"),
       posexplode(array((0 until nBands).map(b =>
         concat_ws("_", lit(b),
-          shiftright(col(hashCol), b * 8).bitwiseAND(255))): _*))
+          shiftright(col("fp"), b * 8).bitwiseAND(255))): _*))
         .as(Seq("band_no", "bk")))
     // viral guard (see bucketPairs): a cluster of IDENTICAL fingerprints
     // shares every band, so an uncapped mega-cluster squares in all
     // bits/8 buckets at once
-    bucketPairs(banded, Seq("bk"), "id", Seq("fp"), maxBucket)
+    val pairs = bucketPairs(banded, Seq("bk"), "id", Seq("fp"), maxBucket)
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    releaseAfter(pairs, fpP)
   }
 
   /** Embedding-cosine near-duplicate pairs with deterministic
@@ -379,6 +395,10 @@ object Dedup {
     val planes = broadcast(seed.select(
       (row_number().over(wp) - 1).cast("int").as("plane_id"),
       col("plane_vec")))
+    // persist: bucketPairs references the signature frame on both join
+    // sides and the planner does not reuse it (see minhashNearDups) —
+    // without this each side redoes numPlanes dot products per vector.
+    // Signatures are 16 bytes/doc.
     val sigs = proj
       .join(planes)
       .select(col("id"),
@@ -386,6 +406,7 @@ object Dedup {
           expr("shiftleft(1L, plane_id)")).otherwise(0L).as("bit"))
       .groupBy(col("id"))
       .agg(sum(col("bit")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandKeys = array((0 until numBands).map { b =>
       shiftright(col("sig"), b * bandBits).bitwiseAND(mask)
     }: _*)
@@ -400,7 +421,7 @@ object Dedup {
       .join(vecs.select(col("vid").as("id_b"), col("vv").as("v_b")), "id_b")
       .filter(VectorOps.cosineF(col("v_a"), col("v_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
-    releaseAfter(pairs, proj)
+    releaseAfterAll(pairs, proj, sigs)
   }
 
   /** Materialize the (small) pair result eagerly and release a

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: run one registry query and summarize its EXECUTED plan
+  * (post-AQE) — scan/reuse/exchange/join counts. The initial formatted
+  * plan (PlanAudit/Explain) shows what the planner intends; this shows
+  * what actually ran, which is how the duplicate-signature-pipeline
+  * issue was found (self-join sides never hit ReusedExchange — the
+  * alias-renamed sides defeat sameResult — so un-persisted LSH
+  * signature frames recomputed the corpus scan per side).
+  *
+  * Usage: runMain graft.tools.ExecPlan <sfDir> <queryName> [nobc]
+  * (`nobc` disables broadcast joins to preview the large-cluster SMJ
+  * shape at local scale).
+  */
+object ExecPlan {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val name = args(1)
+    val noBc = args.length > 2 && args(2) == "nobc"
+    val b = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    if (noBc) b.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    println(s"scans=${"Scan parquet".r.findAllIn(p).size} " +
+      s"reused=${"ReusedExchange".r.findAllIn(p).size} " +
+      s"exchanges=${"Exchange".r.findAllIn(p).size} " +
+      s"bhj=${"BroadcastHashJoin".r.findAllIn(p).size} " +
+      s"smj=${"SortMergeJoin".r.findAllIn(p).size}")
+    spark.stop()
+  }
+}
