@@ -225,16 +225,28 @@ object Dedup {
       : DataFrame = {
     val pairs = minhashNearDups(docs, idCol, textCol, k, numHashes,
       rowsPerBand, threshold)
+    // every postings consumer below (intersection x2, sizes x2) only
+    // needs the ids that appear in some pair — a tiny set by
+    // construction. Filter the corpus-sized postings to pair members in
+    // ONE scan (the member list is derived from the already-materialized
+    // pair set, so AQE sizes the semi side at runtime) and persist the
+    // survivor postings; without this the executed plan re-scanned and
+    // re-shingled the full corpus once per consumer (4 scans, ExecPlan).
+    val ids = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("__id"))
+      .distinct()
     val g = docs.select(col(idCol).as("__id"),
         explode(array_distinct(shingles(col(textCol), k))).as("__g"))
       .select(col("__id"), hash60(col("__g")).as("__h"))
+      .join(ids, "__id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = g.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
     val inter = pairs.select(col("id_a"), col("id_b"))
       .join(g.select(col("__id").as("id_a"), col("__h")), "id_a")
       .join(g.select(col("__id").as("id_b"), col("__h")), Seq("id_b", "__h"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("__inter"))
-    pairs
+    val out = pairs
       .join(inter, Seq("id_a", "id_b"), "left")
       .withColumn("__inter", coalesce(col("__inter"), lit(0L)))
       .join(sz.select(col("__id").as("id_a"), col("__sz").as("__sza")),
@@ -245,6 +257,7 @@ object Dedup {
         (col("__inter").cast("double") /
           (col("__sza") + col("__szb") - col("__inter")).cast("double"))
           .as("jaccard"))
+    releaseAfter(out, g)
   }
 
   /** The within-bucket self-join shared by every LSH family (minhash

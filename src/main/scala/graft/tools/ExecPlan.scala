@@ -27,14 +27,22 @@ object ExecPlan {
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // cold pass (plan+codegen) then a timed steady-state pass, matching
+    // the bench methodology closely enough for before/after comparisons
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    val t0 = System.nanoTime()
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()
+    val secs = (System.nanoTime() - t0) / 1e9
     val p = df.queryExecution.executedPlan.toString
-    println(s"scans=${"Scan parquet".r.findAllIn(p).size} " +
+    println(f"scans=${"Scan parquet".r.findAllIn(p).size} " +
       s"reused=${"ReusedExchange".r.findAllIn(p).size} " +
       s"exchanges=${"Exchange".r.findAllIn(p).size} " +
       s"bhj=${"BroadcastHashJoin".r.findAllIn(p).size} " +
-      s"smj=${"SortMergeJoin".r.findAllIn(p).size}")
+      s"smj=${"SortMergeJoin".r.findAllIn(p).size} " +
+      f"steady_sec=$secs%.3f")
     spark.stop()
   }
 }
