@@ -82,8 +82,6 @@ object Sampling {
   def mixturePlan(docs: DataFrame, sourceCol: String, textCol: String,
                   weights: Map[String, Double],
                   tokensCol: Option[Column] = None): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ > 0),
-      "weights must be non-empty and positive")
     // budgets default to whitespace counts; pass a learned-tokenizer
     // column (TextAnalysis.vocabTokenCounts / GreedyTokenCount) to plan
     // on real token counts
@@ -92,6 +90,19 @@ object Sampling {
     val perSource = docs
       .groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
+    mixturePlanFromTotals(perSource, weights)
+  }
+
+  /** The arithmetic half of [[mixturePlan]] over already-reduced
+    * per-source totals `(source, n_docs, n_tokens)` — the entry point
+    * for continuously-maintained totals
+    * ([[graft.streaming.StreamingSample]]), same seam as
+    * [[epochPlanFromTotals]].
+    */
+  def mixturePlanFromTotals(perSource: DataFrame,
+                            weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be non-empty and positive")
     val w = weights.toSeq.sortBy(_._1).foldLeft(
       lit(null).cast("double")) { case (rest, (s, wt)) =>
       when(col("source") === s, lit(wt)).otherwise(rest)

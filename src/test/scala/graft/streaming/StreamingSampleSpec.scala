@@ -88,6 +88,15 @@ class StreamingSampleSpec extends SparkSpecBase {
       budget, weights)
     assert(canon(maintained).sameElements(canon(batch)))
 
+    // the same maintained frame feeds the mixture plan (shared seam)
+    val mixMaint = Sampling.mixturePlanFromTotals(
+        spark.read.parquet(table), weights)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val mixBatch = Sampling.mixturePlan(mkDocs(0 until 500), "source",
+        "text", weights)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(mixMaint.sameElements(mixBatch))
+
     // replayed epoch must not double-count (marker wins)
     val replay = mkDocs(490 until 500)
     StreamingSample.applyBatch(replay, batchId = 1L, table, "source", "text")
