@@ -73,5 +73,10 @@ object SparkEntry {
     "corpus_snapshot_diff", "embedding_gram_quantized",
     "q7_volume_shipping",
     // the fourth composed pipeline: diff -> index probe -> lang gate
-    "pipeline_incremental_refresh")
+    "pipeline_incremental_refresh",
+    // round-12 additions: the text-search family — inverted-index build
+    // (BoundedTopK posting caps under stopword skew) and per-doc tf-idf
+    // keywords (corpus-pairs df window + per-doc rank window, the
+    // many-tiny-groups shape)
+    "text_inverted_index", "text_tfidf_keywords")
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus text-search surface: inverted index build, per-document
+  * tf-idf keyword extraction, and conjunctive ranked retrieval.
+  *
+  * A training-data engine needs to answer "which documents contain X"
+  * without a full-corpus scan per question — for contamination triage
+  * (which shards carry a leaked benchmark string), corpus QA (what does
+  * the crawl say about a topic), and per-doc keyword reports on dataset
+  * cards. The reference delegates all search to the destination
+  * warehouse; these operators make the capability engine-native, the
+  * same way the dedup/sketch families do.
+  *
+  * Determinism contract (shared with the rest of the repo): every score
+  * is either exact integer arithmetic or a SINGLE fixed-order chain of
+  * correctly-rounded IEEE ops, so DuckDB oracles hash-match bit-exactly.
+  * Tokenization is the corpus-wide standard `split(trim(lower(text)),
+  * '\s+')` via [[graft.functions.TextShingles.wordShingles]] with k=1,
+  * identical to the dedup shingle pipeline's word stage.
+  */
+object TextSearch {
+
+  /** Fixed-point scale for integer idf weights: `idfW(term) =
+    * (N * IdfScale) div df(term)` — floor division of exact longs, so
+    * weights (and every score summed from them) are bit-identical in any
+    * engine. 1e6 gives 6 decimal digits of idf resolution; N * IdfScale
+    * stays far inside long range even at 10^11 documents.
+    */
+  val IdfScale = 1000000L
+
+  /** Distinct (doc, term) pairs with the in-doc term frequency.
+    * `array_distinct` is NOT applied: tf counting needs every instance;
+    * the groupBy collapses to one row per (doc, term) with map-side
+    * partial counts, so the exchange carries distinct pairs anyway.
+    * Empty-string terms (blank documents tokenize to [""]) are dropped
+    * symmetrically with the oracle's `term <> ''` predicate.
+    */
+  private def docTermTf(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.functions.TextShingles.wordShingles(
+          col(textCol), 1)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Build an inverted index: one row per (term, posting slot), with the
+    * EXACT document frequency and the first `maxPostings` doc ids
+    * (ascending) as the stored posting list.
+    *
+    * Scale shape: terms are the canonical few-huge-groups skew case — a
+    * stopword's posting list is the corpus. The cap therefore runs as a
+    * [[graft.functions.BoundedTopK]] TypedImperativeAggregate (constant
+    * score ⇒ ties break id-ascending ⇒ k SMALLEST doc ids): each map
+    * task ships at most `maxPostings` candidates per term, the term
+    * exchange carries bounded buffers, and no reducer ever materializes
+    * a full stopword posting list. `df` stays exact (plain count over
+    * the same partial-aggregated pairs). One shuffle total.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int): DataFrame = {
+    require(maxPostings > 0, s"maxPostings ($maxPostings) must be > 0")
+    docTermTf(docs, idCol, textCol)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        graft.functions.BoundedTopK.topK(
+          lit(0.0), col("doc_id"), maxPostings).as("postings"))
+      .select(col("term"), col("df"),
+        posexplode(col("postings")).as(Seq("slot", "doc_id")))
+      .select(col("term"), col("df"), col("slot").cast("long").as("slot"),
+        col("doc_id"))
+  }
+
+  /** Merge a NEW document batch into a stored inverted index without
+    * re-scanning the indexed corpus — the search twin of the dedup
+    * `...Against` family. `index` is the (term, df, slot, doc_id) shape
+    * [[invertedIndex]] emits; `batch` documents must be DISJOINT from
+    * the indexed ones (dedup upstream — a re-indexed doc would double
+    * its df contribution).
+    *
+    * Exactness: the k-smallest of `A ∪ B` are all either in B or among
+    * the k-smallest of A (anything the old cap dropped was larger than
+    * k kept ids), so re-capping `capped(A) ∪ B` equals capping the full
+    * union — the incremental result is BIT-IDENTICAL to a from-scratch
+    * rebuild over the combined corpus, and the rebuild SQL is its
+    * oracle. df adds exactly; the stored df rides slot 0 so capped
+    * terms (df > kept postings) keep their true count.
+    *
+    * Scale shape: only `O(terms × cap)` index rows and the batch's
+    * (doc, term) pairs move — one term-keyed shuffle, the indexed
+    * corpus text is never touched.
+    */
+  def invertedIndexAppend(index: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          maxPostings: Int): DataFrame = {
+    require(maxPostings > 0, s"maxPostings ($maxPostings) must be > 0")
+    val indexPairs = index.select(col("term"),
+      when(col("slot") === 0, col("df")).otherwise(lit(0L)).as("w"),
+      col("doc_id"))
+    val batchPairs = docTermTf(batch, idCol, textCol)
+      .select(col("term"), lit(1L).as("w"), col("doc_id"))
+    indexPairs.unionByName(batchPairs)
+      .groupBy(col("term"))
+      .agg(sum(col("w")).as("df"),
+        graft.functions.BoundedTopK.topK(
+          lit(0.0), col("doc_id"), maxPostings).as("postings"))
+      .select(col("term"), col("df"),
+        posexplode(col("postings")).as(Seq("slot", "doc_id")))
+      .select(col("term"), col("df"), col("slot").cast("long").as("slot"),
+        col("doc_id"))
+  }
+
+  /** Integer idf weight over the fixed `n_docs`/`df` columns:
+    * `(n_docs * IdfScale) div df` — Spark's IntegralDivide on longs,
+    * bit-identical to the oracle's `//`.
+    */
+  private val idfWeightExpr = s"(n_docs * ${IdfScale}L) div df"
+
+  /** Per-document top-k keywords by tf·idf.
+    *
+    * Score = `tf * ((N * IdfScale) div df)` — exact longs end to end
+    * (idf quantized to [[IdfScale]]), rank ties broken term-ascending,
+    * so ranks are a total order any engine reproduces. N counts ALL
+    * documents (including blank ones), matching the oracle's bare
+    * `count(*)`.
+    *
+    * Scale shape: df is a count window over the term-hash partitioning
+    * of the distinct (doc, term) frame — one corpus-pairs exchange, no
+    * join back (the [[TextAnalysis.bigramRarity]] pattern). The top-k
+    * rank is a window partitioned by doc_id: the OPPOSITE skew regime
+    * from [[invertedIndex]] — billions of tiny groups, each bounded by
+    * a document's distinct-word count, spread uniformly by the hash
+    * partitioning — so a window (one exchange, no aggregate buffers) is
+    * the right tool where a per-term window would melt a reducer. N is
+    * a one-row broadcast (the Pca.scala threshold pattern).
+    */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k ($k) must be > 0")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val dt = docTermTf(docs, idCol, textCol)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val scored = dt.crossJoin(broadcast(n))
+      .withColumn("score", expr(s"tf * ($idfWeightExpr)"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+  }
+
+  /** Conjunctive (AND) ranked retrieval: documents containing EVERY
+    * query term, ranked by `Σ_t tf_t * idfW_t` (exact longs — the sum
+    * is order-insensitive, unlike float tf-idf), ties doc-id-ascending,
+    * top `k` only.
+    *
+    * Scale shape: the query-term filter lands directly on the exploded
+    * term stream — the corpus collapses to O(docs × |terms|) rows
+    * BEFORE the first exchange, and everything downstream (df window,
+    * per-doc rollup) runs on that sliver. The final top-k compiles to
+    * TakeOrderedAndProject (bounded per-partition heaps + one driver
+    * merge), never a global sort. df is computed over the full corpus'
+    * occurrences of the query terms — the same value the inverted index
+    * stores, so serving from a prebuilt [[invertedIndex]] is a drop-in.
+    */
+  def searchTopK(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, s"k ($k) must be > 0")
+    val qTerms = terms.map(_.toLowerCase).distinct
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val dt = docTermTf(docs, idCol, textCol)
+      .filter(col("term").isin(qTerms: _*))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    dt.crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(expr(s"tf * ($idfWeightExpr)")).as("score"))
+      .filter(col("n_matched") === qTerms.size)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score"))
+  }
+}

@@ -126,6 +126,35 @@ object TrainingDataQueries {
 
   private val wordsCte = wordsCteFrom("documents")
 
+  // ---- text-search fragments (TextSearch operators) -------------------
+
+  private val InvIdxMaxPostings = 16
+  private val TfidfK = 5
+  private val SearchTerms = Seq("spark", "merge", "window")
+  private val SearchK = 20
+
+  /** tf per distinct (doc, term), blank terms dropped — the oracle twin
+    * of TextSearch.docTermTf.
+    */
+  private val termTfCte =
+    s"""$wordsCte,
+       |dtq AS (SELECT doc_id, unnest(ws) AS term FROM words),
+       |tfq AS (SELECT doc_id, term, count(*) AS tf FROM dtq
+       |  WHERE term <> '' GROUP BY doc_id, term)""".stripMargin
+
+  /** corpus size + per-term df + the exact integer tf·idf score —
+    * `tf * ((n_docs * IdfScale) // df)`, floor division of longs in
+    * both engines.
+    */
+  private def tfidfScoredCte(fromTfq: String) =
+    s"""ntot AS (SELECT count(*) AS n_docs FROM documents),
+       |dfq AS (SELECT doc_id, term, tf,
+       |  count(*) OVER (PARTITION BY term) AS df FROM $fromTfq),
+       |sc AS (SELECT doc_id, term, tf, df,
+       |  tf * ((n_docs * ${graft.operators.TextSearch.IdfScale}) // df)
+       |    AS score
+       |  FROM dfq, ntot)""".stripMargin
+
   /** distinct k-shingles per doc (matches Dedup.shingles). */
   private def shinglesCte(k: Int) =
     s"""sh AS (SELECT doc_id,
@@ -2739,6 +2768,68 @@ object TrainingDataQueries {
               |    AND list_max(list_transform(v0, x -> abs(x))) <> 0),
               |${dequantVecCtesOver("valid")},
               |$ivfBody
-              |$ivfSelect""".stripMargin))
+              |$ivfSelect""".stripMargin)),
+
+    "text_inverted_index" -> QueryDef(
+      (s, d) => graft.operators.TextSearch.invertedIndex(
+        table(s, d, "documents"), "doc_id", "text", InvIdxMaxPostings),
+      Some(s"""WITH $termTfCte,
+              |idx AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+              |post AS (SELECT term, doc_id,
+              |  row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1
+              |    AS slot
+              |  FROM tfq)
+              |SELECT p.term, i.df, p.slot, p.doc_id
+              |FROM post p JOIN idx i ON p.term = i.term
+              |WHERE p.slot < $InvIdxMaxPostings""".stripMargin)),
+
+    // incremental maintenance proof: index 90% of the corpus, append
+    // the rest, hash-match the FULL-corpus rebuild oracle — the merge
+    // is provably identical to a from-scratch build (see
+    // TextSearch.invertedIndexAppend scaladoc)
+    "text_inverted_index_incremental" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val base = docs.filter(col("doc_id") % 10 =!= 0)
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+        graft.operators.TextSearch.invertedIndexAppend(
+          graft.operators.TextSearch.invertedIndex(
+            base, "doc_id", "text", InvIdxMaxPostings),
+          batch, "doc_id", "text", InvIdxMaxPostings)
+      },
+      Some(s"""WITH $termTfCte,
+              |idx AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+              |post AS (SELECT term, doc_id,
+              |  row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1
+              |    AS slot
+              |  FROM tfq)
+              |SELECT p.term, i.df, p.slot, p.doc_id
+              |FROM post p JOIN idx i ON p.term = i.term
+              |WHERE p.slot < $InvIdxMaxPostings""".stripMargin)),
+
+    "text_tfidf_keywords" -> QueryDef(
+      (s, d) => graft.operators.TextSearch.tfidfKeywords(
+        table(s, d, "documents"), "doc_id", "text", TfidfK),
+      Some(s"""WITH $termTfCte,
+              |${tfidfScoredCte("tfq")},
+              |rk AS (SELECT doc_id, term, tf, df, score,
+              |  row_number() OVER (PARTITION BY doc_id
+              |    ORDER BY score DESC, term) AS rank
+              |  FROM sc)
+              |SELECT doc_id, rank, term, tf, df, score FROM rk
+              |WHERE rank <= $TfidfK""".stripMargin)),
+
+    "text_search_topk" -> QueryDef(
+      (s, d) => graft.operators.TextSearch.searchTopK(
+        table(s, d, "documents"), "doc_id", "text", SearchTerms, SearchK),
+      Some(s"""WITH $termTfCte,
+              |tfs AS (SELECT * FROM tfq WHERE term IN
+              |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+              |${tfidfScoredCte("tfs")},
+              |m AS (SELECT doc_id, count(*) AS nm,
+              |  CAST(sum(score) AS BIGINT) AS score
+              |  FROM sc GROUP BY doc_id)
+              |SELECT doc_id, score FROM m WHERE nm = ${SearchTerms.size}
+              |ORDER BY score DESC, doc_id LIMIT $SearchK""".stripMargin))
   )
 }

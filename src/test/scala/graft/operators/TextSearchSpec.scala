@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class TextSearchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "a b a"),
+    (2L, "a c"),
+    (3L, "a d"),
+    (4L, "   ")) // blank: tokenizes to [""], must vanish entirely
+    .toDF("doc_id", "text")
+
+  test("invertedIndex: exact df, capped ascending postings, no Window") {
+    val out = TextSearch.invertedIndex(corpus, "doc_id", "text", 2)
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // term a appears in docs 1,2,3 -> df=3 but only 2 postings kept,
+    // smallest doc ids first
+    assert(rows == Set(
+      ("a", 3L, 0L, 1L), ("a", 3L, 1L, 2L),
+      ("b", 1L, 0L, 1L),
+      ("c", 1L, 0L, 2L),
+      ("d", 1L, 0L, 3L)))
+    // the posting cap must be the two-phase bounded aggregate, not a
+    // per-term window (stopword posting lists would melt one reducer)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "postings cap must not use Window")
+    assert(plan.contains("ObjectHashAggregate"),
+      "BoundedTopK should run as ObjectHashAggregate partials")
+  }
+
+  test("invertedIndexAppend equals a from-scratch rebuild, capped terms included") {
+    // 6 docs all sharing term "t" with cap 3 -> base index is already
+    // capped (df=4 > 3 postings); the batch adds ids 0 and 7: 0 must
+    // displace into the kept set, 7 must not, df must become 6
+    val all = Seq(
+      (0L, "t new"), (2L, "t x"), (3L, "t"), (4L, "t y"),
+      (5L, "t"), (7L, "t z")).toDF("doc_id", "text")
+    val base = all.filter(col("doc_id").isin(2L, 3L, 4L, 5L))
+    val batch = all.filter(col("doc_id").isin(0L, 7L))
+    val incr = TextSearch.invertedIndexAppend(
+      TextSearch.invertedIndex(base, "doc_id", "text", 3),
+      batch, "doc_id", "text", 3)
+    val full = TextSearch.invertedIndex(all, "doc_id", "text", 3)
+    val a = incr.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSet
+    val b = full.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3))).toSet
+    assert(a == b)
+    assert(a.contains(("t", 6L, 0L, 0L)) && a.contains(("t", 6L, 2L, 3L))
+      && !a.exists(r => r._1 == "t" && r._4 > 3L))
+  }
+
+  test("tfidfKeywords: exact integer scores, rank order, top-k cut") {
+    val docs = Seq(
+      (1L, "x x y common"),
+      (2L, "common y"),
+      (3L, "common z")).toDF("doc_id", "text")
+    val out = TextSearch.tfidfKeywords(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // N=3; idfW: df=1 -> 3000000, df=2 -> 1500000, df=3 -> 1000000
+    assert(out == Set(
+      (1L, 1L, "x", 2L, 1L, 6000000L),
+      (1L, 2L, "y", 1L, 2L, 1500000L),
+      (2L, 1L, "y", 1L, 2L, 1500000L),
+      (2L, 2L, "common", 1L, 3L, 1000000L),
+      (3L, 1L, "z", 1L, 1L, 3000000L),
+      (3L, 2L, "common", 1L, 3L, 1000000L)))
+  }
+
+  test("tfidfKeywords: score ties break term-ascending") {
+    val docs = Seq((1L, "beta alpha"), (2L, "other")).toDF("doc_id", "text")
+    val out = TextSearch.tfidfKeywords(docs, "doc_id", "text", 2)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .select("term").as[String].collect().toSeq
+    // both terms df=1, tf=1 -> equal scores; alpha must outrank beta
+    assert(out == Seq("alpha", "beta"))
+  }
+
+  test("searchTopK: conjunctive AND, exact summed score, bounded top-k") {
+    // only doc 2 contains BOTH a and c
+    val out = TextSearch.searchTopK(corpus, "doc_id", "text",
+      Seq("a", "c"), 10)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // N=4 docs (blank counts); df(a)=3 -> idfW 1333333, df(c)=1 ->
+    // 4000000; doc2 score = 1*1333333 + 1*4000000
+    assert(rows.toSeq == Seq((2L, 5333333L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-k must compile to TakeOrderedAndProject")
+  }
+
+  test("searchTopK: ranking order and limit on a multi-match query") {
+    val docs = Seq(
+      (1L, "q q q w"),
+      (2L, "q w"),
+      (3L, "q w w"),
+      (4L, "q only")).toDF("doc_id", "text")
+    val out = TextSearch.searchTopK(docs, "doc_id", "text",
+      Seq("q", "w"), 2).collect().map(_.getLong(0)).toSeq
+    // N=4, df(q)=4 -> idfW 1000000; df(w)=3 -> 1333333
+    // doc1: 3*1e6 + 1333333 = 4333333; doc2: 2333333; doc3: 3666666
+    // top-2 by score desc: doc1, doc3; doc4 fails the AND
+    assert(out == Seq(1L, 3L))
+  }
+}
