@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -107,10 +108,68 @@ case class WordChunks(child: Expression, w: Int)
       : Expression = copy(child = newChild)
 }
 
+/** One-pass per-document term-frequency map:
+  * `array<struct<term:string, tf:long>>` with one entry per DISTINCT
+  * word (same `split(trim(lower(text)), '\s+')` tokenization as
+  * [[WordShingles]]), tf = in-document occurrence count. Entries are
+  * emitted term-ascending so the output is deterministic.
+  *
+  * This is the shuffle-eliminator for the text-search family: a
+  * `groupBy(doc, term).count()` formulation shuffles every word
+  * INSTANCE of the corpus; computing tf row-locally means only the
+  * (doc, distinct-term, tf) rows — smaller by the corpus' duplication
+  * factor — ever reach an exchange.
+  */
+case class WordTermCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term", StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    // EXACT split(trim(lower(text)), "\s+") pipeline of WordShingles:
+    // space-only trim, limit=-1 split keeping trailing empty tokens
+    val s = input.asInstanceOf[UTF8String].toLowerCase.trim().toString
+    val words = s.split("\\s+", -1)
+    val counts = new java.util.TreeMap[String, java.lang.Long]()
+    var i = 0
+    while (i < words.length) {
+      val prev = counts.get(words(i))
+      counts.put(words(i),
+        if (prev == null) java.lang.Long.valueOf(1L)
+        else java.lang.Long.valueOf(prev.longValue + 1L))
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = InternalRow(UTF8String.fromString(e.getKey),
+        e.getValue.longValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 object TextShingles {
   def wordShingles(text: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), k))
 
   def wordChunks(text: Column, w: Int): Column =
     ColumnBridge.column(WordChunks(ColumnBridge.expression(text), w))
+
+  def wordTermCounts(text: Column): Column =
+    ColumnBridge.column(WordTermCounts(ColumnBridge.expression(text)))
 }

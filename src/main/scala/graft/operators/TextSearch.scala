@@ -32,21 +32,22 @@ object TextSearch {
     */
   val IdfScale = 1000000L
 
-  /** Distinct (doc, term) pairs with the in-doc term frequency.
-    * `array_distinct` is NOT applied: tf counting needs every instance;
-    * the groupBy collapses to one row per (doc, term) with map-side
-    * partial counts, so the exchange carries distinct pairs anyway.
-    * Empty-string terms (blank documents tokenize to [""]) are dropped
-    * symmetrically with the oracle's `term <> ''` predicate.
+  /** Distinct (doc, term) pairs with the in-doc term frequency,
+    * computed ROW-LOCALLY by [[graft.functions.WordTermCounts]] — the
+    * corpus' word instances never reach an exchange; only the already-
+    * collapsed (doc, distinct-term, tf) rows do (a `groupBy(doc, term)`
+    * formulation would shuffle every word instance first). Empty-string
+    * terms (blank documents tokenize to [""]) are dropped symmetrically
+    * with the oracle's `term <> ''` predicate.
     */
   private def docTermTf(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(graft.functions.TextShingles.wordShingles(
-          col(textCol), 1)).as("term"))
+        explode(graft.functions.TextShingles.wordTermCounts(
+          col(textCol))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"),
+        col("tc.tf").as("tf"))
       .filter(col("term") =!= "")
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
 
   /** Build an inverted index: one row per (term, posting slot), with the
     * EXACT document frequency and the first `maxPostings` doc ids
