@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.TextSearch
+import graft.sink.MergeSink
+
+/** Continuously maintained inverted index — the streaming twin of
+  * [[graft.operators.TextSearch.invertedIndexAppend]]: as document
+  * batches land, the stored (term, df, slot, doc_id) table is merged
+  * forward without ever re-scanning the indexed corpus, and because the
+  * append re-cap is provably identical to a from-scratch rebuild, the
+  * maintained table equals `invertedIndex(all docs so far)` after every
+  * epoch.
+  *
+  * Exactly-once discipline (the [[StreamingRollup]] pattern verbatim):
+  * df addition is NOT idempotent, so each epoch's batchId commits
+  * ATOMICALLY with the index — marker written into the staged directory
+  * before the one-rename swap; a replayed epoch compares and skips. A
+  * crash inside the rename window is resumed from `.old` before any
+  * bootstrap decision.
+  *
+  * Contract: each document must reach the index EXACTLY once across all
+  * epochs — dedup upstream (PK discipline, or
+  * [[StreamingDedup.dropIndexedTexts]] against the doc corpus) — since a
+  * re-indexed doc would double its df contributions. As with the rollup,
+  * the index table and its checkpoint are a unit.
+  */
+object StreamingIndex {
+
+  private val Marker = "_applied_batch"
+
+  def start(spark: SparkSession, sourceDir: String, schema: StructType,
+            tablePath: String, checkpoint: String,
+            idCol: String, textCol: String, maxPostings: Int,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, tablePath, idCol, textCol, maxPostings)
+      }
+      .start()
+  }
+
+  /** One epoch: skip if already applied; first epoch bootstraps the
+    * index from the batch, later epochs merge into the stored table;
+    * publish = staged parquet + marker under ONE atomic swap.
+    */
+  private[streaming] def applyBatch(batch: DataFrame, batchId: Long,
+      tablePath: String, idCol: String, textCol: String,
+      maxPostings: Int): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tablePath).getFileSystem(conf)
+    if (!fs.exists(new Path(tablePath)) &&
+        fs.exists(new Path(tablePath + ".old")))
+      fs.rename(new Path(tablePath + ".old"), new Path(tablePath))
+    if (lastApplied(spark, tablePath).exists(_ >= batchId)) return
+    val next =
+      if (fs.exists(new Path(tablePath)))
+        TextSearch.invertedIndexAppend(
+          spark.read.parquet(tablePath), batch, idCol, textCol,
+          maxPostings)
+      else
+        TextSearch.invertedIndex(batch, idCol, textCol, maxPostings)
+    val stage = tablePath + ".stage"
+    next.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+    val out = fs.create(new Path(stage, Marker), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    MergeSink.atomicSwapDir(fs, stage, tablePath, tablePath + ".old")
+  }
+
+  /** The batchId committed with the current index, if any. */
+  private[streaming] def lastApplied(spark: SparkSession,
+      tablePath: String): Option[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tablePath).getFileSystem(conf)
+    val p = new Path(tablePath, Marker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        s.toLongOption
+      } finally in.close()
+    }
+  }
+}
