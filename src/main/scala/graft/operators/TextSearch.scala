@@ -156,6 +156,33 @@ object TextSearch {
         col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Exact phrase search: documents containing `phrase` as a
+    * consecutive word sequence, with the occurrence count. A phrase of
+    * n words is precisely an n-shingle, so this is a zero-exchange scan
+    * filter over the SAME one-pass [[graft.functions.WordShingles]]
+    * kernel the dedup family uses — no index, no shuffle, no join; at
+    * 100 TB it runs at parquet scan speed with the text column the only
+    * thing read. This is the decontamination-triage primitive: "which
+    * shards contain this benchmark string, verbatim?"
+    *
+    * The phrase is normalized with the corpus tokenization rule
+    * (lowercase, whitespace-split) so "Batch  BATCH" matches
+    * "batch batch".
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: String): DataFrame = {
+    val words = phrase.toLowerCase.trim.split("\\s+").toSeq
+    require(words.nonEmpty && words.head.nonEmpty,
+      "phrase must contain at least one word")
+    val needle = words.mkString(" ")
+    val hits = size(filter(
+      graft.functions.TextShingles.wordShingles(col(textCol), words.size),
+      _ === lit(needle)))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        hits.cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
   /** Conjunctive (AND) ranked retrieval: documents containing EVERY
     * query term, ranked by `Σ_t tf_t * idfW_t` (exact longs — the sum
     * is order-insensitive, unlike float tf-idf), ties doc-id-ascending,

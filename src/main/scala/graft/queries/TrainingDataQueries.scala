@@ -2807,6 +2807,17 @@ object TrainingDataQueries {
               |FROM post p JOIN idx i ON p.term = i.term
               |WHERE p.slot < $InvIdxMaxPostings""".stripMargin)),
 
+    "text_phrase_search" -> QueryDef(
+      (s, d) => graft.operators.TextSearch.phraseSearch(
+        table(s, d, "documents"), "doc_id", "text", "batch batch"),
+      Some(s"""WITH $wordsCte,
+              |g AS (SELECT doc_id, len(list_filter(
+              |  list_transform(range(1, len(ws)),
+              |    i -> array_to_string(ws[i:i+1], ' ')),
+              |  x -> x = 'batch batch')) AS n_hits FROM words)
+              |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM g
+              |WHERE n_hits > 0""".stripMargin)),
+
     "text_tfidf_keywords" -> QueryDef(
       (s, d) => graft.operators.TextSearch.tfidfKeywords(
         table(s, d, "documents"), "doc_id", "text", TfidfK),

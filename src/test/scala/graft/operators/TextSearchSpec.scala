@@ -101,6 +101,22 @@ class TextSearchSpec extends SparkSpecBase {
     assert(out == Seq("alpha", "beta"))
   }
 
+  test("phraseSearch: consecutive-sequence semantics, counts, zero exchange") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "quick brown quick brown fox"),
+      (3L, "brown quick"), // words present, order wrong
+      (4L, "Quick  BROWN stuff")) // case/whitespace-normalized match
+      .toDF("doc_id", "text")
+    val out = TextSearch.phraseSearch(docs, "doc_id", "text",
+      "Quick Brown")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 1L), (2L, 2L), (4L, 1L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      "phrase search must be a pure scan filter")
+  }
+
   test("searchTopK: conjunctive AND, exact summed score, bounded top-k") {
     // only doc 2 contains BOTH a and c
     val out = TextSearch.searchTopK(corpus, "doc_id", "text",
