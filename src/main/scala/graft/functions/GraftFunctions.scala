@@ -98,6 +98,17 @@ object GraftFunctions {
         WordShingles(args.head, litInt(args(1), "shingle size k"))
       }),
 
+    // per-document term-frequency map (the text-search family's
+    // shuffle-eliminator, exposed for SQL pipelines)
+    (FunctionIdentifier("graft_word_counts"),
+      new ExpressionInfo(classOf[WordTermCounts].getCanonicalName,
+        "graft_word_counts"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_word_counts expects (text), got ${args.length}")
+        WordTermCounts(args.head)
+      }),
+
     // perceptual average-hash of a binary payload (media dedup from SQL)
     (FunctionIdentifier("graft_ahash"),
       new ExpressionInfo(classOf[AHash64].getCanonicalName, "graft_ahash"),

@@ -129,22 +129,31 @@ object TextSearch {
     * documents (including blank ones), matching the oracle's bare
     * `count(*)`.
     *
-    * Scale shape: df is a count window over the term-hash partitioning
-    * of the distinct (doc, term) frame — one corpus-pairs exchange, no
-    * join back (the [[TextAnalysis.bigramRarity]] pattern). The top-k
-    * rank is a window partitioned by doc_id: the OPPOSITE skew regime
-    * from [[invertedIndex]] — billions of tiny groups, each bounded by
-    * a document's distinct-word count, spread uniformly by the hash
-    * partitioning — so a window (one exchange, no aggregate buffers) is
-    * the right tool where a per-term window would melt a reducer. N is
-    * a one-row broadcast (the Pca.scala threshold pattern).
+    * Scale shape: df is `groupBy(term).count` + a join back — NOT a
+    * count window by term. The window formulation co-locates every row
+    * of a term on one reducer with no partial aggregation, which under
+    * stopword skew (a term held by most of the corpus) is a one-task
+    * funnel; the groupBy gets map-side combine (the df table shrinks to
+    * |vocab| rows before any exchange), AQE broadcasts it when small
+    * and skew-splits the join when it isn't — a window can do neither.
+    * The top-k rank stays a window partitioned by doc_id: the OPPOSITE
+    * skew regime — billions of tiny groups, each bounded by a
+    * document's distinct-word count, spread uniformly by the hash
+    * partitioning. N is a one-row broadcast (the Pca.scala threshold
+    * pattern).
     */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k > 0, s"k ($k) must be > 0")
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val dt = docTermTf(docs, idCol, textCol)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    // persisted: the df aggregate and the join both consume this frame,
+    // and the planner never reuses the subtree across the two references
+    // (the LSH signature-persist finding) — without it the corpus is
+    // scanned and tokenized twice
+    val dt0 = docTermTf(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfTbl = dt0.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dt = dt0.join(dfTbl, "term")
     val scored = dt.crossJoin(broadcast(n))
       .withColumn("score", expr(s"tf * ($idfWeightExpr)"))
     scored
@@ -190,12 +199,14 @@ object TextSearch {
     *
     * Scale shape: the query-term filter lands directly on the exploded
     * term stream — the corpus collapses to O(docs × |terms|) rows
-    * BEFORE the first exchange, and everything downstream (df window,
-    * per-doc rollup) runs on that sliver. The final top-k compiles to
-    * TakeOrderedAndProject (bounded per-partition heaps + one driver
-    * merge), never a global sort. df is computed over the full corpus'
-    * occurrences of the query terms — the same value the inverted index
-    * stores, so serving from a prebuilt [[invertedIndex]] is a drop-in.
+    * BEFORE the first exchange, and everything downstream runs on that
+    * sliver. df collapses to ≤|terms| rows via map-side combine and is
+    * explicitly broadcast, so the matched rows shuffle exactly once (the
+    * per-doc rollup). The final top-k compiles to TakeOrderedAndProject
+    * (bounded per-partition heaps + one driver merge), never a global
+    * sort. df is computed over the full corpus' occurrences of the
+    * query terms — the same value the inverted index stores, so serving
+    * from a prebuilt [[invertedIndex]] is a drop-in.
     */
   def searchTopK(docs: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String], k: Int): DataFrame = {
@@ -203,9 +214,13 @@ object TextSearch {
     require(k > 0, s"k ($k) must be > 0")
     val qTerms = terms.map(_.toLowerCase).distinct
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val dt = docTermTf(docs, idCol, textCol)
+    // the persisted frame is only the query-term sliver — tiny, and it
+    // spares the second full corpus scan its two consumers would cost
+    val dt0 = docTermTf(docs, idCol, textCol)
       .filter(col("term").isin(qTerms: _*))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfTbl = dt0.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dt = dt0.join(broadcast(dfTbl), "term")
     dt.crossJoin(broadcast(n))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matched"),

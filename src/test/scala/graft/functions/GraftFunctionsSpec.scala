@@ -88,6 +88,13 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(e.getMessage.contains("integer literal"), e.getMessage)
   }
 
+  test("graft_word_counts in SQL matches TextShingles.wordTermCounts") {
+    val viaSql = spark.sql(
+      "SELECT inline(graft_word_counts('b a b')) ")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSql == Seq(("a", 1L), ("b", 2L)))
+  }
+
   test("GraftExtensions injects at session build time") {
     val base = spark // force shared-session init before clearing
     val expected = base.range(1)
