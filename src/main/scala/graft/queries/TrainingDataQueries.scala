@@ -2807,6 +2807,80 @@ object TrainingDataQueries {
               |FROM post p JOIN idx i ON p.term = i.term
               |WHERE p.slot < $InvIdxMaxPostings""".stripMargin)),
 
+    // seventh composed pipeline: embedding-space clusters labeled by
+    // their distinguishing terms — seeded centroids -> ivfAssign ->
+    // docs joined on the shared id space -> per-cluster term counts ->
+    // cluster-level tf-idf (exact integer scores) -> top-5 labels per
+    // cluster. The "data map" report a corpus owner reads first: what
+    // IS each region of embedding space, in words. Set-dependent end to
+    // end: a wrong cluster assignment changes term counts, df, and the
+    // label ranking, so a skipped or reordered stage cannot hash-match.
+    "pipeline_cluster_labels" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val docs = table(s, d, "documents")
+        val centroids = Similarity.seedCentroids(emb, "vec_id",
+          "embedding", every = SemEvery)
+        val assigned = Similarity.ivfAssign(emb, centroids, "vec_id",
+          "embedding")
+        val clustered = docs.join(
+          assigned.select(col("vec_id").as("doc_id"), col("cluster")),
+          "doc_id")
+        // per-cluster term instance counts: tf computed row-locally,
+        // then map-side-combined per (cluster, term) — the ct frame is
+        // bounded by |clusters| x |vocab|, never corpus-sized
+        val ct = clustered.select(col("cluster"),
+            explode(graft.functions.TextShingles.wordTermCounts(
+              col("text"))).as("tc"))
+          .select(col("cluster"), col("tc.term").as("term"),
+            col("tc.tf").as("tf"))
+          .filter(col("term") =!= "")
+          .groupBy(col("cluster"), col("term"))
+          .agg(sum(col("tf")).as("ctf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nc = ct.agg(count_distinct(col("cluster")).as("n_clusters"))
+        val dfc = ct.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+        val scored = ct.join(dfc, "term").crossJoin(broadcast(nc))
+          .withColumn("score",
+            expr("ctf * ((n_clusters * 1000000L) div dfc)"))
+        scored.withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster"))
+              .orderBy(col("score").desc, col("term").asc)))
+          .filter(col("rank") <= 5)
+          .select(col("cluster"), col("rank").cast("long").as("rank"),
+            col("term"), col("ctf"), col("dfc"), col("score"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              |    FROM embeddings),
+              |cent AS (SELECT CAST(vec_id // $SemEvery AS BIGINT)
+              |    AS centroid_id, v AS cv FROM e
+              |  WHERE vec_id % $SemEvery = 0),
+              |asg AS (SELECT vec_id, centroid_id AS cluster FROM (
+              |  SELECT e.vec_id, c.centroid_id, row_number() OVER (
+              |      PARTITION BY e.vec_id ORDER BY
+              |      list_dot_product(e.v, c.cv)
+              |        / (sqrt(list_dot_product(e.v, e.v))
+              |          * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+              |      c.centroid_id) AS rn
+              |  FROM e, cent c) WHERE rn = 1),
+              |cw AS (SELECT a.cluster,
+              |    string_split_regex(trim(lower(d.text)), '\\s+') AS ws
+              |  FROM asg a JOIN documents d ON d.doc_id = a.vec_id),
+              |ti AS (SELECT cluster, unnest(ws) AS term FROM cw),
+              |tc AS (SELECT cluster, term, count(*) AS ctf FROM ti
+              |  WHERE term <> '' GROUP BY cluster, term),
+              |nc AS (SELECT count(DISTINCT cluster) AS n_clusters FROM tc),
+              |dfc AS (SELECT term, count(*) AS dfc FROM tc GROUP BY term),
+              |sc AS (SELECT cluster, tc.term, ctf, dfc,
+              |  ctf * ((n_clusters * 1000000) // dfc) AS score
+              |  FROM tc JOIN dfc ON tc.term = dfc.term, nc),
+              |rk AS (SELECT cluster, term, ctf, dfc, score,
+              |  row_number() OVER (PARTITION BY cluster
+              |    ORDER BY score DESC, term) AS rank FROM sc)
+              |SELECT cluster, rank, term, ctf, dfc, score FROM rk
+              |WHERE rank <= 5""".stripMargin)),
+
     "text_phrase_search" -> QueryDef(
       (s, d) => graft.operators.TextSearch.phraseSearch(
         table(s, d, "documents"), "doc_id", "text", "batch batch"),
