@@ -98,6 +98,10 @@ object GraftFunctions {
         WordShingles(args.head, litInt(args(1), "shingle size k"))
       }),
 
+    // crawl-ingest HTML -> text extraction (codegen'd regexp chain)
+    colFn("graft_html_text", 1)(a =>
+      graft.operators.TextAnalysis.htmlToText(a.head)),
+
     // per-document term-frequency map (the text-search family's
     // shuffle-eliminator, exposed for SQL pipelines)
     (FunctionIdentifier("graft_word_counts"),

@@ -140,6 +140,33 @@ object TextAnalysis {
       "<NUMBER>")
   }
 
+  /** Extract readable text from raw HTML — the crawl-ingest front door
+    * (WET-style extraction): drops script/style payloads and comments,
+    * turns block-closing tags into newlines (so words across paragraph
+    * boundaries never fuse), strips remaining markup, decodes the six
+    * ubiquitous entities (`&amp;` LAST so `&amp;lt;` cannot
+    * double-decode), and collapses whitespace. Deliberately a pure
+    * `regexp_replace`/`replace` chain: codegen'd, zero-shuffle, and the
+    * IDENTICAL chain runs in the DuckDB oracle (patterns restricted to
+    * the Java∩RE2 common subset — no backreferences, no lookbehind).
+    * A heuristic extractor by design — malformed nesting degrades
+    * gracefully (identically in both engines), which is the honest
+    * contract for crawl data; DOM-accurate extraction needs a parser
+    * the 100 TB hot path cannot afford per row.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)<(br|/p|/div|/li|/tr|/h[1-6]|/blockquote|/pre)[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Fraction of repeated word k-grams in [0,1] — the boilerplate /
     * spam / template-page signal pre-training filters cut on
     * (0 = all shingles unique, →1 = the same phrase over and over).

@@ -2807,6 +2807,48 @@ object TrainingDataQueries {
               |FROM post p JOIN idx i ON p.term = i.term
               |WHERE p.slot < $InvIdxMaxPostings""".stripMargin)),
 
+    // crawl-ingest front door: wrap the fixture text in deterministic
+    // markup (style payload, comment, entities, script with a '<' that
+    // must NOT parse as a tag boundary... inside a removed block), then
+    // prove the extractor recovers clean text — the SAME
+    // regexp/replace chain runs in DuckDB
+    "text_html_extract" -> QueryDef(
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><style>body{color:red}</style></head>" +
+            "<body><!-- nav --><div class=\"main\"><h1>Title</h1><p>"),
+          col("text"),
+          lit("</p><p>tail &amp;amp; x &lt;b&gt; &quot;q&quot; &#39;s" +
+            "&#39; &nbsp;end</p><script>var x = 1 < 2;</script>" +
+            "</div></body></html>"))
+        table(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.htmlToText(html).as("extracted"))
+      },
+      Some(s"""WITH h AS (SELECT doc_id,
+              |  '<html><head><style>body{color:red}</style></head>' ||
+              |  '<body><!-- nav --><div class="main"><h1>Title</h1><p>'
+              |  || text ||
+              |  '</p><p>tail &amp;amp; x &lt;b&gt; &quot;q&quot; ' ||
+              |  '&#39;s&#39; &nbsp;end</p><script>var x = 1 < 2;' ||
+              |  '</script></div></body></html>' AS html
+              |  FROM documents)
+              |SELECT doc_id, trim(regexp_replace(
+              |  replace(replace(replace(replace(replace(replace(
+              |    regexp_replace(
+              |      regexp_replace(
+              |        regexp_replace(
+              |          regexp_replace(html,
+              |            '(?is)<(script|style)[^>]*>.*?</(script|style)\\s*>',
+              |            ' ', 'g'),
+              |          '(?s)<!--.*?-->', ' ', 'g'),
+              |        '(?i)<(br|/p|/div|/li|/tr|/h[1-6]|/blockquote|/pre)[^>]*>',
+              |        chr(10), 'g'),
+              |      '<[^>]*>', ' ', 'g'),
+              |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              |    '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+              |  '\\s+', ' ', 'g')) AS extracted
+              |FROM h""".stripMargin)),
+
     // seventh composed pipeline: embedding-space clusters labeled by
     // their distinguishing terms — seeded centroids -> ivfAssign ->
     // docs joined on the shared id space -> per-cluster term counts ->

@@ -307,6 +307,21 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.toSeq == Seq((1L, "en"), (2L, "de"), (3L, "zh")))
   }
 
+  test("htmlToText: scripts/styles/comments drop, blocks split, entities decode") {
+    val html = "<html><head><style>p{x:1}</style><title>T</title></head>" +
+      "<body><!-- menu --><h1>Head</h1><p>one two</p><p>three</p>" +
+      "<script>if (1 < 2) { alert('x </b>'); }</script>" +
+      "<div>a&amp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;z" +
+      "&amp;amp;</div></body></html>"
+    val out = Seq((1L, html)).toDF("id", "h")
+      .select(TextAnalysis.htmlToText(col("h"))).as[String].head()
+    // title survives (head text is text), script payload including its
+    // stray '<' is gone, block closes keep words separated, &amp; is
+    // decoded LAST so &amp;amp; yields the literal five-char entity
+    assert(out ==
+      "T Head one two three a&b <tag> \"q\" 's' z&amp;")
+  }
+
   test("PII scrubbing replaces emails/urls/ips/number-runs with tags") {
     val out = Seq(
       (1L, "contact jane.doe+x@example.com or visit https://e.com/u?id=1"),
