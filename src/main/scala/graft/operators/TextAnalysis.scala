@@ -167,6 +167,28 @@ object TextAnalysis {
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
+  /** URL decomposition for crawl corpora — host, registrable domain,
+    * and path as plain regex extractions (Java∩RE2 subset, identical in
+    * the oracle). `domain` is the last-two-labels heuristic: correct
+    * for generic TLDs, one label short on ccSLDs like `co.uk` — the
+    * honest scan-speed contract without shipping the public-suffix
+    * list as a data dependency (a production deployment broadcasts the
+    * PSL and maps hosts through it; the grouping machinery downstream —
+    * [[Sampling.capPerGroup]] on `domain` — is unchanged either way).
+    * Hosts lowercase (DNS case-insensitivity); userinfo and port are
+    * excluded from the host.
+    */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
+
+  def urlDomain(url: Column): Column =
+    regexp_extract(urlHost(url), "([^.]+\\.[^.]+)$", 1)
+
+  def urlPath(url: Column): Column =
+    regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
   /** Fraction of repeated word k-grams in [0,1] — the boilerplate /
     * spam / template-page signal pre-training filters cut on
     * (0 = all shingles unique, →1 = the same phrase over and over).

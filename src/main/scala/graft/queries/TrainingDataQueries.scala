@@ -2807,6 +2807,44 @@ object TrainingDataQueries {
               |FROM post p JOIN idx i ON p.term = i.term
               |WHERE p.slot < $InvIdxMaxPostings""".stripMargin)),
 
+    // URL decomposition + per-domain rollup: construct deterministic
+    // URLs from fixture columns (userinfo, mixed-case host, port,
+    // query) in BOTH engines, extract host/domain/path, roll up per
+    // registrable domain — the real-world key the per-domain cap
+    // operators group on
+    "text_url_parts" -> QueryDef(
+      (s, d) => {
+        val url = concat(lit("https://user:pw@WWW."), col("source"),
+          lit(".Example.COM:8443/docs/"), col("doc_id"),
+          lit("/view?ref=1&lang="), col("lang"))
+        val parts = table(s, d, "documents").select(
+          col("doc_id"),
+          TextAnalysis.urlHost(url).as("host"),
+          TextAnalysis.urlDomain(url).as("domain"),
+          TextAnalysis.urlPath(url).as("path"))
+        parts.groupBy(col("domain"))
+          .agg(count(lit(1)).as("n_docs"),
+            count_distinct(col("host")).as("n_hosts"),
+            min(col("path")).as("first_path"))
+      },
+      Some(s"""WITH u AS (SELECT doc_id,
+              |  'https://user:pw@WWW.' || source || '.Example.COM:8443'
+              |    || '/docs/' || doc_id || '/view?ref=1&lang=' || lang
+              |    AS url FROM documents),
+              |p AS (SELECT doc_id,
+              |  lower(regexp_extract(url,
+              |    '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)',
+              |    1)) AS host,
+              |  regexp_extract(url,
+              |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+              |    AS path FROM u)
+              |SELECT regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+              |    AS domain,
+              |  count(*) AS n_docs,
+              |  count(DISTINCT host) AS n_hosts,
+              |  min(path) AS first_path
+              |FROM p GROUP BY 1""".stripMargin)),
+
     // crawl-ingest front door: wrap the fixture text in deterministic
     // markup (style payload, comment, entities, script with a '<' that
     // must NOT parse as a tag boundary... inside a removed block), then

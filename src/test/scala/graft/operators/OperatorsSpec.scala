@@ -322,6 +322,25 @@ class OperatorsSpec extends SparkSpecBase {
       "T Head one two three a&b <tag> \"q\" 's' z&amp;")
   }
 
+  test("urlHost/urlDomain/urlPath decompose crawl URLs") {
+    val rows = Seq(
+      "https://user:pw@WWW.Sub.Example.COM:8443/a/b/c?q=1#frag",
+      "http://example.org/",
+      "https://no-path.io?x=1",
+      "ftp://Files.Example.net/pub")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "u")
+    val out = rows.orderBy("id").select(
+        TextAnalysis.urlHost(col("u")),
+        TextAnalysis.urlDomain(col("u")),
+        TextAnalysis.urlPath(col("u")))
+      .as[(String, String, String)].collect().toSeq
+    assert(out == Seq(
+      ("www.sub.example.com", "example.com", "/a/b/c"),
+      ("example.org", "example.org", "/"),
+      ("no-path.io", "no-path.io", ""),
+      ("files.example.net", "example.net", "/pub")))
+  }
+
   test("PII scrubbing replaces emails/urls/ips/number-runs with tags") {
     val out = Seq(
       (1L, "contact jane.doe+x@example.com or visit https://e.com/u?id=1"),
