@@ -165,6 +165,55 @@ object TextSearch {
         col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Serve a conjunctive ranked query from a PREBUILT inverted index
+    * ([[invertedIndex]] / [[invertedIndexAppend]] output) instead of
+    * scanning and tokenizing the corpus: candidate doc ids come from
+    * the query terms' posting lists, so the per-doc tokenize runs ONLY
+    * on candidates; df comes from the index (slot-0 rows carry the
+    * exact global count even for capped terms); N is the corpus row
+    * count. Scoring is the same exact integer tf·idf as [[searchTopK]].
+    *
+    * Recall contract: posting lists are capped at build time, so a term
+    * with df > cap contributes only its first `cap` doc ids — results
+    * are EXACT (identical to searchTopK) when every query term has
+    * df ≤ cap, and bounded-recall otherwise (deterministic and
+    * engine-identical either way; the oracle replays the same capped
+    * candidate set). Production sizes the cap for its query class or
+    * shards hot terms; the candidate set is always ≤ cap × |terms|
+    * rows, which is what makes serving O(candidates) instead of
+    * O(corpus).
+    *
+    * Scale shape: the postings filter is an index sliver; candidates
+    * broadcast into a hash join against the corpus so only matching
+    * rows are tokenized (WordTermCounts runs post-join); df and N are
+    * broadcast one-row/|terms|-row artifacts.
+    */
+  def searchTopKFromIndex(index: DataFrame, docs: DataFrame,
+                          idCol: String, textCol: String,
+                          terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, s"k ($k) must be > 0")
+    val qTerms = terms.map(_.toLowerCase).distinct
+    val post = index.filter(col("term").isin(qTerms: _*))
+    val cand = post.select(col("doc_id")).distinct()
+    val dfTbl = post.filter(col("slot") === 0)
+      .select(col("term"), col("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val candDocs = docs.join(broadcast(cand),
+      docs(idCol).cast("long") === cand("doc_id")).drop(cand("doc_id"))
+    docTermTf(candDocs, idCol, textCol)
+      .filter(col("term").isin(qTerms: _*))
+      .join(broadcast(dfTbl), "term")
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(expr(s"tf * ($idfWeightExpr)")).as("score"))
+      .filter(col("n_matched") === qTerms.size)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score"))
+  }
+
   /** Exact phrase search: documents containing `phrase` as a
     * consecutive word sequence, with the occurrence count. A phrase of
     * n words is precisely an n-shingle, so this is a zero-exchange scan

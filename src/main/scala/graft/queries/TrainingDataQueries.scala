@@ -2807,6 +2807,40 @@ object TrainingDataQueries {
               |FROM post p JOIN idx i ON p.term = i.term
               |WHERE p.slot < $InvIdxMaxPostings""".stripMargin)),
 
+    // index-SERVING proof: build the capped index, then answer the
+    // same conjunctive query from it — candidates come from postings
+    // (bounded-recall by the cap, deterministically in both engines),
+    // df from the index, scoring identical to the scan path
+    "text_search_from_index" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        graft.operators.TextSearch.searchTopKFromIndex(
+          graft.operators.TextSearch.invertedIndex(
+            docs, "doc_id", "text", InvIdxMaxPostings),
+          docs, "doc_id", "text", SearchTerms, SearchK)
+      },
+      Some(s"""WITH $termTfCte,
+              |idx AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+              |post AS (SELECT term, doc_id,
+              |  row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1
+              |    AS slot
+              |  FROM tfq),
+              |qpost AS (SELECT term, doc_id FROM post
+              |  WHERE slot < $InvIdxMaxPostings AND term IN
+              |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+              |cand AS (SELECT DISTINCT doc_id FROM qpost),
+              |ntot AS (SELECT count(*) AS n_docs FROM documents),
+              |ctf AS (SELECT t.doc_id, t.term, t.tf FROM tfq t
+              |  JOIN cand c ON t.doc_id = c.doc_id
+              |  WHERE t.term IN
+              |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+              |m AS (SELECT doc_id, count(*) AS nm,
+              |  CAST(sum(tf * ((n_docs * 1000000) // df)) AS BIGINT)
+              |    AS score
+              |  FROM ctf JOIN idx USING (term), ntot GROUP BY doc_id)
+              |SELECT doc_id, score FROM m WHERE nm = ${SearchTerms.size}
+              |ORDER BY score DESC, doc_id LIMIT $SearchK""".stripMargin)),
+
     // URL decomposition + per-domain rollup: construct deterministic
     // URLs from fixture columns (userinfo, mixed-case host, port,
     // query) in BOTH engines, extract host/domain/path, roll up per

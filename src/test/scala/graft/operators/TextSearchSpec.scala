@@ -130,6 +130,43 @@ class TextSearchSpec extends SparkSpecBase {
       "global top-k must compile to TakeOrderedAndProject")
   }
 
+  test("searchTopKFromIndex: exact when df <= cap, bounded-recall beyond") {
+    val docs = Seq(
+      (1L, "q q q w"),
+      (2L, "q w"),
+      (3L, "q w w"),
+      (4L, "q only")).toDF("doc_id", "text")
+    // cap 10 >= every df: serving MUST equal the scan path exactly
+    val wide = TextSearch.invertedIndex(docs, "doc_id", "text", 10)
+    val served = TextSearch.searchTopKFromIndex(wide, docs,
+      "doc_id", "text", Seq("q", "w"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val scanned = TextSearch.searchTopK(docs, "doc_id", "text",
+      Seq("q", "w"), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == scanned && served.map(_._1) == Seq(1L, 3L))
+    val plan = TextSearch.searchTopKFromIndex(wide, docs,
+      "doc_id", "text", Seq("q", "w"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "candidates must broadcast into the corpus join")
+
+    // cap 2: both posting lists truncate to [1,2], so doc 3 is outside
+    // the candidate set (bounded recall, deterministically); the docs
+    // that DO survive score with the exact index df and rank exactly
+    // as the scan path ranks them
+    val narrow = TextSearch.invertedIndex(docs, "doc_id", "text", 2)
+    val servedNarrow = TextSearch.searchTopKFromIndex(narrow, docs,
+      "doc_id", "text", Seq("q", "w"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(servedNarrow == scannedAll(docs).filter(r =>
+      Set(1L, 2L).contains(r._1)))
+  }
+
+  private def scannedAll(docs: org.apache.spark.sql.DataFrame) =
+    TextSearch.searchTopK(docs, "doc_id", "text", Seq("q", "w"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
   test("searchTopK: ranking order and limit on a multi-match query") {
     val docs = Seq(
       (1L, "q q q w"),
