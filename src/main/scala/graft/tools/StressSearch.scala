@@ -75,6 +75,10 @@ object StressSearch {
     mark("search_topk", TextSearch.searchTopK(docs, "doc_id", "text",
       Seq("market", "water", "music"), 100).count())
 
+    mark("search_from_index", TextSearch.searchTopKFromIndex(
+      spark.read.parquet(indexPath), docs, "doc_id", "text",
+      Seq("market", "water", "music"), 100).count())
+
     mark("phrase_search", TextSearch.phraseSearch(docs, "doc_id", "text",
       "the market").count())
 
