@@ -195,6 +195,29 @@ object AnalyticsQueries {
              |    AS DOUBLE) AS running_value
              |FROM events""".stripMargin)),
 
+    // RANGE-frame sliding window: per event, activity in the trailing
+    // hour BY EVENT TIME (not row count) — the rate-limit / burst-detect
+    // shape. RANGE peers make timestamp ties deterministic without a
+    // tiebreaker; exact decimal sum, one hash exchange on user_id.
+    "sliding_window_range" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000000L, 0L)
+        events(s, d).select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(dec(col("value"))).over(w).cast("double").as("sum_1h"))
+      },
+      Some("""SELECT user_id, event_id,
+             |  count(*) OVER w AS n_1h,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             |    AS sum_1h
+             |FROM (SELECT user_id, event_id, value, epoch_us(ts) AS tsu
+             |      FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin)),
+
     "stream_window_agg" -> QueryDef(
       (s, d) => StreamingMerge.windowedCounts(
           events(s, d), "ts", "event_type", "1 hour", "1 hour")
