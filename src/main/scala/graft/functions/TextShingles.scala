@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * which dominated the dedup operators' runtime at corpus scale.
   */
 case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(k >= 1, "shingle size must be >= 1")
 
@@ -28,35 +28,55 @@ case class WordShingles(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    // EXACT pipeline of split(trim(lower(text)), "\s+"): UTF8String
-    // lowercase, SPACE-ONLY trim (SQL trim semantics — trimAll would
-    // also strip tabs/newlines, diverging from the composed form and
-    // the oracle on text with trailing non-space whitespace), and a
-    // limit=-1 split that KEEPS trailing empty tokens like Spark's
-    // split and DuckDB's string_split_regex do
-    val s = input.asInstanceOf[UTF8String].toLowerCase.trim().toString
-    val words = s.split("\\s+", -1)
-    if (words.length < k)
-      return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](words.length - k + 1)
-    var i = 0
-    while (i <= words.length - k) {
-      val sb = new java.lang.StringBuilder
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        sb.append(words(i + j))
-        j += 1
-      }
-      out(i) = UTF8String.fromString(sb.toString)
-      i += 1
-    }
-    new GenericArrayData(out)
+  // codegen rides a monomorphic helper call (see WordTermCounts) — this
+  // kernel is on every dedup/search scan
+  @transient private lazy val kernel = new WordShingles.Kernel(k)
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.shingle(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("shingleKernel", kernel,
+      classOf[WordShingles.Kernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.shingle($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
+}
+
+object WordShingles {
+  final class Kernel(k: Int) extends Serializable {
+    def shingle(input: UTF8String): GenericArrayData = {
+      // EXACT pipeline of split(trim(lower(text)), "\s+"): UTF8String
+      // lowercase, SPACE-ONLY trim (SQL trim semantics — trimAll would
+      // also strip tabs/newlines, diverging from the composed form and
+      // the oracle on text with trailing non-space whitespace), and a
+      // limit=-1 split that KEEPS trailing empty tokens like Spark's
+      // split and DuckDB's string_split_regex do
+      val s = input.toLowerCase.trim().toString
+      val words = s.split("\\s+", -1)
+      if (words.length < k)
+        return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](words.length - k + 1)
+      var i = 0
+      while (i <= words.length - k) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
 }
 
 /** One-pass non-overlapping word chunking (the paragraph-granularity cut
@@ -71,7 +91,7 @@ case class WordShingles(child: Expression, k: Int)
   * allocation per chunk, tripled across the three chunk operators.
   */
 case class WordChunks(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(w >= 1, "chunk width must be >= 1")
 
@@ -79,33 +99,51 @@ case class WordChunks(child: Expression, w: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    // same EXACT split(trim(lower(text)), "\s+") pipeline as
-    // WordShingles: space-only trim, limit=-1 split keeping trailing
-    // empty tokens. "".split -> [""]: one empty word, hence ONE empty
-    // chunk, matching the higher-order formulation and the oracle.
-    val s = input.asInstanceOf[UTF8String].toLowerCase.trim().toString
-    val words = s.split("\\s+", -1)
-    val n = (words.length + w - 1) / w
-    val out = new Array[Any](n)
-    var c = 0
-    while (c < n) {
-      val sb = new java.lang.StringBuilder
-      var j = c * w
-      val end = math.min(j + w, words.length)
-      while (j < end) {
-        if (j > c * w) sb.append(' ')
-        sb.append(words(j))
-        j += 1
-      }
-      out(c) = UTF8String.fromString(sb.toString)
-      c += 1
-    }
-    new GenericArrayData(out)
+  @transient private lazy val kernel = new WordChunks.Kernel(w)
+
+  override def nullSafeEval(input: Any): Any =
+    kernel.chunk(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("chunkKernel", kernel,
+      classOf[WordChunks.Kernel].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.chunk($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
+}
+
+object WordChunks {
+  final class Kernel(w: Int) extends Serializable {
+    def chunk(input: UTF8String): GenericArrayData = {
+      // same EXACT split(trim(lower(text)), "\s+") pipeline as
+      // WordShingles: space-only trim, limit=-1 split keeping trailing
+      // empty tokens. "".split -> [""]: one empty word, hence ONE empty
+      // chunk, matching the higher-order formulation and the oracle.
+      val s = input.toLowerCase.trim().toString
+      val words = s.split("\\s+", -1)
+      val n = (words.length + w - 1) / w
+      val out = new Array[Any](n)
+      var c = 0
+      while (c < n) {
+        val sb = new java.lang.StringBuilder
+        var j = c * w
+        val end = math.min(j + w, words.length)
+        while (j < end) {
+          if (j > c * w) sb.append(' ')
+          sb.append(words(j))
+          j += 1
+        }
+        out(c) = UTF8String.fromString(sb.toString)
+        c += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
 }
 
 /** One-pass per-document term-frequency map:
@@ -121,7 +159,7 @@ case class WordChunks(child: Expression, w: Int)
   * factor — ever reach an exchange.
   */
 case class WordTermCounts(child: Expression)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[ColumnBridge.AbstractType] = Seq(StringType)
 
@@ -133,34 +171,57 @@ case class WordTermCounts(child: Expression)
         org.apache.spark.sql.types.LongType, nullable = false))),
     containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    // EXACT split(trim(lower(text)), "\s+") pipeline of WordShingles:
-    // space-only trim, limit=-1 split keeping trailing empty tokens
-    val s = input.asInstanceOf[UTF8String].toLowerCase.trim().toString
-    val words = s.split("\\s+", -1)
-    val counts = new java.util.TreeMap[String, java.lang.Long]()
-    var i = 0
-    while (i < words.length) {
-      val prev = counts.get(words(i))
-      counts.put(words(i),
-        if (prev == null) java.lang.Long.valueOf(1L)
-        else java.lang.Long.valueOf(prev.longValue + 1L))
-      i += 1
-    }
-    val out = new Array[Any](counts.size)
-    val it = counts.entrySet().iterator()
-    var j = 0
-    while (it.hasNext) {
-      val e = it.next()
-      out(j) = InternalRow(UTF8String.fromString(e.getKey),
-        e.getValue.longValue)
-      j += 1
-    }
-    new GenericArrayData(out)
+  // the kernel rides whole-stage codegen as a monomorphic helper call
+  // (the GreedyTokenCount trie pattern) instead of CodegenFallback's
+  // per-row interpreted detour — this expression sits in the hottest
+  // text-search scans
+  @transient private lazy val counter = new WordTermCounts.Counter
+
+  override def nullSafeEval(input: Any): Any =
+    counter.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("wtcCounter", counter,
+      classOf[WordTermCounts.Counter].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.count($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression)
       : Expression = copy(child = newChild)
+}
+
+object WordTermCounts {
+  /** One-pass tf kernel; `final` keeps the generated-code call site
+    * monomorphic.
+    */
+  final class Counter extends Serializable {
+    def count(input: UTF8String): GenericArrayData = {
+      // EXACT split(trim(lower(text)), "\s+") pipeline of WordShingles:
+      // space-only trim, limit=-1 split keeping trailing empty tokens
+      val s = input.toLowerCase.trim().toString
+      val words = s.split("\\s+", -1)
+      val counts = new java.util.TreeMap[String, java.lang.Long]()
+      var i = 0
+      while (i < words.length) {
+        val prev = counts.get(words(i))
+        counts.put(words(i),
+          if (prev == null) java.lang.Long.valueOf(1L)
+          else java.lang.Long.valueOf(prev.longValue + 1L))
+        i += 1
+      }
+      val out = new Array[Any](counts.size)
+      val it = counts.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(j) = InternalRow(UTF8String.fromString(e.getKey),
+          e.getValue.longValue)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
 }
 
 object TextShingles {
