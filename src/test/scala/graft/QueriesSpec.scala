@@ -28,6 +28,13 @@ class QueriesSpec extends SparkSpecBase {
     test(s"query $name executes on sf0.001") {
       val df = fn(spark, sfDir)
       assert(df.columns.nonEmpty)
+      // global plan lint: an unconstrained cartesian in ANY registry
+      // query is a 100 TB job-killer, wherever it hides. (Deliberate
+      // 1-row threshold crossJoins plan as BroadcastNestedLoopJoin and
+      // stay legal.)
+      assert(!df.queryExecution.executedPlan.toString
+          .contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
       if (mayBeEmpty(name)) df.write.format("noop").mode("overwrite").save()
       else assert(df.count() > 0, s"$name returned no rows")
     }

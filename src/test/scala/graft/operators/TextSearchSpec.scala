@@ -13,6 +13,31 @@ class TextSearchSpec extends SparkSpecBase {
     (4L, "   ")) // blank: tokenizes to [""], must vanish entirely
     .toDF("doc_id", "text")
 
+  test("wordTermCounts parity holds on generated whitespace-heavy text") {
+    import org.scalacheck.Gen
+    val token = Gen.oneOf(Gen.alphaNumStr.map(_.take(5)),
+      Gen.oneOf("a", "B", "cc", "", " ", "\t", "\n", "Ab1"))
+    val textGen = Gen.listOfN(12, token).map(_.mkString(" "))
+    val texts = Gen.listOfN(60, textGen).sample.getOrElse(Nil)
+    assert(texts.nonEmpty)
+    val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fast = rows.select(col("doc_id"),
+        explode(graft.functions.TextShingles.wordTermCounts(col("text")))
+          .as("tc"))
+      .select(col("doc_id"), col("tc.term"), col("tc.tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val slow = rows.select(col("doc_id"),
+        explode(graft.functions.TextShingles.wordShingles(col("text"), 1))
+          .as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(fast == slow)
+  }
+
   test("wordTermCounts matches the explode+groupBy formulation on edges") {
     val rows = Seq("", "   ", "a b a", "a\nb\ta  b b", " x ", "x x x\n")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
