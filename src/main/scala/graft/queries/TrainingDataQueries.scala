@@ -2807,6 +2807,46 @@ object TrainingDataQueries {
               |FROM post p JOIN idx i ON p.term = i.term
               |WHERE p.slot < $InvIdxMaxPostings""".stripMargin)),
 
+    // eighth composed pipeline / the eval-contamination question: do
+    // near-duplicate pairs straddle the train/valid/test boundary? A
+    // random-looking hash split CANNOT prevent this (near-dups hash
+    // independently), which is exactly why the audit must exist: pairs
+    // labeled with both endpoints' splits, cross-split = leak. Wider
+    // minority splits (60/20/20) than the production 98/1/1 so the
+    // fixture actually exhibits leaks.
+    "split_leakage_audit" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+          ShingleK, NumHashes, RowsPerBand, MinhashThreshold)
+        val split = graft.operators.Sampling.hashSplit(
+          docs.select(col("doc_id")), "doc_id",
+          Seq("train" -> 0.6, "valid" -> 0.2, "test" -> 0.2))
+        pairs.select(col("id_a"), col("id_b"))
+          .join(split.select(col("doc_id").as("id_a"),
+            col("split").as("split_a")), "id_a")
+          .join(split.select(col("doc_id").as("id_b"),
+            col("split").as("split_b")), "id_b")
+          .select(col("id_a"), col("id_b"), col("split_a"),
+            col("split_b"),
+            (col("split_a") =!= col("split_b")).cast("long").as("leaks"))
+      },
+      Some(s"""WITH $minhashLshCtes,
+              |p AS ($minhashLshSelect),
+              |sp AS (SELECT doc_id,
+              |  CASE WHEN ${graft.operators.Sampling.bucketSql("doc_id")}
+              |         < 6000 THEN 'train'
+              |       WHEN ${graft.operators.Sampling.bucketSql("doc_id")}
+              |         < 8000 THEN 'valid'
+              |       ELSE 'test' END AS split
+              |  FROM documents)
+              |SELECT p.id_a, p.id_b, sa.split AS split_a,
+              |  sb.split AS split_b,
+              |  CAST(sa.split <> sb.split AS BIGINT) AS leaks
+              |FROM p
+              |JOIN sp sa ON p.id_a = sa.doc_id
+              |JOIN sp sb ON p.id_b = sb.doc_id""".stripMargin)),
+
     // index-SERVING proof: build the capped index, then answer the
     // same conjunctive query from it — candidates come from postings
     // (bounded-recall by the cap, deterministically in both engines),

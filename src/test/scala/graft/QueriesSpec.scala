@@ -22,7 +22,8 @@ class QueriesSpec extends SparkSpecBase {
     * result that hash-matches an empty oracle would hide a broken query.
     */
   private val mayBeEmpty = Set("dedup_simhash_pairs", "dedup_minhash_lsh",
-    "dedup_embedding_cosine", "dedup_ngram_jaccard")
+    "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "split_leakage_audit") // rides the minhash pair set
 
   for ((name, QueryDef(fn, _)) <- SparkEntry.allDefs) {
     test(s"query $name executes on sf0.001") {
