@@ -62,6 +62,35 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Split documents by their NEAR-DUP CLUSTER instead of their own id —
+    * the remedy for what `split_leakage_audit` measures: a per-doc hash
+    * split cannot keep near-duplicates on one side of the train/test
+    * boundary (near-dups hash independently), so eval examples leak
+    * into training via their paraphrases. Keying the split on the
+    * connected-component representative
+    * ([[graft.operators.Dedup.connectedComponents]] output `(id,
+    * component_id)`; unpaired docs represent themselves) puts every
+    * member of a cluster in the SAME split by construction.
+    *
+    * Scale shape: one left join of docs against the (pairs-sized, much
+    * smaller than corpus) label table, then the usual zero-shuffle
+    * bucket projection. Same determinism/growth-stability contract as
+    * [[hashSplit]] — with the one caveat that a NEW pair merging two
+    * clusters can move a cluster's split between corpus versions; that
+    * is inherent to leak-safety (the alternative IS the leak) and
+    * `corpus_snapshot_diff` makes the movement visible.
+    */
+  def clusterSafeSplit(docs: DataFrame, idCol: String, labels: DataFrame,
+                       splits: Seq[(String, Double)]): DataFrame = {
+    val rep = docs
+      .join(labels.select(col("id").as(idCol), col("component_id")),
+        Seq(idCol), "left")
+      .withColumn("component_rep",
+        coalesce(col("component_id"), col(idCol).cast("long")))
+      .drop("component_id")
+    hashSplit(rep, "component_rep", splits)
+  }
+
   /** Keep a per-stratum fraction of rows, deterministically: a row
     * survives iff its key bucket falls below `fraction(stratum) *
     * Buckets`. Unlisted strata default to `defaultFraction`.

@@ -2847,6 +2847,43 @@ object TrainingDataQueries {
               |JOIN sp sa ON p.id_a = sa.doc_id
               |JOIN sp sb ON p.id_b = sb.doc_id""".stripMargin)),
 
+    // ...and the REMEDY: split keyed on the near-dup component
+    // representative, so every cluster member lands in the same split
+    // by construction (unpaired docs represent themselves)
+    "sample_cluster_safe_split" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val labels = Dedup.connectedComponents(
+          Dedup.minhashNearDups(docs, "doc_id", "text",
+            ShingleK, NumHashes, RowsPerBand, MinhashThreshold),
+          "id_a", "id_b")
+        graft.operators.Sampling.clusterSafeSplit(
+            docs.select(col("doc_id")), "doc_id", labels,
+            Seq("train" -> 0.6, "valid" -> 0.2, "test" -> 0.2))
+          .select(col("doc_id"), col("component_rep"), col("split"))
+      },
+      Some(s"""WITH RECURSIVE $minhashLshCtes,
+              |pairs AS ($minhashLshSelect),
+              |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              |  UNION
+              |  SELECT e.u, reach.r FROM edges e
+              |  JOIN reach ON reach.id = e.v),
+              |comp AS (SELECT id, min(r) AS component_id FROM reach
+              |  GROUP BY id),
+              |rep AS (SELECT d.doc_id,
+              |  coalesce(c.component_id, d.doc_id) AS component_rep
+              |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+              |SELECT doc_id, component_rep,
+              |  CASE WHEN ${graft.operators.Sampling
+                 .bucketSql("component_rep")} < 6000 THEN 'train'
+              |       WHEN ${graft.operators.Sampling
+                 .bucketSql("component_rep")} < 8000 THEN 'valid'
+              |       ELSE 'test' END AS split
+              |FROM rep""".stripMargin)),
+
     // index-SERVING proof: build the capped index, then answer the
     // same conjunctive query from it — candidates come from postings
     // (bounded-recall by the cap, deterministically in both engines),

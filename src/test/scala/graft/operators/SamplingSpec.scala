@@ -7,6 +7,35 @@ import graft.SparkSpecBase
 class SamplingSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("clusterSafeSplit never separates paired docs; singletons self-key") {
+    // components: {1,2,3} (chained), {10,11}; 4..9 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = (1L to 12L).toDF("doc_id")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val out = Sampling.clusterSafeSplit(docs, "doc_id", labels,
+        Seq("train" -> 0.5, "valid" -> 0.25, "test" -> 0.25))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out.size == 12, "every doc keeps exactly one assignment")
+    // every edge's endpoints share BOTH the representative and the split
+    for ((a, b) <- Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+      assert(out(a) == out(b), s"pair ($a,$b) split apart: ${out(a)} vs ${out(b)}")
+    assert(out(1L)._1 == 1L && out(10L)._1 == 10L,
+      "cluster representative is the component min")
+    for (d <- 4L to 9L)
+      assert(out(d)._1 == d, "singletons represent themselves")
+    // the split is the plain hashSplit of the representative, so the
+    // growth-stability contract carries over unchanged
+    val viaRep = Sampling.hashSplit(
+        docs.withColumn("component_rep",
+          when(col("doc_id").isin(2L, 3L), 1L)
+            .when(col("doc_id") === 11L, 10L)
+            .otherwise(col("doc_id"))),
+        "component_rep", Seq("train" -> 0.5, "valid" -> 0.25, "test" -> 0.25))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.map { case (k, v) => k -> v._2 } == viaRep)
+  }
+
   test("hashSplit is deterministic, exhaustive, and ~proportional") {
     val df = (1L to 10000L).toDF("id")
     val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
