@@ -709,6 +709,53 @@ object Dedup {
     labels.select(col("id"), col("comp").as("component_id"))
   }
 
+  /** Incremental component maintenance — the production shape for a
+    * continuously-growing corpus: merge a batch of NEW near-dup pairs
+    * (in-batch pairs plus batch-vs-corpus pairs from
+    * [[minhashNearDupsAgainst]]) into an EXISTING `(id, component_id)`
+    * label table, recomputing only the components the new edges touch.
+    *
+    * Provably equal to [[connectedComponents]] over the full pair set:
+    * within an existing component, the stored `id -> component_id` edges
+    * preserve its connectivity exactly (every member connects to the
+    * component min); a new edge can only merge touched components with
+    * each other or with new nodes; and a component no new edge reaches
+    * cannot change — so re-running CC over {new edges} ∪ {label edges of
+    * touched components} and passing every untouched label through
+    * unchanged reproduces the full rebuild bit-for-bit
+    * (`dedup_incremental_components` hash-matches the full-rebuild
+    * oracle; IncrementalComponentsSpec proves equivalence on adversarial
+    * graphs).
+    *
+    * Scale shape: the daily batch touches a vanishing fraction of a
+    * 10B-doc component table. Membership of touched components is pulled
+    * with one semi-join on `component_id`, the CC loop runs over that
+    * small subgraph only, and the untouched majority flows through a
+    * single anti-join — the full label table is scanned twice and never
+    * enters the iterative loop.
+    */
+  def mergeComponents(labels: DataFrame, newPairs: DataFrame,
+                      aCol: String, bCol: String,
+                      maxIter: Int = 25): DataFrame = {
+    val touchedIds = newPairs.select(explode(array(
+        col(aCol).cast("long"), col(bCol).cast("long"))).as("id"))
+      .distinct()
+    val touchedComps = labels.join(touchedIds, Seq("id"), "left_semi")
+      .select(col("component_id")).distinct()
+    val touched = labels.join(touchedComps, Seq("component_id"), "left_semi")
+    // label edges (id -> component_id) carry the touched components'
+    // connectivity into the subgraph CC alongside the new edges
+    val subEdges = newPairs
+      .select(col(aCol).cast("long").as("id_a"),
+        col(bCol).cast("long").as("id_b"))
+      .union(touched.select(col("id").cast("long").as("id_a"),
+        col("component_id").cast("long").as("id_b")))
+    val recomputed = connectedComponents(subEdges, "id_a", "id_b", maxIter)
+    labels.join(touchedComps, Seq("component_id"), "left_anti")
+      .select(col("id"), col("component_id"))
+      .union(recomputed)
+  }
+
   /** Keep-list after cluster resolution: drops every document whose id is
     * a non-canonical member of a near-dup component (canonical = the
     * component min, the id [[connectedComponents]] labels with itself).

@@ -2268,6 +2268,35 @@ object TrainingDataQueries {
         "id_a", "id_b"),
       Some(ccSql)),
 
+    // Incremental component maintenance: CC over the 90% "existing"
+    // corpus, then the 10% batch's pairs (in-batch + batch-vs-corpus via
+    // the signature index) merged with mergeComponents — which recomputes
+    // ONLY touched components. The oracle is the FULL-corpus rebuild
+    // (same ccSql as dedup_connected_components): hash-equality IS the
+    // proof that the incremental path equals the rebuild.
+    "dedup_incremental_components" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val old = docs.filter(col("doc_id") % IncrMod =!= 0)
+        val batch = docs.filter(col("doc_id") % IncrMod === 0)
+        val oldLabels = Dedup.connectedComponents(
+          Dedup.minhashNearDups(old, "doc_id", "text", ShingleK,
+            NumHashes, RowsPerBand, MinhashThreshold),
+          "id_a", "id_b")
+        val cross = Dedup.minhashNearDupsAgainst(batch,
+            Dedup.minhashSignatures(old, "doc_id", "text", ShingleK,
+              NumHashes),
+            "doc_id", "text", ShingleK, NumHashes, RowsPerBand,
+            MinhashThreshold)
+          .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+        val inBatch = Dedup.minhashNearDups(batch, "doc_id", "text",
+            ShingleK, NumHashes, RowsPerBand, MinhashThreshold)
+          .select(col("id_a"), col("id_b"))
+        Dedup.mergeComponents(oldLabels, cross.union(inBatch),
+          "id_a", "id_b")
+      },
+      Some(ccSql)),
+
     // SemDeDup: seed centroids -> nearest-centroid assignment (the same
     // ivfAssign the ANN index uses) -> exact cosine only within clusters
     "dedup_semantic_pairs" -> QueryDef(
