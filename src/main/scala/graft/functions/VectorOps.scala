@@ -58,6 +58,51 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[FloatVectorDot]]'s `array<double>` sibling, for vectors DERIVED from
+  * exact integer arithmetic (k-means sum-centroids, dequantized codes):
+  * bigint->double casts are exact below 2^53, while a float intermediate
+  * would round 25-bit-plus sums differently than the DuckDB oracle's
+  * DOUBLE[] path. Same left-to-right double summation order.
+  */
+case class DoubleVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var s = 0.0
+    while (i < n) {
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements() < $b.numElements()
+         |  ? $a.numElements() : $b.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -65,6 +110,19 @@ object VectorOps {
   def dotF(a: Column, b: Column): Column =
     ColumnBridge.column(
       FloatVectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Dot product of two array<double> columns as a double Column. */
+  def dotD(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DoubleVectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Cosine over array<double> columns — the same IEEE operation order
+    * as [[cosineF]] and the DuckDB oracle.
+    */
+  def cosineD(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+  }
 
   /** Cosine similarity, computed as dot/(sqrt(dot_aa)*sqrt(dot_bb)) with
     * the same IEEE operation order as the DuckDB oracle formula.

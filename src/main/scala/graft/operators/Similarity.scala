@@ -268,7 +268,8 @@ object Similarity {
     * posexplode to (cluster, dim, x) → per-dimension mean (map-side
     * partial) — shuffle volume is sample x dim tiny rows, never the
     * corpus. Deterministic: hash-spread seeding, max_by tie-breaks,
-    * exact float-avg aggregation — same input, same centroids.
+    * exact decimal-mean aggregation (order-insensitive under any
+    * partitioning) — same input, same centroids.
     *
     * Empty clusters keep their previous centroid (standard Lloyd's
     * fallback).
@@ -288,10 +289,16 @@ object Similarity {
         col(vecCol))
     (1 to iterations).foreach { _ =>
       val assigned = ivfAssign(train, centroids, idCol, vecCol)
+      // per-dimension mean via exact decimal sums: a plain double avg()
+      // folds partials in partition order, so the same data at a
+      // different partition count can drift the centroid by an ulp and
+      // flip a near-tie assignment next iteration. float->decimal(38,18)
+      // is a per-row (order-free) rounding; the decimal sum is exact.
       val means = assigned
         .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cluster"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg((sum(col("x").cast("decimal(38,18)")) / count(lit(1)))
+          .as("m"))
         .groupBy(col("cluster"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
           .as("dm"))
@@ -303,6 +310,115 @@ object Similarity {
           Seq("centroid_id"), "left_anti"))
     }
     centroids
+  }
+
+  /** Cross-engine-provable Lloyd's k-means over cosine geometry — the
+    * variant whose every number is EXACT integer arithmetic, so an
+    * independent engine (the DuckDB oracle) reproduces it bit-for-bit:
+    *
+    *  - vectors quantize per-component to `round(x * quant)` as BIGINT
+    *    (floor-spelled half-up, the [[VectorOps.quantizeInt8]] rule);
+    *  - a centroid is the component-wise integer SUM over its members
+    *    (never divided: cosine is scale-invariant, so the sum vector
+    *    ranks identically to the mean — no rounding rule to disagree
+    *    on);
+    *  - assignment compares `cosineD` of exact-integer-valued doubles
+    *    (bigint->double casts are exact below 2^53; the sequential
+    *    double dot is the same IEEE order as `list_dot_product`), ties
+    *    broken by centroid_id asc.
+    *
+    * Scale shape (better than [[trainCentroids]]' broadcast-join
+    * assign): centroids live as k x dim LITERALS (a bounded driver
+    * artifact, like the PQ codebook), so assignment is a zero-shuffle
+    * codegen scan — per row, an `array_max` over k struct(sim, -cid)
+    * entries. The only exchange per iteration carries the map-side
+    * partial (cluster, dim) sums: tasks x k x dim tiny rows. Lineage is
+    * cut per iteration by driver-collecting the k x (dim+1) longs —
+    * never the corpus.
+    *
+    * Returns `(centroid_id, n_members, cent_sum array<bigint>)` for the
+    * final iteration; empty clusters drop (their seed attracted no
+    * vectors under the sum-centroids of the previous round).
+    */
+  def kmeansTrainExact(corpus: DataFrame, idCol: String, vecCol: String,
+                       every: Int = 50, iters: Int = 2,
+                       quant: Double = 1e6): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = kmeansLoopExact(corpus, idCol, vecCol, every, iters, quant)
+    cents.toSeq.sortBy(_._1)
+      .toDF("centroid_id", "n_members", "cent_sum")
+  }
+
+  /** Final-iteration assignment of the [[kmeansTrainExact]] loop:
+    * `(idCol, cluster)` for every corpus vector, by the same exact
+    * integer rules. A separate entry point (rather than a flag) so both
+    * shapes stay single-purpose registry queries.
+    */
+  def kmeansAssignExact(corpus: DataFrame, idCol: String, vecCol: String,
+                        every: Int = 50, iters: Int = 2,
+                        quant: Double = 1e6): DataFrame = {
+    val cents = kmeansLoopExact(corpus, idCol, vecCol, every, iters, quant)
+    assignToLiterals(quantizeLong(corpus, idCol, vecCol, quant),
+      cents.map { case (cid, _, s) => (cid, s.map(_.toDouble)) })
+      .select(col("__id").as(idCol), col("cluster"))
+  }
+
+  private def quantizeLong(corpus: DataFrame, idCol: String,
+                           vecCol: String, quant: Double): DataFrame =
+    corpus.select(col(idCol).cast("long").as("__id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * lit(quant) + lit(0.5)).cast("long"))
+        .as("__qv"))
+
+  /** Zero-shuffle nearest-centroid: per row, `array_max` over literal
+    * struct(sim, -cid) — max sim, ties to the smallest centroid_id.
+    */
+  private def assignToLiterals(q: DataFrame,
+                               cents: Seq[(Long, Array[Double])])
+      : DataFrame = {
+    val qd = transform(col("__qv"), x => x.cast("double"))
+    val scored = array(cents.sortBy(_._1).map { case (cid, v) =>
+      struct(
+        VectorOps.cosineD(qd, typedLit(v.toSeq)).as("sim"),
+        lit(-cid).as("tb"))
+    }: _*)
+    q.withColumn("cluster", (-array_max(scored).getField("tb")).cast("long"))
+  }
+
+  private def kmeansLoopExact(corpus: DataFrame, idCol: String,
+                              vecCol: String, every: Int, iters: Int,
+                              quant: Double)
+      : Seq[(Long, Long, Array[Long])] = {
+    require(every > 0 && iters >= 1, "every and iters must be positive")
+    val q = quantizeLong(corpus, idCol, vecCol, quant)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seeds: every n-th id, centroid = that single member's vector
+    var cents: Seq[(Long, Long, Array[Long])] = q
+      .filter(col("__id") % every === 0)
+      .select((col("__id") / every).cast("long").as("cid"), col("__qv"))
+      .collect()
+      .map(r => (r.getLong(0), 1L, r.getSeq[Long](1).toArray))
+      .toSeq
+    (1 to iters).foreach { _ =>
+      val assigned = assignToLiterals(q,
+        cents.map { case (cid, _, s) => (cid, s.map(_.toDouble)) })
+      cents = assigned
+        .select(col("cluster"), posexplode(col("__qv")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("s"))))
+          .as("ps"), max(col("n")).as("n_members"))
+        .collect()
+        .map { r =>
+          val ps = r.getSeq[org.apache.spark.sql.Row](1)
+          (r.getLong(0), r.getLong(2), ps.map(_.getLong(1)).toArray)
+        }
+        .toSeq
+    }
+    q.unpersist()
+    cents
   }
 
   /** Embedding-table validation — the vector counterpart of

@@ -1152,6 +1152,70 @@ object TrainingDataQueries {
        |SELECT query_id, rank, neighbor_id FROM r
        |WHERE rank <= $AnnK""".stripMargin
 
+  // exact k-means: seed every n-th vector, 2 Lloyd iterations, 1e6
+  // component quantization (Similarity.kmeansTrainExact defaults)
+  private val KmEvery = 50
+  private val KmIters = 2
+
+  /** Oracle CTE chain for [[Similarity.kmeansTrainExact]], unrolled to
+    * `KmIters` assign/update rounds. All arithmetic is the operator's:
+    * bigint quantization, integer sum-centroids, cosine over
+    * exact-integer-valued doubles with (sim DESC, cid ASC) ties.
+    */
+  private def kmeansCtes: String = {
+    val assign = (aOut: String, cent: String) =>
+      s"""$aOut AS (SELECT vec_id, qv, cid AS cluster FROM (
+         |  SELECT q.vec_id, q.qv, c.cid, row_number() OVER (
+         |      PARTITION BY q.vec_id ORDER BY
+         |      list_dot_product(q.qd, c.cv) /
+         |        (sqrt(list_dot_product(q.qd, q.qd))
+         |         * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+         |  FROM q, $cent c) WHERE rn = 1)""".stripMargin
+    val update = (aIn: String, sOut: String, cOut: String) =>
+      s"""$sOut AS (SELECT cluster, i, CAST(sum(qv[i]) AS BIGINT) AS s,
+         |    count(*) AS n
+         |  FROM $aIn, generate_series(1, $EmbDim) t(i) GROUP BY 1, 2),
+         |$cOut AS (SELECT cluster AS cid,
+         |    list(CAST(s AS DOUBLE) ORDER BY i) AS cv,
+         |    max(n) AS n_members
+         |  FROM $sOut GROUP BY 1)""".stripMargin
+    val rounds = (1 to KmIters).map { i =>
+      assign(s"a$i", s"c${i - 1}") + ",\n" +
+        update(s"a$i", s"s$i", s"c$i")
+    }.mkString(",\n")
+    s"""raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id,
+       |    list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5)
+       |      AS BIGINT)) AS qv,
+       |    list_transform(v, x -> CAST(CAST(floor(x * 1000000.0 + 0.5)
+       |      AS BIGINT) AS DOUBLE)) AS qd
+       |  FROM raw),
+       |c0 AS (SELECT CAST(vec_id // $KmEvery AS BIGINT) AS cid,
+       |    list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM q WHERE vec_id % $KmEvery = 0),
+       |$rounds""".stripMargin
+  }
+
+  private def kmeansTrainSql =
+    s"""WITH $kmeansCtes
+       |SELECT cluster AS centroid_id, CAST(max(n) AS BIGINT) AS n_members,
+       |  CAST(sum(s) AS BIGINT) AS sum_c, min(s) AS min_c, max(s) AS max_c
+       |FROM s$KmIters GROUP BY cluster""".stripMargin
+
+  private def kmeansAssignSql = {
+    val finalAssign =
+      s"""fin AS (SELECT vec_id, cid AS cluster FROM (
+         |  SELECT q.vec_id, c.cid, row_number() OVER (
+         |      PARTITION BY q.vec_id ORDER BY
+         |      list_dot_product(q.qd, c.cv) /
+         |        (sqrt(list_dot_product(q.qd, q.qd))
+         |         * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+         |  FROM q, c$KmIters c) WHERE rn = 1)""".stripMargin
+    s"""WITH $kmeansCtes,
+       |$finalAssign
+       |SELECT vec_id, cluster FROM fin""".stripMargin
+  }
+
   /** DSIR target slice: documents from this source are "target-like". */
   private val DsirTarget = "src0"
   private val DsirScale = 10000L
@@ -1703,6 +1767,26 @@ object TrainingDataQueries {
           AnnK)
       },
       Some(annQuantSql)),
+
+    // exact k-means over the embedding corpus: integer sum-centroids,
+    // zero-shuffle literal-centroid assignment — the oracle reproduces
+    // every Lloyd round bit-for-bit (see kmeansCtes)
+    // output is a scalar digest of each centroid (exact integer sums):
+    // registry outputs stay array-free by convention (the driver's hash
+    // compare is defined over scalar cells)
+    "kmeans_train" -> QueryDef(
+      (s, d) => Similarity.kmeansTrainExact(table(s, d, "embeddings"),
+        "vec_id", "embedding", KmEvery, KmIters)
+        .select(col("centroid_id"), col("n_members"),
+          aggregate(col("cent_sum"), lit(0L), (a, x) => a + x).as("sum_c"),
+          array_min(col("cent_sum")).as("min_c"),
+          array_max(col("cent_sum")).as("max_c")),
+      Some(kmeansTrainSql)),
+
+    "kmeans_assign" -> QueryDef(
+      (s, d) => Similarity.kmeansAssignExact(table(s, d, "embeddings"),
+        "vec_id", "embedding", KmEvery, KmIters),
+      Some(kmeansAssignSql)),
 
     // bloom pre-filter for the incremental-dedup probe shape: the
     // corpus index's keys sketched into m bits, the batch tested

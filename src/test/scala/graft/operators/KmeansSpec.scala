@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class KmeansSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // two tight, well-separated direction blobs (cosine geometry): ids
+  // 0..49 hug +x, ids 50..99 hug +y; seeds every 50 start one centroid
+  // in each blob
+  private def blobs = {
+    val rnd = new scala.util.Random(7)
+    (0 until 100).map { i =>
+      val base = if (i < 50) Array(1f, 0f, 0f, 0f) else Array(0f, 1f, 0f, 0f)
+      val v = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("separated blobs resolve to their seed centroids") {
+    val a = Similarity.kmeansAssignExact(blobs, "vec_id", "embedding",
+      every = 50, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert((0L until 50L).forall(a(_) == 0L))
+    assert((50L until 100L).forall(a(_) == 1L))
+  }
+
+  test("train and assign agree: n_members matches the assignment counts") {
+    val cents = Similarity.kmeansTrainExact(blobs, "vec_id", "embedding",
+      every = 50, iters = 2)
+      .select("centroid_id", "n_members").as[(Long, Long)].collect().toMap
+    val counts = Similarity.kmeansAssignExact(blobs, "vec_id", "embedding",
+      every = 50, iters = 2)
+      .groupBy("cluster").count()
+      .as[(Long, Long)].collect().toMap
+    // n_members reports the LAST update round; on converged blobs the
+    // final assignment is identical
+    assert(cents == counts)
+  }
+
+  test("centroid sums are exact under any partitioning") {
+    val one = Similarity.kmeansTrainExact(blobs.repartition(1), "vec_id",
+      "embedding", every = 50, iters = 2).collect()
+    val many = Similarity.kmeansTrainExact(blobs.repartition(13), "vec_id",
+      "embedding", every = 50, iters = 2).collect()
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toList)).sortBy(_._1).toList
+    assert(canon(one) == canon(many))
+  }
+
+  test("a seed that attracts no vectors drops from the output") {
+    // 3 seeds (every=2 over 6 identical vectors): every sim ties, the
+    // min-cid tie-break sends everything to cluster 0, clusters 1-2
+    // attract nothing and vanish
+    val same = (0 until 6).map(i =>
+      (i.toLong, Array(1f, 0.5f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansTrainExact(same, "vec_id", "embedding",
+      every = 2, iters = 2).collect()
+    assert(cents.length == 1 && cents.head.getLong(1) == 6L)
+  }
+
+  test("trainCentroids is partitioning-invariant (decimal means)") {
+    val df = blobs
+    def run(parts: Int) =
+      Similarity.trainCentroids(df.repartition(parts), "vec_id",
+        "embedding", k = 2, iterations = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toList))
+        .sortBy(_._1).toList
+    assert(run(1) == run(11))
+  }
+}
