@@ -673,10 +673,12 @@ object TrainingDataQueries {
     * centroids, nearest-centroid assignment, 4-probe candidate join,
     * per-query rank — shared by the plain and quantized-index oracles.
     */
-  private val ivfBody =
-    s"""cent AS (SELECT CAST(vec_id // 50 AS BIGINT) AS centroid_id, v AS cv
-       |  FROM e WHERE vec_id % 50 = 0),
-       |asg AS (SELECT vec_id, v, centroid_id AS cluster FROM (
+  /** IVF search body (assign → probe → rank) over `e(vec_id, v)` and a
+    * `cent(centroid_id, cv)` CTE supplied by the caller — shared by the
+    * seeded, quantized-index, and kmeans-trained oracles.
+    */
+  private val ivfBodyNoCent =
+    s"""asg AS (SELECT vec_id, v, centroid_id AS cluster FROM (
        |  SELECT e.vec_id, e.v, c.centroid_id, row_number() OVER (
        |      PARTITION BY e.vec_id ORDER BY
        |      list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v))
@@ -700,6 +702,11 @@ object TrainingDataQueries {
        |      * sqrt(list_dot_product(v, v))) DESC, vec_id) AS rank
        |  FROM cand)""".stripMargin
 
+  private val ivfBody =
+    s"""cent AS (SELECT CAST(vec_id // 50 AS BIGINT) AS centroid_id, v AS cv
+       |  FROM e WHERE vec_id % 50 = 0),
+       |$ivfBodyNoCent""".stripMargin
+
   private val ivfSelect =
     s"""SELECT query_id, rank, neighbor_id FROM r
        |WHERE rank <= $AnnK""".stripMargin
@@ -708,6 +715,21 @@ object TrainingDataQueries {
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
        |    FROM embeddings),
        |$ivfBody
+       |$ivfSelect""".stripMargin
+
+  /** Kmeans-trained IVF: the self-contained index build — centroids are
+    * the exact-integer sum-centroids of [[kmeansCtes]]'s final Lloyd
+    * round, float-rounded exactly as Spark stores them (bigint → double
+    * → float; CAST AS FLOAT is the same round-to-nearest-even), then the
+    * standard IVF search body runs over them.
+    */
+  private def ivfTrainedSql =
+    s"""WITH $kmeansCtes,
+       |e AS (SELECT vec_id, v FROM raw),
+       |cent AS (SELECT cid AS centroid_id,
+       |    list_transform(cv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cv
+       |  FROM c$KmIters),
+       |$ivfBodyNoCent
        |$ivfSelect""".stripMargin
 
   /** Quantized-INDEX IVF: the 4x storage path composed with the
@@ -2031,6 +2053,26 @@ object TrainingDataQueries {
           AnnK, nprobe = 4)
       },
       Some(ivfSql)),
+
+    // the self-contained index build: kmeans-trained centroids (exact
+    // integer sums, float-rounded for storage) feeding the same IVF
+    // assign/probe/rank path — train + index + search in one verified
+    // chain
+    "ann_ivf_trained_topk" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val cents = Similarity.kmeansTrainExact(emb, "vec_id", "embedding",
+            KmEvery, KmIters)
+          .select(col("centroid_id"),
+            transform(col("cent_sum"), x => x.cast("double").cast("float"))
+              .as("embedding"))
+        val assigned = Similarity.ivfAssign(emb, cents, "vec_id",
+          "embedding")
+        Similarity.ivfTopK(assigned, cents,
+          emb.filter(col("vec_id") < AnnNumQueries), "vec_id", "embedding",
+          AnnK, nprobe = 4)
+      },
+      Some(ivfTrainedSql)),
 
     // product quantization: seeded codebook -> zero-exchange encode ->
     // per-query LUT -> ADC ranking, rank-exact vs the oracle replaying

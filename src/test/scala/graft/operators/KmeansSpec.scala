@@ -61,6 +61,30 @@ class KmeansSpec extends SparkSpecBase {
     assert(cents.length == 1 && cents.head.getLong(1) == 6L)
   }
 
+  test("trained centroids serve the IVF index at least as well as seeds") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 10)
+    def meanRecall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+      val approx = Similarity.ivfTopK(assigned, cents, queries, "vec_id",
+        "embedding", 10, nprobe = 4)
+      Similarity.recallAudit(exact, approx)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    }
+    val seeded = meanRecall(
+      Similarity.seedCentroids(emb, "vec_id", "embedding", every = 50))
+    val trained = meanRecall(
+      Similarity.kmeansTrainExact(emb, "vec_id", "embedding", 50, 2)
+        .select(col("centroid_id"),
+          expr("transform(cent_sum, x -> CAST(CAST(x AS DOUBLE) AS FLOAT))")
+            .as("embedding")))
+    info(f"recall@10 nprobe=4: seeded=$seeded%.3f trained=$trained%.3f")
+    assert(trained >= seeded,
+      s"training degraded index recall: $trained < $seeded")
+  }
+
   test("trainCentroids is partitioning-invariant (decimal means)") {
     val df = blobs
     def run(parts: Int) =
