@@ -364,7 +364,7 @@ object Similarity {
       .select(col("__id").as(idCol), col("cluster"))
   }
 
-  private def quantizeLong(corpus: DataFrame, idCol: String,
+  private[graft] def quantizeLong(corpus: DataFrame, idCol: String,
                            vecCol: String, quant: Double): DataFrame =
     corpus.select(col(idCol).cast("long").as("__id"),
       transform(col(vecCol),
@@ -374,7 +374,7 @@ object Similarity {
   /** Zero-shuffle nearest-centroid: per row, `array_max` over literal
     * struct(sim, -cid) — max sim, ties to the smallest centroid_id.
     */
-  private def assignToLiterals(q: DataFrame,
+  private[graft] def assignToLiterals(q: DataFrame,
                                cents: Seq[(Long, Array[Double])])
       : DataFrame = {
     val qd = transform(col("__qv"), x => x.cast("double"))
