@@ -51,6 +51,53 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= threshold)
   }
 
+  /** Count-based trainer for [[hashedClassifierScore]] — the piece that
+    * closes the quality-classifier loop INSIDE the engine (the serving
+    * path above ships externally-trained weights; curation practice
+    * trains on labeled slices of the corpus itself, CCNet/FineWeb-Edu
+    * style). Features are the scorer's, verbatim (word unigrams + word
+    * bigrams, multiset, hashed into `dim` buckets), labels come from
+    * `labelCol` (e.g. `col("source") === "wiki"` for
+    * "target-domain-like"). Each bucket's weight is its smoothed
+    * class posterior in fixed point, centered at zero:
+    * `w = (2*scale*(pos+1)) div (pos+neg+2) - scale` — the
+    * posterior-mean flavor of naive Bayes (per-feature P(pos|f),
+    * averaged by the scorer), kept in EXACT integer arithmetic so the
+    * learned weights are bit-reproducible cross-engine (a log-odds
+    * formulation would ride on ln(), whose last ulp differs across
+    * libms). Unseen buckets score 0 (= posterior 1/2, uninformative).
+    *
+    * Scale shape: one map-side-partial groupBy over (bucket) — the
+    * shuffle carries at most `dim` rows per task; the trained table is
+    * a `dim`-row model artifact. [[nbWeightsArray]] collects it for the
+    * scorer's literal-array serving path.
+    */
+  def nbTrainHashed(docs: DataFrame, label: Column, textCol: String,
+                    dim: Int, scale: Long = 1000L): DataFrame = {
+    require(dim > 0 && scale > 0, "dim and scale must be positive")
+    val uni = split(trim(lower(col(textCol))), "\\s+")
+    val bi = Dedup.shingles(col(textCol), 2)
+    docs.select(label.as("__pos"), concat(uni, bi).as("__f"))
+      .select(col("__pos"), explode(col("__f")).as("f"))
+      .select(col("__pos"), (hash60(col("f")) % dim).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("pos_n"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("neg_n"))
+      .withColumn("weight",
+        expr(s"(2 * $scale * (pos_n + 1)) div (pos_n + neg_n + 2)")
+          - lit(scale))
+  }
+
+  /** The trained model as the scorer's literal weight vector: bucket ->
+    * weight, unseen buckets 0. A `dim`-int driver artifact (the
+    * PQ-codebook/vocab pattern), NOT corpus-sized data.
+    */
+  def nbWeightsArray(trained: DataFrame, dim: Int): Seq[Int] = {
+    val m = trained.select(col("bucket"), col("weight")).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+    (0 until dim).map(b => m.getOrElse(b, 0))
+  }
+
   /** Stopword marker lists per language for the n-gram/stopword heuristic
     * language identifier. Public knowledge (common function words).
     */

@@ -499,6 +499,48 @@ object TrainingDataQueries {
        |FROM s""".stripMargin
   }
 
+  /** Trainer oracle CTEs (shared by classifier_train and
+    * classifier_train_score): the scorer's exact feature pipeline
+    * (unigrams + word bigrams, hash60 % dim buckets), labels = source
+    * equals the DSIR target slice, fixed-point smoothed posterior
+    * weights in pure integer arithmetic.
+    */
+  private def nbTrainCtes =
+    s"""fe AS (SELECT doc_id, unnest(list_concat(ws,
+       |    list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i+1]))) AS f
+       |  FROM words),
+       |b AS (SELECT doc_id,
+       |    ${StableHash.hash60Sql("f")} % $ClsDim AS j
+       |  FROM fe),
+       |lab AS (SELECT doc_id, source = '$DsirTarget' AS pos
+       |  FROM documents),
+       |cnt AS (SELECT j AS bucket,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_n,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_n
+       |  FROM b JOIN lab USING (doc_id) GROUP BY 1),
+       |wt AS (SELECT bucket, pos_n, neg_n,
+       |    (2 * 1000 * (pos_n + 1)) // (pos_n + neg_n + 2) - 1000
+       |      AS weight
+       |  FROM cnt)""".stripMargin
+
+  private def nbTrainSql =
+    s"""WITH $wordsCte,
+       |$nbTrainCtes
+       |SELECT bucket, pos_n, neg_n, CAST(weight AS BIGINT) AS weight
+       |FROM wt""".stripMargin
+
+  private def nbTrainScoreSql =
+    s"""WITH $wordsCte,
+       |$nbTrainCtes,
+       |s2 AS (SELECT doc_id, count(*) AS n_feats,
+       |    CAST(sum(coalesce(wt.weight, 0)) AS BIGINT) AS raw
+       |  FROM b LEFT JOIN wt ON b.j = wt.bucket GROUP BY doc_id)
+       |SELECT doc_id, n_feats, raw AS raw_score,
+       |  CAST(raw AS DOUBLE) / greatest(n_feats, 1) AS score,
+       |  CAST(raw AS DOUBLE) / greatest(n_feats, 1) >= 0.0 AS keep
+       |FROM s2""".stripMargin
+
   /** Hyperplane-LSH near-dup oracle, mirroring Dedup.embeddingNearDups:
     * dense plane ids via row_number over the lowest-EmbPlanes vectors,
     * banded signatures, UNION of per-band bucket joins (UNION = set
@@ -2135,6 +2177,26 @@ object TrainingDataQueries {
       (s, d) => TextAnalysis.hashedClassifierScore(
         table(s, d, "documents"), "doc_id", "text", ClsWeights),
       Some(classifierSql)),
+
+    // classifier TRAINING inside the engine: label = "is the DSIR
+    // target slice", weights = fixed-point smoothed per-bucket class
+    // posteriors — exact integer arithmetic end to end
+    "classifier_train" -> QueryDef(
+      (s, d) => TextAnalysis.nbTrainHashed(table(s, d, "documents"),
+        col("source") === DsirTarget, "text", ClsDim),
+      Some(nbTrainSql)),
+
+    // train -> collect the dim-int model artifact -> serve through the
+    // UNCHANGED hashedClassifierScore literal-array path
+    "classifier_train_score" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val w = TextAnalysis.nbWeightsArray(
+          TextAnalysis.nbTrainHashed(docs,
+            col("source") === DsirTarget, "text", ClsDim), ClsDim)
+        TextAnalysis.hashedClassifierScore(docs, "doc_id", "text", w)
+      },
+      Some(nbTrainScoreSql)),
 
     "pipeline_filter_funnel" -> QueryDef(
       (s, d) => TextAnalysis.filterFunnel(table(s, d, "documents"),

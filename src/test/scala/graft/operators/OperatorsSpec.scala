@@ -785,6 +785,36 @@ class OperatorsSpec extends SparkSpecBase {
     assert(neg.forall(_ == false))
   }
 
+  test("nbTrainHashed: trained weights separate labeled slices") {
+    // positive docs speak one vocabulary, negative another; the trained
+    // scorer must rank every held-out positive above every negative
+    val docs = Seq(
+      (1L, "good fine great", true), (2L, "fine good good", true),
+      (3L, "bad awful spam", false), (4L, "spam bad bad", false),
+      (5L, "great fine", true), (6L, "awful spam", false))
+      .toDF("doc_id", "text", "pos")
+    val dim = 64
+    val trained = TextAnalysis.nbTrainHashed(docs, col("pos"), "text", dim)
+    val rows = trained.collect()
+    // weights live in [-scale, scale] and counts are exact
+    assert(rows.forall(r => math.abs(r.getLong(3)) <= 1000L))
+    // positive feature instances: (3+2) + (3+2) + (2+1) uni+bi = 13
+    assert(rows.map(r => r.getLong(1)).sum == 13L)
+    val w = TextAnalysis.nbWeightsArray(trained, dim)
+    val scored = TextAnalysis.hashedClassifierScore(docs, "doc_id",
+      "text", w).collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val posMin = Seq(1L, 2L, 5L).map(scored).min
+    val negMax = Seq(3L, 4L, 6L).map(scored).max
+    assert(posMin > 0 && negMax < 0 && posMin > negMax,
+      s"trained classifier failed to separate: posMin=$posMin negMax=$negMax")
+    // partitioning invariance: exact integer counts
+    val re = TextAnalysis.nbTrainHashed(docs.repartition(7), col("pos"),
+      "text", dim).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(re.toSeq == rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq)
+  }
+
   test("oovRate: vocab misses counted per instance, vocab broadcast") {
     // vocab size 2 -> {"aa", "bb"} (counts 3, 2); "zz"/"qq" are OOV
     val docs = Seq((1L, "aa aa bb"), (2L, "aa bb zz"), (3L, "zz qq"))
