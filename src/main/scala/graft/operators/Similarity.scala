@@ -376,14 +376,44 @@ object Similarity {
     */
   private[graft] def assignToLiterals(q: DataFrame,
                                cents: Seq[(Long, Array[Double])])
-      : DataFrame = {
+      : DataFrame =
+    assignScoredToLiterals(q, cents).drop("__sim")
+
+  /** [[assignToLiterals]] keeping the winning cosine as `__sim` — the
+    * diagnostics consumers (outliers, cohesion) need the value, not
+    * just the argmax.
+    */
+  private[graft] def assignScoredToLiterals(q: DataFrame,
+      cents: Seq[(Long, Array[Double])]): DataFrame = {
     val qd = transform(col("__qv"), x => x.cast("double"))
     val scored = array(cents.sortBy(_._1).map { case (cid, v) =>
       struct(
         VectorOps.cosineD(qd, typedLit(v.toSeq)).as("sim"),
         lit(-cid).as("tb"))
     }: _*)
-    q.withColumn("cluster", (-array_max(scored).getField("tb")).cast("long"))
+    q.withColumn("__best", array_max(scored))
+      .withColumn("cluster", (-col("__best").getField("tb")).cast("long"))
+      .withColumn("__sim", col("__best").getField("sim"))
+      .drop("__best")
+  }
+
+  /** Per-vector clustering diagnostics over the [[kmeansTrainExact]]
+    * model: `(idCol, cluster, sim_q)` where `sim_q` is the winning
+    * cosine in fixed point (`floor(sim * 1e9 + 0.5)` — exact, so
+    * per-cluster rollups of it are order-insensitive integers and the
+    * oracle agrees bit-for-bit). Low `sim_q` = the vector sits far from
+    * EVERY centroid: the outlier / dirty-embedding signal SemDeDup and
+    * the IVF index both want screened out before it poisons a cluster.
+    * Same zero-shuffle literal-assignment scan as training.
+    */
+  def kmeansDiagnostics(corpus: DataFrame, idCol: String, vecCol: String,
+                        every: Int = 50, iters: Int = 2,
+                        quant: Double = 1e6): DataFrame = {
+    val cents = kmeansLoopExact(corpus, idCol, vecCol, every, iters, quant)
+    assignScoredToLiterals(quantizeLong(corpus, idCol, vecCol, quant),
+      cents.map { case (cid, _, s) => (cid, s.map(_.toDouble)) })
+      .select(col("__id").as(idCol), col("cluster"),
+        floor(col("__sim") * lit(1e9) + lit(0.5)).cast("long").as("sim_q"))
   }
 
   private def kmeansLoopExact(corpus: DataFrame, idCol: String,

@@ -1220,6 +1220,9 @@ object TrainingDataQueries {
   // component quantization (Similarity.kmeansTrainExact defaults)
   private val KmEvery = 50
   private val KmIters = 2
+  // outlier flag: winning cosine below this fixed-point bound (1e9
+  // scale) means the vector sits far from every trained centroid
+  private val OutlierSimQ = 200000000L
 
   /** Oracle CTE chain for [[Similarity.kmeansTrainExact]], unrolled to
     * `KmIters` assign/update rounds. All arithmetic is the operator's:
@@ -1259,6 +1262,37 @@ object TrainingDataQueries {
        |  FROM q WHERE vec_id % $KmEvery = 0),
        |$rounds""".stripMargin
   }
+
+  /** Final-assignment CTE with the winning cosine kept and fixed-point
+    * quantized — shared by the cohesion and outlier oracles.
+    */
+  private def kmeansDiagCtes =
+    s"""fin AS (SELECT vec_id, cid AS cluster,
+       |    CAST(floor(sim * 1000000000.0 + 0.5) AS BIGINT) AS sim_q
+       |  FROM (
+       |  SELECT q.vec_id, c.cid,
+       |    list_dot_product(q.qd, c.cv) /
+       |      (sqrt(list_dot_product(q.qd, q.qd))
+       |       * sqrt(list_dot_product(c.cv, c.cv))) AS sim,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_dot_product(q.qd, c.cv) /
+       |        (sqrt(list_dot_product(q.qd, q.qd))
+       |         * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+       |  FROM q, c$KmIters c) WHERE rn = 1)""".stripMargin
+
+  private def kmeansCohesionSql =
+    s"""WITH $kmeansCtes,
+       |$kmeansDiagCtes
+       |SELECT cluster, count(*) AS n,
+       |  CAST(sum(sim_q) AS BIGINT) AS sum_sim_q,
+       |  min(sim_q) AS min_sim_q
+       |FROM fin GROUP BY cluster""".stripMargin
+
+  private def embOutliersSql =
+    s"""WITH $kmeansCtes,
+       |$kmeansDiagCtes
+       |SELECT vec_id, cluster, sim_q FROM fin
+       |WHERE sim_q < $OutlierSimQ""".stripMargin
 
   private def kmeansTrainSql =
     s"""WITH $kmeansCtes
@@ -1851,6 +1885,25 @@ object TrainingDataQueries {
       (s, d) => Similarity.kmeansAssignExact(table(s, d, "embeddings"),
         "vec_id", "embedding", KmEvery, KmIters),
       Some(kmeansAssignSql)),
+
+    // per-cluster cohesion report: exact integer rollups of the
+    // fixed-point winning cosine — the "is this clustering any good /
+    // which cluster is mush" acceptance metric
+    "kmeans_cohesion" -> QueryDef(
+      (s, d) => Similarity.kmeansDiagnostics(table(s, d, "embeddings"),
+          "vec_id", "embedding", KmEvery, KmIters)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("sim_q")).as("sum_sim_q"),
+          min(col("sim_q")).as("min_sim_q")),
+      Some(kmeansCohesionSql)),
+
+    // embedding outliers: far from EVERY centroid — the dirty-vector
+    // screen to run before SemDeDup / IVF trust the geometry
+    "embedding_outliers" -> QueryDef(
+      (s, d) => Similarity.kmeansDiagnostics(table(s, d, "embeddings"),
+          "vec_id", "embedding", KmEvery, KmIters)
+        .filter(col("sim_q") < OutlierSimQ),
+      Some(embOutliersSql)),
 
     // bloom pre-filter for the incremental-dedup probe shape: the
     // corpus index's keys sketched into m bits, the batch tested

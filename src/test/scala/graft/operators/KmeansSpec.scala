@@ -61,6 +61,22 @@ class KmeansSpec extends SparkSpecBase {
     assert(cents.length == 1 && cents.head.getLong(1) == 6L)
   }
 
+  test("diagnostics flag a planted orthogonal outlier") {
+    // blobs live in the x/y plane; vector 101 points along z (101 is
+    // NOT divisible by every=50, so it cannot seed its own centroid) — far from
+    // both trained centroids, it must carry the smallest sim_q
+    val planted = blobs.union(
+      Seq((101L, Array(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"))
+    val d = Similarity.kmeansDiagnostics(planted, "vec_id", "embedding",
+      every = 50, iters = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val outlier = d(101L)
+    assert(d.filter(_._1 != 101L).values.forall(_ > outlier),
+      s"planted outlier not minimal: $outlier")
+    // fixed-point cosines stay in [-1e9, 1e9]
+    assert(d.values.forall(v => v >= -1000000000L && v <= 1000000000L))
+  }
+
   test("trained centroids serve the IVF index at least as well as seeds") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 20)
