@@ -88,6 +88,26 @@ object TextAnalysis {
           - lit(scale))
   }
 
+  /** The classifier as a SCAN PREDICATE — the shape curation pipelines
+    * compose (the round-12 finding: filter stages should be predicates,
+    * not keep-list joins). `minScore` is an integer score bound applied
+    * exactly: `raw >= minScore * n_feats` is the integer form of
+    * `score >= minScore` with no float comparison at the boundary.
+    */
+  def classifierKeep(text: Column, weights: Seq[Int],
+                     minScore: Long): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val dim = weights.length
+    val warr = array(weights.map(w => lit(w)): _*)
+    val f = concat(split(trim(lower(text)), "\\s+"),
+      Dedup.shingles(text, 2))
+    val raw = aggregate(
+      transform(f, x =>
+        element_at(warr, (hash60(x) % dim + 1).cast("int")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    raw >= lit(minScore) * size(f).cast("long")
+  }
+
   /** The trained model as the scorer's literal weight vector: bucket ->
     * weight, unseen buckets 0. A `dim`-int driver artifact (the
     * PQ-codebook/vocab pattern), NOT corpus-sized data.

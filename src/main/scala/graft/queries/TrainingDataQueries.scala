@@ -530,6 +530,37 @@ object TrainingDataQueries {
        |SELECT bucket, pos_n, neg_n, CAST(weight AS BIGINT) AS weight
        |FROM wt""".stripMargin
 
+  // classified-curate keep bound (integer score scale): the corpus
+  // vocabulary is tiny so trained scores cluster near -880; -878 keeps
+  // the more-target-like quarter of the fixture
+  private val CurateMinScore = -878L
+
+  /** Composed pipeline oracle: train -> integer-threshold keep -> exact
+    * dedup on normalized text -> per-source doc/token digest. Every
+    * stage is set-dependent on the previous one's survivors.
+    */
+  private def classifiedCurateSql = {
+    val normExpr = "trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^\\p{L}\\p{N}\\s]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+    s"""WITH $wordsCte,
+       |$nbTrainCtes,
+       |s2 AS (SELECT doc_id, count(*) AS n_feats,
+       |    CAST(sum(coalesce(wt.weight, 0)) AS BIGINT) AS raw
+       |  FROM b LEFT JOIN wt ON b.j = wt.bucket GROUP BY doc_id),
+       |keep AS (SELECT doc_id FROM s2
+       |  WHERE raw >= ($CurateMinScore) * n_feats),
+       |kd AS (SELECT d.doc_id, d.source, d.text
+       |  FROM documents d JOIN keep USING (doc_id)),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM (
+       |  SELECT doc_id, ${StableHash.hash60Sql(normExpr)} AS nh FROM kd)
+       |  GROUP BY nh),
+       |fin AS (SELECT kd.doc_id, kd.source FROM kd JOIN canon
+       |  USING (doc_id))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(len(ws)) AS BIGINT) AS n_tokens
+       |FROM fin JOIN words USING (doc_id) GROUP BY source""".stripMargin
+  }
+
   private def nbTrainScoreSql =
     s"""WITH $wordsCte,
        |$nbTrainCtes,
@@ -2238,6 +2269,30 @@ object TrainingDataQueries {
       (s, d) => TextAnalysis.nbTrainHashed(table(s, d, "documents"),
         col("source") === DsirTarget, "text", ClsDim),
       Some(nbTrainSql)),
+
+    // the eighth composed pipeline: train the classifier on the target
+    // slice, apply it as a SCAN PREDICATE (exact integer threshold),
+    // exact-dedup the survivors on normalized text, digest per source —
+    // set-dependent through every stage
+    "pipeline_classified_curate" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val w = TextAnalysis.nbWeightsArray(
+          TextAnalysis.nbTrainHashed(docs,
+            col("source") === DsirTarget, "text", ClsDim), ClsDim)
+        val kept = docs.filter(
+          TextAnalysis.classifierKeep(col("text"), w, CurateMinScore))
+        val keepIds = Dedup.exact(
+          kept.select(col("doc_id"),
+            TextAnalysis.normalizeForHash(col("text")).as("__norm")),
+          "doc_id", "__norm").select(col("keep_id").as("doc_id"))
+        kept.join(keepIds, "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
+              .as("n_tokens"))
+      },
+      Some(classifiedCurateSql)),
 
     // train -> collect the dim-int model artifact -> serve through the
     // UNCHANGED hashedClassifierScore literal-array path
