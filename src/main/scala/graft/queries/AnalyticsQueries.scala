@@ -232,6 +232,71 @@ object AnalyticsQueries {
              |    AS total_value_str
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Markov transition matrix over per-user event sequences: the
+    // "user journey" report. lead() runs per user (many tiny groups —
+    // the regime where a window is the scale-correct tool); transition
+    // probabilities are fixed-point integers (n*1e6 div row_total), so
+    // the matrix is hash-exact cross-engine
+    "event_transitions" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"),
+          col("event_id"))
+        val counts = events(s, d)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"),
+            col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("row_total",
+            sum(col("n")).over(Window.partitionBy(col("from_type"))))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("(n * 1000000) div row_total").as("p_q"))
+      },
+      Some("""WITH nx AS (SELECT user_id, event_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS next_type
+             |  FROM events),
+             |c AS (SELECT event_type AS from_type, next_type AS to_type,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM nx WHERE next_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  CAST((n * 1000000) // CAST(sum(n) OVER (
+             |    PARTITION BY from_type) AS BIGINT) AS BIGINT) AS p_q
+             |FROM c""".stripMargin)),
+
+    // 3-sigma metric anomalies with NO floating point anywhere: values
+    // quantize to 2-decimal integers, and |v - mean| > 3*sigma is
+    // compared in its cross-multiplied integer form
+    // (n*v - S)^2 > 9*(n*S2 - S^2) — exact at any partitioning, exact
+    // across engines. Per-type stats broadcast back onto the scan.
+    "metric_anomalies" -> QueryDef(
+      (s, d) => {
+        val e = events(s, d).select(col("event_id"), col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
+        val stats = e.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+            sum(col("v") * col("v")).as("s2"))
+        val diff = (col("n") * col("v") - col("s")).cast("decimal(38,0)")
+        e.join(broadcast(stats), "event_type")
+          .filter(diff * diff >
+            lit(9).cast("decimal(38,0)") *
+              (col("n") * col("s2") - col("s") * col("s"))
+                .cast("decimal(38,0)"))
+          .select(col("event_id"), col("event_type"), col("v").as("value_q"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+             |  FROM events),
+             |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             |    CAST(sum(v) AS HUGEINT) AS s,
+             |    CAST(sum(v * v) AS HUGEINT) AS s2
+             |  FROM e GROUP BY 1)
+             |SELECT event_id, event_type, v AS value_q
+             |FROM e JOIN st USING (event_type)
+             |WHERE (n * v - s) * (n * v - s) > 9 * (n * s2 - s * s)"""
+        .stripMargin)),
+
     "stream_sessionize" -> QueryDef(
       (s, d) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"),
