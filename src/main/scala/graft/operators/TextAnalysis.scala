@@ -83,10 +83,18 @@ object TextAnalysis {
       .groupBy(col("bucket"))
       .agg(sum(when(col("__pos"), 1L).otherwise(0L)).as("pos_n"),
         sum(when(!col("__pos"), 1L).otherwise(0L)).as("neg_n"))
-      .withColumn("weight",
-        expr(s"(2 * $scale * (pos_n + 1)) div (pos_n + neg_n + 2)")
-          - lit(scale))
+      .transform(withNbWeight(_, scale))
   }
+
+  /** The fixed-point posterior weight from (pos_n, neg_n) counts —
+    * shared by the batch trainer and the streaming count-maintenance
+    * twin (counts are additive, so the maintained table re-derives
+    * weights identical to a full retrain).
+    */
+  def withNbWeight(counts: DataFrame, scale: Long = 1000L): DataFrame =
+    counts.withColumn("weight",
+      expr(s"(2 * $scale * (pos_n + 1)) div (pos_n + neg_n + 2)")
+        - lit(scale))
 
   /** The classifier as a SCAN PREDICATE — the shape curation pipelines
     * compose (the round-12 finding: filter stages should be predicates,
