@@ -88,5 +88,10 @@ object SparkEntry {
     // nodes / 1.3M edges, and the gap widens with corpus size: the
     // merge's iterative work is bounded by the touched components, not
     // the graph)
-    "kmeans_train")
+    "kmeans_train",
+    // second-half round-12 additions: in-engine classifier training,
+    // the classifier-gated curation pipeline, and the events-family
+    // pair (per-user transition matrix; float-free 3-sigma anomalies)
+    "classifier_train", "pipeline_classified_curate",
+    "event_transitions", "metric_anomalies")
 }
