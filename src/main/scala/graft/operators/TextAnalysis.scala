@@ -34,18 +34,16 @@ object TextAnalysis {
                             weights: Seq[Int], threshold: Double = 0.0)
       : DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
-    val dim = weights.length
-    val warr = array(weights.map(w => lit(w)): _*)
-    val uni = split(trim(lower(col(textCol))), "\\s+")
-    val bi = Dedup.shingles(col(textCol), 2)
-    docs.select(col(idCol), concat(uni, bi).as("__f"))
+    // single-pass codegen kernel (no feature-array materialization, no
+    // per-feature interpreted md5 chain) — semantics identical to the
+    // composed concat(unigrams, bigrams) + hash-bucket-sum form, which
+    // remains the shape of the DuckDB oracle
+    docs.select(col(idCol),
+        graft.functions.HashedBagScore.score(col(textCol), weights)
+          .as("__s"))
       .select(col(idCol),
-        size(col("__f")).cast("long").as("n_feats"),
-        aggregate(
-          transform(col("__f"), f =>
-            element_at(warr, (hash60(f) % dim + 1).cast("int"))
-              .cast("long")),
-          lit(0L), (acc, x) => acc + x).as("raw_score"))
+        col("__s").getField("n_feats").as("n_feats"),
+        col("__s").getField("raw_score").as("raw_score"))
       .withColumn("score", col("raw_score").cast("double") /
         greatest(col("n_feats"), lit(1L)).cast("double"))
       .withColumn("keep", col("score") >= threshold)
@@ -105,15 +103,8 @@ object TextAnalysis {
   def classifierKeep(text: Column, weights: Seq[Int],
                      minScore: Long): Column = {
     require(weights.nonEmpty, "weights must be non-empty")
-    val dim = weights.length
-    val warr = array(weights.map(w => lit(w)): _*)
-    val f = concat(split(trim(lower(text)), "\\s+"),
-      Dedup.shingles(text, 2))
-    val raw = aggregate(
-      transform(f, x =>
-        element_at(warr, (hash60(x) % dim + 1).cast("int")).cast("long")),
-      lit(0L), (acc, x) => acc + x)
-    raw >= lit(minScore) * size(f).cast("long")
+    val s = graft.functions.HashedBagScore.score(text, weights)
+    s.getField("raw_score") >= lit(minScore) * s.getField("n_feats")
   }
 
   /** The trained model as the scorer's literal weight vector: bucket ->
