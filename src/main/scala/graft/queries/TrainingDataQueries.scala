@@ -3397,6 +3397,80 @@ object TrainingDataQueries {
               |SELECT cluster, rank, term, ctf, dfc, score FROM rk
               |WHERE rank <= 5""".stripMargin)),
 
+    // the data-map report: TRAINED clusters (not seeded), each with
+    // size, token mass, exact cohesion, outlier count, and its top-3
+    // distinguishing terms — every number flows through the trained
+    // assignment, so a wrong Lloyd round breaks the hash
+    "pipeline_data_map" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val docs = table(s, d, "documents")
+        val diag = Similarity.kmeansDiagnostics(emb, "vec_id",
+          "embedding", KmEvery, KmIters)
+        val clustered = docs.join(
+            diag.select(col("vec_id").as("doc_id"), col("cluster"),
+              col("sim_q")), "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val stats = clustered.groupBy(col("cluster")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          sum(col("sim_q")).as("sum_sim_q"),
+          sum(when(col("sim_q") < OutlierSimQ, 1L).otherwise(0L))
+            .as("n_outliers"))
+        val ct = clustered.select(col("cluster"),
+            explode(graft.functions.TextShingles.wordTermCounts(
+              col("text"))).as("tc"))
+          .select(col("cluster"), col("tc.term").as("term"),
+            col("tc.tf").as("tf"))
+          .filter(col("term") =!= "")
+          .groupBy(col("cluster"), col("term"))
+          .agg(sum(col("tf")).as("ctf"))
+        val nc = ct.agg(count_distinct(col("cluster")).as("n_clusters"))
+        val dfc = ct.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+        val labels = ct.join(dfc, "term").crossJoin(broadcast(nc))
+          .withColumn("score",
+            expr("ctf * ((n_clusters * 1000000L) div dfc)"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("cluster"))
+              .orderBy(col("score").desc, col("term").asc)))
+          .filter(col("rank") <= 3)
+          .select(col("cluster"), col("rank").cast("long").as("rank"),
+            col("term"))
+        val result = stats.join(labels, "cluster")
+        Dedup.releaseAfter(result, clustered)
+      },
+      Some(s"""WITH $kmeansCtes,
+              |$kmeansDiagCtes,
+              |cl AS (SELECT f.vec_id AS doc_id, f.cluster, f.sim_q,
+              |    d.text FROM fin f JOIN documents d
+              |  ON d.doc_id = f.vec_id),
+              |st AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(len(string_split_regex(trim(lower(text)),
+              |      '\\s+'))) AS BIGINT) AS n_tokens,
+              |    CAST(sum(sim_q) AS BIGINT) AS sum_sim_q,
+              |    CAST(sum(CASE WHEN sim_q < $OutlierSimQ THEN 1 ELSE 0
+              |      END) AS BIGINT) AS n_outliers
+              |  FROM cl GROUP BY cluster),
+              |ti AS (SELECT cluster,
+              |    unnest(string_split_regex(trim(lower(text)), '\\s+'))
+              |      AS term FROM cl),
+              |tc AS (SELECT cluster, term, count(*) AS ctf FROM ti
+              |  WHERE term <> '' GROUP BY cluster, term),
+              |nc AS (SELECT count(DISTINCT cluster) AS n_clusters FROM tc),
+              |dfc AS (SELECT term, count(*) AS dfc FROM tc GROUP BY term),
+              |sc AS (SELECT cluster, tc.term, ctf * ((n_clusters *
+              |    1000000) // dfc) AS score
+              |  FROM tc JOIN dfc ON tc.term = dfc.term, nc),
+              |rk AS (SELECT cluster, term, row_number() OVER (
+              |    PARTITION BY cluster ORDER BY score DESC, term)
+              |    AS rank FROM sc)
+              |SELECT st.cluster, n_docs, n_tokens, sum_sim_q, n_outliers,
+              |  CAST(rank AS BIGINT) AS rank, term
+              |FROM st JOIN rk ON st.cluster = rk.cluster
+              |WHERE rank <= 3""".stripMargin)),
+
     "text_phrase_search" -> QueryDef(
       (s, d) => graft.operators.TextSearch.phraseSearch(
         table(s, d, "documents"), "doc_id", "text", "batch batch"),
