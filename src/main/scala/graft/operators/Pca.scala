@@ -53,8 +53,32 @@ object Pca {
     // filters the same way): GramAgg.update already skips null arrays,
     // but leaving the scale max / oracle count(*) to disagree about them
     // would make hash parity depend on the dataset never containing one
-    val stats = quantizeGlobal(df.filter(col(vecCol).isNotNull), vecCol)
-      .agg(GramAgg.gram(col("q"), dim).as("st"))
+    momentsOf(quantizeGlobal(df.filter(col(vecCol).isNotNull), vecCol),
+      dim)
+  }
+
+  /** [[momentRows]] under a CALLER-SUPPLIED one-row scale frame — the
+    * incremental-maintenance shape: the quantization scale is part of
+    * the trained model (frozen, like IVF centroids or a PQ codebook),
+    * and because the `[n, Σq, Σq·qᵀ]` moments are exact integer SUMS
+    * under a fixed scale, per-slice moments ADD — `moments(old) ⊎
+    * moments(batch) = moments(old ∪ batch)` bit-for-bit. The
+    * `pca_incremental_moments` query proves it against the full-corpus
+    * oracle.
+    */
+  def momentRowsWithScale(df: DataFrame, vecCol: String, dim: Int,
+                          scale: DataFrame): DataFrame =
+    momentsOf(
+      df.filter(col(vecCol).isNotNull)
+        .crossJoin(broadcast(scale))
+        .withColumn("q", transform(col(vecCol), x =>
+          when(col("gscale") === 0.0, lit(0.0))
+            .otherwise(floor(x.cast("double") / col("gscale") + 0.5))
+            .cast("int"))),
+      dim)
+
+  private def momentsOf(quantized: DataFrame, dim: Int): DataFrame = {
+    val stats = quantized.agg(GramAgg.gram(col("q"), dim).as("st"))
     val (iIdx, jIdx) = momentIndex(dim)
     stats.select(posexplode(col("st")).as(Seq("pos", "s")))
       .select(

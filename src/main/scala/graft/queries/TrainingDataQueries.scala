@@ -499,6 +499,32 @@ object TrainingDataQueries {
        |FROM s""".stripMargin
   }
 
+  /** Exact quantized Gram-moment oracle (shared by the full-corpus
+    * embedding_gram_quantized and the additive pca_incremental_moments).
+    */
+  private val gramMomentsSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |    FROM embeddings WHERE embedding IS NOT NULL),
+      |g AS (SELECT max(list_max(list_transform(v, x -> abs(x))))
+      |    / 127.0 AS gscale FROM e),
+      |q AS (SELECT vec_id, list_transform(v, x ->
+      |    CAST(floor(CASE WHEN gscale = 0 THEN 0.0
+      |      ELSE x / gscale + 0.5 END) AS INT)) AS q FROM e, g),
+      |u AS (SELECT vec_id, s.i AS i, s.qi AS qi FROM q,
+      |    unnest(list_transform(range(1, len(q) + 1),
+      |      k -> {'i': CAST(k - 1 AS INT), 'qi': q[k]})) AS t(s)),
+      |gram AS (SELECT u1.i AS i, u2.i AS j,
+      |    CAST(sum(CAST(u1.qi AS BIGINT) * u2.qi) AS BIGINT) AS s
+      |  FROM u u1 JOIN u u2
+      |    ON u1.vec_id = u2.vec_id AND u1.i <= u2.i
+      |  GROUP BY 1, 2),
+      |sums AS (SELECT i, CAST(-1 AS INT) AS j,
+      |    CAST(sum(qi) AS BIGINT) AS s FROM u GROUP BY 1),
+      |n AS (SELECT CAST(-1 AS INT) AS i, CAST(-1 AS INT) AS j,
+      |  count(*) AS s FROM e)
+      |SELECT * FROM gram UNION ALL SELECT * FROM sums
+      |UNION ALL SELECT * FROM n""".stripMargin
+
   /** Trainer oracle CTEs (shared by classifier_train and
     * classifier_train_score): the scorer's exact feature pipeline
     * (unigrams + word bigrams, hash60 % dim buckets), labels = source
@@ -2903,27 +2929,27 @@ object TrainingDataQueries {
     "embedding_gram_quantized" -> QueryDef(
       (s, d) => graft.operators.Pca.momentRows(
         table(s, d, "embeddings"), "embedding", 64),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-             |    FROM embeddings WHERE embedding IS NOT NULL),
-             |g AS (SELECT max(list_max(list_transform(v, x -> abs(x))))
-             |    / 127.0 AS gscale FROM e),
-             |q AS (SELECT vec_id, list_transform(v, x ->
-             |    CAST(floor(CASE WHEN gscale = 0 THEN 0.0
-             |      ELSE x / gscale + 0.5 END) AS INT)) AS q FROM e, g),
-             |u AS (SELECT vec_id, s.i AS i, s.qi AS qi FROM q,
-             |    unnest(list_transform(range(1, len(q) + 1),
-             |      k -> {'i': CAST(k - 1 AS INT), 'qi': q[k]})) AS t(s)),
-             |gram AS (SELECT u1.i AS i, u2.i AS j,
-             |    CAST(sum(CAST(u1.qi AS BIGINT) * u2.qi) AS BIGINT) AS s
-             |  FROM u u1 JOIN u u2
-             |    ON u1.vec_id = u2.vec_id AND u1.i <= u2.i
-             |  GROUP BY 1, 2),
-             |sums AS (SELECT i, CAST(-1 AS INT) AS j,
-             |    CAST(sum(qi) AS BIGINT) AS s FROM u GROUP BY 1),
-             |n AS (SELECT CAST(-1 AS INT) AS i, CAST(-1 AS INT) AS j,
-             |  count(*) AS s FROM e)
-             |SELECT * FROM gram UNION ALL SELECT * FROM sums
-             |UNION ALL SELECT * FROM n""".stripMargin)),
+      Some(gramMomentsSql)),
+
+    // incremental PCA: moments are exact integer sums under the FROZEN
+    // full-corpus scale, so per-slice moments ADD — old(90%) + batch
+    // merged by (i, j) hash-matches the full-corpus oracle (the same
+    // gramMomentsSql), proving moments(old) ⊎ moments(batch) =
+    // moments(all)
+    "pca_incremental_moments" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Pca
+        val emb = table(s, d, "embeddings")
+        val scale = Pca.globalScale(
+          emb.filter(col("embedding").isNotNull), "embedding")
+        val old = emb.filter(col("vec_id") % IncrMod =!= 0)
+        val batch = emb.filter(col("vec_id") % IncrMod === 0)
+        Pca.momentRowsWithScale(old, "embedding", 64, scale)
+          .union(Pca.momentRowsWithScale(batch, "embedding", 64, scale))
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("s")).as("s"))
+      },
+      Some(gramMomentsSql)),
 
     // fourth composed pipeline — the daily-crawl refresh: snapshot diff
     // finds the delta (added + changed docs), the delta probes the OLD
