@@ -93,5 +93,7 @@ object SparkEntry {
     // the classifier-gated curation pipeline, and the events-family
     // pair (per-user transition matrix; float-free 3-sigma anomalies)
     "classifier_train", "pipeline_classified_curate",
-    "event_transitions", "metric_anomalies")
+    "event_transitions", "metric_anomalies",
+    // the self-contained index build end to end (train + assign + probe)
+    "ann_ivf_trained_topk")
 }

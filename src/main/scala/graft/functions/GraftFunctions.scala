@@ -45,6 +45,23 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def litIntArray(e: Expression, what: String): Seq[Int] = {
+    import org.apache.spark.sql.types.ArrayType
+    require(e.foldable && e.dataType.isInstanceOf[ArrayType] &&
+        e.dataType.asInstanceOf[ArrayType].elementType == IntegerType,
+      s"$what must be a foldable array<int> literal, got $e")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(IntegerType).toIndexedSeq.map {
+          case i: java.lang.Integer => i.intValue()
+          case null => throw new IllegalArgumentException(
+            s"$what must not contain nulls")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what evaluated to $other, expected an array")
+    }
+  }
+
   private def litStringArray(e: Expression, what: String): Seq[String] = {
     import org.apache.spark.sql.types.{ArrayType, StringType}
     require(e.foldable && e.dataType.isInstanceOf[ArrayType] &&
@@ -111,6 +128,18 @@ object GraftFunctions {
         require(args.length == 1,
           s"graft_word_counts expects (text), got ${args.length}")
         WordTermCounts(args.head)
+      }),
+
+    // hashed-bag classifier score: struct(n_feats, raw_score) against a
+    // literal weight vector (the trained model artifact, like
+    // graft_token_count's vocab) — quality filtering from pure SQL
+    (FunctionIdentifier("graft_bag_score"),
+      new ExpressionInfo(classOf[HashedBagScore].getCanonicalName,
+        "graft_bag_score"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_bag_score expects (text, weights), got ${args.length}")
+        HashedBagScore(args.head, litIntArray(args(1), "weight vector"))
       }),
 
     // perceptual average-hash of a binary payload (media dedup from SQL)

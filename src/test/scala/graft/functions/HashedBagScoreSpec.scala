@@ -36,4 +36,22 @@ class HashedBagScoreSpec extends SparkSpecBase {
       .as[(Long, Long, Long)].collect().toSet
     assert(ker == ref)
   }
+
+  test("graft_bag_score SQL surface matches the Column API") {
+    GraftFunctions.register(spark)
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta beta"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("bag_docs")
+    val w = Seq(5, -3, 11)
+    val sql = spark.sql(
+      """SELECT doc_id, graft_bag_score(text, array(5, -3, 11)).n_feats
+        |    AS n, graft_bag_score(text, array(5, -3, 11)).raw_score AS r
+        |FROM bag_docs""".stripMargin)
+      .as[(Long, Long, Long)].collect().toSet
+    val api = docs.select(col("doc_id"),
+        HashedBagScore.score(col("text"), w).as("s"))
+      .select(col("doc_id"), col("s.n_feats"), col("s.raw_score"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sql == api)
+  }
 }
