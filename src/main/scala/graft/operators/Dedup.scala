@@ -775,6 +775,33 @@ object Dedup {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Priority-aware canonical keep: within each near-dup component keep
+    * the member with the HIGHEST `priority` (ties to the smallest id),
+    * instead of [[keepCanonical]]'s blind component-min — the "prefer
+    * the wiki copy over the crawl mirror" rule every curated corpus
+    * wants. `priority` is evaluated against the doc row (any integer
+    * expression over its columns). Docs in no component keep themselves.
+    *
+    * Scale shape: the labels frame (pair endpoints only — the duplicate
+    * fraction, not the corpus) joins the docs once to evaluate
+    * priorities, a `max_by` hash aggregate picks one winner per
+    * component (map-side partial), and the loser ids anti-join the
+    * corpus — the same AQE-sized anti-join as [[keepCanonical]].
+    */
+  def keepCanonicalBy(docs: DataFrame, idCol: String,
+                      labels: DataFrame, priority: Column): DataFrame = {
+    val members = docs.join(
+      labels.withColumnRenamed("id", idCol), Seq(idCol))
+    val winners = members
+      .groupBy(col("component_id"))
+      .agg(max_by(col(idCol),
+        struct(priority.as("p"), (-col(idCol)).as("tb"))).as("keep_id"))
+    val losers = labels.select(col("id").as(idCol))
+      .join(winners.select(col("keep_id").as(idCol)), Seq(idCol),
+        "left_anti")
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Per-document duplicated-chunk statistics — paragraph-granularity
     * exact dedup (the CCNet/Gopher-style passage filter): the text is
     * cut into non-overlapping `w`-word chunks, a chunk instance counts

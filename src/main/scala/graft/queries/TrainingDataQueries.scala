@@ -2619,6 +2619,40 @@ object TrainingDataQueries {
       },
       Some(ccSql)),
 
+    // priority-aware canonical keep: within each near-dup cluster keep
+    // the target-source member (ties to smallest id) — the "prefer the
+    // curated copy over the crawl mirror" rule
+    "dedup_keep_priority" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val labels = Dedup.connectedComponents(
+          Dedup.minhashNearDups(docs, "doc_id", "text", ShingleK,
+            NumHashes, RowsPerBand, MinhashThreshold),
+          "id_a", "id_b")
+        Dedup.keepCanonicalBy(docs, "doc_id", labels,
+            when(col("source") === DsirTarget, 1).otherwise(0))
+          .select(col("doc_id"), col("source"))
+      },
+      Some(s"""WITH RECURSIVE $minhashLshCtes,
+              |pairs AS ($minhashLshSelect),
+              |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              |  UNION
+              |  SELECT e.u, reach.r FROM edges e
+              |    JOIN reach ON reach.id = e.v),
+              |lab AS (SELECT id, min(r) AS component_id FROM reach
+              |  GROUP BY id),
+              |rk AS (SELECT id, row_number() OVER (
+              |    PARTITION BY component_id
+              |    ORDER BY (CASE WHEN d.source = '$DsirTarget'
+              |      THEN 1 ELSE 0 END) DESC, id ASC) AS rn
+              |  FROM lab JOIN documents d ON d.doc_id = lab.id),
+              |losers AS (SELECT id FROM rk WHERE rn > 1)
+              |SELECT doc_id, source FROM documents
+              |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin)),
+
     // SemDeDup: seed centroids -> nearest-centroid assignment (the same
     // ivfAssign the ANN index uses) -> exact cosine only within clusters
     "dedup_semantic_pairs" -> QueryDef(

@@ -47,4 +47,19 @@ class ConnectedComponentsSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L)) // 2 and 3 fold into component 1
   }
+
+  test("keepCanonicalBy keeps the highest-priority member, ties to min id") {
+    val docs = Seq((1L, "crawl"), (2L, "wiki"), (3L, "wiki"),
+      (4L, "crawl"), (10L, "crawl"), (11L, "crawl"))
+      .toDF("doc_id", "source")
+    val labels = Dedup.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"),
+      "id_a", "id_b")
+    val kept = Dedup.keepCanonicalBy(docs, "doc_id", labels,
+        when(col("source") === "wiki", 1).otherwise(0))
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3}: wiki members 2,3 outrank crawl 1; tie -> min = 2.
+    // cluster {10,11}: all crawl -> min id 10. Unpaired 4 keeps itself.
+    assert(kept == Set(2L, 4L, 10L))
+  }
 }
