@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative curation recipes — the reference's config-first ethos
+  * (YAML pipelines compiled to runtime plans, `cli/YamlProject` /
+  * `spec.PipelineSpec`) applied to training-data curation: a corpus
+  * recipe is DATA, reviewable and diffable, and the compiler emits the
+  * exact operator chain a hand-written pipeline would.
+  *
+  * Compilation rules mirror the round-12 soak findings:
+  *  - consecutive per-row stages (lang / gopher / classifier) FUSE into
+  *    one scan predicate — never keep-list joins;
+  *  - set-dependent stages (dedups, caps, splits) run in recipe order,
+  *    each over the previous stage's survivors;
+  *  - the near-dedup survivor set is persisted exactly like
+  *    `pipeline_curate_corpus`'s landing table (both the pair sweep and
+  *    the keep-list consume it).
+  *
+  * `pipeline_spec_curate` hash-matches the hand-built
+  * `pipeline_curate_corpus` oracle — the proof that the compiler emits
+  * the same pipeline the imperative code does.
+  */
+object Curation {
+
+  sealed trait Stage
+  /** Keep docs whose predicted language equals `lang`. */
+  final case class LangFilter(lang: String) extends Stage
+  /** Gopher-style length/structure rules. */
+  final case class GopherFilter(minWords: Int) extends Stage
+  /** Trained-classifier gate: exact integer threshold (see
+    * [[TextAnalysis.classifierKeep]]).
+    */
+  final case class ClassifierFilter(weights: Seq[Int], minScore: Long)
+      extends Stage
+  /** Exact dedup on the hash-normalized text (keep min id per hash). */
+  case object ExactDedup extends Stage
+  /** MinHash-LSH near-dup resolution; keep one doc per component. */
+  final case class NearDedup(k: Int = 3, numHashes: Int = 12,
+      rowsPerBand: Int = 3, threshold: Double = 0.5) extends Stage
+  /** Cap docs per group (largest `orderCol` first). */
+  final case class CapPerGroup(groupCol: String, orderCol: String,
+      cap: Int) extends Stage
+  /** Deterministic hash split; appends a `split` column. */
+  final case class HashSplit(weights: Seq[(String, Double)]) extends Stage
+
+  final case class CurationSpec(stages: Seq[Stage]) {
+    require(stages.nonEmpty, "a curation spec needs at least one stage")
+  }
+
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          spec: CurationSpec): DataFrame = {
+    // fuse leading per-row stages into one scan predicate
+    val (rowStages, rest) = spec.stages.span {
+      case _: LangFilter | _: GopherFilter | _: ClassifierFilter => true
+      case _ => false
+    }
+    val pred = rowStages.map(predicateOf(_, textCol))
+      .reduceOption(_ && _)
+    var cur = pred.map(docs.filter).getOrElse(docs)
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    rest.foreach {
+      case s @ (_: LangFilter | _: GopherFilter | _: ClassifierFilter) =>
+        // a per-row stage AFTER a set stage still composes as a filter
+        cur = cur.filter(predicateOf(s, textCol))
+      case ExactDedup =>
+        val keep = Dedup.exact(
+          cur.select(col(idCol),
+            TextAnalysis.normalizeForHash(col(textCol)).as("__norm")),
+          idCol, "__norm").select(col("keep_id").as(idCol))
+        cur = cur.join(keep, idCol)
+      case NearDedup(k, numHashes, rowsPerBand, threshold) =>
+        val landed = cur.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += landed
+        val labels = Dedup.connectedComponents(
+          Dedup.minhashNearDups(landed, idCol, textCol, k, numHashes,
+            rowsPerBand, threshold), "id_a", "id_b")
+        cur = Dedup.keepCanonical(landed, idCol, labels)
+      case CapPerGroup(groupCol, orderCol, cap) =>
+        cur = Sampling.capPerGroup(cur, groupCol, idCol, col(orderCol),
+          cap)
+      case HashSplit(weights) =>
+        cur = Sampling.hashSplit(cur, idCol, weights)
+    }
+    persisted.foldLeft(cur)((acc, p) => Dedup.releaseAfter(acc, p))
+  }
+
+  private def predicateOf(s: Stage, textCol: String): Column = s match {
+    case LangFilter(lang) => TextAnalysis.langId(col(textCol)) === lang
+    case GopherFilter(minWords) =>
+      TextAnalysis.gopherKeep(col(textCol), minWords = minWords)
+    case ClassifierFilter(w, minScore) =>
+      TextAnalysis.classifierKeep(col(textCol), w, minScore)
+    case other =>
+      throw new IllegalArgumentException(s"not a per-row stage: $other")
+  }
+}

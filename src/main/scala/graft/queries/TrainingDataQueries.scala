@@ -2878,6 +2878,27 @@ object TrainingDataQueries {
     // the whole curation recipe as ONE verified query: every stage is an
     // operator proven above; this proves they COMPOSE (the set-dependent
     // stages see each other's survivors, not the base table)
+    // the DECLARATIVE twin of pipeline_curate_corpus: the same recipe
+    // expressed as a CurationSpec and compiled by Curation.run — the
+    // shared oracle is the proof that the compiler emits the identical
+    // pipeline (predicates fused on the scan, set stages in order)
+    "pipeline_spec_curate" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Curation
+        import graft.operators.Curation._
+        val spec = CurationSpec(Seq(
+          LangFilter("en"),
+          GopherFilter(GopherMinWords),
+          ExactDedup,
+          NearDedup(ShingleK, NumHashes, RowsPerBand, MinhashThreshold),
+          CapPerGroup("source", "n_chars", DomainCap),
+          HashSplit(Seq("train" -> 0.9, "valid" -> 0.05,
+            "test" -> 0.05))))
+        Curation.run(table(s, d, "documents"), "doc_id", "text", spec)
+          .select(col("doc_id"), col("source"), col("split"))
+      },
+      Some(curateSql)),
+
     "pipeline_curate_corpus" -> QueryDef(
       (s, d) => {
         import graft.operators.Sampling

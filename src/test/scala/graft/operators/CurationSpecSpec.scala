@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+
+class CurationSpecSpec extends SparkSpecBase {
+  import spark.implicits._
+  import Curation._
+
+  private val en = "the cat and the dog went to the house with the " +
+    "garden and they played in that green field all day long with joy " +
+    "is what we read"
+
+  test("leading per-row stages fuse into one scan (no joins, no shuffle)") {
+    val docs = Seq((1L, en), (2L, "der hund und die katze"))
+      .toDF("doc_id", "text")
+    val out = Curation.run(docs, "doc_id", "text",
+      CurationSpec(Seq(LangFilter("en"), GopherFilter(minWords = 20))))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"fused per-row stages must stay a scan:\n$plan")
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("set stages run in order over survivors; split column appended") {
+    // two exact copies (one dies in ExactDedup) + distinct docs
+    val docs = Seq((1L, en), (2L, en), (3L, en + " extra tail words"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("source", lit("s"))
+    val out = Curation.run(docs, "doc_id", "text", CurationSpec(Seq(
+      ExactDedup,
+      CapPerGroup("source", "n_chars", cap = 2),
+      HashSplit(Seq("train" -> 0.5, "test" -> 0.5)))))
+    val rows = out.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(rows.keySet == Set(1L, 3L)) // 2 deduped, cap keeps both
+    assert(rows.values.forall(Set("train", "test")))
+  }
+
+  test("a per-row stage after a set stage still composes as a filter") {
+    val docs = Seq((1L, en), (2L, en), (3L, "kurz"))
+      .toDF("doc_id", "text")
+    val out = Curation.run(docs, "doc_id", "text", CurationSpec(Seq(
+      ExactDedup, GopherFilter(minWords = 20))))
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+}
