@@ -87,6 +87,92 @@ object Curation {
     persisted.foldLeft(cur)((acc, p) => Dedup.releaseAfter(acc, p))
   }
 
+  /** Parse a recipe from JSON — the file format a curation config repo
+    * would review and diff:
+    * {{{
+    * {"stages": [
+    *   {"stage": "lang", "lang": "en"},
+    *   {"stage": "gopher", "min_words": 20},
+    *   {"stage": "classifier", "weights": [..], "min_score": -878},
+    *   {"stage": "exact_dedup"},
+    *   {"stage": "near_dedup", "k": 3, "num_hashes": 12,
+    *    "rows_per_band": 3, "threshold": 0.5},
+    *   {"stage": "cap_per_group", "group": "source", "order": "n_chars",
+    *    "cap": 10},
+    *   {"stage": "split", "weights": {"train": 0.9, "valid": 0.1}}
+    * ]}
+    * }}}
+    * Unknown stage names and missing fields fail LOUDLY — a silently
+    * dropped filter stage ships an uncurated corpus.
+    */
+  def fromJson(json: String): CurationSpec = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = JsonMethods.parse(json)
+    def num(v: JValue, what: String): Double = v match {
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be a number, got $other")
+    }
+    def field(o: JObject, name: String): JValue =
+      (o \ name) match {
+        case JNothing => throw new IllegalArgumentException(
+          s"stage ${JsonMethods.compact(JsonMethods.render(o))} " +
+            s"is missing required field '$name'")
+        case v => v
+      }
+    def str(o: JObject, name: String): String =
+      field(o, name) match {
+        case JString(s) => s
+        case other => throw new IllegalArgumentException(
+          s"'$name' must be a string, got $other")
+      }
+    val stages = (root \ "stages") match {
+      case JArray(arr) if arr.nonEmpty => arr.map {
+        case o: JObject => str(o, "stage") match {
+          case "lang" => LangFilter(str(o, "lang"))
+          case "gopher" =>
+            GopherFilter(num(field(o, "min_words"), "min_words").toInt)
+          case "classifier" =>
+            val w = field(o, "weights") match {
+              case JArray(ws) =>
+                ws.map(v => num(v, "weights entry").toInt)
+              case other => throw new IllegalArgumentException(
+                s"'weights' must be an array, got $other")
+            }
+            ClassifierFilter(w,
+              num(field(o, "min_score"), "min_score").toLong)
+          case "exact_dedup" => ExactDedup
+          case "near_dedup" => NearDedup(
+            num(field(o, "k"), "k").toInt,
+            num(field(o, "num_hashes"), "num_hashes").toInt,
+            num(field(o, "rows_per_band"), "rows_per_band").toInt,
+            num(field(o, "threshold"), "threshold"))
+          case "cap_per_group" => CapPerGroup(str(o, "group"),
+            str(o, "order"), num(field(o, "cap"), "cap").toInt)
+          case "split" => field(o, "weights") match {
+            case JObject(fields) =>
+              HashSplit(fields.map { case JField(k, v) =>
+                k -> num(v, s"split weight '$k'")
+              })
+            case other => throw new IllegalArgumentException(
+              s"split 'weights' must be an object, got $other")
+          }
+          case unknown => throw new IllegalArgumentException(
+            s"unknown curation stage '$unknown'")
+        }
+        case other => throw new IllegalArgumentException(
+          s"each stage must be an object, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "curation spec needs a non-empty 'stages' array")
+    }
+    CurationSpec(stages)
+  }
+
   private def predicateOf(s: Stage, textCol: String): Column = s match {
     case LangFilter(lang) => TextAnalysis.langId(col(textCol)) === lang
     case GopherFilter(minWords) =>

@@ -38,6 +38,31 @@ class CurationSpecSpec extends SparkSpecBase {
     assert(rows.values.forall(Set("train", "test")))
   }
 
+  test("fromJson round-trips the full recipe; bad input fails loudly") {
+    val spec = Curation.fromJson("""{"stages": [
+      {"stage": "lang", "lang": "en"},
+      {"stage": "gopher", "min_words": 20},
+      {"stage": "classifier", "weights": [1, -2, 3], "min_score": -878},
+      {"stage": "exact_dedup"},
+      {"stage": "near_dedup", "k": 3, "num_hashes": 12,
+       "rows_per_band": 3, "threshold": 0.5},
+      {"stage": "cap_per_group", "group": "source", "order": "n_chars",
+       "cap": 10},
+      {"stage": "split", "weights": {"train": 0.9, "valid": 0.1}}
+    ]}""")
+    assert(spec == CurationSpec(Seq(
+      LangFilter("en"), GopherFilter(20),
+      ClassifierFilter(Seq(1, -2, 3), -878L), ExactDedup,
+      NearDedup(3, 12, 3, 0.5), CapPerGroup("source", "n_chars", 10),
+      HashSplit(Seq("train" -> 0.9, "valid" -> 0.1)))))
+    intercept[IllegalArgumentException](
+      Curation.fromJson("""{"stages": [{"stage": "nope"}]}"""))
+    intercept[IllegalArgumentException](
+      Curation.fromJson("""{"stages": [{"stage": "gopher"}]}"""))
+    intercept[IllegalArgumentException](
+      Curation.fromJson("""{"stages": []}"""))
+  }
+
   test("a per-row stage after a set stage still composes as a filter") {
     val docs = Seq((1L, en), (2L, en), (3L, "kurz"))
       .toDF("doc_id", "text")
