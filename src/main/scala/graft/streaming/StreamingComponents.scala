@@ -50,7 +50,7 @@ object StreamingComponents {
       .start()
   }
 
-  private[streaming] def applyBatch(batch: DataFrame, batchId: Long,
+  private[graft] def applyBatch(batch: DataFrame, batchId: Long,
       statePath: String, aCol: String, bCol: String): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(statePath)

@@ -68,7 +68,7 @@ object StreamingKmeans {
       .start()
   }
 
-  private[streaming] def applyBatch(batch: DataFrame, batchId: Long,
+  private[graft] def applyBatch(batch: DataFrame, batchId: Long,
       statePath: String, idCol: String, vecCol: String, k: Int,
       quant: Double): Unit = {
     val spark = batch.sparkSession
