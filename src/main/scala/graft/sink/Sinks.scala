@@ -85,6 +85,87 @@ object Sinks {
     * (the reference's temp-table + INSERT/UPDATE split maps to staging
     * the merged frame and overwriting).
     */
+  /** Publish a globally range-sorted layout: rows range-partition on
+    * `sortCol` into `shards` files, each internally sorted — the
+    * storage shape that makes a 100 TB corpus PRUNABLE by key range.
+    * Disjoint per-file ranges mean a range predicate touches only the
+    * overlapping shards (parquet row-group min/max stats are tight when
+    * the file is sorted), sorted shards merge-join without a shuffle,
+    * and a "top fraction by quality score" selection is a prefix of the
+    * shard list instead of a full-corpus sort. Writes a
+    * `_range_index.json` manifest (shard file → [min, max]) so readers
+    * can prune by LISTING, before any footer is opened.
+    *
+    * Returns the manifest as (file, min, max) rows.
+    */
+  def writeRangeSorted(df: DataFrame, dir: String, sortCol: String,
+                       shards: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(shards > 0, "shards must be > 0")
+    val spark = df.sparkSession
+    df.repartitionByRange(shards, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    // column-pruned second pass over the published files builds the
+    // range index (reads ONE column of what was just written)
+    val manifest = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(sortCol)).as("lo"), max(col(sortCol)).as("hi"))
+    val rows = manifest.collect()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "_range_index.json"), true)
+    try {
+      val json = rows.sortBy(_.getString(0)).map { r =>
+        s"""{"file":"${r.getString(0)}","lo":"${r.get(1)}",""" +
+          s""""hi":"${r.get(2)}"}"""
+      }.mkString("[", ",", "]")
+      out.write(json.getBytes("UTF-8"))
+    } finally out.close()
+    manifest
+  }
+
+  /** Range read against a [[writeRangeSorted]] layout: shard files
+    * whose `[lo, hi]` interval (from `_range_index.json`) misses the
+    * requested `[lo, hi)` are pruned from the FILE LIST — the scan
+    * never opens them, no footer reads, no listing of their row
+    * groups. Returns the filtered rows.
+    */
+  def readRange(spark: org.apache.spark.sql.SparkSession, dir: String,
+                sortCol: String, lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(
+      new org.apache.hadoop.fs.Path(dir, "_range_index.json"))
+    val entries = try {
+      val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      JsonMethods.parse(json) match {
+        case JArray(arr) => arr.map { e =>
+          val f = (e \ "file") match { case JString(s) => s
+            case o => throw new IllegalStateException(s"bad manifest: $o") }
+          def bound(name: String): Long = (e \ name) match {
+            case JString(s) => s.toLong
+            case o => throw new IllegalStateException(s"bad manifest: $o")
+          }
+          (f, bound("lo"), bound("hi"))
+        }
+        case other =>
+          throw new IllegalStateException(s"bad range index: $other")
+      }
+    } finally in.close()
+    val keep = entries.filter { case (_, flo, fhi) => fhi >= lo && flo < hi }
+      .map(_._1)
+    if (keep.isEmpty)
+      spark.read.parquet(dir).filter(lit(false))
+    else
+      spark.read.parquet(keep: _*)
+        .filter(col(sortCol) >= lo && col(sortCol) < hi)
+  }
+
   def jdbcWrite(df: DataFrame, url: String, table: String,
                 mode: SaveMode = SaveMode.Append,
                 options: Map[String, String] = Map.empty): Unit = {

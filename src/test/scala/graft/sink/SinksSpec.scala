@@ -71,4 +71,28 @@ class SinksSpec extends SparkSpecBase {
     assert(!names.exists(_.contains("__compacting")), names.toString)
     assert(!names.exists(_.contains("__retired")), names.toString)
   }
+
+  test("writeRangeSorted: disjoint shard ranges; readRange prunes files") {
+    val dir = Files.createTempDirectory("rsort").toString + "/t"
+    val df = (0L until 1000L).map(i => ((i * 7919) % 1000, s"v$i"))
+      .toDF("id", "v") // scrambled input order
+    val manifest = Sinks.writeRangeSorted(df, dir, "id", shards = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    assert(manifest.length == 8)
+    // shard ranges are disjoint and ordered
+    manifest.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 < b._2, s"overlapping shard ranges: $a vs $b")
+    }
+    // range read returns exactly the filter result...
+    val got = Sinks.readRange(spark, dir, "id", 200L, 300L)
+    assert(got.select("id").as[Long].collect().toSet ==
+      (200L until 300L).toSet)
+    // ...while opening only the overlapping shard files
+    val full = spark.read.parquet(dir)
+    assert(got.inputFiles.length < full.inputFiles.length,
+      s"range read opened all ${full.inputFiles.length} files")
+    // empty range reads nothing
+    assert(Sinks.readRange(spark, dir, "id", 5000L, 6000L).isEmpty)
+  }
 }
