@@ -57,10 +57,15 @@ object Sketches {
     * engine-specific and merge-order sensitive; this uses the other
     * standard trick — a DETERMINISTIC hash sample (same
     * [[Sampling.bucket]] membership everywhere, stable under corpus
-    * growth) followed by EXACT rank selection on the sample. Size
-    * `sampleFrac` so the sample fits one reducer (~10^6-10^7 rows): the
-    * global-order window runs over the sample only, never the corpus;
-    * quantile precision is the sample's, ~1/sqrt(n_sample).
+    * growth) followed by EXACT rank selection on the sample. The global
+    * rank is computed DISTRIBUTED: range-partition on the sort key,
+    * rank within each partition, add per-partition offsets (a
+    * bounded-by-#partitions frame) — no single-reducer window anywhere,
+    * so even a generous sample never funnels through one task. The rank
+    * a row gets is its position in the total order, independent of
+    * where the sampled range boundaries land ((value, key) is unique),
+    * so results are partitioning-deterministic. Quantile precision is
+    * the sample's, ~1/sqrt(n_sample).
     */
   def hashSampleQuantiles(df: DataFrame, keyCol: String, value: Column,
                           sampleFrac: Double, probs: Seq[Double])
@@ -73,16 +78,32 @@ object Sketches {
     val t = math.round(sampleFrac * Sampling.Buckets)
     val sample = df.filter(Sampling.bucket(col(keyCol)) < t)
       .select(col(keyCol).as("__k"), value.as("value"))
-    val ranked = sample
-      .withColumn("__rn",
-        row_number().over(Window.orderBy(col("value"), col("__k"))))
-      .withColumn("n_sample",
-        count(lit(1)).over(Window.partitionBy()))
+    val parts = sample
+      .repartitionByRange(col("value"), col("__k"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__local_rn", row_number().over(
+        Window.partitionBy(col("__pid"))
+          .orderBy(col("value"), col("__k"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-partition counts -> exclusive prefix offsets; this frame is
+    // #partitions rows, so ITS global window is bounded, not data-sized
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum(col("__c")).over(
+        Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val total = offsets.agg(sum(col("__c")).as("n_sample"))
     import df.sparkSession.implicits._
     val ps = probs.toDF("p")
-    ranked.join(ps, col("__rn") ===
+    val out = parts
+      .join(broadcast(offsets.select(col("__pid"), col("__off"))),
+        "__pid")
+      .withColumn("__rn", col("__local_rn") + col("__off"))
+      .crossJoin(broadcast(total))
+      .join(ps, col("__rn") ===
         greatest(lit(1L), ceil(col("p") * col("n_sample")).cast("long")))
       .select(col("p"), col("n_sample"), col("value"))
+    graft.operators.Dedup.releaseAfter(out, parts)
   }
 
   /** Frequency estimate of a hashed key against a [[graft.functions.CountMin]]

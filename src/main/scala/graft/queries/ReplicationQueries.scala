@@ -64,16 +64,23 @@ object ReplicationQueries {
     "file_source_provenance" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // lineno is PER FILE (the reference's csv-line semantics:
+        // sync_engine/fastsync assigns _sdc_source_lineno within each
+        // source file) — which is also the scale-correct window: a
+        // corpus-global ORDER BY would single-partition 100 TB, while
+        // per-file numbering is bounded by file size by construction
         table(s, d, "documents")
           .withColumn("_sdc_source_file",
             regexp_extract(input_file_name(), "([^/]+)$", 1))
           .withColumn("_sdc_source_lineno",
-            row_number().over(Window.orderBy(col("doc_id"))).cast("long"))
+            row_number().over(Window.partitionBy(col("_sdc_source_file"))
+              .orderBy(col("doc_id"))).cast("long"))
           .select(col("doc_id"), col("_sdc_source_file"),
             col("_sdc_source_lineno"))
       },
       Some("""SELECT doc_id, 'documents.parquet' AS _sdc_source_file,
-             |  row_number() OVER (ORDER BY doc_id) AS _sdc_source_lineno
+             |  row_number() OVER (PARTITION BY 'documents.parquet'
+             |    ORDER BY doc_id) AS _sdc_source_lineno
              |FROM documents""".stripMargin)),
 
     "kafka_record_shape" -> QueryDef(
