@@ -232,6 +232,46 @@ object AnalyticsQueries {
              |    AS total_value_str
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // CUBE over (event_type, day): all four grouping sets in one pass
+    // (Catalyst's Expand), decimal-exact value sums — completes the
+    // grouping-sets row of the relational checklist next to rollup
+    // (corpus_token_rollup)
+    "events_cube" -> QueryDef(
+      (s, d) => events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value")),
+      Some("""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS total_value
+             |FROM events
+             |GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))"""
+        .stripMargin)),
+
+    // PIVOT: per-user event-type counts as columns — the wide-report
+    // shape (Spark .pivot compiles to one aggregate with a known
+    // column set; never a per-column scan)
+    "events_pivot" -> QueryDef(
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "view", "signup", "purchase", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS click,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS view,
+             |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS signup,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS error
+             |FROM events GROUP BY user_id""".stripMargin)),
+
     // Markov transition matrix over per-user event sequences: the
     // "user journey" report. lead() runs per user (many tiny groups —
     // the regime where a window is the scale-correct tool); transition
