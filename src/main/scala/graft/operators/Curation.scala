@@ -84,7 +84,8 @@ object Curation {
       case HashSplit(weights) =>
         cur = Sampling.hashSplit(cur, idCol, weights)
     }
-    persisted.foldLeft(cur)((acc, p) => Dedup.releaseAfter(acc, p))
+    if (persisted.isEmpty) cur
+    else Dedup.releaseAfterAll(cur, persisted.toSeq: _*)
   }
 
   /** Parse a recipe from JSON — the file format a curation config repo

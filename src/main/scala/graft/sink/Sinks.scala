@@ -94,7 +94,9 @@ object Sinks {
     * and a "top fraction by quality score" selection is a prefix of the
     * shard list instead of a full-corpus sort. Writes a
     * `_range_index.json` manifest (shard file → [min, max]) so readers
-    * can prune by LISTING, before any footer is opened.
+    * can prune by LISTING, before any footer is opened. `sortCol` must
+    * be integer-typed (ids, fixed-point scores — the engine's key
+    * convention); [[readRange]] parses the manifest bounds as longs.
     *
     * Returns the manifest as (file, min, max) rows.
     */
