@@ -2009,6 +2009,30 @@ object TrainingDataQueries {
            |FROM bat b""".stripMargin
       }),
 
+    // referential coverage between the text corpus and its embedding
+    // table — the integrity audit to run BEFORE any embedding-dependent
+    // stage (SemDeDup, ANN, clustering): a doc without a vector silently
+    // escapes semantic dedup; a vector without a doc is wasted index
+    // space. Full-outer join, per-source rollup.
+    "corpus_embedding_coverage" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+        val emb = table(s, d, "embeddings")
+          .select(col("vec_id").as("doc_id"), lit(1L).as("__has_vec"))
+        docs.join(emb, Seq("doc_id"), "full_outer")
+          .groupBy(coalesce(col("source"), lit("__no_doc")).as("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("__has_vec"), lit(0L))).as("n_with_vec"))
+      },
+      Some("""SELECT coalesce(source, '__no_doc') AS source,
+             |  count(*) AS n,
+             |  CAST(sum(CASE WHEN vec_id IS NULL THEN 0 ELSE 1 END)
+             |    AS BIGINT) AS n_with_vec
+             |FROM documents d FULL OUTER JOIN embeddings e
+             |  ON d.doc_id = e.vec_id
+             |GROUP BY 1""".stripMargin)),
+
     "corpus_token_rollup" -> QueryDef(
       (s, d) => table(s, d, "documents")
         .rollup(col("source"), col("lang"))
