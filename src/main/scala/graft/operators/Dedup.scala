@@ -222,7 +222,41 @@ object Dedup {
   def minhashPrecision(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, numHashes: Int = 12,
                        rowsPerBand: Int = 3, threshold: Double = 0.5)
-      : DataFrame = {
+      : DataFrame =
+    pairOverlap(docs, idCol, textCol, k, numHashes, rowsPerBand,
+      threshold)
+      .select(col("id_a"), col("id_b"), col("sig_agreement"),
+        (col("__inter").cast("double") /
+          (col("__sza") + col("__szb") - col("__inter")).cast("double"))
+          .as("jaccard"))
+
+  /** Asymmetric CONTAINMENT over the LSH survivor pairs:
+    * `containment_a = |A∩B| / |A|` and the mirror for B — the measure
+    * Jaccard misses: a short document quoted verbatim inside a long one
+    * has tiny Jaccard but containment_a ≈ 1. This is the
+    * quote/subset/benchmark-inclusion detector; pair generation and
+    * cost structure are exactly [[minhashPrecision]]'s (exact overlap
+    * only for the LSH survivor set, postings filtered to pair members).
+    */
+  def minhashContainment(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, numHashes: Int = 12,
+                         rowsPerBand: Int = 3, threshold: Double = 0.5)
+      : DataFrame =
+    pairOverlap(docs, idCol, textCol, k, numHashes, rowsPerBand,
+      threshold)
+      .select(col("id_a"), col("id_b"),
+        (col("__inter").cast("double") / col("__sza").cast("double"))
+          .as("containment_a"),
+        (col("__inter").cast("double") / col("__szb").cast("double"))
+          .as("containment_b"))
+
+  /** Shared exact-overlap machinery for the pair-audit family:
+    * `(id_a, id_b, sig_agreement, __inter, __sza, __szb)` for every LSH
+    * survivor pair.
+    */
+  private def pairOverlap(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, numHashes: Int, rowsPerBand: Int,
+                          threshold: Double): DataFrame = {
     val pairs = minhashNearDups(docs, idCol, textCol, k, numHashes,
       rowsPerBand, threshold)
     // every postings consumer below (intersection x2, sizes x2) only
@@ -254,9 +288,7 @@ object Dedup {
       .join(sz.select(col("__id").as("id_b"), col("__sz").as("__szb")),
         "id_b")
       .select(col("id_a"), col("id_b"), col("sig_agreement"),
-        (col("__inter").cast("double") /
-          (col("__sza") + col("__szb") - col("__inter")).cast("double"))
-          .as("jaccard"))
+        col("__inter"), col("__sza"), col("__szb"))
     releaseAfter(out, g)
   }
 

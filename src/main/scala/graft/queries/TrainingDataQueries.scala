@@ -1830,6 +1830,32 @@ object TrainingDataQueries {
               |JOIN sz x ON p.id_a = x.doc_id
               |JOIN sz y ON p.id_b = y.doc_id""".stripMargin)),
 
+    // asymmetric containment over the LSH survivors: the quote/subset
+    // detector Jaccard misses (a short doc quoted inside a long one has
+    // tiny Jaccard but containment_a ~ 1)
+    "dedup_minhash_containment" -> QueryDef(
+      (s, d) => Dedup.minhashContainment(table(s, d, "documents"),
+        "doc_id", "text", ShingleK, NumHashes, RowsPerBand,
+        MinhashThreshold),
+      Some(s"""WITH $minhashLshCtes,
+              |p AS ($minhashLshSelect),
+              |sz AS (SELECT doc_id, count(*) AS sz FROM h
+              |  GROUP BY doc_id),
+              |i AS (SELECT p.id_a, p.id_b, count(*) AS inter
+              |  FROM p
+              |  JOIN h a ON a.doc_id = p.id_a
+              |  JOIN h b ON b.doc_id = p.id_b AND a.h = b.h
+              |  GROUP BY 1, 2)
+              |SELECT p.id_a, p.id_b,
+              |  CAST(coalesce(i.inter, 0) AS DOUBLE) / CAST(x.sz AS
+              |    DOUBLE) AS containment_a,
+              |  CAST(coalesce(i.inter, 0) AS DOUBLE) / CAST(y.sz AS
+              |    DOUBLE) AS containment_b
+              |FROM p
+              |LEFT JOIN i ON p.id_a = i.id_a AND p.id_b = i.id_b
+              |JOIN sz x ON p.id_a = x.doc_id
+              |JOIN sz y ON p.id_b = y.doc_id""".stripMargin)),
+
     "text_oov_rate" -> QueryDef(
       (s, d) => TextAnalysis.oovRate(table(s, d, "documents"),
         "doc_id", "text", OovVocab),
