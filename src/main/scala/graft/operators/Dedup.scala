@@ -432,14 +432,15 @@ object Dedup {
     val proj = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // dense plane index 0..numPlanes-1 (NOT the raw id: ids are arbitrary
-    // longs, and using them as bit positions would collide mod 64). The
-    // window is over the numPlanes-row seed set, pre-broadcast.
+    // longs, and using them as bit positions would collide mod 64).
+    // BoundedRank packs/sorts/explodes the numPlanes-row seed set —
+    // no partition-less WindowExec, per the registry plan lint.
     val seed = proj.orderBy(col("id").asc).limit(numPlanes)
       .select(col("id").as("pid"), col("v").as("plane_vec"))
-    val wp = Window.orderBy(col("pid").asc)
-    val planes = broadcast(seed.select(
-      (row_number().over(wp) - 1).cast("int").as("plane_id"),
-      col("plane_vec")))
+    val planes = broadcast(BoundedRank.packedIndex(seed,
+        Seq(col("pid")), Seq("plane_vec" -> col("plane_vec")), "plane_id")
+      .select(col("plane_id").cast("int").as("plane_id"),
+        col("plane_vec")))
     // persist: bucketPairs references the signature frame on both join
     // sides and the planner does not reuse it (see minhashNearDups) —
     // without this each side redoes numPlanes dot products per vector.

@@ -103,10 +103,11 @@ object Sampling {
     * [[stratifiedSampleByHash]] to materialize the mixture.
     *
     * ONE aggregate pass over the corpus (map-side combinable groupBy on
-    * the source column); the budget min is a window over the resulting
-    * |sources|-row frame — a single-partition window over a handful of
-    * rows, after the corpus has already been reduced, so no collect and
-    * no second scan. Sources absent from `weights` are excluded.
+    * the source column); the budget min is a 1-row aggregate over the
+    * reduced per-source frame, broadcast back onto it — no global
+    * window, no collect, no second corpus scan, and no single-partition
+    * stage even if source cardinality grows to millions of domains.
+    * Sources absent from `weights` are excluded.
     */
   def mixturePlan(docs: DataFrame, sourceCol: String, textCol: String,
                   weights: Map[String, Double],
@@ -136,11 +137,11 @@ object Sampling {
       lit(null).cast("double")) { case (rest, (s, wt)) =>
       when(col("source") === s, lit(wt)).otherwise(rest)
     }
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    perSource.withColumn("weight", w)
+    val weighted = perSource.withColumn("weight", w)
       .filter(col("weight").isNotNull)
-      .withColumn("budget",
-        min(col("n_tokens").cast("double") / col("weight")).over(all))
+    val budget = weighted.agg(
+      min(col("n_tokens").cast("double") / col("weight")).as("budget"))
+    weighted.crossJoin(broadcast(budget))
       .withColumn("sample_rate",
         col("weight") * col("budget") / col("n_tokens").cast("double"))
       .drop("budget")
@@ -162,7 +163,8 @@ object Sampling {
     * (same reason BM25/log scoring is excluded, docs/ROUND7.md).
     *
     * Same scale shape as [[mixturePlan]]: one map-side-combinable
-    * aggregate pass, then a window over the |sources|-row frame.
+    * aggregate pass, then a broadcast 1-row min over the per-source
+    * frame (no global window anywhere).
     */
   def sqrtTemperatureRates(docs: DataFrame, sourceCol: String,
                            textCol: String,
@@ -172,9 +174,9 @@ object Sampling {
     val perSource = docs
       .groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n_docs"), sum(tokens).as("n_tokens"))
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
     perSource
-      .withColumn("__min_tok", min(col("n_tokens")).over(all))
+      .crossJoin(broadcast(perSource.agg(
+        min(col("n_tokens")).as("__min_tok"))))
       .withColumn("sample_rate",
         sqrt(col("__min_tok").cast("double") /
           col("n_tokens").cast("double")))

@@ -277,16 +277,21 @@ object Similarity {
   def trainCentroids(train: DataFrame, idCol: String, vecCol: String,
                      k: Int, iterations: Int): DataFrame = {
     require(k > 0 && iterations >= 0, "k and iterations must be positive")
-    // hash-spread deterministic init: order by stable hash of the id so
-    // seeds are spread across the data, not clustered by id locality
-    val w = Window.orderBy(
-      graft.functions.StableHash.hash60(col(idCol).cast("string")).asc,
-      col(idCol).asc)
-    var centroids = train
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select((col("__rn") - 1).cast("long").as("centroid_id"),
-        col(vecCol))
+    // hash-spread deterministic init: the k SMALLEST stable-hash rows,
+    // taken with orderBy+limit (plans as distributed
+    // TakeOrderedAndProject — safe to point at a full corpus), then
+    // densely indexed 0..k-1 via BoundedRank over the k-row result. A
+    // row_number() global window here would single-partition the ENTIRE
+    // training frame to rank it.
+    val sel = train
+      .select(graft.functions.StableHash.hash60(col(idCol).cast("string"))
+          .as("__h"),
+        col(idCol).as("__id"), col(vecCol))
+      .orderBy(col("__h").asc, col("__id").asc)
+      .limit(k)
+    var centroids = BoundedRank.packedIndex(sel,
+      Seq(col("__h"), col("__id")),
+      Seq(vecCol -> col(vecCol)), "centroid_id")
     (1 to iterations).foreach { _ =>
       val assigned = ivfAssign(train, centroids, idCol, vecCol)
       // per-dimension mean via exact decimal sums: a plain double avg()
@@ -430,6 +435,12 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), 1L, r.getSeq[Long](1).toArray))
       .toSeq
+    // an empty seed set (sparse/offset/negative id space, or an empty
+    // corpus) would silently build an unresolvable zero-literal
+    // assignment downstream — fail loudly instead
+    require(cents.nonEmpty,
+      s"kmeans seeding found no ids divisible by 'every'=$every; " +
+        "use ids that cover multiples of 'every', or lower it")
     (1 to iters).foreach { _ =>
       val assigned = assignToLiterals(q,
         cents.map { case (cid, _, s) => (cid, s.map(_.toDouble)) })

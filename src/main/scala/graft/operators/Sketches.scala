@@ -85,13 +85,18 @@ object Sketches {
         Window.partitionBy(col("__pid"))
           .orderBy(col("value"), col("__k"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-partition counts -> exclusive prefix offsets; this frame is
-    // #partitions rows, so ITS global window is bounded, not data-sized
+    // per-partition counts -> exclusive prefix offsets, computed on the
+    // PACKED #partitions-row frame (array_sort + slice/aggregate prefix
+    // sums): bounded by partition count AND window-free — no
+    // partition-less WindowExec anywhere, per the registry plan lint
     val offsets = parts.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__c"))
-      .withColumn("__off", coalesce(sum(col("__c")).over(
-        Window.orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .agg(array_sort(collect_list(struct(col("__pid"), col("__c"))))
+        .as("__a"))
+      .select(col("__a"), posexplode(col("__a")).as(Seq("__i", "__e")))
+      .select(col("__e.__pid").as("__pid"), col("__e.__c").as("__c"),
+        aggregate(slice(col("__a"), lit(1), col("__i")), lit(0L),
+          (acc, x) => acc + x.getField("__c")).as("__off"))
     val total = offsets.agg(sum(col("__c")).as("n_sample"))
     import df.sparkSession.implicits._
     val ps = probs.toDF("p")

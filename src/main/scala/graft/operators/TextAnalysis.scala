@@ -707,21 +707,23 @@ object TextAnalysis {
     * drift; this reports content drift).
     *
     * Scale shape: two [[topNgrams]] passes (map-side partial counts +
-    * TakeOrderedAndProject, no global sort); ranks are windows over the
-    * two bounded top-N frames; the final join is topN×topN-bounded.
+    * TakeOrderedAndProject, no global sort); ranks come from
+    * [[BoundedRank.packedIndex]] over the two bounded top-N frames (no
+    * partition-less WindowExec anywhere); the final join is
+    * topN×topN-bounded.
     * Emits `(gram, old_rank, new_rank, old_n, new_n)`.
     */
   def vocabDrift(oldDocs: DataFrame, newDocs: DataFrame, textCol: String,
                  k: Int = 3, topN: Int = 100): DataFrame = {
+    // rank 1..N in (n desc, gram asc) order: negate n so the packed
+    // ascending sort yields the descending-count total order
     def ranked(df: DataFrame, side: String) =
-      topNgrams(df, textCol, k, topN)
-        .withColumn(s"${side}_rank",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("n_occurrences").desc, col("gram").asc))
-            .cast("long"))
-        .select(col("gram"),
-          col(s"${side}_rank"),
-          col("n_occurrences").as(s"${side}_n"))
+      BoundedRank.packedIndex(topNgrams(df, textCol, k, topN),
+          Seq(-col("n_occurrences"), col("gram")),
+          Seq("gram" -> col("gram"), "__n" -> col("n_occurrences")),
+          "__idx")
+        .select(col("gram"), (col("__idx") + 1).as(s"${side}_rank"),
+          col("__n").as(s"${side}_n"))
     ranked(oldDocs, "old")
       .join(ranked(newDocs, "new"), Seq("gram"), "full_outer")
       .select(col("gram"), col("old_rank"), col("new_rank"),

@@ -310,27 +310,34 @@ object AnalyticsQueries {
     // compared in its cross-multiplied integer form
     // (n*v - S)^2 > 9*(n*S2 - S^2) — exact at any partitioning, exact
     // across engines. Per-type stats broadcast back onto the scan.
+    // Every moment and every product is computed in decimal(38,0)
+    // (Spark) / HUGEINT (oracle) BEFORE any multiplication: with
+    // S = Σ of 100x-quantized values, S·S wraps a 64-bit long at only
+    // ~1M rows of value~1e3, which would silently invert the
+    // comparison — so the widening has to happen on the operands, not
+    // on the finished product.
     "metric_anomalies" -> QueryDef(
       (s, d) => {
+        val dec = "decimal(38,0)"
         val e = events(s, d).select(col("event_id"), col("event_type"),
           floor(col("value") * 100 + lit(0.5)).cast("long").as("v"))
         val stats = e.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
-            sum(col("v") * col("v")).as("s2"))
-        val diff = (col("n") * col("v") - col("s")).cast("decimal(38,0)")
+          .agg(count(lit(1)).cast(dec).as("n"),
+            sum(col("v").cast(dec)).as("s"),
+            sum(col("v").cast(dec) * col("v")).as("s2"))
+        val diff = col("n") * col("v").cast(dec) - col("s")
         e.join(broadcast(stats), "event_type")
           .filter(diff * diff >
-            lit(9).cast("decimal(38,0)") *
-              (col("n") * col("s2") - col("s") * col("s"))
-                .cast("decimal(38,0)"))
+            lit(9).cast(dec) *
+              (col("n") * col("s2") - col("s") * col("s")))
           .select(col("event_id"), col("event_type"), col("v").as("value_q"))
       },
       Some("""WITH e AS (SELECT event_id, event_type,
              |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
              |  FROM events),
              |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
-             |    CAST(sum(v) AS HUGEINT) AS s,
-             |    CAST(sum(v * v) AS HUGEINT) AS s2
+             |    sum(CAST(v AS HUGEINT)) AS s,
+             |    sum(CAST(v AS HUGEINT) * v) AS s2
              |  FROM e GROUP BY 1)
              |SELECT event_id, event_type, v AS value_q
              |FROM e JOIN st USING (event_type)

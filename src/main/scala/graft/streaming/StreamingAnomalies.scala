@@ -18,6 +18,11 @@ import graft.sink.MergeSink
   * so a burst of outliers cannot raise the bar that should catch it.
   * The z-test runs in the same cross-multiplied integer form as the
   * batch query: `(n·v − S)² > z²·(n·S2 − S²)` — no floats anywhere.
+  * Moments are maintained and multiplied in decimal(38,0): with S the
+  * sum of 100x-quantized values, S·S wraps a 64-bit long at ~1M rows of
+  * value~1e3, so widening must happen on the operands (and on the Σv²
+  * accumulation itself), not on the finished product — mirroring the
+  * HUGEINT math the batch oracle runs.
   *
   * Epoch alerts land in `<alertsPath>/batch=<id>` with per-epoch
   * overwrite, so a replayed epoch rewrites the identical alert set
@@ -64,13 +69,13 @@ object StreamingAnomalies {
       // key cardinality)
       val alertDir = s"$alertsPath/batch=$batchId"
       if (hasState) {
+        val dec = "decimal(38,0)"
         val prior = spark.read.parquet(statePath)
-        val diff = (col("n") * col("__v") - col("s")).cast("decimal(38,0)")
+        val diff = col("n") * col("__v").cast(dec) - col("s")
         e.join(broadcast(prior), keyCol)
           .filter(diff * diff >
-            lit(z.toLong * z).cast("decimal(38,0)") *
-              (col("n") * col("s2") - col("s") * col("s"))
-                .cast("decimal(38,0)"))
+            lit(z.toLong * z).cast(dec) *
+              (col("n") * col("s2") - col("s") * col("s")))
           .select(col(idCol), col(keyCol), col("__v").as("value_q"))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(alertDir)
@@ -80,10 +85,12 @@ object StreamingAnomalies {
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(alertDir)
       }
-      // merge the batch moments into the stats
+      // merge the batch moments into the stats — s and s2 accumulate in
+      // decimal(38,0) so the maintained Σv² itself can never wrap
       val batchStats = e.groupBy(col(keyCol))
-        .agg(count(lit(1)).as("n"), sum(col("__v")).as("s"),
-          sum(col("__v") * col("__v")).as("s2"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("__v").cast("decimal(38,0)")).as("s"),
+          sum(col("__v").cast("decimal(38,0)") * col("__v")).as("s2"))
       val merged =
         if (hasState)
           spark.read.parquet(statePath).select(keyCol, "n", "s", "s2")

@@ -91,11 +91,19 @@ object StreamingKmeans {
       val dirs: Seq[(Long, Array[Double])] =
         if (prev.nonEmpty)
           prev.map { case (cid, _, s) => (cid, s.map(_.toDouble)) }
-        else // bootstrap: k smallest ids of the first batch, re-numbered
-          q.orderBy(col("__id").asc).limit(k).collect().zipWithIndex
-            .map { case (r, i) =>
-              (i.toLong, r.getSeq[Long](1).map(_.toDouble).toArray)
-            }.toSeq
+        else { // bootstrap: k smallest ids of the first batch, re-numbered
+          val boot =
+            q.orderBy(col("__id").asc).limit(k).collect().zipWithIndex
+              .map { case (r, i) =>
+                (i.toLong, r.getSeq[Long](1).map(_.toDouble).toArray)
+              }.toSeq
+          // an empty/short first batch can seed fewer than k centroids;
+          // zero seeds would make every later assignment unresolvable
+          require(boot.nonEmpty,
+            "StreamingKmeans bootstrap: first batch is empty — nothing " +
+              "to seed centroids from")
+          boot
+        }
       val batchSums = Similarity.assignToLiterals(q, dirs)
         .select(col("cluster"), posexplode(col("__qv")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))

@@ -29,15 +29,44 @@ class QueriesSpec extends SparkSpecBase {
     test(s"query $name executes on sf0.001") {
       val df = fn(spark, sfDir)
       assert(df.columns.nonEmpty)
-      // global plan lint: an unconstrained cartesian in ANY registry
-      // query is a 100 TB job-killer, wherever it hides. (Deliberate
-      // 1-row threshold crossJoins plan as BroadcastNestedLoopJoin and
-      // stay legal.)
-      assert(!df.queryExecution.executedPlan.toString
-          .contains("CartesianProduct"),
-        s"$name plans a CartesianProduct")
+      // global plan lint: cartesians, partition-less global windows and
+      // shuffle joins against driver-local artifacts are 100 TB
+      // job-killers wherever they hide. (Deliberate 1-row threshold
+      // crossJoins plan as BroadcastNestedLoopJoin and stay legal.)
+      PlanLint.assertClean(name, df)
       if (mayBeEmpty(name)) df.write.format("noop").mode("overwrite").save()
       else assert(df.count() > 0, s"$name returned no rows")
     }
+  }
+
+  // the lint itself must be falsifiable: a deliberately-planted global
+  // window / artifact shuffle-join must go red, or a future Spark
+  // upgrade could silently blind every query's lint above
+  test("plan lint catches a planted partition-less window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("rn", row_number().over(Window.orderBy(col("event_id"))))
+    val v = PlanLint.violations(df)
+    assert(v.exists(_.contains("WindowExec")), s"lint missed it: $v")
+  }
+
+  test("plan lint catches a planted artifact shuffle-join") {
+    import org.apache.spark.sql.functions._
+    val artifact = spark.createDataFrame(
+      (1L to 64L).map(i => (i, s"c$i"))).toDF("event_id", "tag")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+      .hint("merge").join(artifact.hint("shuffle_merge"), "event_id")
+    val v = PlanLint.violations(df)
+    assert(v.exists(_.contains("LocalTableScan")), s"lint missed it: $v")
+  }
+
+  test("plan lint stays green on a broadcast artifact join") {
+    import org.apache.spark.sql.functions._
+    val artifact = spark.createDataFrame(
+      (1L to 64L).map(i => (i, s"c$i"))).toDF("event_id", "tag")
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+      .join(broadcast(artifact), "event_id")
+    assert(PlanLint.violations(df).isEmpty)
   }
 }

@@ -13,10 +13,13 @@ class StreamingAnomaliesSpec extends SparkSpecBase {
   private val schema = StructType.fromDDL(
     "event_id BIGINT, metric STRING, value DOUBLE")
 
-  private def readStats(path: String): Map[String, (Long, Long, Long)] =
+  // moments are maintained in decimal(38,0); compare as BigInt
+  private def readStats(path: String): Map[String, (BigInt, BigInt, BigInt)] =
     spark.read.parquet(path).select("metric", "n", "s", "s2")
-      .as[(String, Long, Long, Long)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      .as[(String, java.math.BigDecimal, java.math.BigDecimal,
+        java.math.BigDecimal)].collect()
+      .map(r => r._1 -> ((BigInt(r._2.toBigInteger),
+        BigInt(r._3.toBigInteger), BigInt(r._4.toBigInteger)))).toMap
 
   private def readAlerts(path: String, batch: Long): Set[Long] =
     spark.read.parquet(s"$path/batch=$batch")
@@ -41,9 +44,9 @@ class StreamingAnomaliesSpec extends SparkSpecBase {
     q1.processAllAvailable(); q1.stop()
     // first epoch: stats seeded, no alerts by contract
     assert(readAlerts(alerts, 0L).isEmpty)
-    val vq1 = b1.map(r => math.floor(r._3 * 100 + 0.5).toLong)
+    val vq1 = b1.map(r => BigInt(math.floor(r._3 * 100 + 0.5).toLong))
     assert(readStats(state) ==
-      Map("m" -> ((20L, vq1.sum, vq1.map(v => v * v).sum))))
+      Map("m" -> ((BigInt(20), vq1.sum, vq1.map(v => v * v).sum))))
 
     // epoch 2: the 500.0 reading is a >3-sigma outlier vs epoch-1 stats;
     // the in-band values are not
@@ -54,9 +57,31 @@ class StreamingAnomaliesSpec extends SparkSpecBase {
     q2.processAllAvailable(); q2.stop()
     assert(readAlerts(alerts, 1L) == Set(22L))
     // stats now cover both epochs exactly
-    val vqAll = (b1 ++ b2).map(r => math.floor(r._3 * 100 + 0.5).toLong)
+    val vqAll =
+      (b1 ++ b2).map(r => BigInt(math.floor(r._3 * 100 + 0.5).toLong))
     assert(readStats(state) ==
-      Map("m" -> ((23L, vqAll.sum, vqAll.map(v => v * v).sum))))
+      Map("m" -> ((BigInt(23), vqAll.sum, vqAll.map(v => v * v).sum))))
+  }
+
+  test("moments and z-test survive values whose products overflow long") {
+    // v_q ~ 5e9, so Σv ~ 1e11 and S·S ~ 1e22 — far past 2^63; with
+    // 64-bit math the guard would wrap negative and invert the test
+    val big1 = (1L to 20L).map(i => (i, "m", 5.0e7 + 100.0 * (i % 3)))
+    val big2 = Seq((21L, "m", 5.0e7 + 100.0), (22L, "m", 9.9e8),
+      (23L, "m", 5.0e7 - 100.0))
+    val dir = Files.createTempDirectory("sanom3").toString
+    val state = s"$dir/stats"; val alerts = s"$dir/alerts"
+    StreamingAnomalies.applyBatch(big1.toDF("event_id", "metric", "value"),
+      0L, state, alerts, "metric", "value", "event_id", 3)
+    StreamingAnomalies.applyBatch(big2.toDF("event_id", "metric", "value"),
+      1L, state, alerts, "metric", "value", "event_id", 3)
+    assert(readAlerts(alerts, 1L) == Set(22L),
+      "only the 20x outlier fires; in-band big values must not")
+    val vqAll =
+      (big1 ++ big2).map(r => BigInt(math.floor(r._3 * 100 + 0.5).toLong))
+    assert(readStats(state) ==
+      Map("m" -> ((BigInt(23), vqAll.sum, vqAll.map(v => v * v).sum))),
+      "Σv² must accumulate exactly past the long range")
   }
 
   test("replayed epoch skips stats AND rewrites identical alerts") {
