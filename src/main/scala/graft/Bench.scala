@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR,
-  * prints ONE JSON line {"metric":...,"queries":{...}} on stdout AND
-  * writes the same line to SPARK_GRAFT_BENCH_OUT (default
-  * /root/repo/bench_out.json) so the result survives log-prefix mangling.
+  * prints ONE compact JSON line {"metric":...,"queries":{...}} on
+  * stdout (sized to survive the harness's 2 KB stdout-tail capture with
+  * every per-query median intact) AND writes the same JSON plus the
+  * prose methodology note to SPARK_GRAFT_BENCH_OUT (default
+  * /root/repo/bench_out.json) so the full record survives log-prefix
+  * mangling.
   *
   * Measurement: one cold pass (plan + janino codegen compile — excluded),
   * then SPARK_GRAFT_BENCH_ITERS (default 3) steady-state passes; the
@@ -73,10 +76,27 @@ object Bench {
     val coldTotal = cold.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val envJson = BenchEnv.runJson(passEnvs, loadBefore, loadAfter)
+    // stdout gets the COMPACT line: the harness captures only the last
+    // 2 KB of stdout, and a line longer than that loses its head and
+    // becomes unparseable (r12's artifact carried parsed:null for
+    // exactly this reason). The prose methodology note rides only the
+    // full-file variant (see main); the compact line keeps every
+    // per-query median, the failed list, and the env block.
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"methodology_version":2,"failed":$failedJson,"env":$envJson,"measurement":"per-query median of ${passes.size} steady-state runs (1st-run plan+codegen compile excluded; cache cleared between queries so each run pays its own persists - no cross-run InMemoryRelation reuse); env.contended=true means external runqueue pressure stole cycles during this run - numbers are then an upper bound, not a regression signal"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"methodology_version":2,"failed":$failedJson,"env":$envJson}"""
     (json, failed.toSeq)
   }
+
+  /** The methodology note appended to the on-disk JSON (kept out of the
+    * stdout line for the 2 KB tail-capture budget).
+    */
+  val MeasurementNote: String =
+    "per-query median of steady-state runs (1st-run plan+codegen " +
+      "compile excluded; cache cleared between queries so each run pays " +
+      "its own persists - no cross-run InMemoryRelation reuse); " +
+      "env.contended=true means external runqueue pressure stole cycles " +
+      "during this run - numbers are then an upper bound, not a " +
+      "regression signal"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,8 +118,9 @@ object Bench {
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")
+    val full = json.dropRight(1) + s""","measurement":"$MeasurementNote"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"bench: could not write $out: ${e.getMessage}") }
     spark.stop()

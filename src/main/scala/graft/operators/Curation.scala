@@ -34,6 +34,15 @@ object Curation {
     */
   final case class ClassifierFilter(weights: Seq[Int], minScore: Long)
       extends Stage
+  /** Train the classifier IN-RECIPE (labels = `labelCol == labelValue`
+    * over the stage's input set, [[TextAnalysis.nbTrainHashed]]'s exact
+    * integer posteriors), then gate on `minScore` — the declarative
+    * form of the train-then-filter chain `pipeline_classified_curate`
+    * hand-builds. Set-dependent by construction: the training set is
+    * whatever survives the preceding stages.
+    */
+  final case class TrainClassifier(labelCol: String, labelValue: String,
+      dim: Int, minScore: Long) extends Stage
   /** Exact dedup on the hash-normalized text (keep min id per hash). */
   case object ExactDedup extends Stage
   /** MinHash-LSH near-dup resolution; keep one doc per component. */
@@ -64,6 +73,15 @@ object Curation {
       case s @ (_: LangFilter | _: GopherFilter | _: ClassifierFilter) =>
         // a per-row stage AFTER a set stage still composes as a filter
         cur = cur.filter(predicateOf(s, textCol))
+      case TrainClassifier(labelCol, labelValue, dim, minScore) =>
+        // one training action collects the dim-row model artifact; the
+        // gate itself is then a per-row scan predicate like any other
+        // filter stage (Catalyst folds consecutive filters into one)
+        val w = TextAnalysis.nbWeightsArray(
+          TextAnalysis.nbTrainHashed(cur,
+            col(labelCol) === labelValue, textCol, dim), dim)
+        cur = cur.filter(
+          TextAnalysis.classifierKeep(col(textCol), w, minScore))
       case ExactDedup =>
         val keep = Dedup.exact(
           cur.select(col(idCol),
@@ -95,6 +113,8 @@ object Curation {
     *   {"stage": "lang", "lang": "en"},
     *   {"stage": "gopher", "min_words": 20},
     *   {"stage": "classifier", "weights": [..], "min_score": -878},
+    *   {"stage": "train_classifier", "label_col": "source",
+    *    "label_value": "wiki", "dim": 512, "min_score": -878},
     *   {"stage": "exact_dedup"},
     *   {"stage": "near_dedup", "k": 3, "num_hashes": 12,
     *    "rows_per_band": 3, "threshold": 0.5},
@@ -146,6 +166,10 @@ object Curation {
             }
             ClassifierFilter(w,
               num(field(o, "min_score"), "min_score").toLong)
+          case "train_classifier" => TrainClassifier(
+            str(o, "label_col"), str(o, "label_value"),
+            num(field(o, "dim"), "dim").toInt,
+            num(field(o, "min_score"), "min_score").toLong)
           case "exact_dedup" => ExactDedup
           case "near_dedup" => NearDedup(
             num(field(o, "k"), "k").toInt,

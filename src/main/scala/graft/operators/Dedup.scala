@@ -635,27 +635,86 @@ object Dedup {
                              idCol: String, textCol: String,
                              k: Int = 3, numHashes: Int = 12,
                              rowsPerBand: Int = 3,
-                             threshold: Double = 0.5): DataFrame = {
-    val newSigs = minhashSignatures(newDocs, idCol, textCol, k, numHashes)
+                             threshold: Double = 0.5): DataFrame =
+    minhashAgainstImpl(newDocs, corpusSigs, idCol, textCol, k, numHashes,
+      rowsPerBand, threshold, bloom = None, "minhashNearDupsAgainst")
+
+  /** The LSH band-key array shared by the signature probe paths:
+    * `numBands` keys, each the '_'-joined `rowsPerBand` signature run.
+    */
+  private def bandKeyArray(numHashes: Int, rowsPerBand: Int): Column = {
     val numBands = numHashes / rowsPerBand
-    val sigArr = array((0 until numHashes).map(i => col(s"sig_$i")): _*)
-    val bandKeys = array((0 until numBands).map { b =>
+    array((0 until numBands).map { b =>
       concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
     }: _*)
+  }
+
+  /** Publish-time Bloom artifact over a persisted signature index's LSH
+    * band keys — the [[buildIndexBloom]] twin for the minhash probe
+    * path. One scan of the index at index-publish time; the result is a
+    * bounded `bloomM * 8`-byte model artifact stored next to the index
+    * and broadcast into every future batch probe.
+    */
+  def buildMinhashBandBloom(corpusSigs: DataFrame, numHashes: Int = 12,
+                            rowsPerBand: Int = 3, bloomK: Int = 5,
+                            bloomM: Int = 1 << 16): Array[Long] =
+    corpusSigs
+      .select(explode(bandKeyArray(numHashes, rowsPerBand)).as("bk"))
+      .agg(graft.functions.BloomBits
+        .sketch(hash60(col("bk")), bloomK, bloomM).as("sk"))
+      .head().getSeq[Long](0).toArray
+
+  /** [[minhashNearDupsAgainst]] with a Bloom short-circuit — the
+    * [[exactAgainstBloomed]] twin for the LSH probe: batch band keys
+    * that are definitely not in the index (no false negatives) are
+    * dropped BEFORE the broadcast build, so a novel-heavy ingest batch
+    * broadcasts only its false-positive band — often near-empty —
+    * instead of every band key of every batch document. Output is
+    * row-identical to [[minhashNearDupsAgainst]] (the dropped keys
+    * could only have produced empty join matches; spec-asserted
+    * parity).
+    */
+  def minhashNearDupsAgainstBloomed(newDocs: DataFrame,
+                                    corpusSigs: DataFrame,
+                                    idCol: String, textCol: String,
+                                    bloomBits: Array[Long], bloomK: Int,
+                                    k: Int = 3, numHashes: Int = 12,
+                                    rowsPerBand: Int = 3,
+                                    threshold: Double = 0.5): DataFrame =
+    minhashAgainstImpl(newDocs, corpusSigs, idCol, textCol, k, numHashes,
+      rowsPerBand, threshold, bloom = Some((bloomBits, bloomK)),
+      "minhashNearDupsAgainstBloomed")
+
+  private def minhashAgainstImpl(newDocs: DataFrame, corpusSigs: DataFrame,
+                                 idCol: String, textCol: String,
+                                 k: Int, numHashes: Int, rowsPerBand: Int,
+                                 threshold: Double,
+                                 bloom: Option[(Array[Long], Int)],
+                                 op: String): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, k, numHashes)
+    val sigArr = array((0 until numHashes).map(i => col(s"sig_$i")): _*)
+    val bandKeys = bandKeyArray(numHashes, rowsPerBand)
     def banded(sigs: DataFrame, side: String): DataFrame =
       sigs.select(col(idCol).as(s"${side}_id"), sigArr.as(s"sig_$side"),
         posexplode(bandKeys).as(Seq("band_no", "bk")))
+    val newBanded = bloom match {
+      case Some((bits, bk)) =>
+        banded(newSigs, "new").filter(graft.operators.Sketches
+          .bloomMightContain(typedLit(bits.toIndexedSeq),
+            hash60(col("bk")), bk, bits.length))
+      case None => banded(newSigs, "new")
+    }
     val agree = aggregate(
       zip_with(col("sig_new"), col("sig_corpus"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
     warnIfIndexShuffles(banded(corpusSigs, "corpus")
-      .join(broadcast(banded(newSigs, "new")), Seq("band_no", "bk"))
+      .join(broadcast(newBanded), Seq("band_no", "bk"))
       .select(col("new_id"), col("corpus_id"),
         (agree.cast("double") / numHashes).as("sig_agreement"))
       .distinct()
-      .filter(col("sig_agreement") >= threshold), "minhashNearDupsAgainst")
+      .filter(col("sig_agreement") >= threshold), op)
   }
 
   /** Connected components over a near-dup pair graph — the cluster

@@ -2593,6 +2593,26 @@ object TrainingDataQueries {
       },
       Some(incrDedupSql)),
 
+    // the Bloom-prefiltered twin of dedup_incremental_minhash: the
+    // publish-time band-key Bloom drops definite-miss batch keys before
+    // the broadcast build. The oracle is IDENTICAL to the unbloomed
+    // query's — hash-equality proves the Bloom never drops a true
+    // collision (no false negatives), the whole point of the filter.
+    "dedup_minhash_against_bloomed" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val index = Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % IncrMod =!= 0),
+          "doc_id", "text", ShingleK, NumHashes)
+        val bloom = Dedup.buildMinhashBandBloom(index, NumHashes,
+          RowsPerBand)
+        Dedup.minhashNearDupsAgainstBloomed(
+          docs.filter(col("doc_id") % IncrMod === 0), index,
+          "doc_id", "text", bloom, bloomK = 5,
+          ShingleK, NumHashes, RowsPerBand, MinhashThreshold)
+      },
+      Some(incrDedupSql)),
+
     "text_normalize" -> QueryDef(
       (s, d) => table(s, d, "documents").select(col("doc_id"),
         TextAnalysis.normalizeForHash(col("text")).as("norm_text"),
@@ -2948,6 +2968,28 @@ object TrainingDataQueries {
           .select(col("doc_id"), col("source"), col("split"))
       },
       Some(curateSql)),
+
+    // the classifier-train chain expressed as a JSON recipe (exercises
+    // Curation.fromJson end to end): train_classifier + exact_dedup,
+    // digested per source — hash-matches pipeline_classified_curate's
+    // oracle, the proof the declarative spec emits the hand-built chain
+    "pipeline_spec_classified" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Curation
+        val spec = Curation.fromJson(
+          s"""{"stages": [
+             |  {"stage": "train_classifier", "label_col": "source",
+             |   "label_value": "$DsirTarget", "dim": $ClsDim,
+             |   "min_score": $CurateMinScore},
+             |  {"stage": "exact_dedup"}
+             |]}""".stripMargin)
+        Curation.run(table(s, d, "documents"), "doc_id", "text", spec)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
+              .as("n_tokens"))
+      },
+      Some(classifiedCurateSql)),
 
     "pipeline_curate_corpus" -> QueryDef(
       (s, d) => {

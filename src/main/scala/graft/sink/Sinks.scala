@@ -112,17 +112,34 @@ object Sinks {
     // range index (reads ONE column of what was just written)
     val manifest = spark.read.parquet(dir)
       .groupBy(input_file_name().as("file"))
-      .agg(min(col(sortCol)).as("lo"), max(col(sortCol)).as("hi"))
+      .agg(min(col(sortCol)).cast("long").as("lo"),
+        max(col(sortCol)).cast("long").as("hi"))
     val rows = manifest.collect()
+    // a shard whose sortCol values are ALL null yields null min/max —
+    // writing that would poison every subsequent readRange parse, so
+    // fail fast naming the shard (the sort-key convention is non-null
+    // integers; an all-null shard is a data bug, not a layout)
+    rows.find(r => r.isNullAt(1) || r.isNullAt(2)).foreach { r =>
+      throw new IllegalStateException(
+        s"writeRangeSorted: shard ${r.getString(0)} has null $sortCol " +
+          "bounds (all-null sort keys); range layouts need non-null " +
+          "integer sort keys")
+    }
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(dir, "_range_index.json"), true)
     try {
-      val json = rows.sortBy(_.getString(0)).map { r =>
-        s"""{"file":"${r.getString(0)}","lo":"${r.get(1)}",""" +
-          s""""hi":"${r.get(2)}"}"""
-      }.mkString("[", ",", "]")
+      // proper JSON writer: file names with quotes/backslashes/unicode
+      // must round-trip; numeric bounds are emitted as JSON numbers
+      import org.json4s.JArray
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      val json = JsonMethods.compact(JsonMethods.render(JArray(
+        rows.sortBy(_.getString(0)).toList.map { r =>
+          ("file" -> r.getString(0)) ~ ("lo" -> r.getLong(1)) ~
+            ("hi" -> r.getLong(2))
+        })))
       out.write(json.getBytes("UTF-8"))
     } finally out.close()
     manifest
@@ -149,7 +166,10 @@ object Sinks {
         case JArray(arr) => arr.map { e =>
           val f = (e \ "file") match { case JString(s) => s
             case o => throw new IllegalStateException(s"bad manifest: $o") }
+          // numeric since r13; JString accepted for pre-r13 manifests
           def bound(name: String): Long = (e \ name) match {
+            case JInt(n) => n.longValue
+            case JLong(n) => n
             case JString(s) => s.toLong
             case o => throw new IllegalStateException(s"bad manifest: $o")
           }

@@ -57,6 +57,14 @@ class CurationSpecSpec extends SparkSpecBase {
       HashSplit(Seq("train" -> 0.9, "valid" -> 0.1)))))
     intercept[IllegalArgumentException](
       Curation.fromJson("""{"stages": [{"stage": "nope"}]}"""))
+    assert(Curation.fromJson("""{"stages": [
+      {"stage": "train_classifier", "label_col": "source",
+       "label_value": "wiki", "dim": 512, "min_score": -878}
+    ]}""") == CurationSpec(Seq(
+      TrainClassifier("source", "wiki", 512, -878L))))
+    intercept[IllegalArgumentException](
+      Curation.fromJson(
+        """{"stages": [{"stage": "train_classifier", "dim": 8}]}"""))
     intercept[IllegalArgumentException](
       Curation.fromJson("""{"stages": [{"stage": "gopher"}]}"""))
     intercept[IllegalArgumentException](

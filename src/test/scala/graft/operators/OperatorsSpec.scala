@@ -1386,6 +1386,33 @@ class OperatorsSpec extends SparkSpecBase {
     assert(plain.count(_._3 >= 0) == 2, "fixture sanity: two collisions")
   }
 
+  test("minhashNearDupsAgainstBloomed matches the unbloomed probe") {
+    // near-dup text needs shared shingles: corpus docs repeat a phrase,
+    // two batch docs echo it (true hits), the rest are novel
+    val phrase = "the quick brown fox jumps over the lazy sleeping dog " +
+      "again and again in the long green meadow"
+    val corpus = (1 to 60).map(i => (i.toLong, s"$phrase corpus tail $i"))
+      .toDF("doc_id", "text")
+    val batch = ((1 to 40).map(i =>
+      (1000L + i, s"completely novel unrelated words number $i nothing " +
+        s"shared here at all with index content $i")) ++
+      Seq((2000L, s"$phrase corpus tail 7"),
+        (2001L, s"$phrase corpus tail 33")))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 12)
+    val bloom = Dedup.buildMinhashBandBloom(idx, numHashes = 12,
+      rowsPerBand = 3, bloomK = 5, bloomM = 1 << 14)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val plain = Dedup.minhashNearDupsAgainst(batch, idx, "doc_id", "text")
+      .collect().map(key).toSet
+    val bloomed = Dedup.minhashNearDupsAgainstBloomed(batch, idx,
+      "doc_id", "text", bloom, bloomK = 5).collect().map(key).toSet
+    assert(bloomed == plain,
+      "the band-key Bloom must never drop a true collision")
+    assert(plain.nonEmpty, "fixture sanity: the echoed docs must collide")
+  }
+
   test("exactAgainst warns when an unbucketed index re-shuffles per batch") {
     val corpus = (1 to 50).map(i => (i.toLong, s"doc $i"))
       .toDF("doc_id", "text")

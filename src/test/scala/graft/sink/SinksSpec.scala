@@ -95,4 +95,34 @@ class SinksSpec extends SparkSpecBase {
     // empty range reads nothing
     assert(Sinks.readRange(spark, dir, "id", 5000L, 6000L).isEmpty)
   }
+
+  test("writeRangeSorted fails loudly on all-null sort keys") {
+    val dir = Files.createTempDirectory("rsort-null").toString + "/t"
+    val df = Seq[(java.lang.Long, String)]((null, "a"), (null, "b"))
+      .toDF("id", "v")
+    val ex = intercept[IllegalStateException] {
+      Sinks.writeRangeSorted(df, dir, "id", shards = 2)
+    }
+    assert(ex.getMessage.contains("null id bounds"),
+      s"error must name the null-bound column: ${ex.getMessage}")
+  }
+
+  test("readRange accepts pre-r13 string-bound manifests") {
+    val dir = Files.createTempDirectory("rsort-legacy").toString + "/t"
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    Sinks.writeRangeSorted(df, dir, "id", shards = 2)
+    // rewrite the manifest with the old string-valued bounds
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(dir, "_range_index.json")
+    val in = fs.open(mp)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val legacy = json.replaceAll("\"lo\":(-?\\d+)", "\"lo\":\"$1\"")
+      .replaceAll("\"hi\":(-?\\d+)", "\"hi\":\"$1\"")
+    val out = fs.create(mp, true)
+    try out.write(legacy.getBytes("UTF-8")) finally out.close()
+    assert(Sinks.readRange(spark, dir, "id", 10L, 20L)
+      .select("id").as[Long].collect().toSet == (10L until 20L).toSet)
+  }
 }
