@@ -88,28 +88,40 @@ object Similarity {
     * ~nprobe/nlist of the corpus, and the bucketed corpus can be written
     * out partitioned by `cluster` for reuse across query batches.
     *
-    * The nearest-centroid argmax is a `max_by` hash aggregate (map-side
-    * partial collapses the nlist candidate rows per vector inside each
-    * scan task), not a per-vector window — the shuffle moves one row per
-    * corpus vector, not nlist.
+    * The nearest-centroid argmax aggregates SLIM rows only: max_by with
+    * a struct ordering cannot use a mutable hash buffer (Spark plans
+    * SortAggregate), so the corpus×nlist pair stream gets SORTED inside
+    * each map task before the partial agg — carrying the vector through
+    * that sort multiplies the sorted bytes ~20x and spills at soak
+    * scale (docs/SEARCH_SOAK.md: the 2M×256 assign). The agg therefore
+    * sees only `(id, centroid_id, sim)`; vectors re-attach afterwards
+    * with an id-equi join (co-partitioned/bucketed at scale, trivial
+    * below it). Self-norms are hoisted OUT of the pair loop — each side
+    * computes `dot(x,x)` once per row instead of once per pair; the
+    * IEEE value and operation order of the final
+    * `dot/(sqrt(na)*sqrt(nb))` are identical to cosineF's, so results
+    * are bit-unchanged.
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String): DataFrame = {
     val c = broadcast(centroids.select(col("centroid_id"),
-      col(vecCol).as("cent_vec")))
-    val scored = corpus.join(c)
+      col(vecCol).as("cent_vec"),
+      VectorOps.dotF(col(vecCol), col(vecCol)).as("__cn")))
+    val scored = corpus
       .select(col(idCol), col(vecCol),
-        col("centroid_id"),
-        VectorOps.cosineF(col(vecCol), col("cent_vec")).as("sim"))
+        VectorOps.dotF(col(vecCol), col(vecCol)).as("__vn"))
+      .join(c)
+      .select(col(idCol), col("centroid_id"),
+        (VectorOps.dotF(col(vecCol), col("cent_vec")) /
+          (sqrt(col("__vn")) * sqrt(col("__cn")))).as("sim"))
     // max over (sim, -centroid_id) == (sim desc, centroid_id asc): a
     // strict total order, so max_by is deterministic
-    scored
+    val best = scored
       .groupBy(col(idCol))
-      .agg(max_by(
-        struct(col("centroid_id"), col(vecCol).as("v")),
-        struct(col("sim"), (-col("centroid_id")).as("tb"))).as("best"))
-      .select(col(idCol), col("best.v").as(vecCol),
-        col("best.centroid_id").as("cluster"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("sim"), (-col("centroid_id")).as("tb"))).as("cluster"))
+    corpus.join(best, Seq(idCol))
+      .select(col(idCol), col(vecCol), col("cluster"))
   }
 
   def ivfTopK(assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
@@ -153,9 +165,23 @@ object Similarity {
     * assignment runs once per corpus build; every query batch afterwards
     * touches ~nprobe/nlist of the data straight off storage.
     */
-  def writeIvfIndex(assigned: DataFrame, path: String): Unit =
-    assigned.write.partitionBy("cluster")
+  def writeIvfIndex(assigned: DataFrame, path: String,
+                    shardsPerCluster: Int = 1): Unit = {
+    require(shardsPerCluster > 0, "shardsPerCluster must be > 0")
+    // co-locate each cluster before partitionBy — without this every
+    // task writes a file into every cluster directory it saw
+    // (tasks × clusters small files; the soak measured 8192 files for a
+    // 256-cluster index — the same explosion MergeSink.flushPartitioned
+    // guards against). shardsPerCluster > 1 splits big clusters into
+    // deterministic id-hash shards for parallel reads at scale.
+    val idC = col(assigned.columns.head)
+    val sharded =
+      if (shardsPerCluster == 1) assigned.repartition(col("cluster"))
+      else assigned.repartition(col("cluster"),
+        pmod(xxhash64(idC), lit(shardsPerCluster.toLong)))
+    sharded.write.partitionBy("cluster")
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+  }
 
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String)
       : DataFrame = spark.read.parquet(path)
@@ -267,7 +293,8 @@ object Similarity {
     * iteration here is: broadcast-assign (no shuffle of the sample) →
     * posexplode to (cluster, dim, x) → per-dimension mean (map-side
     * partial) — shuffle volume is sample x dim tiny rows, never the
-    * corpus. Deterministic: hash-spread seeding, max_by tie-breaks,
+    * corpus. Every round's k-row centroid frame is eagerly
+    * materialized, so round N's plan never re-executes rounds 1..N-1. Deterministic: hash-spread seeding, max_by tie-breaks,
     * exact decimal-mean aggregation (order-insensitive under any
     * partitioning) — same input, same centroids.
     *
@@ -289,9 +316,16 @@ object Similarity {
         col(idCol).as("__id"), col(vecCol))
       .orderBy(col("__h").asc, col("__id").asc)
       .limit(k)
+    // each Lloyd round MATERIALIZES its k-row centroid frame (eager
+    // localCheckpoint — a bounded model artifact): the round's plan
+    // references the previous round's centroids ~3x (assign broadcast,
+    // empty-cluster anti-join, union), so a lazily-chained loop
+    // re-executes every earlier round ~3^iters times — invisible at
+    // sf0.1, a 17-minute hang at the 2M-vector soak (docs/SEARCH_SOAK.md)
     var centroids = BoundedRank.packedIndex(sel,
       Seq(col("__h"), col("__id")),
       Seq(vecCol -> col(vecCol)), "centroid_id")
+      .localCheckpoint(true)
     (1 to iterations).foreach { _ =>
       val assigned = ivfAssign(train, centroids, idCol, vecCol)
       // per-dimension mean via exact decimal sums: a plain double avg()
@@ -313,6 +347,7 @@ object Similarity {
       centroids = means.unionByName(
         centroids.join(means.select(col("centroid_id")),
           Seq("centroid_id"), "left_anti"))
+        .localCheckpoint(true)
     }
     centroids
   }

@@ -62,15 +62,58 @@ object StressSearch {
       .write.mode("overwrite").parquet(indexPath)
     mark("index_build", spark.read.parquet(indexPath).count())
 
-    // 5% fresh batch with disjoint ids (synthesize derives content from
-    // doc_id, so the tail range is new material)
-    val batch = StressCurate.synthesize(spark, nDocs + nDocs / 20)
-      .filter(col("doc_id") >= nDocs)
-    TextSearch.invertedIndexAppend(
-        spark.read.parquet(indexPath), batch, "doc_id", "text", cap)
-      .write.mode("overwrite").parquet(s"$workDir/index2.parquet")
-    mark("index_append_5pct",
-      spark.read.parquet(s"$workDir/index2.parquet").count())
+    // ---- multi-epoch append + rebuild-equality (r13: the curate-soak
+    // treatment applied to index maintenance). A 5% batch plus five 1%
+    // epochs; after the last, a from-scratch rebuild over base+batches
+    // must equal the maintained index EXACTLY — the append-≡-rebuild
+    // invariant at soak scale, where posting-cap displacement under
+    // append has room to go wrong.
+    //
+    // Every slice (base, each batch, the rebuild) comes from ONE
+    // synthesized universe: synthesize(n)'s dup-basis modulus is n/10,
+    // so slicing batches out of different-n universes hands the same
+    // doc_id different text and fails equality for tool reasons, not
+    // engine reasons (found the hard way in the first r13 run).
+    val epochPct = nDocs / 100
+    val totalDocs = nDocs + nDocs / 20 + 5 * epochPct
+    val allPath = s"$workDir/documents_all.parquet"
+    if (!new java.io.File(allPath).exists()) {
+      StressCurate.synthesize(spark, totalDocs).repartition(64)
+        .write.mode("overwrite").parquet(allPath)
+    }
+    val all = spark.read.parquet(allPath)
+    val idx0 = s"$workDir/index_e0.parquet"
+    TextSearch.invertedIndex(all.filter(col("doc_id") < nDocs),
+        "doc_id", "text", cap)
+      .write.mode("overwrite").parquet(idx0)
+    mark("append_base_index", spark.read.parquet(idx0).count())
+
+    var hi = nDocs
+    var cur = idx0
+    val batchSizes = (nDocs / 20) +: Seq.fill(5)(epochPct)
+    batchSizes.zipWithIndex.foreach { case (sz, e) =>
+      val next = all.filter(col("doc_id") >= hi && col("doc_id") < hi + sz)
+      val out = s"$workDir/index_e${e + 1}.parquet"
+      TextSearch.invertedIndexAppend(
+          spark.read.parquet(cur), next, "doc_id", "text", cap)
+        .write.mode("overwrite").parquet(out)
+      hi += sz
+      cur = out
+      mark(s"index_append_epoch${e + 1} (${sz / 1000}k docs)",
+        spark.read.parquet(out).count())
+    }
+    TextSearch.invertedIndex(all.filter(col("doc_id") < hi),
+        "doc_id", "text", cap)
+      .write.mode("overwrite").parquet(s"$workDir/index_rebuilt.parquet")
+    mark("index_full_rebuild",
+      spark.read.parquet(s"$workDir/index_rebuilt.parquet").count())
+    val maintained = spark.read.parquet(cur)
+    val rebuilt = spark.read.parquet(s"$workDir/index_rebuilt.parquet")
+    val diff = maintained.exceptAll(rebuilt).count() +
+      rebuilt.exceptAll(maintained).count()
+    mark("rebuild_equality_diff_rows", diff)
+    assert(diff == 0,
+      s"maintained index diverged from rebuild by $diff rows")
 
     mark("search_topk", TextSearch.searchTopK(docs, "doc_id", "text",
       Seq("market", "water", "music"), 100).count())

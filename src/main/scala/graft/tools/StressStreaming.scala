@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only end-to-end LATENCY soak of the three streaming maintainers
+  * a long-running deployment leans on hardest — StreamingMerge's
+  * partitioned CDC flush, StreamingIndex's inverted-index epochs, and
+  * StreamingComponents' incremental label merges — driven for 20+
+  * epochs each at sf0.1-scale accumulated state. StressStreamingState
+  * proved flat epoch cost for two maintainers over 5 epochs; this tool
+  * records the full per-epoch wall/state-size CURVES so epoch-cost
+  * growth (e.g. the label table rewrite that scales with accumulated
+  * nodes, or partition-rewrite amplification) is a measured number, not
+  * an asserted bound. Numbers land in docs/SEARCH_SOAK.md.
+  *
+  * Usage: runMain graft.tools.StressStreaming [epochs] [workDir]
+  * (defaults 20, /tmp/graft-streaming-soak)
+  */
+object StressStreaming {
+
+  def main(args: Array[String]): Unit = {
+    val epochs = if (args.length > 0) args(0).toInt else 20
+    val workDir = if (args.length > 1) args(1)
+      else "/tmp/graft-streaming-soak"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def dirBytes(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+    }
+    def curve(name: String, pts: Seq[(Double, Long, Long)]): Unit = {
+      println(s"[stress-streaming] $name per-epoch " +
+        "(wall_sec/state_rows/state_mb):")
+      println("  " + pts.zipWithIndex.map { case ((w, r, b), i) =>
+        f"e$i=$w%.1fs/$r/${b / 1000000}MB" }.mkString(" "))
+    }
+
+    // ---- StreamingMerge (partitioned CDC flush): epochs of 100k
+    // changes — 80% updates of already-present keys, 20% inserts — into
+    // a table that grows toward 2M+ live rows. Flat-epoch claim: the
+    // flush rewrites only the PK-hash partitions the batch touches.
+    val mergePath = s"$workDir/merge-table"
+    val mergeCurve = (0 until epochs).map { ep =>
+      val base = ep * 20000L // 20k fresh keys per epoch
+      val inserts = spark.range(base, base + 20000L)
+        .select(col("id"), lit(ep.toLong).as("ver"),
+          concat(lit(s"payload-e$ep-"), col("id")).as("payload"))
+      val updates =
+        if (ep == 0) inserts.limit(0)
+        else spark.range(80000L)
+          .select(pmod(xxhash64(col("id"), lit(ep)), lit(base)).as("id"),
+            lit(ep.toLong).as("ver"),
+            concat(lit(s"update-e$ep-"), col("id")).as("payload"))
+      val batch = inserts.unionByName(updates)
+        .withColumn("_sdc_deleted_at", lit(null).cast("timestamp"))
+      val w = timed(graft.sink.MergeSink.flushPartitioned(
+        spark, batch, mergePath, Seq("id"), "ver", numParts = 64))
+      (w, spark.read.parquet(mergePath).count(), dirBytes(mergePath))
+    }
+    curve("merge_partitioned_cdc", mergeCurve)
+
+    // ---- StreamingIndex: epochs of 20k fresh docs into the maintained
+    // inverted index (cap 1000). State is vocab-bounded (70-word synth
+    // vocab x cap) — the curve should be FLAT in rows after the caps
+    // saturate even as indexed docs grow linearly.
+    val indexPath = s"$workDir/index-table"
+    val idxCurve = (0 until epochs).map { ep =>
+      val batch = StressCurate
+        .synthesize(spark, (ep + 1) * 20000L)
+        .filter(col("doc_id") >= ep * 20000L)
+      val w = timed(callIndexEpoch(batch, ep.toLong, indexPath))
+      (w, spark.read.parquet(indexPath).count(), dirBytes(indexPath))
+    }
+    curve("inverted_index_epochs", idxCurve)
+
+    // ---- StreamingComponents: epochs of 52k chain edges + 2k bridges
+    // into the previous epoch's range. Touched-component recompute is
+    // bounded per epoch; the label TABLE grows linearly — the rewrite
+    // cost curve is the honest number this soak exists to record.
+    val compPath = s"$workDir/comp-state"
+    val compCurve = (0 until epochs).map { ep =>
+      val base = ep * 260000L
+      val chains = spark.range(52000L)
+        .select((col("id") * 5 + base).as("id_a"),
+          (col("id") * 5 + base + 1).as("id_b"))
+      val batch =
+        if (ep == 0) chains
+        else chains.union(spark.range(2000L)
+          .select((col("id") * 5 + base).as("id_a"),
+            (col("id") * 5 + (base - 260000L)).as("id_b")))
+      val w = timed(graft.streaming.StreamingComponents.applyBatch(
+        batch.toDF(), ep.toLong, compPath, "id_a", "id_b"))
+      (w, spark.read.parquet(compPath).count(), dirBytes(compPath))
+    }
+    curve("components_epochs", compCurve)
+
+    // growth summary: late-epoch cost vs the first post-bootstrap epoch
+    def ratio(c: Seq[(Double, Long, Long)]): Double = {
+      val tail = c.takeRight(3).map(_._1).sum / 3
+      tail / math.max(c(1)._1, 0.001)
+    }
+    println(f"[stress-streaming] epoch-cost growth (last3avg / e1): " +
+      f"merge=${ratio(mergeCurve)}%.2fx index=${ratio(idxCurve)}%.2fx " +
+      f"components=${ratio(compCurve)}%.2fx over $epochs epochs")
+    spark.stop()
+  }
+
+  // StreamingIndex.applyBatch is private[streaming]; drive the epoch
+  // through the same code path via the public streaming entry on a
+  // one-batch file source would add file-listing noise — instead the
+  // bridge below lives in the streaming package.
+  private def callIndexEpoch(batch: org.apache.spark.sql.DataFrame,
+      ep: Long, path: String): Unit =
+    graft.streaming.StreamingBridge.indexEpoch(batch, ep, path,
+      "doc_id", "text", 1000)
+}
