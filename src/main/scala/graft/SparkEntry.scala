@@ -95,5 +95,12 @@ object SparkEntry {
     "classifier_train", "pipeline_classified_curate",
     "event_transitions", "metric_anomalies",
     // the self-contained index build end to end (train + assign + probe)
-    "ann_ivf_trained_topk")
+    "ann_ivf_trained_topk",
+    // round-13 addition: the Bloom-prefiltered incremental minhash
+    // probe — same oracle rows as dedup_incremental_minhash. NOTE the
+    // bench number INCLUDES the publish-time Bloom build (an index
+    // scan + sketch agg the query fn runs inline); production builds
+    // that once per index publish, and the probe-side saving shows on
+    // novel-heavy batches, not at sf0.1 where the build dominates
+    "dedup_minhash_against_bloomed")
 }
