@@ -43,6 +43,22 @@ object Curation {
     */
   final case class TrainClassifier(labelCol: String, labelValue: String,
       dim: Int, minScore: Long) extends Stage
+  /** Deterministic hash sample: keep `fraction` of docs by id bucket
+    * ([[Sampling.bucket]] — a per-row scan predicate, fuses like the
+    * filter stages).
+    */
+  final case class Sample(fraction: Double) extends Stage {
+    require(fraction > 0 && fraction <= 1,
+      s"sample fraction ($fraction) must be in (0, 1]")
+  }
+  /** Benchmark n-gram decontamination: drop docs sharing >= `minHits`
+    * distinct `k`-grams with the benchmark table named `benchmark`
+    * (resolved by the caller's table resolver — a path or a logical
+    * name; see [[run]]).
+    */
+  final case class Decontaminate(benchmark: String,
+      benchTextCol: String = "text", k: Int = 13, minHits: Long = 1)
+      extends Stage
   /** Exact dedup on the hash-normalized text (keep min id per hash). */
   case object ExactDedup extends Stage
   /** MinHash-LSH near-dup resolution; keep one doc per component. */
@@ -58,21 +74,32 @@ object Curation {
     require(stages.nonEmpty, "a curation spec needs at least one stage")
   }
 
+  /** Compile and run a recipe. `resolveTable` resolves
+    * [[Decontaminate]]'s benchmark name — defaults to reading it as a
+    * parquet path; tests and embedded callers pass a map-backed
+    * resolver.
+    */
   def run(docs: DataFrame, idCol: String, textCol: String,
-          spec: CurationSpec): DataFrame = {
+          spec: CurationSpec,
+          resolveTable: String => DataFrame = null): DataFrame = {
+    val resolve: String => DataFrame =
+      if (resolveTable != null) resolveTable
+      else name => docs.sparkSession.read.parquet(name)
     // fuse leading per-row stages into one scan predicate
     val (rowStages, rest) = spec.stages.span {
-      case _: LangFilter | _: GopherFilter | _: ClassifierFilter => true
+      case _: LangFilter | _: GopherFilter | _: ClassifierFilter |
+           _: Sample => true
       case _ => false
     }
-    val pred = rowStages.map(predicateOf(_, textCol))
+    val pred = rowStages.map(predicateOf(_, idCol, textCol))
       .reduceOption(_ && _)
     var cur = pred.map(docs.filter).getOrElse(docs)
     val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
     rest.foreach {
-      case s @ (_: LangFilter | _: GopherFilter | _: ClassifierFilter) =>
+      case s @ (_: LangFilter | _: GopherFilter | _: ClassifierFilter |
+                _: Sample) =>
         // a per-row stage AFTER a set stage still composes as a filter
-        cur = cur.filter(predicateOf(s, textCol))
+        cur = cur.filter(predicateOf(s, idCol, textCol))
       case TrainClassifier(labelCol, labelValue, dim, minScore) =>
         // one training action collects the dim-row model artifact; the
         // gate itself is then a per-row scan predicate like any other
@@ -96,6 +123,9 @@ object Curation {
           Dedup.minhashNearDups(landed, idCol, textCol, k, numHashes,
             rowsPerBand, threshold), "id_a", "id_b")
         cur = Dedup.keepCanonical(landed, idCol, labels)
+      case Decontaminate(bench, btc, k, minHits) =>
+        cur = Decontamination.decontaminate(cur, idCol, textCol,
+          resolve(bench), btc, k, minHits)
       case CapPerGroup(groupCol, orderCol, cap) =>
         cur = Sampling.capPerGroup(cur, groupCol, idCol, col(orderCol),
           cap)
@@ -115,6 +145,9 @@ object Curation {
     *   {"stage": "classifier", "weights": [..], "min_score": -878},
     *   {"stage": "train_classifier", "label_col": "source",
     *    "label_value": "wiki", "dim": 512, "min_score": -878},
+    *   {"stage": "sample", "fraction": 0.8},
+    *   {"stage": "decontaminate", "benchmark": "/path/or/name",
+    *    "text_col": "text", "k": 13, "min_hits": 1},
     *   {"stage": "exact_dedup"},
     *   {"stage": "near_dedup", "k": 3, "num_hashes": 12,
     *    "rows_per_band": 3, "threshold": 0.5},
@@ -151,6 +184,18 @@ object Curation {
         case other => throw new IllegalArgumentException(
           s"'$name' must be a string, got $other")
       }
+    def optNum(o: JObject, name: String, dflt: Double): Double =
+      (o \ name) match {
+        case JNothing => dflt
+        case v => num(v, name)
+      }
+    def optStr(o: JObject, name: String, dflt: String): String =
+      (o \ name) match {
+        case JNothing => dflt
+        case JString(s) => s
+        case other => throw new IllegalArgumentException(
+          s"'$name' must be a string, got $other")
+      }
     val stages = (root \ "stages") match {
       case JArray(arr) if arr.nonEmpty => arr.map {
         case o: JObject => str(o, "stage") match {
@@ -170,6 +215,13 @@ object Curation {
             str(o, "label_col"), str(o, "label_value"),
             num(field(o, "dim"), "dim").toInt,
             num(field(o, "min_score"), "min_score").toLong)
+          case "sample" =>
+            Sample(num(field(o, "fraction"), "fraction"))
+          case "decontaminate" => Decontaminate(
+            str(o, "benchmark"),
+            optStr(o, "text_col", "text"),
+            optNum(o, "k", 13).toInt,
+            optNum(o, "min_hits", 1).toLong)
           case "exact_dedup" => ExactDedup
           case "near_dedup" => NearDedup(
             num(field(o, "k"), "k").toInt,
@@ -198,12 +250,16 @@ object Curation {
     CurationSpec(stages)
   }
 
-  private def predicateOf(s: Stage, textCol: String): Column = s match {
+  private def predicateOf(s: Stage, idCol: String,
+                          textCol: String): Column = s match {
     case LangFilter(lang) => TextAnalysis.langId(col(textCol)) === lang
     case GopherFilter(minWords) =>
       TextAnalysis.gopherKeep(col(textCol), minWords = minWords)
     case ClassifierFilter(w, minScore) =>
       TextAnalysis.classifierKeep(col(textCol), w, minScore)
+    case Sample(fraction) =>
+      Sampling.bucket(col(idCol)) <
+        math.round(fraction * Sampling.Buckets)
     case other =>
       throw new IllegalArgumentException(s"not a per-row stage: $other")
   }

@@ -2991,6 +2991,43 @@ object TrainingDataQueries {
       },
       Some(classifiedCurateSql)),
 
+    // r13 recipe-vocabulary widening: hash sampling + benchmark
+    // decontamination as declarative stages. The benchmark table rides
+    // the recipe as a NAME resolved by the caller (here: the carved-out
+    // doc_id%20 slice), the sample is the per-row bucket predicate
+    // (fuses into the scan), and min_hits=2 exercises the non-default
+    // threshold path.
+    "pipeline_spec_decontaminate" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Curation
+        val docs = table(s, d, "documents")
+        val spec = Curation.fromJson(
+          s"""{"stages": [
+             |  {"stage": "sample", "fraction": 0.8},
+             |  {"stage": "decontaminate", "benchmark": "bench",
+             |   "k": $DecontamK, "min_hits": 2}
+             |]}""".stripMargin)
+        Curation.run(docs.filter(col("doc_id") % BenchMod =!= 0),
+            "doc_id", "text", spec,
+            resolveTable =
+              _ => docs.filter(col("doc_id") % BenchMod === 0))
+          .select(col("doc_id"), col("source"))
+      },
+      Some(s"""WITH $wordsCte, ${shinglesCte(DecontamK)},
+              |bench AS (SELECT DISTINCT shingle FROM sh
+              |  WHERE doc_id % $BenchMod = 0),
+              |samp AS (SELECT doc_id, source FROM documents
+              |  WHERE doc_id % $BenchMod <> 0
+              |    AND ${graft.operators.Sampling.bucketSql("doc_id")}
+              |      < 8000),
+              |bad AS (SELECT s.doc_id FROM sh s
+              |  JOIN bench b USING (shingle)
+              |  JOIN samp USING (doc_id)
+              |  GROUP BY s.doc_id HAVING count(*) >= 2)
+              |SELECT samp.doc_id, samp.source FROM samp
+              |LEFT JOIN bad USING (doc_id)
+              |WHERE bad.doc_id IS NULL""".stripMargin)),
+
     "pipeline_curate_corpus" -> QueryDef(
       (s, d) => {
         import graft.operators.Sampling

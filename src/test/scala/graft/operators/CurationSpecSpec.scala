@@ -62,6 +62,12 @@ class CurationSpecSpec extends SparkSpecBase {
        "label_value": "wiki", "dim": 512, "min_score": -878}
     ]}""") == CurationSpec(Seq(
       TrainClassifier("source", "wiki", 512, -878L))))
+    assert(Curation.fromJson("""{"stages": [
+      {"stage": "sample", "fraction": 0.8},
+      {"stage": "decontaminate", "benchmark": "bench", "min_hits": 2}
+    ]}""") == CurationSpec(Seq(
+      Sample(0.8), Decontaminate("bench", "text", 13, 2L))),
+      "optional decontaminate fields must default")
     intercept[IllegalArgumentException](
       Curation.fromJson(
         """{"stages": [{"stage": "train_classifier", "dim": 8}]}"""))
@@ -69,6 +75,25 @@ class CurationSpecSpec extends SparkSpecBase {
       Curation.fromJson("""{"stages": [{"stage": "gopher"}]}"""))
     intercept[IllegalArgumentException](
       Curation.fromJson("""{"stages": []}"""))
+  }
+
+  test("sample fuses as a scan predicate; decontaminate drops hits") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta tail words here"),
+      (2L, en), (3L, en + " more words")).toDF("doc_id", "text")
+    // fraction 1.0 keeps everything; doc 1 contains >= 1 benchmark
+    // 4-gram and dies; the others survive
+    val out = Curation.run(docs, "doc_id", "text", CurationSpec(Seq(
+        Sample(1.0), Decontaminate("bench", "text", k = 4, minHits = 1))),
+      resolveTable = name => { assert(name == "bench"); bench })
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
+    // a sample-only recipe stays a pure scan (no joins, no exchange)
+    val plan = Curation.run(docs, "doc_id", "text",
+      CurationSpec(Seq(Sample(0.5)))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"sample must fuse into the scan:\n$plan")
   }
 
   test("a per-row stage after a set stage still composes as a filter") {
