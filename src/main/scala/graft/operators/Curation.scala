@@ -67,6 +67,16 @@ object Curation {
   /** Cap docs per group (largest `orderCol` first). */
   final case class CapPerGroup(groupCol: String, orderCol: String,
       cap: Int) extends Stage
+  /** Source-mixture downsampling: compute the no-upsampling keep rates
+    * for the given relative weights ([[Sampling.mixturePlan]] over the
+    * stage's input set) and apply them as a stratified hash sample.
+    * Sources absent from `weights` are dropped.
+    */
+  final case class Mixture(sourceCol: String,
+      weights: Seq[(String, Double)]) extends Stage {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "mixture weights must be non-empty and positive")
+  }
   /** Deterministic hash split; appends a `split` column. */
   final case class HashSplit(weights: Seq[(String, Double)]) extends Stage
 
@@ -126,6 +136,16 @@ object Curation {
       case Decontaminate(bench, btc, k, minHits) =>
         cur = Decontamination.decontaminate(cur, idCol, textCol,
           resolve(bench), btc, k, minHits)
+      case Mixture(srcCol, weights) =>
+        // the rate table is a |sources|-row model artifact; collect it
+        // and apply as a literal stratified-hash predicate (one corpus
+        // aggregate pass + one scan filter, no joins)
+        val rates = Sampling.mixturePlan(cur, srcCol, textCol,
+            weights.toMap)
+          .select(col("source"), col("sample_rate")).collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        cur = Sampling.stratifiedSampleByHash(cur, idCol, srcCol,
+          rates, defaultFraction = 0.0)
       case CapPerGroup(groupCol, orderCol, cap) =>
         cur = Sampling.capPerGroup(cur, groupCol, idCol, col(orderCol),
           cap)
@@ -153,6 +173,8 @@ object Curation {
     *    "rows_per_band": 3, "threshold": 0.5},
     *   {"stage": "cap_per_group", "group": "source", "order": "n_chars",
     *    "cap": 10},
+    *   {"stage": "mixture", "source_col": "source",
+    *    "weights": {"src_a": 2.0, "src_b": 1.0}},
     *   {"stage": "split", "weights": {"train": 0.9, "valid": 0.1}}
     * ]}
     * }}}
@@ -230,6 +252,15 @@ object Curation {
             num(field(o, "threshold"), "threshold"))
           case "cap_per_group" => CapPerGroup(str(o, "group"),
             str(o, "order"), num(field(o, "cap"), "cap").toInt)
+          case "mixture" => field(o, "weights") match {
+            case JObject(fields) => Mixture(
+              optStr(o, "source_col", "source"),
+              fields.map { case JField(src, v) =>
+                src -> num(v, s"mixture weight '$src'")
+              })
+            case other => throw new IllegalArgumentException(
+              s"mixture 'weights' must be an object, got $other")
+          }
           case "split" => field(o, "weights") match {
             case JObject(fields) =>
               HashSplit(fields.map { case JField(k, v) =>

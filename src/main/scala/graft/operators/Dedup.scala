@@ -665,6 +665,84 @@ object Dedup {
         .sketch(hash60(col("bk")), bloomK, bloomM).as("sk"))
       .head().getSeq[Long](0).toArray
 
+  /** A published signature index: the signature frame plus the bounded
+    * probe artifacts stored beside it.
+    */
+  final case class SignatureIndex(sigs: DataFrame, bloomBits: Array[Long],
+      bloomK: Int, numHashes: Int, rowsPerBand: Int)
+
+  /** Publish a minhash signature index as a directory layout:
+    * `<path>/signatures` (parquet) plus the band-key Bloom and its
+    * parameters in `<path>/_index_meta.json` — the production shape of
+    * the incremental probe path, where the Bloom is built ONCE at
+    * publish time (one scan of the just-written signatures) instead of
+    * per batch. [[readSignatureIndex]] restores both;
+    * [[minhashNearDupsAgainstIndex]] probes with them.
+    */
+  def writeSignatureIndex(corpusSigs: DataFrame, path: String,
+                          numHashes: Int = 12, rowsPerBand: Int = 3,
+                          bloomK: Int = 5, bloomM: Int = 1 << 16): Unit = {
+    val spark = corpusSigs.sparkSession
+    corpusSigs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/signatures")
+    val bits = buildMinhashBandBloom(
+      spark.read.parquet(s"$path/signatures"), numHashes, rowsPerBand,
+      bloomK, bloomM)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, "_index_meta.json"), true)
+    try {
+      // bits are 0/1 longs; serialize as a compact 0/1 string
+      val json =
+        s"""{"num_hashes":$numHashes,"rows_per_band":$rowsPerBand,""" +
+          s""""bloom_k":$bloomK,"bloom_m":${bits.length},""" +
+          s""""bloom_bits":"${bits.map(b => if (b != 0L) '1' else '0')
+            .mkString}"}"""
+      out.write(json.getBytes("UTF-8"))
+    } finally out.close()
+  }
+
+  def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): SignatureIndex = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(
+      new org.apache.hadoop.fs.Path(path, "_index_meta.json"))
+    val json = try
+      scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val root = JsonMethods.parse(json)
+    def intOf(name: String): Int = (root \ name) match {
+      case JInt(n) => n.intValue
+      case JLong(n) => n.toInt
+      case o => throw new IllegalStateException(s"bad index meta $name: $o")
+    }
+    val bitsStr = (root \ "bloom_bits") match {
+      case JString(s) => s
+      case o => throw new IllegalStateException(s"bad bloom_bits: $o")
+    }
+    require(bitsStr.length == intOf("bloom_m"),
+      "bloom_bits length disagrees with bloom_m")
+    SignatureIndex(spark.read.parquet(s"$path/signatures"),
+      bitsStr.map(c => if (c == '1') 1L else 0L).toArray,
+      intOf("bloom_k"), intOf("num_hashes"), intOf("rows_per_band"))
+  }
+
+  /** Probe a published [[SignatureIndex]] — the parameters travel with
+    * the index, so a probe cannot silently band differently than the
+    * index was built.
+    */
+  def minhashNearDupsAgainstIndex(newDocs: DataFrame, idx: SignatureIndex,
+                                  idCol: String, textCol: String,
+                                  k: Int = 3, threshold: Double = 0.5)
+      : DataFrame =
+    minhashNearDupsAgainstBloomed(newDocs, idx.sigs, idCol, textCol,
+      idx.bloomBits, idx.bloomK, k, idx.numHashes, idx.rowsPerBand,
+      threshold)
+
   /** [[minhashNearDupsAgainst]] with a Bloom short-circuit — the
     * [[exactAgainstBloomed]] twin for the LSH probe: batch band keys
     * that are definitely not in the index (no false negatives) are

@@ -2991,6 +2991,40 @@ object TrainingDataQueries {
       },
       Some(classifiedCurateSql)),
 
+    // r13 recipe-vocabulary widening: the source-mixture rebalance as a
+    // declarative stage — rates computed on the stage's input set
+    // (mixturePlan), applied as a literal stratified-hash predicate.
+    // The oracle recomputes the rates in SQL and applies the identical
+    // floor(rate*Buckets + 0.5) threshold.
+    "pipeline_spec_mixture" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Curation
+        val wjson = MixtureWeights.toSeq.sortBy(_._1)
+          .map { case (src, v) => s""""$src": $v""" }.mkString(", ")
+        val spec = Curation.fromJson(
+          s"""{"stages": [{"stage": "mixture",
+             |  "source_col": "source", "weights": {$wjson}}]}"""
+            .stripMargin)
+        Curation.run(table(s, d, "documents"), "doc_id", "text", spec)
+          .select(col("doc_id"), col("source"))
+      },
+      Some {
+        val rows = MixtureWeights.toSeq.sortBy(_._1)
+          .map { case (src, wt) => s"('$src', $wt::DOUBLE)" }
+          .mkString(", ")
+        s"""WITH $mixTokCte,
+           |w(source, weight) AS (VALUES $rows),
+           |j AS (SELECT t.source, n_tokens, weight
+           |  FROM tok t JOIN w USING (source)),
+           |r AS (SELECT source,
+           |  weight * min(CAST(n_tokens AS DOUBLE) / weight) OVER ()
+           |    / CAST(n_tokens AS DOUBLE) AS rate FROM j)
+           |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+           |WHERE ${graft.operators.Sampling.bucketSql("d.doc_id")} <
+           |  CAST(floor(r.rate * ${graft.operators.Sampling.Buckets}
+           |    + 0.5) AS BIGINT)""".stripMargin
+      }),
+
     // r13 recipe-vocabulary widening: hash sampling + benchmark
     // decontamination as declarative stages. The benchmark table rides
     // the recipe as a NAME resolved by the caller (here: the carved-out

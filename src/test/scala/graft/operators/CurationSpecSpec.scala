@@ -68,6 +68,11 @@ class CurationSpecSpec extends SparkSpecBase {
     ]}""") == CurationSpec(Seq(
       Sample(0.8), Decontaminate("bench", "text", 13, 2L))),
       "optional decontaminate fields must default")
+    assert(Curation.fromJson("""{"stages": [
+      {"stage": "mixture", "weights": {"a": 2.0, "b": 1.0}}
+    ]}""") == CurationSpec(Seq(
+      Mixture("source", Seq("a" -> 2.0, "b" -> 1.0)))),
+      "mixture source_col must default to 'source'")
     intercept[IllegalArgumentException](
       Curation.fromJson(
         """{"stages": [{"stage": "train_classifier", "dim": 8}]}"""))

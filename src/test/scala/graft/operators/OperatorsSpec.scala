@@ -1411,6 +1411,20 @@ class OperatorsSpec extends SparkSpecBase {
     assert(bloomed == plain,
       "the band-key Bloom must never drop a true collision")
     assert(plain.nonEmpty, "fixture sanity: the echoed docs must collide")
+
+    // published-index round trip: write sigs + bloom sidecar, read
+    // back, probe — identical result, parameters travel with the index
+    val dir = java.nio.file.Files.createTempDirectory("sigidx").toString
+    Dedup.writeSignatureIndex(idx, dir, numHashes = 12, rowsPerBand = 3,
+      bloomK = 5, bloomM = 1 << 14)
+    val restored = Dedup.readSignatureIndex(spark, dir)
+    assert(restored.bloomBits.sameElements(bloom) &&
+      restored.bloomK == 5 && restored.numHashes == 12 &&
+      restored.rowsPerBand == 3)
+    val served = Dedup.minhashNearDupsAgainstIndex(batch, restored,
+      "doc_id", "text").collect().map(key).toSet
+    assert(served == plain,
+      "probe through the published index must equal the direct probe")
   }
 
   test("exactAgainst warns when an unbucketed index re-shuffles per batch") {
