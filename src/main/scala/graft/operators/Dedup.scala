@@ -397,6 +397,54 @@ object Dedup {
     releaseAfter(pairs, fpP)
   }
 
+  /** Incremental Hamming-fingerprint probe — the `...Against` member
+    * for the simhash / perceptual-hash family: screen a batch's
+    * fingerprints against a PERSISTED corpus fingerprint table
+    * `(id, fp)` without re-fingerprinting the corpus. Candidates share
+    * any 8-bit band; verification is `bit_count(xor) <= maxHamming`.
+    * Emits `(new_id, corpus_id, hamming)`.
+    *
+    * Scale shape mirrors [[minhashNearDupsAgainst]]: the NEW side —
+    * small by definition of an incremental batch — is broadcast, so the
+    * corpus fingerprint table is probed with a map-side join and never
+    * shuffles ([[warnIfIndexShuffles]] guards the contract). Works for
+    * any <=64-bit fingerprint: simhash tables, media aHash tables.
+    */
+  def hammingNearDupsAgainst(newFps: DataFrame, corpusFps: DataFrame,
+                             idCol: String, fpCol: String,
+                             bits: Int = 32, maxHamming: Int = 3)
+      : DataFrame = {
+    require(bits % 8 == 0 && bits > 0 && bits <= 64,
+      s"bits ($bits) must be a positive multiple of 8, at most 64")
+    val nBands = bits / 8
+    def banded(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(s"${side}_id"),
+        col(fpCol).as(s"fp_$side"),
+        posexplode(array((0 until nBands).map(b =>
+          concat_ws("_", lit(b),
+            shiftright(col(fpCol), b * 8).bitwiseAND(255))): _*))
+          .as(Seq("band_no", "bk")))
+    warnIfIndexShuffles(banded(corpusFps, "corpus")
+      .join(broadcast(banded(newFps, "new")), Seq("band_no", "bk"))
+      .select(col("new_id"), col("corpus_id"),
+        bit_count(col("fp_new").bitwiseXOR(col("fp_corpus")))
+          .cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming), "hammingNearDupsAgainst")
+  }
+
+  /** [[hammingNearDupsAgainst]] with the batch fingerprinted in place:
+    * the simhash spelling of the incremental probe (corpus side is the
+    * persisted [[simhash]] output).
+    */
+  def simhashNearDupsAgainst(newDocs: DataFrame, corpusFps: DataFrame,
+                             idCol: String, textCol: String,
+                             bits: Int = 32, maxHamming: Int = 3)
+      : DataFrame =
+    hammingNearDupsAgainst(simhash(newDocs, idCol, textCol, bits),
+      corpusFps.select(col(idCol), col("simhash")), idCol, "simhash",
+      bits, maxHamming)
+
   /** Embedding-cosine near-duplicate pairs with deterministic
     * random-hyperplane-style LSH: the sign bits of the dot product against
     * `numPlanes` fixed probe vectors (the lowest-id corpus vectors, given

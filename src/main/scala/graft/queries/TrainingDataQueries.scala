@@ -2593,6 +2593,41 @@ object TrainingDataQueries {
       },
       Some(incrDedupSql)),
 
+    // the simhash member of the `...Against` family (r13): a batch is
+    // fingerprinted and screened against the persisted corpus simhash
+    // table — byte-band candidates, Hamming-verified, corpus never
+    // re-fingerprinted. Also serves media aHash tables via the shared
+    // hammingNearDupsAgainst core.
+    "dedup_incremental_simhash" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        Dedup.simhashNearDupsAgainst(
+          docs.filter(col("doc_id") % IncrMod === 0),
+          Dedup.simhash(docs.filter(col("doc_id") % IncrMod =!= 0),
+            "doc_id", "text", SimhashBits),
+          "doc_id", "text", SimhashBits, MaxHamming)
+      },
+      Some {
+        val bandJoins = (0 until SimhashBits / 8).map { b =>
+          s"""SELECT n.doc_id AS new_id, n.simhash AS fp_n,
+             |  c.doc_id AS corpus_id, c.simhash AS fp_c
+             |FROM newf n JOIN corp c
+             |  ON ((n.simhash >> ${b * 8}) & 255) =
+             |     ((c.simhash >> ${b * 8}) & 255)""".stripMargin
+        }.mkString("\nUNION\n")
+        s"""WITH $wordsCte, $simhashCte,
+           |newf AS (SELECT doc_id, simhash FROM fp
+           |  WHERE doc_id % $IncrMod = 0),
+           |corp AS (SELECT doc_id, simhash FROM fp
+           |  WHERE doc_id % $IncrMod <> 0),
+           |cand AS ($bandJoins)
+           |SELECT new_id, corpus_id,
+           |  CAST(bit_count(xor(fp_n, fp_c)) AS INT) AS hamming
+           |FROM cand
+           |WHERE bit_count(xor(fp_n, fp_c)) <= $MaxHamming"""
+          .stripMargin
+      }),
+
     // the Bloom-prefiltered twin of dedup_incremental_minhash: the
     // publish-time band-key Bloom drops definite-miss batch keys before
     // the broadcast build. The oracle is IDENTICAL to the unbloomed

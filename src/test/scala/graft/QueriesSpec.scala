@@ -23,7 +23,8 @@ class QueriesSpec extends SparkSpecBase {
     */
   private val mayBeEmpty = Set("dedup_simhash_pairs", "dedup_minhash_lsh",
     "dedup_embedding_cosine", "dedup_ngram_jaccard",
-    "split_leakage_audit") // rides the minhash pair set
+    "dedup_incremental_simhash", // near-dup pair sets can be empty at
+    "split_leakage_audit")       // tiny SF (leakage rides minhash pairs)
 
   for ((name, QueryDef(fn, _)) <- SparkEntry.allDefs) {
     test(s"query $name executes on sf0.001") {

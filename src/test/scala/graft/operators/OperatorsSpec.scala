@@ -1427,6 +1427,33 @@ class OperatorsSpec extends SparkSpecBase {
       "probe through the published index must equal the direct probe")
   }
 
+  test("simhashNearDupsAgainst equals the all-pairs cross-section") {
+    val base = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank while birds sing in tall green trees every morning"
+    // doc pairs (i, 1000+i) share text => near-identical fingerprints;
+    // unrelated docs use disjoint word sets
+    val docs = ((1 to 10).map(i => (i.toLong, s"$base variant $i")) ++
+      (1 to 10).map(i => (1000L + i, s"$base variant $i")) ++
+      (1 to 10).map(i => (2000L + i,
+        s"zug wort nummer $i anders inhalt ganz verschieden hier")))
+      .toDF("doc_id", "text")
+    val isBatch = (id: Long) => id >= 1000L && id < 2000L
+    val corpus = docs.filter(!col("doc_id").between(1000L, 1999L))
+    val batch = docs.filter(col("doc_id").between(1000L, 1999L))
+    val against = Dedup.simhashNearDupsAgainst(batch,
+        Dedup.simhash(corpus, "doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: full all-pairs run, restricted to one-from-each pairs
+    val full = Dedup.simhashNearDups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect {
+        case (a, b) if isBatch(a) && !isBatch(b) => (a, b)
+        case (a, b) if isBatch(b) && !isBatch(a) => (b, a)
+      }.toSet
+    assert(against == full && against.nonEmpty,
+      s"incremental probe must equal the cross-section: $against vs $full")
+  }
+
   test("exactAgainst warns when an unbucketed index re-shuffles per batch") {
     val corpus = (1 to 50).map(i => (i.toLong, s"doc $i"))
       .toDF("doc_id", "text")
