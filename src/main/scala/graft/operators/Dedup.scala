@@ -397,6 +397,88 @@ object Dedup {
     releaseAfter(pairs, fpP)
   }
 
+  /** Hyperplane-LSH artifacts for the incremental embedding probe: the
+    * bounded plane table (the probe MUST sign against the same planes
+    * the index was built with) plus the per-vector corpus signatures.
+    * In production both persist next to the embedding table (planes are
+    * numPlanes rows; sigs are 16 bytes/vector).
+    */
+  final case class EmbeddingIndex(planes: DataFrame, sigs: DataFrame,
+      numPlanes: Int, bandBits: Int)
+
+  /** Build the [[EmbeddingIndex]] for a corpus — same deterministic
+    * plane seeding (lowest-id vectors, BoundedRank-densified) and sign
+    * bits as [[embeddingNearDups]], factored out so an ingest batch can
+    * be screened later without re-signing the corpus.
+    */
+  def buildEmbeddingIndex(corpus: DataFrame, idCol: String,
+                          vecCol: String, numPlanes: Int = 32,
+                          bandBits: Int = 16): EmbeddingIndex = {
+    require(bandBits > 0 && numPlanes % bandBits == 0 && numPlanes <= 63,
+      s"numPlanes ($numPlanes) must be a multiple of bandBits " +
+        s"($bandBits) and <= 63")
+    val proj = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val seed = proj.orderBy(col("id").asc).limit(numPlanes)
+      .select(col("id").as("pid"), col("v").as("plane_vec"))
+    val planes = BoundedRank.packedIndex(seed,
+        Seq(col("pid")), Seq("plane_vec" -> col("plane_vec")), "plane_id")
+      .select(col("plane_id").cast("int").as("plane_id"),
+        col("plane_vec"))
+    EmbeddingIndex(planes, hyperplaneSigs(proj, planes),
+      numPlanes, bandBits)
+  }
+
+  private def hyperplaneSigs(proj: DataFrame,
+                             planes: DataFrame): DataFrame = {
+    import graft.functions.VectorOps
+    proj.join(broadcast(planes))
+      .select(col("id"),
+        when(VectorOps.dotF(col("v"), col("plane_vec")) >= 0,
+          expr("shiftleft(1L, plane_id)")).otherwise(0L).as("bit"))
+      .groupBy(col("id"))
+      .agg(sum(col("bit")).as("sig"))
+  }
+
+  /** Incremental embedding-cosine probe — the `...Against` member for
+    * the hyperplane-LSH family: sign an ingest batch with the INDEX'S
+    * planes, band-join against the persisted corpus signatures (batch
+    * side broadcast — the signature table never shuffles), verify
+    * candidates by exact cosine against the corpus vectors. Emits
+    * `(new_id, corpus_id)` for every batch vector near-duplicating an
+    * indexed one.
+    */
+  def embeddingNearDupsAgainst(newEmb: DataFrame, corpusEmb: DataFrame,
+                               index: EmbeddingIndex, idCol: String,
+                               vecCol: String,
+                               threshold: Double = 0.9): DataFrame = {
+    import graft.functions.VectorOps
+    val numBands = index.numPlanes / index.bandBits
+    val mask = (1L << index.bandBits) - 1
+    def banded(sigs: DataFrame, side: String): DataFrame =
+      sigs.select(col("id").as(s"${side}_id"),
+        posexplode(array((0 until numBands).map(b =>
+          shiftright(col("sig"), b * index.bandBits).bitwiseAND(mask))
+          : _*)).as(Seq("band_no", "bk")))
+    val newSigs = hyperplaneSigs(
+      newEmb.select(col(idCol).as("id"), col(vecCol).as("v")),
+      index.planes)
+    val cand = banded(index.sigs, "corpus")
+      .join(broadcast(banded(newSigs, "new")), Seq("band_no", "bk"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    // exact verification: the candidate set is small; the batch vectors
+    // broadcast, the corpus vector table is probed in place
+    val nv = newEmb.select(col(idCol).as("new_id"),
+      col(vecCol).as("__nv"))
+    val cv = corpusEmb.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("__cv"))
+    warnIfIndexShuffles(cand
+      .join(broadcast(nv), Seq("new_id"))
+      .join(cv, Seq("corpus_id"))
+      .filter(VectorOps.cosineF(col("__nv"), col("__cv")) >= threshold)
+      .select(col("new_id"), col("corpus_id")),
+      "embeddingNearDupsAgainst")
+  }
+
   /** Incremental Hamming-fingerprint probe — the `...Against` member
     * for the simhash / perceptual-hash family: screen a batch's
     * fingerprints against a PERSISTED corpus fingerprint table

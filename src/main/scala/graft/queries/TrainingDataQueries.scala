@@ -2593,6 +2593,57 @@ object TrainingDataQueries {
       },
       Some(incrDedupSql)),
 
+    // the embedding-cosine member of the `...Against` family (r13): the
+    // ingest batch is signed with the INDEX'S hyperplanes (built from
+    // the corpus slice only — the probe may never re-derive planes),
+    // band-joined against the persisted corpus signatures, and
+    // verified by exact cosine against the corpus vectors.
+    "dedup_incremental_embedding" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") % IncrMod =!= 0)
+        val idx = Dedup.buildEmbeddingIndex(corpus, "vec_id",
+          "embedding", EmbPlanes, EmbBandBits)
+        Dedup.embeddingNearDupsAgainst(
+          emb.filter(col("vec_id") % IncrMod === 0), corpus, idx,
+          "vec_id", "embedding", EmbThreshold)
+      },
+      Some {
+        val bandJoins = (0 until EmbBands).map { b =>
+          val sh = b * EmbBandBits
+          val mask = (1 << EmbBandBits) - 1
+          s"""SELECT n.vec_id AS new_id, c.vec_id AS corpus_id
+             |FROM nsig n JOIN csig c
+             |  ON ((n.sig >> $sh) & $mask) = ((c.sig >> $sh) & $mask)"""
+            .stripMargin
+        }.mkString("\nUNION\n")
+        def sigCte(name: String, src: String) =
+          s"""$name AS (SELECT s.vec_id,
+             |    sum(CASE WHEN list_dot_product(s.v, p.pv) >= 0
+             |      THEN (1::BIGINT << CAST(p.plane_id AS INT))
+             |      ELSE 0 END) AS sig
+             |  FROM $src s, p GROUP BY s.vec_id)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           |  FROM embeddings),
+           |corp AS (SELECT * FROM e WHERE vec_id % $IncrMod <> 0),
+           |newv AS (SELECT * FROM e WHERE vec_id % $IncrMod = 0),
+           |p AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+           |    AS plane_id, v AS pv
+           |  FROM (SELECT vec_id, v FROM corp ORDER BY vec_id
+           |    LIMIT $EmbPlanes)),
+           |${sigCte("csig", "corp")},
+           |${sigCte("nsig", "newv")},
+           |cand AS ($bandJoins)
+           |SELECT cd.new_id, cd.corpus_id
+           |FROM cand cd
+           |JOIN e x ON cd.new_id = x.vec_id
+           |JOIN e y ON cd.corpus_id = y.vec_id
+           |WHERE list_dot_product(x.v, y.v)
+           |  / (sqrt(list_dot_product(x.v, x.v))
+           |     * sqrt(list_dot_product(y.v, y.v))) >= $EmbThreshold"""
+          .stripMargin
+      }),
+
     // the simhash member of the `...Against` family (r13): a batch is
     // fingerprinted and screened against the persisted corpus simhash
     // table — byte-band candidates, Hamming-verified, corpus never
