@@ -677,6 +677,83 @@ object Dedup {
     releaseAfter(pairs, sets)
   }
 
+  /** AllPairs artifacts for the incremental exact-Jaccard probe: the
+    * frozen document-frequency order (the probe MUST order its prefixes
+    * by the same total order the index's prefixes used — the prefix
+    * theorem needs one consistent order on both sides), the corpus
+    * prefix index, and the per-doc shingle sets for exact verification.
+    * At 100 TB these are the three tables an index publish writes.
+    */
+  final case class JaccardIndex(dfreq: DataFrame, prefix: DataFrame,
+      sets: DataFrame, k: Int, threshold: Double)
+
+  /** Build the [[JaccardIndex]] — the same sets/df/prefix pipeline
+    * [[ngramJaccardPairs]] runs internally, factored out so an ingest
+    * batch can be screened later without re-shingling the corpus.
+    */
+  def buildJaccardIndex(corpus: DataFrame, idCol: String,
+                        textCol: String, k: Int = 3,
+                        threshold: Double = 0.8): JaccardIndex = {
+    val sets = corpus.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), k)).as("gs"))
+      .withColumn("sz", size(col("gs")).cast("long"))
+    val grams = sets.select(col("id"), col("sz"), explode(col("gs")).as("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("g").asc)
+    val prefix = grams.join(dfreq, "g")
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("g"), col("sz"))
+    JaccardIndex(dfreq, prefix, sets, k, threshold)
+  }
+
+  /** Incremental exact-Jaccard probe — the `...Against` member for the
+    * AllPairs family: the batch's prefixes are ordered by the INDEX'S
+    * frozen df order (grams unseen at index time rank rarest-first —
+    * a consistent extension of the total order, and unseen grams cannot
+    * match any corpus prefix anyway), joined against the stored corpus
+    * prefix index, length-filtered, then verified EXACTLY from the
+    * stored shingle sets. Emits `(new_id, corpus_id, jaccard)` — no
+    * false negatives, same soundness as the all-pairs run.
+    */
+  def ngramJaccardAgainst(newDocs: DataFrame, index: JaccardIndex,
+                          idCol: String, textCol: String): DataFrame = {
+    val t = index.threshold
+    val nsets = newDocs.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), index.k)).as("gs"))
+      .withColumn("sz", size(col("gs")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ngrams = nsets.select(col("id"), col("sz"),
+      explode(col("gs")).as("g"))
+    val wOrd = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("g").asc)
+    val nprefix = ngrams
+      .join(broadcast(index.dfreq), Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("id").as("new_id"), col("g"), col("sz").as("sz_n"))
+    val candidates = index.prefix
+      .select(col("id").as("corpus_id"), col("g"), col("sz").as("sz_c"))
+      .join(broadcast(nprefix), Seq("g"))
+      .filter(col("sz_n") >= lit(t) * col("sz_c") &&
+        col("sz_c") >= lit(t) * col("sz_n"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    val pairs = candidates
+      .join(broadcast(nsets.select(col("id").as("new_id"),
+        col("gs").as("gs_n"), col("sz").as("sz_n"))), "new_id")
+      .join(index.sets.select(col("id").as("corpus_id"),
+        col("gs").as("gs_c"), col("sz").as("sz_c")), "corpus_id")
+      .withColumn("inter", size(array_intersect(col("gs_n"), col("gs_c")))
+        .cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_n") + col("sz_c") - col("inter")))
+      .filter(col("jaccard") >= t)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+    releaseAfter(warnIfIndexShuffles(pairs, "ngramJaccardAgainst"), nsets)
+  }
+
   /** Edit-distance-verified near-duplicate pairs — Ed-Join-style q-gram
     * prefix filtering (Xiao et al., "Ed-Join", PVLDB 2008) with bounded
     * Levenshtein verification. Text is normalized (lowercase, whitespace

@@ -2593,6 +2593,37 @@ object TrainingDataQueries {
       },
       Some(incrDedupSql)),
 
+    // the exact-Jaccard member of the `...Against` family (r13): the
+    // batch's prefixes are ordered by the index's FROZEN df order and
+    // joined against the stored corpus prefix index; exact verification
+    // from the stored shingle sets. The oracle (like jaccardSql) skips
+    // the prefix filter — sound-only pruning, so any-shared-gram
+    // candidates verify to the identical pair set.
+    "dedup_incremental_jaccard" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val idx = Dedup.buildJaccardIndex(
+          docs.filter(col("doc_id") % IncrMod =!= 0), "doc_id", "text",
+          JaccardK, JaccardThreshold)
+        Dedup.ngramJaccardAgainst(
+          docs.filter(col("doc_id") % IncrMod === 0), idx,
+          "doc_id", "text")
+      },
+      Some(s"""WITH $wordsCte, ${shinglesCte(JaccardK)},
+              |g AS (SELECT doc_id AS id, shingle AS g FROM sh),
+              |sz AS (SELECT id, count(*) AS sz FROM g GROUP BY id),
+              |i AS (SELECT n.id AS new_id, c.id AS corpus_id,
+              |    count(*) AS inter
+              |  FROM g n JOIN g c ON n.g = c.g
+              |  WHERE n.id % $IncrMod = 0 AND c.id % $IncrMod <> 0
+              |  GROUP BY 1, 2)
+              |SELECT new_id, corpus_id,
+              |  CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) AS jaccard
+              |FROM i JOIN sz x ON new_id = x.id
+              |JOIN sz y ON corpus_id = y.id
+              |WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter)
+              |  >= $JaccardThreshold""".stripMargin)),
+
     // the embedding-cosine member of the `...Against` family (r13): the
     // ingest batch is signed with the INDEX'S hyperplanes (built from
     // the corpus slice only — the probe may never re-derive planes),
