@@ -360,22 +360,34 @@ object Dedup {
     bandedHammingPairs(simhash(docs, idCol, textCol, bits), idCol,
       "simhash", bits, maxHamming, maxBucket)
 
-  /** Byte-band Hamming LSH over ANY 64-bit-or-narrower fingerprint column
+  /** Banded Hamming LSH over ANY 64-bit-or-narrower fingerprint column
     * (simhash, perceptual aHash, …): candidates are pairs sharing any
-    * 8-bit band of the fingerprint, verified by `bit_count(xor) <=
-    * maxHamming`. Pairs with Hamming <= bits/8 - 1 are caught with
-    * certainty (pigeonhole over `bits/8` bands); larger thresholds trade
-    * recall for the same bucketed cost — candidates are generated
-    * per-bucket (ONE shuffle on the band key), never as a cross join.
-    * Arithmetic-shift sign-fill is harmless: `& 255` extracts the true
-    * byte either way, so bit-63-set fingerprints band correctly.
+    * `bandBits`-wide band of the fingerprint, verified by
+    * `bit_count(xor) <= maxHamming`. Pairs with Hamming <=
+    * bits/bandBits - 1 are caught with certainty (pigeonhole over the
+    * bands); larger thresholds trade recall for the same bucketed
+    * cost — candidates are generated per-bucket (ONE shuffle on the
+    * band key), never as a cross join. Arithmetic-shift sign-fill is
+    * harmless: the mask extracts the true band either way, so
+    * bit-63-set fingerprints band correctly.
+    *
+    * BAND WIDTH IS THE SCALE KNOB: 8-bit bands give only 256 buckets
+    * per band, so candidate volume grows ~n²/256 per band — measured
+    * as the dominant cost of the 5M-doc probe soak. A 64-bit
+    * fingerprint with 16-bit bands keeps the SAME ham<=3 certainty
+    * (4 bands) with 65,536-value buckets — 256× fewer collisions
+    * (docs/SEARCH_SOAK.md). Default stays 8 for the 32-bit
+    * oracle-parity configuration.
     */
   def bandedHammingPairs(fps: DataFrame, idCol: String, hashCol: String,
                          bits: Int, maxHamming: Int,
-                         maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(bits % 8 == 0 && bits > 0 && bits <= 64,
-      s"bits ($bits) must be a positive multiple of 8, at most 64")
-    val nBands = bits / 8
+                         maxBucket: Int = Int.MaxValue,
+                         bandBits: Int = 8): DataFrame = {
+    require(bandBits > 0 && bits % bandBits == 0 && bits > 0 && bits <= 64,
+      s"bits ($bits) must be a positive multiple of bandBits " +
+        s"($bandBits), at most 64")
+    val nBands = bits / bandBits
+    val bandMask = (1L << bandBits) - 1
     // persist: both join sides reference the fingerprint pipeline and
     // the planner does not reuse it across sides (see minhashNearDups);
     // fingerprints are 16 bytes/doc
@@ -384,7 +396,7 @@ object Dedup {
     val banded = fpP.select(col("id"), col("fp"),
       posexplode(array((0 until nBands).map(b =>
         concat_ws("_", lit(b),
-          shiftright(col("fp"), b * 8).bitwiseAND(255))): _*))
+          shiftright(col("fp"), b * bandBits).bitwiseAND(bandMask))): _*))
         .as(Seq("band_no", "bk")))
     // viral guard (see bucketPairs): a cluster of IDENTICAL fingerprints
     // shares every band, so an uncapped mega-cluster squares in all
@@ -494,19 +506,44 @@ object Dedup {
     */
   def hammingNearDupsAgainst(newFps: DataFrame, corpusFps: DataFrame,
                              idCol: String, fpCol: String,
-                             bits: Int = 32, maxHamming: Int = 3)
+                             bits: Int = 32, maxHamming: Int = 3,
+                             bandBits: Int = 8,
+                             maxBucket: Int = Int.MaxValue)
       : DataFrame = {
-    require(bits % 8 == 0 && bits > 0 && bits <= 64,
-      s"bits ($bits) must be a positive multiple of 8, at most 64")
-    val nBands = bits / 8
+    require(bandBits > 0 && bits % bandBits == 0 && bits > 0 && bits <= 64,
+      s"bits ($bits) must be a positive multiple of bandBits " +
+        s"($bandBits), at most 64")
+    val nBands = bits / bandBits
+    val bandMask = (1L << bandBits) - 1
     def banded(df: DataFrame, side: String): DataFrame =
       df.select(col(idCol).as(s"${side}_id"),
         col(fpCol).as(s"fp_$side"),
         posexplode(array((0 until nBands).map(b =>
           concat_ws("_", lit(b),
-            shiftright(col(fpCol), b * 8).bitwiseAND(255))): _*))
+            shiftright(col(fpCol), b * bandBits).bitwiseAND(bandMask)))
+          : _*))
           .as(Seq("band_no", "bk")))
-    warnIfIndexShuffles(banded(corpusFps, "corpus")
+    val corpusBanded = banded(corpusFps, "corpus")
+    // viral-bucket guard, probe flavor: a corpus fingerprint cluster
+    // whose band bucket exceeds maxBucket answers with its MIN-id hub
+    // only — every colliding batch doc still learns "near-dup of THIS
+    // cluster" (the hub is the canonical representative downstream
+    // keep-canonical uses) without emitting |batch∩bucket|×|bucket|
+    // pairs. Measured necessity: the 5M-doc soak's small-vocab corpus
+    // collapses simhash fingerprints into mega-clusters that share
+    // every band at any band width (docs/SEARCH_SOAK.md). Costs one
+    // corpus-banded aggregation when enabled; the default skips it.
+    val corpusSide =
+      if (maxBucket == Int.MaxValue) corpusBanded
+      else {
+        val stats = corpusBanded.groupBy(col("band_no"), col("bk"))
+          .agg(count(lit(1)).as("__n"), min(col("corpus_id")).as("__hub"))
+        corpusBanded.join(stats, Seq("band_no", "bk"))
+          .filter(col("__n") <= maxBucket ||
+            col("corpus_id") === col("__hub"))
+          .drop("__n", "__hub")
+      }
+    warnIfIndexShuffles(corpusSide
       .join(broadcast(banded(newFps, "new")), Seq("band_no", "bk"))
       .select(col("new_id"), col("corpus_id"),
         bit_count(col("fp_new").bitwiseXOR(col("fp_corpus")))
@@ -521,11 +558,12 @@ object Dedup {
     */
   def simhashNearDupsAgainst(newDocs: DataFrame, corpusFps: DataFrame,
                              idCol: String, textCol: String,
-                             bits: Int = 32, maxHamming: Int = 3)
-      : DataFrame =
+                             bits: Int = 32, maxHamming: Int = 3,
+                             bandBits: Int = 8,
+                             maxBucket: Int = Int.MaxValue): DataFrame =
     hammingNearDupsAgainst(simhash(newDocs, idCol, textCol, bits),
       corpusFps.select(col(idCol), col("simhash")), idCol, "simhash",
-      bits, maxHamming)
+      bits, maxHamming, bandBits, maxBucket)
 
   /** Embedding-cosine near-duplicate pairs with deterministic
     * random-hyperplane-style LSH: the sign bits of the dot product against
@@ -690,13 +728,20 @@ object Dedup {
   /** Build the [[JaccardIndex]] — the same sets/df/prefix pipeline
     * [[ngramJaccardPairs]] runs internally, factored out so an ingest
     * batch can be screened later without re-shingling the corpus.
+    *
+    * Grams ride as hash60 LONGS end to end (postings 8 bytes, stored
+    * sets ~8 bytes/gram instead of ~20-char strings): the 5M-doc probe
+    * soak filled the disk shipping string-array pairs through the
+    * verification join. Jaccard is then over DISTINCT HASHED grams —
+    * identical to string Jaccard up to hash collisions, and
+    * oracle-exact because the DuckDB oracle hashes with the same
+    * StableHash (a collision collapses the same two grams in both
+    * engines).
     */
   def buildJaccardIndex(corpus: DataFrame, idCol: String,
                         textCol: String, k: Int = 3,
                         threshold: Double = 0.8): JaccardIndex = {
-    val sets = corpus.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), k)).as("gs"))
-      .withColumn("sz", size(col("gs")).cast("long"))
+    val sets = hashedShingleSets(corpus, idCol, textCol, k)
     val grams = sets.select(col("id"), col("sz"), explode(col("gs")).as("g"))
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("id"))
@@ -707,6 +752,15 @@ object Dedup {
       .select(col("id"), col("g"), col("sz"))
     JaccardIndex(dfreq, prefix, sets, k, threshold)
   }
+
+  /** `(id, gs: sorted array<long> of distinct gram hashes, sz)`. */
+  private def hashedShingleSets(docs: DataFrame, idCol: String,
+                                textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        array_sort(array_distinct(transform(
+          array_distinct(shingles(col(textCol), k)),
+          g => hash60(g)))).as("gs"))
+      .withColumn("sz", size(col("gs")).cast("long"))
 
   /** Incremental exact-Jaccard probe — the `...Against` member for the
     * AllPairs family: the batch's prefixes are ordered by the INDEX'S
@@ -720,9 +774,7 @@ object Dedup {
   def ngramJaccardAgainst(newDocs: DataFrame, index: JaccardIndex,
                           idCol: String, textCol: String): DataFrame = {
     val t = index.threshold
-    val nsets = newDocs.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), index.k)).as("gs"))
-      .withColumn("sz", size(col("gs")).cast("long"))
+    val nsets = hashedShingleSets(newDocs, idCol, textCol, index.k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ngrams = nsets.select(col("id"), col("sz"),
       explode(col("gs")).as("g"))

@@ -2609,12 +2609,16 @@ object TrainingDataQueries {
           docs.filter(col("doc_id") % IncrMod === 0), idx,
           "doc_id", "text")
       },
+      // grams hashed with the engine's StableHash in BOTH engines —
+      // Jaccard over distinct hashed grams, so a hash collision
+      // collapses the same pair of grams on both sides
       Some(s"""WITH $wordsCte, ${shinglesCte(JaccardK)},
-              |g AS (SELECT doc_id AS id, shingle AS g FROM sh),
+              |g AS (SELECT DISTINCT doc_id AS id,
+              |    ${StableHash.hash60Sql("shingle")} AS h FROM sh),
               |sz AS (SELECT id, count(*) AS sz FROM g GROUP BY id),
               |i AS (SELECT n.id AS new_id, c.id AS corpus_id,
               |    count(*) AS inter
-              |  FROM g n JOIN g c ON n.g = c.g
+              |  FROM g n JOIN g c ON n.h = c.h
               |  WHERE n.id % $IncrMod = 0 AND c.id % $IncrMod <> 0
               |  GROUP BY 1, 2)
               |SELECT new_id, corpus_id,

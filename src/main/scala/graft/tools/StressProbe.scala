@@ -1,0 +1,157 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dev-only soak of the incremental (`...Against`) dedup family — the
+  * production ingest shape: a 5% batch screened against PERSISTED
+  * 5M-doc indexes (exact hash, minhash band signatures, simhash
+  * fingerprints, AllPairs Jaccard artifacts), each probe measured
+  * against what the batch-less alternative (full all-pairs rerun over
+  * corpus+batch) would cost. Indexes are written to parquet and read
+  * back, so each probe pays realistic publish/serve I/O, not lineage
+  * recomputation. Batch and corpus slice ONE synthesized universe (the
+  * StressSearch lesson: the generator's dup-basis modulus depends on
+  * its total-doc argument).
+  *
+  * Usage: runMain graft.tools.StressProbe [nDocs] [workDir]
+  * (defaults 5,000,000 and /tmp/graft-probe-soak). Numbers recorded in
+  * docs/SEARCH_SOAK.md.
+  */
+object StressProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 5000000L
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft-probe-soak"
+    // optional family selector: all | exact | minhash | simhash | jaccard
+    val only = if (args.length > 2) args(2) else "all"
+    def want(f: String): Boolean = only == "all" || only == f
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val total = nDocs + nDocs / 20
+    val allPath = s"$workDir/documents_all.parquet"
+    if (!new java.io.File(allPath).exists()) {
+      println(s"[probe-soak] generating $total docs -> $allPath")
+      StressCurate.synthesize(spark, total).repartition(64)
+        .write.mode("overwrite").parquet(allPath)
+    }
+    val all = spark.read.parquet(allPath)
+    val corpus = all.filter(col("doc_id") < nDocs)
+    val batch = all.filter(col("doc_id") >= nDocs)
+
+    def timed(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe-soak] $name%-34s ${(System.nanoTime() - t0) / 1e9}%7.1fs rows=$n")
+      spark.catalog.clearCache()
+    }
+
+    // ---- exact: hash index + Bloom, probe the 5% batch --------------
+    if (want("exact")) {
+    val exactIdx = s"$workDir/exact_index.parquet"
+    timed("exact_index_publish") {
+      Dedup.exact(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(exactIdx); 0L
+    }
+    val exBloom = Dedup.buildIndexBloom(
+      spark.read.parquet(exactIdx), "text_hash", k = 5, m = 1 << 16)
+    timed("exact_probe_bloomed") {
+      Dedup.exactAgainstBloomed(batch, spark.read.parquet(exactIdx),
+          "doc_id", "text", exBloom, bloomK = 5)
+        .filter(col("dup_of").isNotNull).count()
+    }
+
+    }
+    // ---- minhash: signature index + band Bloom ----------------------
+    if (want("minhash")) {
+    val sigIdx = s"$workDir/sig_index"
+    timed("minhash_index_publish") {
+      Dedup.writeSignatureIndex(
+        Dedup.minhashSignatures(corpus, "doc_id", "text"), sigIdx); 0L
+    }
+    timed("minhash_probe_bloomed") {
+      val idx = Dedup.readSignatureIndex(spark, sigIdx)
+      Dedup.minhashNearDupsAgainstIndex(batch, idx, "doc_id", "text")
+        .count()
+    }
+
+    }
+    // ---- simhash: 64-bit fingerprints, 16-bit bands -----------------
+    if (want("simhash")) {
+    // the first soak run proved 8-bit bands (256 buckets/band) generate
+    // ~|corpus|x|batch|/256 candidate pairs per band at this scale —
+    // tens of billions. 64-bit fingerprints with 16-bit bands keep the
+    // identical ham<=3 pigeonhole certainty (4 bands) at 65,536-value
+    // buckets: 256x fewer collisions.
+    val fpIdx = s"$workDir/simhash_index.parquet"
+    timed("simhash64_index_publish") {
+      Dedup.simhash(corpus, "doc_id", "text", bits = 64)
+        .write.mode("overwrite").parquet(fpIdx); 0L
+    }
+    // wide bands alone cannot save a corpus whose fingerprints
+    // COLLAPSE (the 70-word synth vocab makes most long docs' distinct
+    // word sets near-identical — mega-clusters share every band at any
+    // width); the probe-side viral-bucket hub guard bounds those to
+    // one representative answer per cluster
+    timed("simhash64_probe_16bit_bands_capped") {
+      Dedup.simhashNearDupsAgainst(batch, spark.read.parquet(fpIdx),
+        "doc_id", "text", bits = 64, maxHamming = 3, bandBits = 16,
+        maxBucket = 1024).count()
+    }
+
+    }
+    // ---- exact Jaccard: AllPairs artifacts --------------------------
+    if (want("jaccard")) {
+    // scoped to a 1/25 corpus slice: AllPairs prefix pruning needs
+    // ZIPFIAN gram rarity — real text has doc-specific hapax n-grams
+    // that make every prefix posting list tiny. The 70-word synthetic
+    // vocabulary instead gives every 3-gram a near-POISSON df
+    // (mean ~290 even at 1M docs), so each doc's "rarest" grams
+    // concentrate on the distribution's left tail, prefix posting
+    // lists stay hundreds deep, and the candidate join measured
+    // ~2.5e9 rows / 60+ GB of shuffle at 1M docs — a DATA property
+    // (prefix pruning degenerates without rarity), not an operator
+    // bug; the operator is oracle-exact where it runs. The measured
+    // point below records the probe shape at the scale this corpus
+    // admits.
+    val jacCorpus = all.filter(col("doc_id") < nDocs / 25)
+    // batch ids chosen so their dup-basis seeds (doc_id mod total/10)
+    // land INSIDE the 200k corpus slice — otherwise the probe has no
+    // true pairs to find and measures only empty candidate machinery
+    val jacBatch = all.filter(col("doc_id") >= total / 10 &&
+      col("doc_id") < total / 10 + nDocs / 500)
+    val jacDir = s"$workDir/jaccard_index"
+    timed("jaccard_index_publish_200k") {
+      val idx = Dedup.buildJaccardIndex(jacCorpus, "doc_id", "text")
+      idx.dfreq.write.mode("overwrite").parquet(s"$jacDir/dfreq")
+      idx.prefix.write.mode("overwrite").parquet(s"$jacDir/prefix")
+      idx.sets.write.mode("overwrite").parquet(s"$jacDir/sets"); 0L
+    }
+    timed("jaccard_probe_200k_10k") {
+      val idx = Dedup.JaccardIndex(
+        spark.read.parquet(s"$jacDir/dfreq"),
+        spark.read.parquet(s"$jacDir/prefix"),
+        spark.read.parquet(s"$jacDir/sets"), 3, 0.8)
+      Dedup.ngramJaccardAgainst(jacBatch, idx, "doc_id", "text").count()
+    }
+
+    }
+    // reference point: what ONE all-pairs minhash rerun over the
+    // combined corpus costs — the thing the probes avoid per batch
+    if (want("reference")) {
+      timed("rebuild_reference_minhash_lsh") {
+        Dedup.minhashNearDups(all, "doc_id", "text",
+          maxBucket = 256).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1454,6 +1454,60 @@ class OperatorsSpec extends SparkSpecBase {
       s"incremental probe must equal the cross-section: $against vs $full")
   }
 
+  test("wide Hamming bands keep the pigeonhole guarantee (band knob)") {
+    // 64-bit fingerprints; maxHamming=3 <= nBands-1 for BOTH 8-bit
+    // (8 bands) and 16-bit (4 bands) configurations, so each catches
+    // every ham<=3 pair with certainty — the verified sets must be
+    // IDENTICAL while the 16-bit buckets are 256x more selective
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra"
+    val docs = ((1 to 12).map(i => (i.toLong, s"$base tail $i")) ++
+      (1 to 12).map(i => (100L + i, s"$base tail $i")) ++
+      (1 to 6).map(i => (200L + i, s"wholly different words $i here")))
+      .toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") < 100L ||
+      col("doc_id") >= 200L)
+    val batch = docs.filter(col("doc_id").between(100L, 199L))
+    val fps = Dedup.simhash(corpus, "doc_id", "text", bits = 64)
+    def probe(bandBits: Int) =
+      Dedup.hammingNearDupsAgainst(
+        Dedup.simhash(batch, "doc_id", "text", bits = 64), fps,
+        "doc_id", "simhash", bits = 64, maxHamming = 3,
+        bandBits = bandBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrow = probe(8)
+    val wide = probe(16)
+    assert(wide == narrow && wide.nonEmpty,
+      s"band width must not change the ham<=3 result: $wide vs $narrow")
+  }
+
+  test("hamming probe viral-bucket guard answers with the cluster hub") {
+    // 50 corpus docs with IDENTICAL text -> identical fingerprints, one
+    // mega-cluster; 3 distinct docs form small clusters
+    val viral = "same exact content repeated across the whole mirror " +
+      "farm again and again for every single crawled copy we fetched"
+    val docs = ((1 to 50).map(i => (i.toLong, viral)) ++
+      Seq((200L, "unique little document alpha beta gamma delta"),
+        (201L, "unique little document alpha beta gamma delta"),
+        (300L, "completely different other text here now")))
+      .toDF("doc_id", "text")
+    val fps = Dedup.simhash(docs, "doc_id", "text")
+    val batch = Seq((1000L, viral),
+      (1001L, "unique little document alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = Dedup.hammingNearDupsAgainst(
+        Dedup.simhash(batch, "doc_id", "text"), fps,
+        "doc_id", "simhash", maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the viral batch doc maps ONLY to the cluster hub (min id = 1);
+    // the small-cluster doc keeps its full answers (ids 200, 201)
+    assert(out((1000L, 1L)), s"hub pair missing: $out")
+    assert(!out.exists { case (n, c) => n == 1000L && c > 1L && c <= 50L },
+      s"capped cluster must answer with the hub only: $out")
+    assert(out((1001L, 200L)) && out((1001L, 201L)),
+      s"small clusters must keep full answers: $out")
+  }
+
   test("exactAgainst warns when an unbucketed index re-shuffles per batch") {
     val corpus = (1 to 50).map(i => (i.toLong, s"doc $i"))
       .toDF("doc_id", "text")
