@@ -111,13 +111,20 @@ object Curation {
         // a per-row stage AFTER a set stage still composes as a filter
         cur = cur.filter(predicateOf(s, idCol, textCol))
       case TrainClassifier(labelCol, labelValue, dim, minScore) =>
+        // the training COLLECT action executes the chain so far, and
+        // the downstream consumer executes it again — persist the
+        // survivor frame once (released with the result) so the
+        // regex-heavy upstream filters run ONE scan, not two
+        val landed = cur.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += landed
         // one training action collects the dim-row model artifact; the
         // gate itself is then a per-row scan predicate like any other
         // filter stage (Catalyst folds consecutive filters into one)
         val w = TextAnalysis.nbWeightsArray(
-          TextAnalysis.nbTrainHashed(cur,
+          TextAnalysis.nbTrainHashed(landed,
             col(labelCol) === labelValue, textCol, dim), dim)
-        cur = cur.filter(
+        cur = landed.filter(
           TextAnalysis.classifierKeep(col(textCol), w, minScore))
       case ExactDedup =>
         val keep = Dedup.exact(
@@ -137,14 +144,19 @@ object Curation {
         cur = Decontamination.decontaminate(cur, idCol, textCol,
           resolve(bench), btc, k, minHits)
       case Mixture(srcCol, weights) =>
+        // the rate COLLECT executes the chain so far and the sample
+        // filter executes it again — persist once, release with result
+        val landed = cur.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += landed
         // the rate table is a |sources|-row model artifact; collect it
         // and apply as a literal stratified-hash predicate (one corpus
         // aggregate pass + one scan filter, no joins)
-        val rates = Sampling.mixturePlan(cur, srcCol, textCol,
+        val rates = Sampling.mixturePlan(landed, srcCol, textCol,
             weights.toMap)
           .select(col("source"), col("sample_rate")).collect()
           .map(r => r.getString(0) -> r.getDouble(1)).toMap
-        cur = Sampling.stratifiedSampleByHash(cur, idCol, srcCol,
+        cur = Sampling.stratifiedSampleByHash(landed, idCol, srcCol,
           rates, defaultFraction = 0.0)
       case CapPerGroup(groupCol, orderCol, cap) =>
         cur = Sampling.capPerGroup(cur, groupCol, idCol, col(orderCol),

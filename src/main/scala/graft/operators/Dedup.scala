@@ -383,9 +383,10 @@ object Dedup {
                          bits: Int, maxHamming: Int,
                          maxBucket: Int = Int.MaxValue,
                          bandBits: Int = 8): DataFrame = {
-    require(bandBits > 0 && bits % bandBits == 0 && bits > 0 && bits <= 64,
+    require(bandBits > 0 && bandBits < 64 &&
+        bits % bandBits == 0 && bits > 0 && bits <= 64,
       s"bits ($bits) must be a positive multiple of bandBits " +
-        s"($bandBits), at most 64")
+        s"($bandBits in [1, 63]), at most 64")
     val nBands = bits / bandBits
     val bandMask = (1L << bandBits) - 1
     // persist: both join sides reference the fingerprint pipeline and
@@ -510,9 +511,10 @@ object Dedup {
                              bandBits: Int = 8,
                              maxBucket: Int = Int.MaxValue)
       : DataFrame = {
-    require(bandBits > 0 && bits % bandBits == 0 && bits > 0 && bits <= 64,
+    require(bandBits > 0 && bandBits < 64 &&
+        bits % bandBits == 0 && bits > 0 && bits <= 64,
       s"bits ($bits) must be a positive multiple of bandBits " +
-        s"($bandBits), at most 64")
+        s"($bandBits in [1, 63]), at most 64")
     val nBands = bits / bandBits
     val bandMask = (1L << bandBits) - 1
     def banded(df: DataFrame, side: String): DataFrame =
@@ -523,18 +525,27 @@ object Dedup {
             shiftright(col(fpCol), b * bandBits).bitwiseAND(bandMask)))
           : _*))
           .as(Seq("band_no", "bk")))
-    val corpusBanded = banded(corpusFps, "corpus")
     // viral-bucket guard, probe flavor: a corpus fingerprint cluster
     // whose band bucket exceeds maxBucket answers with its MIN-id hub
-    // only — every colliding batch doc still learns "near-dup of THIS
-    // cluster" (the hub is the canonical representative downstream
-    // keep-canonical uses) without emitting |batch∩bucket|×|bucket|
-    // pairs. Measured necessity: the 5M-doc soak's small-vocab corpus
-    // collapses simhash fingerprints into mega-clusters that share
-    // every band at any band width (docs/SEARCH_SOAK.md). Costs one
-    // corpus-banded aggregation when enabled; the default skips it.
+    // only. EXACT for identical-fingerprint clusters (the mirror-farm
+    // case that motivates the guard: every member verifies like the
+    // hub); for a mixed over-cap bucket this intentionally trades
+    // pair-level recall for survival — a batch doc within maxHamming of
+    // a non-hub member but not of the hub loses that pair, the same
+    // trade bucketPairs' star guard documents. Measured necessity: the
+    // 5M-doc soak's small-vocab corpus collapses simhash fingerprints
+    // into mega-clusters that share every band at any band width
+    // (docs/SEARCH_SOAK.md). When enabled, the banded corpus frame is
+    // persisted — the stats aggregate and the guarded join are two
+    // references the planner will not reuse, and recomputing them would
+    // re-fingerprint the corpus. The default skips all of it.
+    val guarded = maxBucket != Int.MaxValue
+    val corpusBanded =
+      if (guarded) banded(corpusFps, "corpus")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else banded(corpusFps, "corpus")
     val corpusSide =
-      if (maxBucket == Int.MaxValue) corpusBanded
+      if (!guarded) corpusBanded
       else {
         val stats = corpusBanded.groupBy(col("band_no"), col("bk"))
           .agg(count(lit(1)).as("__n"), min(col("corpus_id")).as("__hub"))
@@ -543,13 +554,14 @@ object Dedup {
             col("corpus_id") === col("__hub"))
           .drop("__n", "__hub")
       }
-    warnIfIndexShuffles(corpusSide
+    val out = warnIfIndexShuffles(corpusSide
       .join(broadcast(banded(newFps, "new")), Seq("band_no", "bk"))
       .select(col("new_id"), col("corpus_id"),
         bit_count(col("fp_new").bitwiseXOR(col("fp_corpus")))
           .cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming), "hammingNearDupsAgainst")
+    if (guarded) releaseAfter(out, corpusBanded) else out
   }
 
   /** [[hammingNearDupsAgainst]] with the batch fingerprinted in place:
@@ -741,7 +753,14 @@ object Dedup {
   def buildJaccardIndex(corpus: DataFrame, idCol: String,
                         textCol: String, k: Int = 3,
                         threshold: Double = 0.8): JaccardIndex = {
+    // persist: dfreq, prefix, and sets all derive from this frame and
+    // the planner does not reuse the subtree (the ngramJaccardPairs
+    // lesson) — without it every consumer re-shingles and re-hashes the
+    // corpus. An in-memory index holds the cache until the session
+    // evicts it (bench clears cache per query); the production path
+    // writes the three tables to storage and reads them back instead.
     val sets = hashedShingleSets(corpus, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = sets.select(col("id"), col("sz"), explode(col("gs")).as("g"))
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("id"))
@@ -780,8 +799,14 @@ object Dedup {
       explode(col("gs")).as("g"))
     val wOrd = Window.partitionBy(col("id"))
       .orderBy(col("df").asc, col("g").asc)
+    // dfreq is corpus-VOCABULARY-sized and must never broadcast or
+    // shuffle per probe: shrink it first with a broadcast semi-join on
+    // the batch's distinct grams (small by definition of a batch), then
+    // the batch grams join the shrunken slice broadcast
+    val batchDf = index.dfreq
+      .join(broadcast(ngrams.select(col("g")).distinct()), Seq("g"))
     val nprefix = ngrams
-      .join(broadcast(index.dfreq), Seq("g"), "left")
+      .join(broadcast(batchDf), Seq("g"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
@@ -928,7 +953,7 @@ object Dedup {
     * probe artifacts stored beside it.
     */
   final case class SignatureIndex(sigs: DataFrame, bloomBits: Array[Long],
-      bloomK: Int, numHashes: Int, rowsPerBand: Int)
+      bloomK: Int, numHashes: Int, rowsPerBand: Int, shingleK: Int)
 
   /** Publish a minhash signature index as a directory layout:
     * `<path>/signatures` (parquet) plus the band-key Bloom and its
@@ -940,7 +965,8 @@ object Dedup {
     */
   def writeSignatureIndex(corpusSigs: DataFrame, path: String,
                           numHashes: Int = 12, rowsPerBand: Int = 3,
-                          bloomK: Int = 5, bloomM: Int = 1 << 16): Unit = {
+                          bloomK: Int = 5, bloomM: Int = 1 << 16,
+                          shingleK: Int = 3): Unit = {
     val spark = corpusSigs.sparkSession
     corpusSigs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/signatures")
@@ -955,6 +981,7 @@ object Dedup {
       // bits are 0/1 longs; serialize as a compact 0/1 string
       val json =
         s"""{"num_hashes":$numHashes,"rows_per_band":$rowsPerBand,""" +
+          s""""shingle_k":$shingleK,""" +
           s""""bloom_k":$bloomK,"bloom_m":${bits.length},""" +
           s""""bloom_bits":"${bits.map(b => if (b != 0L) '1' else '0')
             .mkString}"}"""
@@ -985,22 +1012,28 @@ object Dedup {
     }
     require(bitsStr.length == intOf("bloom_m"),
       "bloom_bits length disagrees with bloom_m")
+    // shingle_k added mid-r13; pre-existing sidecars carry the default
+    val shingleK = (root \ "shingle_k") match {
+      case JNothing => 3
+      case _ => intOf("shingle_k")
+    }
     SignatureIndex(spark.read.parquet(s"$path/signatures"),
       bitsStr.map(c => if (c == '1') 1L else 0L).toArray,
-      intOf("bloom_k"), intOf("num_hashes"), intOf("rows_per_band"))
+      intOf("bloom_k"), intOf("num_hashes"), intOf("rows_per_band"),
+      shingleK)
   }
 
-  /** Probe a published [[SignatureIndex]] — the parameters travel with
-    * the index, so a probe cannot silently band differently than the
-    * index was built.
+  /** Probe a published [[SignatureIndex]] — ALL parameters (banding AND
+    * the shingle size the signatures were minhashed over) travel with
+    * the index, so a probe cannot silently shingle or band differently
+    * than the index was built.
     */
   def minhashNearDupsAgainstIndex(newDocs: DataFrame, idx: SignatureIndex,
                                   idCol: String, textCol: String,
-                                  k: Int = 3, threshold: Double = 0.5)
-      : DataFrame =
+                                  threshold: Double = 0.5): DataFrame =
     minhashNearDupsAgainstBloomed(newDocs, idx.sigs, idCol, textCol,
-      idx.bloomBits, idx.bloomK, k, idx.numHashes, idx.rowsPerBand,
-      threshold)
+      idx.bloomBits, idx.bloomK, idx.shingleK, idx.numHashes,
+      idx.rowsPerBand, threshold)
 
   /** [[minhashNearDupsAgainst]] with a Bloom short-circuit — the
     * [[exactAgainstBloomed]] twin for the LSH probe: batch band keys
