@@ -463,7 +463,8 @@ object Dedup {
   def embeddingNearDupsAgainst(newEmb: DataFrame, corpusEmb: DataFrame,
                                index: EmbeddingIndex, idCol: String,
                                vecCol: String,
-                               threshold: Double = 0.9): DataFrame = {
+                               threshold: Double = 0.9,
+                               maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.functions.VectorOps
     val numBands = index.numPlanes / index.bandBits
     val mask = (1L << index.bandBits) - 1
@@ -475,28 +476,58 @@ object Dedup {
     val newSigs = hyperplaneSigs(
       newEmb.select(col(idCol).as("id"), col(vecCol).as("v")),
       index.planes)
-    val cand = banded(index.sigs, "corpus")
+    // viral-bucket guard, probe flavor — same semantics and trade as
+    // [[hammingNearDupsAgainst]]: an over-cap corpus band bucket answers
+    // with its MIN-id hub only, so a mirror-farm cluster (10^6 identical
+    // vectors sharing every band key) emits one candidate per band
+    // instead of |bucket| per band. Exact for identical-vector clusters
+    // (every member verifies like the hub); recall-trading for mixed
+    // over-cap buckets. Persisted when enabled: the stats aggregate and
+    // the guarded join are two references the planner will not reuse.
+    val guarded = maxBucket != Int.MaxValue
+    val corpusBanded =
+      if (guarded) banded(index.sigs, "corpus")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else banded(index.sigs, "corpus")
+    val corpusSide =
+      if (!guarded) corpusBanded
+      else {
+        val stats = corpusBanded.groupBy(col("band_no"), col("bk"))
+          .agg(count(lit(1)).as("__n"), min(col("corpus_id")).as("__hub"))
+        corpusBanded.join(stats, Seq("band_no", "bk"))
+          .filter(col("__n") <= maxBucket ||
+            col("corpus_id") === col("__hub"))
+          .drop("__n", "__hub")
+      }
+    val cand = corpusSide
       .join(broadcast(banded(newSigs, "new")), Seq("band_no", "bk"))
       .select(col("new_id"), col("corpus_id")).distinct()
-    // exact verification: the candidate set is small; the batch vectors
-    // broadcast, the corpus vector table is probed in place
+    // exact verification: the candidate set is batch-sized — broadcast it
+    // (vectors attached) so the corpus vector table is probed with a
+    // map-side join in place. The broadcast is EXPLICIT because
+    // warnIfIndexShuffles' whole-plan string check is satisfied by the
+    // band join's broadcast above and cannot see this subtree shuffle.
     val nv = newEmb.select(col(idCol).as("new_id"),
       col(vecCol).as("__nv"))
     val cv = corpusEmb.select(col(idCol).as("corpus_id"),
       col(vecCol).as("__cv"))
-    warnIfIndexShuffles(cand
-      .join(broadcast(nv), Seq("new_id"))
-      .join(cv, Seq("corpus_id"))
+    val out = warnIfIndexShuffles(cv
+      .join(broadcast(cand.join(broadcast(nv), Seq("new_id"))),
+        Seq("corpus_id"))
       .filter(VectorOps.cosineF(col("__nv"), col("__cv")) >= threshold)
       .select(col("new_id"), col("corpus_id")),
       "embeddingNearDupsAgainst")
+    if (guarded) releaseAfter(out, corpusBanded) else out
   }
 
   /** Incremental Hamming-fingerprint probe — the `...Against` member
     * for the simhash / perceptual-hash family: screen a batch's
     * fingerprints against a PERSISTED corpus fingerprint table
     * `(id, fp)` without re-fingerprinting the corpus. Candidates share
-    * any 8-bit band; verification is `bit_count(xor) <= maxHamming`.
+    * any `bandBits`-wide band (the width knob trades bucket count
+    * against the pigeonhole guarantee, exactly as in
+    * [[bandedHammingPairs]]); verification is
+    * `bit_count(xor) <= maxHamming`.
     * Emits `(new_id, corpus_id, hamming)`.
     *
     * Scale shape mirrors [[minhashNearDupsAgainst]]: the NEW side —
@@ -668,6 +699,7 @@ object Dedup {
     */
   private[graft] def releaseAfterAll(result: DataFrame,
       cached: DataFrame*): DataFrame = {
+    PreCheckpointLint.hook(result)
     val out = result.localCheckpoint(eager = true)
     cached.foreach(_.unpersist())
     out
@@ -919,9 +951,11 @@ object Dedup {
                              idCol: String, textCol: String,
                              k: Int = 3, numHashes: Int = 12,
                              rowsPerBand: Int = 3,
-                             threshold: Double = 0.5): DataFrame =
+                             threshold: Double = 0.5,
+                             maxBucket: Int = Int.MaxValue): DataFrame =
     minhashAgainstImpl(newDocs, corpusSigs, idCol, textCol, k, numHashes,
-      rowsPerBand, threshold, bloom = None, "minhashNearDupsAgainst")
+      rowsPerBand, threshold, bloom = None, "minhashNearDupsAgainst",
+      maxBucket)
 
   /** The LSH band-key array shared by the signature probe paths:
     * `numBands` keys, each the '_'-joined `rowsPerBand` signature run.
@@ -1030,10 +1064,11 @@ object Dedup {
     */
   def minhashNearDupsAgainstIndex(newDocs: DataFrame, idx: SignatureIndex,
                                   idCol: String, textCol: String,
-                                  threshold: Double = 0.5): DataFrame =
+                                  threshold: Double = 0.5,
+                                  maxBucket: Int = Int.MaxValue): DataFrame =
     minhashNearDupsAgainstBloomed(newDocs, idx.sigs, idCol, textCol,
       idx.bloomBits, idx.bloomK, idx.shingleK, idx.numHashes,
-      idx.rowsPerBand, threshold)
+      idx.rowsPerBand, threshold, maxBucket)
 
   /** [[minhashNearDupsAgainst]] with a Bloom short-circuit — the
     * [[exactAgainstBloomed]] twin for the LSH probe: batch band keys
@@ -1051,17 +1086,19 @@ object Dedup {
                                     bloomBits: Array[Long], bloomK: Int,
                                     k: Int = 3, numHashes: Int = 12,
                                     rowsPerBand: Int = 3,
-                                    threshold: Double = 0.5): DataFrame =
+                                    threshold: Double = 0.5,
+                                    maxBucket: Int = Int.MaxValue): DataFrame =
     minhashAgainstImpl(newDocs, corpusSigs, idCol, textCol, k, numHashes,
       rowsPerBand, threshold, bloom = Some((bloomBits, bloomK)),
-      "minhashNearDupsAgainstBloomed")
+      "minhashNearDupsAgainstBloomed", maxBucket)
 
   private def minhashAgainstImpl(newDocs: DataFrame, corpusSigs: DataFrame,
                                  idCol: String, textCol: String,
                                  k: Int, numHashes: Int, rowsPerBand: Int,
                                  threshold: Double,
                                  bloom: Option[(Array[Long], Int)],
-                                 op: String): DataFrame = {
+                                 op: String,
+                                 maxBucket: Int = Int.MaxValue): DataFrame = {
     val newSigs = minhashSignatures(newDocs, idCol, textCol, k, numHashes)
     val sigArr = array((0 until numHashes).map(i => col(s"sig_$i")): _*)
     val bandKeys = bandKeyArray(numHashes, rowsPerBand)
@@ -1079,12 +1116,38 @@ object Dedup {
       zip_with(col("sig_new"), col("sig_corpus"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
-    warnIfIndexShuffles(banded(corpusSigs, "corpus")
+    // viral-bucket guard, probe flavor — same semantics and trade as
+    // [[hammingNearDupsAgainst]]: an over-cap corpus band bucket answers
+    // with its MIN-id hub only, bounding a mirror-farm cluster's
+    // candidate fan-out at numBands rows per matching batch doc instead
+    // of |bucket| * numBands. EXACT for identical-signature clusters
+    // (every member agrees with the batch doc exactly like the hub);
+    // recall-trading for mixed over-cap buckets. Persisted when enabled
+    // because the stats aggregate and the guarded join are two
+    // references the planner will not reuse; Catalyst prunes sig_corpus
+    // out of the stats scan. Default skips all of it.
+    val guarded = maxBucket != Int.MaxValue
+    val corpusBanded =
+      if (guarded) banded(corpusSigs, "corpus")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else banded(corpusSigs, "corpus")
+    val corpusSide =
+      if (!guarded) corpusBanded
+      else {
+        val stats = corpusBanded.groupBy(col("band_no"), col("bk"))
+          .agg(count(lit(1)).as("__n"), min(col("corpus_id")).as("__hub"))
+        corpusBanded.join(stats, Seq("band_no", "bk"))
+          .filter(col("__n") <= maxBucket ||
+            col("corpus_id") === col("__hub"))
+          .drop("__n", "__hub")
+      }
+    val out = warnIfIndexShuffles(corpusSide
       .join(broadcast(newBanded), Seq("band_no", "bk"))
       .select(col("new_id"), col("corpus_id"),
         (agree.cast("double") / numHashes).as("sig_agreement"))
       .distinct()
       .filter(col("sig_agreement") >= threshold), op)
+    if (guarded) releaseAfter(out, corpusBanded) else out
   }
 
   /** Connected components over a near-dup pair graph — the cluster
@@ -1589,4 +1652,23 @@ object Dedup {
       .groupBy(col("group_a"), col("group_b"))
       .agg(count(lit(1)).as("n_pairs"))
   }
+}
+
+/** Test-mode seam for the registry plan lint. [[Dedup.releaseAfterAll]]'s
+  * eager `localCheckpoint` cuts the result's lineage, so the executed plan
+  * any later lint inspects is a bare `Scan ExistingRDD` — the heavy
+  * internal stages of checkpointed pipelines are invisible to it
+  * (docs/PLANS_r13.md records four of the five heaviest registry queries
+  * in exactly this state). The hook fires on the FULL pre-checkpoint
+  * frame immediately before the cut. Production leaves the no-op
+  * default (one volatile read per release); the test suite installs a
+  * collector that runs `PlanLint.violations` on the frame, extending the
+  * cartesian / global-window / artifact-shuffle-join bans into the
+  * internal stages. The hook must never fail the operator — installers
+  * are expected to RECORD, not throw; a defensive catch enforces it.
+  */
+private[graft] object PreCheckpointLint {
+  @volatile private[graft] var installed: DataFrame => Unit = _ => ()
+  private[graft] def hook(df: DataFrame): Unit =
+    try installed(df) catch { case _: Throwable => () }
 }

@@ -76,4 +76,30 @@ object PlanLint {
     assert(v.isEmpty,
       s"$name fails the plan lint:\n  ${v.mkString("\n  ")}")
   }
+
+  /** Violations collected from PRE-checkpoint frames — the lineage-cut
+    * blind spot: operators that end in `Dedup.releaseAfterAll` hand the
+    * caller a checkpointed frame whose executed plan is a bare
+    * `Scan ExistingRDD`, so [[violations]] on the result cannot see the
+    * internal stages. [[installPreCheckpointHook]] wires the main-tree
+    * seam (`graft.operators.PreCheckpointLint`) to lint every frame
+    * right before its lineage is cut; suites clear the buffer, run a
+    * query, then assert it stayed empty.
+    */
+  val preCheckpointViolations =
+    new scala.collection.mutable.ArrayBuffer[String]
+
+  def installPreCheckpointHook(): Unit =
+    graft.operators.PreCheckpointLint.installed = df =>
+      preCheckpointViolations.synchronized {
+        preCheckpointViolations ++= violations(df)
+      }
+
+  def assertPreCheckpointClean(name: String): Unit =
+    preCheckpointViolations.synchronized {
+      assert(preCheckpointViolations.isEmpty,
+        s"$name fails the plan lint inside a released " +
+          s"(pre-checkpoint) frame:\n  " +
+          preCheckpointViolations.mkString("\n  "))
+    }
 }

@@ -28,8 +28,14 @@ class QueriesSpec extends SparkSpecBase {
     // near-dup pair sets can be empty at
     "split_leakage_audit")       // tiny SF (leakage rides minhash pairs)
 
+  // extend the lint through lineage cuts: every frame an operator
+  // releases via Dedup.releaseAfterAll is linted BEFORE its eager
+  // localCheckpoint erases the internal stages
+  PlanLint.installPreCheckpointHook()
+
   for ((name, QueryDef(fn, _)) <- SparkEntry.allDefs) {
     test(s"query $name executes on sf0.001") {
+      PlanLint.preCheckpointViolations.clear()
       val df = fn(spark, sfDir)
       assert(df.columns.nonEmpty)
       // global plan lint: cartesians, partition-less global windows and
@@ -37,6 +43,7 @@ class QueriesSpec extends SparkSpecBase {
       // job-killers wherever they hide. (Deliberate 1-row threshold
       // crossJoins plan as BroadcastNestedLoopJoin and stay legal.)
       PlanLint.assertClean(name, df)
+      PlanLint.assertPreCheckpointClean(name)
       if (mayBeEmpty(name)) df.write.format("noop").mode("overwrite").save()
       else assert(df.count() > 0, s"$name returned no rows")
     }
@@ -62,6 +69,27 @@ class QueriesSpec extends SparkSpecBase {
       .hint("merge").join(artifact.hint("shuffle_merge"), "event_id")
     val v = PlanLint.violations(df)
     assert(v.exists(_.contains("LocalTableScan")), s"lint missed it: $v")
+  }
+
+  // the pre-checkpoint seam must be falsifiable too: a violation planted
+  // INSIDE a frame that goes through releaseAfter (whose checkpointed
+  // result shows a clean `Scan ExistingRDD` plan) must be recorded
+  test("pre-checkpoint lint catches a planted violation in a released frame") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    PlanLint.preCheckpointViolations.clear()
+    val cached = spark.read.parquet(s"$sfDir/events.parquet").persist()
+    val planted = cached
+      .withColumn("rn", row_number().over(Window.orderBy(col("event_id"))))
+      .limit(5)
+    val released = graft.operators.Dedup.releaseAfter(planted, cached)
+    // the released frame itself is blind — lineage was cut...
+    assert(PlanLint.violations(released).isEmpty)
+    // ...but the seam saw the pre-checkpoint plan
+    assert(PlanLint.preCheckpointViolations.exists(_.contains("WindowExec")),
+      s"seam missed the planted global window: " +
+        PlanLint.preCheckpointViolations)
+    PlanLint.preCheckpointViolations.clear()
   }
 
   test("plan lint stays green on a broadcast artifact join") {

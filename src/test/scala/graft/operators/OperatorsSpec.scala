@@ -1508,6 +1508,71 @@ class OperatorsSpec extends SparkSpecBase {
       s"small clusters must keep full answers: $out")
   }
 
+  test("minhash probe viral-bucket guard answers with the cluster hub") {
+    // probe-flavor parity with the hamming guard: 50 identical corpus
+    // docs share every LSH band; the guarded probe answers with the
+    // MIN-id hub only, small clusters answer in full, and an under-cap
+    // maxBucket is output-identical to the unguarded default
+    val viral = "same exact content repeated across the whole mirror " +
+      "farm again and again for every single crawled copy we fetched"
+    val docs = ((1 to 50).map(i => (i.toLong, viral)) ++
+      Seq((200L, "unique little document alpha beta gamma delta"),
+        (201L, "unique little document alpha beta gamma delta"),
+        (300L, "completely different other text here now")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val batch = Seq((1000L, viral),
+      (1001L, "unique little document alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    def probe(cap: Int) =
+      Dedup.minhashNearDupsAgainst(batch, sigs, "doc_id", "text",
+          maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = probe(10)
+    assert(out((1000L, 1L)), s"hub pair missing: $out")
+    assert(!out.exists { case (n, c) => n == 1000L && c > 1L && c <= 50L },
+      s"capped cluster must answer with the hub only: $out")
+    assert(out((1001L, 200L)) && out((1001L, 201L)),
+      s"small clusters must keep full answers: $out")
+    // under-cap guard is a no-op: identical to the unguarded probe
+    val unguarded = Dedup.minhashNearDupsAgainst(batch, sigs,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(1000) == unguarded,
+      "an under-cap maxBucket must not change the output")
+  }
+
+  test("embedding probe viral-bucket guard answers with the cluster hub") {
+    // 50 identical corpus vectors collapse into one hyperplane-sig
+    // bucket; the distinct pair (+ one decoy) signs into its own
+    // under-cap bucket. Guarded probe: viral batch vector answers with
+    // the min-id hub only; the pair answers in full.
+    val viral = Seq(1.0f, 0.5f, 0.25f)
+    val other = Seq(-1.0f, 0.2f, 0.9f)
+    val vecs = ((1L to 50L).map(i => (i, viral)) ++
+      Seq((200L, other), (201L, other), (300L, Seq(-0.5f, -1.0f, 0.3f))))
+      .toDF("vec_id", "embedding")
+    val idx = Dedup.buildEmbeddingIndex(vecs, "vec_id", "embedding",
+      numPlanes = 8, bandBits = 4)
+    val batch = Seq((1000L, viral), (1001L, other))
+      .toDF("vec_id", "embedding")
+    def probe(cap: Int) =
+      Dedup.embeddingNearDupsAgainst(batch, vecs, idx, "vec_id",
+          "embedding", threshold = 0.95, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = probe(10)
+    assert(out((1000L, 1L)), s"hub pair missing: $out")
+    assert(!out.exists { case (n, c) => n == 1000L && c > 1L && c <= 50L },
+      s"capped cluster must answer with the hub only: $out")
+    assert(out((1001L, 200L)) && out((1001L, 201L)),
+      s"small clusters must keep full answers: $out")
+    val unguarded = Dedup.embeddingNearDupsAgainst(batch, vecs, idx,
+        "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(1000) == unguarded,
+      "an under-cap maxBucket must not change the output")
+  }
+
   test("exactAgainst warns when an unbucketed index re-shuffles per batch") {
     val corpus = (1 to 50).map(i => (i.toLong, s"doc $i"))
       .toDF("doc_id", "text")
