@@ -144,6 +144,53 @@ object StressProbe {
     }
 
     }
+    // ---- mirror farm: the viral-bucket guard's motivating case ------
+    if (want("mirror")) {
+      // a planted 10^6-member cluster of IDENTICAL text (every member
+      // shares every LSH band key) plus an equal volume of normal docs.
+      // The guarded probe answers each matching batch doc with the
+      // cluster's min-id hub: fan-out is numBands rows per batch doc.
+      // The unguarded probe emits |cluster| x numBands candidate rows
+      // per matching batch doc BEFORE distinct — and its distinct
+      // output is |cluster| pairs per doc, so even the exact answer is
+      // mirror-farm-sized. Measured contrast recorded in
+      // docs/SEARCH_SOAK.md.
+      val farmN = math.min(nDocs, 1000000L)
+      val viral = "same exact content repeated across the whole mirror " +
+        "farm again and again for every single crawled copy we fetched " +
+        "from ten thousand scraper domains serving one shared template " +
+        "with nothing changed between hosts except the serving name"
+      val farm = spark.range(farmN)
+        .select((col("id") + 2000000000L).as("doc_id"),
+          lit(viral).as("text"))
+      // ONE synthesize universe sliced into corpus + batch docs (the
+      // generator's dup-basis modulus depends on its total argument)
+      val norm = StressCurate.synthesize(spark, farmN + 900L)
+        .select(col("doc_id"), col("text"))
+      val mirrorCorpus = farm.unionByName(norm.filter(col("doc_id") < farmN))
+      val sigPath = s"$workDir/mirror_sig_index.parquet"
+      timed("mirror_sig_index_publish") {
+        Dedup.minhashSignatures(mirrorCorpus, "doc_id", "text")
+          .write.mode("overwrite").parquet(sigPath); 0L
+      }
+      val sigs = spark.read.parquet(sigPath)
+      val viralBatch = spark.range(100)
+        .select((col("id") + 3000000000L).as("doc_id"),
+          lit(viral).as("text"))
+      val batch1k = viralBatch
+        .unionByName(norm.filter(col("doc_id") >= farmN))
+      timed("mirror_probe_guarded_1k_batch") {
+        Dedup.minhashNearDupsAgainst(batch1k, sigs, "doc_id", "text",
+          maxBucket = 1024).count()
+      }
+      // degradation reference, deliberately 10x smaller batch: 10 viral
+      // docs x 10^6-member bucket x 4 bands = 4e7 join rows and 10^7
+      // distinct output pairs; scale linearly for the full batch
+      timed("mirror_probe_UNGUARDED_10_viral") {
+        Dedup.minhashNearDupsAgainst(viralBatch.limit(10), sigs,
+          "doc_id", "text").count()
+      }
+    }
     // reference point: what ONE all-pairs minhash rerun over the
     // combined corpus costs — the thing the probes avoid per batch
     if (want("reference")) {
