@@ -118,7 +118,12 @@ object Bench {
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")
-    val full = json.dropRight(1) + s""","measurement":"$MeasurementNote"}"""
+    // JSON-escape the note before splicing: the constant is plain today,
+    // but a future quote/backslash in it must not corrupt bench_out.json
+    val noteJson = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JString(MeasurementNote)))
+    val full = json.dropRight(1) + s""","measurement":$noteJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

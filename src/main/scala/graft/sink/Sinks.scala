@@ -104,6 +104,18 @@ object Sinks {
                        shards: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     require(shards > 0, "shards must be > 0")
+    // fail on the TYPE up front: the long-cast below turns a
+    // non-integral sortCol (e.g. string keys) into all-null bounds,
+    // which would otherwise surface as the misleading all-null-data
+    // error after the full write
+    val sortType = df.schema(sortCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(sortType),
+      s"writeRangeSorted: sortCol '$sortCol' must be integral " +
+        s"(byte/short/int/long), got ${sortType.simpleString} — range " +
+        "manifests store long bounds")
     val spark = df.sparkSession
     df.repartitionByRange(shards, col(sortCol))
       .sortWithinPartitions(col(sortCol))

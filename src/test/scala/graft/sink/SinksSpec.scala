@@ -107,6 +107,19 @@ class SinksSpec extends SparkSpecBase {
       s"error must name the null-bound column: ${ex.getMessage}")
   }
 
+  test("writeRangeSorted rejects a non-integral sortCol up front") {
+    val dir = Files.createTempDirectory("rsort-str").toString + "/t"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Sinks.writeRangeSorted(df, dir, "v", shards = 2)
+    }
+    assert(ex.getMessage.contains("must be integral") &&
+      ex.getMessage.contains("string"),
+      s"error must name the type problem: ${ex.getMessage}")
+    // and nothing was written — the check fires before the write
+    assert(!new java.io.File(dir).exists())
+  }
+
   test("readRange accepts pre-r13 string-bound manifests") {
     val dir = Files.createTempDirectory("rsort-legacy").toString + "/t"
     val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
