@@ -417,7 +417,8 @@ object Dedup {
     * numPlanes rows; sigs are 16 bytes/vector).
     */
   final case class EmbeddingIndex(planes: DataFrame, sigs: DataFrame,
-      numPlanes: Int, bandBits: Int)
+      numPlanes: Int, bandBits: Int,
+      bloom: Option[(Array[Long], Int)] = None)
 
   /** Build the [[EmbeddingIndex]] for a corpus — same deterministic
     * plane seeding (lowest-id vectors, BoundedRank-densified) and sign
@@ -439,6 +440,52 @@ object Dedup {
         col("plane_vec"))
     EmbeddingIndex(planes, hyperplaneSigs(proj, planes),
       numPlanes, bandBits)
+  }
+
+  /** Publish an [[EmbeddingIndex]] as a directory layout —
+    * `<path>/planes` + `<path>/signatures` (parquet) plus a band-key
+    * Bloom and ALL probe parameters in `_index_meta.json` (the
+    * [[writeSignatureIndex]] treatment: a probe cannot silently sign
+    * or band differently than the index was built). The Bloom hashes
+    * `band_no` TOGETHER with the band value: band values alone span
+    * only `2^bandBits` distinct ints and would saturate immediately.
+    */
+  def writeEmbeddingIndex(index: EmbeddingIndex, path: String,
+                          bloomK: Int = 5, bloomM: Int = 1 << 16): Unit = {
+    val spark = index.sigs.sparkSession
+    index.planes.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/planes")
+    index.sigs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/signatures")
+    val bits = spark.read.parquet(s"$path/signatures")
+      .select(posexplode(embBandKeys(index.numPlanes, index.bandBits))
+        .as(Seq("band_no", "bk")))
+      .agg(graft.functions.BloomBits.sketch(
+        hash60(concat_ws("_", col("band_no"), col("bk"))),
+        bloomK, bloomM).as("sk"))
+      .head().getSeq[Long](0).toArray
+    writeIndexMeta(spark, path,
+      s"""{"num_planes":${index.numPlanes},""" +
+        s""""band_bits":${index.bandBits},""" +
+        s""""bloom_k":$bloomK,"bloom_m":${bits.length},""" +
+        s""""bloom_bits":"${bitsToString(bits)}"}""")
+  }
+
+  def readEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): EmbeddingIndex = {
+    val root = readIndexMeta(spark, path)
+    EmbeddingIndex(spark.read.parquet(s"$path/planes"),
+      spark.read.parquet(s"$path/signatures"),
+      metaInt(root, "num_planes"), metaInt(root, "band_bits"),
+      Some(metaBloom(root)))
+  }
+
+  /** The `numBands` hyperplane-sig band keys of a `sig` column. */
+  private def embBandKeys(numPlanes: Int, bandBits: Int): Column = {
+    val numBands = numPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    array((0 until numBands).map(b =>
+      shiftright(col("sig"), b * bandBits).bitwiseAND(mask)): _*)
   }
 
   private def hyperplaneSigs(proj: DataFrame,
@@ -466,16 +513,24 @@ object Dedup {
                                threshold: Double = 0.9,
                                maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.functions.VectorOps
-    val numBands = index.numPlanes / index.bandBits
-    val mask = (1L << index.bandBits) - 1
     def banded(sigs: DataFrame, side: String): DataFrame =
       sigs.select(col("id").as(s"${side}_id"),
-        posexplode(array((0 until numBands).map(b =>
-          shiftright(col("sig"), b * index.bandBits).bitwiseAND(mask))
-          : _*)).as(Seq("band_no", "bk")))
+        posexplode(embBandKeys(index.numPlanes, index.bandBits))
+          .as(Seq("band_no", "bk")))
     val newSigs = hyperplaneSigs(
       newEmb.select(col(idCol).as("id"), col(vecCol).as("v")),
       index.planes)
+    // published-index Bloom short-circuit (no false negatives): batch
+    // band keys definitely absent from the index never enter the
+    // broadcast build
+    val newBanded = index.bloom match {
+      case Some((bits, bk)) =>
+        banded(newSigs, "new").filter(graft.operators.Sketches
+          .bloomMightContain(typedLit(bits.toIndexedSeq),
+            hash60(concat_ws("_", col("band_no"), col("bk"))),
+            bk, bits.length))
+      case None => banded(newSigs, "new")
+    }
     // viral-bucket guard, probe flavor — same semantics and trade as
     // [[hammingNearDupsAgainst]]: an over-cap corpus band bucket answers
     // with its MIN-id hub only, so a mirror-farm cluster (10^6 identical
@@ -500,7 +555,7 @@ object Dedup {
           .drop("__n", "__hub")
       }
     val cand = corpusSide
-      .join(broadcast(banded(newSigs, "new")), Seq("band_no", "bk"))
+      .join(broadcast(newBanded), Seq("band_no", "bk"))
       .select(col("new_id"), col("corpus_id")).distinct()
     // exact verification: the candidate set is batch-sized — broadcast it
     // (vectors attached) so the corpus vector table is probed with a
@@ -767,7 +822,8 @@ object Dedup {
     * At 100 TB these are the three tables an index publish writes.
     */
   final case class JaccardIndex(dfreq: DataFrame, prefix: DataFrame,
-      sets: DataFrame, k: Int, threshold: Double)
+      sets: DataFrame, k: Int, threshold: Double,
+      bloom: Option[(Array[Long], Int)] = None)
 
   /** Build the [[JaccardIndex]] — the same sets/df/prefix pipeline
     * [[ngramJaccardPairs]] runs internally, factored out so an ingest
@@ -804,6 +860,39 @@ object Dedup {
     JaccardIndex(dfreq, prefix, sets, k, threshold)
   }
 
+  /** Publish a [[JaccardIndex]] as a directory layout — the three
+    * AllPairs tables (`<path>/dfreq`, `<path>/prefix`, `<path>/sets`)
+    * plus a Bloom over the corpus PREFIX grams and both probe
+    * parameters (shingle size, threshold) in `_index_meta.json`. The
+    * Bloom is sound as a probe prefilter: a candidate requires a batch
+    * prefix gram to EQUAL some corpus prefix gram, so batch prefix
+    * grams the Bloom rejects cannot contribute a pair.
+    */
+  def writeJaccardIndex(index: JaccardIndex, path: String,
+                        bloomK: Int = 5, bloomM: Int = 1 << 16): Unit = {
+    val spark = index.sets.sparkSession
+    val sm = org.apache.spark.sql.SaveMode.Overwrite
+    index.dfreq.write.mode(sm).parquet(s"$path/dfreq")
+    index.prefix.write.mode(sm).parquet(s"$path/prefix")
+    index.sets.write.mode(sm).parquet(s"$path/sets")
+    val bits = buildIndexBloom(
+      spark.read.parquet(s"$path/prefix"), "g", bloomK, bloomM)
+    writeIndexMeta(spark, path,
+      s"""{"shingle_k":${index.k},"threshold":${index.threshold},""" +
+        s""""bloom_k":$bloomK,"bloom_m":${bits.length},""" +
+        s""""bloom_bits":"${bitsToString(bits)}"}""")
+  }
+
+  def readJaccardIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): JaccardIndex =  {
+    val root = readIndexMeta(spark, path)
+    JaccardIndex(spark.read.parquet(s"$path/dfreq"),
+      spark.read.parquet(s"$path/prefix"),
+      spark.read.parquet(s"$path/sets"),
+      metaInt(root, "shingle_k"), metaDouble(root, "threshold"),
+      Some(metaBloom(root)))
+  }
+
   /** `(id, gs: sorted array<long> of distinct gram hashes, sz)`. */
   private def hashedShingleSets(docs: DataFrame, idCol: String,
                                 textCol: String, k: Int): DataFrame =
@@ -837,12 +926,22 @@ object Dedup {
     // the batch grams join the shrunken slice broadcast
     val batchDf = index.dfreq
       .join(broadcast(ngrams.select(col("g")).distinct()), Seq("g"))
-    val nprefix = ngrams
+    val nprefixAll = ngrams
       .join(broadcast(batchDf), Seq("g"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
       .select(col("id").as("new_id"), col("g"), col("sz").as("sz_n"))
+    // published-index Bloom prefilter (sound — a pair needs a batch
+    // prefix gram EQUAL to a corpus prefix gram, so definite-miss
+    // grams cannot contribute): applied AFTER prefix selection, since
+    // the rank above must see the doc's full gram list
+    val nprefix = index.bloom match {
+      case Some((bits, bk)) =>
+        nprefixAll.filter(graft.operators.Sketches.bloomMightContain(
+          typedLit(bits.toIndexedSeq), col("g"), bk, bits.length))
+      case None => nprefixAll
+    }
     val candidates = index.prefix
       .select(col("id").as("corpus_id"), col("g"), col("sz").as("sz_c"))
       .join(broadcast(nprefix), Seq("g"))
@@ -1007,26 +1106,44 @@ object Dedup {
     val bits = buildMinhashBandBloom(
       spark.read.parquet(s"$path/signatures"), numHashes, rowsPerBand,
       bloomK, bloomM)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(path, "_index_meta.json"), true)
-    try {
-      // bits are 0/1 longs; serialize as a compact 0/1 string
-      val json =
-        s"""{"num_hashes":$numHashes,"rows_per_band":$rowsPerBand,""" +
-          s""""shingle_k":$shingleK,""" +
-          s""""bloom_k":$bloomK,"bloom_m":${bits.length},""" +
-          s""""bloom_bits":"${bits.map(b => if (b != 0L) '1' else '0')
-            .mkString}"}"""
-      out.write(json.getBytes("UTF-8"))
-    } finally out.close()
+    writeIndexMeta(spark, path,
+      s"""{"num_hashes":$numHashes,"rows_per_band":$rowsPerBand,""" +
+        s""""shingle_k":$shingleK,""" +
+        s""""bloom_k":$bloomK,"bloom_m":${bits.length},""" +
+        s""""bloom_bits":"${bitsToString(bits)}"}""")
   }
 
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String): SignatureIndex = {
     import org.json4s._
-    import org.json4s.jackson.JsonMethods
+    val root = readIndexMeta(spark, path)
+    // shingle_k added mid-r13; pre-existing sidecars carry the default
+    val shingleK = (root \ "shingle_k") match {
+      case JNothing => 3
+      case _ => metaInt(root, "shingle_k")
+    }
+    val (bits, bloomK) = metaBloom(root)
+    SignatureIndex(spark.read.parquet(s"$path/signatures"),
+      bits, bloomK, metaInt(root, "num_hashes"),
+      metaInt(root, "rows_per_band"), shingleK)
+  }
+
+  // ---- published-index sidecar plumbing (shared by the minhash,
+  // Jaccard and embedding index layouts): `_index_meta.json` carries
+  // every parameter the probe must not re-derive, plus the Bloom bits
+  // as a compact 0/1 string ----------------------------------------
+
+  private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                             path: String, json: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, "_index_meta.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                            path: String): org.json4s.JValue = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(
@@ -1034,27 +1151,44 @@ object Dedup {
     val json = try
       scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    val root = JsonMethods.parse(json)
-    def intOf(name: String): Int = (root \ name) match {
+    org.json4s.jackson.JsonMethods.parse(json)
+  }
+
+  private def bitsToString(bits: Array[Long]): String =
+    bits.map(b => if (b != 0L) '1' else '0').mkString
+
+  private def metaInt(root: org.json4s.JValue, name: String): Int = {
+    import org.json4s._
+    (root \ name) match {
       case JInt(n) => n.intValue
       case JLong(n) => n.toInt
       case o => throw new IllegalStateException(s"bad index meta $name: $o")
     }
+  }
+
+  private def metaDouble(root: org.json4s.JValue, name: String): Double = {
+    import org.json4s._
+    (root \ name) match {
+      case JDouble(x) => x
+      case JDecimal(x) => x.toDouble
+      case JInt(n) => n.toDouble
+      case o => throw new IllegalStateException(s"bad index meta $name: $o")
+    }
+  }
+
+  /** `(bloomBits, bloomK)` from a meta sidecar, validating the
+    * recorded length.
+    */
+  private def metaBloom(root: org.json4s.JValue): (Array[Long], Int) = {
+    import org.json4s._
     val bitsStr = (root \ "bloom_bits") match {
       case JString(s) => s
       case o => throw new IllegalStateException(s"bad bloom_bits: $o")
     }
-    require(bitsStr.length == intOf("bloom_m"),
+    require(bitsStr.length == metaInt(root, "bloom_m"),
       "bloom_bits length disagrees with bloom_m")
-    // shingle_k added mid-r13; pre-existing sidecars carry the default
-    val shingleK = (root \ "shingle_k") match {
-      case JNothing => 3
-      case _ => intOf("shingle_k")
-    }
-    SignatureIndex(spark.read.parquet(s"$path/signatures"),
-      bitsStr.map(c => if (c == '1') 1L else 0L).toArray,
-      intOf("bloom_k"), intOf("num_hashes"), intOf("rows_per_band"),
-      shingleK)
+    (bitsStr.map(c => if (c == '1') 1L else 0L).toArray,
+      metaInt(root, "bloom_k"))
   }
 
   /** Probe a published [[SignatureIndex]] — ALL parameters (banding AND

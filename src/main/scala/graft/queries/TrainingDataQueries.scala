@@ -1142,6 +1142,69 @@ object TrainingDataQueries {
       .stripMargin
   }
 
+  /** Incremental exact-Jaccard oracle (shared by the in-memory and
+    * published-index probe queries): grams hashed with the engine's
+    * StableHash on BOTH sides, Jaccard over distinct hashed grams; the
+    * oracle skips the prefix filter (sound-only pruning), so
+    * hash-equality proves the engine's pruning loses no pairs.
+    */
+  private lazy val incrJaccardSql =
+    s"""WITH $wordsCte, ${shinglesCte(JaccardK)},
+       |g AS (SELECT DISTINCT doc_id AS id,
+       |    ${StableHash.hash60Sql("shingle")} AS h FROM sh),
+       |sz AS (SELECT id, count(*) AS sz FROM g GROUP BY id),
+       |i AS (SELECT n.id AS new_id, c.id AS corpus_id,
+       |    count(*) AS inter
+       |  FROM g n JOIN g c ON n.h = c.h
+       |  WHERE n.id % $IncrMod = 0 AND c.id % $IncrMod <> 0
+       |  GROUP BY 1, 2)
+       |SELECT new_id, corpus_id,
+       |  CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) AS jaccard
+       |FROM i JOIN sz x ON new_id = x.id
+       |JOIN sz y ON corpus_id = y.id
+       |WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter)
+       |  >= $JaccardThreshold""".stripMargin
+
+  /** Incremental embedding-cosine oracle (shared by the in-memory and
+    * published-index probe queries): corpus-seeded hyperplane signs,
+    * band collisions, exact-cosine verification.
+    */
+  private lazy val incrEmbeddingSql = {
+    val bandJoins = (0 until EmbBands).map { b =>
+      val sh = b * EmbBandBits
+      val mask = (1 << EmbBandBits) - 1
+      s"""SELECT n.vec_id AS new_id, c.vec_id AS corpus_id
+         |FROM nsig n JOIN csig c
+         |  ON ((n.sig >> $sh) & $mask) = ((c.sig >> $sh) & $mask)"""
+        .stripMargin
+    }.mkString("\nUNION\n")
+    def sigCte(name: String, src: String) =
+      s"""$name AS (SELECT s.vec_id,
+         |    sum(CASE WHEN list_dot_product(s.v, p.pv) >= 0
+         |      THEN (1::BIGINT << CAST(p.plane_id AS INT))
+         |      ELSE 0 END) AS sig
+         |  FROM $src s, p GROUP BY s.vec_id)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |corp AS (SELECT * FROM e WHERE vec_id % $IncrMod <> 0),
+       |newv AS (SELECT * FROM e WHERE vec_id % $IncrMod = 0),
+       |p AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+       |    AS plane_id, v AS pv
+       |  FROM (SELECT vec_id, v FROM corp ORDER BY vec_id
+       |    LIMIT $EmbPlanes)),
+       |${sigCte("csig", "corp")},
+       |${sigCte("nsig", "newv")},
+       |cand AS ($bandJoins)
+       |SELECT cd.new_id, cd.corpus_id
+       |FROM cand cd
+       |JOIN e x ON cd.new_id = x.vec_id
+       |JOIN e y ON cd.corpus_id = y.vec_id
+       |WHERE list_dot_product(x.v, y.v)
+       |  / (sqrt(list_dot_product(x.v, x.v))
+       |     * sqrt(list_dot_product(y.v, y.v))) >= $EmbThreshold"""
+      .stripMargin
+  }
+
   /** Top-ngram oracle: instance counts (no per-doc distinct), total order
     * (count desc, gram asc), deterministic LIMIT.
     */
@@ -2612,21 +2675,29 @@ object TrainingDataQueries {
       // grams hashed with the engine's StableHash in BOTH engines —
       // Jaccard over distinct hashed grams, so a hash collision
       // collapses the same pair of grams on both sides
-      Some(s"""WITH $wordsCte, ${shinglesCte(JaccardK)},
-              |g AS (SELECT DISTINCT doc_id AS id,
-              |    ${StableHash.hash60Sql("shingle")} AS h FROM sh),
-              |sz AS (SELECT id, count(*) AS sz FROM g GROUP BY id),
-              |i AS (SELECT n.id AS new_id, c.id AS corpus_id,
-              |    count(*) AS inter
-              |  FROM g n JOIN g c ON n.h = c.h
-              |  WHERE n.id % $IncrMod = 0 AND c.id % $IncrMod <> 0
-              |  GROUP BY 1, 2)
-              |SELECT new_id, corpus_id,
-              |  CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) AS jaccard
-              |FROM i JOIN sz x ON new_id = x.id
-              |JOIN sz y ON corpus_id = y.id
-              |WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter)
-              |  >= $JaccardThreshold""".stripMargin)),
+      Some(incrJaccardSql)),
+
+    // the same probe served from a PUBLISHED index directory: the
+    // AllPairs tables + prefix-gram Bloom + parameters round-trip
+    // through parquet and `_index_meta.json`, and the probe runs with
+    // the restored artifacts only. The oracle is IDENTICAL to
+    // dedup_incremental_jaccard's — hash-equality proves publish/serve
+    // (including the Bloom prefilter) changes nothing.
+    "dedup_jaccard_against_index" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-jacidx").toString
+        Dedup.writeJaccardIndex(
+          Dedup.buildJaccardIndex(
+            docs.filter(col("doc_id") % IncrMod =!= 0), "doc_id", "text",
+            JaccardK, JaccardThreshold),
+          dir)
+        Dedup.ngramJaccardAgainst(
+          docs.filter(col("doc_id") % IncrMod === 0),
+          Dedup.readJaccardIndex(s, dir), "doc_id", "text")
+      },
+      Some(incrJaccardSql)),
 
     // the embedding-cosine member of the `...Against` family (r13): the
     // ingest batch is signed with the INDEX'S hyperplanes (built from
@@ -2643,41 +2714,29 @@ object TrainingDataQueries {
           emb.filter(col("vec_id") % IncrMod === 0), corpus, idx,
           "vec_id", "embedding", EmbThreshold)
       },
-      Some {
-        val bandJoins = (0 until EmbBands).map { b =>
-          val sh = b * EmbBandBits
-          val mask = (1 << EmbBandBits) - 1
-          s"""SELECT n.vec_id AS new_id, c.vec_id AS corpus_id
-             |FROM nsig n JOIN csig c
-             |  ON ((n.sig >> $sh) & $mask) = ((c.sig >> $sh) & $mask)"""
-            .stripMargin
-        }.mkString("\nUNION\n")
-        def sigCte(name: String, src: String) =
-          s"""$name AS (SELECT s.vec_id,
-             |    sum(CASE WHEN list_dot_product(s.v, p.pv) >= 0
-             |      THEN (1::BIGINT << CAST(p.plane_id AS INT))
-             |      ELSE 0 END) AS sig
-             |  FROM $src s, p GROUP BY s.vec_id)""".stripMargin
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-           |  FROM embeddings),
-           |corp AS (SELECT * FROM e WHERE vec_id % $IncrMod <> 0),
-           |newv AS (SELECT * FROM e WHERE vec_id % $IncrMod = 0),
-           |p AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
-           |    AS plane_id, v AS pv
-           |  FROM (SELECT vec_id, v FROM corp ORDER BY vec_id
-           |    LIMIT $EmbPlanes)),
-           |${sigCte("csig", "corp")},
-           |${sigCte("nsig", "newv")},
-           |cand AS ($bandJoins)
-           |SELECT cd.new_id, cd.corpus_id
-           |FROM cand cd
-           |JOIN e x ON cd.new_id = x.vec_id
-           |JOIN e y ON cd.corpus_id = y.vec_id
-           |WHERE list_dot_product(x.v, y.v)
-           |  / (sqrt(list_dot_product(x.v, x.v))
-           |     * sqrt(list_dot_product(y.v, y.v))) >= $EmbThreshold"""
-          .stripMargin
-      }),
+      Some(incrEmbeddingSql)),
+
+    // the same probe served from a PUBLISHED index directory (planes +
+    // signatures + band-key Bloom + parameters through parquet and
+    // `_index_meta.json`). Oracle identical to
+    // dedup_incremental_embedding's: publish/serve and the Bloom
+    // prefilter must change nothing.
+    "dedup_embedding_against_index" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") % IncrMod =!= 0)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-embidx").toString
+        Dedup.writeEmbeddingIndex(
+          Dedup.buildEmbeddingIndex(corpus, "vec_id", "embedding",
+            EmbPlanes, EmbBandBits),
+          dir)
+        Dedup.embeddingNearDupsAgainst(
+          emb.filter(col("vec_id") % IncrMod === 0), corpus,
+          Dedup.readEmbeddingIndex(s, dir),
+          "vec_id", "embedding", EmbThreshold)
+      },
+      Some(incrEmbeddingSql)),
 
     // the simhash member of the `...Against` family (r13): a batch is
     // fingerprinted and screened against the persisted corpus simhash

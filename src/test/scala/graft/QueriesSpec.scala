@@ -24,7 +24,8 @@ class QueriesSpec extends SparkSpecBase {
   private val mayBeEmpty = Set("dedup_simhash_pairs", "dedup_minhash_lsh",
     "dedup_embedding_cosine", "dedup_ngram_jaccard",
     "dedup_incremental_simhash", "dedup_incremental_embedding",
-    "dedup_incremental_jaccard",
+    "dedup_incremental_jaccard", "dedup_jaccard_against_index",
+    "dedup_embedding_against_index",
     // near-dup pair sets can be empty at
     "split_leakage_audit")       // tiny SF (leakage rides minhash pairs)
 

@@ -1427,6 +1427,62 @@ class OperatorsSpec extends SparkSpecBase {
       "probe through the published index must equal the direct probe")
   }
 
+  test("published Jaccard index round-trips and serves the probe") {
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = ((1 to 30).map(i => (i.toLong, s"$phrase corpus tail $i")) ++
+      (1 to 10).map(i => (100L + i,
+        s"totally different words over here number $i with nothing shared")))
+      .toDF("doc_id", "text")
+    val batch = Seq((1000L, s"$phrase corpus tail 7"),
+      (1001L, "novel unrelated content nothing in common whatsoever here"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.buildJaccardIndex(corpus, "doc_id", "text",
+      k = 3, threshold = 0.5)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val direct = Dedup.ngramJaccardAgainst(batch, idx, "doc_id", "text")
+      .collect().map(key).toSet
+    assert(direct.nonEmpty, "fixture sanity: the echoed doc must match")
+    val dir = java.nio.file.Files.createTempDirectory("jacidx").toString
+    Dedup.writeJaccardIndex(idx, dir, bloomK = 5, bloomM = 1 << 14)
+    val restored = Dedup.readJaccardIndex(spark, dir)
+    assert(restored.k == 3 && restored.threshold == 0.5 &&
+      restored.bloom.exists(_._2 == 5),
+      "parameters must travel with the index")
+    val served = Dedup.ngramJaccardAgainst(batch, restored,
+      "doc_id", "text").collect().map(key).toSet
+    assert(served == direct,
+      "probe through the published index (with its Bloom prefilter) " +
+        s"must equal the direct probe: $served vs $direct")
+  }
+
+  test("published embedding index round-trips and serves the probe") {
+    val vecs = ((1L to 20L).map(i =>
+      (i, Seq(1.0f + i * 0.001f, 0.5f, 0.25f))) ++
+      (21L to 30L).map(i => (i, Seq(-1.0f, 0.2f + i * 0.01f, 0.9f))))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((1000L, Seq(1.0f, 0.5f, 0.25f)),
+      (1001L, Seq(0.0f, -1.0f, 0.4f))).toDF("vec_id", "embedding")
+    val idx = Dedup.buildEmbeddingIndex(vecs, "vec_id", "embedding",
+      numPlanes = 8, bandBits = 4)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val direct = Dedup.embeddingNearDupsAgainst(batch, vecs, idx,
+      "vec_id", "embedding", threshold = 0.95).collect().map(key).toSet
+    assert(direct.nonEmpty, "fixture sanity: the near-dup vector must hit")
+    val dir = java.nio.file.Files.createTempDirectory("embidx").toString
+    Dedup.writeEmbeddingIndex(idx, dir, bloomK = 5, bloomM = 1 << 14)
+    val restored = Dedup.readEmbeddingIndex(spark, dir)
+    assert(restored.numPlanes == 8 && restored.bandBits == 4 &&
+      restored.bloom.exists(_._2 == 5),
+      "parameters must travel with the index")
+    val served = Dedup.embeddingNearDupsAgainst(batch, vecs, restored,
+      "vec_id", "embedding", threshold = 0.95).collect().map(key).toSet
+    assert(served == direct,
+      "probe through the published index (with its band-key Bloom) " +
+        s"must equal the direct probe: $served vs $direct")
+  }
+
   test("simhashNearDupsAgainst equals the all-pairs cross-section") {
     val base = "the quick brown fox jumps over the lazy dog near the " +
       "river bank while birds sing in tall green trees every morning"
