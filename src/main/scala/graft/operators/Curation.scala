@@ -59,11 +59,36 @@ object Curation {
   final case class Decontaminate(benchmark: String,
       benchTextCol: String = "text", k: Int = 13, minHits: Long = 1)
       extends Stage
+  /** Decontaminate against a PUBLISHED benchmark gram index
+    * ([[Decontamination.writeBenchmarkGrams]] directory): the shingle
+    * size travels with the index, so the recipe carries only the path
+    * and the hit threshold.
+    */
+  final case class DecontaminateIndex(path: String, minHits: Long = 1)
+      extends Stage
   /** Exact dedup on the hash-normalized text (keep min id per hash). */
   case object ExactDedup extends Stage
   /** MinHash-LSH near-dup resolution; keep one doc per component. */
   final case class NearDedup(k: Int = 3, numHashes: Int = 12,
       rowsPerBand: Int = 3, threshold: Double = 0.5) extends Stage
+  /** SimHash + banded-Hamming near-dup resolution; keep one doc per
+    * component. The cheap-fingerprint sibling of [[NearDedup]] (one
+    * 64-bit fingerprint per doc instead of `numHashes` signature ints).
+    */
+  final case class SimhashDedup(bits: Int = 32, maxHamming: Int = 3)
+      extends Stage
+  /** Exact n-gram-Jaccard near-dup resolution (AllPairs prefix
+    * pruning); keep one doc per component.
+    */
+  final case class JaccardDedup(k: Int = 3, threshold: Double = 0.8)
+      extends Stage
+  /** Embedding-cosine (hyperplane-LSH) near-dup resolution over
+    * `vecCol`; keep one doc per component. The input frame must carry
+    * the vector column.
+    */
+  final case class EmbeddingDedup(vecCol: String = "embedding",
+      numPlanes: Int = 32, bandBits: Int = 16,
+      threshold: Double = 0.9) extends Stage
   /** Cap docs per group (largest `orderCol` first). */
   final case class CapPerGroup(groupCol: String, orderCol: String,
       cap: Int) extends Stage
@@ -105,6 +130,17 @@ object Curation {
       .reduceOption(_ && _)
     var cur = pred.map(docs.filter).getOrElse(docs)
     val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    // shared shape of every near-dedup stage: persist the survivor set
+    // (the pair sweep and the keep-list both consume it), resolve the
+    // stage's pair graph to components, keep one doc per component
+    def resolveDedup(pairsOf: DataFrame => DataFrame): Unit = {
+      val landed = cur.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += landed
+      val labels = Dedup.connectedComponents(pairsOf(landed),
+        "id_a", "id_b")
+      cur = Dedup.keepCanonical(landed, idCol, labels)
+    }
     rest.foreach {
       case s @ (_: LangFilter | _: GopherFilter | _: ClassifierFilter |
                 _: Sample) =>
@@ -133,16 +169,25 @@ object Curation {
           idCol, "__norm").select(col("keep_id").as(idCol))
         cur = cur.join(keep, idCol)
       case NearDedup(k, numHashes, rowsPerBand, threshold) =>
-        val landed = cur.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        persisted += landed
-        val labels = Dedup.connectedComponents(
-          Dedup.minhashNearDups(landed, idCol, textCol, k, numHashes,
-            rowsPerBand, threshold), "id_a", "id_b")
-        cur = Dedup.keepCanonical(landed, idCol, labels)
+        resolveDedup(landed => Dedup.minhashNearDups(landed, idCol,
+          textCol, k, numHashes, rowsPerBand, threshold))
+      case SimhashDedup(bits, maxHamming) =>
+        resolveDedup(landed => Dedup.simhashNearDups(landed, idCol,
+          textCol, bits, maxHamming))
+      case JaccardDedup(k, threshold) =>
+        resolveDedup(landed => Dedup.ngramJaccardPairs(landed, idCol,
+          textCol, k, threshold))
+      case EmbeddingDedup(vecCol, numPlanes, bandBits, threshold) =>
+        resolveDedup(landed => Dedup.embeddingNearDups(landed, idCol,
+          vecCol, numPlanes, bandBits, threshold))
       case Decontaminate(bench, btc, k, minHits) =>
         cur = Decontamination.decontaminate(cur, idCol, textCol,
           resolve(bench), btc, k, minHits)
+      case DecontaminateIndex(path, minHits) =>
+        val (grams, k) = Decontamination.readBenchmarkGrams(
+          cur.sparkSession, path)
+        cur = Decontamination.decontaminateWithGrams(cur, idCol,
+          textCol, grams, k, minHits)
       case Mixture(srcCol, weights) =>
         // the rate COLLECT executes the chain so far and the sample
         // filter executes it again — persist once, release with result
@@ -180,9 +225,15 @@ object Curation {
     *   {"stage": "sample", "fraction": 0.8},
     *   {"stage": "decontaminate", "benchmark": "/path/or/name",
     *    "text_col": "text", "k": 13, "min_hits": 1},
+    *   {"stage": "decontaminate_index", "index": "/published/dir",
+    *    "min_hits": 1},
     *   {"stage": "exact_dedup"},
     *   {"stage": "near_dedup", "k": 3, "num_hashes": 12,
     *    "rows_per_band": 3, "threshold": 0.5},
+    *   {"stage": "simhash_dedup", "bits": 32, "max_hamming": 3},
+    *   {"stage": "jaccard_dedup", "k": 3, "threshold": 0.8},
+    *   {"stage": "embedding_dedup", "vec_col": "embedding",
+    *    "num_planes": 32, "band_bits": 16, "threshold": 0.9},
     *   {"stage": "cap_per_group", "group": "source", "order": "n_chars",
     *    "cap": 10},
     *   {"stage": "mixture", "source_col": "source",
@@ -262,6 +313,20 @@ object Curation {
             num(field(o, "num_hashes"), "num_hashes").toInt,
             num(field(o, "rows_per_band"), "rows_per_band").toInt,
             num(field(o, "threshold"), "threshold"))
+          case "simhash_dedup" => SimhashDedup(
+            optNum(o, "bits", 32).toInt,
+            optNum(o, "max_hamming", 3).toInt)
+          case "jaccard_dedup" => JaccardDedup(
+            optNum(o, "k", 3).toInt,
+            optNum(o, "threshold", 0.8))
+          case "embedding_dedup" => EmbeddingDedup(
+            optStr(o, "vec_col", "embedding"),
+            optNum(o, "num_planes", 32).toInt,
+            optNum(o, "band_bits", 16).toInt,
+            optNum(o, "threshold", 0.9))
+          case "decontaminate_index" => DecontaminateIndex(
+            str(o, "index"),
+            optNum(o, "min_hits", 1).toLong)
           case "cap_per_group" => CapPerGroup(str(o, "group"),
             str(o, "order"), num(field(o, "cap"), "cap").toInt)
           case "mixture" => field(o, "weights") match {

@@ -44,11 +44,43 @@ object Decontamination {
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String, k: Int,
-                    minHits: Long = 1): DataFrame = {
-    val grams = benchmarkGrams(bench, benchTextCol, k)
-    val bad = contaminationHits(docs, idCol, textCol, grams, k)
+                    minHits: Long = 1): DataFrame =
+    decontaminateWithGrams(docs, idCol, textCol,
+      benchmarkGrams(bench, benchTextCol, k), k, minHits)
+
+  /** [[decontaminate]] against a PRECOMPUTED gram set (the published
+    * benchmark index's table, or [[benchmarkGrams]] inline).
+    */
+  def decontaminateWithGrams(docs: DataFrame, idCol: String,
+                             textCol: String, benchGrams: DataFrame,
+                             k: Int, minHits: Long = 1): DataFrame = {
+    val bad = contaminationHits(docs, idCol, textCol, benchGrams, k)
       .filter(col("n_hits") >= minHits)
       .select(col("id").as(idCol))
     docs.join(broadcast(bad), Seq(idCol), "left_anti")
   }
+
+  /** Publish a benchmark gram index as a directory layout —
+    * `<path>/grams` (parquet, one row per distinct k-gram) plus the
+    * shingle size in `_index_meta.json`, the same parameters-travel
+    * treatment as the dedup indexes: a decontamination pass served
+    * from the index cannot silently shingle with a different k than
+    * the benchmark was shingled with. Benchmarks are MB-scale, so the
+    * index is broadcast at serve time; publishing buys one shingle
+    * pass per benchmark instead of one per pipeline run.
+    */
+  def writeBenchmarkGrams(bench: DataFrame, textCol: String, k: Int,
+                          path: String): Unit = {
+    val spark = bench.sparkSession
+    benchmarkGrams(bench, textCol, k).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/grams")
+    Dedup.writeIndexMeta(spark, path, s"""{"shingle_k":$k}""")
+  }
+
+  /** `(grams, k)` restored from a [[writeBenchmarkGrams]] directory. */
+  def readBenchmarkGrams(spark: org.apache.spark.sql.SparkSession,
+                         path: String): (DataFrame, Int) =
+    (spark.read.parquet(s"$path/grams"),
+      Dedup.metaInt(Dedup.readIndexMeta(spark, path), "shingle_k"))
 }

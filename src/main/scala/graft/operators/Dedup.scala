@@ -1133,7 +1133,7 @@ object Dedup {
   // every parameter the probe must not re-derive, plus the Bloom bits
   // as a compact 0/1 string ----------------------------------------
 
-  private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
                              path: String, json: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1142,7 +1142,7 @@ object Dedup {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
                             path: String): org.json4s.JValue = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1154,10 +1154,10 @@ object Dedup {
     org.json4s.jackson.JsonMethods.parse(json)
   }
 
-  private def bitsToString(bits: Array[Long]): String =
+  private[operators] def bitsToString(bits: Array[Long]): String =
     bits.map(b => if (b != 0L) '1' else '0').mkString
 
-  private def metaInt(root: org.json4s.JValue, name: String): Int = {
+  private[operators] def metaInt(root: org.json4s.JValue, name: String): Int = {
     import org.json4s._
     (root \ name) match {
       case JInt(n) => n.intValue
@@ -1166,7 +1166,7 @@ object Dedup {
     }
   }
 
-  private def metaDouble(root: org.json4s.JValue, name: String): Double = {
+  private[operators] def metaDouble(root: org.json4s.JValue, name: String): Double = {
     import org.json4s._
     (root \ name) match {
       case JDouble(x) => x
@@ -1179,7 +1179,7 @@ object Dedup {
   /** `(bloomBits, bloomK)` from a meta sidecar, validating the
     * recorded length.
     */
-  private def metaBloom(root: org.json4s.JValue): (Array[Long], Int) = {
+  private[operators] def metaBloom(root: org.json4s.JValue): (Array[Long], Int) = {
     import org.json4s._
     val bitsStr = (root \ "bloom_bits") match {
       case JString(s) => s

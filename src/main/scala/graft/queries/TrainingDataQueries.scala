@@ -262,6 +262,21 @@ object TrainingDataQueries {
        |SELECT id, min(r) AS component_id FROM reach GROUP BY id"""
       .stripMargin
 
+  /** Recursive CC-keep tail shared by the recipe-stage dedup oracles:
+    * resolve a `pairs(id_a, id_b)` CTE to components and emit the ids
+    * to DROP (non-canonical members). The caller anti-joins its table.
+    */
+  private val ccDropTail =
+    s"""edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.id = e2.v),
+       |cc AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+       |dropids AS (SELECT id FROM cc WHERE id <> component_id)"""
+      .stripMargin
+
   private val simhashCte = {
     val bitSums = (0 until SimhashBits).map(b =>
       s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bs_$b")
@@ -278,7 +293,7 @@ object TrainingDataQueries {
   private val simhashSql =
     s"WITH $wordsCte, $simhashCte SELECT doc_id, simhash FROM fp"
 
-  private val simhashPairsSql = {
+  private val simhashCandCte = {
     val bandJoins = (0 until SimhashBits / 8).map { b =>
       s"""SELECT a.doc_id AS id_a, a.simhash AS fp_a,
          |  b.doc_id AS id_b, b.simhash AS fp_b
@@ -286,12 +301,15 @@ object TrainingDataQueries {
          |  ON ((a.simhash >> ${b * 8}) & 255) = ((b.simhash >> ${b * 8}) & 255)
          |  AND a.doc_id < b.doc_id""".stripMargin
     }.mkString("\nUNION\n")
+    s"cand AS ($bandJoins)"
+  }
+
+  private val simhashPairsSql =
     s"""WITH $wordsCte, $simhashCte,
-       |cand AS ($bandJoins)
+       |$simhashCandCte
        |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $MaxHamming"""
       .stripMargin
-  }
 
   /** Perceptual-hash pairs oracle, mirroring Multimodal.phashNearDups:
     * aHash via exact integer block means (cross-multiplied comparison, no
@@ -438,17 +456,24 @@ object TrainingDataQueries {
        |      WHERE length(text) > 0) m
        |LEFT JOIN cc ON m.media_id = cc.id""".stripMargin
 
-  private val jaccardSql =
-    s"""WITH $wordsCte, ${shinglesCte(JaccardK)},
-       |g AS (SELECT doc_id AS id, shingle AS g FROM sh),
+  private val jaccardCtes =
+    s"""g AS (SELECT doc_id AS id, shingle AS g FROM sh),
        |sz AS (SELECT id, count(*) AS sz FROM g GROUP BY id),
        |i AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-       |  FROM g a JOIN g b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2)
-       |SELECT id_a, id_b,
+       |  FROM g a JOIN g b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2)"""
+      .stripMargin
+
+  private val jaccardSelect =
+    s"""SELECT id_a, id_b,
        |  CAST(inter AS DOUBLE) / (x.sz + y.sz - inter) AS jaccard
        |FROM i JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
        |WHERE CAST(inter AS DOUBLE) / (x.sz + y.sz - inter)
        |  >= $JaccardThreshold""".stripMargin
+
+  private val jaccardSql =
+    s"""WITH $wordsCte, ${shinglesCte(JaccardK)},
+       |$jaccardCtes
+       |$jaccardSelect""".stripMargin
 
   /** Edit-distance pair oracle, mirroring Dedup.editVerifiedPairs. The
     * oracle skips the prefix filter (sound-only pruning — the final
@@ -603,7 +628,7 @@ object TrainingDataQueries {
     * banded signatures, UNION of per-band bucket joins (UNION = set
     * semantics = Spark's distinct), exact-cosine verification.
     */
-  private val embCosineSql = {
+  private val embCosineCtes = {
     val bandJoins = (0 until EmbBands).map { b =>
       val sh = b * EmbBandBits
       val mask = (1 << EmbBandBits) - 1
@@ -612,7 +637,7 @@ object TrainingDataQueries {
          |  ON ((a.sig >> $sh) & $mask) = ((b.sig >> $sh) & $mask)
          |  AND a.vec_id < b.vec_id""".stripMargin
     }.mkString("\nUNION\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |p AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS plane_id,
        |    v AS pv
        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $EmbPlanes)),
@@ -621,8 +646,11 @@ object TrainingDataQueries {
        |      THEN (1::BIGINT << CAST(p.plane_id AS INT))
        |      ELSE 0 END) AS sig
        |  FROM e, p GROUP BY e.vec_id),
-       |cand AS ($bandJoins)
-       |SELECT c.id_a, c.id_b
+       |cand AS ($bandJoins)""".stripMargin
+  }
+
+  private val embCosineSelect =
+    s"""SELECT c.id_a, c.id_b
        |FROM cand c
        |JOIN e x ON c.id_a = x.vec_id
        |JOIN e y ON c.id_b = y.vec_id
@@ -630,7 +658,10 @@ object TrainingDataQueries {
        |  / (sqrt(list_dot_product(x.v, x.v))
        |     * sqrt(list_dot_product(y.v, y.v))) >= $EmbThreshold"""
       .stripMargin
-  }
+
+  private val embCosineSql =
+    s"""WITH $embCosineCtes
+       |$embCosineSelect""".stripMargin
 
   /** Brute-force cosine top-k CTEs ending in `r(query_id, neighbor_id,
     * rank)` — shared by the ANN baseline and the label-agreement audit.
@@ -1204,6 +1235,25 @@ object TrainingDataQueries {
        |     * sqrt(list_dot_product(y.v, y.v))) >= $EmbThreshold"""
       .stripMargin
   }
+
+  /** Sample + decontaminate recipe oracle, shared by the inline-table
+    * and published-index variants (they must be identical).
+    */
+  private lazy val specDecontamSql =
+    s"""WITH $wordsCte, ${shinglesCte(DecontamK)},
+       |bench AS (SELECT DISTINCT shingle FROM sh
+       |  WHERE doc_id % $BenchMod = 0),
+       |samp AS (SELECT doc_id, source FROM documents
+       |  WHERE doc_id % $BenchMod <> 0
+       |    AND ${graft.operators.Sampling.bucketSql("doc_id")}
+       |      < 8000),
+       |bad AS (SELECT s.doc_id FROM sh s
+       |  JOIN bench b USING (shingle)
+       |  JOIN samp USING (doc_id)
+       |  GROUP BY s.doc_id HAVING count(*) >= 2)
+       |SELECT samp.doc_id, samp.source FROM samp
+       |LEFT JOIN bad USING (doc_id)
+       |WHERE bad.doc_id IS NULL""".stripMargin
 
   /** Top-ngram oracle: instance counts (no per-doc distinct), total order
     * (count desc, gram asc), deterministic LIMIT.
@@ -3227,20 +3277,94 @@ object TrainingDataQueries {
               _ => docs.filter(col("doc_id") % BenchMod === 0))
           .select(col("doc_id"), col("source"))
       },
-      Some(s"""WITH $wordsCte, ${shinglesCte(DecontamK)},
-              |bench AS (SELECT DISTINCT shingle FROM sh
-              |  WHERE doc_id % $BenchMod = 0),
-              |samp AS (SELECT doc_id, source FROM documents
-              |  WHERE doc_id % $BenchMod <> 0
-              |    AND ${graft.operators.Sampling.bucketSql("doc_id")}
-              |      < 8000),
-              |bad AS (SELECT s.doc_id FROM sh s
-              |  JOIN bench b USING (shingle)
-              |  JOIN samp USING (doc_id)
-              |  GROUP BY s.doc_id HAVING count(*) >= 2)
-              |SELECT samp.doc_id, samp.source FROM samp
-              |LEFT JOIN bad USING (doc_id)
-              |WHERE bad.doc_id IS NULL""".stripMargin)),
+      Some(specDecontamSql)),
+
+    // the same recipe served from a PUBLISHED benchmark gram index
+    // (Decontamination.writeBenchmarkGrams directory — the shingle size
+    // travels in _index_meta.json, the recipe carries only the path).
+    // Oracle identical to pipeline_spec_decontaminate's: publish/serve
+    // must change nothing.
+    "pipeline_spec_decontaminate_index" -> QueryDef(
+      (s, d) => {
+        import graft.operators.{Curation, Decontamination}
+        val docs = table(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-benchidx").toString
+        Decontamination.writeBenchmarkGrams(
+          docs.filter(col("doc_id") % BenchMod === 0), "text",
+          DecontamK, dir)
+        val spec = Curation.fromJson(
+          s"""{"stages": [
+             |  {"stage": "sample", "fraction": 0.8},
+             |  {"stage": "decontaminate_index", "index": "$dir",
+             |   "min_hits": 2}
+             |]}""".stripMargin)
+        Curation.run(docs.filter(col("doc_id") % BenchMod =!= 0),
+            "doc_id", "text", spec)
+          .select(col("doc_id"), col("source"))
+      },
+      Some(specDecontamSql)),
+
+    // r14 recipe-vocabulary completion: the remaining near-dedup
+    // flavors as declarative stages, each hash-matched against a
+    // recursive CC-keep oracle over the flavor's own pair graph — the
+    // proof the recipe compiler emits the hand-built
+    // pairs -> components -> keep-canonical chain for every family.
+    "pipeline_spec_simhash" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Curation
+        val spec = Curation.fromJson(
+          s"""{"stages": [{"stage": "simhash_dedup",
+             |  "bits": $SimhashBits, "max_hamming": $MaxHamming}]}"""
+            .stripMargin)
+        Curation.run(table(s, d, "documents"), "doc_id", "text", spec)
+          .select(col("doc_id"), col("source"))
+      },
+      Some(s"""WITH RECURSIVE $wordsCte, $simhashCte,
+              |$simhashCandCte,
+              |pairs AS (SELECT id_a, id_b FROM cand
+              |  WHERE bit_count(xor(fp_a, fp_b)) <= $MaxHamming),
+              |$ccDropTail
+              |SELECT d.doc_id, d.source FROM documents d
+              |LEFT JOIN dropids ON d.doc_id = dropids.id
+              |WHERE dropids.id IS NULL""".stripMargin)),
+
+    "pipeline_spec_jaccard" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Curation
+        val spec = Curation.fromJson(
+          s"""{"stages": [{"stage": "jaccard_dedup",
+             |  "k": $JaccardK, "threshold": $JaccardThreshold}]}"""
+            .stripMargin)
+        Curation.run(table(s, d, "documents"), "doc_id", "text", spec)
+          .select(col("doc_id"), col("source"))
+      },
+      Some(s"""WITH RECURSIVE $wordsCte, ${shinglesCte(JaccardK)},
+              |$jaccardCtes,
+              |pairs AS (SELECT id_a, id_b FROM ($jaccardSelect)),
+              |$ccDropTail
+              |SELECT d.doc_id, d.source FROM documents d
+              |LEFT JOIN dropids ON d.doc_id = dropids.id
+              |WHERE dropids.id IS NULL""".stripMargin)),
+
+    "pipeline_spec_embedding" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Curation
+        val spec = Curation.fromJson(
+          s"""{"stages": [{"stage": "embedding_dedup",
+             |  "vec_col": "embedding", "num_planes": $EmbPlanes,
+             |  "band_bits": $EmbBandBits,
+             |  "threshold": $EmbThreshold}]}""".stripMargin)
+        Curation.run(table(s, d, "embeddings"), "vec_id", "embedding",
+            spec)
+          .select(col("vec_id"), col("label"))
+      },
+      Some(s"""WITH RECURSIVE $embCosineCtes,
+              |pairs AS ($embCosineSelect),
+              |$ccDropTail
+              |SELECT emb.vec_id, emb.label FROM embeddings emb
+              |LEFT JOIN dropids ON emb.vec_id = dropids.id
+              |WHERE dropids.id IS NULL""".stripMargin)),
 
     "pipeline_curate_corpus" -> QueryDef(
       (s, d) => {

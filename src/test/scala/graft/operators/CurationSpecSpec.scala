@@ -73,6 +73,22 @@ class CurationSpecSpec extends SparkSpecBase {
     ]}""") == CurationSpec(Seq(
       Mixture("source", Seq("a" -> 2.0, "b" -> 1.0)))),
       "mixture source_col must default to 'source'")
+    // r14 vocabulary: the remaining dedup flavors + published-index
+    // decontamination, defaults included
+    assert(Curation.fromJson("""{"stages": [
+      {"stage": "simhash_dedup", "bits": 64, "max_hamming": 2},
+      {"stage": "jaccard_dedup"},
+      {"stage": "embedding_dedup", "vec_col": "emb", "num_planes": 16,
+       "band_bits": 4, "threshold": 0.4},
+      {"stage": "decontaminate_index", "index": "/some/dir",
+       "min_hits": 2}
+    ]}""") == CurationSpec(Seq(
+      SimhashDedup(64, 2), JaccardDedup(3, 0.8),
+      EmbeddingDedup("emb", 16, 4, 0.4),
+      DecontaminateIndex("/some/dir", 2L))),
+      "new dedup stages must parse with defaults")
+    intercept[IllegalArgumentException](
+      Curation.fromJson("""{"stages": [{"stage": "decontaminate_index"}]}"""))
     intercept[IllegalArgumentException](
       Curation.fromJson(
         """{"stages": [{"stage": "train_classifier", "dim": 8}]}"""))
