@@ -102,5 +102,13 @@ object SparkEntry {
     // scan + sketch agg the query fn runs inline); production builds
     // that once per index publish, and the probe-side saving shows on
     // novel-heavy batches, not at sf0.1 where the build dominates
-    "dedup_minhash_against_bloomed")
+    "dedup_minhash_against_bloomed",
+    // round-14 additions: the rest of the incremental (`...Against`)
+    // probe family plus index-served text search, so regressions in
+    // the incremental paths are bench-visible, not just soak-visible.
+    // Like the bloomed probe above, each number INCLUDES its inline
+    // index build (publish once in production); what the bench tracks
+    // is the probe machinery's round-over-round drift
+    "dedup_incremental_simhash", "dedup_incremental_embedding",
+    "dedup_incremental_jaccard", "text_search_from_index")
 }
