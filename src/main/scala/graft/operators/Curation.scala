@@ -70,13 +70,14 @@ object Curation {
   case object ExactDedup extends Stage
   /** MinHash-LSH near-dup resolution; keep one doc per component. */
   final case class NearDedup(k: Int = 3, numHashes: Int = 12,
-      rowsPerBand: Int = 3, threshold: Double = 0.5) extends Stage
+      rowsPerBand: Int = 3, threshold: Double = 0.5,
+      maxBucket: Int = Int.MaxValue) extends Stage
   /** SimHash + banded-Hamming near-dup resolution; keep one doc per
     * component. The cheap-fingerprint sibling of [[NearDedup]] (one
     * 64-bit fingerprint per doc instead of `numHashes` signature ints).
     */
-  final case class SimhashDedup(bits: Int = 32, maxHamming: Int = 3)
-      extends Stage
+  final case class SimhashDedup(bits: Int = 32, maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue) extends Stage
   /** Exact n-gram-Jaccard near-dup resolution (AllPairs prefix
     * pruning); keep one doc per component.
     */
@@ -88,7 +89,8 @@ object Curation {
     */
   final case class EmbeddingDedup(vecCol: String = "embedding",
       numPlanes: Int = 32, bandBits: Int = 16,
-      threshold: Double = 0.9) extends Stage
+      threshold: Double = 0.9, maxBucket: Int = Int.MaxValue)
+      extends Stage
   /** Cap docs per group (largest `orderCol` first). */
   final case class CapPerGroup(groupCol: String, orderCol: String,
       cap: Int) extends Stage
@@ -168,18 +170,19 @@ object Curation {
             TextAnalysis.normalizeForHash(col(textCol)).as("__norm")),
           idCol, "__norm").select(col("keep_id").as(idCol))
         cur = cur.join(keep, idCol)
-      case NearDedup(k, numHashes, rowsPerBand, threshold) =>
+      case NearDedup(k, numHashes, rowsPerBand, threshold, maxBucket) =>
         resolveDedup(landed => Dedup.minhashNearDups(landed, idCol,
-          textCol, k, numHashes, rowsPerBand, threshold))
-      case SimhashDedup(bits, maxHamming) =>
+          textCol, k, numHashes, rowsPerBand, threshold, maxBucket))
+      case SimhashDedup(bits, maxHamming, maxBucket) =>
         resolveDedup(landed => Dedup.simhashNearDups(landed, idCol,
-          textCol, bits, maxHamming))
+          textCol, bits, maxHamming, maxBucket))
       case JaccardDedup(k, threshold) =>
         resolveDedup(landed => Dedup.ngramJaccardPairs(landed, idCol,
           textCol, k, threshold))
-      case EmbeddingDedup(vecCol, numPlanes, bandBits, threshold) =>
+      case EmbeddingDedup(vecCol, numPlanes, bandBits, threshold,
+          maxBucket) =>
         resolveDedup(landed => Dedup.embeddingNearDups(landed, idCol,
-          vecCol, numPlanes, bandBits, threshold))
+          vecCol, numPlanes, bandBits, threshold, maxBucket))
       case Decontaminate(bench, btc, k, minHits) =>
         cur = Decontamination.decontaminate(cur, idCol, textCol,
           resolve(bench), btc, k, minHits)
@@ -229,7 +232,7 @@ object Curation {
     *    "min_hits": 1},
     *   {"stage": "exact_dedup"},
     *   {"stage": "near_dedup", "k": 3, "num_hashes": 12,
-    *    "rows_per_band": 3, "threshold": 0.5},
+    *    "rows_per_band": 3, "threshold": 0.5, "max_bucket": 1000},
     *   {"stage": "simhash_dedup", "bits": 32, "max_hamming": 3},
     *   {"stage": "jaccard_dedup", "k": 3, "threshold": 0.8},
     *   {"stage": "embedding_dedup", "vec_col": "embedding",
@@ -312,10 +315,12 @@ object Curation {
             num(field(o, "k"), "k").toInt,
             num(field(o, "num_hashes"), "num_hashes").toInt,
             num(field(o, "rows_per_band"), "rows_per_band").toInt,
-            num(field(o, "threshold"), "threshold"))
+            num(field(o, "threshold"), "threshold"),
+            optNum(o, "max_bucket", Int.MaxValue).toInt)
           case "simhash_dedup" => SimhashDedup(
             optNum(o, "bits", 32).toInt,
-            optNum(o, "max_hamming", 3).toInt)
+            optNum(o, "max_hamming", 3).toInt,
+            optNum(o, "max_bucket", Int.MaxValue).toInt)
           case "jaccard_dedup" => JaccardDedup(
             optNum(o, "k", 3).toInt,
             optNum(o, "threshold", 0.8))
@@ -323,7 +328,8 @@ object Curation {
             optStr(o, "vec_col", "embedding"),
             optNum(o, "num_planes", 32).toInt,
             optNum(o, "band_bits", 16).toInt,
-            optNum(o, "threshold", 0.9))
+            optNum(o, "threshold", 0.9),
+            optNum(o, "max_bucket", Int.MaxValue).toInt)
           case "decontaminate_index" => DecontaminateIndex(
             str(o, "index"),
             optNum(o, "min_hits", 1).toLong)
