@@ -119,6 +119,56 @@ object GraftFunctions {
     colFn("graft_html_text", 1)(a =>
       graft.operators.TextAnalysis.htmlToText(a.head)),
 
+    // ---- incremental dedup probe scalars (r14): fingerprint an ingest
+    // batch and band-join it against a persisted index from pure SQL.
+    // Parameters are literals — they describe the index layout, not a
+    // row (a probe that banded differently than its index would
+    // silently miss every collision) --------------------------------
+    (FunctionIdentifier("graft_minhash_sigs"),
+      new ExpressionInfo(ProbeFunctions.getClass.getCanonicalName,
+        "graft_minhash_sigs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_minhash_sigs expects (text, k, num_hashes), " +
+            s"got ${args.length}")
+        ColumnBridge.resolvedExpression(ProbeFunctions.minhashSigs(
+          ColumnBridge.column(args.head),
+          litInt(args(1), "shingle size k"),
+          litInt(args(2), "num_hashes")))
+      }),
+    (FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(ProbeFunctions.getClass.getCanonicalName,
+        "graft_minhash_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_minhash_bands expects (sigs, num_hashes, " +
+            s"rows_per_band), got ${args.length}")
+        ColumnBridge.resolvedExpression(ProbeFunctions.minhashBands(
+          ColumnBridge.column(args.head),
+          litInt(args(1), "num_hashes"),
+          litInt(args(2), "rows_per_band")))
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(ProbeFunctions.getClass.getCanonicalName,
+        "graft_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"graft_simhash expects (text, bits), got ${args.length}")
+        ColumnBridge.resolvedExpression(ProbeFunctions.simhashScalar(
+          ColumnBridge.column(args.head), litInt(args(1), "bits")))
+      }),
+    (FunctionIdentifier("graft_hamming_bands"),
+      new ExpressionInfo(ProbeFunctions.getClass.getCanonicalName,
+        "graft_hamming_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_hamming_bands expects (fp, bits, band_bits), " +
+            s"got ${args.length}")
+        ColumnBridge.resolvedExpression(ProbeFunctions.hammingBands(
+          ColumnBridge.column(args.head),
+          litInt(args(1), "bits"), litInt(args(2), "band_bits")))
+      }),
+
     // per-document term-frequency map (the text-search family's
     // shuffle-eliminator, exposed for SQL pipelines)
     (FunctionIdentifier("graft_word_counts"),

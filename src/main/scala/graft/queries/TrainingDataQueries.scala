@@ -1236,6 +1236,30 @@ object TrainingDataQueries {
       .stripMargin
   }
 
+  /** Incremental simhash/Hamming probe oracle, shared by the DataFrame
+    * probe and its pure-SQL twin.
+    */
+  private lazy val incrSimhashSql = {
+    val bandJoins = (0 until SimhashBits / 8).map { b =>
+      s"""SELECT n.doc_id AS new_id, n.simhash AS fp_n,
+         |  c.doc_id AS corpus_id, c.simhash AS fp_c
+         |FROM newf n JOIN corp c
+         |  ON ((n.simhash >> ${b * 8}) & 255) =
+         |     ((c.simhash >> ${b * 8}) & 255)""".stripMargin
+    }.mkString("\nUNION\n")
+    s"""WITH $wordsCte, $simhashCte,
+       |newf AS (SELECT doc_id, simhash FROM fp
+       |  WHERE doc_id % $IncrMod = 0),
+       |corp AS (SELECT doc_id, simhash FROM fp
+       |  WHERE doc_id % $IncrMod <> 0),
+       |cand AS ($bandJoins)
+       |SELECT new_id, corpus_id,
+       |  CAST(bit_count(xor(fp_n, fp_c)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(fp_n, fp_c)) <= $MaxHamming"""
+      .stripMargin
+  }
+
   /** Sample + decontaminate recipe oracle, shared by the inline-table
     * and published-index variants (they must be identical).
     */
@@ -2287,6 +2311,88 @@ object TrainingDataQueries {
               |    ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
               |  FROM documents) WHERE rn <= $DomainCap""".stripMargin)),
 
+    // r14 SQL surface for the incremental probe family: an ingest batch
+    // fingerprinted and band-joined against a persisted signature index
+    // from PURE SQL (graft_minhash_sigs / graft_minhash_bands scalars —
+    // zero-shuffle per-row twins of the aggregate signature build).
+    // Oracle identical to dedup_incremental_minhash's: the SQL spelling
+    // must produce the DataFrame probe's exact rows.
+    "sql_minhash_probe" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = table(s, d, "documents")
+        Dedup.minhashSignatures(
+            docs.filter(col("doc_id") % IncrMod =!= 0),
+            "doc_id", "text", ShingleK, NumHashes)
+          .createOrReplaceTempView("graft_sql_sigs")
+        docs.filter(col("doc_id") % IncrMod === 0)
+          .createOrReplaceTempView("graft_sql_batch")
+        val sigArr = (0 until NumHashes).map(i => s"sig_$i")
+          .mkString("array(", ", ", ")")
+        s.sql(
+          s"""WITH nb AS (
+             |  SELECT doc_id, sigs, band_no, bk
+             |  FROM (SELECT doc_id,
+             |      graft_minhash_sigs(text, $ShingleK, $NumHashes) AS sigs
+             |    FROM graft_sql_batch)
+             |  LATERAL VIEW posexplode(
+             |    graft_minhash_bands(sigs, $NumHashes, $RowsPerBand))
+             |    t AS band_no, bk),
+             |cb AS (
+             |  SELECT doc_id, $sigArr AS sigs, band_no, bk
+             |  FROM graft_sql_sigs
+             |  LATERAL VIEW posexplode(graft_minhash_bands($sigArr,
+             |    $NumHashes, $RowsPerBand)) t AS band_no, bk)
+             |SELECT new_id, corpus_id, sig_agreement FROM (
+             |  SELECT /*+ BROADCAST(nb) */ DISTINCT
+             |    nb.doc_id AS new_id, cb.doc_id AS corpus_id,
+             |    CAST(aggregate(zip_with(nb.sigs, cb.sigs,
+             |        (x, y) -> IF(x = y, 1, 0)),
+             |      0, (acc, x) -> acc + x) AS DOUBLE) / $NumHashes
+             |      AS sig_agreement
+             |  FROM cb JOIN nb ON nb.band_no = cb.band_no
+             |    AND nb.bk = cb.bk)
+             |WHERE sig_agreement >= $MinhashThreshold""".stripMargin)
+      },
+      Some(incrDedupSql)),
+
+    // the simhash spelling: graft_simhash / graft_hamming_bands against
+    // a persisted fingerprint table. Oracle identical to
+    // dedup_incremental_simhash's.
+    "sql_simhash_probe" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = table(s, d, "documents")
+        Dedup.simhash(docs.filter(col("doc_id") % IncrMod =!= 0),
+            "doc_id", "text", SimhashBits)
+          .createOrReplaceTempView("graft_sql_fps")
+        docs.filter(col("doc_id") % IncrMod === 0)
+          .createOrReplaceTempView("graft_sql_batch")
+        s.sql(
+          s"""WITH nb AS (
+             |  SELECT doc_id AS new_id, fp_n, band_no, bk
+             |  FROM (SELECT doc_id,
+             |      graft_simhash(text, $SimhashBits) AS fp_n
+             |    FROM graft_sql_batch)
+             |  LATERAL VIEW posexplode(
+             |    graft_hamming_bands(fp_n, $SimhashBits, 8))
+             |    t AS band_no, bk),
+             |cb AS (
+             |  SELECT doc_id AS corpus_id, simhash AS fp_c, band_no, bk
+             |  FROM graft_sql_fps
+             |  LATERAL VIEW posexplode(
+             |    graft_hamming_bands(simhash, $SimhashBits, 8))
+             |    t AS band_no, bk)
+             |SELECT new_id, corpus_id, hamming FROM (
+             |  SELECT /*+ BROADCAST(nb) */ DISTINCT
+             |    nb.new_id, cb.corpus_id,
+             |    CAST(bit_count(nb.fp_n ^ cb.fp_c) AS INT) AS hamming
+             |  FROM cb JOIN nb ON nb.band_no = cb.band_no
+             |    AND nb.bk = cb.bk)
+             |WHERE hamming <= $MaxHamming""".stripMargin)
+      },
+      Some(incrSimhashSql)),
+
     "dedup_exact" -> QueryDef(
       (s, d) => Dedup.exact(table(s, d, "documents"), "doc_id", "text"),
       Some(s"""SELECT ${StableHash.hash60Sql("text")} AS text_hash,
@@ -2802,26 +2908,7 @@ object TrainingDataQueries {
             "doc_id", "text", SimhashBits),
           "doc_id", "text", SimhashBits, MaxHamming)
       },
-      Some {
-        val bandJoins = (0 until SimhashBits / 8).map { b =>
-          s"""SELECT n.doc_id AS new_id, n.simhash AS fp_n,
-             |  c.doc_id AS corpus_id, c.simhash AS fp_c
-             |FROM newf n JOIN corp c
-             |  ON ((n.simhash >> ${b * 8}) & 255) =
-             |     ((c.simhash >> ${b * 8}) & 255)""".stripMargin
-        }.mkString("\nUNION\n")
-        s"""WITH $wordsCte, $simhashCte,
-           |newf AS (SELECT doc_id, simhash FROM fp
-           |  WHERE doc_id % $IncrMod = 0),
-           |corp AS (SELECT doc_id, simhash FROM fp
-           |  WHERE doc_id % $IncrMod <> 0),
-           |cand AS ($bandJoins)
-           |SELECT new_id, corpus_id,
-           |  CAST(bit_count(xor(fp_n, fp_c)) AS INT) AS hamming
-           |FROM cand
-           |WHERE bit_count(xor(fp_n, fp_c)) <= $MaxHamming"""
-          .stripMargin
-      }),
+      Some(incrSimhashSql)),
 
     // the Bloom-prefiltered twin of dedup_incremental_minhash: the
     // publish-time band-key Bloom drops definite-miss batch keys before
