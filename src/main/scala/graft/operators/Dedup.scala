@@ -557,18 +557,26 @@ object Dedup {
     val cand = corpusSide
       .join(broadcast(newBanded), Seq("band_no", "bk"))
       .select(col("new_id"), col("corpus_id")).distinct()
-    // exact verification: the candidate set is batch-sized — broadcast it
-    // (vectors attached) so the corpus vector table is probed with a
-    // map-side join in place. The broadcast is EXPLICIT because
-    // warnIfIndexShuffles' whole-plan string check is satisfied by the
-    // band join's broadcast above and cannot see this subtree shuffle.
+    // exact verification, shaped so NOTHING unbounded reaches the
+    // driver and no fat column rides a shuffle:
+    //   - the candidate id pairs join the corpus vector table FIRST.
+    //     No broadcast hint: AQE broadcast-converts the slim pair set
+    //     when it is batch-sized (the common case — corpus probed in
+    //     place), and falls back to a legitimate distributed join on
+    //     16-byte id rows when a clustered corpus makes the candidate
+    //     set corpus-scale. (A forced broadcast(cand) here collected
+    //     the candidates to the driver and aborted at 2M vectors /
+    //     32-blob clustering — StressProbe's embedding soak, r14.)
+    //   - the batch vectors broadcast (bounded by the batch) and the
+    //     cosine filter runs in the same stage as that join, so the
+    //     corpus vectors attached by the first join never shuffle.
     val nv = newEmb.select(col(idCol).as("new_id"),
       col(vecCol).as("__nv"))
     val cv = corpusEmb.select(col(idCol).as("corpus_id"),
       col(vecCol).as("__cv"))
     val out = warnIfIndexShuffles(cv
-      .join(broadcast(cand.join(broadcast(nv), Seq("new_id"))),
-        Seq("corpus_id"))
+      .join(cand, Seq("corpus_id"))
+      .join(broadcast(nv), Seq("new_id"))
       .filter(VectorOps.cosineF(col("__nv"), col("__cv")) >= threshold)
       .select(col("new_id"), col("corpus_id")),
       "embeddingNearDupsAgainst")

@@ -144,6 +144,46 @@ object StressProbe {
     }
 
     }
+    // ---- embedding: published hyperplane index + guarded probe ------
+    if (want("embedding")) {
+      // StressIvf's deterministic blob corpus: 32 blob directions in
+      // 64-dim, hash-noise on top. Same-blob vectors are ~0.97 cosine,
+      // so every blob is a ~62k-member near-dup clique at 2M vectors —
+      // the clustered-corpus hazard the probe's hub guard exists for
+      // (unguarded output would be |batch| x |blob| ≈ 3e9 pairs).
+      val dim = 64
+      val nBlobs = 32
+      val nVec = math.min(nDocs, 2000000L)
+      val noise = (j: Int) =>
+        (pmod(xxhash64(col("id"), lit(j)), lit(1000L)).cast("double")
+          / 1000.0 - 0.5) * 0.2
+      val comps = (0 until dim).map { j =>
+        (when(col("id") % nBlobs === j % nBlobs, 1.0).otherwise(0.0)
+          + noise(j)).cast("float")
+      }
+      val embPath = s"$workDir/embeddings.parquet"
+      if (!new java.io.File(embPath).exists()) {
+        // one universe: corpus = ids < nVec, batch = the 5% tail
+        spark.range(nVec + nVec / 20)
+          .select(col("id").as("vec_id"), array(comps: _*).as("embedding"))
+          .write.mode("overwrite").parquet(embPath)
+      }
+      val emb = spark.read.parquet(embPath)
+      val corpusE = emb.filter(col("vec_id") < nVec)
+      val batchE = emb.filter(col("vec_id") >= nVec)
+      val embIdxDir = s"$workDir/emb_index"
+      timed("embedding_index_publish") {
+        Dedup.writeEmbeddingIndex(
+          Dedup.buildEmbeddingIndex(corpusE, "vec_id", "embedding",
+            numPlanes = 32, bandBits = 16), embIdxDir); 0L
+      }
+      timed("embedding_probe_guarded_5pct") {
+        val idx = Dedup.readEmbeddingIndex(spark, embIdxDir)
+        Dedup.embeddingNearDupsAgainst(batchE, corpusE, idx,
+          "vec_id", "embedding", threshold = 0.9,
+          maxBucket = 1024).count()
+      }
+    }
     // ---- mirror farm: the viral-bucket guard's motivating case ------
     if (want("mirror")) {
       // a planted 10^6-member cluster of IDENTICAL text (every member
