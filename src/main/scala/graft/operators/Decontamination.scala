@@ -38,9 +38,13 @@ object Decontamination {
       .agg(count(lit(1)).as("n_hits"))
 
   /** The corpus minus documents sharing >= `minHits` distinct k-grams
-    * with the benchmark set. The contaminated-id set is small (hits are
-    * rare by definition), so it broadcasts into a left-anti join — again
-    * no corpus-sized shuffle.
+    * with the benchmark set. The contaminated-id set is small by DATA
+    * (hits are rare for a clean corpus), not by construction — a
+    * benchmark-derived corpus would contaminate everything — so the
+    * left-anti join carries no forced broadcast: AQE converts it at
+    * runtime in the rare-hits common case (no corpus-sized shuffle),
+    * and falls back to a distributed anti-join on slim id rows when
+    * the contaminated set is genuinely corpus-scale.
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String, k: Int,
@@ -57,7 +61,7 @@ object Decontamination {
     val bad = contaminationHits(docs, idCol, textCol, benchGrams, k)
       .filter(col("n_hits") >= minHits)
       .select(col("id").as(idCol))
-    docs.join(broadcast(bad), Seq(idCol), "left_anti")
+    docs.join(bad, Seq(idCol), "left_anti")
   }
 
   /** Publish a benchmark gram index as a directory layout —

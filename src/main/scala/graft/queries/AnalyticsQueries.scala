@@ -79,8 +79,8 @@ object AnalyticsQueries {
             (dec(col("l_extendedprice")) *
               (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
               .as("rev"))
-        li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
           .agg(sum(col("rev")).as("rev_dec"))
@@ -126,7 +126,7 @@ object AnalyticsQueries {
             (dec(col("l_extendedprice")) *
               (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
               .as("rev"))
-        li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        li.join(supp, col("l_suppkey") === col("s_suppkey"))
           .join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(cust, col("o_custkey") === col("c_custkey") &&
             col("c_nationkey") === col("s_nationkey"))
@@ -537,7 +537,7 @@ object AnalyticsQueries {
         table(s, d, "lineitem")
           .filter(col("l_shipdate") >= lit("1996-03-01") &&
             col("l_shipdate") < lit("1996-04-01"))
-          .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+          .join(part, col("l_partkey") === col("p_partkey"))
           .agg(
             dsumExpr(when(col("p_type") === "PROMO",
               dec(col("l_extendedprice")) *
@@ -598,7 +598,7 @@ object AnalyticsQueries {
             (dec(col("l_extendedprice")) *
               (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
               .as("volume"))
-          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
           .join(ord, col("l_orderkey") === col("o_orderkey"))
           .join(cust, col("o_custkey") === col("c_custkey"))
           .filter(col("n1_key") =!= col("n2_key"))
@@ -640,13 +640,13 @@ object AnalyticsQueries {
           .join(broadcast(homeRegion),
             col("n_regionkey") === col("home_rk"))
           .select(col("n_nationkey").as("cn_key")))
-        val suppGeo = broadcast(table(s, d, "supplier")
+        val suppGeo = table(s, d, "supplier")
           .join(broadcast(nation.select(col("n_nationkey"),
             col("n_name").as("supp_nation"))),
             col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"), col("supp_nation")))
-        val promoParts = broadcast(table(s, d, "part")
-          .filter(col("p_type") === "PROMO").select(col("p_partkey")))
+          .select(col("s_suppkey"), col("supp_nation"))
+        val promoParts = table(s, d, "part")
+          .filter(col("p_type") === "PROMO").select(col("p_partkey"))
         val ord = table(s, d, "orders")
           .select(col("o_orderkey"), col("o_custkey"),
             year(col("o_orderdate")).cast("long").as("o_year"))
@@ -703,14 +703,14 @@ object AnalyticsQueries {
     // x order year across a 6-way join.
     "q9_product_profit" -> QueryDef(
       (s, d) => {
-        val suppGeo = broadcast(table(s, d, "supplier")
+        val suppGeo = table(s, d, "supplier")
           .join(broadcast(table(s, d, "nation")
             .select(col("n_nationkey"), col("n_name"))),
             col("s_nationkey") === col("n_nationkey"))
-          .select(col("s_suppkey"), col("n_name")))
-        val stdParts = broadcast(table(s, d, "part")
+          .select(col("s_suppkey"), col("n_name"))
+        val stdParts = table(s, d, "part")
           .filter(col("p_type") === "STANDARD")
-          .select(col("p_partkey"), col("p_retailprice")))
+          .select(col("p_partkey"), col("p_retailprice"))
         val ord = table(s, d, "orders")
           .select(col("o_orderkey"),
             year(col("o_orderdate")).cast("long").as("o_year"))
@@ -746,10 +746,10 @@ object AnalyticsQueries {
     // two-level Expand-free partial-distinct rollup.
     "q16_supplier_part_counts" -> QueryDef(
       (s, d) => {
-        val parts = broadcast(table(s, d, "part")
+        val parts = table(s, d, "part")
           .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 10)
           .select(col("p_partkey"), col("p_brand"), col("p_type"),
-            col("p_size")))
+            col("p_size"))
         table(s, d, "lineitem")
           .select(col("l_partkey"), col("l_suppkey"))
           .join(parts, col("l_partkey") === col("p_partkey"))
@@ -853,8 +853,8 @@ object AnalyticsQueries {
         val mx = rev.agg(max(col("tr")).as("mx"))
         graft.operators.Dedup.releaseAfter(
           rev.join(broadcast(mx), col("tr") === col("mx"))
-          .join(broadcast(table(s, d, "supplier")
-            .select(col("s_suppkey"), col("s_name"))),
+          .join(table(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_name")),
             col("l_suppkey") === col("s_suppkey"))
           .select(col("s_suppkey"), col("s_name"),
             col("tr").cast("double").as("total_revenue")), rev)
@@ -882,9 +882,9 @@ object AnalyticsQueries {
           .groupBy(col("l_partkey").as("pk"))
           .agg(sum(dec(col("l_quantity"))).as("qty_sum"),
             count(lit(1)).as("qty_n"))
-        val brandParts = broadcast(table(s, d, "part")
+        val brandParts = table(s, d, "part")
           .filter(col("p_brand") === "Brand#23")
-          .select(col("p_partkey")))
+          .select(col("p_partkey"))
         table(s, d, "lineitem")
           .join(brandParts, col("l_partkey") === col("p_partkey"))
           .join(perPart, col("l_partkey") === col("pk"))
@@ -908,7 +908,8 @@ object AnalyticsQueries {
     // TPC-H q18 shape: orders whose total quantity exceeds a threshold
     // (HAVING on the fact rollup), joined back to the order/customer
     // detail plus the same rollup value. The big-order keyset is tiny
-    // (46 at sf0.01) so it broadcasts into both re-joins.
+    // by DATA (46 at sf0.01), not by construction — no forced
+    // broadcast; AQE converts the re-joins at runtime when it is.
     "q18_large_volume_customers" -> QueryDef(
       (s, d) => {
         val big = table(s, d, "lineitem")
@@ -916,7 +917,7 @@ object AnalyticsQueries {
           .agg(sum(dec(col("l_quantity"))).as("total_qty_dec"))
           .filter(col("total_qty_dec") > 300)
         val ord = table(s, d, "orders")
-          .join(broadcast(big), col("o_orderkey") === col("big_key"))
+          .join(big, col("o_orderkey") === col("big_key"))
         table(s, d, "customer")
           .select(col("c_custkey"), col("c_name"))
           .join(ord, col("c_custkey") === col("o_custkey"))
@@ -944,8 +945,8 @@ object AnalyticsQueries {
     // nested-loop join here.
     "q19_disjunctive_revenue" -> QueryDef(
       (s, d) => {
-        val part = broadcast(table(s, d, "part")
-          .select(col("p_partkey"), col("p_brand"), col("p_size")))
+        val part = table(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
         table(s, d, "lineitem")
           .select(col("l_partkey"), col("l_quantity"),
             (dec(col("l_extendedprice")) *
