@@ -1141,7 +1141,7 @@ object Dedup {
   // every parameter the probe must not re-derive, plus the Bloom bits
   // as a compact 0/1 string ----------------------------------------
 
-  private[operators] def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
                              path: String, json: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1150,7 +1150,7 @@ object Dedup {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  private[operators] def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
                             path: String): org.json4s.JValue = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1162,14 +1162,23 @@ object Dedup {
     org.json4s.jackson.JsonMethods.parse(json)
   }
 
-  private[operators] def bitsToString(bits: Array[Long]): String =
+  private[graft] def bitsToString(bits: Array[Long]): String =
     bits.map(b => if (b != 0L) '1' else '0').mkString
 
-  private[operators] def metaInt(root: org.json4s.JValue, name: String): Int = {
+  private[graft] def metaInt(root: org.json4s.JValue, name: String): Int = {
     import org.json4s._
     (root \ name) match {
       case JInt(n) => n.intValue
       case JLong(n) => n.toInt
+      case o => throw new IllegalStateException(s"bad index meta $name: $o")
+    }
+  }
+
+  private[graft] def metaLong(root: org.json4s.JValue, name: String): Long = {
+    import org.json4s._
+    (root \ name) match {
+      case JInt(n) => n.longValue
+      case JLong(n) => n
       case o => throw new IllegalStateException(s"bad index meta $name: $o")
     }
   }
@@ -1187,7 +1196,7 @@ object Dedup {
   /** `(bloomBits, bloomK)` from a meta sidecar, validating the
     * recorded length.
     */
-  private[operators] def metaBloom(root: org.json4s.JValue): (Array[Long], Int) = {
+  private[graft] def metaBloom(root: org.json4s.JValue): (Array[Long], Int) = {
     import org.json4s._
     val bitsStr = (root \ "bloom_bits") match {
       case JString(s) => s

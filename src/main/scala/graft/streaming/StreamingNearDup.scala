@@ -54,18 +54,15 @@ object StreamingNearDup {
     val spark = docs.sparkSession
     import spark.implicits._
 
+    // the per-row signature/band scalars shared with the SQL surface
+    // (graft_minhash_sigs / graft_minhash_bands) — one implementation
+    // for every stateless-signature consumer
     val sh = array_distinct(
       graft.functions.TextShingles.wordShingles(col(textCol), k))
-    val hs = transform(sh, s => StableHash.hash60(s))
-    val sigArr = array(StableHash.minhashParams(numHashes).map {
-      case (a, b) =>
-        array_min(transform(hs, h => StableHash.minhashPerm(h, a, b)))
-    }: _*)
-    val numBands = numHashes / rowsPerBand
-    val bandKeys = array((0 until numBands).map { b =>
-      concat_ws("_", (0 until rowsPerBand).map(r =>
-        element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
-    }: _*)
+    val sigArr =
+      graft.functions.ProbeFunctions.minhashSigs(col(textCol), k, numHashes)
+    val bandKeys = graft.functions.ProbeFunctions.minhashBands(
+      col("sig"), numHashes, rowsPerBand)
 
     val arrivals = docs
       .withWatermark(tsCol, watermark)
