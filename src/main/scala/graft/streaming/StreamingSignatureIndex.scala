@@ -75,7 +75,7 @@ object StreamingSignatureIndex {
     * signature partition in. Idempotent under replay at every crash
     * point (see object doc for the ordering argument).
     */
-  private[streaming] def applyBatch(batch: DataFrame, batchId: Long,
+  private[graft] def applyBatch(batch: DataFrame, batchId: Long,
       indexPath: String, pairsOutDir: String, idCol: String,
       textCol: String, k: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double, maxBucket: Int, bloomK: Int,
@@ -166,7 +166,7 @@ object StreamingSignatureIndex {
   }
 
   /** The epoch committed with the current sidecar, if any. */
-  private[streaming] def lastApplied(spark: SparkSession,
+  private[graft] def lastApplied(spark: SparkSession,
       indexPath: String): Option[Long] = {
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

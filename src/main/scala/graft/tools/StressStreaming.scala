@@ -105,6 +105,30 @@ object StressStreaming {
     }
     curve("components_epochs", compCurve)
 
+    // ---- StreamingSignatureIndex (r14): epochs of 50k docs from ONE
+    // synthesized universe (the dup-basis modulus depends on the total,
+    // and the probe needs real cross-epoch duplicates to find) into the
+    // maintained published signature index. Append + Bloom-OR are
+    // O(batch); the per-epoch PROBE scans the whole banded index
+    // map-side (no shuffle, but a linear scan) — the curve records that
+    // honest growth alongside the flat append.
+    val sigIdxPath = s"$workDir/sig-index"
+    val sigPairsPath = s"$workDir/sig-pairs"
+    val sigDocs = StressCurate.synthesize(spark, epochs * 50000L)
+      .select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigCurve = (0 until epochs).map { ep =>
+      val batch = sigDocs.filter(col("doc_id") >= ep * 50000L &&
+        col("doc_id") < (ep + 1) * 50000L)
+      val w = timed(graft.streaming.StreamingSignatureIndex.applyBatch(
+        batch, ep.toLong, sigIdxPath, sigPairsPath, "doc_id", "text",
+        3, 12, 3, 0.5, 1024, 5, 1 << 16))
+      (w, spark.read.parquet(s"$sigIdxPath/signatures").count(),
+        dirBytes(sigIdxPath))
+    }
+    sigDocs.unpersist()
+    curve("signature_index_epochs", sigCurve)
+
     // growth summary: late-epoch cost vs the first post-bootstrap epoch
     def ratio(c: Seq[(Double, Long, Long)]): Double = {
       val tail = c.takeRight(3).map(_._1).sum / 3
@@ -112,7 +136,8 @@ object StressStreaming {
     }
     println(f"[stress-streaming] epoch-cost growth (last3avg / e1): " +
       f"merge=${ratio(mergeCurve)}%.2fx index=${ratio(idxCurve)}%.2fx " +
-      f"components=${ratio(compCurve)}%.2fx over $epochs epochs")
+      f"components=${ratio(compCurve)}%.2fx " +
+      f"sig_index=${ratio(sigCurve)}%.2fx over $epochs epochs")
     spark.stop()
   }
 
