@@ -1243,6 +1243,79 @@ object Dedup {
       rowsPerBand, threshold, bloom = Some((bloomBits, bloomK)),
       "minhashNearDupsAgainstBloomed", maxBucket)
 
+  /** Publish the PROBE-OPTIMIZED banded-postings layout: one posting
+    * row per (band, bucket) membership — `(bh, band_no, bk, corpus_id,
+    * sig_corpus)`, range-sorted by `bh` (the hash of the band key)
+    * into `shards` manifest-indexed files
+    * ([[graft.sink.Sinks.writeRangeSorted]]). A probe computes its
+    * batch's `bh` points and opens ONLY the shards whose manifest
+    * range contains one ([[graft.sink.Sinks.rangePointFiles]]) — the
+    * answer to the linear index scan every flat-layout probe pays
+    * (measured: the signature-index maintainer's per-epoch probe cost
+    * grows with indexed docs, docs/SEARCH_SOAK.md). The trade is
+    * storage: signatures are denormalized into each of their
+    * `numBands` postings. Parameters travel in `_index_meta.json`.
+    */
+  def writeBandedSignatureIndex(corpusSigs: DataFrame, idCol: String,
+                                path: String, numHashes: Int = 12,
+                                rowsPerBand: Int = 3, shards: Int = 64,
+                                shingleK: Int = 3): Unit = {
+    val spark = corpusSigs.sparkSession
+    val sigArr = array((0 until numHashes).map(i => col(s"sig_$i")): _*)
+    val postings = corpusSigs.select(col(idCol).as("corpus_id"),
+        sigArr.as("sig_corpus"),
+        posexplode(bandKeyArray(numHashes, rowsPerBand))
+          .as(Seq("band_no", "bk")))
+      .withColumn("bh", hash60(concat_ws("_", col("band_no"), col("bk"))))
+    graft.sink.Sinks.writeRangeSorted(postings, s"$path/postings",
+      "bh", shards)
+    writeIndexMeta(spark, path,
+      s"""{"num_hashes":$numHashes,"rows_per_band":$rowsPerBand,""" +
+        s""""shingle_k":$shingleK,"shards":$shards,""" +
+        s""""layout":"banded_postings"}""")
+  }
+
+  /** Probe a [[writeBandedSignatureIndex]] layout — output-identical to
+    * [[minhashNearDupsAgainst]] over the same corpus, but the index
+    * read is manifest-pruned to the shards containing the batch's band
+    * keys instead of a full scan. The driver holds only the batch's
+    * distinct `bh` points (bounded by |batch| × numBands — the same
+    * boundedness class as broadcasting the batch itself).
+    */
+  def minhashNearDupsAgainstBandedIndex(newDocs: DataFrame, path: String,
+                                        idCol: String, textCol: String,
+                                        threshold: Double = 0.5)
+      : DataFrame = {
+    val spark = newDocs.sparkSession
+    val root = readIndexMeta(spark, path)
+    val nh = metaInt(root, "num_hashes")
+    val rpb = metaInt(root, "rows_per_band")
+    val kk = metaInt(root, "shingle_k")
+    val sigArr = array((0 until nh).map(i => col(s"sig_$i")): _*)
+    // persisted: the point collection and the probe join both consume
+    // the banded batch, and re-deriving it re-shingles the batch
+    val newBanded = minhashSignatures(newDocs, idCol, textCol, kk, nh)
+      .select(col(idCol).as("new_id"), sigArr.as("sig_new"),
+        posexplode(bandKeyArray(nh, rpb)).as(Seq("band_no", "bk")))
+      .withColumn("bh", hash60(concat_ws("_", col("band_no"), col("bk"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val points = newBanded.select(col("bh")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val posts = graft.sink.Sinks.readRangePoints(spark,
+      s"$path/postings", points)
+    val agree = aggregate(
+      zip_with(col("sig_new"), col("sig_corpus"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    releaseAfter(warnIfIndexShuffles(posts
+      .join(broadcast(newBanded), Seq("band_no", "bk"))
+      .select(col("new_id"), col("corpus_id"),
+        (agree.cast("double") / nh).as("sig_agreement"))
+      .distinct()
+      .filter(col("sig_agreement") >= threshold),
+      "minhashNearDupsAgainstBandedIndex"), newBanded)
+  }
+
   private def minhashAgainstImpl(newDocs: DataFrame, corpusSigs: DataFrame,
                                  idCol: String, textCol: String,
                                  k: Int, numHashes: Int, rowsPerBand: Int,

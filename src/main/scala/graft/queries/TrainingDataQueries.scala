@@ -2915,6 +2915,27 @@ object TrainingDataQueries {
     // the broadcast build. The oracle is IDENTICAL to the unbloomed
     // query's — hash-equality proves the Bloom never drops a true
     // collision (no false negatives), the whole point of the filter.
+    // the probe-optimized banded-postings layout: postings range-sorted
+    // by band-key hash into manifest-indexed shards, probe reads ONLY
+    // the shards containing the batch's band keys. Oracle identical to
+    // dedup_incremental_minhash's: the layout changes WHAT IS READ,
+    // never what is answered.
+    "dedup_minhash_against_postings" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bandidx").toString
+        Dedup.writeBandedSignatureIndex(
+          Dedup.minhashSignatures(
+            docs.filter(col("doc_id") % IncrMod =!= 0),
+            "doc_id", "text", ShingleK, NumHashes),
+          "doc_id", dir, NumHashes, RowsPerBand, shards = 16, ShingleK)
+        Dedup.minhashNearDupsAgainstBandedIndex(
+          docs.filter(col("doc_id") % IncrMod === 0), dir,
+          "doc_id", "text", MinhashThreshold)
+      },
+      Some(incrDedupSql)),
+
     "dedup_minhash_against_bloomed" -> QueryDef(
       (s, d) => {
         val docs = table(s, d, "documents")

@@ -166,13 +166,26 @@ object Sinks {
   def readRange(spark: org.apache.spark.sql.SparkSession, dir: String,
                 sortCol: String, lo: Long, hi: Long): DataFrame = {
     import org.apache.spark.sql.functions._
+    val keep = rangeManifest(spark, dir)
+      .filter { case (_, flo, fhi) => fhi >= lo && flo < hi }
+      .map(_._1)
+    if (keep.isEmpty)
+      spark.read.parquet(dir).filter(lit(false))
+    else
+      spark.read.parquet(keep: _*)
+        .filter(col(sortCol) >= lo && col(sortCol) < hi)
+  }
+
+  /** The parsed `_range_index.json`: (file, lo, hi) per shard. */
+  private[graft] def rangeManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Long, Long)] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(
       new org.apache.hadoop.fs.Path(dir, "_range_index.json"))
-    val entries = try {
+    try {
       val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
       JsonMethods.parse(json) match {
         case JArray(arr) => arr.map { e =>
@@ -191,13 +204,37 @@ object Sinks {
           throw new IllegalStateException(s"bad range index: $other")
       }
     } finally in.close()
-    val keep = entries.filter { case (_, flo, fhi) => fhi >= lo && flo < hi }
-      .map(_._1)
-    if (keep.isEmpty)
-      spark.read.parquet(dir).filter(lit(false))
-    else
-      spark.read.parquet(keep: _*)
-        .filter(col(sortCol) >= lo && col(sortCol) < hi)
+  }
+
+  /** The shard files whose `[lo, hi]` interval contains ANY of
+    * `points` — the multi-point sibling of [[readRange]]'s pruning,
+    * for index-serving reads where a probe brings thousands of point
+    * keys rather than one interval. Sorted-manifest + sorted-points
+    * merge, O(files + points log points).
+    */
+  def rangePointFiles(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, points: Seq[Long]): Seq[String] = {
+    val sorted = points.distinct.sorted.toArray
+    rangeManifest(spark, dir).filter { case (_, flo, fhi) =>
+      // any point in [flo, fhi]: binary search for the first >= flo
+      val i = java.util.Arrays.binarySearch(sorted, flo)
+      val at = if (i >= 0) i else -i - 1
+      at < sorted.length && sorted(at) <= fhi
+    }.map(_._1)
+  }
+
+  /** Manifest-pruned multi-point read: rows of just the
+    * [[rangePointFiles]] shards. NOTE the kept files contain
+    * neighboring keys too — callers filter or join on the exact key
+    * (the point of the layout is skipping the files with NO matching
+    * key, not row-exactness).
+    */
+  def readRangePoints(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, points: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keep = rangePointFiles(spark, dir, points)
+    if (keep.isEmpty) spark.read.parquet(dir).filter(lit(false))
+    else spark.read.parquet(keep: _*)
   }
 
   def jdbcWrite(df: DataFrame, url: String, table: String,

@@ -82,6 +82,46 @@ object StressProbe {
       Dedup.minhashNearDupsAgainstIndex(batch, idx, "doc_id", "text")
         .count()
     }
+    // the r14 banded-postings layout: the probe opens only the shards
+    // whose manifest range contains one of the batch's band-key
+    // hashes, instead of scanning the whole signature table. With a
+    // 5%-of-corpus batch most shards are hit — shrink to a 1k-doc
+    // batch (the per-trigger streaming shape) to show the prune
+    val bandIdx = s"$workDir/banded_index"
+    timed("minhash_banded_publish") {
+      Dedup.writeBandedSignatureIndex(
+        spark.read.parquet(s"$sigIdx/signatures"), "doc_id", bandIdx,
+        shards = 512); 0L
+    }
+    val smallBatch = batch.limit(1000)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    smallBatch.count()
+    timed("minhash_banded_probe_1k") {
+      Dedup.minhashNearDupsAgainstBandedIndex(smallBatch, bandIdx,
+        "doc_id", "text").count()
+    }
+    timed("minhash_flat_probe_1k_reference") {
+      Dedup.minhashNearDupsAgainst(smallBatch,
+        spark.read.parquet(s"$sigIdx/signatures"), "doc_id", "text")
+        .count()
+    }
+    // the prune only pays when |batch band keys| << shards: a 1k-doc
+    // batch brings ~4k keys into 512 shards (every shard hit), a
+    // 10-doc probe ~40 keys (~8% of shards) — the point-lookup shape
+    val tinyBatch = batch.limit(10)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tinyBatch.count()
+    timed("minhash_banded_probe_10") {
+      Dedup.minhashNearDupsAgainstBandedIndex(tinyBatch, bandIdx,
+        "doc_id", "text").count()
+    }
+    timed("minhash_flat_probe_10_reference") {
+      Dedup.minhashNearDupsAgainst(tinyBatch,
+        spark.read.parquet(s"$sigIdx/signatures"), "doc_id", "text")
+        .count()
+    }
+    tinyBatch.unpersist()
+    smallBatch.unpersist()
 
     }
     // ---- simhash: 64-bit fingerprints, 16-bit bands -----------------

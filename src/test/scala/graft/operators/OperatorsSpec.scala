@@ -1427,6 +1427,48 @@ class OperatorsSpec extends SparkSpecBase {
       "probe through the published index must equal the direct probe")
   }
 
+  test("banded-postings index prunes shard files and serves the probe") {
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = ((1 to 40).map(i => (i.toLong, s"$phrase corpus tail $i")) ++
+      (1 to 20).map(i => (100L + i,
+        s"wholly different content number $i sharing nothing at all")))
+      .toDF("doc_id", "text")
+    val batch = Seq((1000L, s"$phrase corpus tail 7"),
+      (1001L, "novel unrelated text with zero overlap anywhere here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bandidx").toString
+    Dedup.writeBandedSignatureIndex(sigs, "doc_id", dir, shards = 16)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val direct = Dedup.minhashNearDupsAgainst(batch, sigs,
+      "doc_id", "text").collect().map(key).toSet
+    assert(direct.nonEmpty, "fixture sanity: the echoed doc must collide")
+    val served = Dedup.minhashNearDupsAgainstBandedIndex(batch, dir,
+      "doc_id", "text").collect().map(key).toSet
+    assert(served == direct,
+      s"banded-postings probe must equal the flat probe: " +
+        s"$served vs $direct")
+    // the manifest prune must actually skip shards for a narrow probe:
+    // one batch doc brings <= numBands points; with 16 range shards
+    // over 60 docs x 4 bands of postings, most files have no match
+    val oneDoc = Dedup.minhashSignatures(
+        batch.filter(col("doc_id") === 1000L), "doc_id", "text")
+      .select(posexplode(graft.functions.ProbeFunctions.minhashBands(
+        array((0 until 12).map(i => col(s"sig_$i")): _*), 12, 3))
+        .as(Seq("band_no", "bk")))
+      .select(graft.functions.StableHash.hash60(
+        concat_ws("_", col("band_no"), col("bk"))).as("bh"))
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val total = graft.sink.Sinks
+      .rangeManifest(spark, s"$dir/postings").size
+    val kept = graft.sink.Sinks
+      .rangePointFiles(spark, s"$dir/postings", oneDoc).size
+    assert(kept < total,
+      s"a 4-point probe must prune shards: kept $kept of $total")
+  }
+
   test("published Jaccard index round-trips and serves the probe") {
     val phrase = "alpha beta gamma delta epsilon zeta eta theta iota " +
       "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
