@@ -877,18 +877,53 @@ object Dedup {
     * grams the Bloom rejects cannot contribute a pair.
     */
   def writeJaccardIndex(index: JaccardIndex, path: String,
-                        bloomK: Int = 5, bloomM: Int = 1 << 16): Unit = {
+                        bloomK: Int = 5, bloomM: Int = 1 << 16,
+                        shards: Int = 64): Unit = {
     val spark = index.sets.sparkSession
     val sm = org.apache.spark.sql.SaveMode.Overwrite
-    index.dfreq.write.mode(sm).parquet(s"$path/dfreq")
-    index.prefix.write.mode(sm).parquet(s"$path/prefix")
+    // dfreq and prefix are keyed by the gram hash (a long): publish
+    // them RANGE-SORTED on `g` with the shard manifest, so a probe can
+    // open only the files containing its batch's grams
+    // ([[ngramJaccardAgainstPath]]); plain reads (readJaccardIndex)
+    // are unaffected — the manifest is a hidden sidecar.
+    graft.sink.Sinks.writeRangeSorted(index.dfreq, s"$path/dfreq",
+      "g", shards)
+    graft.sink.Sinks.writeRangeSorted(index.prefix, s"$path/prefix",
+      "g", shards)
     index.sets.write.mode(sm).parquet(s"$path/sets")
     val bits = buildIndexBloom(
       spark.read.parquet(s"$path/prefix"), "g", bloomK, bloomM)
     writeIndexMeta(spark, path,
       s"""{"shingle_k":${index.k},"threshold":${index.threshold},""" +
         s""""bloom_k":$bloomK,"bloom_m":${bits.length},""" +
+        s""""shards":$shards,""" +
         s""""bloom_bits":"${bitsToString(bits)}"}""")
+  }
+
+  /** Probe a published Jaccard index by PATH with manifest pruning:
+    * the batch's distinct gram hashes (bounded by the batch's own
+    * vocabulary) select which `dfreq` and `prefix` shard files are
+    * opened at all — the corpus-sized posting tables are never
+    * scanned whole. Output-identical to [[ngramJaccardAgainst]] over
+    * [[readJaccardIndex]] (pruned-away files contain no batch gram by
+    * the manifest invariant; the df-order semi-join and prefix join
+    * only ever consume batch-matching rows).
+    */
+  def ngramJaccardAgainstPath(newDocs: DataFrame, path: String,
+                              idCol: String, textCol: String)
+      : DataFrame = {
+    val spark = newDocs.sparkSession
+    val root = readIndexMeta(spark, path)
+    val k = metaInt(root, "shingle_k")
+    val gs = hashedShingleSets(newDocs, idCol, textCol, k)
+      .select(explode(col("gs")).as("g")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val idx = JaccardIndex(
+      graft.sink.Sinks.readRangePoints(spark, s"$path/dfreq", gs),
+      graft.sink.Sinks.readRangePoints(spark, s"$path/prefix", gs),
+      spark.read.parquet(s"$path/sets"),
+      k, metaDouble(root, "threshold"), Some(metaBloom(root)))
+    ngramJaccardAgainst(newDocs, idx, idCol, textCol)
   }
 
   def readJaccardIndex(spark: org.apache.spark.sql.SparkSession,

@@ -2855,6 +2855,27 @@ object TrainingDataQueries {
       },
       Some(incrJaccardSql)),
 
+    // the manifest-pruned path probe: dfreq/prefix are published
+    // range-sorted by gram hash, and the probe opens only the shard
+    // files containing its batch's grams. Oracle identical to
+    // dedup_incremental_jaccard's: pruning changes what is read, never
+    // what is answered.
+    "dedup_jaccard_against_pruned" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-jacprune").toString
+        Dedup.writeJaccardIndex(
+          Dedup.buildJaccardIndex(
+            docs.filter(col("doc_id") % IncrMod =!= 0), "doc_id", "text",
+            JaccardK, JaccardThreshold),
+          dir, shards = 16)
+        Dedup.ngramJaccardAgainstPath(
+          docs.filter(col("doc_id") % IncrMod === 0), dir,
+          "doc_id", "text")
+      },
+      Some(incrJaccardSql)),
+
     // the embedding-cosine member of the `...Against` family (r13): the
     // ingest batch is signed with the INDEX'S hyperplanes (built from
     // the corpus slice only — the probe may never re-derive planes),

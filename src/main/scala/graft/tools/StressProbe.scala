@@ -170,18 +170,29 @@ object StressProbe {
       col("doc_id") < total / 10 + nDocs / 500)
     val jacDir = s"$workDir/jaccard_index"
     timed("jaccard_index_publish_200k") {
-      val idx = Dedup.buildJaccardIndex(jacCorpus, "doc_id", "text")
-      idx.dfreq.write.mode("overwrite").parquet(s"$jacDir/dfreq")
-      idx.prefix.write.mode("overwrite").parquet(s"$jacDir/prefix")
-      idx.sets.write.mode("overwrite").parquet(s"$jacDir/sets"); 0L
+      Dedup.writeJaccardIndex(
+        Dedup.buildJaccardIndex(jacCorpus, "doc_id", "text"), jacDir,
+        shards = 128); 0L
     }
     timed("jaccard_probe_200k_10k") {
-      val idx = Dedup.JaccardIndex(
-        spark.read.parquet(s"$jacDir/dfreq"),
-        spark.read.parquet(s"$jacDir/prefix"),
-        spark.read.parquet(s"$jacDir/sets"), 3, 0.8)
-      Dedup.ngramJaccardAgainst(jacBatch, idx, "doc_id", "text").count()
+      Dedup.ngramJaccardAgainst(jacBatch,
+        Dedup.readJaccardIndex(spark, jacDir), "doc_id", "text").count()
     }
+    // the manifest-pruned path probe, at the point-lookup batch size
+    // where pruning can pay (a 10k-doc batch's gram set covers the
+    // whole synthetic vocabulary — every shard hit)
+    val jacTiny = jacBatch.limit(20)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jacTiny.count()
+    timed("jaccard_pruned_probe_20") {
+      Dedup.ngramJaccardAgainstPath(jacTiny, jacDir, "doc_id", "text")
+        .count()
+    }
+    timed("jaccard_flat_probe_20_reference") {
+      Dedup.ngramJaccardAgainst(jacTiny,
+        Dedup.readJaccardIndex(spark, jacDir), "doc_id", "text").count()
+    }
+    jacTiny.unpersist()
 
     }
     // ---- embedding: published hyperplane index + guarded probe ------

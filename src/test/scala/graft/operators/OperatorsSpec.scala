@@ -1497,6 +1497,23 @@ class OperatorsSpec extends SparkSpecBase {
     assert(served == direct,
       "probe through the published index (with its Bloom prefilter) " +
         s"must equal the direct probe: $served vs $direct")
+    // the path-served probe prunes dfreq/prefix shard files by the
+    // batch's gram hashes and must still be output-identical
+    val pathServed = Dedup.ngramJaccardAgainstPath(batch, dir,
+      "doc_id", "text").collect().map(key).toSet
+    assert(pathServed == direct,
+      s"manifest-pruned probe must equal the direct probe: " +
+        s"$pathServed vs $direct")
+    // and the prune must actually skip files for the narrow batch
+    val gs = Dedup.buildJaccardIndex(batch, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .sets.select(explode(col("gs")).as("g")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val total = graft.sink.Sinks.rangeManifest(spark, s"$dir/prefix").size
+    val kept = graft.sink.Sinks
+      .rangePointFiles(spark, s"$dir/prefix", gs).size
+    assert(kept < total,
+      s"the batch's grams must prune prefix shards: kept $kept of $total")
   }
 
   test("published embedding index round-trips and serves the probe") {
