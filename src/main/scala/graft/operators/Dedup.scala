@@ -480,6 +480,76 @@ object Dedup {
       Some(metaBloom(root)))
   }
 
+  /** Publish the probe-optimized banded-postings layout for the
+    * embedding index — the [[writeBandedSignatureIndex]] twin for the
+    * hyperplane family: one posting row per (band, bucket) membership
+    * `(bh, band_no, bk, corpus_id)`, range-sorted by the band-key hash
+    * into manifest-indexed shards, plus the plane table (a probe must
+    * sign with the index's planes). Embedding band keys are
+    * `numPlanes / bandBits` per vector (2–4 at defaults) — the shape
+    * where manifest point-pruning genuinely pays, unlike gram-level
+    * Jaccard postings (docs/SEARCH_SOAK.md).
+    */
+  def writeBandedEmbeddingIndex(index: EmbeddingIndex, path: String,
+                                shards: Int = 64): Unit = {
+    val spark = index.sigs.sparkSession
+    index.planes.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/planes")
+    val postings = index.sigs.select(col("id").as("corpus_id"),
+        posexplode(embBandKeys(index.numPlanes, index.bandBits))
+          .as(Seq("band_no", "bk")))
+      .withColumn("bh", hash60(concat_ws("_", col("band_no"), col("bk"))))
+    graft.sink.Sinks.writeRangeSorted(postings, s"$path/postings",
+      "bh", shards)
+    writeIndexMeta(spark, path,
+      s"""{"num_planes":${index.numPlanes},""" +
+        s""""band_bits":${index.bandBits},"shards":$shards,""" +
+        s""""layout":"banded_postings"}""")
+  }
+
+  /** Probe a [[writeBandedEmbeddingIndex]] layout — output-identical
+    * to [[embeddingNearDupsAgainst]] over the same corpus, with the
+    * candidate generation reading ONLY the shards containing the
+    * batch's band keys. Verification is the same AQE-adaptive shape
+    * as the flat probe (slim id pairs meet the corpus vector table;
+    * bounded batch vectors broadcast).
+    */
+  def embeddingNearDupsAgainstBandedIndex(newEmb: DataFrame,
+      corpusEmb: DataFrame, path: String, idCol: String, vecCol: String,
+      threshold: Double = 0.9): DataFrame = {
+    import graft.functions.VectorOps
+    val spark = newEmb.sparkSession
+    val root = readIndexMeta(spark, path)
+    val numPlanes = metaInt(root, "num_planes")
+    val bandBits = metaInt(root, "band_bits")
+    val planes = spark.read.parquet(s"$path/planes")
+    // persisted: the point collection and the band join both consume
+    // the banded batch; re-deriving re-signs the batch
+    val newBanded = hyperplaneSigs(
+        newEmb.select(col(idCol).as("id"), col(vecCol).as("v")), planes)
+      .select(col("id").as("new_id"),
+        posexplode(embBandKeys(numPlanes, bandBits))
+          .as(Seq("band_no", "bk")))
+      .withColumn("bh", hash60(concat_ws("_", col("band_no"), col("bk"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val points = newBanded.select(col("bh")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val cand = graft.sink.Sinks
+      .readRangePoints(spark, s"$path/postings", points)
+      .join(broadcast(newBanded), Seq("band_no", "bk"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    val nv = newEmb.select(col(idCol).as("new_id"),
+      col(vecCol).as("__nv"))
+    val cv = corpusEmb.select(col(idCol).as("corpus_id"),
+      col(vecCol).as("__cv"))
+    releaseAfter(warnIfIndexShuffles(cv
+      .join(cand, Seq("corpus_id"))
+      .join(broadcast(nv), Seq("new_id"))
+      .filter(VectorOps.cosineF(col("__nv"), col("__cv")) >= threshold)
+      .select(col("new_id"), col("corpus_id")),
+      "embeddingNearDupsAgainstBandedIndex"), newBanded)
+  }
+
   /** The `numBands` hyperplane-sig band keys of a `sig` column. */
   private def embBandKeys(numPlanes: Int, bandBits: Int): Column = {
     val numBands = numPlanes / bandBits

@@ -2915,6 +2915,25 @@ object TrainingDataQueries {
       },
       Some(incrEmbeddingSql)),
 
+    // the embedding banded-postings twin: candidate generation reads
+    // only the shards containing the batch's band keys. Oracle
+    // identical to dedup_incremental_embedding's.
+    "dedup_embedding_against_postings" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") % IncrMod =!= 0)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-embband").toString
+        Dedup.writeBandedEmbeddingIndex(
+          Dedup.buildEmbeddingIndex(corpus, "vec_id", "embedding",
+            EmbPlanes, EmbBandBits),
+          dir, shards = 16)
+        Dedup.embeddingNearDupsAgainstBandedIndex(
+          emb.filter(col("vec_id") % IncrMod === 0), corpus, dir,
+          "vec_id", "embedding", EmbThreshold)
+      },
+      Some(incrEmbeddingSql)),
+
     // the simhash member of the `...Against` family (r13): a batch is
     // fingerprinted and screened against the persisted corpus simhash
     // table — byte-band candidates, Hamming-verified, corpus never

@@ -234,6 +234,28 @@ object StressProbe {
           "vec_id", "embedding", threshold = 0.9,
           maxBucket = 1024).count()
       }
+      // banded-postings point lookup: embedding band keys are only
+      // numPlanes/bandBits (= 2) per vector, the shape where manifest
+      // pruning pays (vs ~150 grams/doc for Jaccard, where it cannot)
+      val embBandDir = s"$workDir/emb_banded"
+      timed("embedding_banded_publish") {
+        Dedup.writeBandedEmbeddingIndex(
+          Dedup.readEmbeddingIndex(spark, embIdxDir), embBandDir,
+          shards = 256); 0L
+      }
+      val tinyE = batchE.limit(10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tinyE.count()
+      timed("embedding_banded_probe_10") {
+        Dedup.embeddingNearDupsAgainstBandedIndex(tinyE, corpusE,
+          embBandDir, "vec_id", "embedding", threshold = 0.9).count()
+      }
+      timed("embedding_flat_probe_10_reference") {
+        val idx = Dedup.readEmbeddingIndex(spark, embIdxDir)
+        Dedup.embeddingNearDupsAgainst(tinyE, corpusE, idx,
+          "vec_id", "embedding", threshold = 0.9).count()
+      }
+      tinyE.unpersist()
     }
     // ---- mirror farm: the viral-bucket guard's motivating case ------
     if (want("mirror")) {

@@ -26,7 +26,8 @@ class QueriesSpec extends SparkSpecBase {
     "dedup_incremental_simhash", "dedup_incremental_embedding",
     "dedup_incremental_jaccard", "dedup_jaccard_against_index",
     "dedup_jaccard_against_pruned",
-    "dedup_embedding_against_index", "sql_simhash_probe",
+    "dedup_embedding_against_index", "dedup_embedding_against_postings",
+    "sql_simhash_probe",
     // near-dup pair sets can be empty at
     "split_leakage_audit")       // tiny SF (leakage rides minhash pairs)
 

@@ -1540,6 +1540,16 @@ class OperatorsSpec extends SparkSpecBase {
     assert(served == direct,
       "probe through the published index (with its band-key Bloom) " +
         s"must equal the direct probe: $served vs $direct")
+    // banded-postings twin: manifest-pruned candidate read, identical
+    // output; a single batch vector's <= numBands points must prune
+    val bdir = java.nio.file.Files.createTempDirectory("embband").toString
+    Dedup.writeBandedEmbeddingIndex(idx, bdir, shards = 16)
+    val banded = Dedup.embeddingNearDupsAgainstBandedIndex(batch, vecs,
+      bdir, "vec_id", "embedding", threshold = 0.95)
+      .collect().map(key).toSet
+    assert(banded == direct,
+      s"banded-postings probe must equal the direct probe: " +
+        s"$banded vs $direct")
   }
 
   test("simhashNearDupsAgainst equals the all-pairs cross-section") {
