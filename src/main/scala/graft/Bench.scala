@@ -25,14 +25,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  /** One full measurement run. Returns (json, failedQueryNames).
-    * Factored out of main so a spec can prove a deliberately-broken query
-    * lands in `failed` without the spec JVM being `sys.exit`ed.
+  /** One full measurement run. Returns (json, summaryJson, failedQueryNames).
+    * `json` is the full compact record (every per-query median); `summary`
+    * is a small bounded-size line main prints LAST so the harness's 2 KB
+    * stdout-tail capture always ends with one complete parseable JSON
+    * object (r14's 50-query full line outgrew the tail and the artifact
+    * of record carried parsed:null — the total had to be reconstructed by
+    * hand). Factored out of main so a spec can prove a deliberately-broken
+    * query lands in `failed` without the spec JVM being `sys.exit`ed.
     */
   def run(spark: SparkSession, sfDir: String, iters: Int,
           names: Seq[String],
           queries: Map[String, (SparkSession, String) => DataFrame])
-      : (String, Seq[String]) = {
+      : (String, String, Seq[String]) = {
     val failed = scala.collection.mutable.LinkedHashSet[String]()
 
     def once(name: String): Double = {
@@ -84,7 +89,20 @@ object Bench {
     // per-query median, the failed list, and the env block.
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"methodology_version":2,"failed":$failedJson,"env":$envJson}"""
-    (json, failed.toSeq)
+    // Bounded-size summary, printed LAST by main: headline scalars, the
+    // contention verdict, and the top-5 heaviest queries. The full
+    // per-query map lives in `json` (line 1 of stdout and the on-disk
+    // bench_out.json); this line stays well under the harness's 2 KB
+    // tail capture no matter how many queries the registry grows to.
+    val ratios = passEnvs.flatMap(BenchEnv.waitRatio)
+    val ratioJson =
+      if (ratios.isEmpty) "null" else f"${median(ratios)}%.4f"
+    val top5 = med.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val summary =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${names.size},"cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"methodology_version":2,"failed":$failedJson,"contended":${BenchEnv.contended(passEnvs)},"median_wait_cpu_ratio":$ratioJson,"top5":$top5,"queries_in":"line 1 of stdout and bench_out.json"}"""
+    (json, summary, failed.toSeq)
   }
 
   /** The methodology note appended to the on-disk JSON (kept out of the
@@ -113,7 +131,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (json, failed) =
+    val (json, summary, failed) =
       run(spark, sfDir, iters, SparkEntry.benchQueries, SparkEntry.queries)
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -129,6 +147,10 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"bench: could not write $out: ${e.getMessage}") }
     spark.stop()
+    // LAST stdout line: the bounded summary — spark.stop() above may
+    // still emit WARN lines on stderr, but stdout ends with this one
+    // complete JSON object inside any >=1 KB tail capture.
+    println(summary)
     if (failed.nonEmpty) {
       System.err.println(s"bench: ${failed.size} quer${
         if (failed.size == 1) "y" else "ies"} failed: ${failed.mkString(", ")}")

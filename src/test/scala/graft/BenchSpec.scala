@@ -12,25 +12,37 @@ class BenchSpec extends SparkSpecBase {
     val old = System.err
     System.setErr(new java.io.PrintStream(
       new java.io.ByteArrayOutputStream(), true, "UTF-8"))
-    val (json, failed) =
+    val (json, summary, failed) =
       try Bench.run(spark, sfDir, iters = 1, Seq("ok", "broken"), qs)
       finally System.setErr(old)
     assert(failed == Seq("broken"),
       "main exits non-zero exactly when this list is non-empty")
     assert(json.contains("\"failed\":[\"broken\"]"), json)
     assert(json.contains("\"methodology_version\":2"), json)
+    assert(summary.contains("\"failed\":[\"broken\"]"), summary)
   }
 
   test("an all-green run reports no failures and carries env context") {
     val qs: Map[String, (SparkSession, String) => DataFrame] = Map(
       "ok" -> ((s, _) => { import s.implicits._; Seq(1).toDF("x") }))
-    val (json, failed) = Bench.run(spark, sfDir, iters = 1, Seq("ok"), qs)
+    val (json, summary, failed) = Bench.run(spark, sfDir, iters = 1, Seq("ok"), qs)
     assert(failed.isEmpty)
     assert(json.contains("\"failed\":[]"), json)
     // machine-context fields present and parse-shaped
     assert(json.contains("\"env\":{\"passes\":["), json)
     assert(json.contains("\"contended\":"), json)
     assert(json.contains("\"median_wait_cpu_ratio\":"), json)
+    // the summary line is the one the harness's 2 KB stdout-tail capture
+    // must always hold whole: bounded size regardless of registry growth
+    // (top-5 heaviest only), and itself a complete JSON object carrying
+    // the headline total + contention verdict
+    assert(summary.length < 1200,
+      s"summary line must stay far under the 2 KB tail capture: " +
+        s"${summary.length} bytes")
+    assert(summary.startsWith("{\"metric\":\"total\",\"value\":"), summary)
+    assert(summary.endsWith("}"), summary)
+    assert(summary.contains("\"contended\":"), summary)
+    assert(summary.contains("\"top5\":{"), summary)
   }
 
   test("contended flag fires under synthetic CPU oversubscription") {
