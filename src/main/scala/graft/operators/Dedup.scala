@@ -123,6 +123,32 @@ object Dedup {
     result
   }
 
+  /** Driver-side point-list budget for the path-served probes. The
+    * banded/manifest-pruned layouts need the batch's distinct point
+    * keys ON THE DRIVER to prune shard files — bounded by
+    * |batch| x bands (or the batch vocabulary) for the intended
+    * point-lookup shape, but nothing used to ENFORCE that contract: a
+    * caller probing a huge batch through the path API pushed an
+    * unbounded point list through the driver. Above this cap the
+    * probes fall back to the flat scan of the same published files
+    * (oracle-identical — pruning only skips files with no matching
+    * key), which is also the measured faster plan for large batches
+    * (docs/SEARCH_SOAK.md: the banded point read wins for ~10-doc
+    * lookups and loses to the flat join by ~1k-doc batches).
+    */
+  val DefaultMaxProbePoints: Int = 1 << 18
+
+  /** Up to `cap` distinct longs of `df`'s single column; None when the
+    * count exceeds `cap` — the caller must fall back to the flat scan
+    * instead of collecting an unbounded point list to the driver.
+    */
+  private def collectPointsCapped(df: DataFrame, cap: Int)
+      : Option[IndexedSeq[Long]] = {
+    val rows = df.distinct().limit(cap + 1).collect()
+    if (rows.length > cap) None
+    else Some(rows.map(_.getLong(0)).toIndexedSeq)
+  }
+
   /** Word shingles (k-grams) of a text column as array<string>.
     * Lowercased, whitespace-tokenized; single-pass custom expression
     * (see [[graft.functions.WordShingles]] for why not higher-order
@@ -507,16 +533,42 @@ object Dedup {
         s""""layout":"banded_postings"}""")
   }
 
+  /** Publish the corpus VECTOR table beside a banded embedding index
+    * as `<path>/vectors` — `(id, v)` range-sorted by id into
+    * manifest-indexed shards. With it in place,
+    * [[embeddingNearDupsAgainstBandedIndex]]'s exact-cosine
+    * verification fetches ONLY the shards holding candidate ids
+    * instead of scanning the corpus vector table whole — the r14 soak
+    * measured full-table verification (2.7 s at 2M vectors) eating the
+    * banded candidate read's win (docs/SEARCH_SOAK.md). Requires an
+    * integral id (the range-manifest convention).
+    */
+  def writeIndexVectors(vectors: DataFrame, path: String,
+                        idCol: String, vecCol: String,
+                        shards: Int = 64): Unit = {
+    graft.sink.Sinks.writeRangeSorted(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
+      s"$path/vectors", "id", shards)
+    ()
+  }
+
   /** Probe a [[writeBandedEmbeddingIndex]] layout — output-identical
     * to [[embeddingNearDupsAgainst]] over the same corpus, with the
     * candidate generation reading ONLY the shards containing the
-    * batch's band keys. Verification is the same AQE-adaptive shape
-    * as the flat probe (slim id pairs meet the corpus vector table;
-    * bounded batch vectors broadcast).
+    * batch's band keys. Verification: when the publisher also wrote
+    * `<path>/vectors` ([[writeIndexVectors]]), the exact-cosine pass
+    * reads ONLY the shards holding candidate corpus ids; otherwise it
+    * is the same AQE-adaptive join against `corpusEmb` as the flat
+    * probe (slim id pairs meet the corpus vector table; bounded batch
+    * vectors broadcast). Driver point lists (batch band keys,
+    * candidate ids) are capped at `maxPoints`; above the cap the probe
+    * falls back to the flat scan of the same published files —
+    * oracle-identical, and the measured faster plan for large batches.
     */
   def embeddingNearDupsAgainstBandedIndex(newEmb: DataFrame,
       corpusEmb: DataFrame, path: String, idCol: String, vecCol: String,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9,
+      maxPoints: Int = DefaultMaxProbePoints): DataFrame = {
     import graft.functions.VectorOps
     val spark = newEmb.sparkSession
     val root = readIndexMeta(spark, path)
@@ -532,22 +584,44 @@ object Dedup {
           .as(Seq("band_no", "bk")))
       .withColumn("bh", hash60(concat_ws("_", col("band_no"), col("bk"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val points = newBanded.select(col("bh")).distinct()
-      .collect().map(_.getLong(0)).toIndexedSeq
-    val cand = graft.sink.Sinks
-      .readRangePoints(spark, s"$path/postings", points)
+    val posts = collectPointsCapped(newBanded.select(col("bh")),
+        maxPoints) match {
+      case Some(points) =>
+        graft.sink.Sinks.readRangePoints(spark, s"$path/postings", points)
+      case None => spark.read.parquet(s"$path/postings")
+    }
+    val candBase = posts
       .join(broadcast(newBanded), Seq("band_no", "bk"))
       .select(col("new_id"), col("corpus_id")).distinct()
+    val vectorsDir = s"$path/vectors"
+    val prunedVectors =
+      graft.sink.Sinks.hasRangeManifest(spark, vectorsDir)
+    // persisted only when the id-pruned fetch consumes it twice
+    // (candidate-id collection + the verification join)
+    val cand =
+      if (prunedVectors) candBase
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else candBase
     val nv = newEmb.select(col(idCol).as("new_id"),
       col(vecCol).as("__nv"))
-    val cv = corpusEmb.select(col(idCol).as("corpus_id"),
-      col(vecCol).as("__cv"))
-    releaseAfter(warnIfIndexShuffles(cv
+    val cv =
+      if (prunedVectors)
+        (collectPointsCapped(cand.select(col("corpus_id")),
+            maxPoints) match {
+          case Some(ids) =>
+            graft.sink.Sinks.readRangePoints(spark, vectorsDir, ids)
+          case None => spark.read.parquet(vectorsDir)
+        }).select(col("id").as("corpus_id"), col("v").as("__cv"))
+      else corpusEmb.select(col(idCol).as("corpus_id"),
+        col(vecCol).as("__cv"))
+    val out = warnIfIndexShuffles(cv
       .join(cand, Seq("corpus_id"))
       .join(broadcast(nv), Seq("new_id"))
       .filter(VectorOps.cosineF(col("__nv"), col("__cv")) >= threshold)
       .select(col("new_id"), col("corpus_id")),
-      "embeddingNearDupsAgainstBandedIndex"), newBanded)
+      "embeddingNearDupsAgainstBandedIndex")
+    if (prunedVectors) releaseAfterAll(out, newBanded, cand)
+    else releaseAfter(out, newBanded)
   }
 
   /** The `numBands` hyperplane-sig band keys of a `sig` column. */
@@ -960,7 +1034,22 @@ object Dedup {
       "g", shards)
     graft.sink.Sinks.writeRangeSorted(index.prefix, s"$path/prefix",
       "g", shards)
-    index.sets.write.mode(sm).parquet(s"$path/sets")
+    // the stored shingle sets are keyed by doc id: with an integral id
+    // (the engine convention) they publish range-sorted too, so the
+    // probe's exact verification fetches ONLY candidate ids' shards
+    // instead of scanning the corpus set table whole (the r14 soak
+    // measured full-table verification eating the pruned candidate
+    // read's win, docs/SEARCH_SOAK.md). Non-integral ids keep the
+    // plain layout; readers detect the manifest sidecar.
+    val idIntegral = Seq(org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+      .contains(index.sets.schema("id").dataType)
+    if (idIntegral)
+      graft.sink.Sinks.writeRangeSorted(index.sets, s"$path/sets",
+        "id", shards)
+    else index.sets.write.mode(sm).parquet(s"$path/sets")
     val bits = buildIndexBloom(
       spark.read.parquet(s"$path/prefix"), "g", bloomK, bloomM)
     writeIndexMeta(spark, path,
@@ -974,26 +1063,53 @@ object Dedup {
     * the batch's distinct gram hashes (bounded by the batch's own
     * vocabulary) select which `dfreq` and `prefix` shard files are
     * opened at all — the corpus-sized posting tables are never
-    * scanned whole. Output-identical to [[ngramJaccardAgainst]] over
-    * [[readJaccardIndex]] (pruned-away files contain no batch gram by
-    * the manifest invariant; the df-order semi-join and prefix join
-    * only ever consume batch-matching rows).
+    * scanned whole — and the exact verification reads ONLY the
+    * stored-set shards holding candidate corpus ids (when the index
+    * was published with an integral doc id; see [[writeJaccardIndex]]).
+    * Output-identical to [[ngramJaccardAgainst]] over
+    * [[readJaccardIndex]] (pruned-away files contain no batch gram /
+    * candidate id by the manifest invariant; the df-order semi-join,
+    * prefix join and verification join only ever consume matching
+    * rows). Driver point lists (batch grams, candidate ids) are
+    * capped at `maxPoints`; above the cap the probe falls back to the
+    * flat scan of the same published files — oracle-identical, and
+    * the measured faster plan for large batches (docs/SEARCH_SOAK.md).
     */
   def ngramJaccardAgainstPath(newDocs: DataFrame, path: String,
-                              idCol: String, textCol: String)
+                              idCol: String, textCol: String,
+                              maxPoints: Int = DefaultMaxProbePoints)
       : DataFrame = {
     val spark = newDocs.sparkSession
     val root = readIndexMeta(spark, path)
     val k = metaInt(root, "shingle_k")
-    val gs = hashedShingleSets(newDocs, idCol, textCol, k)
-      .select(explode(col("gs")).as("g")).distinct()
-      .collect().map(_.getLong(0)).toIndexedSeq
+    val nsets = hashedShingleSets(newDocs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def pruned(dir: String, points: Option[IndexedSeq[Long]]): DataFrame =
+      points match {
+        case Some(ps) => graft.sink.Sinks.readRangePoints(spark, dir, ps)
+        case None => spark.read.parquet(dir)
+      }
+    val gs = collectPointsCapped(
+      nsets.select(explode(col("gs")).as("g")), maxPoints)
     val idx = JaccardIndex(
-      graft.sink.Sinks.readRangePoints(spark, s"$path/dfreq", gs),
-      graft.sink.Sinks.readRangePoints(spark, s"$path/prefix", gs),
+      pruned(s"$path/dfreq", gs), pruned(s"$path/prefix", gs),
       spark.read.parquet(s"$path/sets"),
       k, metaDouble(root, "threshold"), Some(metaBloom(root)))
-    ngramJaccardAgainst(newDocs, idx, idCol, textCol)
+    // persisted: the candidate-id collection and the verification join
+    // both consume the candidate pairs
+    val candidates = jaccardCandidates(nsets, idx)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val setsDir = s"$path/sets"
+    val corpusSets =
+      if (graft.sink.Sinks.hasRangeManifest(spark, setsDir))
+        pruned(setsDir,
+          collectPointsCapped(candidates.select(col("corpus_id")),
+            maxPoints))
+      else spark.read.parquet(setsDir)
+    val pairs = jaccardVerify(candidates, nsets, corpusSets,
+      idx.threshold)
+    releaseAfterAll(warnIfIndexShuffles(pairs, "ngramJaccardAgainstPath"),
+      nsets, candidates)
   }
 
   def readJaccardIndex(spark: org.apache.spark.sql.SparkSession,
@@ -1026,9 +1142,22 @@ object Dedup {
     */
   def ngramJaccardAgainst(newDocs: DataFrame, index: JaccardIndex,
                           idCol: String, textCol: String): DataFrame = {
-    val t = index.threshold
     val nsets = hashedShingleSets(newDocs, idCol, textCol, index.k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = jaccardVerify(jaccardCandidates(nsets, index), nsets,
+      index.sets, index.threshold)
+    releaseAfter(warnIfIndexShuffles(pairs, "ngramJaccardAgainst"), nsets)
+  }
+
+  /** The AllPairs prefix-filter stage of [[ngramJaccardAgainst]] —
+    * candidate `(new_id, corpus_id)` pairs of a batch's hashed shingle
+    * sets against the index's frozen-df-order prefix tables. Factored
+    * out so [[ngramJaccardAgainstPath]] can interpose an id-pruned
+    * stored-set fetch between candidate generation and verification.
+    */
+  private def jaccardCandidates(nsets: DataFrame,
+                                index: JaccardIndex): DataFrame = {
+    val t = index.threshold
     val ngrams = nsets.select(col("id"), col("sz"),
       explode(col("gs")).as("g"))
     val wOrd = Window.partitionBy(col("id"))
@@ -1055,16 +1184,24 @@ object Dedup {
           typedLit(bits.toIndexedSeq), col("g"), bk, bits.length))
       case None => nprefixAll
     }
-    val candidates = index.prefix
+    index.prefix
       .select(col("id").as("corpus_id"), col("g"), col("sz").as("sz_c"))
       .join(broadcast(nprefix), Seq("g"))
       .filter(col("sz_n") >= lit(t) * col("sz_c") &&
         col("sz_c") >= lit(t) * col("sz_n"))
       .select(col("new_id"), col("corpus_id")).distinct()
-    val pairs = candidates
+  }
+
+  /** Exact-Jaccard verification of candidate pairs from the stored
+    * shingle sets — the closing stage of [[ngramJaccardAgainst]].
+    */
+  private def jaccardVerify(candidates: DataFrame, nsets: DataFrame,
+                            corpusSets: DataFrame,
+                            t: Double): DataFrame =
+    candidates
       .join(broadcast(nsets.select(col("id").as("new_id"),
         col("gs").as("gs_n"), col("sz").as("sz_n"))), "new_id")
-      .join(index.sets.select(col("id").as("corpus_id"),
+      .join(corpusSets.select(col("id").as("corpus_id"),
         col("gs").as("gs_c"), col("sz").as("sz_c")), "corpus_id")
       .withColumn("inter", size(array_intersect(col("gs_n"), col("gs_c")))
         .cast("long"))
@@ -1072,8 +1209,6 @@ object Dedup {
         (col("sz_n") + col("sz_c") - col("inter")))
       .filter(col("jaccard") >= t)
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
-    releaseAfter(warnIfIndexShuffles(pairs, "ngramJaccardAgainst"), nsets)
-  }
 
   /** Edit-distance-verified near-duplicate pairs — Ed-Join-style q-gram
     * prefix filtering (Xiao et al., "Ed-Join", PVLDB 2008) with bounded
@@ -1385,11 +1520,18 @@ object Dedup {
     * read is manifest-pruned to the shards containing the batch's band
     * keys instead of a full scan. The driver holds only the batch's
     * distinct `bh` points (bounded by |batch| × numBands — the same
-    * boundedness class as broadcasting the batch itself).
+    * boundedness class as broadcasting the batch itself), and that
+    * boundedness is now ENFORCED: above `maxPoints` distinct keys the
+    * probe falls back to the flat scan of the same postings files
+    * (oracle-identical — pruning only skips files with no matching
+    * key, and the flat join is the measured faster plan for large
+    * batches anyway, docs/SEARCH_SOAK.md).
     */
   def minhashNearDupsAgainstBandedIndex(newDocs: DataFrame, path: String,
                                         idCol: String, textCol: String,
-                                        threshold: Double = 0.5)
+                                        threshold: Double = 0.5,
+                                        maxPoints: Int =
+                                          DefaultMaxProbePoints)
       : DataFrame = {
     val spark = newDocs.sparkSession
     val root = readIndexMeta(spark, path)
@@ -1404,10 +1546,12 @@ object Dedup {
         posexplode(bandKeyArray(nh, rpb)).as(Seq("band_no", "bk")))
       .withColumn("bh", hash60(concat_ws("_", col("band_no"), col("bk"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val points = newBanded.select(col("bh")).distinct()
-      .collect().map(_.getLong(0)).toIndexedSeq
-    val posts = graft.sink.Sinks.readRangePoints(spark,
-      s"$path/postings", points)
+    val posts = collectPointsCapped(newBanded.select(col("bh")),
+        maxPoints) match {
+      case Some(points) =>
+        graft.sink.Sinks.readRangePoints(spark, s"$path/postings", points)
+      case None => spark.read.parquet(s"$path/postings")
+    }
     val agree = aggregate(
       zip_with(col("sig_new"), col("sig_corpus"),
         (x, y) => when(x === y, 1).otherwise(0)),

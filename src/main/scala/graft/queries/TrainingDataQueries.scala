@@ -2856,8 +2856,10 @@ object TrainingDataQueries {
       Some(incrJaccardSql)),
 
     // the manifest-pruned path probe: dfreq/prefix are published
-    // range-sorted by gram hash, and the probe opens only the shard
-    // files containing its batch's grams. Oracle identical to
+    // range-sorted by gram hash, the stored sets range-sorted by doc
+    // id (r15), and the probe opens only the shard files containing
+    // its batch's grams / candidate ids — the exact verification no
+    // longer scans the corpus set table whole. Oracle identical to
     // dedup_incremental_jaccard's: pruning changes what is read, never
     // what is answered.
     "dedup_jaccard_against_pruned" -> QueryDef(
@@ -2916,8 +2918,12 @@ object TrainingDataQueries {
       Some(incrEmbeddingSql)),
 
     // the embedding banded-postings twin: candidate generation reads
-    // only the shards containing the batch's band keys. Oracle
-    // identical to dedup_incremental_embedding's.
+    // only the shards containing the batch's band keys, and — with the
+    // corpus vector table published beside the index (r15) — the
+    // exact-cosine verification reads only the shards holding
+    // candidate ids instead of scanning the vector table whole. Oracle
+    // identical to dedup_incremental_embedding's: the layout changes
+    // WHAT IS READ, never what is answered.
     "dedup_embedding_against_postings" -> QueryDef(
       (s, d) => {
         val emb = table(s, d, "embeddings")
@@ -2928,6 +2934,8 @@ object TrainingDataQueries {
           Dedup.buildEmbeddingIndex(corpus, "vec_id", "embedding",
             EmbPlanes, EmbBandBits),
           dir, shards = 16)
+        Dedup.writeIndexVectors(corpus, dir, "vec_id", "embedding",
+          shards = 16)
         Dedup.embeddingNearDupsAgainstBandedIndex(
           emb.filter(col("vec_id") % IncrMod === 0), corpus, dir,
           "vec_id", "embedding", EmbThreshold)
@@ -2950,11 +2958,6 @@ object TrainingDataQueries {
       },
       Some(incrSimhashSql)),
 
-    // the Bloom-prefiltered twin of dedup_incremental_minhash: the
-    // publish-time band-key Bloom drops definite-miss batch keys before
-    // the broadcast build. The oracle is IDENTICAL to the unbloomed
-    // query's — hash-equality proves the Bloom never drops a true
-    // collision (no false negatives), the whole point of the filter.
     // the probe-optimized banded-postings layout: postings range-sorted
     // by band-key hash into manifest-indexed shards, probe reads ONLY
     // the shards containing the batch's band keys. Oracle identical to
@@ -2976,6 +2979,11 @@ object TrainingDataQueries {
       },
       Some(incrDedupSql)),
 
+    // the Bloom-prefiltered twin of dedup_incremental_minhash: the
+    // publish-time band-key Bloom drops definite-miss batch keys before
+    // the broadcast build. The oracle is IDENTICAL to the unbloomed
+    // query's — hash-equality proves the Bloom never drops a true
+    // collision (no false negatives), the whole point of the filter.
     "dedup_minhash_against_bloomed" -> QueryDef(
       (s, d) => {
         val docs = table(s, d, "documents")

@@ -176,6 +176,16 @@ object Sinks {
         .filter(col(sortCol) >= lo && col(sortCol) < hi)
   }
 
+  /** Whether `dir` is a [[writeRangeSorted]] layout (has the manifest
+    * sidecar) — probes use this to decide between a manifest-pruned
+    * point read and a plain scan of the same rows.
+    */
+  def hasRangeManifest(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_range_index.json")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** The parsed `_range_index.json`: (file, lo, hi) per shard. */
   private[graft] def rangeManifest(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(String, Long, Long)] = {

@@ -1467,6 +1467,14 @@ class OperatorsSpec extends SparkSpecBase {
       .rangePointFiles(spark, s"$dir/postings", oneDoc).size
     assert(kept < total,
       s"a 4-point probe must prune shards: kept $kept of $total")
+    // point-list contract (r15): a batch whose distinct band keys
+    // exceed maxPoints must fall back to the flat postings scan —
+    // output-identical, no unbounded driver collect
+    val capped = Dedup.minhashNearDupsAgainstBandedIndex(batch, dir,
+      "doc_id", "text", maxPoints = 1).collect().map(key).toSet
+    assert(capped == direct,
+      s"over-cap probe must fall back oracle-identically: " +
+        s"$capped vs $direct")
   }
 
   test("published Jaccard index round-trips and serves the probe") {
@@ -1514,6 +1522,23 @@ class OperatorsSpec extends SparkSpecBase {
       .rangePointFiles(spark, s"$dir/prefix", gs).size
     assert(kept < total,
       s"the batch's grams must prune prefix shards: kept $kept of $total")
+    // r15: the stored sets publish range-sorted by doc id, so the
+    // exact verification fetches only candidate ids' shards — and a
+    // single candidate id must prune set shards
+    assert(graft.sink.Sinks.hasRangeManifest(spark, s"$dir/sets"),
+      "integral-id sets must publish with a range manifest")
+    val stotal = graft.sink.Sinks.rangeManifest(spark, s"$dir/sets").size
+    val skept = graft.sink.Sinks
+      .rangePointFiles(spark, s"$dir/sets", Seq(1L)).size
+    assert(skept < stotal,
+      s"one candidate id must prune set shards: kept $skept of $stotal")
+    // point-list contract (r15): over-cap batches fall back to the
+    // flat scans of the same files, output-identical
+    val capped = Dedup.ngramJaccardAgainstPath(batch, dir,
+      "doc_id", "text", maxPoints = 1).collect().map(key).toSet
+    assert(capped == direct,
+      s"over-cap probe must fall back oracle-identically: " +
+        s"$capped vs $direct")
   }
 
   test("published embedding index round-trips and serves the probe") {
@@ -1550,6 +1575,37 @@ class OperatorsSpec extends SparkSpecBase {
     assert(banded == direct,
       s"banded-postings probe must equal the direct probe: " +
         s"$banded vs $direct")
+    // r15: with the corpus vector table published beside the index,
+    // exact-cosine verification reads only candidate ids' shards —
+    // output must not change, and a single id must prune shards
+    Dedup.writeIndexVectors(vecs, bdir, "vec_id", "embedding",
+      shards = 16)
+    val idPruned = Dedup.embeddingNearDupsAgainstBandedIndex(batch,
+      // poisoned corpusEmb: with vectors published the probe must NOT
+      // touch this frame — wrong answers here prove the path taken
+      vecs.withColumn("embedding",
+        array(lit(0.0f), lit(0.0f), lit(0.0f))),
+      bdir, "vec_id", "embedding", threshold = 0.95)
+      .collect().map(key).toSet
+    assert(idPruned == direct,
+      s"id-pruned verification must equal the direct probe (and must " +
+        s"source vectors from the published layout): $idPruned vs $direct")
+    val vtotal = graft.sink.Sinks
+      .rangeManifest(spark, s"$bdir/vectors").size
+    val vkept = graft.sink.Sinks
+      .rangePointFiles(spark, s"$bdir/vectors", Seq(1L)).size
+    assert(vkept < vtotal,
+      s"one candidate id must prune vector shards: kept $vkept of $vtotal")
+    // point-list contract (r15): over-cap batches fall back to flat
+    // scans of the published postings AND vectors, output-identical
+    val capped = Dedup.embeddingNearDupsAgainstBandedIndex(batch,
+      vecs.withColumn("embedding",
+        array(lit(0.0f), lit(0.0f), lit(0.0f))),
+      bdir, "vec_id", "embedding", threshold = 0.95, maxPoints = 1)
+      .collect().map(key).toSet
+    assert(capped == direct,
+      s"over-cap probe must fall back oracle-identically: " +
+        s"$capped vs $direct")
   }
 
   test("simhashNearDupsAgainst equals the all-pairs cross-section") {
