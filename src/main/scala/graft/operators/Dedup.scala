@@ -94,33 +94,82 @@ object Dedup {
   /** Runtime guard for the incremental ("...Against") operators' 100 TB
     * contract: the persisted corpus index must NOT re-shuffle per batch.
     * The healthy plans are a broadcast probe (batch broadcasts) or a
-    * one-sided exchange into a bucketed index scan; a plan that
-    * hash-exchanges BOTH join sides with no broadcast is the signature of
-    * an unbucketed index silently degrading to a full index shuffle per
+    * one-sided exchange into a bucketed index scan; a join that
+    * hash-exchanges BOTH of its own sides is the signature of an
+    * unbucketed index silently degrading to a full index shuffle per
     * batch. Warn-only (correctness is unaffected); planning here costs
     * milliseconds once per batch and never executes the query.
     *
-    * AQE caveat: the string is the INITIAL plan — when the index is small
-    * enough AQE may still broadcast-convert the join at runtime, making
-    * the warning moot for that batch (the message says so). For a
-    * corpus-SIZED index, the case the 100 TB contract is about, no
-    * runtime conversion is possible and the warning is accurate.
+    * Detection walks each join's OWN input subtrees
+    * ([[indexShuffleFindings]]) — the pre-r15 whole-plan string check
+    * (`contains("BroadcastHashJoin")`) let ANY broadcast join elsewhere
+    * in the plan mask a corpus-side sort-merge shuffle.
+    *
+    * AQE caveat: this is the INITIAL plan — when a join side is small
+    * enough at runtime AQE broadcast-converts it, making the warning
+    * moot for that batch (the message says so). For a corpus-SIZED
+    * index, the case the 100 TB contract is about, no runtime
+    * conversion is possible and the warning is accurate.
     */
   private[graft] def warnIfIndexShuffles(result: DataFrame, op: String)
       : DataFrame = {
     try {
-      val plan = result.queryExecution.executedPlan.toString
-      val exchanges =
-        "Exchange hashpartitioning".r.findAllMatchIn(plan).size
-      if (!plan.contains("BroadcastHashJoin") && exchanges >= 2)
-        System.err.println(s"[graft] $op: plan hash-exchanges both join " +
-          s"sides ($exchanges exchanges, no broadcast probe) - a " +
-          "corpus-sized index would re-shuffle per batch (AQE may still " +
-          "broadcast a small one at runtime). Persist the index bucketed " +
-          "on the join key (MergeSink.publishBucketed) so only the batch " +
-          "moves.")
+      val findings =
+        indexShuffleFindings(result.queryExecution.executedPlan)
+      if (findings.nonEmpty)
+        System.err.println(s"[graft] $op: ${findings.size} join(s) " +
+          "hash-exchange both of their own sides - a corpus-sized index " +
+          "there would re-shuffle per batch (AQE may still broadcast a " +
+          s"small side at runtime): ${findings.mkString("; ")}. Persist " +
+          "the index bucketed on the join key " +
+          "(MergeSink.publishBucketed) so only the batch moves.")
     } catch { case _: Throwable => () } // guard must never fail the operator
     result
+  }
+
+  /** The joins of `plan` that hash-exchange BOTH of their own input
+    * subtrees — each a candidate full-index-reshuffle. Per-join subtree
+    * walk: a child spine is "shuffled" when a hash-partitioning
+    * exchange (or an adaptive shuffle stage) sits between the join and
+    * the next join/leaf below it, so a broadcast join ANYWHERE else in
+    * the plan cannot mask a finding, and the healthy one-sided-exchange
+    * -into-bucketed-scan shape (only the batch side exchanges) stays
+    * clean. Returns one description per offending join.
+    */
+  private[graft] def indexShuffleFindings(
+      plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{
+      ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.{
+      BaseJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case other => other
+    }
+    def hashShuffle(p: SparkPlan): Boolean = p match {
+      case s: ShuffleExchangeLike =>
+        s.outputPartitioning.isInstanceOf[HashPartitioning]
+      case _: ShuffleQueryStageExec => true
+      case r: ReusedExchangeExec =>
+        r.child.isInstanceOf[ShuffleExchangeLike] &&
+          r.child.outputPartitioning.isInstanceOf[HashPartitioning]
+      case _ => false
+    }
+    def shuffledSpine(p: SparkPlan): Boolean =
+      hashShuffle(p) || (p match {
+        case _: BaseJoinExec => false // nested join: its own check below
+        case other => other.children.exists(shuffledSpine)
+      })
+    unwrap(plan).collect {
+      case j @ (_: SortMergeJoinExec | _: ShuffledHashJoinExec)
+          if j.children.nonEmpty && j.children.forall(shuffledSpine) =>
+        s"${j.nodeName} on ${j.asInstanceOf[BaseJoinExec].leftKeys
+          .map(_.sql).mkString(",")}"
+    }
   }
 
   /** Driver-side point-list budget for the path-served probes. The

@@ -1477,6 +1477,35 @@ class OperatorsSpec extends SparkSpecBase {
         s"$capped vs $direct")
   }
 
+  test("indexShuffleFindings flags a both-sides shuffle join that a " +
+      "broadcast join elsewhere used to mask") {
+    val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 500).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    val dim = Seq((1L, "d")).toDF("k", "vd")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // planted: a sort-merge join shuffling BOTH sides, plus a hinted
+      // broadcast join in the SAME plan. The pre-r15 whole-plan string
+      // check (`!plan.contains("BroadcastHashJoin")`) was masked by the
+      // broadcast and reported nothing — the r14 verdict's finding.
+      val planted = a.join(b, "k").join(broadcast(dim), "k")
+      val plan = planted.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        s"fixture must carry the masking broadcast join:\n$plan")
+      val findings = Dedup.indexShuffleFindings(plan)
+      assert(findings.nonEmpty,
+        s"the both-sides shuffle join must be flagged despite the " +
+          s"broadcast elsewhere:\n$plan")
+      // healthy broadcast probe: nothing to flag
+      val healthy = a.join(broadcast(b), "k")
+      assert(Dedup.indexShuffleFindings(
+          healthy.queryExecution.executedPlan).isEmpty,
+        "a broadcast probe plan must stay clean")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("published Jaccard index round-trips and serves the probe") {
     val phrase = "alpha beta gamma delta epsilon zeta eta theta iota " +
       "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
