@@ -728,9 +728,11 @@ object Dedup {
     // [[hammingNearDupsAgainst]]: an over-cap corpus band bucket answers
     // with its MIN-id hub only, so a mirror-farm cluster (10^6 identical
     // vectors sharing every band key) emits one candidate per band
-    // instead of |bucket| per band. Exact for identical-vector clusters
-    // (every member verifies like the hub); recall-trading for mixed
-    // over-cap buckets. Persisted when enabled: the stats aggregate and
+    // instead of |bucket| per band. The hub pair's verification outcome
+    // is exact; every (new_id, non-hub member) pair of an over-cap
+    // bucket is intentionally DROPPED — the output is a representative
+    // hub pair, not the full pair set, even for identical-vector
+    // clusters. Persisted when enabled: the stats aggregate and
     // the guarded join are two references the planner will not reuse.
     val guarded = maxBucket != Int.MaxValue
     val corpusBanded =
@@ -814,11 +816,13 @@ object Dedup {
           .as(Seq("band_no", "bk")))
     // viral-bucket guard, probe flavor: a corpus fingerprint cluster
     // whose band bucket exceeds maxBucket answers with its MIN-id hub
-    // only. EXACT for identical-fingerprint clusters (the mirror-farm
-    // case that motivates the guard: every member verifies like the
-    // hub); for a mixed over-cap bucket this intentionally trades
-    // pair-level recall for survival — a batch doc within maxHamming of
-    // a non-hub member but not of the hub loses that pair, the same
+    // only. The hub pair's verification outcome is exact, but every
+    // (new_id, non-hub member) pair of an over-cap bucket is
+    // intentionally DROPPED — representative output, not pair parity,
+    // even for identical-fingerprint clusters (the mirror-farm case
+    // that motivates the guard). For a mixed over-cap bucket this also
+    // trades recall — a batch doc within maxHamming of a non-hub
+    // member but not of the hub loses that pair, the same
     // trade bucketPairs' star guard documents. Measured necessity: the
     // 5M-doc soak's small-vocab corpus collapses simhash fingerprints
     // into mega-clusters that share every band at any band width
@@ -1443,11 +1447,27 @@ object Dedup {
                             path: String): org.json4s.JValue = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(
-      new org.apache.hadoop.fs.Path(path, "_index_meta.json"))
-    val json = try
-      scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
+    def slurp(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    // fall back to the promotion staging file when the primary is
+    // missing: a streaming maintainer promotes the sidecar via
+    // write-.next + delete + rename, so a concurrent reader (or a
+    // reader after a crash inside that window) sees no primary for a
+    // moment — `.next` then holds the NEWER meta, whose Bloom is a
+    // superset of the published signatures (the safe direction; false
+    // positives only)
+    val primary = new org.apache.hadoop.fs.Path(path, "_index_meta.json")
+    val json =
+      try slurp(primary)
+      catch { case e: java.io.FileNotFoundException =>
+        val next =
+          new org.apache.hadoop.fs.Path(path, "_index_meta.json.next")
+        try slurp(next) catch { case _: java.io.FileNotFoundException =>
+          throw e }
+      }
     org.json4s.jackson.JsonMethods.parse(json)
   }
 
@@ -1642,9 +1662,10 @@ object Dedup {
     // [[hammingNearDupsAgainst]]: an over-cap corpus band bucket answers
     // with its MIN-id hub only, bounding a mirror-farm cluster's
     // candidate fan-out at numBands rows per matching batch doc instead
-    // of |bucket| * numBands. EXACT for identical-signature clusters
-    // (every member agrees with the batch doc exactly like the hub);
-    // recall-trading for mixed over-cap buckets. Persisted when enabled
+    // of |bucket| * numBands. The hub pair's verification outcome is
+    // exact; every (new_id, non-hub member) pair of an over-cap bucket
+    // is intentionally DROPPED — representative output, not pair
+    // parity, even for identical-signature clusters. Persisted when enabled
     // because the stats aggregate and the guarded join are two
     // references the planner will not reuse; Catalyst prunes sig_corpus
     // out of the stats scan. Default skips all of it.
@@ -2191,6 +2212,12 @@ object Dedup {
   */
 private[graft] object PreCheckpointLint {
   @volatile private[graft] var installed: DataFrame => Unit = _ => ()
+  // NonFatal only: swallowing OutOfMemoryError here would hide a dying
+  // JVM, and InterruptedException must keep the thread's interrupt
+  // status — restore it and let the enclosing operator see the flag
   private[graft] def hook(df: DataFrame): Unit =
-    try installed(df) catch { case _: Throwable => () }
+    try installed(df) catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
 }

@@ -38,12 +38,15 @@ import graft.operators.Dedup
   * repairs idempotently: the probe filters `epoch < batchId`, the OR
   * is idempotent, the rename is skipped if present. Meta promotion
   * itself is write-tmp + delete + rename with a startup recovery for
-  * the delete/rename window.
+  * the delete/rename window — and readers ([[Dedup.readIndexMeta]])
+  * fall back to the `.next` staging file inside that window, so a
+  * concurrent probe never sees a missing sidecar.
   *
   * Layout parameters (shingle k, hash count, banding, Bloom family)
-  * are written at bootstrap and READ BACK from the sidecar on every
-  * later epoch — an epoch cannot silently shingle or band differently
-  * than the index it extends (the r13 published-index lesson).
+  * are written at bootstrap, READ BACK from the sidecar on every
+  * later epoch, and VALIDATED against the caller's — a stream
+  * restarted with different knobs fails loudly instead of silently
+  * extending the old layout (the r13 published-index lesson).
   * Contract: each document reaches the index exactly once across all
   * epochs (dedup upstream), like every maintainer in this package.
   */
@@ -94,9 +97,22 @@ object StreamingSignatureIndex {
       else {
         val root = Dedup.readIndexMeta(spark, indexPath)
         val (bits, bkk) = Dedup.metaBloom(root)
-        (bits, Dedup.metaInt(root, "shingle_k"),
-          Dedup.metaInt(root, "num_hashes"),
-          Dedup.metaInt(root, "rows_per_band"), bkk,
+        val skk = Dedup.metaInt(root, "shingle_k")
+        val snh = Dedup.metaInt(root, "num_hashes")
+        val srpb = Dedup.metaInt(root, "rows_per_band")
+        // layout parameters are frozen at bootstrap: a stream restarted
+        // with different knobs must FAIL here, not silently extend the
+        // index with the old layout while the caller believes the new
+        // one is in effect
+        require(k == skk && numHashes == snh && rowsPerBand == srpb &&
+            bloomK == bkk && bloomM == bits.length,
+          s"signature index at $indexPath was bootstrapped with " +
+            s"(shingleK=$skk, numHashes=$snh, rowsPerBand=$srpb, " +
+            s"bloomK=$bkk, bloomM=${bits.length}); the restarted " +
+            s"stream passed (shingleK=$k, numHashes=$numHashes, " +
+            s"rowsPerBand=$rowsPerBand, bloomK=$bloomK, bloomM=$bloomM)" +
+            " - an epoch cannot re-shingle or re-band an existing index")
+        (bits, skk, snh, srpb, bkk,
           Dedup.metaLong(root, "last_epoch"))
       }
     if (lastEpoch >= batchId && fs.exists(epochDir)) return

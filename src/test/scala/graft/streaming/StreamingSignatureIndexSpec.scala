@@ -124,4 +124,33 @@ class StreamingSignatureIndexSpec extends SparkSpecBase {
     assert(StreamingSignatureIndex.lastApplied(spark, idxDir)
       .contains(2L), "meta must be recovered from the .next window")
   }
+
+  test("reader survives the meta-promotion window; param drift fails") {
+    val dir = Files.createTempDirectory("sigidx-guard").toString
+    val (idxDir, pairsDir) = (s"$dir/idx", s"$dir/pairs")
+    val b1 = (1L to 10L).map(i => (i, s"$phrase corpus tail $i"))
+    StreamingSignatureIndex.applyBatch(b1.toDF("doc_id", "text"), 0L,
+      idxDir, pairsDir, "doc_id", "text", 3, 12, 3, 0.5,
+      Int.MaxValue, 5, 1 << 16)
+    val before = sigSet(Dedup.readSignatureIndex(spark, idxDir).sigs)
+    // the promotion window (primary deleted, .next not yet renamed):
+    // the scaladoc promises readers work "at any time", so a reader
+    // here must fall back to the .next staging file instead of failing
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(idxDir, "_index_meta.json"),
+      new org.apache.hadoop.fs.Path(idxDir, "_index_meta.json.next"))
+    assert(sigSet(Dedup.readSignatureIndex(spark, idxDir).sigs) == before,
+      "reader inside the promotion window must see the .next sidecar")
+    // a stream restarted with different layout knobs must fail loudly
+    // (applyBatch first recovers the .next window, then validates) —
+    // not silently extend the index with the old layout
+    val e = intercept[IllegalArgumentException] {
+      StreamingSignatureIndex.applyBatch(b1.toDF("doc_id", "text"), 1L,
+        idxDir, pairsDir, "doc_id", "text", 3, 12, 4, 0.5,
+        Int.MaxValue, 5, 1 << 16)
+    }
+    assert(e.getMessage.contains("cannot re-shingle or re-band"),
+      e.getMessage)
+  }
 }
