@@ -539,11 +539,10 @@ object Dedup {
         hash60(concat_ws("_", col("band_no"), col("bk"))),
         bloomK, bloomM).as("sk"))
       .head().getSeq[Long](0).toArray
-    writeIndexMeta(spark, path,
-      s"""{"num_planes":${index.numPlanes},""" +
-        s""""band_bits":${index.bandBits},""" +
-        s""""bloom_k":$bloomK,"bloom_m":${bits.length},""" +
-        s""""bloom_bits":"${bitsToString(bits)}"}""")
+    writeIndexMeta(spark, path, graft.sink.IndexLayout.metaJson(Seq(
+      "num_planes" -> index.numPlanes, "band_bits" -> index.bandBits,
+      "bloom_k" -> bloomK, "bloom_m" -> bits.length,
+      "bloom_bits" -> bitsToString(bits))))
   }
 
   def readEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
@@ -576,10 +575,9 @@ object Dedup {
       .withColumn("bh", hash60(concat_ws("_", col("band_no"), col("bk"))))
     graft.sink.Sinks.writeRangeSorted(postings, s"$path/postings",
       "bh", shards)
-    writeIndexMeta(spark, path,
-      s"""{"num_planes":${index.numPlanes},""" +
-        s""""band_bits":${index.bandBits},"shards":$shards,""" +
-        s""""layout":"banded_postings"}""")
+    writeIndexMeta(spark, path, graft.sink.IndexLayout.metaJson(Seq(
+      "num_planes" -> index.numPlanes, "band_bits" -> index.bandBits,
+      "shards" -> shards, "layout" -> "banded_postings")))
   }
 
   /** Publish the corpus VECTOR table beside a banded embedding index
@@ -633,12 +631,8 @@ object Dedup {
           .as(Seq("band_no", "bk")))
       .withColumn("bh", hash60(concat_ws("_", col("band_no"), col("bk"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val posts = collectPointsCapped(newBanded.select(col("bh")),
-        maxPoints) match {
-      case Some(points) =>
-        graft.sink.Sinks.readRangePoints(spark, s"$path/postings", points)
-      case None => spark.read.parquet(s"$path/postings")
-    }
+    val posts = graft.sink.IndexLayout.readPostings(spark, path, root,
+      collectPointsCapped(newBanded.select(col("bh")), maxPoints))
     val candBase = posts
       .join(broadcast(newBanded), Seq("band_no", "bk"))
       .select(col("new_id"), col("corpus_id")).distinct()
@@ -1105,11 +1099,10 @@ object Dedup {
     else index.sets.write.mode(sm).parquet(s"$path/sets")
     val bits = buildIndexBloom(
       spark.read.parquet(s"$path/prefix"), "g", bloomK, bloomM)
-    writeIndexMeta(spark, path,
-      s"""{"shingle_k":${index.k},"threshold":${index.threshold},""" +
-        s""""bloom_k":$bloomK,"bloom_m":${bits.length},""" +
-        s""""shards":$shards,""" +
-        s""""bloom_bits":"${bitsToString(bits)}"}""")
+    writeIndexMeta(spark, path, graft.sink.IndexLayout.metaJson(Seq(
+      "shingle_k" -> index.k, "threshold" -> index.threshold,
+      "bloom_k" -> bloomK, "bloom_m" -> bits.length, "shards" -> shards,
+      "bloom_bits" -> bitsToString(bits))))
   }
 
   /** Probe a published Jaccard index by PATH with manifest pruning:
@@ -1407,11 +1400,10 @@ object Dedup {
     val bits = buildMinhashBandBloom(
       spark.read.parquet(s"$path/signatures"), numHashes, rowsPerBand,
       bloomK, bloomM)
-    writeIndexMeta(spark, path,
-      s"""{"num_hashes":$numHashes,"rows_per_band":$rowsPerBand,""" +
-        s""""shingle_k":$shingleK,""" +
-        s""""bloom_k":$bloomK,"bloom_m":${bits.length},""" +
-        s""""bloom_bits":"${bitsToString(bits)}"}""")
+    writeIndexMeta(spark, path, graft.sink.IndexLayout.metaJson(Seq(
+      "num_hashes" -> numHashes, "rows_per_band" -> rowsPerBand,
+      "shingle_k" -> shingleK, "bloom_k" -> bloomK,
+      "bloom_m" -> bits.length, "bloom_bits" -> bitsToString(bits))))
   }
 
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
@@ -1570,18 +1562,30 @@ object Dedup {
                                 rowsPerBand: Int = 3, shards: Int = 64,
                                 shingleK: Int = 3): Unit = {
     val spark = corpusSigs.sparkSession
+    val postings =
+      bandedPostingsOf(corpusSigs, idCol, numHashes, rowsPerBand)
+    graft.sink.Sinks.writeRangeSorted(postings, s"$path/postings",
+      "bh", shards)
+    writeIndexMeta(spark, path, graft.sink.IndexLayout.metaJson(Seq(
+      "num_hashes" -> numHashes, "rows_per_band" -> rowsPerBand,
+      "shingle_k" -> shingleK, "shards" -> shards,
+      "layout" -> "banded_postings")))
+  }
+
+  /** The posting rows of a signature frame — `(corpus_id, sig_corpus,
+    * band_no, bk, bh)`, one per (band, bucket) membership — shared by
+    * the batch publisher ([[writeBandedSignatureIndex]]) and the
+    * streaming epoch appender
+    * ([[graft.streaming.StreamingBandedSignatureIndex]]).
+    */
+  private[graft] def bandedPostingsOf(corpusSigs: DataFrame,
+      idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
     val sigArr = array((0 until numHashes).map(i => col(s"sig_$i")): _*)
-    val postings = corpusSigs.select(col(idCol).as("corpus_id"),
+    corpusSigs.select(col(idCol).as("corpus_id"),
         sigArr.as("sig_corpus"),
         posexplode(bandKeyArray(numHashes, rowsPerBand))
           .as(Seq("band_no", "bk")))
       .withColumn("bh", hash60(concat_ws("_", col("band_no"), col("bk"))))
-    graft.sink.Sinks.writeRangeSorted(postings, s"$path/postings",
-      "bh", shards)
-    writeIndexMeta(spark, path,
-      s"""{"num_hashes":$numHashes,"rows_per_band":$rowsPerBand,""" +
-        s""""shingle_k":$shingleK,"shards":$shards,""" +
-        s""""layout":"banded_postings"}""")
   }
 
   /** Probe a [[writeBandedSignatureIndex]] layout — output-identical to
@@ -1600,7 +1604,9 @@ object Dedup {
                                         idCol: String, textCol: String,
                                         threshold: Double = 0.5,
                                         maxPoints: Int =
-                                          DefaultMaxProbePoints)
+                                          DefaultMaxProbePoints,
+                                        maxEpochExclusive: Option[Long] =
+                                          None)
       : DataFrame = {
     val spark = newDocs.sparkSession
     val root = readIndexMeta(spark, path)
@@ -1615,12 +1621,9 @@ object Dedup {
         posexplode(bandKeyArray(nh, rpb)).as(Seq("band_no", "bk")))
       .withColumn("bh", hash60(concat_ws("_", col("band_no"), col("bk"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val posts = collectPointsCapped(newBanded.select(col("bh")),
-        maxPoints) match {
-      case Some(points) =>
-        graft.sink.Sinks.readRangePoints(spark, s"$path/postings", points)
-      case None => spark.read.parquet(s"$path/postings")
-    }
+    val posts = graft.sink.IndexLayout.readPostings(spark, path, root,
+      collectPointsCapped(newBanded.select(col("bh")), maxPoints),
+      maxEpochExclusive)
     val agree = aggregate(
       zip_with(col("sig_new"), col("sig_corpus"),
         (x, y) => when(x === y, 1).otherwise(0)),
@@ -2113,8 +2116,14 @@ object Dedup {
         (col("n_occ") >= 2 && col("rn") > 1))
       .groupBy(col("id"))
       .agg(collect_list(col("pos")).as("__cps"))
+    // reassembly: covered is bounded by construction (one row per BATCH
+    // doc), so it broadcasts like the probe hashes — the batch text
+    // never shuffles for the left join. (The full-corpus variant
+    // removeDuplicateRuns must NOT hint here: its covered side is
+    // corpus-sized.)
     releaseAfterAll(warnIfIndexShuffles(
-      exciseRuns(base, covered, w), "removeDuplicateRunsAgainst"),
+      exciseRuns(base, broadcast(covered), w),
+      "removeDuplicateRunsAgainst"),
       win, base)
   }
 

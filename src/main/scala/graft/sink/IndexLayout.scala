@@ -1,0 +1,231 @@
+package graft.sink
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s.JValue
+
+/** Shared machinery for the published banded-postings index layouts
+  * (minhash `writeBandedSignatureIndex`, embedding
+  * `writeBandedEmbeddingIndex`) — one place owning the directory
+  * protocol the per-family writers and probes were each hand-rolling:
+  *
+  *   `<path>/_index_meta.json`        probe parameters + layout state
+  *   `<path>/<postings_dir>`          range-sorted shards + manifest
+  *                                    (default `postings`; compaction
+  *                                    re-points this through the meta)
+  *   `<path>/epochs/epoch=<n>`        incremental appends (small, one
+  *                                    per maintained stream batch)
+  *
+  * Readers resolve everything through the meta, so every maintenance
+  * step is crash-ordered by a single meta promotion
+  * ([[promoteMeta]] / [[recoverMeta]], the write-`.next` + delete +
+  * rename protocol shared with the flat streaming maintainer; readers
+  * additionally fall back to `.next` inside the window). A layout
+  * written by the batch publishers (no epoch state in the meta) reads
+  * identically: the resolution fields default to the batch shape.
+  *
+  * Reference behavior anchor: the incremental-index maintenance shape
+  * mirrors pipelinewise's incremental-key replication loop
+  * (`/root/reference/pipelinewise/cli/commands.py` sync flows) —
+  * bounded per-batch work against a published artifact, never a
+  * full-corpus rewrite.
+  */
+object IndexLayout {
+
+  val MetaFile = "_index_meta.json"
+
+  /** Compose a meta JSON object from typed fields — kills the
+    * hand-rolled string concatenation each writer carried. Values may
+    * be Int/Long/Double/Boolean/String.
+    */
+  def metaJson(fields: Seq[(String, Any)]): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    import org.json4s.JObject
+    val obj = fields.foldLeft(JObject()) { case (acc, (k, v)) =>
+      val jv: org.json4s.JValue = v match {
+        case i: Int => org.json4s.JInt(i)
+        case l: Long => org.json4s.JLong(l)
+        case d: Double => org.json4s.JDouble(d)
+        case b: Boolean => org.json4s.JBool(b)
+        case s: String => org.json4s.JString(s)
+        case other => throw new IllegalArgumentException(
+          s"metaJson: unsupported value for '$k': $other")
+      }
+      acc ~ (k -> jv)
+    }
+    JsonMethods.compact(JsonMethods.render(obj))
+  }
+
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Atomic-enough meta promotion: write `.next`, delete the primary,
+    * rename. [[recoverMeta]] heals the delete/rename window at the
+    * next writer entry; readers fall back to `.next` inside it
+    * (`Dedup.readIndexMeta`).
+    */
+  def promoteMeta(fs: FileSystem, path: String, json: String): Unit = {
+    val tmp = new Path(path, MetaFile + ".next")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(path, MetaFile)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"index layout: could not promote $tmp to $dst")
+  }
+
+  /** Heal a crash inside [[promoteMeta]]'s delete/rename window. */
+  def recoverMeta(fs: FileSystem, path: String): Unit = {
+    val dst = new Path(path, MetaFile)
+    val tmp = new Path(path, MetaFile + ".next")
+    if (!fs.exists(dst) && fs.exists(tmp) && !fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"index layout: could not recover $dst from $tmp")
+  }
+
+  // ---- meta resolution fields (absent on batch-published layouts:
+  // the defaults ARE the batch shape) ------------------------------
+
+  private def optLong(root: JValue, name: String, dflt: Long): Long = {
+    import org.json4s._
+    (root \ name) match {
+      case JNothing => dflt
+      case JInt(n) => n.longValue
+      case JLong(n) => n
+      case o => throw new IllegalStateException(s"bad meta $name: $o")
+    }
+  }
+
+  private def optString(root: JValue, name: String,
+                        dflt: String): String = {
+    import org.json4s._
+    (root \ name) match {
+      case JNothing => dflt
+      case JString(s) => s
+      case o => throw new IllegalStateException(s"bad meta $name: $o")
+    }
+  }
+
+  /** The current base shard directory (compaction re-points it). */
+  def postingsDir(root: JValue): String =
+    optString(root, "postings_dir", "postings")
+
+  /** Epochs `<=` this are folded into the base shards. */
+  def compactedThrough(root: JValue): Long =
+    optLong(root, "compacted_through", -1L)
+
+  /** Highest epoch applied to the layout (-1: batch-published). */
+  def lastEpoch(root: JValue): Long = optLong(root, "last_epoch", -1L)
+
+  /** The postings view of a layout: the manifest-pruned base shards
+    * (or the full base when `points` is None — the over-cap fallback)
+    * UNION the uncompacted epoch appends. `maxEpochExclusive` serves
+    * the maintainer's pre-batch probe: only epochs strictly below it
+    * (and a base compacted strictly below it) are visible. Epoch
+    * partitions are recent-batch-sized by construction, so they are
+    * read whole — manifest pruning pays on the corpus-sized base.
+    */
+  def readPostings(spark: SparkSession, path: String, root: JValue,
+                   points: Option[IndexedSeq[Long]],
+                   maxEpochExclusive: Option[Long] = None): DataFrame = {
+    val baseDir = s"$path/${postingsDir(root)}"
+    val base = points match {
+      case Some(ps) => Sinks.readRangePoints(spark, baseDir, ps)
+      case None => spark.read.parquet(baseDir)
+    }
+    val epochsDir = s"$path/epochs"
+    val through = compactedThrough(root)
+    val hi = maxEpochExclusive.getOrElse(Long.MaxValue)
+    // enumerate the tail partitions on the FILESYSTEM: an empty (or
+    // absent) epochs dir must not break parquet schema inference, and
+    // only the needed partitions should be listed into the scan
+    val f = fs(spark, path)
+    val epochsPath = new Path(epochsDir)
+    val tail =
+      if (lastEpoch(root) < 0 || !f.exists(epochsPath)) Seq.empty[Long]
+      else f.listStatus(epochsPath).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("epoch="))
+        .map(_.getPath.getName.stripPrefix("epoch=").toLong)
+        .filter(e => e > through && e < hi)
+        .sorted
+    if (tail.isEmpty) base
+    else base.unionByName(
+      spark.read.option("basePath", epochsDir)
+        .parquet(tail.map(e => s"$epochsDir/epoch=$e"): _*)
+        .drop("epoch"))
+  }
+
+  /** Stage-and-rename an epoch's postings in as
+    * `<path>/epochs/epoch=<id>`; a replay that finds the partition
+    * already present is a no-op (returns false).
+    */
+  def appendEpoch(postings: DataFrame, path: String,
+                  epoch: Long): Boolean = {
+    val spark = postings.sparkSession
+    val f = fs(spark, path)
+    val dst = new Path(s"$path/epochs/epoch=$epoch")
+    if (f.exists(dst)) return false
+    val stage = s"$path/.stage_epoch_$epoch"
+    postings.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(stage)
+    f.mkdirs(dst.getParent)
+    if (!f.rename(new Path(stage), dst))
+      throw new java.io.IOException(
+        s"index layout: could not publish $stage as $dst")
+    true
+  }
+
+  /** Fold every epoch `<= upTo` into a fresh range-sorted base at
+    * `<path>/postings_v<upTo>`, then promote a meta that points at it
+    * (`postings_dir`, `compacted_through`) and drop the consumed
+    * dirs. Crash-ordered by the meta promotion: before it, readers
+    * still resolve the old base + epochs (the new dir is an orphan a
+    * re-run overwrites); after it, the old base and folded epochs are
+    * garbage that [[healOrphans]] clears on the next maintainer
+    * entry. `metaFields` is the COMPLETE new meta minus the two
+    * resolution fields this call owns.
+    */
+  def compact(spark: SparkSession, path: String, root: JValue,
+              sortCol: String, shards: Int, upTo: Long,
+              metaFields: Seq[(String, Any)]): Unit = {
+    val newDir = s"postings_v$upTo"
+    val merged = readPostings(spark, path, root, points = None,
+      maxEpochExclusive = Some(upTo + 1))
+    Sinks.writeRangeSorted(merged, s"$path/$newDir", sortCol, shards)
+    promoteMeta(fs(spark, path), path, metaJson(metaFields ++ Seq(
+      "postings_dir" -> newDir, "compacted_through" -> upTo)))
+    healOrphans(spark, path, keepPostingsDir = newDir,
+      clearEpochsThrough = upTo)
+  }
+
+  /** Drop superseded base dirs (`postings*` other than the one the
+    * meta points at) and folded epoch partitions — the cleanup half
+    * of [[compact]]'s crash ordering, safe to run at every maintainer
+    * entry.
+    */
+  def healOrphans(spark: SparkSession, path: String,
+                  keepPostingsDir: String,
+                  clearEpochsThrough: Long): Unit = {
+    val f = fs(spark, path)
+    val rootPath = new Path(path)
+    if (f.exists(rootPath))
+      f.listStatus(rootPath).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith("postings") &&
+            name != keepPostingsDir)
+          f.delete(st.getPath, true)
+      }
+    val epochs = new Path(s"$path/epochs")
+    if (f.exists(epochs))
+      f.listStatus(epochs).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.startsWith("epoch=") &&
+            name.stripPrefix("epoch=").toLong <= clearEpochsThrough)
+          f.delete(st.getPath, true)
+      }
+  }
+}

@@ -86,7 +86,7 @@ object StreamingSignatureIndex {
     val spark = batch.sparkSession
     val fs = new Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverMeta(fs, indexPath)
+    graft.sink.IndexLayout.recoverMeta(fs, indexPath)
     val metaPath = new Path(indexPath, Meta)
     val sigsDir = s"$indexPath/signatures"
     val epochDir = new Path(s"$sigsDir/epoch=$batchId")
@@ -140,12 +140,12 @@ object StreamingSignatureIndex {
     val batchBits = Dedup.buildMinhashBandBloom(
       spark.read.parquet(stage), nh, rpb, bk, oldBits.length)
     val merged = oldBits.zip(batchBits).map { case (a, b) => a | b }
-    val json =
-      s"""{"num_hashes":$nh,"rows_per_band":$rpb,"shingle_k":$kk,""" +
-        s""""bloom_k":$bk,"bloom_m":${merged.length},""" +
-        s""""last_epoch":$batchId,""" +
-        s""""bloom_bits":"${Dedup.bitsToString(merged)}"}"""
-    promoteMeta(fs, indexPath, json)
+    graft.sink.IndexLayout.promoteMeta(fs, indexPath,
+      graft.sink.IndexLayout.metaJson(Seq(
+        "num_hashes" -> nh, "rows_per_band" -> rpb, "shingle_k" -> kk,
+        "bloom_k" -> bk, "bloom_m" -> merged.length,
+        "last_epoch" -> batchId,
+        "bloom_bits" -> Dedup.bitsToString(merged))))
 
     // 4) publish the partition (single rename; skip if a replay
     //    already placed it)
@@ -155,30 +155,6 @@ object StreamingSignatureIndex {
         throw new java.io.IOException(
           s"signature index: could not publish $stage as $epochDir")
     } else fs.delete(new Path(stage), true)
-  }
-
-  /** Write-tmp + delete + rename meta promotion; [[recoverMeta]] heals
-    * the delete/rename window on the next epoch.
-    */
-  private def promoteMeta(fs: org.apache.hadoop.fs.FileSystem,
-      indexPath: String, json: String): Unit = {
-    val tmp = new Path(indexPath, Meta + ".next")
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    val dst = new Path(indexPath, Meta)
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(
-        s"signature index: could not promote $tmp to $dst")
-  }
-
-  private def recoverMeta(fs: org.apache.hadoop.fs.FileSystem,
-      indexPath: String): Unit = {
-    val dst = new Path(indexPath, Meta)
-    val tmp = new Path(indexPath, Meta + ".next")
-    if (!fs.exists(dst) && fs.exists(tmp) && !fs.rename(tmp, dst))
-      throw new java.io.IOException(
-        s"signature index: could not recover $dst from $tmp")
   }
 
   /** The epoch committed with the current sidecar, if any. */
