@@ -126,18 +126,56 @@ object StressStreaming {
       (w, spark.read.parquet(s"$sigIdxPath/signatures").count(),
         dirBytes(sigIdxPath))
     }
-    sigDocs.unpersist()
     curve("signature_index_epochs", sigCurve)
+
+    // ---- StreamingBandedSignatureIndex (r15): the banded-postings
+    // maintainer over the SAME universe. Two claims: (a) per-epoch
+    // maintenance is O(batch + epoch tail), with the fold cost
+    // visible only at compaction epochs; (b) the SERVING probe latency
+    // stays FLAT as the index grows — manifest-pruned point reads are
+    // the answer to the flat maintainer's linear-scan residual, whose
+    // honest growth the sig_index curve above records. The probe is a
+    // fixed 1k-doc batch timed against the maintained layout after
+    // every epoch.
+    val bandIdxPath = s"$workDir/band-index"
+    val bandPairsPath = s"$workDir/band-pairs"
+    val probeDocs = sigDocs.filter(col("doc_id") % 997 === 0)
+      .limit(1000)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    probeDocs.count()
+    val bandCurve = (0 until epochs).map { ep =>
+      val batch = sigDocs.filter(col("doc_id") >= ep * 50000L &&
+        col("doc_id") < (ep + 1) * 50000L)
+      val w = timed(
+        graft.streaming.StreamingBandedSignatureIndex.applyBatch(
+          batch, ep.toLong, bandIdxPath, bandPairsPath, "doc_id",
+          "text", 3, 12, 3, 64, 8, 0.5))
+      val p = timed(graft.operators.Dedup
+        .minhashNearDupsAgainstBandedIndex(probeDocs, bandIdxPath,
+          "doc_id", "text").count())
+      (w, p)
+    }
+    probeDocs.unpersist()
+    sigDocs.unpersist()
+    bandCurve.zipWithIndex.foreach { case ((w, p), ep) =>
+      println(f"[stress-streaming] banded_signature_epochs epoch=$ep " +
+        f"apply_sec=$w%.2f probe_sec=$p%.2f")
+    }
 
     // growth summary: late-epoch cost vs the first post-bootstrap epoch
     def ratio(c: Seq[(Double, Long, Long)]): Double = {
       val tail = c.takeRight(3).map(_._1).sum / 3
       tail / math.max(c(1)._1, 0.001)
     }
+    def ratio1(c: Seq[Double]): Double =
+      (c.takeRight(3).sum / 3) / math.max(c(1), 0.001)
     println(f"[stress-streaming] epoch-cost growth (last3avg / e1): " +
       f"merge=${ratio(mergeCurve)}%.2fx index=${ratio(idxCurve)}%.2fx " +
       f"components=${ratio(compCurve)}%.2fx " +
-      f"sig_index=${ratio(sigCurve)}%.2fx over $epochs epochs")
+      f"sig_index=${ratio(sigCurve)}%.2fx " +
+      f"banded_apply=${ratio1(bandCurve.map(_._1))}%.2fx " +
+      f"banded_probe=${ratio1(bandCurve.map(_._2))}%.2fx " +
+      f"over $epochs epochs")
     spark.stop()
   }
 
