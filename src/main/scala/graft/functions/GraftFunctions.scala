@@ -254,20 +254,123 @@ object GraftFunctions {
         GramAgg(args(0), litInt(args(1), "gram dim"))
       }))
 
+  private def litString(e: Expression, what: String): String = {
+    import org.apache.spark.sql.types.StringType
+    require(e.foldable && e.dataType == StringType,
+      s"$what must be a string literal, got $e")
+    val v = e.eval()
+    require(v != null, s"$what must not be null")
+    v.toString
+  }
+
+  private def litDouble(e: Expression, what: String): Double = {
+    import org.apache.spark.sql.types.NumericType
+    require(e.foldable && e.dataType.isInstanceOf[NumericType],
+      s"$what must be a numeric literal, got $e")
+    e.eval() match {
+      case d: java.lang.Double => d
+      case f: java.lang.Float => f.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case l: java.lang.Long => l.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what evaluated to $other, expected a number")
+    }
+  }
+
+  /** SQL TABLE-function surface (r15): whole probes as TVFs, closing
+    * the gap the scalar surface left — `graft_minhash_sigs` and
+    * friends let SQL users assemble a probe by hand (the documented
+    * CTE template above each `sql_*` oracle query); these run the
+    * DataFrame probe operators themselves, so the SQL spelling cannot
+    * drift from the DataFrame one:
+    *
+    *   SELECT * FROM graft_minhash_probe('batch_view',
+    *     '/idx/path', 'doc_id', 'text', 0.5)
+    *
+    * Arguments are literals: the batch is named as a table/view (SQL
+    * TVF arguments are expressions, not relations), the index is the
+    * published directory whose `_index_meta.json` carries every
+    * banding parameter. The builder expands at ANALYSIS time into the
+    * probe's logical plan — Catalyst then optimizes the composed
+    * query as one plan, exactly as if the DataFrame API had built it.
+    * `graft_jaccard_probe` additionally MATERIALIZES its pair output
+    * at plan expansion (the probe eagerly checkpoints to release its
+    * corpus-sized cached intermediates): same rows, but the work runs
+    * when the query is planned, not when it is first consumed.
+    */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan)] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    def tvf(name: String, usage: String, minArgs: Int, maxArgs: Int)(
+        build: (SparkSession, Seq[Expression]) => org.apache.spark.sql
+          .DataFrame)
+        : (FunctionIdentifier, ExpressionInfo,
+           Seq[Expression] => LogicalPlan) =
+      (FunctionIdentifier(name),
+        new ExpressionInfo(GraftFunctions.getClass.getCanonicalName,
+          name),
+        (args: Seq[Expression]) => {
+          require(args.length >= minArgs && args.length <= maxArgs,
+            s"$name expects $usage, got ${args.length} argument(s)")
+          val spark = SparkSession.active
+          build(spark, args).queryExecution.logical
+        })
+    Seq(
+      tvf("graft_minhash_probe",
+        "(batch_table, index_path, id_col, text_col[, threshold])",
+        4, 5) { (spark, args) =>
+        graft.operators.Dedup.minhashNearDupsAgainstIndex(
+          spark.table(litString(args(0), "batch_table")),
+          graft.operators.Dedup.readSignatureIndex(spark,
+            litString(args(1), "index_path")),
+          litString(args(2), "id_col"), litString(args(3), "text_col"),
+          if (args.length > 4) litDouble(args(4), "threshold") else 0.5)
+      },
+      tvf("graft_jaccard_probe",
+        "(batch_table, index_path, id_col, text_col)", 4, 4) {
+        (spark, args) =>
+        graft.operators.Dedup.ngramJaccardAgainst(
+          spark.table(litString(args(0), "batch_table")),
+          graft.operators.Dedup.readJaccardIndex(spark,
+            litString(args(1), "index_path")),
+          litString(args(2), "id_col"), litString(args(3), "text_col"))
+      },
+      tvf("graft_embedding_probe",
+        "(batch_table, corpus_table, index_path, id_col, vec_col" +
+          "[, threshold])", 5, 6) { (spark, args) =>
+        graft.operators.Dedup.embeddingNearDupsAgainst(
+          spark.table(litString(args(0), "batch_table")),
+          spark.table(litString(args(1), "corpus_table")),
+          graft.operators.Dedup.readEmbeddingIndex(spark,
+            litString(args(2), "index_path")),
+          litString(args(3), "id_col"), litString(args(4), "vec_col"),
+          if (args.length > 5) litDouble(args(5), "threshold") else 0.9)
+      })
+  }
+
   /** Runtime registration into an existing session (idempotent —
     * re-registering just overwrites with the same builder).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry
         .registerFunction(ident, info, builder)
     }
+    tableFunctions.foreach { case (ident, info, builder) =>
+      spark.sessionState.tableFunctionRegistry
+        .registerFunction(ident, info, builder)
+    }
+  }
 }
 
 /** Session-build-time injection:
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach(ext.injectFunction)
+    GraftFunctions.tableFunctions.foreach(ext.injectTableFunction)
+  }
 }

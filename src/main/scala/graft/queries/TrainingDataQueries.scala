@@ -2393,6 +2393,70 @@ object TrainingDataQueries {
       },
       Some(incrSimhashSql)),
 
+    // the TVF spelling (r15): the whole probe as one SQL table
+    // function expanding into the DataFrame operator's plan at
+    // analysis time — no CTE assembly, no way for the SQL spelling to
+    // drift. Oracles identical to the incremental twins': the surface
+    // changes NOTHING about what is computed.
+    "sql_minhash_probe_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = table(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-tvfsig").toString
+        Dedup.writeSignatureIndex(
+          Dedup.minhashSignatures(
+            docs.filter(col("doc_id") % IncrMod =!= 0),
+            "doc_id", "text", ShingleK, NumHashes),
+          dir, NumHashes, RowsPerBand, shingleK = ShingleK)
+        docs.filter(col("doc_id") % IncrMod === 0)
+          .createOrReplaceTempView("graft_tvf_batch")
+        s.sql(s"""SELECT new_id, corpus_id, sig_agreement
+                 |FROM graft_minhash_probe('graft_tvf_batch', '$dir',
+                 |  'doc_id', 'text', $MinhashThreshold)""".stripMargin)
+      },
+      Some(incrDedupSql)),
+
+    "sql_jaccard_probe_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = table(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-tvfjac").toString
+        Dedup.writeJaccardIndex(
+          Dedup.buildJaccardIndex(
+            docs.filter(col("doc_id") % IncrMod =!= 0), "doc_id",
+            "text", JaccardK, JaccardThreshold),
+          dir)
+        docs.filter(col("doc_id") % IncrMod === 0)
+          .createOrReplaceTempView("graft_tvf_batch")
+        s.sql(s"""SELECT new_id, corpus_id, jaccard
+                 |FROM graft_jaccard_probe('graft_tvf_batch', '$dir',
+                 |  'doc_id', 'text')""".stripMargin)
+      },
+      Some(incrJaccardSql)),
+
+    "sql_embedding_probe_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = table(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") % IncrMod =!= 0)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-tvfemb").toString
+        Dedup.writeEmbeddingIndex(
+          Dedup.buildEmbeddingIndex(corpus, "vec_id", "embedding",
+            EmbPlanes, EmbBandBits),
+          dir)
+        corpus.createOrReplaceTempView("graft_tvf_corpus")
+        emb.filter(col("vec_id") % IncrMod === 0)
+          .createOrReplaceTempView("graft_tvf_batch_vecs")
+        s.sql(s"""SELECT new_id, corpus_id
+                 |FROM graft_embedding_probe('graft_tvf_batch_vecs',
+                 |  'graft_tvf_corpus', '$dir', 'vec_id', 'embedding',
+                 |  $EmbThreshold)""".stripMargin)
+      },
+      Some(incrEmbeddingSql)),
+
     "dedup_exact" -> QueryDef(
       (s, d) => Dedup.exact(table(s, d, "documents"), "doc_id", "text"),
       Some(s"""SELECT ${StableHash.hash60Sql("text")} AS text_hash,

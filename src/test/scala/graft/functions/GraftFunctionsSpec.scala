@@ -95,6 +95,73 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(viaSql == Seq(("a", 1L), ("b", 2L)))
   }
 
+  test("probe TVFs match their DataFrame twins") {
+    import graft.operators.Dedup
+    GraftFunctions.register(spark)
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = (1L to 30L).map(i => (i, s"$phrase corpus tail $i"))
+      .toDF("doc_id", "text")
+    val batch = Seq((1000L, s"$phrase corpus tail 7"),
+      (1001L, "novel unrelated content with nothing shared at all"))
+      .toDF("doc_id", "text")
+    batch.createOrReplaceTempView("gfs_probe_batch")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val sdir = java.nio.file.Files.createTempDirectory("tvf-sig").toString
+    Dedup.writeSignatureIndex(
+      Dedup.minhashSignatures(corpus, "doc_id", "text"), sdir)
+    val mhSql = spark.sql(s"SELECT * FROM graft_minhash_probe(" +
+      s"'gfs_probe_batch', '$sdir', 'doc_id', 'text', 0.5)")
+    val mhDf = Dedup.minhashNearDupsAgainstIndex(batch,
+      Dedup.readSignatureIndex(spark, sdir), "doc_id", "text", 0.5)
+    assert(keys(mhSql).nonEmpty && keys(mhSql) == keys(mhDf),
+      "graft_minhash_probe must equal the DataFrame probe")
+
+    val jdir = java.nio.file.Files.createTempDirectory("tvf-jac").toString
+    Dedup.writeJaccardIndex(
+      Dedup.buildJaccardIndex(corpus, "doc_id", "text", 3, 0.5), jdir)
+    val jSql = spark.sql(s"SELECT * FROM graft_jaccard_probe(" +
+      s"'gfs_probe_batch', '$jdir', 'doc_id', 'text')")
+    val jDf = Dedup.ngramJaccardAgainst(batch,
+      Dedup.readJaccardIndex(spark, jdir), "doc_id", "text")
+    assert(keys(jSql).nonEmpty && keys(jSql) == keys(jDf),
+      "graft_jaccard_probe must equal the DataFrame probe")
+
+    val vecs = ((1L to 20L).map(i =>
+      (i, Seq(1.0f + i * 0.001f, 0.5f, 0.25f))) ++
+      (21L to 30L).map(i => (i, Seq(-1.0f, 0.2f + i * 0.01f, 0.9f))))
+      .toDF("vec_id", "embedding")
+    val vbatch = Seq((1000L, Seq(1.0f, 0.5f, 0.25f)),
+      (1001L, Seq(0.0f, -1.0f, 0.4f))).toDF("vec_id", "embedding")
+    vecs.createOrReplaceTempView("gfs_probe_corpus_vecs")
+    vbatch.createOrReplaceTempView("gfs_probe_batch_vecs")
+    val edir = java.nio.file.Files.createTempDirectory("tvf-emb").toString
+    Dedup.writeEmbeddingIndex(Dedup.buildEmbeddingIndex(vecs, "vec_id",
+      "embedding", numPlanes = 8, bandBits = 4), edir)
+    val eSql = spark.sql(s"SELECT * FROM graft_embedding_probe(" +
+      s"'gfs_probe_batch_vecs', 'gfs_probe_corpus_vecs', '$edir', " +
+      s"'vec_id', 'embedding', 0.95)")
+    val eDf = Dedup.embeddingNearDupsAgainst(vbatch, vecs,
+      Dedup.readEmbeddingIndex(spark, edir), "vec_id", "embedding",
+      threshold = 0.95)
+    assert(keys(eSql).nonEmpty && keys(eSql) == keys(eDf),
+      "graft_embedding_probe must equal the DataFrame probe")
+
+    // TVFs compose inside larger SQL (CTE + aggregate over the TVF)
+    val n = spark.sql(s"SELECT count(*) AS n FROM graft_minhash_probe(" +
+      s"'gfs_probe_batch', '$sdir', 'doc_id', 'text', 0.5)")
+      .head().getLong(0)
+    assert(n == keys(mhDf).size.toLong)
+    // parameters must be literals, loudly
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_minhash_probe(" +
+        "'gfs_probe_batch', '/nope', 'doc_id', 'text', 0.5)").collect()
+    }
+    assert(err != null)
+  }
+
   test("GraftExtensions injects at session build time") {
     val base = spark // force shared-session init before clearing
     val expected = base.range(1)
