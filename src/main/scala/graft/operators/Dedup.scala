@@ -198,6 +198,22 @@ object Dedup {
     else Some(rows.map(_.getLong(0)).toIndexedSeq)
   }
 
+  /** Candidate-ID fetch budget for a range-sorted table: uniformly
+    * distributed ids hit `1 - e^(-ids/shards)` of the shard files, so
+    * past ~4 ids per shard (98% of files) manifest pruning cannot pay
+    * and the flat scan is strictly cheaper — cap the driver collect at
+    * that saturation point (measured at 10M vectors: the id-pruned
+    * fetch wins 1.46x for a 10-doc point lookup and LOSES 1.33x for a
+    * 1k-doc batch whose ids hit every shard; docs/SEARCH_SOAK.md).
+    * Band-key/gram point lists keep the caller's `maxPoints` — their
+    * keys are range-sorted by the SAME hash the manifest indexes, so
+    * pruning holds far longer.
+    */
+  private def idFetchCap(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, maxPoints: Int): Int =
+    math.max(1, math.min(maxPoints,
+      4 * graft.sink.Sinks.rangeManifest(spark, dir).size))
+
   /** Word shingles (k-grams) of a text column as array<string>.
     * Lowercased, whitespace-tokenized; single-pass custom expression
     * (see [[graft.functions.WordShingles]] for why not higher-order
@@ -650,7 +666,7 @@ object Dedup {
     val cv =
       if (prunedVectors)
         (collectPointsCapped(cand.select(col("corpus_id")),
-            maxPoints) match {
+            idFetchCap(spark, vectorsDir, maxPoints)) match {
           case Some(ids) =>
             graft.sink.Sinks.readRangePoints(spark, vectorsDir, ids)
           case None => spark.read.parquet(vectorsDir)
@@ -1150,7 +1166,7 @@ object Dedup {
       if (graft.sink.Sinks.hasRangeManifest(spark, setsDir))
         pruned(setsDir,
           collectPointsCapped(candidates.select(col("corpus_id")),
-            maxPoints))
+            idFetchCap(spark, setsDir, maxPoints)))
       else spark.read.parquet(setsDir)
     val pairs = jaccardVerify(candidates, nsets, corpusSets,
       idx.threshold)

@@ -24,7 +24,9 @@ object StressProbe {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 5000000L
     val workDir = if (args.length > 1) args(1) else "/tmp/graft-probe-soak"
-    // optional family selector: all | exact | minhash | simhash | jaccard
+    // optional family selector:
+    // all | exact | minhash | simhash | jaccard | embedding |
+    // lowmatch | mirror
     val only = if (args.length > 2) args(2) else "all"
     def want(f: String): Boolean = only == "all" || only == f
     val spark = SparkSession.builder()
@@ -38,14 +40,18 @@ object StressProbe {
 
     val total = nDocs + nDocs / 20
     val allPath = s"$workDir/documents_all.parquet"
-    if (!new java.io.File(allPath).exists()) {
+    // the document universe only feeds the text families — an
+    // embedding-only run must not pay its generation
+    val needDocs = Seq("exact", "minhash", "simhash", "jaccard",
+      "mirror").exists(want)
+    if (needDocs && !new java.io.File(allPath).exists()) {
       println(s"[probe-soak] generating $total docs -> $allPath")
       StressCurate.synthesize(spark, total).repartition(64)
         .write.mode("overwrite").parquet(allPath)
     }
-    val all = spark.read.parquet(allPath)
-    val corpus = all.filter(col("doc_id") < nDocs)
-    val batch = all.filter(col("doc_id") >= nDocs)
+    lazy val all = spark.read.parquet(allPath)
+    lazy val corpus = all.filter(col("doc_id") < nDocs)
+    lazy val batch = all.filter(col("doc_id") >= nDocs)
 
     def timed(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -256,6 +262,67 @@ object StressProbe {
           "vec_id", "embedding", threshold = 0.9).count()
       }
       tinyE.unpersist()
+    }
+    // ---- embedding, LOW-match corpus (r15): the id-pruned vector-
+    // fetch crossover. The blob corpus above is ~100% match rate —
+    // every batch vector's candidate set is a ~62k-member clique, so
+    // exact verification is candidate-bound however the corpus vectors
+    // are fetched, which masked the r14 finding that the FULL-table
+    // vector scan dominates the banded probe's pruned candidate read
+    // (docs/SEARCH_SOAK.md). Here the corpus is 2M near-orthogonal
+    // random vectors (pairwise cosine ~0) and the batch copies a
+    // corpus slice: ~1 candidate per batch vector, so verification
+    // cost is all in HOW the vectors are read. 48 planes / 24-bit
+    // bands -> 16M buckets: collision candidates are rare and the
+    // candidate-id point set actually prunes shards for small batches.
+    if (want("lowmatch")) {
+      val dim = 64
+      val nVec = math.min(nDocs, 20000000L)
+      val comps = (0 until dim).map { j =>
+        ((pmod(xxhash64(col("base_id"), lit(j)), lit(2000L))
+          .cast("double") / 1000.0) - 1.0).cast("float")
+      }
+      val lmPath = s"$workDir/lowmatch_embeddings.parquet"
+      if (!new java.io.File(lmPath).exists()) {
+        // corpus ids [0, nVec); batch ids [nVec, nVec+1000) COPY the
+        // vectors of corpus ids [0, 1000): each batch vector has
+        // exactly one exact-cosine-1 corpus match
+        spark.range(nVec + 1000)
+          .select(col("id").as("vec_id"),
+            when(col("id") < nVec, col("id"))
+              .otherwise(col("id") - nVec).as("base_id"))
+          .select(col("vec_id"), array(comps: _*).as("embedding"))
+          .write.mode("overwrite").parquet(lmPath)
+      }
+      val lm = spark.read.parquet(lmPath)
+      val corpusL = lm.filter(col("vec_id") < nVec)
+      val bandDir = s"$workDir/lm_banded"         // no vectors sidecar
+      val bandVecDir = s"$workDir/lm_banded_vecs" // with vectors sidecar
+      timed("lm_banded_publish_x2") {
+        val idx = Dedup.buildEmbeddingIndex(corpusL, "vec_id",
+          "embedding", numPlanes = 48, bandBits = 24)
+        Dedup.writeBandedEmbeddingIndex(idx, bandDir, shards = 256)
+        Dedup.writeBandedEmbeddingIndex(idx, bandVecDir, shards = 256)
+        0L
+      }
+      timed("lm_vectors_publish") {
+        Dedup.writeIndexVectors(corpusL, bandVecDir, "vec_id",
+          "embedding", shards = 256); 0L
+      }
+      for (bsz <- Seq(10, 1000)) {
+        val b = lm.filter(col("vec_id") >= nVec).limit(bsz)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        b.count()
+        timed(s"lm_banded_idpruned_$bsz") {
+          Dedup.embeddingNearDupsAgainstBandedIndex(b, corpusL,
+            bandVecDir, "vec_id", "embedding", threshold = 0.9).count()
+        }
+        timed(s"lm_banded_fulltable_$bsz") {
+          Dedup.embeddingNearDupsAgainstBandedIndex(b, corpusL,
+            bandDir, "vec_id", "embedding", threshold = 0.9).count()
+        }
+        b.unpersist()
+      }
     }
     // ---- mirror farm: the viral-bucket guard's motivating case ------
     if (want("mirror")) {
