@@ -585,10 +585,8 @@ object Dedup {
     val spark = index.sigs.sparkSession
     index.planes.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/planes")
-    val postings = index.sigs.select(col("id").as("corpus_id"),
-        posexplode(embBandKeys(index.numPlanes, index.bandBits))
-          .as(Seq("band_no", "bk")))
-      .withColumn("bh", hash60(concat_ws("_", col("band_no"), col("bk"))))
+    val postings =
+      embPostingsOfSigs(index.sigs, index.numPlanes, index.bandBits)
     graft.sink.Sinks.writeRangeSorted(postings, s"$path/postings",
       "bh", shards)
     writeIndexMeta(spark, path, graft.sink.IndexLayout.metaJson(Seq(
@@ -631,7 +629,8 @@ object Dedup {
   def embeddingNearDupsAgainstBandedIndex(newEmb: DataFrame,
       corpusEmb: DataFrame, path: String, idCol: String, vecCol: String,
       threshold: Double = 0.9,
-      maxPoints: Int = DefaultMaxProbePoints): DataFrame = {
+      maxPoints: Int = DefaultMaxProbePoints,
+      maxEpochExclusive: Option[Long] = None): DataFrame = {
     import graft.functions.VectorOps
     val spark = newEmb.sparkSession
     val root = readIndexMeta(spark, path)
@@ -648,13 +647,15 @@ object Dedup {
       .withColumn("bh", hash60(concat_ws("_", col("band_no"), col("bk"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posts = graft.sink.IndexLayout.readPostings(spark, path, root,
-      collectPointsCapped(newBanded.select(col("bh")), maxPoints))
+      collectPointsCapped(newBanded.select(col("bh")), maxPoints),
+      maxEpochExclusive)
     val candBase = posts
       .join(broadcast(newBanded), Seq("band_no", "bk"))
       .select(col("new_id"), col("corpus_id")).distinct()
-    val vectorsDir = s"$path/vectors"
+    val vecsBase = s"$path/${graft.sink.IndexLayout
+      .baseDir(root, graft.sink.IndexLayout.Vectors)}"
     val prunedVectors =
-      graft.sink.Sinks.hasRangeManifest(spark, vectorsDir)
+      graft.sink.Sinks.hasRangeManifest(spark, vecsBase)
     // persisted only when the id-pruned fetch consumes it twice
     // (candidate-id collection + the verification join)
     val cand =
@@ -665,12 +666,11 @@ object Dedup {
       col(vecCol).as("__nv"))
     val cv =
       if (prunedVectors)
-        (collectPointsCapped(cand.select(col("corpus_id")),
-            idFetchCap(spark, vectorsDir, maxPoints)) match {
-          case Some(ids) =>
-            graft.sink.Sinks.readRangePoints(spark, vectorsDir, ids)
-          case None => spark.read.parquet(vectorsDir)
-        }).select(col("id").as("corpus_id"), col("v").as("__cv"))
+        graft.sink.IndexLayout.readPostings(spark, path, root,
+            collectPointsCapped(cand.select(col("corpus_id")),
+              idFetchCap(spark, vecsBase, maxPoints)),
+            maxEpochExclusive, graft.sink.IndexLayout.Vectors)
+          .select(col("id").as("corpus_id"), col("v").as("__cv"))
       else corpusEmb.select(col(idCol).as("corpus_id"),
         col(vecCol).as("__cv"))
     val out = warnIfIndexShuffles(cv
@@ -682,6 +682,27 @@ object Dedup {
     if (prunedVectors) releaseAfterAll(out, newBanded, cand)
     else releaseAfter(out, newBanded)
   }
+
+  /** The posting rows of a hyperplane signature frame —
+    * `(corpus_id, band_no, bk, bh)`, one per band membership — shared
+    * by the batch publisher ([[writeBandedEmbeddingIndex]]) and the
+    * streaming epoch appender
+    * ([[graft.streaming.StreamingBandedEmbeddingIndex]]).
+    */
+  private[graft] def embPostingsOfSigs(sigs: DataFrame, numPlanes: Int,
+                                       bandBits: Int): DataFrame =
+    sigs.select(col("id").as("corpus_id"),
+        posexplode(embBandKeys(numPlanes, bandBits))
+          .as(Seq("band_no", "bk")))
+      .withColumn("bh", hash60(concat_ws("_", col("band_no"), col("bk"))))
+
+  /** Hyperplane signatures of an embedding frame signed with the
+    * INDEX'S planes — the maintainer's epoch-append entry.
+    */
+  private[graft] def embSignWithPlanes(emb: DataFrame, planes: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    hyperplaneSigs(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v")), planes)
 
   /** The `numBands` hyperplane-sig band keys of a `sig` column. */
   private def embBandKeys(numPlanes: Int, bandBits: Int): Column = {

@@ -109,13 +109,35 @@ object IndexLayout {
     }
   }
 
-  /** The current base shard directory (compaction re-points it). */
-  def postingsDir(root: JValue): String =
-    optString(root, "postings_dir", "postings")
+  /** One maintained range-sorted table inside an index layout. A
+    * layout maintains at least its banded postings ([[Postings]]);
+    * the embedding family also maintains the id-sorted vector sidecar
+    * its exact-cosine verification fetches from ([[Vectors]]). Field
+    * and directory names are explicit so the postings instance keeps
+    * the pre-r15 names (plain `epochs`, `compacted_through`) every
+    * existing layout already carries.
+    */
+  final case class MaintainedTable(name: String, sortCol: String,
+      dirField: String, throughField: String, epochsSub: String)
 
-  /** Epochs `<=` this are folded into the base shards. */
-  def compactedThrough(root: JValue): Long =
-    optLong(root, "compacted_through", -1L)
+  val Postings: MaintainedTable = MaintainedTable("postings", "bh",
+    "postings_dir", "compacted_through", "epochs")
+  val Vectors: MaintainedTable = MaintainedTable("vectors", "id",
+    "vectors_dir", "vectors_compacted_through", "vectors_epochs")
+
+  /** The table's current base shard directory (compaction re-points
+    * it through the meta).
+    */
+  def baseDir(root: JValue, table: MaintainedTable = Postings): String =
+    optString(root, table.dirField, table.name)
+
+  /** Kept for the pre-r15 call sites. */
+  def postingsDir(root: JValue): String = baseDir(root, Postings)
+
+  /** Epochs `<=` this are folded into the table's base shards. */
+  def compactedThrough(root: JValue,
+                       table: MaintainedTable = Postings): Long =
+    optLong(root, table.throughField, -1L)
 
   /** Highest epoch applied to the layout (-1: batch-published). */
   def lastEpoch(root: JValue): Long = optLong(root, "last_epoch", -1L)
@@ -130,14 +152,15 @@ object IndexLayout {
     */
   def readPostings(spark: SparkSession, path: String, root: JValue,
                    points: Option[IndexedSeq[Long]],
-                   maxEpochExclusive: Option[Long] = None): DataFrame = {
-    val baseDir = s"$path/${postingsDir(root)}"
+                   maxEpochExclusive: Option[Long] = None,
+                   table: MaintainedTable = Postings): DataFrame = {
+    val base0 = s"$path/${baseDir(root, table)}"
     val base = points match {
-      case Some(ps) => Sinks.readRangePoints(spark, baseDir, ps)
-      case None => spark.read.parquet(baseDir)
+      case Some(ps) => Sinks.readRangePoints(spark, base0, ps)
+      case None => spark.read.parquet(base0)
     }
-    val epochsDir = s"$path/epochs"
-    val through = compactedThrough(root)
+    val epochsDir = s"$path/${table.epochsSub}"
+    val through = compactedThrough(root, table)
     val hi = maxEpochExclusive.getOrElse(Long.MaxValue)
     // enumerate the tail partitions on the FILESYSTEM: an empty (or
     // absent) epochs dir must not break parquet schema inference, and
@@ -163,13 +186,13 @@ object IndexLayout {
     * `<path>/epochs/epoch=<id>`; a replay that finds the partition
     * already present is a no-op (returns false).
     */
-  def appendEpoch(postings: DataFrame, path: String,
-                  epoch: Long): Boolean = {
+  def appendEpoch(postings: DataFrame, path: String, epoch: Long,
+                  table: MaintainedTable = Postings): Boolean = {
     val spark = postings.sparkSession
     val f = fs(spark, path)
-    val dst = new Path(s"$path/epochs/epoch=$epoch")
+    val dst = new Path(s"$path/${table.epochsSub}/epoch=$epoch")
     if (f.exists(dst)) return false
-    val stage = s"$path/.stage_epoch_$epoch"
+    val stage = s"$path/.stage_${table.name}_epoch_$epoch"
     postings.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(stage)
     f.mkdirs(dst.getParent)
@@ -191,35 +214,36 @@ object IndexLayout {
     */
   def compact(spark: SparkSession, path: String, root: JValue,
               sortCol: String, shards: Int, upTo: Long,
-              metaFields: Seq[(String, Any)]): Unit = {
-    val newDir = s"postings_v$upTo"
+              metaFields: Seq[(String, Any)],
+              table: MaintainedTable = Postings): Unit = {
+    val newDir = s"${table.name}_v$upTo"
     val merged = readPostings(spark, path, root, points = None,
-      maxEpochExclusive = Some(upTo + 1))
+      maxEpochExclusive = Some(upTo + 1), table)
     Sinks.writeRangeSorted(merged, s"$path/$newDir", sortCol, shards)
     promoteMeta(fs(spark, path), path, metaJson(metaFields ++ Seq(
-      "postings_dir" -> newDir, "compacted_through" -> upTo)))
-    healOrphans(spark, path, keepPostingsDir = newDir,
-      clearEpochsThrough = upTo)
+      table.dirField -> newDir, table.throughField -> upTo)))
+    healOrphans(spark, path, keepDir = newDir,
+      clearEpochsThrough = upTo, table)
   }
 
-  /** Drop superseded base dirs (`postings*` other than the one the
-    * meta points at) and folded epoch partitions — the cleanup half
-    * of [[compact]]'s crash ordering, safe to run at every maintainer
-    * entry.
+  /** Drop superseded base dirs (the table's name-prefixed dirs other
+    * than the one the meta points at — never its epochs subdir) and
+    * folded epoch partitions — the cleanup half of [[compact]]'s
+    * crash ordering, safe to run at every maintainer entry.
     */
-  def healOrphans(spark: SparkSession, path: String,
-                  keepPostingsDir: String,
-                  clearEpochsThrough: Long): Unit = {
+  def healOrphans(spark: SparkSession, path: String, keepDir: String,
+                  clearEpochsThrough: Long,
+                  table: MaintainedTable = Postings): Unit = {
     val f = fs(spark, path)
     val rootPath = new Path(path)
     if (f.exists(rootPath))
       f.listStatus(rootPath).foreach { st =>
         val name = st.getPath.getName
-        if (st.isDirectory && name.startsWith("postings") &&
-            name != keepPostingsDir)
+        if (st.isDirectory && name.startsWith(table.name) &&
+            name != keepDir && name != table.epochsSub)
           f.delete(st.getPath, true)
       }
-    val epochs = new Path(s"$path/epochs")
+    val epochs = new Path(s"$path/${table.epochsSub}")
     if (f.exists(epochs))
       f.listStatus(epochs).foreach { st =>
         val name = st.getPath.getName

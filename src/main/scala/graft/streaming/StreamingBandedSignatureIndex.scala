@@ -117,7 +117,7 @@ object StreamingBandedSignatureIndex {
     if (lastEpoch >= batchId &&
         (through >= batchId || f.exists(epochDir))) return
     IndexLayout.healOrphans(spark, indexPath,
-      keepPostingsDir = IndexLayout.postingsDir(root),
+      keepDir = IndexLayout.postingsDir(root),
       clearEpochsThrough = through)
 
     // 1) probe the PRE-batch view and publish pairs — deterministic
