@@ -162,6 +162,52 @@ object StressStreaming {
         f"apply_sec=$w%.2f probe_sec=$p%.2f")
     }
 
+    // ---- StreamingBandedEmbeddingIndex (r15): the TWO-table banded
+    // maintainer (postings + id-sorted vector sidecar). Same claims as
+    // the signature twin over 100k-vector epochs — flat apply with the
+    // fold visible at compaction epochs, flat serving-probe latency —
+    // plus the id-pruned exact-cosine verification staying correct
+    // mid-stream (the probe's corpus argument is a poisoned frame;
+    // wrong fetches would change pair counts). Vectors are the
+    // lowmatch construction: near-orthogonal randoms, the probe batch
+    // copying corpus ids [0, 1000).
+    val embIdxPath = s"$workDir/bandemb-index"
+    val embPairsPath = s"$workDir/bandemb-pairs"
+    val embDim = 64
+    val embComps = (0 until embDim).map { j =>
+      ((pmod(xxhash64(col("base_id"), lit(j)), lit(2000L))
+        .cast("double") / 1000.0) - 1.0).cast("float")
+    }
+    def embSlice(lo: Long, hi: Long): org.apache.spark.sql.DataFrame =
+      spark.range(lo, hi)
+        .select(col("id").as("vec_id"), col("id").as("base_id"))
+        .select(col("vec_id"), array(embComps: _*).as("embedding"))
+    val embProbe = spark.range(900000000L, 900001000L)
+      .select(col("id").as("vec_id"),
+        (col("id") - 900000000L).as("base_id"))
+      .select(col("vec_id"), array(embComps: _*).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    embProbe.count()
+    val poisonedCorpus = spark.range(1)
+      .select(col("id").as("vec_id"),
+        array((0 until embDim).map(_ => lit(0.0f)): _*).as("embedding"))
+    val embCurve = (0 until epochs).map { ep =>
+      val batch = embSlice(ep * 100000L, (ep + 1) * 100000L)
+      val w = timed(
+        graft.streaming.StreamingBandedEmbeddingIndex.applyBatch(
+          batch, ep.toLong, embIdxPath, embPairsPath, "vec_id",
+          "embedding", 48, 24, 64, 8, 0.9))
+      val p = timed(graft.operators.Dedup
+        .embeddingNearDupsAgainstBandedIndex(embProbe, poisonedCorpus,
+          embIdxPath, "vec_id", "embedding", 0.9).count())
+      (w, p)
+    }
+    embProbe.unpersist()
+    embCurve.zipWithIndex.foreach { case ((w, p), ep) =>
+      println(f"[stress-streaming] banded_embedding_epochs epoch=$ep " +
+        f"apply_sec=$w%.2f probe_sec=$p%.2f")
+    }
+
     // growth summary: late-epoch cost vs the first post-bootstrap epoch
     def ratio(c: Seq[(Double, Long, Long)]): Double = {
       val tail = c.takeRight(3).map(_._1).sum / 3
@@ -175,6 +221,8 @@ object StressStreaming {
       f"sig_index=${ratio(sigCurve)}%.2fx " +
       f"banded_apply=${ratio1(bandCurve.map(_._1))}%.2fx " +
       f"banded_probe=${ratio1(bandCurve.map(_._2))}%.2fx " +
+      f"emb_apply=${ratio1(embCurve.map(_._1))}%.2fx " +
+      f"emb_probe=${ratio1(embCurve.map(_._2))}%.2fx " +
       f"over $epochs epochs")
     spark.stop()
   }
