@@ -1085,6 +1085,18 @@ object Dedup {
     // writes the three tables to storage and reads them back instead.
     val sets = hashedShingleSets(corpus, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (dfreq, prefix) = jaccardArtifactsOfSets(sets, threshold)
+    JaccardIndex(dfreq, prefix, sets, k, threshold)
+  }
+
+  /** The AllPairs document-frequency and prefix tables of a stored
+    * shingle-set frame `(id, gs, sz)` — factored from
+    * [[buildJaccardIndex]] so the streaming maintainer's compaction
+    * can RE-FREEZE the df order from the stored sets alone (the
+    * original texts are gone by then).
+    */
+  private[graft] def jaccardArtifactsOfSets(sets: DataFrame,
+      threshold: Double): (DataFrame, DataFrame) = {
     val grams = sets.select(col("id"), col("sz"), explode(col("gs")).as("g"))
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("id"))
@@ -1093,7 +1105,30 @@ object Dedup {
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("id"), col("g"), col("sz"))
-    JaccardIndex(dfreq, prefix, sets, k, threshold)
+    (dfreq, prefix)
+  }
+
+  /** A batch's prefix rows `(id, g, sz)` under an index's FROZEN df
+    * order — grams unseen by `dfreq` rank rarest-first, a consistent
+    * extension of the frozen total order, so prefixes appended to a
+    * maintained index under it stay sound against every probe that
+    * uses the same frozen order (the prefix-filter theorem needs ONE
+    * global order, not the current frequencies).
+    */
+  private[graft] def frozenOrderPrefix(nsets: DataFrame,
+      dfreq: DataFrame, t: Double): DataFrame = {
+    val ngrams = nsets.select(col("id"), col("sz"),
+      explode(col("gs")).as("g"))
+    val wOrd = Window.partitionBy(col("id"))
+      .orderBy(col("df").asc, col("g").asc)
+    val batchDf = dfreq
+      .join(broadcast(ngrams.select(col("g")).distinct()), Seq("g"))
+    ngrams
+      .join(broadcast(batchDf), Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rn", row_number().over(wOrd))
+      .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("id"), col("g"), col("sz"))
   }
 
   /** Publish a [[JaccardIndex]] as a directory layout — the three
@@ -1160,34 +1195,44 @@ object Dedup {
     */
   def ngramJaccardAgainstPath(newDocs: DataFrame, path: String,
                               idCol: String, textCol: String,
-                              maxPoints: Int = DefaultMaxProbePoints)
+                              maxPoints: Int = DefaultMaxProbePoints,
+                              maxEpochExclusive: Option[Long] = None)
       : DataFrame = {
+    import graft.sink.IndexLayout
     val spark = newDocs.sparkSession
     val root = readIndexMeta(spark, path)
     val k = metaInt(root, "shingle_k")
     val nsets = hashedShingleSets(newDocs, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def pruned(dir: String, points: Option[IndexedSeq[Long]]): DataFrame =
-      points match {
-        case Some(ps) => graft.sink.Sinks.readRangePoints(spark, dir, ps)
-        case None => spark.read.parquet(dir)
-      }
     val gs = collectPointsCapped(
       nsets.select(explode(col("gs")).as("g")), maxPoints)
-    val idx = JaccardIndex(
-      pruned(s"$path/dfreq", gs), pruned(s"$path/prefix", gs),
-      spark.read.parquet(s"$path/sets"),
+    // dfreq: the FROZEN base only (the maintained layout's df order is
+    // frozen between compactions — every appended prefix and every
+    // probe must rank by the same order). prefix: base + epoch tail.
+    val dfreqDir = s"$path/${IndexLayout.baseDir(root,
+      IndexLayout.JaccardDfreq)}"
+    val dfreq = gs match {
+      case Some(ps) => graft.sink.Sinks.readRangePoints(spark, dfreqDir, ps)
+      case None => spark.read.parquet(dfreqDir)
+    }
+    val prefix = IndexLayout.readPostings(spark, path, root, gs,
+      maxEpochExclusive, IndexLayout.JaccardPrefix)
+    val idx = JaccardIndex(dfreq, prefix,
+      spark.read.parquet(s"$path/${IndexLayout.baseDir(root,
+        IndexLayout.JaccardSets)}"),
       k, metaDouble(root, "threshold"), Some(metaBloom(root)))
     // persisted: the candidate-id collection and the verification join
     // both consume the candidate pairs
     val candidates = jaccardCandidates(nsets, idx)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val setsDir = s"$path/sets"
+    val setsDir = s"$path/${IndexLayout.baseDir(root,
+      IndexLayout.JaccardSets)}"
     val corpusSets =
       if (graft.sink.Sinks.hasRangeManifest(spark, setsDir))
-        pruned(setsDir,
+        IndexLayout.readPostings(spark, path, root,
           collectPointsCapped(candidates.select(col("corpus_id")),
-            idFetchCap(spark, setsDir, maxPoints)))
+            idFetchCap(spark, setsDir, maxPoints)),
+          maxEpochExclusive, IndexLayout.JaccardSets)
       else spark.read.parquet(setsDir)
     val pairs = jaccardVerify(candidates, nsets, corpusSets,
       idx.threshold)
@@ -1197,16 +1242,24 @@ object Dedup {
 
   def readJaccardIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String): JaccardIndex =  {
+    import graft.sink.IndexLayout
     val root = readIndexMeta(spark, path)
-    JaccardIndex(spark.read.parquet(s"$path/dfreq"),
-      spark.read.parquet(s"$path/prefix"),
-      spark.read.parquet(s"$path/sets"),
+    // resolve through the meta so a STREAM-MAINTAINED layout reads
+    // whole (frozen dfreq base; prefix/sets base + epoch tail); a
+    // batch-published layout resolves to the plain dirs unchanged
+    JaccardIndex(
+      spark.read.parquet(s"$path/${IndexLayout.baseDir(root,
+        IndexLayout.JaccardDfreq)}"),
+      IndexLayout.readPostings(spark, path, root, None, None,
+        IndexLayout.JaccardPrefix),
+      IndexLayout.readPostings(spark, path, root, None, None,
+        IndexLayout.JaccardSets),
       metaInt(root, "shingle_k"), metaDouble(root, "threshold"),
       Some(metaBloom(root)))
   }
 
   /** `(id, gs: sorted array<long> of distinct gram hashes, sz)`. */
-  private def hashedShingleSets(docs: DataFrame, idCol: String,
+  private[graft] def hashedShingleSets(docs: DataFrame, idCol: String,
                                 textCol: String, k: Int): DataFrame =
     docs.select(col(idCol).as("id"),
         array_sort(array_distinct(transform(
@@ -1241,21 +1294,12 @@ object Dedup {
   private def jaccardCandidates(nsets: DataFrame,
                                 index: JaccardIndex): DataFrame = {
     val t = index.threshold
-    val ngrams = nsets.select(col("id"), col("sz"),
-      explode(col("gs")).as("g"))
-    val wOrd = Window.partitionBy(col("id"))
-      .orderBy(col("df").asc, col("g").asc)
     // dfreq is corpus-VOCABULARY-sized and must never broadcast or
-    // shuffle per probe: shrink it first with a broadcast semi-join on
-    // the batch's distinct grams (small by definition of a batch), then
-    // the batch grams join the shrunken slice broadcast
-    val batchDf = index.dfreq
-      .join(broadcast(ngrams.select(col("g")).distinct()), Seq("g"))
-    val nprefixAll = ngrams
-      .join(broadcast(batchDf), Seq("g"), "left")
-      .withColumn("df", coalesce(col("df"), lit(0L)))
-      .withColumn("rn", row_number().over(wOrd))
-      .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+    // shuffle per probe: frozenOrderPrefix shrinks it first with a
+    // broadcast semi-join on the batch's distinct grams (small by
+    // definition of a batch), then the batch grams join the shrunken
+    // slice broadcast
+    val nprefixAll = frozenOrderPrefix(nsets, index.dfreq, t)
       .select(col("id").as("new_id"), col("g"), col("sz").as("sz_n"))
     // published-index Bloom prefilter (sound — a pair needs a batch
     // prefix gram EQUAL to a corpus prefix gram, so definite-miss
@@ -1521,7 +1565,7 @@ object Dedup {
     }
   }
 
-  private[operators] def metaDouble(root: org.json4s.JValue, name: String): Double = {
+  private[graft] def metaDouble(root: org.json4s.JValue, name: String): Double = {
     import org.json4s._
     (root \ name) match {
       case JDouble(x) => x

@@ -124,6 +124,16 @@ object IndexLayout {
     "postings_dir", "compacted_through", "epochs")
   val Vectors: MaintainedTable = MaintainedTable("vectors", "id",
     "vectors_dir", "vectors_compacted_through", "vectors_epochs")
+  // the Jaccard family's three tables: sets/prefix are epoch-appended
+  // under the FROZEN df order; dfreq is frozen between compactions
+  // (its descriptor exists for dir resolution and orphan healing —
+  // its epochs subdir never materializes)
+  val JaccardSets: MaintainedTable = MaintainedTable("sets", "id",
+    "sets_dir", "sets_compacted_through", "sets_epochs")
+  val JaccardPrefix: MaintainedTable = MaintainedTable("prefix", "g",
+    "prefix_dir", "prefix_compacted_through", "prefix_epochs")
+  val JaccardDfreq: MaintainedTable = MaintainedTable("dfreq", "g",
+    "dfreq_dir", "dfreq_compacted_through", "dfreq_epochs")
 
   /** The table's current base shard directory (compaction re-points
     * it through the meta).

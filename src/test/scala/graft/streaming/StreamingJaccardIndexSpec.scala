@@ -1,0 +1,151 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpecBase
+import graft.operators.Dedup
+import graft.sink.IndexLayout
+
+/** StreamingJaccardIndex: epoch appends under the FROZEN df order
+  * answer every probe exactly like a from-scratch rebuild (exact
+  * verification makes append ≡ rebuild hold on OUTPUT, not just
+  * soundness), per-epoch pairs equal the pre-batch probe, compaction
+  * re-freezes all three tables without changing answers, and crash
+  * windows repair idempotently.
+  */
+class StreamingJaccardIndexSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val phrase = "alpha beta gamma delta epsilon zeta eta theta " +
+    "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private val schema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, text STRING")
+
+  private def pairSet(df: DataFrame) =
+    df.select(col("new_id"), col("corpus_id"), col("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+  /** From-scratch published rebuild over `corpus`, probed by path. */
+  private def rebuildProbe(corpus: DataFrame, b: DataFrame) = {
+    val dir = Files.createTempDirectory("jac-rb").toString
+    Dedup.writeJaccardIndex(
+      Dedup.buildJaccardIndex(corpus, "doc_id", "text", 3, 0.5), dir,
+      shards = 8)
+    pairSet(Dedup.ngramJaccardAgainstPath(b, dir, "doc_id", "text"))
+  }
+
+  test("jaccard maintainer: frozen-order appends == rebuild, " +
+      "compaction re-freezes, crash windows repair") {
+    val dir = Files.createTempDirectory("jacidx-stream").toString
+    val (srcDir, idxDir, pairsDir, ckpt) =
+      (s"$dir/in", s"$dir/idx", s"$dir/pairs", s"$dir/ckpt")
+    new java.io.File(srcDir).mkdirs()
+
+    val b1 = (1L to 20L).map(i => (i, s"$phrase corpus tail $i")) ++
+      (1L to 8L).map(i => (100L + i,
+        s"wholly different content number $i sharing nothing at all"))
+    val b2 = Seq((200L, s"$phrase corpus tail 7"),
+      (201L, "novel unrelated text with zero overlap anywhere here"))
+    val b3 = Seq((300L, s"$phrase corpus tail 3"),
+      (301L, s"wholly different content number 5 sharing nothing at all"))
+    val probeBatch = Seq((900L, s"$phrase corpus tail 3"))
+      .toDF("doc_id", "text")
+
+    def run(): Unit = {
+      val q = StreamingJaccardIndex.start(spark, s"$srcDir/*", schema,
+        idxDir, pairsDir, ckpt, "doc_id", "text", k = 3,
+        threshold = 0.5, shards = 8, compactEvery = 2)
+      q.processAllAvailable(); q.stop()
+    }
+
+    // epoch 0: bootstrap is a one-batch frozen generation
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/f1")
+    run()
+    assert(StreamingJaccardIndex.lastApplied(spark, idxDir)
+      .contains(0L))
+    val m0 = pairSet(Dedup.ngramJaccardAgainstPath(probeBatch, idxDir,
+      "doc_id", "text"))
+    assert(m0.nonEmpty &&
+      m0 == rebuildProbe(b1.toDF("doc_id", "text"), probeBatch),
+      "bootstrap generation must equal the batch rebuild")
+
+    // epoch 1 across a restart: pre-batch pairs; appends ride as
+    // epoch partitions; mid-tail probe == rebuild over the union
+    b2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/f2")
+    run()
+    val expect1 = rebuildProbe(b1.toDF("doc_id", "text"),
+      b2.toDF("doc_id", "text"))
+    assert(expect1.nonEmpty, "fixture sanity: the echo must match")
+    assert(pairSet(spark.read.parquet(s"$pairsDir/epoch=1")) == expect1)
+    val fs = IndexLayout.fs(spark, idxDir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idxDir/sets_epochs/epoch=1")), "sets epoch partition expected")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idxDir/prefix_epochs/epoch=1")),
+      "prefix epoch partition expected")
+    val all12 = (b1 ++ b2).toDF("doc_id", "text")
+    assert(pairSet(Dedup.ngramJaccardAgainstPath(probeBatch, idxDir,
+        "doc_id", "text")) == rebuildProbe(all12, probeBatch),
+      "mid-tail maintained probe must equal the rebuild probe " +
+        "(frozen-order appends change candidates at most, never the " +
+        "verified output)")
+    // the readJaccardIndex surface resolves the maintained view too
+    assert(pairSet(Dedup.ngramJaccardAgainst(probeBatch,
+        Dedup.readJaccardIndex(spark, idxDir), "doc_id", "text")) ==
+      rebuildProbe(all12, probeBatch),
+      "readJaccardIndex must serve base + epoch tail")
+
+    // epoch 2: compaction re-freezes all three tables
+    b3.toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/f3")
+    run()
+    val root = Dedup.readIndexMeta(spark, idxDir)
+    assert(IndexLayout.baseDir(root, IndexLayout.JaccardSets) ==
+      "sets_v2")
+    assert(IndexLayout.baseDir(root, IndexLayout.JaccardPrefix) ==
+      "prefix_v2")
+    assert(IndexLayout.baseDir(root, IndexLayout.JaccardDfreq) ==
+      "dfreq_v2")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idxDir/sets_epochs/epoch=1")), "folded sets epochs cleared")
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val maintained = pairSet(Dedup.ngramJaccardAgainstPath(probeBatch,
+      idxDir, "doc_id", "text"))
+    assert(maintained == rebuildProbe(all, probeBatch),
+      "post-compaction probe must equal the rebuild probe")
+    assert(pairSet(spark.read.parquet(s"$pairsDir/epoch=2")) ==
+      rebuildProbe(all12, b3.toDF("doc_id", "text")),
+      "epoch 2 pairs must probe the PRE-batch corpus")
+
+    // replay of an applied epoch is a no-op
+    StreamingJaccardIndex.applyBatch(b3.toDF("doc_id", "text"), 2L,
+      idxDir, pairsDir, "doc_id", "text", 3, 0.5, 8, 2, 5, 1 << 16)
+    assert(pairSet(Dedup.ngramJaccardAgainstPath(probeBatch, idxDir,
+      "doc_id", "text")) == maintained, "replay must be a no-op")
+
+    // crash window: meta promoted, prefix partition (the replay key)
+    // missing — re-apply repairs; sets append no-ops
+    val b4 = Seq((400L, s"$phrase corpus tail 5"))
+      .toDF("doc_id", "text")
+    StreamingJaccardIndex.applyBatch(b4, 3L, idxDir, pairsDir,
+      "doc_id", "text", 3, 0.5, 8, 99, 5, 1 << 16)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$idxDir/prefix_epochs/epoch=3"), true)
+    StreamingJaccardIndex.applyBatch(b4, 3L, idxDir, pairsDir,
+      "doc_id", "text", 3, 0.5, 8, 99, 5, 1 << 16)
+    assert(pairSet(Dedup.ngramJaccardAgainstPath(probeBatch, idxDir,
+        "doc_id", "text")) ==
+      rebuildProbe(all.unionByName(b4), probeBatch),
+      "replayed epoch must heal the missing prefix partition")
+
+    // param drift fails loudly
+    val e = intercept[IllegalArgumentException] {
+      StreamingJaccardIndex.applyBatch(b4, 4L, idxDir, pairsDir,
+        "doc_id", "text", 3, 0.6, 8, 99, 5, 1 << 16)
+    }
+    assert(e.getMessage.contains("cannot re-shingle or re-rank"),
+      e.getMessage)
+  }
+}
