@@ -1196,7 +1196,8 @@ object Dedup {
   def ngramJaccardAgainstPath(newDocs: DataFrame, path: String,
                               idCol: String, textCol: String,
                               maxPoints: Int = DefaultMaxProbePoints,
-                              maxEpochExclusive: Option[Long] = None)
+                              maxEpochExclusive: Option[Long] = None,
+                              maxGramPostings: Int = Int.MaxValue)
       : DataFrame = {
     import graft.sink.IndexLayout
     val spark = newDocs.sparkSession
@@ -1223,7 +1224,7 @@ object Dedup {
       k, metaDouble(root, "threshold"), Some(metaBloom(root)))
     // persisted: the candidate-id collection and the verification join
     // both consume the candidate pairs
-    val candidates = jaccardCandidates(nsets, idx)
+    val candidates = jaccardCandidates(nsets, idx, maxGramPostings)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val setsDir = s"$path/${IndexLayout.baseDir(root,
       IndexLayout.JaccardSets)}"
@@ -1277,10 +1278,13 @@ object Dedup {
     * false negatives, same soundness as the all-pairs run.
     */
   def ngramJaccardAgainst(newDocs: DataFrame, index: JaccardIndex,
-                          idCol: String, textCol: String): DataFrame = {
+                          idCol: String, textCol: String,
+                          maxGramPostings: Int = Int.MaxValue)
+      : DataFrame = {
     val nsets = hashedShingleSets(newDocs, idCol, textCol, index.k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = jaccardVerify(jaccardCandidates(nsets, index), nsets,
+    val pairs = jaccardVerify(
+      jaccardCandidates(nsets, index, maxGramPostings), nsets,
       index.sets, index.threshold)
     releaseAfter(warnIfIndexShuffles(pairs, "ngramJaccardAgainst"), nsets)
   }
@@ -1292,7 +1296,9 @@ object Dedup {
     * stored-set fetch between candidate generation and verification.
     */
   private def jaccardCandidates(nsets: DataFrame,
-                                index: JaccardIndex): DataFrame = {
+                                index: JaccardIndex,
+                                maxGramPostings: Int = Int.MaxValue)
+      : DataFrame = {
     val t = index.threshold
     // dfreq is corpus-VOCABULARY-sized and must never broadcast or
     // shuffle per probe: frozenOrderPrefix shrinks it first with a
@@ -1311,7 +1317,29 @@ object Dedup {
           typedLit(bits.toIndexedSeq), col("g"), bk, bits.length))
       case None => nprefixAll
     }
-    index.prefix
+    // viral-gram guard, the Jaccard analog of the minhash family's
+    // maxBucket: AllPairs assumes Zipfian grams whose PREFIX entries
+    // are rare, but an adversarial/small-vocab corpus puts
+    // corpus-scale posting lists behind "rare" grams and the
+    // candidate join goes quadratic (found by the maintainer soak:
+    // one 1k-doc probe spilled ~50 GB against 150k synthetic docs).
+    // An over-cap gram answers with its MIN-id hub posting only —
+    // the hub pair still verifies EXACTLY; (batch, non-hub member)
+    // pairs reachable ONLY through over-cap grams are intentionally
+    // dropped (representative output, the star trade the minhash
+    // guard documents). Default keeps every gram exact.
+    val guarded = maxGramPostings != Int.MaxValue
+    val cprefix =
+      if (!guarded) index.prefix
+      else {
+        val stats = index.prefix.groupBy(col("g"))
+          .agg(count(lit(1)).as("__n"), min(col("id")).as("__hub"))
+        index.prefix.join(stats, Seq("g"))
+          .filter(col("__n") <= maxGramPostings ||
+            col("id") === col("__hub"))
+          .drop("__n", "__hub")
+      }
+    cprefix
       .select(col("id").as("corpus_id"), col("g"), col("sz").as("sz_c"))
       .join(broadcast(nprefix), Seq("g"))
       .filter(col("sz_n") >= lit(t) * col("sz_c") &&

@@ -49,6 +49,7 @@ object StreamingJaccardIndex {
             k: Int = 3, threshold: Double = 0.8, shards: Int = 64,
             compactEvery: Int = 8, bloomK: Int = 5,
             bloomM: Int = 1 << 16,
+            maxGramPostings: Int = Int.MaxValue,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     stream.writeStream
@@ -56,7 +57,8 @@ object StreamingJaccardIndex {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, indexPath, pairsOutDir, idCol,
-          textCol, k, threshold, shards, compactEvery, bloomK, bloomM)
+          textCol, k, threshold, shards, compactEvery, bloomK, bloomM,
+          maxGramPostings)
       }
       .start()
   }
@@ -64,7 +66,8 @@ object StreamingJaccardIndex {
   private[graft] def applyBatch(batch: DataFrame, batchId: Long,
       indexPath: String, pairsOutDir: String, idCol: String,
       textCol: String, k: Int, threshold: Double, shards: Int,
-      compactEvery: Int, bloomK: Int, bloomM: Int): Unit = {
+      compactEvery: Int, bloomK: Int, bloomM: Int,
+      maxGramPostings: Int = Int.MaxValue): Unit = {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     val spark = batch.sparkSession
     val f = IndexLayout.fs(spark, indexPath)
@@ -139,7 +142,8 @@ object StreamingJaccardIndex {
     // 1) probe the PRE-batch view and publish pairs (epoch-gated
     //    prefix/sets; frozen dfreq)
     Dedup.ngramJaccardAgainstPath(batch, indexPath, idCol, textCol,
-        maxEpochExclusive = Some(batchId))
+        maxEpochExclusive = Some(batchId),
+        maxGramPostings = maxGramPostings)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$pairsOutDir/epoch=$batchId")
 

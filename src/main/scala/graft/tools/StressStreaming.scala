@@ -23,6 +23,10 @@ object StressStreaming {
     val epochs = if (args.length > 0) args(0).toInt else 20
     val workDir = if (args.length > 1) args(1)
       else "/tmp/graft-streaming-soak"
+    // optional section selector:
+    // all | merge | index | components | sig | banded | emb | jaccard
+    val only = if (args.length > 2) args(2) else "all"
+    def want(s: String): Boolean = only == "all" || only == s
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -51,7 +55,8 @@ object StressStreaming {
     // a table that grows toward 2M+ live rows. Flat-epoch claim: the
     // flush rewrites only the PK-hash partitions the batch touches.
     val mergePath = s"$workDir/merge-table"
-    val mergeCurve = (0 until epochs).map { ep =>
+    val mergeCurve = if (!want("merge")) Nil
+    else (0 until epochs).map { ep =>
       val base = ep * 20000L // 20k fresh keys per epoch
       val inserts = spark.range(base, base + 20000L)
         .select(col("id"), lit(ep.toLong).as("ver"),
@@ -75,7 +80,8 @@ object StressStreaming {
     // vocab x cap) — the curve should be FLAT in rows after the caps
     // saturate even as indexed docs grow linearly.
     val indexPath = s"$workDir/index-table"
-    val idxCurve = (0 until epochs).map { ep =>
+    val idxCurve = if (!want("index")) Nil
+    else (0 until epochs).map { ep =>
       val batch = StressCurate
         .synthesize(spark, (ep + 1) * 20000L)
         .filter(col("doc_id") >= ep * 20000L)
@@ -89,7 +95,8 @@ object StressStreaming {
     // bounded per epoch; the label TABLE grows linearly — the rewrite
     // cost curve is the honest number this soak exists to record.
     val compPath = s"$workDir/comp-state"
-    val compCurve = (0 until epochs).map { ep =>
+    val compCurve = if (!want("components")) Nil
+    else (0 until epochs).map { ep =>
       val base = ep * 260000L
       val chains = spark.range(52000L)
         .select((col("id") * 5 + base).as("id_a"),
@@ -117,7 +124,8 @@ object StressStreaming {
     val sigDocs = StressCurate.synthesize(spark, epochs * 50000L)
       .select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigCurve = (0 until epochs).map { ep =>
+    val sigCurve = if (!want("sig")) Nil
+    else (0 until epochs).map { ep =>
       val batch = sigDocs.filter(col("doc_id") >= ep * 50000L &&
         col("doc_id") < (ep + 1) * 50000L)
       val w = timed(graft.streaming.StreamingSignatureIndex.applyBatch(
@@ -143,7 +151,8 @@ object StressStreaming {
       .limit(1000)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     probeDocs.count()
-    val bandCurve = (0 until epochs).map { ep =>
+    val bandCurve = if (!want("banded")) Nil
+    else (0 until epochs).map { ep =>
       val batch = sigDocs.filter(col("doc_id") >= ep * 50000L &&
         col("doc_id") < (ep + 1) * 50000L)
       val w = timed(
@@ -155,8 +164,6 @@ object StressStreaming {
           "doc_id", "text").count())
       (w, p)
     }
-    probeDocs.unpersist()
-    sigDocs.unpersist()
     bandCurve.zipWithIndex.foreach { case ((w, p), ep) =>
       println(f"[stress-streaming] banded_signature_epochs epoch=$ep " +
         f"apply_sec=$w%.2f probe_sec=$p%.2f")
@@ -191,7 +198,8 @@ object StressStreaming {
     val poisonedCorpus = spark.range(1)
       .select(col("id").as("vec_id"),
         array((0 until embDim).map(_ => lit(0.0f)): _*).as("embedding"))
-    val embCurve = (0 until epochs).map { ep =>
+    val embCurve = if (!want("emb")) Nil
+    else (0 until epochs).map { ep =>
       val batch = embSlice(ep * 100000L, (ep + 1) * 100000L)
       val w = timed(
         graft.streaming.StreamingBandedEmbeddingIndex.applyBatch(
@@ -208,13 +216,65 @@ object StressStreaming {
         f"apply_sec=$w%.2f probe_sec=$p%.2f")
     }
 
-    // growth summary: late-epoch cost vs the first post-bootstrap epoch
-    def ratio(c: Seq[(Double, Long, Long)]): Double = {
-      val tail = c.takeRight(3).map(_._1).sum / 3
-      tail / math.max(c(1)._1, 0.001)
+    // ---- StreamingJaccardIndex (r15): frozen-df-order epoch appends
+    // over the SAME doc universe, with compaction re-freezing all
+    // three tables (the honest heavy step — a full artifacts rebuild
+    // from accumulated sets, amortized over compactEvery epochs and
+    // visible as spikes). The serving probe is the same fixed 1k-doc
+    // batch through the manifest-pruned path probe after every epoch.
+    // maxGramPostings=1024: this synthetic corpus is the AllPairs
+    // worst case — a ~70-word vocabulary makes even the df-rarest
+    // prefix grams carry corpus-scale posting lists, and the UNCAPPED
+    // candidate join spilled ~50 GB on one 1k-doc probe at 150k docs
+    // (the soak run that motivated the guard). Real corpora are
+    // Zipfian where prefix filtering works; the cap bounds the
+    // adversarial case at hub-representative output.
+    // 10k-doc epochs (own universe, ONE synthesize call): even capped,
+    // the per-epoch BULK pairs probe joins B_g x P_g rows per gram,
+    // and this corpus's gram distribution keeps that product near the
+    // cap for thousands of grams — 50k-doc epochs accumulated
+    // shuffle/spill past the disk during the first guarded run.
+    val jacIdxPath = s"$workDir/jac-index"
+    val jacPairsPath = s"$workDir/jac-pairs"
+    val jacCurve = if (!want("jaccard")) Nil
+    else {
+      val jacDocs = StressCurate.synthesize(spark, epochs * 10000L)
+        .select(col("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val jacProbe = jacDocs.filter(col("doc_id") % 199 === 0)
+        .limit(1000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      jacProbe.count()
+      val c = (0 until epochs).map { ep =>
+        val batch = jacDocs.filter(col("doc_id") >= ep * 10000L &&
+          col("doc_id") < (ep + 1) * 10000L)
+        val w = timed(
+          graft.streaming.StreamingJaccardIndex.applyBatch(
+            batch, ep.toLong, jacIdxPath, jacPairsPath, "doc_id",
+            "text", 3, 0.8, 64, 8, 5, 1 << 16, 1024))
+        val p = timed(graft.operators.Dedup
+          .ngramJaccardAgainstPath(jacProbe, jacIdxPath,
+            "doc_id", "text", maxGramPostings = 1024).count())
+        (w, p)
+      }
+      jacProbe.unpersist(); jacDocs.unpersist()
+      c
     }
+    jacCurve.zipWithIndex.foreach { case ((w, p), ep) =>
+      println(f"[stress-streaming] jaccard_index_epochs epoch=$ep " +
+        f"apply_sec=$w%.2f probe_sec=$p%.2f")
+    }
+    probeDocs.unpersist()
+    sigDocs.unpersist()
+
+    // growth summary: late-epoch cost vs the first post-bootstrap
+    // epoch (NaN: section skipped by the selector)
+    def ratio(c: Seq[(Double, Long, Long)]): Double =
+      if (c.size < 4) Double.NaN
+      else (c.takeRight(3).map(_._1).sum / 3) / math.max(c(1)._1, 0.001)
     def ratio1(c: Seq[Double]): Double =
-      (c.takeRight(3).sum / 3) / math.max(c(1), 0.001)
+      if (c.size < 4) Double.NaN
+      else (c.takeRight(3).sum / 3) / math.max(c(1), 0.001)
     println(f"[stress-streaming] epoch-cost growth (last3avg / e1): " +
       f"merge=${ratio(mergeCurve)}%.2fx index=${ratio(idxCurve)}%.2fx " +
       f"components=${ratio(compCurve)}%.2fx " +
@@ -223,6 +283,8 @@ object StressStreaming {
       f"banded_probe=${ratio1(bandCurve.map(_._2))}%.2fx " +
       f"emb_apply=${ratio1(embCurve.map(_._1))}%.2fx " +
       f"emb_probe=${ratio1(embCurve.map(_._2))}%.2fx " +
+      f"jaccard_apply=${ratio1(jacCurve.map(_._1))}%.2fx " +
+      f"jaccard_probe=${ratio1(jacCurve.map(_._2))}%.2fx " +
       f"over $epochs epochs")
     spark.stop()
   }

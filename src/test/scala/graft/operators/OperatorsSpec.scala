@@ -1570,6 +1570,30 @@ class OperatorsSpec extends SparkSpecBase {
         s"$capped vs $direct")
   }
 
+  test("jaccard viral-gram guard answers over-cap grams with the hub") {
+    // the AllPairs worst case: every corpus doc shares the SAME gram
+    // set, so each "rare" prefix gram carries a corpus-scale posting
+    // list and the candidate join is quadratic. The guard answers
+    // over-cap grams with their min-id hub posting only.
+    val viral = "same viral boilerplate mirrored verbatim across every " +
+      "single host in the farm with nothing changed at all anywhere"
+    val corpus = (1L to 200L).map(i => (i, viral)).toDF("doc_id", "text")
+    val batch = Seq((1000L, viral)).toDF("doc_id", "text")
+    val idx = Dedup.buildJaccardIndex(corpus, "doc_id", "text",
+      k = 3, threshold = 0.8)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = Dedup.ngramJaccardAgainst(batch, idx, "doc_id", "text")
+      .collect().map(key).toSet
+    assert(exact.size == 200, s"uncapped default stays exact: $exact")
+    val guarded = Dedup.ngramJaccardAgainst(batch, idx, "doc_id",
+        "text", maxGramPostings = 10)
+      .collect().map(key).toSet
+    assert(guarded == Set((1000L, 1L)),
+      s"over-cap grams must answer with the min-id hub only, " +
+        s"exactly verified: $guarded")
+    assert(guarded.subsetOf(exact), "the guard may only drop pairs")
+  }
+
   test("published embedding index round-trips and serves the probe") {
     val vecs = ((1L to 20L).map(i =>
       (i, Seq(1.0f + i * 0.001f, 0.5f, 0.25f))) ++
