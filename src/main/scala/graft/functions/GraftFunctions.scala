@@ -347,6 +347,20 @@ object GraftFunctions {
             litString(args(2), "index_path")),
           litString(args(3), "id_col"), litString(args(4), "vec_col"),
           if (args.length > 5) litDouble(args(5), "threshold") else 0.9)
+      },
+      // the hamming family has no path layout — its "index" is the
+      // persisted fingerprint TABLE (Dedup.simhash output), so both
+      // relation arguments are table/view names, like the embedding
+      // TVF's corpus argument
+      tvf("graft_simhash_probe",
+        "(batch_table, fps_table, id_col, text_col[, bits, " +
+          "max_hamming])", 4, 6) { (spark, args) =>
+        graft.operators.Dedup.simhashNearDupsAgainst(
+          spark.table(litString(args(0), "batch_table")),
+          spark.table(litString(args(1), "fps_table")),
+          litString(args(2), "id_col"), litString(args(3), "text_col"),
+          if (args.length > 4) litInt(args(4), "bits") else 32,
+          if (args.length > 5) litInt(args(5), "max_hamming") else 3)
       })
   }
 

@@ -2457,6 +2457,22 @@ object TrainingDataQueries {
       },
       Some(incrEmbeddingSql)),
 
+    "sql_simhash_probe_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = table(s, d, "documents")
+        Dedup.simhash(docs.filter(col("doc_id") % IncrMod =!= 0),
+            "doc_id", "text", SimhashBits)
+          .createOrReplaceTempView("graft_tvf_fps")
+        docs.filter(col("doc_id") % IncrMod === 0)
+          .createOrReplaceTempView("graft_tvf_batch")
+        s.sql(s"""SELECT new_id, corpus_id, hamming
+                 |FROM graft_simhash_probe('graft_tvf_batch',
+                 |  'graft_tvf_fps', 'doc_id', 'text', $SimhashBits,
+                 |  $MaxHamming)""".stripMargin)
+      },
+      Some(incrSimhashSql)),
+
     "dedup_exact" -> QueryDef(
       (s, d) => Dedup.exact(table(s, d, "documents"), "doc_id", "text"),
       Some(s"""SELECT ${StableHash.hash60Sql("text")} AS text_hash,

@@ -149,6 +149,18 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(keys(eSql).nonEmpty && keys(eSql) == keys(eDf),
       "graft_embedding_probe must equal the DataFrame probe")
 
+    // the hamming family's "index" is the persisted fingerprint
+    // TABLE, so both relation args are view names
+    Dedup.simhash(corpus, "doc_id", "text", 32)
+      .createOrReplaceTempView("gfs_probe_fps")
+    val shSql = spark.sql(s"SELECT * FROM graft_simhash_probe(" +
+      s"'gfs_probe_batch', 'gfs_probe_fps', 'doc_id', 'text', 32, 3)")
+    val shDf = Dedup.simhashNearDupsAgainst(batch,
+      Dedup.simhash(corpus, "doc_id", "text", 32), "doc_id", "text",
+      32, 3)
+    assert(keys(shSql).nonEmpty && keys(shSql) == keys(shDf),
+      "graft_simhash_probe must equal the DataFrame probe")
+
     // TVFs compose inside larger SQL (CTE + aggregate over the TVF)
     val n = spark.sql(s"SELECT count(*) AS n FROM graft_minhash_probe(" +
       s"'gfs_probe_batch', '$sdir', 'doc_id', 'text', 0.5)")
