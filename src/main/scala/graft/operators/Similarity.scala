@@ -40,6 +40,60 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("neighbor_id"))
 
+  /** Public spelling of the two-phase bounded ranking: turn any scored
+    * candidate frame `(query_id, neighbor_id, sim)` into the ranked
+    * retrieval shape `(query_id, rank, neighbor_id)` every search
+    * family here emits (sim desc, neighbor_id asc, top `k`) — without
+    * the one-reducer-per-query window straggler. This is how a
+    * NON-vector retrieval list (e.g. [[TextSearch.searchTopK]] output,
+    * scored by exact integer tf·idf) joins the ranked-list vocabulary
+    * that [[rrfFuse]] and [[recallAudit]] consume.
+    */
+  def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k ($k) must be > 0")
+    topKRanked(scored, k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke's RRF, the standard
+    * hybrid-retrieval combiner): fuse N ranked lists in the
+    * `(query_id, rank, neighbor_id)` shape into one ranked list per
+    * query, scoring each candidate `Σ_lists 1/(rrfK + rank)` — a doc
+    * ranked by several retrievers beats a doc ranked by one, without
+    * ever comparing the retrievers' incommensurable scores (exact
+    * integer tf·idf vs float cosine). Emits
+    * `(query_id, rank, neighbor_id, rrf)`, rrf desc / neighbor_id asc,
+    * top `k`.
+    *
+    * Scale shape: every input list is (queries × k) rows by the ranked
+    * contract, so the union + fusion rollup is panel-sized regardless
+    * of corpus size — the heavy work stays inside the upstream
+    * retrievers. The fused frame is persisted across its two
+    * references (the bounded ranking and the score re-attach join);
+    * recomputing it would re-run every upstream retrieval.
+    * Determinism: with the typical two retrievers a candidate's rrf is
+    * one addition of two doubles (commutative — bit-exact regardless
+    * of task order); ties break neighbor_id-ascending.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k > 0 && rrfK > 0,
+      s"k ($k) and rrfK ($rrfK) must be > 0")
+    val u = lists.map(_.select(col("query_id"),
+        col("neighbor_id").cast("long").as("neighbor_id"),
+        col("rank").cast("long").as("rank")))
+      .reduce(_.unionByName(_))
+    val fused = u.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(lit(1.0) / (lit(rrfK) + col("rank"))).as("rrf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = topKRanked(
+        fused.select(col("query_id"), col("neighbor_id"),
+          col("rrf").as("sim")), k)
+      .join(fused, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("rrf"))
+    Dedup.releaseAfter(out, fused)
+  }
+
   /** Brute-force cosine top-k. `queries` is expected to be small (it is
     * broadcast); the corpus streams through the codegen'd dot product
     * without shuffling. Output: (query_id, rank, neighbor_id).

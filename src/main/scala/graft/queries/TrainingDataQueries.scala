@@ -132,6 +132,12 @@ object TrainingDataQueries {
   private val TfidfK = 5
   private val SearchTerms = Seq("spark", "merge", "window")
   private val SearchK = 20
+  // hybrid retrieval: RRF fusion of the lexical top-k (fixed terms)
+  // and the cosine top-k of one query doc's embedding (vec_id and
+  // doc_id share one universe in the fixture — embeddings ARE the
+  // documents' embeddings). rrfK=60 is the literature default.
+  private val HybridQueryId = 7
+  private val RrfK = 60
 
   /** tf per distinct (doc, term), blank terms dropped — the oracle twin
     * of TextSearch.docTermTf.
@@ -684,6 +690,54 @@ object TrainingDataQueries {
     s"""WITH $annTopkCtes
        |SELECT query_id, rank, neighbor_id FROM r
        |WHERE rank <= $AnnK""".stripMargin
+
+  /** Hybrid retrieval oracle: the text_search_topk lexical list and a
+    * single-query brute-force cosine list, fused by reciprocal-rank —
+    * `Σ 1/(rrfK + rank)` per candidate, ties neighbor-id-ascending.
+    * The 1/x literal is CAST(...) AS DOUBLE (DuckDB parses `1.0` as
+    * DECIMAL and folds differently); each candidate sums at most two
+    * doubles, and two-double addition is commutative, so the rrf value
+    * is bit-identical in both engines regardless of task order.
+    */
+  private val hybridRrfSql =
+    s"""WITH $termTfCte,
+       |tfs AS (SELECT * FROM tfq WHERE term IN
+       |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+       |${tfidfScoredCte("tfs")},
+       |m AS (SELECT doc_id, count(*) AS nm,
+       |  CAST(sum(score) AS BIGINT) AS score
+       |  FROM sc GROUP BY doc_id),
+       |lexk AS (SELECT doc_id, score FROM m
+       |  WHERE nm = ${SearchTerms.size}
+       |  ORDER BY score DESC, doc_id LIMIT $SearchK),
+       |lex AS (SELECT CAST($HybridQueryId AS BIGINT) AS query_id,
+       |  doc_id AS neighbor_id,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM lexk),
+       |hq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id = $HybridQueryId),
+       |hc AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+       |  FROM embeddings),
+       |hs AS (SELECT query_id, neighbor_id,
+       |  list_dot_product(qv, cv) /
+       |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+       |    AS sim
+       |  FROM hq, hc WHERE query_id <> neighbor_id),
+       |hr AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM hs),
+       |u AS (SELECT query_id, neighbor_id, rank FROM lex
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, rank FROM hr
+       |  WHERE rank <= $SearchK),
+       |f AS (SELECT query_id, neighbor_id,
+       |  sum(CAST(1 AS DOUBLE) / ($RrfK + rank)) AS rrf
+       |  FROM u GROUP BY query_id, neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, rrf, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rank
+       |  FROM f)
+       |SELECT query_id, rank, neighbor_id, rrf FROM rk
+       |WHERE rank <= $SearchK""".stripMargin
 
   /** Product-quantization chain ending in `pqr(query_id, neighbor_id,
     * rank)` — replays [[graft.functions.PqOps]] exactly: seeded-hash
@@ -4303,6 +4357,30 @@ object TrainingDataQueries {
               |  CAST(sum(score) AS BIGINT) AS score
               |  FROM sc GROUP BY doc_id)
               |SELECT doc_id, score FROM m WHERE nm = ${SearchTerms.size}
-              |ORDER BY score DESC, doc_id LIMIT $SearchK""".stripMargin))
+              |ORDER BY score DESC, doc_id LIMIT $SearchK""".stripMargin)),
+
+    // hybrid retrieval: the lexical tf·idf top-k and the cosine top-k
+    // of one query doc's embedding, fused by reciprocal rank
+    // (Similarity.rrfFuse) — the standard serving combiner when the
+    // two retrievers' scores are incommensurable. rankTopK lifts the
+    // lexical list into the ranked (query_id, rank, neighbor_id)
+    // vocabulary; the exact integer tf·idf score casts to double
+    // losslessly (far below 2^53)
+    "hybrid_search_rrf" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val emb = table(s, d, "embeddings")
+        val lex = Similarity.rankTopK(
+          graft.operators.TextSearch.searchTopK(
+              docs, "doc_id", "text", SearchTerms, SearchK)
+            .select(lit(HybridQueryId.toLong).as("query_id"),
+              col("doc_id").cast("long").as("neighbor_id"),
+              col("score").cast("double").as("sim")), SearchK)
+        val vec = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === HybridQueryId), "vec_id",
+          "embedding", SearchK)
+        Similarity.rrfFuse(Seq(lex, vec), SearchK, RrfK)
+      },
+      Some(hybridRrfSql))
   )
 }

@@ -256,6 +256,31 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.toSeq == Seq(2L, 3L))
   }
 
+  test("rrfFuse ranks multi-list agreement above single-list rank") {
+    // query 7: doc 30 is rank-2 lexically and rank-3 by vector —
+    // 1/62 + 1/63 beats doc 10's lone 1/61 and doc 40's lone 1/61, so
+    // agreement wins even against a better single-list rank (the RRF
+    // property the operator exists for). Ties break neighbor-id asc.
+    val lex = Seq((7L, 1L, 10L), (7L, 2L, 30L), (7L, 3L, 50L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val vec = Seq((7L, 1L, 40L), (7L, 2L, 50L), (7L, 3L, 30L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val fused = Similarity.rrfFuse(Seq(lex, vec), 3, rrfK = 60)
+      .orderBy("rank")
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSeq
+    // rrf: 30 -> 1/62+1/63 ≈ .03200; 50 -> 1/63+1/62 (same!) tie with
+    // 30 broken by neighbor_id; 10/40 -> 1/61 ≈ .01639
+    assert(fused == Seq((1L, 30L), (2L, 50L), (3L, 10L)),
+      s"got $fused")
+    // rankTopK lifts a scored list into the ranked shape
+    val scored = Seq((7L, 10L, 5.0), (7L, 20L, 9.0), (7L, 30L, 9.0))
+      .toDF("query_id", "neighbor_id", "sim")
+    val ranked = Similarity.rankTopK(scored, 2)
+      .orderBy("rank").select("rank", "neighbor_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(ranked == Seq((1L, 20L), (2L, 30L)), s"got $ranked")
+  }
+
   test("IVF topk approximates brute force on clustered data") {
     val emb = graft.queries.Q.table(spark, sfDir, "embeddings")
     val centroids = Similarity.seedCentroids(emb, "vec_id", "embedding", 50)
