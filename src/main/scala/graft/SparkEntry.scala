@@ -110,5 +110,8 @@ object SparkEntry {
     // index build (publish once in production); what the bench tracks
     // is the probe machinery's round-over-round drift
     "dedup_incremental_simhash", "dedup_incremental_embedding",
-    "dedup_incremental_jaccard", "text_search_from_index")
+    "dedup_incremental_jaccard", "text_search_from_index",
+    // round-15 addition: hybrid retrieval — lexical tf·idf top-k and
+    // cosine top-k fused by reciprocal rank, the serving-path combiner
+    "hybrid_search_rrf")
 }

@@ -739,6 +739,56 @@ object TrainingDataQueries {
        |SELECT query_id, rank, neighbor_id, rrf FROM rk
        |WHERE rank <= $SearchK""".stripMargin
 
+  /** Served hybrid twin: the SAME RRF fusion, but both retrievers run
+    * from their index layouts — lexical candidates from the capped
+    * inverted index (the text_search_from_index chain; its candidate
+    * CTE is renamed `lcand` because the IVF body owns `cand`), the
+    * vector list from the IVF assign/probe/rank body. The IVF oracle
+    * ranks the standard query panel and the fusion filters to the one
+    * hybrid query — identical rows to the engine's single-query probe.
+    */
+  private lazy val hybridFromIndexSql =
+    s"""WITH $termTfCte,
+       |idx AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+       |post AS (SELECT term, doc_id,
+       |  row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1
+       |    AS slot
+       |  FROM tfq),
+       |qpost AS (SELECT term, doc_id FROM post
+       |  WHERE slot < $InvIdxMaxPostings AND term IN
+       |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+       |lcand AS (SELECT DISTINCT doc_id FROM qpost),
+       |ntot AS (SELECT count(*) AS n_docs FROM documents),
+       |ctf AS (SELECT t.doc_id, t.term, t.tf FROM tfq t
+       |  JOIN lcand c ON t.doc_id = c.doc_id
+       |  WHERE t.term IN
+       |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+       |m AS (SELECT doc_id, count(*) AS nm,
+       |  CAST(sum(tf * ((n_docs * ${graft.operators.TextSearch.IdfScale})
+       |    // df)) AS BIGINT) AS score
+       |  FROM ctf JOIN idx USING (term), ntot GROUP BY doc_id),
+       |lexk AS (SELECT doc_id, score FROM m
+       |  WHERE nm = ${SearchTerms.size}
+       |  ORDER BY score DESC, doc_id LIMIT $SearchK),
+       |lex AS (SELECT CAST($HybridQueryId AS BIGINT) AS query_id,
+       |  doc_id AS neighbor_id,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM lexk),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$ivfBody,
+       |u AS (SELECT query_id, neighbor_id, rank FROM lex
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, rank FROM r
+       |  WHERE rank <= $SearchK AND query_id = $HybridQueryId),
+       |f AS (SELECT query_id, neighbor_id,
+       |  sum(CAST(1 AS DOUBLE) / ($RrfK + rank)) AS rrf
+       |  FROM u GROUP BY query_id, neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, rrf, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rank
+       |  FROM f)
+       |SELECT query_id, rank, neighbor_id, rrf FROM rk
+       |WHERE rank <= $SearchK""".stripMargin
+
   /** Product-quantization chain ending in `pqr(query_id, neighbor_id,
     * rank)` — replays [[graft.functions.PqOps]] exactly: seeded-hash
     * codebook (the PqKsub smallest-hash vectors), per-subspace argmin
@@ -4381,6 +4431,35 @@ object TrainingDataQueries {
           "embedding", SearchK)
         Similarity.rrfFuse(Seq(lex, vec), SearchK, RrfK)
       },
-      Some(hybridRrfSql))
+      Some(hybridRrfSql)),
+
+    // the SERVED hybrid: both retrievers answer from index layouts —
+    // lexical candidates from the capped inverted index (df and
+    // candidates never rescan the corpus' non-matching docs), the
+    // vector list from the IVF assign/probe/rank path (~nprobe/nlist
+    // of the corpus touched). The fusion is identical; only where the
+    // ranked lists COME FROM changes, which is the whole serving story
+    "hybrid_search_from_index" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val emb = table(s, d, "embeddings")
+        val lex = Similarity.rankTopK(
+          graft.operators.TextSearch.searchTopKFromIndex(
+              graft.operators.TextSearch.invertedIndex(
+                docs, "doc_id", "text", InvIdxMaxPostings),
+              docs, "doc_id", "text", SearchTerms, SearchK)
+            .select(lit(HybridQueryId.toLong).as("query_id"),
+              col("doc_id").cast("long").as("neighbor_id"),
+              col("score").cast("double").as("sim")), SearchK)
+        val centroids = Similarity.seedCentroids(emb, "vec_id",
+          "embedding", every = 50)
+        val assigned = Similarity.ivfAssign(emb, centroids, "vec_id",
+          "embedding")
+        val vec = Similarity.ivfTopK(assigned, centroids,
+          emb.filter(col("vec_id") === HybridQueryId), "vec_id",
+          "embedding", SearchK, nprobe = 4)
+        Similarity.rrfFuse(Seq(lex, vec), SearchK, RrfK)
+      },
+      Some(hybridFromIndexSql))
   )
 }
