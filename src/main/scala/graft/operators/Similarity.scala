@@ -67,9 +67,14 @@ object Similarity {
     * Scale shape: every input list is (queries × k) rows by the ranked
     * contract, so the union + fusion rollup is panel-sized regardless
     * of corpus size — the heavy work stays inside the upstream
-    * retrievers. The fused frame is persisted across its two
-    * references (the bounded ranking and the score re-attach join);
-    * recomputing it would re-run every upstream retrieval.
+    * retrievers. BECAUSE the input is bounded by that contract, the
+    * final ranking is a `query_id`-partitioned window over ≤ lists×k
+    * rows per query — the one place in this file a window beats the
+    * two-phase BoundedTopK shape: it keeps the fused frame single-
+    * reference (BoundedTopK drops the score, and re-attaching it
+    * needs a second reference = a persist + eager checkpoint, which
+    * the 2M-doc serving soak measured as ~0.6 s of constant overhead
+    * per fused query — pure scheduling, but the dominant fusion cost).
     * Determinism: with the typical two retrievers a candidate's rrf is
     * one addition of two doubles (commutative — bit-exact regardless
     * of task order); ties break neighbor_id-ascending.
@@ -84,14 +89,12 @@ object Similarity {
       .reduce(_.unionByName(_))
     val fused = u.groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(lit(1.0) / (lit(rrfK) + col("rank"))).as("rrf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = topKRanked(
-        fused.select(col("query_id"), col("neighbor_id"),
-          col("rrf").as("sim")), k)
-      .join(fused, Seq("query_id", "neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("rrf"))
-    Dedup.releaseAfter(out, fused)
   }
 
   /** Brute-force cosine top-k. `queries` is expected to be small (it is
