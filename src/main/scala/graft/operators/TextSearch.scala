@@ -279,4 +279,49 @@ object TextSearch {
       .limit(k)
       .select(col("doc_id"), col("score"))
   }
+
+  /** Disjunctive (OR) ranked retrieval for a PANEL of queries in ONE
+    * corpus pass — the "more-like-this" serving shape: `queryTerms` is
+    * (query_id, term) rows (e.g. a per-doc [[tfidfKeywords]] slice),
+    * and a doc scores `Σ tf·idfW` over whichever query terms it
+    * contains — OR semantics, unlike [[searchTopK]]'s every-term AND.
+    * Emits `(query_id, rank, neighbor_id)` (score desc, id asc, top k
+    * per query — the ranked-list shape [[Similarity.rrfFuse]] and
+    * [[Similarity.recallAudit]] consume). The exact integer score
+    * casts to double losslessly for the bounded ranking (bounded far
+    * below 2^53: tf ≤ doc length, idfW ≤ n_docs × IdfScale, ≤ |terms|
+    * addends).
+    *
+    * Scale shape: the corpus' row-local term stream semi-joins the
+    * BROADCAST distinct query-term set before any exchange, so the
+    * corpus collapses to the matched (doc, term, tf) sliver; df over
+    * that sliver is the exact corpus-wide df (every doc containing the
+    * term survives the semi-join); the per-(query, doc) rollup and the
+    * BoundedTopK ranking move sliver-sized rows only. `queryTerms` is
+    * panel-sized by contract and persists across its two consumers
+    * (the term set and the scoring pair join).
+    */
+  def searchTopKBatch(docs: DataFrame, idCol: String, textCol: String,
+                      queryTerms: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k ($k) must be > 0")
+    val qt = queryTerms.select(col("query_id"),
+        lower(col("term")).as("term")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termSet = qt.select(col("term")).distinct()
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val dt0 = docTermTf(docs, idCol, textCol)
+      .join(broadcast(termSet), "term")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfTbl = dt0.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = dt0.join(broadcast(dfTbl), "term")
+      .join(broadcast(qt), "term")
+      .crossJoin(broadcast(n))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr(s"tf * ($idfWeightExpr)")).as("score"))
+    val out = graft.operators.Similarity.rankTopK(
+      scored.select(col("query_id"),
+        col("doc_id").as("neighbor_id"),
+        col("score").cast("double").as("sim")), k)
+    Dedup.releaseAfterAll(out, qt, dt0)
+  }
 }

@@ -138,6 +138,10 @@ object TrainingDataQueries {
   // documents' embeddings). rrfK=60 is the literature default.
   private val HybridQueryId = 7
   private val RrfK = 60
+  // more-like-this: the first MltQueries docs play the query panel,
+  // each querying the corpus with its own top-TfidfK keywords
+  private val MltQueries = 10
+  private val MltK = 10
 
   /** tf per distinct (doc, term), blank terms dropped — the oracle twin
     * of TextSearch.docTermTf.
@@ -738,6 +742,33 @@ object TrainingDataQueries {
        |  FROM f)
        |SELECT query_id, rank, neighbor_id, rrf FROM rk
        |WHERE rank <= $SearchK""".stripMargin
+
+  /** More-like-this oracle: the tfidf-keyword CTE picks each panel
+    * doc's top terms (score desc, term asc — text_tfidf_keywords'
+    * rank), then every (query, doc) pair sums the exact integer tf·idf
+    * of the query terms the doc contains (OR semantics), ranked per
+    * query. The engine ranks the bigint score through a lossless
+    * double cast (≤ |terms| addends, each far below 2^53), so the
+    * order is identical.
+    */
+  private lazy val mltSql =
+    s"""WITH $termTfCte,
+       |${tfidfScoredCte("tfq")},
+       |kw AS (SELECT doc_id, term, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term) AS krank
+       |  FROM sc),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM kw
+       |  WHERE krank <= $TfidfK AND doc_id < $MltQueries),
+       |ms AS (SELECT q.query_id, s.doc_id,
+       |  CAST(sum(s.score) AS BIGINT) AS score
+       |  FROM sc s JOIN qt q USING (term)
+       |  GROUP BY q.query_id, s.doc_id),
+       |mrk AS (SELECT query_id, doc_id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rank
+       |  FROM ms)
+       |SELECT query_id, rank, neighbor_id FROM mrk
+       |WHERE rank <= $MltK""".stripMargin
 
   /** Served hybrid twin: the SAME RRF fusion, but both retrievers run
     * from their index layouts — lexical candidates from the capped
@@ -4460,6 +4491,21 @@ object TrainingDataQueries {
           "embedding", SearchK, nprobe = 4)
         Similarity.rrfFuse(Seq(lex, vec), SearchK, RrfK)
       },
-      Some(hybridFromIndexSql))
+      Some(hybridFromIndexSql)),
+
+    // more-like-this: each panel doc queries the corpus with its own
+    // top tf·idf keywords through the one-pass disjunctive batch
+    // retrieval (self-match expected at rank 1 — the sanity signal)
+    "more_like_this" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val qt = graft.operators.TextSearch.tfidfKeywords(
+            docs, "doc_id", "text", TfidfK)
+          .filter(col("doc_id") < MltQueries)
+          .select(col("doc_id").as("query_id"), col("term"))
+        graft.operators.TextSearch.searchTopKBatch(
+          docs, "doc_id", "text", qt, MltK)
+      },
+      Some(mltSql))
   )
 }

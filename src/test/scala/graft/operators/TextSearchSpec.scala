@@ -155,6 +155,28 @@ class TextSearchSpec extends SparkSpecBase {
       "global top-k must compile to TakeOrderedAndProject")
   }
 
+  test("searchTopKBatch: disjunctive OR, panel isolation, rank order") {
+    // query 100 asks {a, c}: unlike searchTopK's AND, docs with only
+    // ONE of the terms still rank. N=4 docs; df(a)=3 -> idfW 1333333,
+    // df(c)=1 -> 4000000. doc1 = 2*1333333 (tf(a)=2), doc2 =
+    // 1333333+4000000, doc3 = 1333333. query 200 asks {d}: doc3 only
+    // (df(d)=1 -> 4000000) — panels must not leak into each other.
+    val qt = Seq((100L, "a"), (100L, "c"), (200L, "d"))
+      .toDF("query_id", "term")
+    val out = TextSearch.searchTopKBatch(corpus, "doc_id", "text", qt, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(out == Seq(
+      (100L, 1L, 2L), // 5333333
+      (100L, 2L, 1L), // 2666666
+      (100L, 3L, 3L), // 1333333
+      (200L, 1L, 3L)), s"got $out")
+    // k cuts per query, not globally
+    val top1 = TextSearch.searchTopKBatch(corpus, "doc_id", "text", qt, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+    assert(top1 == Seq((100L, 2L), (200L, 3L)), s"got $top1")
+  }
+
   test("searchTopKFromIndex: exact when df <= cap, bounded-recall beyond") {
     val docs = Seq(
       (1L, "q q q w"),
