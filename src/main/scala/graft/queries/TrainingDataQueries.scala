@@ -770,6 +770,44 @@ object TrainingDataQueries {
        |SELECT query_id, rank, neighbor_id FROM mrk
        |WHERE rank <= $MltK""".stripMargin
 
+  /** Multi-query hybrid oracle: the more_like_this CTE chain (lexical
+    * panel lists) unioned with the brute-force cosine CTE chain
+    * (`annTopkCtes` ranks vec_id < AnnNumQueries; the fusion filters
+    * to the MLT panel), fused by the same reciprocal-rank formula.
+    * CTE namespaces are disjoint (words/tfq/sc/kw/qt/ms/mrk vs
+    * q/c/s/r). Still at most two double addends per candidate.
+    */
+  private lazy val hybridMltSql =
+    s"""WITH $termTfCte,
+       |${tfidfScoredCte("tfq")},
+       |kw AS (SELECT doc_id, term, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term) AS krank
+       |  FROM sc),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM kw
+       |  WHERE krank <= $TfidfK AND doc_id < $MltQueries),
+       |ms AS (SELECT q.query_id, s.doc_id,
+       |  CAST(sum(s.score) AS BIGINT) AS score
+       |  FROM sc s JOIN qt q USING (term)
+       |  GROUP BY q.query_id, s.doc_id),
+       |mrk AS (SELECT query_id, doc_id AS neighbor_id,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rank
+       |  FROM ms),
+       |$annTopkCtes,
+       |u AS (SELECT query_id, neighbor_id, rank FROM mrk
+       |  WHERE rank <= $MltK
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, rank FROM r
+       |  WHERE rank <= $MltK AND query_id < $MltQueries),
+       |f AS (SELECT query_id, neighbor_id,
+       |  sum(CAST(1 AS DOUBLE) / ($RrfK + rank)) AS rrf
+       |  FROM u GROUP BY query_id, neighbor_id),
+       |frk AS (SELECT query_id, neighbor_id, rrf, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rank
+       |  FROM f)
+       |SELECT query_id, rank, neighbor_id, rrf FROM frk
+       |WHERE rank <= $MltK""".stripMargin
+
   /** Served hybrid twin: the SAME RRF fusion, but both retrievers run
     * from their index layouts — lexical candidates from the capped
     * inverted index (the text_search_from_index chain; its candidate
@@ -4506,6 +4544,28 @@ object TrainingDataQueries {
         graft.operators.TextSearch.searchTopKBatch(
           docs, "doc_id", "text", qt, MltK)
       },
-      Some(mltSql))
+      Some(mltSql)),
+
+    // MULTI-query hybrid: the whole more_like_this panel fused with
+    // each doc's cosine neighbors — rrfFuse's panel path in one row
+    // (the single-query hybrid rows exercise only query_id = 7).
+    // Lexical MLT includes the self-match; the ANN list excludes self
+    // by construction — RRF just sees one list that voted for it
+    "hybrid_mlt_rrf" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val emb = table(s, d, "embeddings")
+        val qt = graft.operators.TextSearch.tfidfKeywords(
+            docs, "doc_id", "text", TfidfK)
+          .filter(col("doc_id") < MltQueries)
+          .select(col("doc_id").as("query_id"), col("term"))
+        val lex = graft.operators.TextSearch.searchTopKBatch(
+          docs, "doc_id", "text", qt, MltK)
+        val vec = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < MltQueries), "vec_id",
+          "embedding", MltK)
+        Similarity.rrfFuse(Seq(lex, vec), MltK, RrfK)
+      },
+      Some(hybridMltSql))
   )
 }
