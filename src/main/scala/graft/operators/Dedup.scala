@@ -1192,6 +1192,13 @@ object Dedup {
     * capped at `maxPoints`; above the cap the probe falls back to the
     * flat scan of the same published files — oracle-identical, and
     * the measured faster plan for large batches (docs/SEARCH_SOAK.md).
+    *
+    * `maxGramPostings` (default unlimited = exact) is the viral-gram
+    * guard: a gram whose posting list exceeds the cap answers with
+    * its min-id hub posting only, so (batch, non-hub) pairs reachable
+    * ONLY through over-cap grams are intentionally dropped —
+    * representative output, NOT the exact pair set, when the cap is
+    * set (the minhash `maxBucket` trade; see [[ngramJaccardAgainst]]).
     */
   def ngramJaccardAgainstPath(newDocs: DataFrame, path: String,
                               idCol: String, textCol: String,
@@ -1274,8 +1281,15 @@ object Dedup {
     * a consistent extension of the total order, and unseen grams cannot
     * match any corpus prefix anyway), joined against the stored corpus
     * prefix index, length-filtered, then verified EXACTLY from the
-    * stored shingle sets. Emits `(new_id, corpus_id, jaccard)` — no
-    * false negatives, same soundness as the all-pairs run.
+    * stored shingle sets. Emits `(new_id, corpus_id, jaccard)` — at
+    * the default `maxGramPostings` (unlimited): no false negatives,
+    * same soundness as the all-pairs run. Setting the cap enables the
+    * viral-gram guard and TRADES that completeness: an over-cap gram
+    * answers with its min-id hub posting only, so (batch, non-hub)
+    * pairs reachable only through over-cap grams are intentionally
+    * dropped — representative output for adversarial/small-vocab
+    * corpora where the exact candidate join goes quadratic (the
+    * minhash `maxBucket` trade).
     */
   def ngramJaccardAgainst(newDocs: DataFrame, index: JaccardIndex,
                           idCol: String, textCol: String,
@@ -1332,9 +1346,18 @@ object Dedup {
     val cprefix =
       if (!guarded) index.prefix
       else {
-        val stats = index.prefix.groupBy(col("g"))
+        // guard work scales with the BATCH's grams, not the corpus
+        // vocabulary: the broadcast semi-join keeps only the posting
+        // lists of grams the batch actually probes (whole lists — the
+        // per-gram counts stay exact), and the stats rollup is then
+        // bounded by batch-grams × cap-ish rows, small enough to
+        // BROADCAST back — no corpus-sized aggregate, no shuffle join
+        // of the prefix table per probe
+        val gset = broadcast(nprefix.select(col("g")).distinct())
+        val relevant = index.prefix.join(gset, Seq("g"), "leftsemi")
+        val stats = relevant.groupBy(col("g"))
           .agg(count(lit(1)).as("__n"), min(col("id")).as("__hub"))
-        index.prefix.join(stats, Seq("g"))
+        relevant.join(broadcast(stats), Seq("g"))
           .filter(col("__n") <= maxGramPostings ||
             col("id") === col("__hub"))
           .drop("__n", "__hub")

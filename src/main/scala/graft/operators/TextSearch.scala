@@ -287,10 +287,13 @@ object TextSearch {
     * contains — OR semantics, unlike [[searchTopK]]'s every-term AND.
     * Emits `(query_id, rank, neighbor_id)` (score desc, id asc, top k
     * per query — the ranked-list shape [[Similarity.rrfFuse]] and
-    * [[Similarity.recallAudit]] consume). The exact integer score
-    * casts to double losslessly for the bounded ranking (bounded far
-    * below 2^53: tf ≤ doc length, idfW ≤ n_docs × IdfScale, ≤ |terms|
-    * addends).
+    * [[Similarity.recallAudit]] consume). The exact integer score is
+    * ranked through a double cast — lossless while total scores stay
+    * under 2^53, which holds up to corpora of ~10^9 docs (a df=1 term
+    * at n_docs ≥ ~9·10^9 pushes idfW alone past 2^53, where distinct
+    * integer scores could collapse to one double and ties break by id
+    * instead of exact score); beyond that regime rank from the exact
+    * long scores directly.
     *
     * Scale shape: the corpus' row-local term stream semi-joins the
     * BROADCAST distinct query-term set before any exchange, so the

@@ -77,7 +77,10 @@ object StressHybrid {
     }
     val centPath = s"$workDir/centroids.parquet"
     val ivfPath = s"$workDir/ivf_index"
-    if (!exists(centPath)) {
+    // gate on BOTH artifacts: a crash between the centroid write and
+    // the IVF publish must rebuild the pair, not skip into a missing
+    // or half-written ivf_index
+    if (!exists(centPath) || !exists(ivfPath)) {
       // 256 seeded centroids; cluster-partitioned IVF layout so the
       // probe reads only its nprobe partitions off storage
       val every = math.max(1L, nDocs / 256L)

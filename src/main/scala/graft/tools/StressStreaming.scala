@@ -121,7 +121,11 @@ object StressStreaming {
     // honest growth alongside the flat append.
     val sigIdxPath = s"$workDir/sig-index"
     val sigPairsPath = s"$workDir/sig-pairs"
-    val sigDocs = StressCurate.synthesize(spark, epochs * 50000L)
+    // the 1M-doc sig universe and its probe slice serve ONLY the sig
+    // and banded sections — lazy + gated so a selector run of another
+    // section never synthesizes, persists, or materializes them
+    val needSig = want("sig") || want("banded")
+    lazy val sigDocs = StressCurate.synthesize(spark, epochs * 50000L)
       .select(col("doc_id"), col("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigCurve = if (!want("sig")) Nil
@@ -147,23 +151,31 @@ object StressStreaming {
     // every epoch.
     val bandIdxPath = s"$workDir/band-index"
     val bandPairsPath = s"$workDir/band-pairs"
-    val probeDocs = sigDocs.filter(col("doc_id") % 997 === 0)
-      .limit(1000)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    probeDocs.count()
     val bandCurve = if (!want("banded")) Nil
-    else (0 until epochs).map { ep =>
-      val batch = sigDocs.filter(col("doc_id") >= ep * 50000L &&
-        col("doc_id") < (ep + 1) * 50000L)
-      val w = timed(
-        graft.streaming.StreamingBandedSignatureIndex.applyBatch(
-          batch, ep.toLong, bandIdxPath, bandPairsPath, "doc_id",
-          "text", 3, 12, 3, 64, 8, 0.5))
-      val p = timed(graft.operators.Dedup
-        .minhashNearDupsAgainstBandedIndex(probeDocs, bandIdxPath,
-          "doc_id", "text").count())
-      (w, p)
+    else {
+      val probeDocs = sigDocs.filter(col("doc_id") % 997 === 0)
+        .limit(1000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      probeDocs.count()
+      val c = (0 until epochs).map { ep =>
+        val batch = sigDocs.filter(col("doc_id") >= ep * 50000L &&
+          col("doc_id") < (ep + 1) * 50000L)
+        val w = timed(
+          graft.streaming.StreamingBandedSignatureIndex.applyBatch(
+            batch, ep.toLong, bandIdxPath, bandPairsPath, "doc_id",
+            "text", 3, 12, 3, 64, 8, 0.5))
+        val p = timed(graft.operators.Dedup
+          .minhashNearDupsAgainstBandedIndex(probeDocs, bandIdxPath,
+            "doc_id", "text").count())
+        (w, p)
+      }
+      probeDocs.unpersist()
+      c
     }
+    // drop the 1M-doc cache BEFORE the spill-prone emb/jaccard
+    // sections — holding it through them cost the exact /tmp headroom
+    // those sections exhaust
+    if (needSig) sigDocs.unpersist()
     bandCurve.zipWithIndex.foreach { case ((w, p), ep) =>
       println(f"[stress-streaming] banded_signature_epochs epoch=$ep " +
         f"apply_sec=$w%.2f probe_sec=$p%.2f")
@@ -264,8 +276,6 @@ object StressStreaming {
       println(f"[stress-streaming] jaccard_index_epochs epoch=$ep " +
         f"apply_sec=$w%.2f probe_sec=$p%.2f")
     }
-    probeDocs.unpersist()
-    sigDocs.unpersist()
 
     // growth summary: late-epoch cost vs the first post-bootstrap
     // epoch (NaN: section skipped by the selector)
