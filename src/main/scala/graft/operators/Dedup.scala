@@ -1349,15 +1349,19 @@ object Dedup {
         // guard work scales with the BATCH's grams, not the corpus
         // vocabulary: the broadcast semi-join keeps only the posting
         // lists of grams the batch actually probes (whole lists — the
-        // per-gram counts stay exact), and the stats rollup is then
-        // bounded by batch-grams × cap-ish rows, small enough to
-        // BROADCAST back — no corpus-sized aggregate, no shuffle join
-        // of the prefix table per probe
+        // per-gram counts stay exact). The stats rollup then runs on
+        // that sliver; its join back stays a PLAIN join on purpose:
+        // the sliver's exchange on g is reused between the aggregate
+        // and the join input (one scan), and AQE broadcasts the stats
+        // side when it is small — a forced broadcast(stats) plus
+        // unshuffled double scan measured SLOWER on the adversarial
+        // small-vocab corpus where the sliver IS the whole prefix
+        // table (apply 30 s vs 22 s per epoch at 200k docs).
         val gset = broadcast(nprefix.select(col("g")).distinct())
         val relevant = index.prefix.join(gset, Seq("g"), "leftsemi")
         val stats = relevant.groupBy(col("g"))
           .agg(count(lit(1)).as("__n"), min(col("id")).as("__hub"))
-        relevant.join(broadcast(stats), Seq("g"))
+        relevant.join(stats, Seq("g"))
           .filter(col("__n") <= maxGramPostings ||
             col("id") === col("__hub"))
           .drop("__n", "__hub")

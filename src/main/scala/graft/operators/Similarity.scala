@@ -54,6 +54,38 @@ object Similarity {
     topKRanked(scored, k)
   }
 
+  /** Hard-negative mining — the contrastive-training data op: from a
+    * ranked retrieval list `(query_id, rank, neighbor_id)` (e.g.
+    * [[bruteForceTopK]] / [[ivfTopK]] output, retrieved DEEPER than k
+    * so enough negatives survive the exclusion), drop the known
+    * positives `(query_id, neighbor_id)` and re-rank what remains by
+    * the original retrieval order, keeping the top `k` per query —
+    * the nearest non-positives, which are exactly the "hard" negatives
+    * a contrastive objective wants.
+    *
+    * Scale shape: both inputs are panel-sized by the ranked contract
+    * (queries × depth rows), so the anti-join broadcasts the positive
+    * set and the re-rank is a `query_id`-partitioned window over
+    * bounded rows — the [[rrfFuse]] justification. The heavy work
+    * stays in the upstream retrieval.
+    */
+  def hardNegatives(ranked: DataFrame, positives: DataFrame, k: Int)
+      : DataFrame = {
+    require(k > 0, s"k ($k) must be > 0")
+    val pos = positives.select(col("query_id"),
+      col("neighbor_id").cast("long").as("neighbor_id"))
+    val remaining = ranked.select(col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id").cast("long").as("neighbor_id"))
+      .join(broadcast(pos), Seq("query_id", "neighbor_id"), "left_anti")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rank").asc)
+    remaining.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col("neg_rank").as("rank"),
+        col("neighbor_id"))
+  }
+
   /** Reciprocal-rank fusion (Cormack & Clarke's RRF, the standard
     * hybrid-retrieval combiner): fuse N ranked lists in the
     * `(query_id, rank, neighbor_id)` shape into one ranked list per

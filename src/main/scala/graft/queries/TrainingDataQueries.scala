@@ -695,6 +695,28 @@ object TrainingDataQueries {
        |SELECT query_id, rank, neighbor_id FROM r
        |WHERE rank <= $AnnK""".stripMargin
 
+  /** Hard-negative oracle: the brute-force CTE chain retrieved 2k
+    * deep, same-label pairs excluded (IS DISTINCT FROM — the engine's
+    * anti-join on an equality filter keeps null-label rows as
+    * negatives too), remainder re-ranked by retrieval order, top k.
+    */
+  private val hardNegSql =
+    s"""WITH $annTopkCtes,
+       |hrk AS (SELECT query_id, neighbor_id, rank FROM r
+       |  WHERE rank <= ${2 * AnnK}),
+       |hql AS (SELECT vec_id AS query_id, label AS q_label
+       |  FROM embeddings WHERE vec_id < $AnnNumQueries),
+       |hnl AS (SELECT vec_id AS neighbor_id, label AS n_label
+       |  FROM embeddings),
+       |hneg AS (SELECT t.query_id, t.neighbor_id, t.rank FROM hrk t
+       |  JOIN hql USING (query_id) JOIN hnl USING (neighbor_id)
+       |  WHERE n_label IS DISTINCT FROM q_label),
+       |hrr AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rank) AS nrank
+       |  FROM hneg)
+       |SELECT query_id, nrank AS rank, neighbor_id FROM hrr
+       |WHERE nrank <= $AnnK""".stripMargin
+
   /** Hybrid retrieval oracle: the text_search_topk lexical list and a
     * single-query brute-force cosine list, fused by reciprocal-rank —
     * `Σ 1/(rrfK + rank)` per candidate, ties neighbor-id-ascending.
@@ -2703,6 +2725,33 @@ object TrainingDataQueries {
           AnnK)
       },
       Some(annSql)),
+
+    // hard-negative mining: retrieve 2k deep, drop same-label
+    // neighbors (the "positives" a contrastive objective must not
+    // push away), re-rank the rest by retrieval order, keep k — the
+    // nearest non-positives. The ranked list persists across its two
+    // consumers (positive derivation + exclusion); the corpus label
+    // lookup streams against the BROADCAST panel-sized list
+    "ann_hard_negatives" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < AnnNumQueries)
+        val ranked = Similarity.bruteForceTopK(emb, queries,
+            "vec_id", "embedding", 2 * AnnK)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ql = queries.select(col("vec_id").as("query_id"),
+          col("label").as("q_label"))
+        val positives = emb
+          .select(col("vec_id").as("neighbor_id"),
+            col("label").as("n_label"))
+          .join(broadcast(ranked.join(broadcast(ql), "query_id")),
+            "neighbor_id")
+          .filter(col("n_label") === col("q_label"))
+          .select(col("query_id"), col("neighbor_id"))
+        Dedup.releaseAfter(
+          Similarity.hardNegatives(ranked, positives, AnnK), ranked)
+      },
+      Some(hardNegSql)),
 
     // label-noise audit: per query vector, how many of its k nearest
     // neighbors share its label — integer counts, one final division

@@ -256,6 +256,22 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.toSeq == Seq(2L, 3L))
   }
 
+  test("hardNegatives drops positives, re-ranks, keeps panels apart") {
+    val ranked = Seq((7L, 1L, 10L), (7L, 2L, 20L), (7L, 3L, 30L),
+      (7L, 4L, 40L), (8L, 1L, 10L))
+      .toDF("query_id", "rank", "neighbor_id")
+    val positives = Seq((7L, 10L), (7L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.hardNegatives(ranked, positives, 2)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // query 7: 10/30 are positives -> 20 re-ranks 2->1, 40 re-ranks
+    // 4->2; query 8: query 7's positives must not leak -> 10 stays
+    assert(out == Seq((7L, 1L, 20L), (7L, 2L, 40L), (8L, 1L, 10L)),
+      s"got $out")
+  }
+
   test("rrfFuse ranks multi-list agreement above single-list rank") {
     // query 7: doc 30 is rank-2 lexically and rank-3 by vector —
     // 1/62 + 1/63 beats doc 10's lone 1/61 and doc 40's lone 1/61, so
