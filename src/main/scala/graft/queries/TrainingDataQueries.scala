@@ -142,6 +142,9 @@ object TrainingDataQueries {
   // each querying the corpus with its own top-TfidfK keywords
   private val MltQueries = 10
   private val MltK = 10
+  // pseudo-relevance feedback: expand the seed query with the top
+  // keywords of its first PrfM hits, then re-query disjunctively
+  private val PrfM = 5
 
   /** tf per distinct (doc, term), blank terms dropped — the oracle twin
     * of TextSearch.docTermTf.
@@ -791,6 +794,42 @@ object TrainingDataQueries {
        |  FROM ms)
        |SELECT query_id, rank, neighbor_id FROM mrk
        |WHERE rank <= $MltK""".stripMargin
+
+  /** Pseudo-relevance-feedback oracle: the conjunctive seed top-PrfM
+    * (text_search_topk's chain over the full-corpus sc), the seed
+    * docs' top-TfidfK keywords, the expanded term set unioned with
+    * the original terms, then the disjunctive batch scoring — every
+    * stage reuses the one full-corpus `sc` CTE, exactly as the engine
+    * reuses its integer tf·idf math across the three operators.
+    */
+  private lazy val prfSql =
+    s"""WITH $termTfCte,
+       |${tfidfScoredCte("tfq")},
+       |seedm AS (SELECT doc_id, count(*) AS nm,
+       |  CAST(sum(score) AS BIGINT) AS score
+       |  FROM sc WHERE term IN
+       |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY doc_id),
+       |seed AS (SELECT doc_id FROM seedm
+       |  WHERE nm = ${SearchTerms.size}
+       |  ORDER BY score DESC, doc_id LIMIT $PrfM),
+       |kw AS (SELECT doc_id, term, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term) AS krank
+       |  FROM sc),
+       |qterms AS (SELECT DISTINCT term FROM (
+       |  SELECT term FROM kw JOIN seed USING (doc_id)
+       |  WHERE krank <= $TfidfK
+       |  UNION ALL
+       |  SELECT unnest([${SearchTerms.map(t => s"'$t'")
+           .mkString(", ")}]) AS term)),
+       |ms AS (SELECT s.doc_id, CAST(sum(s.score) AS BIGINT) AS score
+       |  FROM sc s JOIN qterms USING (term) GROUP BY s.doc_id),
+       |mrk AS (SELECT CAST(0 AS BIGINT) AS query_id,
+       |  doc_id AS neighbor_id, row_number() OVER (
+       |    ORDER BY score DESC, doc_id) AS rank
+       |  FROM ms)
+       |SELECT query_id, rank, neighbor_id FROM mrk
+       |WHERE rank <= $SearchK""".stripMargin
 
   /** Multi-query hybrid oracle: the more_like_this CTE chain (lexical
     * panel lists) unioned with the brute-force cosine CTE chain
@@ -4615,6 +4654,28 @@ object TrainingDataQueries {
           "embedding", MltK)
         Similarity.rrfFuse(Seq(lex, vec), MltK, RrfK)
       },
-      Some(hybridMltSql))
+      Some(hybridMltSql)),
+
+    // pseudo-relevance feedback (RM1-flavor query expansion), built
+    // ENTIRELY by composition: conjunctive seed search -> the seed
+    // docs' tf·idf keywords -> disjunctive re-query with the expanded
+    // term set. No new operator — the three retrieval ops compose
+    "search_prf_expanded" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val seed = graft.operators.TextSearch.searchTopK(
+          docs, "doc_id", "text", SearchTerms, PrfM)
+        val kw = graft.operators.TextSearch.tfidfKeywords(
+            docs, "doc_id", "text", TfidfK)
+          .join(broadcast(seed.select(col("doc_id"))), "doc_id")
+          .select(col("term"))
+        val original = s.createDataset(SearchTerms)(
+          org.apache.spark.sql.Encoders.STRING).toDF("term")
+        val qt = kw.union(original)
+          .select(lit(0L).as("query_id"), col("term"))
+        graft.operators.TextSearch.searchTopKBatch(
+          docs, "doc_id", "text", qt, SearchK)
+      },
+      Some(prfSql))
   )
 }
