@@ -280,6 +280,42 @@ object TextSearch {
       .select(col("doc_id"), col("score"))
   }
 
+  /** Search-result snippets: the ±`window` word context around the
+    * FIRST occurrence of any query term, with the 1-based word
+    * position of that hit. The result-page companion to
+    * [[searchTopK]]/[[phraseSearch]] — and the triage view for
+    * decontamination hits ("show me the leaked string in context").
+    *
+    * Scale shape: a zero-exchange scan — tokenize row-locally (the
+    * corpus tokenization rule), per-term `array_position`, `least`
+    * across terms, one slice + join. No shuffle, no join; at 100 TB it
+    * runs at parquet-scan speed with the text column the only thing
+    * read. Emits `(doc_id, pos, snippet)` for matching docs only.
+    */
+  def searchSnippets(docs: DataFrame, idCol: String, textCol: String,
+                     terms: Seq[String], window: Int = 5): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(window >= 0, s"window ($window) must be >= 0")
+    val miss = Long.MaxValue
+    val wsC = col("__ws")
+    val posCols = terms.map(_.toLowerCase).distinct.map { t =>
+      val p = array_position(wsC, lit(t))
+      when(p === 0L, lit(miss)).otherwise(p)
+    }
+    val minPos = if (posCols.size == 1) posCols.head
+      else least(posCols: _*)
+    val from = greatest(lit(1L), col("pos") - window)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.TextShingles.wordShingles(col(textCol), 1)
+          .as("__ws"))
+      .withColumn("pos", minPos)
+      .filter(col("pos") =!= miss)
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(wsC, from.cast("int"),
+          (col("pos") + window - from + 1).cast("int")), " ")
+          .as("snippet"))
+  }
+
   /** Disjunctive (OR) ranked retrieval for a PANEL of queries in ONE
     * corpus pass — the "more-like-this" serving shape: `queryTerms` is
     * (query_id, term) rows (e.g. a per-doc [[tfidfKeywords]] slice),

@@ -4656,6 +4656,23 @@ object TrainingDataQueries {
       },
       Some(hybridMltSql)),
 
+    // result snippets: ±4 words of context around the first hit of
+    // any query term — zero-exchange scan, the result-page companion
+    // to the retrieval family and the decontamination triage view
+    "search_snippets" -> QueryDef(
+      (s, d) => graft.operators.TextSearch.searchSnippets(
+        table(s, d, "documents"), "doc_id", "text", SearchTerms,
+        window = 4),
+      Some(s"""WITH $wordsCte,
+              |sp AS (SELECT doc_id, ws, least(${SearchTerms.map(t =>
+                  s"coalesce(nullif(list_position(ws, '$t'), 0), " +
+                    "9223372036854775807)").mkString(", ")}) AS pos
+              |  FROM words)
+              |SELECT doc_id, pos, array_to_string(
+              |  ws[CAST(greatest(1, pos - 4) AS BIGINT):
+              |     CAST(pos + 4 AS BIGINT)], ' ') AS snippet
+              |FROM sp WHERE pos <> 9223372036854775807""".stripMargin)),
+
     // pseudo-relevance feedback (RM1-flavor query expansion), built
     // ENTIRELY by composition: conjunctive seed search -> the seed
     // docs' tf·idf keywords -> disjunctive re-query with the expanded

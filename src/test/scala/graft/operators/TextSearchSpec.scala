@@ -155,6 +155,27 @@ class TextSearchSpec extends SparkSpecBase {
       "global top-k must compile to TakeOrderedAndProject")
   }
 
+  test("searchSnippets: first-hit window, clamped edges, zero exchange") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 hit w5 w6 w7 w8"),   // interior hit, full window
+      (2L, "hit w2 w3"),                   // hit at position 1: clamp left
+      (3L, "w1 w2 other w4"),              // no hit: no row
+      (4L, "w1 miss hit miss hit"))        // FIRST hit wins (pos 3)
+      .toDF("doc_id", "text")
+    val out = TextSearch.searchSnippets(docs, "doc_id", "text",
+        Seq("hit", "MISS"), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 4L, "w2 w3 hit w5 w6"),
+      (2L, 1L, "hit w2 w3"),
+      (4L, 2L, "w1 miss hit miss")), s"got $out")
+    // scan-only: no exchange anywhere in the plan
+    val plan = TextSearch.searchSnippets(docs, "doc_id", "text",
+      Seq("hit"), 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"snippets must not shuffle:\n$plan")
+  }
+
   test("searchTopKBatch: disjunctive OR, panel isolation, rank order") {
     // query 100 asks {a, c}: unlike searchTopK's AND, docs with only
     // ONE of the terms still rank. N=4 docs; df(a)=3 -> idfW 1333333,
