@@ -280,6 +280,77 @@ object TextSearch {
       .select(col("doc_id"), col("score"))
   }
 
+  /** BM25-flavor disjunctive ranked retrieval (single query): classic
+    * BM25 term-frequency saturation and document-length normalization,
+    *
+    *   score(d) = Σ_t idfW(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    *
+    * with ONE deliberate deviation: `idfW` is this engine's exact
+    * integer idf weight (`(N·IdfScale) div df`) instead of the
+    * ln-based Robertson idf — natural-log implementations are not
+    * bit-identical across engines, and this repo's determinism
+    * contract (scores reproducible against the DuckDB oracle) wins
+    * over formula orthodoxy. Rank order matches ln-idf closely since
+    * both are monotone decreasing in df.
+    *
+    * Float determinism: each per-term score is a single fixed-order
+    * IEEE chain (spelled identically in the oracle SQL), and the
+    * per-doc sum folds the terms in SORTED term order
+    * (`aggregate(array_sort(collect_list(...)))` ≡ DuckDB
+    * `list_sum(list(s ORDER BY term))` — the PQ/ADC precedent), so
+    * the double is bit-identical regardless of task order.
+    *
+    * Scale shape: tokenize + doc-length are row-local (dl rides each
+    * exploded term row — no corpus self-join); the query-term filter
+    * collapses the corpus to a sliver before any exchange; df and the
+    * corpus totals broadcast; global top-k compiles to
+    * TakeOrderedAndProject. Emits `(doc_id, score)` top k.
+    */
+  def searchTopKBm25(docs: DataFrame, idCol: String, textCol: String,
+                     terms: Seq[String], k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, s"k ($k) must be > 0")
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"k1 ($k1) must be >= 0 and b ($b) in [0, 1]")
+    val qTerms = terms.map(_.toLowerCase).distinct
+    val tc = graft.functions.TextShingles.wordTermCounts(col(textCol))
+    def dlOf(tcCol: org.apache.spark.sql.Column) =
+      aggregate(tcCol, lit(0L), (acc, x) =>
+        acc + when(x.getField("term") === "", lit(0L))
+          .otherwise(x.getField("tf")))
+    val withTc = docs.select(col(idCol).cast("long").as("doc_id"),
+      tc.as("__tc"))
+    val rows = withTc
+      .select(col("doc_id"), dlOf(col("__tc")).as("dl"),
+        explode(col("__tc")).as("tcx"))
+      .select(col("doc_id"), col("dl"),
+        col("tcx.term").as("term"), col("tcx.tf").as("tf"))
+      .filter(col("term").isin(qTerms: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfTbl = rows.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = withTc.select(dlOf(col("__tc")).as("dl"))
+      .agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n_docs"))
+    // the oracle spells this chain CHARACTER-IDENTICALLY — any
+    // re-association changes the rounded double
+    val scoreExpr =
+      s"(CAST(($idfWeightExpr) AS DOUBLE) * tf * " +
+        s"CAST(${k1 + 1.0} AS DOUBLE)) / " +
+        s"(tf + CAST($k1 AS DOUBLE) * (CAST(${1.0 - b} AS DOUBLE) + " +
+        s"CAST($b AS DOUBLE) * dl * n_docs / sumdl))"
+    val out = rows.join(broadcast(dfTbl), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("s", expr(scoreExpr))
+      .groupBy(col("doc_id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score"))
+    Dedup.releaseAfter(out, rows)
+  }
+
   /** Search-result snippets: the ±`window` word context around the
     * FIRST occurrence of any query term, with the 1-based word
     * position of that hit. The result-page companion to

@@ -4656,6 +4656,40 @@ object TrainingDataQueries {
       },
       Some(hybridMltSql)),
 
+    // BM25-flavor ranking: classic tf saturation + doc-length
+    // normalization over the engine's integer idf family; each
+    // per-term score is one fixed-order float chain spelled
+    // character-identically here, and the per-doc sum folds in sorted
+    // term order (list_sum(list(s ORDER BY term)) ≡ the engine's
+    // aggregate-over-array_sort — the PQ/ADC determinism precedent)
+    "text_search_bm25" -> QueryDef(
+      (s, d) => graft.operators.TextSearch.searchTopKBm25(
+        table(s, d, "documents"), "doc_id", "text", SearchTerms,
+        SearchK),
+      Some(s"""WITH $termTfCte,
+              |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+              |  FROM tfq GROUP BY doc_id),
+              |bsl AS (SELECT t.doc_id, t.term, t.tf, d.dl
+              |  FROM tfq t JOIN bdl d USING (doc_id)
+              |  WHERE t.term IN
+              |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+              |bdf AS (SELECT term, count(*) AS df FROM bsl
+              |  GROUP BY term),
+              |btot AS (SELECT CAST(sum(tf) AS BIGINT) AS sumdl
+              |  FROM tfq),
+              |bn AS (SELECT count(*) AS n_docs FROM documents),
+              |bs AS (SELECT doc_id, term,
+              |  (CAST(((n_docs * ${graft.operators.TextSearch.IdfScale})
+              |    // df) AS DOUBLE) * tf * CAST(2.2 AS DOUBLE)) /
+              |  (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+              |    CAST(0.75 AS DOUBLE) * dl * n_docs / sumdl)) AS s
+              |  FROM bsl JOIN bdf USING (term), btot, bn),
+              |bagg AS (SELECT doc_id,
+              |  list_sum(list(s ORDER BY term)) AS score
+              |  FROM bs GROUP BY doc_id)
+              |SELECT doc_id, score FROM bagg
+              |ORDER BY score DESC, doc_id LIMIT $SearchK""".stripMargin)),
+
     // result snippets: ±4 words of context around the first hit of
     // any query term — zero-exchange scan, the result-page companion
     // to the retrieval family and the decontamination triage view

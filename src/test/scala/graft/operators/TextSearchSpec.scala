@@ -155,6 +155,27 @@ class TextSearchSpec extends SparkSpecBase {
       "global top-k must compile to TakeOrderedAndProject")
   }
 
+  test("searchTopKBm25: tf saturation, length normalization, OR") {
+    val docs = Seq(
+      (1L, "hit pad pad pad pad pad pad pad"),                  // tf=1, dl=8
+      (2L, "hit hit hit hit hit hit hit hit"),                  // tf=8, dl=8
+      (3L, "hit pad"),                                          // tf=1, dl=2
+      (4L, "pad pad"))                                          // no hit
+      .toDF("doc_id", "text")
+    val out = TextSearch.searchTopKBm25(docs, "doc_id", "text",
+        Seq("hit"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val byId = out.toMap
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L), s"OR + no-hit drop: $out")
+    // saturation: 8x the tf must score FAR less than 8x
+    assert(byId(2L) < 4 * byId(1L),
+      s"tf saturation violated: ${byId(2L)} vs ${byId(1L)}")
+    assert(byId(2L) > byId(1L), "more tf still scores higher")
+    // length normalization: same tf, shorter doc scores higher
+    assert(byId(3L) > byId(1L),
+      s"length normalization violated: ${byId(3L)} vs ${byId(1L)}")
+  }
+
   test("searchSnippets: first-hit window, clamped edges, zero exchange") {
     val docs = Seq(
       (1L, "w1 w2 w3 hit w5 w6 w7 w8"),   // interior hit, full window
