@@ -111,7 +111,9 @@ object SparkEntry {
     // is the probe machinery's round-over-round drift
     "dedup_incremental_simhash", "dedup_incremental_embedding",
     "dedup_incremental_jaccard", "text_search_from_index",
-    // round-15 addition: hybrid retrieval — lexical tf·idf top-k and
-    // cosine top-k fused by reciprocal rank, the serving-path combiner
-    "hybrid_search_rrf")
+    // round-15 additions: hybrid retrieval (lexical tf·idf top-k and
+    // cosine top-k fused by reciprocal rank), BM25-flavor ranking
+    // (the float-parity chain), and the batch more-like-this panel —
+    // the retrieval family's drift, bench-visible
+    "hybrid_search_rrf", "text_search_bm25", "more_like_this")
 }
