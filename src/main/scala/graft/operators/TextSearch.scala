@@ -313,6 +313,8 @@ object TextSearch {
     require(k > 0, s"k ($k) must be > 0")
     require(k1 >= 0 && b >= 0 && b <= 1,
       s"k1 ($k1) must be >= 0 and b ($b) in [0, 1]")
+    require(terms.forall(_.trim.nonEmpty),
+      "terms must be non-blank (blank tokens are not corpus terms)")
     val qTerms = terms.map(_.toLowerCase).distinct
     val tc = graft.functions.TextShingles.wordTermCounts(col(textCol))
     def dlOf(tcCol: org.apache.spark.sql.Column) =
@@ -366,6 +368,8 @@ object TextSearch {
   def searchSnippets(docs: DataFrame, idCol: String, textCol: String,
                      terms: Seq[String], window: Int = 5): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.forall(_.trim.nonEmpty),
+      "terms must be non-blank (blank tokens are not corpus terms)")
     require(window >= 0, s"window ($window) must be >= 0")
     val miss = Long.MaxValue
     val wsC = col("__ws")
@@ -414,8 +418,12 @@ object TextSearch {
   def searchTopKBatch(docs: DataFrame, idCol: String, textCol: String,
                       queryTerms: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k ($k) must be > 0")
+    // blank terms are dropped, matching docTermTf's term <> ''
+    // contract — otherwise an empty-string "term" would match the
+    // blank-token entries empty docs tokenize to
     val qt = queryTerms.select(col("query_id"),
         lower(col("term")).as("term")).distinct()
+      .filter(col("term") =!= "")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termSet = qt.select(col("term")).distinct()
     val n = docs.agg(count(lit(1)).as("n_docs"))

@@ -2785,7 +2785,11 @@ object TrainingDataQueries {
             col("label").as("n_label"))
           .join(broadcast(ranked.join(broadcast(ql), "query_id")),
             "neighbor_id")
-          .filter(col("n_label") === col("q_label"))
+          // null-safe equality: a NULL-label neighbor of a NULL-label
+          // query IS a positive, exactly the complement of the
+          // oracle's IS DISTINCT FROM (plain === would keep the
+          // both-NULL pair as a negative and diverge)
+          .filter(col("n_label") <=> col("q_label"))
           .select(col("query_id"), col("neighbor_id"))
         Dedup.releaseAfter(
           Similarity.hardNegatives(ranked, positives, AnnK), ranked)

@@ -77,10 +77,11 @@ object StressHybrid {
     }
     val centPath = s"$workDir/centroids.parquet"
     val ivfPath = s"$workDir/ivf_index"
-    // gate on BOTH artifacts: a crash between the centroid write and
-    // the IVF publish must rebuild the pair, not skip into a missing
-    // or half-written ivf_index
-    if (!exists(centPath) || !exists(ivfPath)) {
+    // gate on BOTH artifacts, and on the IVF job's _SUCCESS marker
+    // rather than the directory: Spark creates the output dir before
+    // the job commits, so a crash mid-write leaves a present-but-
+    // partial ivf_index that a bare exists() would happily serve
+    if (!exists(centPath) || !exists(s"$ivfPath/_SUCCESS")) {
       // 256 seeded centroids; cluster-partitioned IVF layout so the
       // probe reads only its nprobe partitions off storage
       val every = math.max(1L, nDocs / 256L)
