@@ -123,7 +123,15 @@ object Dedup {
           s"small side at runtime): ${findings.mkString("; ")}. Persist " +
           "the index bucketed on the join key " +
           "(MergeSink.publishBucketed) so only the batch moves.")
-    } catch { case _: Throwable => () } // guard must never fail the operator
+    } catch {
+      // Guard must never fail the operator — but only for recoverable
+      // failures: NonFatal excludes OOM/fatal VM errors, and a plan-walk
+      // interrupt must re-assert the thread's interrupt flag so the
+      // caller's cancellation still lands (same contract as
+      // PreCheckpointLint.hook).
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case scala.util.control.NonFatal(_) => ()
+    }
     result
   }
 
@@ -193,7 +201,13 @@ object Dedup {
     */
   private def collectPointsCapped(df: DataFrame, cap: Int)
       : Option[IndexedSeq[Long]] = {
-    val rows = df.distinct().limit(cap + 1).collect()
+    // Cast to long BEFORE collecting: the candidate-id callers feed the
+    // raw id column, and writeRangeSorted accepts any integral id type
+    // (byte/short/int included) — Row.getLong on an int-typed id would
+    // throw ClassCastException at probe time.
+    val col0 = org.apache.spark.sql.functions.col(df.columns.head)
+    val rows =
+      df.select(col0.cast("long")).distinct().limit(cap + 1).collect()
     if (rows.length > cap) None
     else Some(rows.map(_.getLong(0)).toIndexedSeq)
   }
@@ -630,7 +644,19 @@ object Dedup {
       corpusEmb: DataFrame, path: String, idCol: String, vecCol: String,
       threshold: Double = 0.9,
       maxPoints: Int = DefaultMaxProbePoints,
-      maxEpochExclusive: Option[Long] = None): DataFrame = {
+      maxEpochExclusive: Option[Long] = None): DataFrame =
+    embeddingNearDupsAgainstBandedIndexOpt(newEmb, Some(corpusEmb),
+      path, idCol, vecCol, threshold, maxPoints, maxEpochExclusive)
+
+  /** Sidecar-only spelling: the layout at `path` MUST carry the
+    * published vector sidecar (fails loudly otherwise) — the streaming
+    * maintainer's entry, where no caller-side corpus table exists.
+    */
+  private[graft] def embeddingNearDupsAgainstBandedIndexOpt(
+      newEmb: DataFrame, corpusEmbOpt: Option[DataFrame], path: String,
+      idCol: String, vecCol: String, threshold: Double,
+      maxPoints: Int,
+      maxEpochExclusive: Option[Long]): DataFrame = {
     import graft.functions.VectorOps
     val spark = newEmb.sparkSession
     val root = readIndexMeta(spark, path)
@@ -656,6 +682,17 @@ object Dedup {
       .baseDir(root, graft.sink.IndexLayout.Vectors)}"
     val prunedVectors =
       graft.sink.Sinks.hasRangeManifest(spark, vecsBase)
+    // The published sidecar, when present, IS the corpus vector table
+    // — a passed corpusEmb that has drifted from it (stale vectors,
+    // re-normalization) would change pairs with no signal, so say so.
+    if (prunedVectors && corpusEmbOpt.isDefined)
+      System.err.println(s"[graft] embeddingNearDupsAgainstBandedIndex:" +
+        s" verification reads the published vector sidecar at " +
+        s"$vecsBase; the corpusEmb argument is ignored (keep it in " +
+        "sync with writeIndexVectors or drop the sidecar)")
+    require(prunedVectors || corpusEmbOpt.isDefined,
+      s"banded embedding index at $path has no vector sidecar and no " +
+        "corpusEmb was supplied - nothing to verify candidates against")
     // persisted only when the id-pruned fetch consumes it twice
     // (candidate-id collection + the verification join)
     val cand =
@@ -671,7 +708,7 @@ object Dedup {
               idFetchCap(spark, vecsBase, maxPoints)),
             maxEpochExclusive, graft.sink.IndexLayout.Vectors)
           .select(col("id").as("corpus_id"), col("v").as("__cv"))
-      else corpusEmb.select(col(idCol).as("corpus_id"),
+      else corpusEmbOpt.get.select(col(idCol).as("corpus_id"),
         col(vecCol).as("__cv"))
     val out = warnIfIndexShuffles(cv
       .join(cand, Seq("corpus_id"))

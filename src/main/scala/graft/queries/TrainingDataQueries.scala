@@ -3281,9 +3281,12 @@ object TrainingDataQueries {
           dir, shards = 16)
         Dedup.writeIndexVectors(corpus, dir, "vec_id", "embedding",
           shards = 16)
-        Dedup.embeddingNearDupsAgainstBandedIndex(
-          emb.filter(col("vec_id") % IncrMod === 0), corpus, dir,
-          "vec_id", "embedding", EmbThreshold)
+        // sidecar-only spelling: the published vectors ARE the corpus
+        // table here, so don't pass a second copy to be ignored
+        Dedup.embeddingNearDupsAgainstBandedIndexOpt(
+          emb.filter(col("vec_id") % IncrMod === 0), None, dir,
+          "vec_id", "embedding", EmbThreshold,
+          Dedup.DefaultMaxProbePoints, None)
       },
       Some(incrEmbeddingSql)),
 

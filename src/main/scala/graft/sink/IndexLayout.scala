@@ -236,20 +236,26 @@ object IndexLayout {
       clearEpochsThrough = upTo, table)
   }
 
-  /** Drop superseded base dirs (the table's name-prefixed dirs other
-    * than the one the meta points at — never its epochs subdir) and
-    * folded epoch partitions — the cleanup half of [[compact]]'s
-    * crash ordering, safe to run at every maintainer entry.
+  /** Drop superseded base dirs (the table's generated dir shapes
+    * other than the one the meta points at — never its epochs subdir)
+    * and folded epoch partitions — the cleanup half of [[compact]]'s
+    * crash ordering, safe to run at every maintainer entry. Only the
+    * EXACT shapes this layout generates (`<name>` at bootstrap,
+    * `<name>_v<epoch>` from [[compact]]) are eligible: a bare
+    * name-prefix match would also delete unrelated user dirs placed
+    * inside the index path (`postings_backup`, `sets_old`, ...).
     */
   def healOrphans(spark: SparkSession, path: String, keepDir: String,
                   clearEpochsThrough: Long,
                   table: MaintainedTable = Postings): Unit = {
     val f = fs(spark, path)
     val rootPath = new Path(path)
+    val generated = (table.name + "_v\\d+").r
     if (f.exists(rootPath))
       f.listStatus(rootPath).foreach { st =>
         val name = st.getPath.getName
-        if (st.isDirectory && name.startsWith(table.name) &&
+        if (st.isDirectory &&
+            (name == table.name || generated.pattern.matcher(name).matches()) &&
             name != keepDir && name != table.epochsSub)
           f.delete(st.getPath, true)
       }

@@ -101,6 +101,20 @@ object StreamingBandedEmbeddingIndex {
         s"(numPlanes=$snp, bandBits=$sbb); the restarted stream " +
         s"passed (numPlanes=$numPlanes, bandBits=$bandBits) - an " +
         "epoch cannot re-plane or re-band an existing index")
+    // This maintainer's pre-batch probe verifies against the layout's
+    // OWN vector sidecar (corpusEmb is never consumed past bootstrap).
+    // A batch-published layout whose params validate but that was
+    // written without writeIndexVectors has no sidecar — the probe
+    // would silently verify each batch against itself (empty pairs
+    // every epoch) until the first vectors compaction crashed on the
+    // missing base dir. Fail as loudly as the param check instead.
+    val vecsBase =
+      s"$indexPath/${IndexLayout.baseDir(root, IndexLayout.Vectors)}"
+    require(graft.sink.Sinks.hasRangeManifest(spark, vecsBase),
+      s"banded embedding index at $indexPath has no range-sorted " +
+        s"vector sidecar at $vecsBase - the streaming maintainer " +
+        "requires a layout bootstrapped by this maintainer or " +
+        "published with writeIndexVectors")
     val lastEpoch = IndexLayout.lastEpoch(root)
     val through = IndexLayout.compactedThrough(root)
     val postingEpoch =
@@ -117,10 +131,11 @@ object StreamingBandedEmbeddingIndex {
       IndexLayout.Vectors)
 
     // 1) probe the PRE-batch view (postings AND vectors epoch-gated);
-    //    corpusEmb is never consumed — the maintained layout carries
-    //    its own vector sidecar
-    Dedup.embeddingNearDupsAgainstBandedIndex(batch, vectorsOf(batch),
+    //    the maintained layout carries its own vector sidecar, so no
+    //    caller-side corpus table exists to pass
+    Dedup.embeddingNearDupsAgainstBandedIndexOpt(batch, None,
         indexPath, idCol, vecCol, threshold,
+        maxPoints = Dedup.DefaultMaxProbePoints,
         maxEpochExclusive = Some(batchId))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$pairsOutDir/epoch=$batchId")

@@ -1635,6 +1635,51 @@ class OperatorsSpec extends SparkSpecBase {
     assert(guarded.subsetOf(exact), "the guard may only drop pairs")
   }
 
+  test("path-served probes accept non-long integral ids (r16: the " +
+      "driver point-list collect casts before getLong)") {
+    // writeRangeSorted accepts any integral id; the id-pruned
+    // verification fetch collects candidate ids on the driver and
+    // previously did Row.getLong on the raw column — an INT id made
+    // it throw ClassCastException at probe time.
+    val vecs = ((1 to 20).map(i => (i, Seq(1.0f + i * 0.001f, 0.5f))) ++
+      (21 to 30).map(i => (i, Seq(-1.0f, 0.2f + i * 0.01f))))
+      .toDF("vec_id", "embedding") // Int ids, not Long
+    val batch = Seq((1000, Seq(1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val idx = Dedup.buildEmbeddingIndex(vecs, "vec_id", "embedding",
+      numPlanes = 8, bandBits = 4)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
+    val direct = Dedup.embeddingNearDupsAgainst(batch, vecs, idx,
+      "vec_id", "embedding", threshold = 0.95).collect().map(key).toSet
+    assert(direct.nonEmpty, "fixture sanity: the near-dup must hit")
+    val bdir = java.nio.file.Files
+      .createTempDirectory("embband-int").toString
+    Dedup.writeBandedEmbeddingIndex(idx, bdir, shards = 8)
+    Dedup.writeIndexVectors(vecs, bdir, "vec_id", "embedding",
+      shards = 8)
+    val idPruned = Dedup.embeddingNearDupsAgainstBandedIndexOpt(batch,
+      None, bdir, "vec_id", "embedding", 0.95,
+      Dedup.DefaultMaxProbePoints, None).collect().map(key).toSet
+    assert(idPruned == direct,
+      s"int-id id-pruned probe must equal direct: $idPruned vs $direct")
+    // the Jaccard path probe's set fetch shares the same collect
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val corpus = (1 to 20).map(i => (i, s"$phrase tail $i"))
+      .toDF("doc_id", "text") // Int ids
+    val jbatch = Seq((1000, s"$phrase tail 7")).toDF("doc_id", "text")
+    val jidx = Dedup.buildJaccardIndex(corpus, "doc_id", "text",
+      k = 3, threshold = 0.5)
+    val jdirect = Dedup.ngramJaccardAgainst(jbatch, jidx, "doc_id",
+      "text").collect().map(key).toSet
+    val jdir = java.nio.file.Files
+      .createTempDirectory("jacidx-int").toString
+    Dedup.writeJaccardIndex(jidx, jdir, bloomK = 5, bloomM = 1 << 14)
+    val jpath = Dedup.ngramJaccardAgainstPath(jbatch, jdir, "doc_id",
+      "text").collect().map(key).toSet
+    assert(jpath == jdirect && jdirect.nonEmpty,
+      s"int-id path probe must equal direct: $jpath vs $jdirect")
+  }
+
   test("published embedding index round-trips and serves the probe") {
     val vecs = ((1L to 20L).map(i =>
       (i, Seq(1.0f + i * 0.001f, 0.5f, 0.25f))) ++

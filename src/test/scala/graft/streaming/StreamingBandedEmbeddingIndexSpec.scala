@@ -154,4 +154,33 @@ class StreamingBandedEmbeddingIndexSpec extends SparkSpecBase {
     assert(e.getMessage.contains("cannot re-plane or re-band"),
       e.getMessage)
   }
+
+  test("taking over a batch-published layout without the vector " +
+      "sidecar fails loudly (r16)") {
+    // a layout whose num_planes/band_bits validate but that was
+    // published without writeIndexVectors has nothing for the
+    // maintainer's verification to read — pre-r16 every epoch
+    // silently emitted zero pairs until the first vectors compaction
+    // crashed on the missing base dir
+    val dir = Files.createTempDirectory("bandemb-nosidecar").toString
+    val corpus = (1L to 20L).map(i => (i, clusterA(i)))
+      .toDF("vec_id", "embedding")
+    Dedup.writeBandedEmbeddingIndex(
+      Dedup.buildEmbeddingIndex(corpus, "vec_id", "embedding",
+        numPlanes = 8, bandBits = 4), dir, shards = 8)
+    val batch = Seq((100L, clusterA(5L))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      StreamingBandedEmbeddingIndex.applyBatch(batch, 1L, dir,
+        s"$dir/pairs", "vec_id", "embedding", 8, 4, 8, 99, 0.95)
+    }
+    assert(e.getMessage.contains("no range-sorted vector sidecar"),
+      e.getMessage)
+    // publishing the sidecar cures it
+    Dedup.writeIndexVectors(corpus, dir, "vec_id", "embedding",
+      shards = 8)
+    StreamingBandedEmbeddingIndex.applyBatch(batch, 1L, dir,
+      s"$dir/pairs", "vec_id", "embedding", 8, 4, 8, 99, 0.95)
+    assert(pairSet(spark.read.parquet(s"$dir/pairs/epoch=1")).nonEmpty,
+      "with the sidecar published the takeover epoch emits pairs")
+  }
 }
