@@ -361,7 +361,62 @@ object GraftFunctions {
           litString(args(2), "id_col"), litString(args(3), "text_col"),
           if (args.length > 4) litInt(args(4), "bits") else 32,
           if (args.length > 5) litInt(args(5), "max_hamming") else 3)
+      },
+      // ---- retrieval/ANN family (r16): the serving operators round
+      // 15 made first-class, reachable from pure SQL. Query terms
+      // travel as one comma-separated literal (SQL TVF arguments are
+      // scalar expressions; a quoted CSV keeps the call one line) ----
+      tvf("graft_text_search",
+        "(corpus_table, id_col, text_col, 'terms,csv', k)", 5, 5) {
+        (spark, args) =>
+        graft.operators.TextSearch.searchTopK(
+          spark.table(litString(args(0), "corpus_table")),
+          litString(args(1), "id_col"), litString(args(2), "text_col"),
+          csvTerms(args(3)), litInt(args(4), "k"))
+      },
+      tvf("graft_bm25_search",
+        "(corpus_table, id_col, text_col, 'terms,csv', k[, k1, b])",
+        5, 7) { (spark, args) =>
+        graft.operators.TextSearch.searchTopKBm25(
+          spark.table(litString(args(0), "corpus_table")),
+          litString(args(1), "id_col"), litString(args(2), "text_col"),
+          csvTerms(args(3)), litInt(args(4), "k"),
+          if (args.length > 5) litDouble(args(5), "k1") else 1.2,
+          if (args.length > 6) litDouble(args(6), "b") else 0.75)
+      },
+      // brute-force cosine — the ANN correctness baseline; the query
+      // panel is a view (small by the ranked contract, broadcast by
+      // the operator), the corpus streams without shuffling
+      tvf("graft_ann_probe",
+        "(corpus_table, queries_table, id_col, vec_col, k)", 5, 5) {
+        (spark, args) =>
+        graft.operators.Similarity.bruteForceTopK(
+          spark.table(litString(args(0), "corpus_table")),
+          spark.table(litString(args(1), "queries_table")),
+          litString(args(2), "id_col"), litString(args(3), "vec_col"),
+          litInt(args(4), "k"))
+      },
+      // reciprocal-rank fusion of two ranked lists in the
+      // (query_id, rank, neighbor_id) shape — the hybrid-serving
+      // combiner; both views are panel-sized by the ranked contract
+      tvf("graft_hybrid_rrf",
+        "(ranked_table_1, ranked_table_2, k[, rrf_k])", 3, 4) {
+        (spark, args) =>
+        graft.operators.Similarity.rrfFuse(Seq(
+            spark.table(litString(args(0), "ranked_table_1")),
+            spark.table(litString(args(1), "ranked_table_2"))),
+          litInt(args(2), "k"),
+          if (args.length > 3) litInt(args(3), "rrf_k") else 60)
       })
+  }
+
+  /** A comma-separated term-list literal as trimmed non-empty terms. */
+  private def csvTerms(e: Expression): Seq[String] = {
+    val raw = litString(e, "terms list")
+    val terms = raw.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+    require(terms.nonEmpty,
+      s"terms list '$raw' contains no non-blank terms")
+    terms
   }
 
   /** Runtime registration into an existing session (idempotent —

@@ -728,6 +728,50 @@ object TrainingDataQueries {
     * doubles, and two-double addition is commutative, so the rrf value
     * is bit-identical in both engines regardless of task order.
     */
+  /** Conjunctive tf·idf top-k oracle — shared by `text_search_topk`
+    * and its TVF twin `sql_text_search_tvf` (lazy: interpolates CTE
+    * fragments declared nearby — the incrSimhashSql precedent).
+    */
+  private lazy val textSearchTopkSql =
+    s"""WITH $termTfCte,
+       |tfs AS (SELECT * FROM tfq WHERE term IN
+       |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+       |${tfidfScoredCte("tfs")},
+       |m AS (SELECT doc_id, count(*) AS nm,
+       |  CAST(sum(score) AS BIGINT) AS score
+       |  FROM sc GROUP BY doc_id)
+       |SELECT doc_id, score FROM m WHERE nm = ${SearchTerms.size}
+       |ORDER BY score DESC, doc_id LIMIT $SearchK""".stripMargin
+
+  /** BM25 oracle — shared by `text_search_bm25` and its TVF twin.
+    * Each per-term score chain is spelled CHARACTER-IDENTICALLY to
+    * the engine's; the per-doc sum folds in sorted term order.
+    */
+  private lazy val bm25Sql =
+    s"""WITH $termTfCte,
+       |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM tfq GROUP BY doc_id),
+       |bsl AS (SELECT t.doc_id, t.term, t.tf, d.dl
+       |  FROM tfq t JOIN bdl d USING (doc_id)
+       |  WHERE t.term IN
+       |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+       |bdf AS (SELECT term, count(*) AS df FROM bsl
+       |  GROUP BY term),
+       |btot AS (SELECT CAST(sum(tf) AS BIGINT) AS sumdl
+       |  FROM tfq),
+       |bn AS (SELECT count(*) AS n_docs FROM documents),
+       |bs AS (SELECT doc_id, term,
+       |  (CAST(((n_docs * ${graft.operators.TextSearch.IdfScale})
+       |    // df) AS DOUBLE) * tf * CAST(2.2 AS DOUBLE)) /
+       |  (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+       |    CAST(0.75 AS DOUBLE) * dl * n_docs / sumdl)) AS s
+       |  FROM bsl JOIN bdf USING (term), btot, bn),
+       |bagg AS (SELECT doc_id,
+       |  list_sum(list(s ORDER BY term)) AS score
+       |  FROM bs GROUP BY doc_id)
+       |SELECT doc_id, score FROM bagg
+       |ORDER BY score DESC, doc_id LIMIT $SearchK""".stripMargin
+
   private val hybridRrfSql =
     s"""WITH $termTfCte,
        |tfs AS (SELECT * FROM tfq WHERE term IN
@@ -2707,6 +2751,69 @@ object TrainingDataQueries {
       },
       Some(incrSimhashSql)),
 
+    // the retrieval/ANN TVF family (r16): the serving operators as
+    // SQL table functions. Oracles identical to the DataFrame twins'
+    // — the surface changes NOTHING about what is computed.
+    "sql_text_search_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, d, "documents")
+          .createOrReplaceTempView("graft_tvf_docs")
+        s.sql(s"""SELECT doc_id, score
+                 |FROM graft_text_search('graft_tvf_docs', 'doc_id',
+                 |  'text', '${SearchTerms.mkString(",")}',
+                 |  $SearchK)""".stripMargin)
+      },
+      Some(textSearchTopkSql)),
+
+    "sql_bm25_search_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, d, "documents")
+          .createOrReplaceTempView("graft_tvf_docs")
+        s.sql(s"""SELECT doc_id, score
+                 |FROM graft_bm25_search('graft_tvf_docs', 'doc_id',
+                 |  'text', '${SearchTerms.mkString(",")}',
+                 |  $SearchK)""".stripMargin)
+      },
+      Some(bm25Sql)),
+
+    "sql_ann_probe_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = table(s, d, "embeddings")
+        emb.createOrReplaceTempView("graft_tvf_emb")
+        emb.filter(col("vec_id") < AnnNumQueries)
+          .createOrReplaceTempView("graft_tvf_emb_queries")
+        s.sql(s"""SELECT query_id, rank, neighbor_id
+                 |FROM graft_ann_probe('graft_tvf_emb',
+                 |  'graft_tvf_emb_queries', 'vec_id', 'embedding',
+                 |  $AnnK)""".stripMargin)
+      },
+      Some(annSql)),
+
+    "sql_hybrid_rrf_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = table(s, d, "documents")
+        val emb = table(s, d, "embeddings")
+        Similarity.rankTopK(
+          graft.operators.TextSearch.searchTopK(
+              docs, "doc_id", "text", SearchTerms, SearchK)
+            .select(lit(HybridQueryId.toLong).as("query_id"),
+              col("doc_id").cast("long").as("neighbor_id"),
+              col("score").cast("double").as("sim")), SearchK)
+          .createOrReplaceTempView("graft_tvf_lex")
+        Similarity.bruteForceTopK(emb,
+            emb.filter(col("vec_id") === HybridQueryId), "vec_id",
+            "embedding", SearchK)
+          .createOrReplaceTempView("graft_tvf_vec")
+        s.sql(s"""SELECT query_id, rank, neighbor_id, rrf
+                 |FROM graft_hybrid_rrf('graft_tvf_lex',
+                 |  'graft_tvf_vec', $SearchK, $RrfK)""".stripMargin)
+      },
+      Some(hybridRrfSql)),
+
     "dedup_exact" -> QueryDef(
       (s, d) => Dedup.exact(table(s, d, "documents"), "doc_id", "text"),
       Some(s"""SELECT ${StableHash.hash60Sql("text")} AS text_hash,
@@ -4563,15 +4670,7 @@ object TrainingDataQueries {
     "text_search_topk" -> QueryDef(
       (s, d) => graft.operators.TextSearch.searchTopK(
         table(s, d, "documents"), "doc_id", "text", SearchTerms, SearchK),
-      Some(s"""WITH $termTfCte,
-              |tfs AS (SELECT * FROM tfq WHERE term IN
-              |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
-              |${tfidfScoredCte("tfs")},
-              |m AS (SELECT doc_id, count(*) AS nm,
-              |  CAST(sum(score) AS BIGINT) AS score
-              |  FROM sc GROUP BY doc_id)
-              |SELECT doc_id, score FROM m WHERE nm = ${SearchTerms.size}
-              |ORDER BY score DESC, doc_id LIMIT $SearchK""".stripMargin)),
+      Some(textSearchTopkSql)),
 
     // hybrid retrieval: the lexical tf·idf top-k and the cosine top-k
     // of one query doc's embedding, fused by reciprocal rank
@@ -4673,29 +4772,7 @@ object TrainingDataQueries {
       (s, d) => graft.operators.TextSearch.searchTopKBm25(
         table(s, d, "documents"), "doc_id", "text", SearchTerms,
         SearchK),
-      Some(s"""WITH $termTfCte,
-              |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-              |  FROM tfq GROUP BY doc_id),
-              |bsl AS (SELECT t.doc_id, t.term, t.tf, d.dl
-              |  FROM tfq t JOIN bdl d USING (doc_id)
-              |  WHERE t.term IN
-              |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
-              |bdf AS (SELECT term, count(*) AS df FROM bsl
-              |  GROUP BY term),
-              |btot AS (SELECT CAST(sum(tf) AS BIGINT) AS sumdl
-              |  FROM tfq),
-              |bn AS (SELECT count(*) AS n_docs FROM documents),
-              |bs AS (SELECT doc_id, term,
-              |  (CAST(((n_docs * ${graft.operators.TextSearch.IdfScale})
-              |    // df) AS DOUBLE) * tf * CAST(2.2 AS DOUBLE)) /
-              |  (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
-              |    CAST(0.75 AS DOUBLE) * dl * n_docs / sumdl)) AS s
-              |  FROM bsl JOIN bdf USING (term), btot, bn),
-              |bagg AS (SELECT doc_id,
-              |  list_sum(list(s ORDER BY term)) AS score
-              |  FROM bs GROUP BY doc_id)
-              |SELECT doc_id, score FROM bagg
-              |ORDER BY score DESC, doc_id LIMIT $SearchK""".stripMargin)),
+      Some(bm25Sql)),
 
     // result snippets: ±4 words of context around the first hit of
     // any query term — zero-exchange scan, the result-page companion

@@ -174,6 +174,70 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(err != null)
   }
 
+  test("retrieval TVFs match their DataFrame twins (r16)") {
+    import graft.operators.{Similarity, TextSearch}
+    GraftFunctions.register(spark)
+    val docs = ((1L to 20L).map(i =>
+      (i, s"spark merge window doc $i with filler words number $i")) ++
+      (21L to 30L).map(i => (i, s"unrelated prose entry $i")))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gfs_ret_docs")
+    val terms = Seq("spark", "merge", "window")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+
+    val tsSql = spark.sql("SELECT * FROM graft_text_search(" +
+      "'gfs_ret_docs', 'doc_id', 'text', 'spark,merge,window', 5)")
+    val tsDf = TextSearch.searchTopK(docs, "doc_id", "text", terms, 5)
+    assert(rows(tsSql).nonEmpty && rows(tsSql) == rows(tsDf),
+      "graft_text_search must equal searchTopK")
+
+    val bmSql = spark.sql("SELECT * FROM graft_bm25_search(" +
+      "'gfs_ret_docs', 'doc_id', 'text', 'spark,merge,window', 5)")
+    val bmDf = TextSearch.searchTopKBm25(docs, "doc_id", "text",
+      terms, 5)
+    assert(rows(bmSql).nonEmpty && rows(bmSql) == rows(bmDf),
+      "graft_bm25_search must equal searchTopKBm25 (float scores " +
+        "bit-identical)")
+
+    val vecs = ((1L to 20L).map(i =>
+      (i, Seq(1.0f + i * 0.001f, 0.5f, 0.25f))) ++
+      (21L to 30L).map(i => (i, Seq(-1.0f, 0.2f + i * 0.01f, 0.9f))))
+      .toDF("vec_id", "embedding")
+    vecs.createOrReplaceTempView("gfs_ret_emb")
+    vecs.filter(col("vec_id") <= 2L)
+      .createOrReplaceTempView("gfs_ret_emb_q")
+    val annSql = spark.sql("SELECT * FROM graft_ann_probe(" +
+      "'gfs_ret_emb', 'gfs_ret_emb_q', 'vec_id', 'embedding', 4)")
+    val annDf = Similarity.bruteForceTopK(vecs,
+      vecs.filter(col("vec_id") <= 2L), "vec_id", "embedding", 4)
+    assert(rows(annSql).nonEmpty &&
+      rows(annSql).toSet == rows(annDf).toSet,
+      "graft_ann_probe must equal bruteForceTopK")
+
+    Similarity.rankTopK(tsDf.select(lit(1L).as("query_id"),
+        col("doc_id").cast("long").as("neighbor_id"),
+        col("score").cast("double").as("sim")), 5)
+      .createOrReplaceTempView("gfs_ret_lex")
+    annDf.filter(col("query_id") === 1L)
+      .createOrReplaceTempView("gfs_ret_vec")
+    val hySql = spark.sql("SELECT * FROM graft_hybrid_rrf(" +
+      "'gfs_ret_lex', 'gfs_ret_vec', 5, 60)")
+    val hyDf = Similarity.rrfFuse(Seq(
+      spark.table("gfs_ret_lex"), spark.table("gfs_ret_vec")), 5, 60)
+    assert(rows(hySql).nonEmpty && rows(hySql) == rows(hyDf),
+      "graft_hybrid_rrf must equal rrfFuse")
+
+    // a blank terms list fails loudly, not with an empty result
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_text_search(" +
+        "'gfs_ret_docs', 'doc_id', 'text', ' , ,', 5)").collect()
+    }
+    assert(err.getMessage.contains("no non-blank terms") ||
+      err.getCause != null)
+  }
+
   test("GraftExtensions injects at session build time") {
     val base = spark // force shared-session init before clearing
     val expected = base.range(1)
