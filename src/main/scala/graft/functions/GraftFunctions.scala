@@ -294,10 +294,11 @@ object GraftFunctions {
     * banding parameter. The builder expands at ANALYSIS time into the
     * probe's logical plan — Catalyst then optimizes the composed
     * query as one plan, exactly as if the DataFrame API had built it.
-    * `graft_jaccard_probe` additionally MATERIALIZES its pair output
-    * at plan expansion (the probe eagerly checkpoints to release its
-    * corpus-sized cached intermediates): same rows, but the work runs
-    * when the query is planned, not when it is first consumed.
+    * Every TVF expands to a PURE LAZY plan: planning (including
+    * `EXPLAIN`) launches no Spark jobs — `graft_jaccard_probe` uses
+    * the probe's lazy spelling for exactly this reason (r16; the
+    * eager variant checkpoints to release its cached intermediates,
+    * which a one-shot SQL query never accumulates).
     */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical
@@ -331,7 +332,12 @@ object GraftFunctions {
       tvf("graft_jaccard_probe",
         "(batch_table, index_path, id_col, text_col)", 4, 4) {
         (spark, args) =>
-        graft.operators.Dedup.ngramJaccardAgainst(
+        // the LAZY probe spelling: expansion happens at analysis time,
+        // so the eager-checkpoint variant would run the probe's Spark
+        // jobs during planning (EXPLAIN-only tooling would execute
+        // work). Same rows; the batch's shingle sets are re-derived
+        // per consumer instead of cached-and-released (r16)
+        graft.operators.Dedup.ngramJaccardAgainstLazy(
           spark.table(litString(args(0), "batch_table")),
           graft.operators.Dedup.readJaccardIndex(spark,
             litString(args(1), "index_path")),

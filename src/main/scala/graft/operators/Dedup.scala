@@ -1208,10 +1208,18 @@ object Dedup {
     else index.sets.write.mode(sm).parquet(s"$path/sets")
     val bits = buildIndexBloom(
       spark.read.parquet(s"$path/prefix"), "g", bloomK, bloomM)
+    // table schemas travel in the meta (r16): readers pass them to
+    // spark.read.schema(...), so opening the layout launches ZERO
+    // footer-inference jobs — the SQL TVF expands at analysis time,
+    // where a planning-only consumer (EXPLAIN) must not run work, and
+    // at scale a probe skips three footer reads per open
     writeIndexMeta(spark, path, graft.sink.IndexLayout.metaJson(Seq(
       "shingle_k" -> index.k, "threshold" -> index.threshold,
       "bloom_k" -> bloomK, "bloom_m" -> bits.length, "shards" -> shards,
-      "bloom_bits" -> bitsToString(bits))))
+      "bloom_bits" -> bitsToString(bits),
+      "schema_dfreq" -> index.dfreq.schema.toDDL,
+      "schema_prefix" -> index.prefix.schema.toDDL,
+      "schema_sets" -> index.sets.schema.toDDL)))
   }
 
   /** Probe a published Jaccard index by PATH with manifest pruning:
@@ -1256,15 +1264,21 @@ object Dedup {
     // probe must rank by the same order). prefix: base + epoch tail.
     val dfreqDir = s"$path/${IndexLayout.baseDir(root,
       IndexLayout.JaccardDfreq)}"
+    val dfreqSchema = metaSchemaOpt(root, "schema_dfreq")
+    val setsSchema = metaSchemaOpt(root, "schema_sets")
     val dfreq = gs match {
-      case Some(ps) => graft.sink.Sinks.readRangePoints(spark, dfreqDir, ps)
-      case None => spark.read.parquet(dfreqDir)
+      case Some(ps) => graft.sink.Sinks.readRangePoints(spark, dfreqDir,
+        ps, dfreqSchema)
+      case None => dfreqSchema.fold(spark.read)(s =>
+        spark.read.schema(s)).parquet(dfreqDir)
     }
     val prefix = IndexLayout.readPostings(spark, path, root, gs,
-      maxEpochExclusive, IndexLayout.JaccardPrefix)
+      maxEpochExclusive, IndexLayout.JaccardPrefix,
+      metaSchemaOpt(root, "schema_prefix"))
     val idx = JaccardIndex(dfreq, prefix,
-      spark.read.parquet(s"$path/${IndexLayout.baseDir(root,
-        IndexLayout.JaccardSets)}"),
+      setsSchema.fold(spark.read)(s => spark.read.schema(s))
+        .parquet(s"$path/${IndexLayout.baseDir(root,
+          IndexLayout.JaccardSets)}"),
       k, metaDouble(root, "threshold"), Some(metaBloom(root)))
     // persisted: the candidate-id collection and the verification join
     // both consume the candidate pairs
@@ -1277,8 +1291,9 @@ object Dedup {
         IndexLayout.readPostings(spark, path, root,
           collectPointsCapped(candidates.select(col("corpus_id")),
             idFetchCap(spark, setsDir, maxPoints)),
-          maxEpochExclusive, IndexLayout.JaccardSets)
-      else spark.read.parquet(setsDir)
+          maxEpochExclusive, IndexLayout.JaccardSets, setsSchema)
+      else setsSchema.fold(spark.read)(s => spark.read.schema(s))
+        .parquet(setsDir)
     val pairs = jaccardVerify(candidates, nsets, corpusSets,
       idx.threshold)
     releaseAfterAll(warnIfIndexShuffles(pairs, "ngramJaccardAgainstPath"),
@@ -1292,13 +1307,18 @@ object Dedup {
     // resolve through the meta so a STREAM-MAINTAINED layout reads
     // whole (frozen dfreq base; prefix/sets base + epoch tail); a
     // batch-published layout resolves to the plain dirs unchanged
+    // meta-recorded schemas (r16) make the open job-free: no footer
+    // inference — required by the analysis-time SQL TVF expansion,
+    // where even EXPLAIN must not launch Spark jobs
+    val dfreqRd = metaSchemaOpt(root, "schema_dfreq")
+      .fold(spark.read)(s => spark.read.schema(s))
     JaccardIndex(
-      spark.read.parquet(s"$path/${IndexLayout.baseDir(root,
+      dfreqRd.parquet(s"$path/${IndexLayout.baseDir(root,
         IndexLayout.JaccardDfreq)}"),
       IndexLayout.readPostings(spark, path, root, None, None,
-        IndexLayout.JaccardPrefix),
+        IndexLayout.JaccardPrefix, metaSchemaOpt(root, "schema_prefix")),
       IndexLayout.readPostings(spark, path, root, None, None,
-        IndexLayout.JaccardSets),
+        IndexLayout.JaccardSets, metaSchemaOpt(root, "schema_sets")),
       metaInt(root, "shingle_k"), metaDouble(root, "threshold"),
       Some(metaBloom(root)))
   }
@@ -1338,6 +1358,24 @@ object Dedup {
       jaccardCandidates(nsets, index, maxGramPostings), nsets,
       index.sets, index.threshold)
     releaseAfter(warnIfIndexShuffles(pairs, "ngramJaccardAgainst"), nsets)
+  }
+
+  /** [[ngramJaccardAgainst]] as a PURE LAZY plan — no persist, no
+    * eager checkpoint — for callers that must compose the probe
+    * without executing anything (the SQL TVF expands at ANALYSIS
+    * time; `EXPLAIN` must not launch Spark jobs). The trade: the
+    * batch's shingle sets are re-derived by each consumer instead of
+    * being cached and released — batch-sized work, while the eager
+    * spelling's checkpoint exists to release the cache, which a
+    * one-shot SQL query never accumulates.
+    */
+  private[graft] def ngramJaccardAgainstLazy(newDocs: DataFrame,
+      index: JaccardIndex, idCol: String, textCol: String,
+      maxGramPostings: Int = Int.MaxValue): DataFrame = {
+    val nsets = hashedShingleSets(newDocs, idCol, textCol, index.k)
+    jaccardVerify(
+      jaccardCandidates(nsets, index, maxGramPostings), nsets,
+      index.sets, index.threshold)
   }
 
   /** The AllPairs prefix-filter stage of [[ngramJaccardAgainst]] —
@@ -1654,6 +1692,20 @@ object Dedup {
       case JInt(n) => n.longValue
       case JLong(n) => n
       case o => throw new IllegalStateException(s"bad index meta $name: $o")
+    }
+  }
+
+  /** A table schema recorded in the meta (DDL string), if present —
+    * absent on pre-r16 layouts, where readers fall back to footer
+    * inference.
+    */
+  private[graft] def metaSchemaOpt(root: org.json4s.JValue, name: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.json4s._
+    (root \ name) match {
+      case JString(ddl) =>
+        Some(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      case _ => None
     }
   }
 

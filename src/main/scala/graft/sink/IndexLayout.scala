@@ -163,11 +163,17 @@ object IndexLayout {
   def readPostings(spark: SparkSession, path: String, root: JValue,
                    points: Option[IndexedSeq[Long]],
                    maxEpochExclusive: Option[Long] = None,
-                   table: MaintainedTable = Postings): DataFrame = {
+                   table: MaintainedTable = Postings,
+                   schema: Option[org.apache.spark.sql.types.StructType]
+                     = None): DataFrame = {
     val base0 = s"$path/${baseDir(root, table)}"
+    // an explicit schema (from the layout's meta) skips parquet
+    // footer inference — zero Spark jobs to OPEN the layout, which
+    // analysis-time consumers (the SQL TVFs) rely on
+    def rd = schema.fold(spark.read)(s => spark.read.schema(s))
     val base = points match {
-      case Some(ps) => Sinks.readRangePoints(spark, base0, ps)
-      case None => spark.read.parquet(base0)
+      case Some(ps) => Sinks.readRangePoints(spark, base0, ps, schema)
+      case None => rd.parquet(base0)
     }
     val epochsDir = s"$path/${table.epochsSub}"
     val through = compactedThrough(root, table)

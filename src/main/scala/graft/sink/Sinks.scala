@@ -240,11 +240,14 @@ object Sinks {
     * key, not row-exactness).
     */
   def readRangePoints(spark: org.apache.spark.sql.SparkSession,
-                      dir: String, points: Seq[Long]): DataFrame = {
+                      dir: String, points: Seq[Long],
+                      schema: Option[org.apache.spark.sql.types
+                        .StructType] = None): DataFrame = {
     import org.apache.spark.sql.functions._
+    val rd = schema.fold(spark.read)(s => spark.read.schema(s))
     val keep = rangePointFiles(spark, dir, points)
-    if (keep.isEmpty) spark.read.parquet(dir).filter(lit(false))
-    else spark.read.parquet(keep: _*)
+    if (keep.isEmpty) rd.parquet(dir).filter(lit(false))
+    else rd.parquet(keep: _*)
   }
 
   def jdbcWrite(df: DataFrame, url: String, table: String,

@@ -174,6 +174,73 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(err != null)
   }
 
+  test("graft_jaccard_probe expands lazily: EXPLAIN launches zero " +
+      "Spark jobs (r16)") {
+    import graft.operators.Dedup
+    GraftFunctions.register(spark)
+    val phrase = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = (1L to 30L).map(i => (i, s"$phrase corpus tail $i"))
+      .toDF("doc_id", "text")
+    val batch = Seq((1000L, s"$phrase corpus tail 7"),
+      (1001L, "novel unrelated content with nothing shared at all"))
+      .toDF("doc_id", "text")
+    batch.createOrReplaceTempView("gfs_lazy_batch")
+    val dir = java.nio.file.Files
+      .createTempDirectory("tvf-lazyjac").toString
+    Dedup.writeJaccardIndex(
+      Dedup.buildJaccardIndex(corpus, "doc_id", "text", 3, 0.5), dir)
+    // count jobs NOT in the marker group; the marker job (run after
+    // the EXPLAIN) flushes the ordered listener queue, so when it is
+    // visible every job the EXPLAIN launched would be too. (AQE runs
+    // one job per query stage, so the marker itself may be 2+ jobs —
+    // hence the group filter rather than exact counting.)
+    val explainJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val markerSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val grp = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (grp == "gfs-lazyjac-marker") markerSeen.set(true)
+        else {
+          explainJobs.incrementAndGet()
+          System.err.println(s"[lazyjac] unexpected job ${js.jobId}: " +
+            js.stageInfos.map(_.name).mkString(" | "))
+        }
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val plan = spark.sql("EXPLAIN FORMATTED SELECT * FROM " +
+          s"graft_jaccard_probe('gfs_lazy_batch', '$dir', 'doc_id', " +
+          "'text')")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(plan.contains("Physical Plan"), plan.take(200))
+      spark.sparkContext.setJobGroup("gfs-lazyjac-marker", "flush")
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.currentTimeMillis + 30000
+      while (!markerSeen.get && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(markerSeen.get, "marker job never reached the listener")
+      assert(explainJobs.get == 0,
+        s"EXPLAIN of graft_jaccard_probe must launch zero Spark jobs " +
+          s"(saw ${explainJobs.get})")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // and the lazy expansion still answers exactly like the eager
+    // DataFrame probe when the query RUNS
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sqlK = keys(spark.sql("SELECT * FROM graft_jaccard_probe(" +
+      s"'gfs_lazy_batch', '$dir', 'doc_id', 'text')"))
+    val dfK = keys(Dedup.ngramJaccardAgainst(batch,
+      Dedup.readJaccardIndex(spark, dir), "doc_id", "text"))
+    assert(sqlK.nonEmpty && sqlK == dfK,
+      s"lazy TVF must stay row-identical: $sqlK vs $dfK")
+  }
+
   test("retrieval TVFs match their DataFrame twins (r16)") {
     import graft.operators.{Similarity, TextSearch}
     GraftFunctions.register(spark)
