@@ -1062,16 +1062,17 @@ object Dedup {
     val prefix = grams.join(dfreq, "g")
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("g"), col("sz"))
+      .select(col("id"), col("g"), col("sz"), col("rn").as("pos"))
     val l = prefix.select(col("id").as("id_a"), col("g"),
-      col("sz").as("sz_a"))
+      col("sz").as("sz_a"), col("pos").as("pos_a"))
     val r = prefix.select(col("id").as("id_b"), col("g"),
-      col("sz").as("sz_b"))
+      col("sz").as("sz_b"), col("pos").as("pos_b"))
     val candidates = l.join(r, Seq("g"))
       .filter(col("id_a") < col("id_b") &&
         // length filter: J >= t forces t <= |A|/|B| <= 1/t
         col("sz_a") >= lit(threshold) * col("sz_b") &&
-        col("sz_b") >= lit(threshold) * col("sz_a"))
+        col("sz_b") >= lit(threshold) * col("sz_a") &&
+        positionalFilter(threshold))
       .select(col("id_a"), col("id_b")).distinct()
     val pairs = candidates
       .join(sets.select(col("id").as("id_a"), col("gs").as("gs_a"),
@@ -1138,10 +1139,13 @@ object Dedup {
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("id"))
       .orderBy(col("df").asc, col("g").asc)
+    // `pos` (the gram's 1-based rank in the doc's df-ordered gram
+    // list) rides along for the PPJoin positional filter (r16) — 4
+    // bytes per posting buys a 2-5x candidate cut downstream
     val prefix = grams.join(dfreq, "g")
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("g"), col("sz"))
+      .select(col("id"), col("g"), col("sz"), col("rn").as("pos"))
     (dfreq, prefix)
   }
 
@@ -1165,7 +1169,7 @@ object Dedup {
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
-      .select(col("id"), col("g"), col("sz"))
+      .select(col("id"), col("g"), col("sz"), col("rn").as("pos"))
   }
 
   /** Publish a [[JaccardIndex]] as a directory layout — the three
@@ -1395,7 +1399,8 @@ object Dedup {
     // definition of a batch), then the batch grams join the shrunken
     // slice broadcast
     val nprefixAll = frozenOrderPrefix(nsets, index.dfreq, t)
-      .select(col("id").as("new_id"), col("g"), col("sz").as("sz_n"))
+      .select(col("id").as("new_id"), col("g"), col("sz").as("sz_n"),
+        col("pos").as("pos_n"))
     // published-index Bloom prefilter (sound — a pair needs a batch
     // prefix gram EQUAL to a corpus prefix gram, so definite-miss
     // grams cannot contribute): applied AFTER prefix selection, since
@@ -1441,13 +1446,50 @@ object Dedup {
             col("id") === col("__hub"))
           .drop("__n", "__hub")
       }
-    cprefix
-      .select(col("id").as("corpus_id"), col("g"), col("sz").as("sz_c"))
+    // the positional filter needs the CORPUS prefix positions too —
+    // present on layouts published since r16 (and on in-memory
+    // indexes); pre-r16 published layouts lack the column and keep
+    // the plain (still sound, just less pruned) candidate join
+    val corpusHasPos = cprefix.columns.contains("pos")
+    val cp =
+      if (corpusHasPos) cprefix.select(col("id").as("corpus_id"),
+        col("g"), col("sz").as("sz_c"), col("pos").as("pos_c"))
+      else cprefix.select(col("id").as("corpus_id"), col("g"),
+        col("sz").as("sz_c"))
+    val lengthFiltered = cp
       .join(broadcast(nprefix), Seq("g"))
       .filter(col("sz_n") >= lit(t) * col("sz_c") &&
         col("sz_c") >= lit(t) * col("sz_n"))
-      .select(col("new_id"), col("corpus_id")).distinct()
+    // skipped in guarded mode: the guard keeps only HUB postings for
+    // over-cap grams, so a hub pair's FIRST shared gram may be gone
+    // and the first-gram soundness argument with it — the positional
+    // filter could then drop hub pairs the guard contract promises to
+    // verify exactly
+    val posFiltered =
+      if (corpusHasPos && !guarded) lengthFiltered.filter(
+        (lit(1L) + least(col("sz_n") - col("pos_n"),
+          col("sz_c") - col("pos_c"))) * lit(1.0 + t) >=
+          lit(t) * (col("sz_n") + col("sz_c")) - lit(1e-9))
+      else lengthFiltered
+    posFiltered.select(col("new_id"), col("corpus_id")).distinct()
   }
+
+  /** PPJoin positional filter (public AllPairs/PPJoin literature):
+    * for a candidate generated by a shared gram at 1-based positions
+    * `(pos_a, pos_b)` of the two docs' common-order gram lists, the
+    * overlap is at most `1 + min(sz_a - pos_a, sz_b - pos_b)`, while
+    * `J >= t` forces `overlap * (1 + t) >= t * (sz_a + sz_b)`. The
+    * bound is sound for each pair through its FIRST shared prefix
+    * gram (nothing common precedes it), so filtering EVERY generating
+    * gram match keeps every true pair while cutting candidates that
+    * share only late-prefix grams. The `1e-9` slack shields the float
+    * boundary (a boundary-equal true pair must not be dropped;
+    * verification downstream is exact, so the slack costs nothing).
+    */
+  private def positionalFilter(t: Double): Column =
+    (lit(1L) + least(col("sz_a") - col("pos_a"),
+      col("sz_b") - col("pos_b"))) * lit(1.0 + t) >=
+      lit(t) * (col("sz_a") + col("sz_b")) - lit(1e-9)
 
   /** Exact-Jaccard verification of candidate pairs from the stored
     * shingle sets — the closing stage of [[ngramJaccardAgainst]].

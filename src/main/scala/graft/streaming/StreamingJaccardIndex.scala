@@ -154,8 +154,17 @@ object StreamingJaccardIndex {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreqDir = s"$indexPath/${IndexLayout.baseDir(root,
       IndexLayout.JaccardDfreq)}"
-    val batchPrefix = Dedup.frozenOrderPrefix(nsets,
+    // epoch partitions must union with the BASE prefix table: a
+    // pre-r16 base has no `pos` column (the PPJoin positional-filter
+    // payload), so appends to such a layout drop it — the next
+    // compaction re-freezes with the full r16 schema
+    val prefixBaseCols = spark.read.parquet(
+      s"$indexPath/${IndexLayout.baseDir(root,
+        IndexLayout.JaccardPrefix)}").columns
+    val batchPrefixAll = Dedup.frozenOrderPrefix(nsets,
       spark.read.parquet(dfreqDir), threshold)
+    val batchPrefix = (if (prefixBaseCols.contains("pos"))
+        batchPrefixAll else batchPrefixAll.drop("pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (oldBits, bk) = Dedup.metaBloom(root)
     val batchBits = Dedup.buildIndexBloom(batchPrefix, "g", bk,
