@@ -115,5 +115,8 @@ object SparkEntry {
     // cosine top-k fused by reciprocal rank), BM25-flavor ranking
     // (the float-parity chain), and the batch more-like-this panel —
     // the retrieval family's drift, bench-visible
-    "hybrid_search_rrf", "text_search_bm25", "more_like_this")
+    "hybrid_search_rrf", "text_search_bm25", "more_like_this",
+    // round-16 addition: the BM25-armed hybrid — BM25 lexical arm +
+    // cosine arm fused by RRF, the standard serving configuration
+    "hybrid_bm25_rrf")
 }

@@ -311,46 +311,130 @@ object TextSearch {
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(k > 0, s"k ($k) must be > 0")
-    require(k1 >= 0 && b >= 0 && b <= 1,
-      s"k1 ($k1) must be >= 0 and b ($b) in [0, 1]")
+    requireBm25Params(k1, b)
     require(terms.forall(_.trim.nonEmpty),
       "terms must be non-blank (blank tokens are not corpus terms)")
     val qTerms = terms.map(_.toLowerCase).distinct
-    val tc = graft.functions.TextShingles.wordTermCounts(col(textCol))
-    def dlOf(tcCol: org.apache.spark.sql.Column) =
-      aggregate(tcCol, lit(0L), (acc, x) =>
-        acc + when(x.getField("term") === "", lit(0L))
-          .otherwise(x.getField("tf")))
-    val withTc = docs.select(col(idCol).cast("long").as("doc_id"),
-      tc.as("__tc"))
-    val rows = withTc
-      .select(col("doc_id"), dlOf(col("__tc")).as("dl"),
-        explode(col("__tc")).as("tcx"))
-      .select(col("doc_id"), col("dl"),
-        col("tcx.term").as("term"), col("tcx.tf").as("tf"))
+    val withTc = docsWithTermCounts(docs, idCol, textCol)
+    val rows = explodeWithDl(withTc)
       .filter(col("term").isin(qTerms: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfTbl = rows.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val totals = withTc.select(dlOf(col("__tc")).as("dl"))
-      .agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n_docs"))
-    // the oracle spells this chain CHARACTER-IDENTICALLY — any
-    // re-association changes the rounded double
-    val scoreExpr =
-      s"(CAST(($idfWeightExpr) AS DOUBLE) * tf * " +
-        s"CAST(${k1 + 1.0} AS DOUBLE)) / " +
-        s"(tf + CAST($k1 AS DOUBLE) * (CAST(${1.0 - b} AS DOUBLE) + " +
-        s"CAST($b AS DOUBLE) * dl * n_docs / sumdl))"
     val out = rows.join(broadcast(dfTbl), "term")
-      .crossJoin(broadcast(totals))
-      .withColumn("s", expr(scoreExpr))
+      .crossJoin(broadcast(corpusDlTotals(withTc)))
+      .withColumn("s", expr(bm25ScoreExpr(k1, b)))
       .groupBy(col("doc_id"))
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("term"), col("s")))),
-        lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+      .agg(sortedTermScoreSum.as("score"))
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
       .select(col("doc_id"), col("score"))
     Dedup.releaseAfter(out, rows)
+  }
+
+  private def requireBm25Params(k1: Double, b: Double): Unit =
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"k1 ($k1) must be >= 0 and b ($b) in [0, 1]")
+
+  /** `(doc_id, __tc)` — row-local term counts, the shared first stage
+    * of the BM25 family.
+    */
+  private def docsWithTermCounts(docs: DataFrame, idCol: String,
+                                 textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      graft.functions.TextShingles.wordTermCounts(col(textCol))
+        .as("__tc"))
+
+  /** Document length from a row-local term-count array (blank-token
+    * entries excluded, matching the oracle's `term <> ''`).
+    */
+  private def dlOf(tcCol: org.apache.spark.sql.Column) =
+    aggregate(tcCol, lit(0L), (acc, x) =>
+      acc + when(x.getField("term") === "", lit(0L))
+        .otherwise(x.getField("tf")))
+
+  /** `(doc_id, dl, term, tf)` rows — dl rides each exploded term row,
+    * so length normalization never needs a corpus self-join.
+    */
+  private def explodeWithDl(withTc: DataFrame): DataFrame =
+    withTc
+      .select(col("doc_id"), dlOf(col("__tc")).as("dl"),
+        explode(col("__tc")).as("tcx"))
+      .select(col("doc_id"), col("dl"),
+        col("tcx.term").as("term"), col("tcx.tf").as("tf"))
+      .filter(col("term") =!= "")
+
+  /** One-row `(sumdl, n_docs)` corpus totals (broadcast by callers). */
+  private def corpusDlTotals(withTc: DataFrame): DataFrame =
+    withTc.select(dlOf(col("__tc")).as("dl"))
+      .agg(sum(col("dl")).as("sumdl"), count(lit(1)).as("n_docs"))
+
+  /** The per-term BM25 chain — the oracle spells it
+    * CHARACTER-IDENTICALLY; any re-association changes the rounded
+    * double.
+    */
+  private def bm25ScoreExpr(k1: Double, b: Double): String =
+    s"(CAST(($idfWeightExpr) AS DOUBLE) * tf * " +
+      s"CAST(${k1 + 1.0} AS DOUBLE)) / " +
+      s"(tf + CAST($k1 AS DOUBLE) * (CAST(${1.0 - b} AS DOUBLE) + " +
+      s"CAST($b AS DOUBLE) * dl * n_docs / sumdl))"
+
+  /** Deterministic float fold: per-group sum of `s` in SORTED term
+    * order (`aggregate(array_sort(collect_list(...)))` ≡ DuckDB
+    * `list_sum(list(s ORDER BY term))`) — bit-identical regardless of
+    * task order.
+    */
+  private def sortedTermScoreSum: org.apache.spark.sql.Column =
+    aggregate(
+      array_sort(collect_list(struct(col("term"), col("s")))),
+      lit(0.0), (acc, x) => acc + x.getField("s"))
+
+  /** BM25-scored disjunctive retrieval for a PANEL of queries in ONE
+    * corpus pass — [[searchTopKBatch]]'s serving shape with
+    * [[searchTopKBm25]]'s scorer: `queryTerms` is `(query_id, term)`
+    * rows, and a doc scores `Σ` of the per-term BM25 chain over
+    * whichever query terms it contains. Emits
+    * `(query_id, rank, neighbor_id)` (score desc, id asc, top k per
+    * query) — the ranked-list shape [[Similarity.rrfFuse]] consumes,
+    * making BM25 the standard lexical arm of a hybrid configuration.
+    *
+    * Float determinism: the per-term chain and the sorted-term fold
+    * are the single-query operator's (oracle spells both identically);
+    * the ranking consumes the resulting bit-exact double.
+    *
+    * Scale shape: identical to [[searchTopKBatch]] — the corpus'
+    * row-local term stream semi-joins the BROADCAST distinct panel
+    * term set before any exchange; df over that sliver is the exact
+    * corpus-wide df; dl rides each term row; corpus totals broadcast;
+    * the per-(query, doc) rollup and BoundedTopK ranking move
+    * sliver-sized rows only.
+    */
+  def searchTopKBatchBm25(docs: DataFrame, idCol: String,
+                          textCol: String, queryTerms: DataFrame,
+                          k: Int, k1: Double = 1.2,
+                          b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k ($k) must be > 0")
+    requireBm25Params(k1, b)
+    val qt = queryTerms.select(col("query_id"),
+        lower(col("term")).as("term")).distinct()
+      .filter(col("term") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val termSet = qt.select(col("term")).distinct()
+    val withTc = docsWithTermCounts(docs, idCol, textCol)
+    val rows = explodeWithDl(withTc)
+      .join(broadcast(termSet), "term")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfTbl = rows.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = rows.join(broadcast(dfTbl), "term")
+      .join(broadcast(qt), "term")
+      .crossJoin(broadcast(corpusDlTotals(withTc)))
+      .withColumn("s", expr(bm25ScoreExpr(k1, b)))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sortedTermScoreSum.as("score"))
+    val out = graft.operators.Similarity.rankTopK(
+      scored.select(col("query_id"),
+        col("doc_id").as("neighbor_id"),
+        col("score").as("sim")), k)
+    Dedup.releaseAfterAll(out, qt, rows)
   }
 
   /** Search-result snippets: the ±`window` word context around the

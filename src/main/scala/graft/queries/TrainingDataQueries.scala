@@ -772,6 +772,105 @@ object TrainingDataQueries {
        |SELECT doc_id, score FROM bagg
        |ORDER BY score DESC, doc_id LIMIT $SearchK""".stripMargin
 
+  /** Panel BM25 oracle (`more_like_this_bm25`): the tfidf-keyword
+    * panel from mltSql's qt CTE, scored per (query, doc) by the BM25
+    * chain spelled character-identically to the engine's, summed in
+    * sorted term order, ranked per query. df over the matched sliver
+    * IS the exact corpus df (every doc containing a panel term
+    * survives the semi-join).
+    */
+  private lazy val mltBm25Sql =
+    s"""WITH $termTfCte,
+       |${tfidfScoredCte("tfq")},
+       |kw AS (SELECT doc_id, term, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, term) AS krank
+       |  FROM sc),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM kw
+       |  WHERE krank <= $TfidfK AND doc_id < $MltQueries),
+       |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM tfq GROUP BY doc_id),
+       |bsl AS (SELECT t.doc_id, t.term, t.tf, d.dl
+       |  FROM tfq t JOIN bdl d USING (doc_id)
+       |  WHERE t.term IN (SELECT term FROM qt)),
+       |bdf AS (SELECT term, count(*) AS df FROM bsl
+       |  GROUP BY term),
+       |btot AS (SELECT CAST(sum(tf) AS BIGINT) AS sumdl
+       |  FROM tfq),
+       |bn AS (SELECT count(*) AS n_docs FROM documents),
+       |bs AS (SELECT q.query_id, t.doc_id, t.term,
+       |  (CAST(((n_docs * ${graft.operators.TextSearch.IdfScale})
+       |    // df) AS DOUBLE) * tf * CAST(2.2 AS DOUBLE)) /
+       |  (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+       |    CAST(0.75 AS DOUBLE) * dl * n_docs / sumdl)) AS s
+       |  FROM bsl t JOIN bdf USING (term) JOIN qt q USING (term),
+       |    btot, bn),
+       |bagg AS (SELECT query_id, doc_id,
+       |  list_sum(list(s ORDER BY term)) AS score
+       |  FROM bs GROUP BY query_id, doc_id),
+       |brk AS (SELECT query_id, doc_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM bagg)
+       |SELECT query_id, rank, doc_id AS neighbor_id FROM brk
+       |WHERE rank <= $MltK""".stripMargin
+
+  /** Hybrid BM25+cosine oracle (`hybrid_bm25_rrf`): bm25Sql's scoring
+    * chain produces the lexical top-k, hybridRrfSql's vector/fusion
+    * CTEs do the rest — the standard hybrid-serving configuration
+    * with BM25 as the lexical arm.
+    */
+  private lazy val hybridBm25RrfSql =
+    s"""WITH $termTfCte,
+       |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM tfq GROUP BY doc_id),
+       |bsl AS (SELECT t.doc_id, t.term, t.tf, d.dl
+       |  FROM tfq t JOIN bdl d USING (doc_id)
+       |  WHERE t.term IN
+       |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+       |bdf AS (SELECT term, count(*) AS df FROM bsl
+       |  GROUP BY term),
+       |btot AS (SELECT CAST(sum(tf) AS BIGINT) AS sumdl
+       |  FROM tfq),
+       |bn AS (SELECT count(*) AS n_docs FROM documents),
+       |bs AS (SELECT doc_id, term,
+       |  (CAST(((n_docs * ${graft.operators.TextSearch.IdfScale})
+       |    // df) AS DOUBLE) * tf * CAST(2.2 AS DOUBLE)) /
+       |  (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+       |    CAST(0.75 AS DOUBLE) * dl * n_docs / sumdl)) AS s
+       |  FROM bsl JOIN bdf USING (term), btot, bn),
+       |bagg AS (SELECT doc_id,
+       |  list_sum(list(s ORDER BY term)) AS score
+       |  FROM bs GROUP BY doc_id),
+       |lexk AS (SELECT doc_id, score FROM bagg
+       |  ORDER BY score DESC, doc_id LIMIT $SearchK),
+       |lex AS (SELECT CAST($HybridQueryId AS BIGINT) AS query_id,
+       |  doc_id AS neighbor_id,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM lexk),
+       |hq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id = $HybridQueryId),
+       |hc AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+       |  FROM embeddings),
+       |hs AS (SELECT query_id, neighbor_id,
+       |  list_dot_product(qv, cv) /
+       |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+       |    AS sim
+       |  FROM hq, hc WHERE query_id <> neighbor_id),
+       |hr AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM hs),
+       |u AS (SELECT query_id, neighbor_id, rank FROM lex
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, rank FROM hr
+       |  WHERE rank <= $SearchK),
+       |f AS (SELECT query_id, neighbor_id,
+       |  sum(CAST(1 AS DOUBLE) / ($RrfK + rank)) AS rrf
+       |  FROM u GROUP BY query_id, neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, rrf, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rank
+       |  FROM f)
+       |SELECT query_id, rank, neighbor_id, rrf FROM rk
+       |WHERE rank <= $SearchK""".stripMargin
+
   private val hybridRrfSql =
     s"""WITH $termTfCte,
        |tfs AS (SELECT * FROM tfq WHERE term IN
@@ -4739,6 +4838,43 @@ object TrainingDataQueries {
           docs, "doc_id", "text", qt, MltK)
       },
       Some(mltSql)),
+
+    // the BM25-scored panel path (r16): more_like_this's serving
+    // shape with the BM25 scorer — tf saturation + length
+    // normalization per (query, doc), float-deterministic through the
+    // character-identical chain + sorted-term fold, ranked into the
+    // (query_id, rank, neighbor_id) vocabulary
+    "more_like_this_bm25" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val qt = graft.operators.TextSearch.tfidfKeywords(
+            docs, "doc_id", "text", TfidfK)
+          .filter(col("doc_id") < MltQueries)
+          .select(col("doc_id").as("query_id"), col("term"))
+        graft.operators.TextSearch.searchTopKBatchBm25(
+          docs, "doc_id", "text", qt, MltK)
+      },
+      Some(mltBm25Sql)),
+
+    // BM25 as the lexical arm of the hybrid (r16): the standard
+    // serving configuration — BM25 handles the query terms, cosine
+    // the embedding, RRF fuses the incommensurable scores
+    "hybrid_bm25_rrf" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val emb = table(s, d, "embeddings")
+        val lex = Similarity.rankTopK(
+          graft.operators.TextSearch.searchTopKBm25(
+              docs, "doc_id", "text", SearchTerms, SearchK)
+            .select(lit(HybridQueryId.toLong).as("query_id"),
+              col("doc_id").cast("long").as("neighbor_id"),
+              col("score").as("sim")), SearchK)
+        val vec = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === HybridQueryId), "vec_id",
+          "embedding", SearchK)
+        Similarity.rrfFuse(Seq(lex, vec), SearchK, RrfK)
+      },
+      Some(hybridBm25RrfSql)),
 
     // MULTI-query hybrid: the whole more_like_this panel fused with
     // each doc's cosine neighbors — rrfFuse's panel path in one row

@@ -176,6 +176,38 @@ class TextSearchSpec extends SparkSpecBase {
       s"length normalization violated: ${byId(3L)} vs ${byId(1L)}")
   }
 
+  test("searchTopKBatchBm25: panel isolation, single-query parity " +
+      "with searchTopKBm25's ranking (r16)") {
+    val docs = Seq(
+      (1L, "hit pad pad pad pad pad pad pad"),
+      (2L, "hit hit hit hit hit hit hit hit"),
+      (3L, "hit pad"),
+      (4L, "pad pad other"),
+      (5L, "other other"))
+      .toDF("doc_id", "text")
+    // a single-query panel must rank exactly like the single-query
+    // operator (identical chain + fold => identical doubles)
+    val qt1 = Seq((7L, "hit")).toDF("query_id", "term")
+    val batch1 = TextSearch.searchTopKBatchBm25(docs, "doc_id",
+        "text", qt1, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._2)
+    val single = TextSearch.searchTopKBm25(docs, "doc_id", "text",
+        Seq("hit"), 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(batch1.map(_._3) == single,
+      s"single-query panel must equal the single-query ranking: " +
+        s"${batch1.map(_._3)} vs $single")
+    assert(batch1.forall(_._1 == 7L))
+    // panel isolation: each query ranks over its own terms only
+    val qt2 = Seq((1L, "hit"), (2L, "other")).toDF("query_id", "term")
+    val panel = TextSearch.searchTopKBatchBm25(docs, "doc_id", "text",
+        qt2, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(panel.filter(_._1 == 1L).map(_._2) == Set(1L, 2L, 3L))
+    assert(panel.filter(_._1 == 2L).map(_._2) == Set(4L, 5L))
+  }
+
   test("searchSnippets: first-hit window, clamped edges, zero exchange") {
     val docs = Seq(
       (1L, "w1 w2 w3 hit w5 w6 w7 w8"),   // interior hit, full window
