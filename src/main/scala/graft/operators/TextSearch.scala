@@ -388,6 +388,61 @@ object TextSearch {
       array_sort(collect_list(struct(col("term"), col("s")))),
       lit(0.0), (acc, x) => acc + x.getField("s"))
 
+  /** The BM25 corpus statistics `(sumdl, n_docs)` as a one-row frame —
+    * the piece of BM25 that is a CORPUS aggregate rather than a
+    * per-candidate computation, published beside an inverted index so
+    * [[searchTopKBm25FromIndex]] never re-scans the corpus at query
+    * time (tf and dl are row-local to the candidates; df is stored in
+    * the index; only these totals would otherwise force a full pass).
+    * Maintained incrementally by [[graft.streaming.StreamingIndex]]
+    * (totals ADD exactly across disjoint batches).
+    */
+  def bm25CorpusStats(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    corpusDlTotals(docsWithTermCounts(docs, idCol, textCol))
+
+  /** Serve a BM25-flavor disjunctive query from a PREBUILT inverted
+    * index plus published [[bm25CorpusStats]]: candidate doc ids come
+    * from the query terms' posting lists; tf AND dl are computed
+    * row-locally on the candidates only; df comes from the index
+    * (slot-0 rows carry the exact global count even for capped
+    * terms); `(sumdl, n_docs)` come from `stats` — so query time
+    * touches O(candidates) corpus rows, never the corpus.
+    *
+    * Recall contract: identical to [[searchTopKFromIndex]]'s —
+    * results equal [[searchTopKBm25]] exactly when every query term
+    * has df ≤ the index's posting cap (candidate scores are ALWAYS
+    * the exact BM25 values; only the candidate set is capped), and
+    * bounded-recall otherwise. Float determinism: the same
+    * character-identical chain + sorted-term fold.
+    */
+  def searchTopKBm25FromIndex(index: DataFrame, stats: DataFrame,
+                              docs: DataFrame, idCol: String,
+                              textCol: String, terms: Seq[String],
+                              k: Int, k1: Double = 1.2,
+                              b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, s"k ($k) must be > 0")
+    requireBm25Params(k1, b)
+    val qTerms = terms.map(_.toLowerCase).distinct
+    val post = index.filter(col("term").isin(qTerms: _*))
+    val cand = post.select(col("doc_id")).distinct()
+    val dfTbl = post.filter(col("slot") === 0)
+      .select(col("term"), col("df"))
+    val candDocs = docs.join(broadcast(cand),
+      docs(idCol).cast("long") === cand("doc_id")).drop(cand("doc_id"))
+    explodeWithDl(docsWithTermCounts(candDocs, idCol, textCol))
+      .filter(col("term").isin(qTerms: _*))
+      .join(broadcast(dfTbl), "term")
+      .crossJoin(broadcast(stats.select(col("sumdl"), col("n_docs"))))
+      .withColumn("s", expr(bm25ScoreExpr(k1, b)))
+      .groupBy(col("doc_id"))
+      .agg(sortedTermScoreSum.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("score"))
+  }
+
   /** BM25-scored disjunctive retrieval for a PANEL of queries in ONE
     * corpus pass — [[searchTopKBatch]]'s serving shape with
     * [[searchTopKBm25]]'s scorer: `queryTerms` is `(query_id, term)`

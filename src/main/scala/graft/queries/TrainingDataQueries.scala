@@ -4876,6 +4876,55 @@ object TrainingDataQueries {
       },
       Some(hybridBm25RrfSql)),
 
+    // BM25 served from the published artifacts (r16): candidates from
+    // the inverted index's posting lists, tf+dl row-local on the
+    // candidates, df from the index, (sumdl, n_docs) from the
+    // published bm25CorpusStats — the corpus is never re-scanned at
+    // query time. Exact vs searchTopKBm25 when query-term dfs fit the
+    // posting cap; the oracle replays the same capped candidate set
+    "bm25_from_index" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        graft.operators.TextSearch.searchTopKBm25FromIndex(
+          graft.operators.TextSearch.invertedIndex(
+            docs, "doc_id", "text", InvIdxMaxPostings),
+          graft.operators.TextSearch.bm25CorpusStats(
+            docs, "doc_id", "text"),
+          docs, "doc_id", "text", SearchTerms, SearchK)
+      },
+      Some(s"""WITH $termTfCte,
+              |idx AS (SELECT term, count(*) AS df FROM tfq
+              |  GROUP BY term),
+              |post AS (SELECT term, doc_id,
+              |  row_number() OVER (PARTITION BY term ORDER BY doc_id)
+              |    - 1 AS slot
+              |  FROM tfq),
+              |qpost AS (SELECT term, doc_id FROM post
+              |  WHERE slot < $InvIdxMaxPostings AND term IN
+              |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+              |cand AS (SELECT DISTINCT doc_id FROM qpost),
+              |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+              |  FROM tfq GROUP BY doc_id),
+              |btot AS (SELECT CAST(sum(tf) AS BIGINT) AS sumdl
+              |  FROM tfq),
+              |bn AS (SELECT count(*) AS n_docs FROM documents),
+              |ctf AS (SELECT t.doc_id, t.term, t.tf, d.dl
+              |  FROM tfq t JOIN cand c ON t.doc_id = c.doc_id
+              |  JOIN bdl d ON t.doc_id = d.doc_id
+              |  WHERE t.term IN
+              |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+              |bs AS (SELECT doc_id, term,
+              |  (CAST(((n_docs * ${graft.operators.TextSearch.IdfScale})
+              |    // df) AS DOUBLE) * tf * CAST(2.2 AS DOUBLE)) /
+              |  (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+              |    CAST(0.75 AS DOUBLE) * dl * n_docs / sumdl)) AS s
+              |  FROM ctf JOIN idx USING (term), btot, bn),
+              |bagg AS (SELECT doc_id,
+              |  list_sum(list(s ORDER BY term)) AS score
+              |  FROM bs GROUP BY doc_id)
+              |SELECT doc_id, score FROM bagg
+              |ORDER BY score DESC, doc_id LIMIT $SearchK""".stripMargin)),
+
     // MULTI-query hybrid: the whole more_like_this panel fused with
     // each doc's cosine neighbors — rrfFuse's panel path in one row
     // (the single-query hybrid rows exercise only query_id = 7).

@@ -68,11 +68,66 @@ object StreamingIndex {
           maxPostings)
       else
         TextSearch.invertedIndex(batch, idCol, textCol, maxPostings)
+    // BM25 stats ride the same atomic swap (r16): totals ADD exactly
+    // across disjoint batches, so prior + batch equals from-scratch;
+    // the one-row collect is a bounded driver artifact. Underscore
+    // prefix = invisible to the table's parquet reads.
+    val prior = readStatsJson(fs, tablePath).getOrElse((0L, 0L))
+    val bRow = TextSearch.bm25CorpusStats(batch, idCol, textCol).head()
+    val nextStats = (prior._1 + Option(bRow.get(0))
+        .fold(0L)(_.asInstanceOf[Long]),
+      prior._2 + bRow.getLong(1))
     val stage = tablePath + ".stage"
     next.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
+    val statsOut = fs.create(new Path(stage, StatsFile), true)
+    try statsOut.write(
+      s"""{"sumdl": ${nextStats._1}, "n_docs": ${nextStats._2}}"""
+        .getBytes("UTF-8"))
+    finally statsOut.close()
     val out = fs.create(new Path(stage, Marker), true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
     MergeSink.atomicSwapDir(fs, stage, tablePath, tablePath + ".old")
+  }
+
+  private val StatsFile = "_bm25_stats.json"
+
+  private def readStatsJson(fs: org.apache.hadoop.fs.FileSystem,
+      tablePath: String): Option[(Long, Long)] = {
+    val p = new Path(tablePath, StatsFile)
+    if (!fs.exists(p)) None
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val in = fs.open(p)
+      try {
+        val root = JsonMethods.parse(
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        def l(n: String): Long = (root \ n) match {
+          case JInt(x) => x.longValue
+          case JLong(x) => x
+          case o => throw new IllegalStateException(
+            s"bad $StatsFile field $n: $o")
+        }
+        Some((l("sumdl"), l("n_docs")))
+      } finally in.close()
+    }
+  }
+
+  /** The maintained `(sumdl, n_docs)` beside a [[StreamingIndex]]
+    * table, as the one-row frame
+    * [[TextSearch.searchTopKBm25FromIndex]] consumes. Fails loudly if
+    * the table predates the r16 stats sidecar — rebuild or backfill
+    * with [[TextSearch.bm25CorpusStats]] over the indexed corpus.
+    */
+  def readBm25Stats(spark: SparkSession, tablePath: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tablePath).getFileSystem(conf)
+    val (sumdl, nDocs) = readStatsJson(fs, tablePath).getOrElse(
+      throw new IllegalStateException(
+        s"no $StatsFile beside $tablePath - the index predates the " +
+          "maintained BM25 stats; backfill with bm25CorpusStats"))
+    import spark.implicits._
+    Seq((sumdl, nDocs)).toDF("sumdl", "n_docs")
   }
 
   /** The batchId committed with the current index, if any. */

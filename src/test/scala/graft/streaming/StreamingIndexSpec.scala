@@ -72,5 +72,28 @@ class StreamingIndexSpec extends SparkSpecBase {
       batchId = 2L, table, "doc_id", "text", Cap)
     val all3 = (b1 ++ b2 ++ Seq((9L, "omega t"))).toDF("doc_id", "text")
     assert(readIdx(table) == rebuilt(all3))
+
+    // maintained BM25 stats equal the from-scratch corpus totals after
+    // every append/replay/crash (r16): totals add exactly, the replay
+    // skip keeps them un-doubled, the swap keeps them atomic
+    val fromScratch = TextSearch.bm25CorpusStats(all3, "doc_id", "text")
+      .head()
+    val maintained = StreamingIndex.readBm25Stats(spark, table).head()
+    assert(maintained.getLong(0) == fromScratch.getLong(0) &&
+      maintained.getLong(1) == fromScratch.getLong(1),
+      s"maintained stats $maintained must equal rebuild $fromScratch")
+
+    // and the served BM25 equals the from-scratch operator when the
+    // query terms' dfs fit the cap
+    val served = TextSearch.searchTopKBm25FromIndex(
+        spark.read.parquet(table),
+        StreamingIndex.readBm25Stats(spark, table),
+        all3, "doc_id", "text", Seq("omega"), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = TextSearch.searchTopKBm25(all3, "doc_id", "text",
+        Seq("omega"), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.nonEmpty && served == direct,
+      s"index-served BM25 must equal from-scratch: $served vs $direct")
   }
 }
