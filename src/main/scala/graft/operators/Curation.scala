@@ -107,8 +107,82 @@ object Curation {
   /** Deterministic hash split; appends a `split` column. */
   final case class HashSplit(weights: Seq[(String, Double)]) extends Stage
 
+  /** Retrieval stages change the frame SHAPE: a `retrieve`/`hybrid`
+    * stage turns the curated doc set into a ranked list
+    * `(query_id, rank, neighbor_id)`, and every later stage operates
+    * on that list. They must therefore form the recipe's SUFFIX — a
+    * doc-shape stage after a retrieval stage fails loudly at compile
+    * time, not with a missing-column error mid-plan.
+    */
+  sealed trait RetrievalStage extends Stage
+  /** Ranked retrieval over the curated survivors: `scorer = "tfidf"`
+    * (conjunctive exact-integer tf·idf, [[TextSearch.searchTopK]]) or
+    * `"bm25"` (disjunctive BM25, [[TextSearch.searchTopKBm25]]).
+    * Emits the ranked shape with the constant `queryId` — retrieve
+    * DEEPER than the final k when a later [[MineHardNegatives]] stage
+    * will thin the list.
+    */
+  final case class Retrieve(terms: Seq[String], k: Int,
+      scorer: String = "tfidf", queryId: Long = 0L)
+      extends RetrievalStage {
+    require(terms.nonEmpty, "retrieve needs at least one term")
+    require(k > 0, s"retrieve k ($k) must be > 0")
+    require(scorer == "tfidf" || scorer == "bm25",
+      s"retrieve scorer must be 'tfidf' or 'bm25', got '$scorer'")
+  }
+  /** Hybrid lexical+vector retrieval over the curated survivors: the
+    * lexical arm is [[Retrieve]]'s scorer over the surviving docs, the
+    * vector arm is brute-force cosine of query `queryId`'s embedding
+    * (looked up in the resolved `embTable`) against the SURVIVORS'
+    * embeddings, and the two ranked lists fuse by reciprocal rank
+    * ([[Similarity.rrfFuse]]). The curation stages upstream thus prune
+    * BOTH arms' candidate sets — the point of putting retrieval in the
+    * recipe.
+    */
+  final case class HybridRetrieve(terms: Seq[String], k: Int,
+      embTable: String, queryId: Long, scorer: String = "tfidf",
+      embIdCol: String = "vec_id", vecCol: String = "embedding",
+      rrfK: Int = 60) extends RetrievalStage {
+    require(terms.nonEmpty, "hybrid needs at least one term")
+    require(k > 0 && rrfK > 0,
+      s"hybrid k ($k) and rrf_k ($rrfK) must be > 0")
+    require(scorer == "tfidf" || scorer == "bm25",
+      s"hybrid scorer must be 'tfidf' or 'bm25', got '$scorer'")
+  }
+  /** Hard-negative mining over the current ranked list: docs whose
+    * `labelCol` equals `labelValue` are the POSITIVES (dropped), the
+    * remainder re-ranks by retrieval order, top `k` per query
+    * ([[Similarity.hardNegatives]]). Label lookup happens against the
+    * curated survivor set — the same corpus the retrieval ran over.
+    */
+  final case class MineHardNegatives(labelCol: String,
+      labelValue: String, k: Int) extends RetrievalStage {
+    require(k > 0, s"hard_negatives k ($k) must be > 0")
+  }
+
   final case class CurationSpec(stages: Seq[Stage]) {
     require(stages.nonEmpty, "a curation spec needs at least one stage")
+    locally {
+      val firstRetr = stages.indexWhere(_.isInstanceOf[RetrievalStage])
+      if (firstRetr >= 0) stages.drop(firstRetr).foreach { s =>
+        require(s.isInstanceOf[RetrievalStage],
+          s"doc-shape stage $s cannot follow a retrieval stage " +
+            "(retrieval stages must be the recipe's suffix)")
+      }
+      stages.collect { case s: RetrievalStage => s } match {
+        case retr if retr.nonEmpty =>
+          require(retr.head match {
+            case _: Retrieve | _: HybridRetrieve => true
+            case _ => false
+          }, "the first retrieval stage must be retrieve or hybrid " +
+            "(hard_negatives consumes a ranked list)")
+          require(retr.count {
+            case _: Retrieve | _: HybridRetrieve => true
+            case _ => false
+          } == 1, "a recipe carries at most one retrieve/hybrid stage")
+        case _ => ()
+      }
+    }
   }
 
   /** Compile and run a recipe. `resolveTable` resolves
@@ -143,7 +217,8 @@ object Curation {
         "id_a", "id_b")
       cur = Dedup.keepCanonical(landed, idCol, labels)
     }
-    rest.foreach {
+    val (docRest, retrStages) = rest.span(!_.isInstanceOf[RetrievalStage])
+    docRest.foreach {
       case s @ (_: LangFilter | _: GopherFilter | _: ClassifierFilter |
                 _: Sample) =>
         // a per-row stage AFTER a set stage still composes as a filter
@@ -211,6 +286,68 @@ object Curation {
           cap)
       case HashSplit(weights) =>
         cur = Sampling.hashSplit(cur, idCol, weights)
+      case s: RetrievalStage =>
+        // unreachable: CurationSpec enforces the retrieval suffix
+        throw new IllegalStateException(s"retrieval stage $s in doc loop")
+    }
+    if (retrStages.nonEmpty) {
+      // the retrieval corpus is scanned by the scorer's several passes
+      // (term counts, totals, df) and again by the hard-negative label
+      // lookup — persist the survivor set once, release with the result
+      val corpus = cur.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted += corpus
+      var ranked: DataFrame = null
+      def rankedLexical(terms: Seq[String], k: Int, scorer: String,
+          queryId: Long): DataFrame = {
+        val scored = scorer match {
+          case "bm25" => TextSearch.searchTopKBm25(
+            corpus, idCol, textCol, terms, k)
+          case _ => TextSearch.searchTopK(
+            corpus, idCol, textCol, terms, k)
+        }
+        Similarity.rankTopK(scored.select(
+          lit(queryId).as("query_id"),
+          col("doc_id").cast("long").as("neighbor_id"),
+          col("score").cast("double").as("sim")), k)
+      }
+      retrStages.foreach {
+        case Retrieve(terms, k, scorer, queryId) =>
+          ranked = rankedLexical(terms, k, scorer, queryId)
+        case HybridRetrieve(terms, k, embTable, queryId, scorer,
+            embIdCol, vecCol, rrfK) =>
+          val emb = resolve(embTable)
+          // both arms retrieve over the CURATED corpus: the vector
+          // candidates semi-join to the survivor ids (panel-vs-corpus
+          // shape — the survivors' id set streams, no broadcast of a
+          // corpus-sized list); the query vector is an external probe,
+          // looked up by id in the full embedding table
+          val corpusEmb = emb.join(
+            corpus.select(col(idCol).cast("long").as(embIdCol)),
+            Seq(embIdCol), "left_semi")
+          val vec = Similarity.bruteForceTopK(corpusEmb,
+            emb.filter(col(embIdCol) === queryId), embIdCol, vecCol, k)
+          ranked = Similarity.rrfFuse(
+            Seq(rankedLexical(terms, k, scorer, queryId), vec), k, rrfK)
+        case MineHardNegatives(labelCol, labelValue, k) =>
+          // ranked feeds two consumers (positive derivation + the
+          // exclusion anti-join) — persist the panel-sized list; the
+          // corpus label lookup streams against the BROADCAST panel
+          // (the ann_hard_negatives shape)
+          val landed = ranked.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persisted += landed
+          val positives = corpus
+            .filter(col(labelCol) === lit(labelValue))
+            .select(col(idCol).cast("long").as("neighbor_id"))
+            .join(broadcast(landed.select(col("query_id"),
+              col("neighbor_id"))), "neighbor_id")
+            .select(col("query_id"), col("neighbor_id"))
+          ranked = Similarity.hardNegatives(landed, positives, k)
+        case s =>
+          throw new IllegalStateException(s"not a retrieval stage: $s")
+      }
+      cur = ranked
     }
     if (persisted.isEmpty) cur
     else Dedup.releaseAfterAll(cur, persisted.toSeq: _*)
@@ -241,7 +378,15 @@ object Curation {
     *    "cap": 10},
     *   {"stage": "mixture", "source_col": "source",
     *    "weights": {"src_a": 2.0, "src_b": 1.0}},
-    *   {"stage": "split", "weights": {"train": 0.9, "valid": 0.1}}
+    *   {"stage": "split", "weights": {"train": 0.9, "valid": 0.1}},
+    *   {"stage": "retrieve", "terms": ["spark", "merge"], "k": 40,
+    *    "scorer": "bm25", "query_id": 0},
+    *   {"stage": "hybrid", "terms": ["spark"], "k": 20,
+    *    "embeddings": "/path/or/name", "query_id": 7,
+    *    "scorer": "tfidf", "emb_id_col": "vec_id",
+    *    "vec_col": "embedding", "rrf_k": 60},
+    *   {"stage": "hard_negatives", "label_col": "source",
+    *    "label_value": "src0", "k": 20}
     * ]}
     * }}}
     * Unknown stage names and missing fields fail LOUDLY — a silently
@@ -276,6 +421,16 @@ object Curation {
       (o \ name) match {
         case JNothing => dflt
         case v => num(v, name)
+      }
+    def strSeq(o: JObject, name: String): Seq[String] =
+      field(o, name) match {
+        case JArray(vs) => vs.map {
+          case JString(s) => s
+          case other => throw new IllegalArgumentException(
+            s"'$name' entries must be strings, got $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"'$name' must be an array, got $other")
       }
     def optStr(o: JObject, name: String, dflt: String): String =
       (o \ name) match {
@@ -352,6 +507,23 @@ object Curation {
             case other => throw new IllegalArgumentException(
               s"split 'weights' must be an object, got $other")
           }
+          case "retrieve" => Retrieve(
+            strSeq(o, "terms"),
+            num(field(o, "k"), "k").toInt,
+            optStr(o, "scorer", "tfidf"),
+            optNum(o, "query_id", 0).toLong)
+          case "hybrid" => HybridRetrieve(
+            strSeq(o, "terms"),
+            num(field(o, "k"), "k").toInt,
+            str(o, "embeddings"),
+            num(field(o, "query_id"), "query_id").toLong,
+            optStr(o, "scorer", "tfidf"),
+            optStr(o, "emb_id_col", "vec_id"),
+            optStr(o, "vec_col", "embedding"),
+            optNum(o, "rrf_k", 60).toInt)
+          case "hard_negatives" => MineHardNegatives(
+            str(o, "label_col"), str(o, "label_value"),
+            num(field(o, "k"), "k").toInt)
           case unknown => throw new IllegalArgumentException(
             s"unknown curation stage '$unknown'")
         }

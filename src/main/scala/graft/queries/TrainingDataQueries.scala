@@ -871,6 +871,113 @@ object TrainingDataQueries {
        |SELECT query_id, rank, neighbor_id, rrf FROM rk
        |WHERE rank <= $SearchK""".stripMargin
 
+  /** Recipe-retrieval oracle (`pipeline_spec_retrieval`): the BM25
+    * chain spelled character-identically to bm25Sql's, but every
+    * corpus-derived statistic (dl, df, sumdl, n_docs) computed over
+    * the CURATED base (the lang-filter survivors) — the whole point of
+    * the recipe stage — retrieved 2k deep, then the hard-negative
+    * exclusion (source = positive label dropped, IS DISTINCT FROM so
+    * null-label docs stay negatives) and the retrieval-order re-rank.
+    */
+  private lazy val specRetrievalSql =
+    s"""WITH lang AS ($langIdSql),
+       |base AS (SELECT d.doc_id, d.source, d.text FROM documents d
+       |  JOIN lang USING (doc_id) WHERE predicted_lang = 'en'),
+       |${wordsCteFrom("base")},
+       |dtq AS (SELECT doc_id, unnest(ws) AS term FROM words),
+       |tfq AS (SELECT doc_id, term, count(*) AS tf FROM dtq
+       |  WHERE term <> '' GROUP BY doc_id, term),
+       |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM tfq GROUP BY doc_id),
+       |bsl AS (SELECT t.doc_id, t.term, t.tf, d.dl
+       |  FROM tfq t JOIN bdl d USING (doc_id)
+       |  WHERE t.term IN
+       |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+       |bdf AS (SELECT term, count(*) AS df FROM bsl
+       |  GROUP BY term),
+       |btot AS (SELECT CAST(sum(tf) AS BIGINT) AS sumdl
+       |  FROM tfq),
+       |bn AS (SELECT count(*) AS n_docs FROM base),
+       |bs AS (SELECT doc_id, term,
+       |  (CAST(((n_docs * ${graft.operators.TextSearch.IdfScale})
+       |    // df) AS DOUBLE) * tf * CAST(2.2 AS DOUBLE)) /
+       |  (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+       |    CAST(0.75 AS DOUBLE) * dl * n_docs / sumdl)) AS s
+       |  FROM bsl JOIN bdf USING (term), btot, bn),
+       |bagg AS (SELECT doc_id,
+       |  list_sum(list(s ORDER BY term)) AS score
+       |  FROM bs GROUP BY doc_id),
+       |brk AS (SELECT doc_id, row_number() OVER (
+       |    ORDER BY score DESC, doc_id) AS rank FROM bagg),
+       |hrk AS (SELECT CAST(0 AS BIGINT) AS query_id,
+       |  doc_id AS neighbor_id, rank FROM brk
+       |  WHERE rank <= ${2 * SearchK}),
+       |hneg AS (SELECT h.query_id, h.neighbor_id, h.rank FROM hrk h
+       |  JOIN base b ON b.doc_id = h.neighbor_id
+       |  WHERE b.source IS DISTINCT FROM 'src0'),
+       |hrr AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rank) AS nrank FROM hneg)
+       |SELECT query_id, nrank AS rank, neighbor_id FROM hrr
+       |WHERE nrank <= $SearchK""".stripMargin
+
+  /** Recipe-hybrid oracle (`pipeline_spec_hybrid`): hybridRrfSql's
+    * two-arm chain with BOTH arms' candidate sets pruned to the
+    * curated base — the lexical tf·idf statistics (df, n_docs)
+    * recompute over the survivors, and the vector candidates semi-join
+    * to the surviving doc ids. Fusion identical.
+    */
+  private lazy val specHybridSql =
+    s"""WITH lang AS ($langIdSql),
+       |base AS (SELECT d.doc_id, d.text FROM documents d
+       |  JOIN lang USING (doc_id) WHERE predicted_lang = 'en'),
+       |${wordsCteFrom("base")},
+       |dtq AS (SELECT doc_id, unnest(ws) AS term FROM words),
+       |tfq AS (SELECT doc_id, term, count(*) AS tf FROM dtq
+       |  WHERE term <> '' GROUP BY doc_id, term),
+       |tfs AS (SELECT * FROM tfq WHERE term IN
+       |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+       |ntot AS (SELECT count(*) AS n_docs FROM base),
+       |dfq AS (SELECT doc_id, term, tf,
+       |  count(*) OVER (PARTITION BY term) AS df FROM tfs),
+       |sc AS (SELECT doc_id, term, tf, df,
+       |  tf * ((n_docs * ${graft.operators.TextSearch.IdfScale}) // df)
+       |    AS score
+       |  FROM dfq, ntot),
+       |m AS (SELECT doc_id, count(*) AS nm,
+       |  CAST(sum(score) AS BIGINT) AS score
+       |  FROM sc GROUP BY doc_id),
+       |lexk AS (SELECT doc_id, score FROM m
+       |  WHERE nm = ${SearchTerms.size}
+       |  ORDER BY score DESC, doc_id LIMIT $SearchK),
+       |lex AS (SELECT CAST($HybridQueryId AS BIGINT) AS query_id,
+       |  doc_id AS neighbor_id,
+       |  row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM lexk),
+       |hq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id = $HybridQueryId),
+       |hc AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+       |  FROM embeddings e JOIN base b ON b.doc_id = e.vec_id),
+       |hs AS (SELECT query_id, neighbor_id,
+       |  list_dot_product(qv, cv) /
+       |    (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+       |    AS sim
+       |  FROM hq, hc WHERE query_id <> neighbor_id),
+       |hr AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM hs),
+       |u AS (SELECT query_id, neighbor_id, rank FROM lex
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, rank FROM hr
+       |  WHERE rank <= $SearchK),
+       |f AS (SELECT query_id, neighbor_id,
+       |  sum(CAST(1 AS DOUBLE) / ($RrfK + rank)) AS rrf
+       |  FROM u GROUP BY query_id, neighbor_id),
+       |rk AS (SELECT query_id, neighbor_id, rrf, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rank
+       |  FROM f)
+       |SELECT query_id, rank, neighbor_id, rrf FROM rk
+       |WHERE rank <= $SearchK""".stripMargin
+
   private val hybridRrfSql =
     s"""WITH $termTfCte,
        |tfs AS (SELECT * FROM tfq WHERE term IN
@@ -4089,6 +4196,46 @@ object TrainingDataQueries {
               |SELECT emb.vec_id, emb.label FROM embeddings emb
               |LEFT JOIN dropids ON emb.vec_id = dropids.id
               |WHERE dropids.id IS NULL""".stripMargin)),
+
+    // r16 recipe-vocabulary widening: retrieval as a declarative
+    // SUFFIX — curate the corpus, then BM25-retrieve over the
+    // survivors (every corpus statistic recomputes on the curated
+    // set), then mine hard negatives against a positive label. The
+    // JSON path exercises all three new stage grammars end to end.
+    "pipeline_spec_retrieval" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Curation
+        val spec = Curation.fromJson(
+          s"""{"stages": [
+             |  {"stage": "lang", "lang": "en"},
+             |  {"stage": "retrieve",
+             |   "terms": [${SearchTerms.map(t => s""""$t"""")
+                  .mkString(", ")}],
+             |   "k": ${2 * SearchK}, "scorer": "bm25", "query_id": 0},
+             |  {"stage": "hard_negatives", "label_col": "source",
+             |   "label_value": "src0", "k": $SearchK}
+             |]}""".stripMargin)
+        Curation.run(table(s, d, "documents"), "doc_id", "text", spec)
+      },
+      Some(specRetrievalSql)),
+
+    // the hybrid serving shape as a recipe stage: both arms' candidate
+    // sets pruned to the curated survivors — the lexical statistics
+    // recompute over the base, the vector candidates semi-join to the
+    // surviving ids, RRF fuses. Compiled ≡ the imperative two-arm
+    // chain, proven by the same oracle discipline as hybrid_search_rrf
+    "pipeline_spec_hybrid" -> QueryDef(
+      (s, d) => {
+        import graft.operators.Curation
+        import graft.operators.Curation._
+        val spec = CurationSpec(Seq(
+          LangFilter("en"),
+          HybridRetrieve(SearchTerms, SearchK, "embeddings",
+            HybridQueryId.toLong, rrfK = RrfK)))
+        Curation.run(table(s, d, "documents"), "doc_id", "text", spec,
+          resolveTable = name => table(s, d, name))
+      },
+      Some(specHybridSql)),
 
     "pipeline_curate_corpus" -> QueryDef(
       (s, d) => {

@@ -124,4 +124,109 @@ class CurationSpecSpec extends SparkSpecBase {
       ExactDedup, GopherFilter(minWords = 20))))
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("retrieval stages must form the recipe suffix, one retriever") {
+    // doc-shape stage after a retrieval stage
+    intercept[IllegalArgumentException](CurationSpec(Seq(
+      Retrieve(Seq("cat"), 5), ExactDedup)))
+    // hard_negatives with no upstream ranked list
+    intercept[IllegalArgumentException](CurationSpec(Seq(
+      LangFilter("en"), MineHardNegatives("source", "s", 5))))
+    // two retrievers
+    intercept[IllegalArgumentException](CurationSpec(Seq(
+      Retrieve(Seq("cat"), 5), Retrieve(Seq("dog"), 5))))
+    // the valid shape constructs
+    CurationSpec(Seq(LangFilter("en"), Retrieve(Seq("cat"), 5),
+      MineHardNegatives("source", "s", 3)))
+  }
+
+  test("retrieve + hard_negatives compiled ≡ imperative chain") {
+    val docs = Seq(
+      (1L, en + " cat", "pos"), (2L, en + " cat cat", "neg"),
+      (3L, en + " cat dog", "pos"), (4L, en + " dog", "neg"),
+      (5L, "der hund und die katze cat", "neg"))
+      .toDF("doc_id", "text", "source")
+    val spec = Curation.fromJson("""{"stages": [
+      {"stage": "lang", "lang": "en"},
+      {"stage": "retrieve", "terms": ["cat"], "k": 4,
+       "scorer": "bm25", "query_id": 9},
+      {"stage": "hard_negatives", "label_col": "source",
+       "label_value": "pos", "k": 2}
+    ]}""")
+    val compiled = Curation.run(docs, "doc_id", "text", spec)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    // the imperative spelling: filter → BM25 over survivors → rank →
+    // drop pos-source neighbors → re-rank top 2
+    val base = docs.filter(TextAnalysis.langId(col("text")) === "en")
+    val ranked = graft.operators.Similarity.rankTopK(
+      TextSearch.searchTopKBm25(base, "doc_id", "text", Seq("cat"), 4)
+        .select(lit(9L).as("query_id"),
+          col("doc_id").cast("long").as("neighbor_id"),
+          col("score").cast("double").as("sim")), 4)
+    val positives = base.filter(col("source") === "pos")
+      .select(col("doc_id").as("neighbor_id"))
+      .join(ranked.select(col("query_id"), col("neighbor_id")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"))
+    val imperative = graft.operators.Similarity
+      .hardNegatives(ranked, positives, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(compiled == imperative && compiled.nonEmpty)
+    // doc 5 fails the lang filter: it must never appear even though it
+    // contains the query term — retrieval ran over the CURATED corpus
+    assert(!compiled.exists(_._3 == 5L))
+    // positives (source=pos) are excluded
+    assert(!compiled.exists(t => t._3 == 1L || t._3 == 3L))
+  }
+
+  test("hybrid recipe prunes both arms to the curated survivors") {
+    val docs = Seq(
+      (1L, en + " cat"), (2L, en + " cat cat"), (3L, en + " cat dog"),
+      (4L, "die katze cat cat cat"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.1f)), (2L, Array(0.9f, 0.2f)),
+      (3L, Array(0.1f, 1.0f)), (4L, Array(1.0f, 0.0f)),
+      (9L, Array(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val out = Curation.run(docs, "doc_id", "text", CurationSpec(Seq(
+        LangFilter("en"),
+        HybridRetrieve(Seq("cat"), 3, "emb", queryId = 9L))),
+      resolveTable = name => { assert(name == "emb"); emb })
+    val neighbors = out.select("neighbor_id").as[Long].collect().toSet
+    // doc 4 is the strongest lexical AND vector hit but fails lang-id:
+    // both arms must have pruned it
+    assert(neighbors.nonEmpty && !neighbors.contains(4L))
+    assert(neighbors.subsetOf(Set(1L, 2L, 3L)))
+    // the ranked shape with the fusion score
+    assert(out.columns.toSeq ==
+      Seq("query_id", "rank", "neighbor_id", "rrf"))
+  }
+
+  test("fromJson parses the retrieval grammar") {
+    val spec = Curation.fromJson("""{"stages": [
+      {"stage": "retrieve", "terms": ["a", "b"], "k": 7},
+      {"stage": "hard_negatives", "label_col": "lab",
+       "label_value": "x", "k": 3}
+    ]}""")
+    assert(spec == CurationSpec(Seq(
+      Retrieve(Seq("a", "b"), 7, "tfidf", 0L),
+      MineHardNegatives("lab", "x", 3))))
+    val hy = Curation.fromJson("""{"stages": [
+      {"stage": "hybrid", "terms": ["a"], "k": 5,
+       "embeddings": "emb", "query_id": 7, "scorer": "bm25",
+       "rrf_k": 10}
+    ]}""")
+    assert(hy == CurationSpec(Seq(HybridRetrieve(
+      Seq("a"), 5, "emb", 7L, "bm25", "vec_id", "embedding", 10))))
+    // missing required field fails loudly
+    intercept[IllegalArgumentException](Curation.fromJson(
+      """{"stages": [{"stage": "retrieve", "k": 5}]}"""))
+    // bad scorer fails loudly
+    intercept[IllegalArgumentException](Curation.fromJson(
+      """{"stages": [{"stage": "retrieve", "terms": ["a"], "k": 5,
+         "scorer": "cosine"}]}"""))
+  }
 }
