@@ -1097,7 +1097,8 @@ object Dedup {
     */
   final case class JaccardIndex(dfreq: DataFrame, prefix: DataFrame,
       sets: DataFrame, k: Int, threshold: Double,
-      bloom: Option[(Array[Long], Int)] = None)
+      bloom: Option[(Array[Long], Int)] = None,
+      gramCounts: Option[DataFrame] = None)
 
   /** Build the [[JaccardIndex]] — the same sets/df/prefix pipeline
     * [[ngramJaccardPairs]] runs internally, factored out so an ingest
@@ -1194,6 +1195,13 @@ object Dedup {
       "g", shards)
     graft.sink.Sinks.writeRangeSorted(index.prefix, s"$path/prefix",
       "g", shards)
+    // per-gram posting counts `(g, n, hub)` — the viral-gram guard's
+    // statistics, published so a guarded probe never recounts the
+    // posting table (see [[jaccardCandidates]]'s sidecar branch)
+    val gcounts = index.prefix.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("hub"))
+    graft.sink.Sinks.writeRangeSorted(gcounts, s"$path/gcounts",
+      "g", shards)
     // the stored shingle sets are keyed by doc id: with an integral id
     // (the engine convention) they publish range-sorted too, so the
     // probe's exact verification fetches ONLY candidate ids' shards
@@ -1221,9 +1229,11 @@ object Dedup {
       "shingle_k" -> index.k, "threshold" -> index.threshold,
       "bloom_k" -> bloomK, "bloom_m" -> bits.length, "shards" -> shards,
       "bloom_bits" -> bitsToString(bits),
+      "gcounts_dir" -> "gcounts",
       "schema_dfreq" -> index.dfreq.schema.toDDL,
       "schema_prefix" -> index.prefix.schema.toDDL,
-      "schema_sets" -> index.sets.schema.toDDL)))
+      "schema_sets" -> index.sets.schema.toDDL,
+      "schema_gcounts" -> gcounts.schema.toDDL)))
   }
 
   /** Probe a published Jaccard index by PATH with manifest pruning:
@@ -1279,11 +1289,21 @@ object Dedup {
     val prefix = IndexLayout.readPostings(spark, path, root, gs,
       maxEpochExclusive, IndexLayout.JaccardPrefix,
       metaSchemaOpt(root, "schema_prefix"))
+    // the guard's count sidecar, gated EXACTLY like the prefix view
+    // (same epoch listing, same manifest point-pruning on g) — counts
+    // match the postings the candidate join will actually see
+    val gcounts =
+      if (IndexLayout.hasTable(root, IndexLayout.JaccardGramCounts))
+        Some(IndexLayout.readPostings(spark, path, root, gs,
+          maxEpochExclusive, IndexLayout.JaccardGramCounts,
+          metaSchemaOpt(root, "schema_gcounts")))
+      else None
     val idx = JaccardIndex(dfreq, prefix,
       setsSchema.fold(spark.read)(s => spark.read.schema(s))
         .parquet(s"$path/${IndexLayout.baseDir(root,
           IndexLayout.JaccardSets)}"),
-      k, metaDouble(root, "threshold"), Some(metaBloom(root)))
+      k, metaDouble(root, "threshold"), Some(metaBloom(root)),
+      gramCounts = gcounts)
     // persisted: the candidate-id collection and the verification join
     // both consume the candidate pairs
     val candidates = jaccardCandidates(nsets, idx, maxGramPostings)
@@ -1324,7 +1344,13 @@ object Dedup {
       IndexLayout.readPostings(spark, path, root, None, None,
         IndexLayout.JaccardSets, metaSchemaOpt(root, "schema_sets")),
       metaInt(root, "shingle_k"), metaDouble(root, "threshold"),
-      Some(metaBloom(root)))
+      Some(metaBloom(root)),
+      gramCounts =
+        if (IndexLayout.hasTable(root, IndexLayout.JaccardGramCounts))
+          Some(IndexLayout.readPostings(spark, path, root, None, None,
+            IndexLayout.JaccardGramCounts,
+            metaSchemaOpt(root, "schema_gcounts")))
+        else None)
   }
 
   /** `(id, gs: sorted array<long> of distinct gram hashes, sz)`. */
@@ -1425,26 +1451,52 @@ object Dedup {
     val guarded = maxGramPostings != Int.MaxValue
     val cprefix =
       if (!guarded) index.prefix
-      else {
-        // guard work scales with the BATCH's grams, not the corpus
-        // vocabulary: the broadcast semi-join keeps only the posting
-        // lists of grams the batch actually probes (whole lists — the
-        // per-gram counts stay exact). The stats rollup then runs on
-        // that sliver; its join back stays a PLAIN join on purpose:
-        // the sliver's exchange on g is reused between the aggregate
-        // and the join input (one scan), and AQE broadcasts the stats
-        // side when it is small — a forced broadcast(stats) plus
-        // unshuffled double scan measured SLOWER on the adversarial
-        // small-vocab corpus where the sliver IS the whole prefix
-        // table (apply 30 s vs 22 s per epoch at 200k docs).
-        val gset = broadcast(nprefix.select(col("g")).distinct())
-        val relevant = index.prefix.join(gset, Seq("g"), "leftsemi")
-        val stats = relevant.groupBy(col("g"))
-          .agg(count(lit(1)).as("__n"), min(col("id")).as("__hub"))
-        relevant.join(stats, Seq("g"))
-          .filter(col("__n") <= maxGramPostings ||
-            col("id") === col("__hub"))
-          .drop("__n", "__hub")
+      else index.gramCounts match {
+        case Some(counts) =>
+          // maintained count sidecar (r16): the guard statistics come
+          // from the layout's `(g, n, hub)` table — base counts from
+          // the last compaction plus per-epoch deltas, folded here by
+          // an exact long sum/min — restricted to the batch's grams
+          // and BROADCAST. The posting table is scanned ONCE (the
+          // candidate join); the pre-sidecar spelling re-scanned and
+          // re-shuffled the posting sliver per probe, which the
+          // 20-epoch maintainer soak measured growing linearly with
+          // the index on the adversarial small-vocab corpus.
+          val gset = broadcast(nprefix.select(col("g")).distinct())
+          val stats = counts.join(gset, Seq("g"), "leftsemi")
+            .groupBy(col("g"))
+            .agg(sum(col("n")).as("__n"), min(col("hub")).as("__hub"))
+          // LEFT join + null-relax: a gram the sidecar has no row for
+          // (a crash window dropped its counts epoch) must pass the
+          // guard UNCAPPED — undercounting may only relax the guard
+          // (exact output, more candidates), never drop postings
+          index.prefix.join(gset, Seq("g"), "leftsemi")
+            .join(broadcast(stats), Seq("g"), "left")
+            .filter(col("__n").isNull ||
+              col("__n") <= maxGramPostings ||
+              col("id") === col("__hub"))
+            .drop("__n", "__hub")
+        case None =>
+          // no sidecar (pre-r16 layout / in-memory index): recount.
+          // Guard work scales with the BATCH's grams, not the corpus
+          // vocabulary: the broadcast semi-join keeps only the posting
+          // lists of grams the batch actually probes (whole lists — the
+          // per-gram counts stay exact). The stats rollup then runs on
+          // that sliver; its join back stays a PLAIN join on purpose:
+          // the sliver's exchange on g is reused between the aggregate
+          // and the join input (one scan), and AQE broadcasts the stats
+          // side when it is small — a forced broadcast(stats) plus
+          // unshuffled double scan measured SLOWER on the adversarial
+          // small-vocab corpus where the sliver IS the whole prefix
+          // table (apply 30 s vs 22 s per epoch at 200k docs).
+          val gset = broadcast(nprefix.select(col("g")).distinct())
+          val relevant = index.prefix.join(gset, Seq("g"), "leftsemi")
+          val stats = relevant.groupBy(col("g"))
+            .agg(count(lit(1)).as("__n"), min(col("id")).as("__hub"))
+          relevant.join(stats, Seq("g"))
+            .filter(col("__n") <= maxGramPostings ||
+              col("id") === col("__hub"))
+            .drop("__n", "__hub")
       }
     // the positional filter needs the CORPUS prefix positions too —
     // present on layouts published since r16 (and on in-memory

@@ -573,7 +573,12 @@ object AnalyticsQueries {
     // supplier nation and customer nation — so it broadcasts twice under
     // different aliases; the asymmetric pair predicate applies after both
     // roles are bound. Fact scans keep their pushed date filter; the
-    // rollup is |pairs × years| rows.
+    // rollup is |pairs × years| rows. The SF-scaling sides (supplier/
+    // customer/orders slices) take stats-seeded hints: broadcast only
+    // while their source files measure under the cap — the adaptive
+    // plan's conservative first exchange cost factor-10 ~10% vs the
+    // (unboundedly) forced plan, and the measured gate recovers it
+    // without reintroducing an unbounded collect (BASELINE.md r15/r16).
     "q7_volume_shipping" -> QueryDef(
       (s, d) => {
         val n1 = table(s, d, "nation").filter(col("n_nationkey") < 5)
@@ -598,9 +603,12 @@ object AnalyticsQueries {
             (dec(col("l_extendedprice")) *
               (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
               .as("volume"))
-          .join(supp, col("l_suppkey") === col("s_suppkey"))
-          .join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(statsBroadcast(s, d, supp, Seq("supplier", "nation")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(statsBroadcast(s, d, ord, Seq("orders")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(statsBroadcast(s, d, cust, Seq("customer", "nation")),
+            col("o_custkey") === col("c_custkey"))
           .filter(col("n1_key") =!= col("n2_key"))
           .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
           .agg(sum(col("volume")).cast("double").as("revenue"))
@@ -908,8 +916,11 @@ object AnalyticsQueries {
     // TPC-H q18 shape: orders whose total quantity exceeds a threshold
     // (HAVING on the fact rollup), joined back to the order/customer
     // detail plus the same rollup value. The big-order keyset is tiny
-    // by DATA (46 at sf0.01), not by construction — no forced
-    // broadcast; AQE converts the re-joins at runtime when it is.
+    // by DATA (46 at sf0.01), not by construction — no UNCONDITIONAL
+    // broadcast; the rollup is row-bounded by the orders table (one
+    // row per distinct order key at a fraction of its width), so the
+    // stats-seeded hint fires while the orders file measures under the
+    // cap and reverts to the adaptive plan beyond it.
     "q18_large_volume_customers" -> QueryDef(
       (s, d) => {
         val big = table(s, d, "lineitem")
@@ -917,10 +928,12 @@ object AnalyticsQueries {
           .agg(sum(dec(col("l_quantity"))).as("total_qty_dec"))
           .filter(col("total_qty_dec") > 300)
         val ord = table(s, d, "orders")
-          .join(big, col("o_orderkey") === col("big_key"))
+          .join(statsBroadcast(s, d, big, Seq("orders")),
+            col("o_orderkey") === col("big_key"))
         table(s, d, "customer")
           .select(col("c_custkey"), col("c_name"))
-          .join(ord, col("c_custkey") === col("o_custkey"))
+          .join(statsBroadcast(s, d, ord, Seq("orders")),
+            col("c_custkey") === col("o_custkey"))
           .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd")
               .as("o_orderdate"),

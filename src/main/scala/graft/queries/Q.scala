@@ -44,6 +44,36 @@ object Q {
     }
   }
 
+  /** Broadcast hint seeded by FILE-SIZE stats — the r16 resolution of
+    * the r14 hint audit's tension. A forced `broadcast()` on an
+    * SF-scaling join side is an unbounded driver collect (the 2M-vector
+    * soak aborted on maxResultSize), so r14 removed those hints; but
+    * AQE plans the FIRST exchange conservatively and the adaptive plans
+    * trailed the forced ones at factor 10 on q7/q18 (BASELINE.md
+    * round-15 table). This helper re-adds the hint ONLY when the
+    * measured on-disk bytes of the frame's source tables are under
+    * `capBytes` — re-checked at every plan build against the actual
+    * fixture, so a scaled-up corpus automatically reverts to the
+    * adaptive plan and no unbounded collect can be reintroduced: the
+    * bound is MEASURED, never assumed. Callers pass the source tables
+    * that bound the frame by construction (a per-order rollup is
+    * row-bounded by the orders table, a dimension slice by its
+    * dimension). The default cap (32 MB on-disk ≈ low hundreds of MB
+    * in-memory at parquet's typical 3-5x) keeps the driver collect
+    * well inside default maxResultSize at every tier that passes it.
+    */
+  def statsBroadcast(spark: SparkSession, sfDir: String, df: DataFrame,
+                     boundTables: Seq[String],
+                     capBytes: Long = 32L << 20): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val under = boundTables.forall { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+      val fs = p.getFileSystem(conf)
+      fs.exists(p) && fs.getContentSummary(p).getLength <= capBytes
+    } && boundTables.nonEmpty
+    if (under) broadcast(df) else df
+  }
+
   /** Exact decimal view of a 2-decimal double column. */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
 

@@ -134,6 +134,24 @@ object IndexLayout {
     "prefix_dir", "prefix_compacted_through", "prefix_epochs")
   val JaccardDfreq: MaintainedTable = MaintainedTable("dfreq", "g",
     "dfreq_dir", "dfreq_compacted_through", "dfreq_epochs")
+  // per-gram prefix-posting counts `(g, n, hub)` — the viral-gram
+  // guard's statistics, maintained INCREMENTALLY (base counts at
+  // compaction + per-epoch deltas) so a guarded probe reads
+  // vocabulary-sized count rows instead of recounting the posting
+  // table (which is linear in the index). Appended LAST in the epoch
+  // protocol with replay keyed on it: a missing counts epoch (crash
+  // window) UNDERCOUNTS, which only relaxes the guard — exact output,
+  // more candidates — never drops pairs the recount spelling keeps.
+  val JaccardGramCounts: MaintainedTable = MaintainedTable("gcounts",
+    "g", "gcounts_dir", "gcounts_compacted_through", "gcounts_epochs")
+
+  /** Whether the layout's meta declares this maintained table — the
+    * forward-compat probe for sidecars added after a layout was
+    * published (a pre-r16 Jaccard layout has no gcounts table; its
+    * readers must fall back to recounting).
+    */
+  def hasTable(root: JValue, table: MaintainedTable): Boolean =
+    optString(root, table.dirField, null) != null
 
   /** The table's current base shard directory (compaction re-points
     * it through the meta).

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, min}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -90,9 +91,16 @@ object StreamingJaccardIndex {
         shards)
       Sinks.writeRangeSorted(prefixN, s"$indexPath/prefix_v$upTo", "g",
         shards)
-      val bits = Dedup.buildIndexBloom(
-        spark.read.parquet(s"$indexPath/prefix_v$upTo"), "g",
-        bloomK, bloomM)
+      val prefixW = spark.read.parquet(s"$indexPath/prefix_v$upTo")
+      // guard-count sidecar (r16): base `(g, n, hub)` over the fresh
+      // prefix — probes read these vocabulary-sized rows instead of
+      // recounting the posting table (linear in the index; the
+      // 20-epoch soak's dominant apply cost on small-vocab corpora)
+      Sinks.writeRangeSorted(
+        prefixW.groupBy(col("g"))
+          .agg(count(lit(1)).as("n"), min(col("id")).as("hub")),
+        s"$indexPath/gcounts_v$upTo", "g", shards)
+      val bits = Dedup.buildIndexBloom(prefixW, "g", bloomK, bloomM)
       IndexLayout.promoteMeta(f, indexPath, IndexLayout.metaJson(
         paramFields(upTo) ++ Seq(
           "bloom_k" -> bloomK, "bloom_m" -> bits.length,
@@ -101,10 +109,13 @@ object StreamingJaccardIndex {
           "sets_dir" -> s"sets_v$upTo",
           "sets_compacted_through" -> upTo,
           "prefix_dir" -> s"prefix_v$upTo",
-          "prefix_compacted_through" -> upTo)))
+          "prefix_compacted_through" -> upTo,
+          "gcounts_dir" -> s"gcounts_v$upTo",
+          "gcounts_compacted_through" -> upTo)))
       Seq(IndexLayout.JaccardSets -> s"sets_v$upTo",
           IndexLayout.JaccardPrefix -> s"prefix_v$upTo",
-          IndexLayout.JaccardDfreq -> s"dfreq_v$upTo")
+          IndexLayout.JaccardDfreq -> s"dfreq_v$upTo",
+          IndexLayout.JaccardGramCounts -> s"gcounts_v$upTo")
         .foreach { case (t, keep) =>
           IndexLayout.healOrphans(spark, indexPath, keep, upTo, t) }
     }
@@ -126,18 +137,31 @@ object StreamingJaccardIndex {
         s"shards=$shards) - an epoch cannot re-shingle or re-rank an " +
         "existing index")
     val lastEpoch = IndexLayout.lastEpoch(root)
-    val through =
-      IndexLayout.compactedThrough(root, IndexLayout.JaccardPrefix)
-    val prefixEpoch =
-      new Path(s"$indexPath/prefix_epochs/epoch=$batchId")
+    // a layout published before the gcounts sidecar existed keeps its
+    // old protocol until the next compaction re-freezes with the full
+    // table set — probes fall back to recounting until then
+    val hasCounts =
+      IndexLayout.hasTable(root, IndexLayout.JaccardGramCounts)
+    // replay keys on the table appended LAST (gcounts when present):
+    // a crash between appends must re-run the batch, and a missing
+    // counts epoch only ever UNDERCOUNTS (guard relaxes — exact
+    // output), never overcounts
+    val replayTable =
+      if (hasCounts) IndexLayout.JaccardGramCounts
+      else IndexLayout.JaccardPrefix
+    val through = IndexLayout.compactedThrough(root, replayTable)
+    val replayEpoch = new Path(
+      s"$indexPath/${replayTable.epochsSub}/epoch=$batchId")
     if (lastEpoch >= batchId &&
-        (through >= batchId || f.exists(prefixEpoch))) return
-    Seq(IndexLayout.JaccardSets, IndexLayout.JaccardPrefix,
-        IndexLayout.JaccardDfreq).foreach { t =>
-      IndexLayout.healOrphans(spark, indexPath,
-        keepDir = IndexLayout.baseDir(root, t),
-        clearEpochsThrough = IndexLayout.compactedThrough(root, t), t)
-    }
+        (through >= batchId || f.exists(replayEpoch))) return
+    (Seq(IndexLayout.JaccardSets, IndexLayout.JaccardPrefix,
+        IndexLayout.JaccardDfreq) ++
+      (if (hasCounts) Seq(IndexLayout.JaccardGramCounts) else Nil))
+      .foreach { t =>
+        IndexLayout.healOrphans(spark, indexPath,
+          keepDir = IndexLayout.baseDir(root, t),
+          clearEpochsThrough = IndexLayout.compactedThrough(root, t), t)
+      }
 
     // 1) probe the PRE-batch view and publish pairs (epoch-gated
     //    prefix/sets; frozen dfreq)
@@ -182,11 +206,26 @@ object StreamingJaccardIndex {
           IndexLayout.JaccardSets),
         "prefix_dir" -> IndexLayout.baseDir(root,
           IndexLayout.JaccardPrefix),
-        "prefix_compacted_through" -> through)))
+        "prefix_compacted_through" -> IndexLayout.compactedThrough(
+          root, IndexLayout.JaccardPrefix)) ++
+      (if (hasCounts) Seq(
+        "gcounts_dir" -> IndexLayout.baseDir(root,
+          IndexLayout.JaccardGramCounts),
+        "gcounts_compacted_through" -> IndexLayout.compactedThrough(
+          root, IndexLayout.JaccardGramCounts))
+       else Nil)))
     IndexLayout.appendEpoch(nsets, indexPath, batchId,
       IndexLayout.JaccardSets)
     IndexLayout.appendEpoch(batchPrefix, indexPath, batchId,
       IndexLayout.JaccardPrefix)
+    // the guard-count delta rides the SAME epoch id, appended last
+    // (replay keys on it): an exact per-gram rollup of this batch's
+    // prefix rows, folded with the base counts at probe time
+    if (hasCounts)
+      IndexLayout.appendEpoch(
+        batchPrefix.groupBy(col("g"))
+          .agg(count(lit(1)).as("n"), min(col("id")).as("hub")),
+        indexPath, batchId, IndexLayout.JaccardGramCounts)
     nsets.unpersist(); batchPrefix.unpersist()
 
     // 3) compaction: re-freeze the order from the accumulated sets

@@ -50,6 +50,10 @@ object ScaleUp {
     val (cs, ss, os, ps, ds) = (stride(cust, "c_custkey"),
       stride(supp, "s_suppkey"), stride(ord, "o_orderkey"),
       stride(li, "l_partkey"), stride(docs, "doc_id"))
+    val (part, events, emb) = (read("part"), read("events"),
+      read("embeddings"))
+    val (es, us, vs) = (stride(events, "event_id"),
+      stride(events, "user_id"), stride(emb, "vec_id"))
 
     def replicate(df: DataFrame)(shift: (DataFrame, Int) => DataFrame)
         : DataFrame =
@@ -78,6 +82,23 @@ object ScaleUp {
       else shifted.withColumn("text",
         concat(col("text"), lit(s" rep $i")))
     }, "documents")
+    // r16 additions so the FULL headline set runs at scaled factors:
+    // part shares lineitem's l_partkey stride (per-replica join keys
+    // align exactly); events shift both ids (user-windowed shapes gain
+    // users, not longer per-user histories — the scale direction real
+    // traffic has); embeddings shift vec_id only (replica vectors are
+    // exact duplicates — near-dup/ANN structure replicates, the
+    // documents trade).
+    write(replicate(part) { (d, i) =>
+      d.withColumn("p_partkey", col("p_partkey") + lit(i * ps))
+    }, "part")
+    write(replicate(events) { (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * es))
+        .withColumn("user_id", col("user_id") + lit(i * us))
+    }, "events")
+    write(replicate(emb) { (d, i) =>
+      d.withColumn("vec_id", col("vec_id") + lit(i * vs))
+    }, "embeddings")
 
     println(s"[scaleup] wrote factor-$factor fixture to $dst " +
       s"(lineitem rows: ${spark.read.parquet(s"$dst/lineitem.parquet").count()})")

@@ -125,20 +125,35 @@ class StreamingJaccardIndexSpec extends SparkSpecBase {
     assert(pairSet(Dedup.ngramJaccardAgainstPath(probeBatch, idxDir,
       "doc_id", "text")) == maintained, "replay must be a no-op")
 
-    // crash window: meta promoted, prefix partition (the replay key)
-    // missing — re-apply repairs; sets append no-ops
+    // crash window: meta promoted, prefix AND gcounts partitions (the
+    // replay key is gcounts — the table appended LAST) missing —
+    // re-apply repairs; sets append no-ops
     val b4 = Seq((400L, s"$phrase corpus tail 5"))
       .toDF("doc_id", "text")
     StreamingJaccardIndex.applyBatch(b4, 3L, idxDir, pairsDir,
       "doc_id", "text", 3, 0.5, 8, 99, 5, 1 << 16)
     fs.delete(new org.apache.hadoop.fs.Path(
       s"$idxDir/prefix_epochs/epoch=3"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$idxDir/gcounts_epochs/epoch=3"), true)
     StreamingJaccardIndex.applyBatch(b4, 3L, idxDir, pairsDir,
       "doc_id", "text", 3, 0.5, 8, 99, 5, 1 << 16)
     assert(pairSet(Dedup.ngramJaccardAgainstPath(probeBatch, idxDir,
         "doc_id", "text")) ==
       rebuildProbe(all.unionByName(b4), probeBatch),
       "replayed epoch must heal the missing prefix partition")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idxDir/gcounts_epochs/epoch=3")),
+      "replay must restore the gcounts epoch too")
+    // the narrower window — counts epoch alone missing — also replays
+    // (replay keys on the LAST-appended table)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$idxDir/gcounts_epochs/epoch=3"), true)
+    StreamingJaccardIndex.applyBatch(b4, 3L, idxDir, pairsDir,
+      "doc_id", "text", 3, 0.5, 8, 99, 5, 1 << 16)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$idxDir/gcounts_epochs/epoch=3")),
+      "counts-only crash window must repair on replay")
 
     // param drift fails loudly
     val e = intercept[IllegalArgumentException] {
@@ -147,5 +162,106 @@ class StreamingJaccardIndexSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("cannot re-shingle or re-rank"),
       e.getMessage)
+  }
+
+  test("gram-count sidecar: folded counts equal a recount, guarded " +
+      "probe parity, pre-sidecar layouts fall back then upgrade") {
+    val dir = Files.createTempDirectory("jacidx-gc").toString
+    val (idxDir, pairsDir) = (s"$dir/idx", s"$dir/pairs")
+    // every doc shares the phrase (viral grams); unique tails keep
+    // them distinct docs
+    val b1 = (1L to 16L).map(i => (i, s"$phrase common tail $i"))
+      .toDF("doc_id", "text")
+    val b2 = (100L to 104L).map(i => (i, s"$phrase common tail $i"))
+      .toDF("doc_id", "text")
+    val probe = Seq((900L, s"$phrase common tail 3"))
+      .toDF("doc_id", "text")
+    def apply(b: DataFrame, id: Long, compactEvery: Int = 99): Unit =
+      StreamingJaccardIndex.applyBatch(b, id, idxDir, pairsDir,
+        "doc_id", "text", 3, 0.5, 8, compactEvery, 5, 1 << 16)
+    apply(b1, 0L); apply(b2, 1L)
+
+    // 1) the folded sidecar equals an exact recount of the prefix view
+    val root = Dedup.readIndexMeta(spark, idxDir)
+    assert(IndexLayout.hasTable(root, IndexLayout.JaccardGramCounts))
+    def rows(df: DataFrame) = df.select(col("g"), col("n"), col("hub"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val folded = rows(IndexLayout.readPostings(spark, idxDir, root,
+        None, None, IndexLayout.JaccardGramCounts)
+      .groupBy(col("g"))
+      .agg(sum(col("n")).as("n"), min(col("hub")).as("hub")))
+    val recount = rows(IndexLayout.readPostings(spark, idxDir, root,
+        None, None, IndexLayout.JaccardPrefix)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("hub")))
+    assert(folded == recount && folded.nonEmpty,
+      "base + delta counts must exactly recount the posting view")
+
+    // 2) guarded probe parity: the sidecar branch (path probe) and the
+    // recount branch (same layout views, gramCounts stripped) must
+    // produce identical pairs under an active cap
+    val viaSidecar = pairSet(Dedup.ngramJaccardAgainstPath(probe,
+      idxDir, "doc_id", "text", maxGramPostings = 2))
+    val viaRecount = pairSet(Dedup.ngramJaccardAgainst(probe,
+      Dedup.readJaccardIndex(spark, idxDir).copy(gramCounts = None),
+      "doc_id", "text", maxGramPostings = 2))
+    assert(viaSidecar == viaRecount,
+      "guard statistics from the sidecar must match the recount")
+    // cap sanity: the viral phrase grams exceed 2 postings, so the
+    // guard is actually active (hub-only answers thin the pair set
+    // vs the unguarded probe)
+    val unguarded = pairSet(Dedup.ngramJaccardAgainstPath(probe,
+      idxDir, "doc_id", "text"))
+    assert(viaSidecar.subsetOf(unguarded) && viaSidecar != unguarded,
+      "fixture sanity: the cap must engage on the viral grams")
+
+    // 3) a pre-sidecar layout (meta without gcounts fields) falls back
+    // to recounting and keeps appending without the counts table
+    val f = IndexLayout.fs(spark, idxDir)
+    val metaTxt = {
+      val in = f.open(new org.apache.hadoop.fs.Path(idxDir,
+        IndexLayout.MetaFile))
+      val t = scala.io.Source.fromInputStream(in).mkString
+      in.close(); t
+    }
+    val stripped = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.jackson.JsonMethods.parse(metaTxt) match {
+          case org.json4s.JObject(fields) => org.json4s.JObject(
+            fields.filterNot(_._1.startsWith("gcounts")))
+          case other => other
+        }))
+    IndexLayout.promoteMeta(f, idxDir, stripped)
+    val b3 = Seq((200L, s"$phrase common tail 200"))
+      .toDF("doc_id", "text")
+    apply(b3, 2L)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      s"$idxDir/gcounts_epochs/epoch=2")),
+      "a pre-sidecar layout must not gain counts epochs mid-life")
+    val root2 = Dedup.readIndexMeta(spark, idxDir)
+    assert(!IndexLayout.hasTable(root2, IndexLayout.JaccardGramCounts))
+    val guardedFallback = pairSet(Dedup.ngramJaccardAgainstPath(probe,
+      idxDir, "doc_id", "text", maxGramPostings = 2))
+    assert(guardedFallback.nonEmpty,
+      "the recount fallback must keep serving guarded probes")
+
+    // 4) the next compaction re-freezes WITH the sidecar
+    val b4 = Seq((201L, s"$phrase common tail 201"))
+      .toDF("doc_id", "text")
+    apply(b4, 3L, compactEvery = 1)
+    val root3 = Dedup.readIndexMeta(spark, idxDir)
+    assert(IndexLayout.hasTable(root3, IndexLayout.JaccardGramCounts),
+      "compaction must upgrade the layout with the counts table")
+    assert(IndexLayout.baseDir(root3, IndexLayout.JaccardGramCounts)
+      == "gcounts_v3")
+    val postUpgrade = rows(IndexLayout.readPostings(spark, idxDir,
+        root3, None, None, IndexLayout.JaccardGramCounts))
+    val postRecount = rows(IndexLayout.readPostings(spark, idxDir,
+        root3, None, None, IndexLayout.JaccardPrefix)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("hub")))
+    assert(postUpgrade == postRecount,
+      "upgraded counts must recount the re-frozen prefix")
   }
 }
