@@ -383,7 +383,11 @@ object GraftFunctions {
       tvf("graft_bm25_search",
         "(corpus_table, id_col, text_col, 'terms,csv', k[, k1, b])",
         5, 7) { (spark, args) =>
-        graft.operators.TextSearch.searchTopKBm25(
+        // the LAZY spelling: the eager variant persists the query-term
+        // sliver and eager-checkpoints to release it, which runs the
+        // probe's Spark jobs during SQL planning (the jaccard TVF's
+        // exact failure mode, found by the graft_curate zero-jobs spec)
+        graft.operators.TextSearch.searchTopKBm25Lazy(
           spark.table(litString(args(0), "corpus_table")),
           litString(args(1), "id_col"), litString(args(2), "text_col"),
           csvTerms(args(3)), litInt(args(4), "k"),
@@ -413,6 +417,45 @@ object GraftFunctions {
             spark.table(litString(args(1), "ranked_table_2"))),
           litInt(args(2), "k"),
           if (args.length > 3) litInt(args(3), "rrf_k") else 60)
+      },
+      // declarative curation from SQL (r16): the reviewable JSON
+      // recipe ([[graft.operators.Curation.fromJson]]) compiled and
+      // run over a view — filters, exact dedup, decontamination,
+      // sampling, caps, splits, and the retrieval suffix, all from one
+      // literal. Restricted to the recipe's LAZY stage subset so the
+      // analysis-time expansion keeps the TVF invariant (planning
+      // launches no Spark jobs): the set-resolution stages (the four
+      // near-dedups' connected components, in-recipe classifier
+      // training, mixture rates) EXECUTE work to build their plan and
+      // stay DataFrame-API-only — they fail here with a pointed
+      // message, not a surprise EXPLAIN-time job storm. Benchmark /
+      // embedding table names inside the recipe resolve as table/view
+      // names, like every other TVF relation argument.
+      tvf("graft_curate",
+        "(docs_table, id_col, text_col, 'json recipe')", 4, 4) {
+        (spark, args) =>
+        import graft.operators.Curation
+        val spec = Curation.fromJson(litString(args(3), "recipe json"))
+        spec.stages.foreach {
+          case s @ (_: Curation.NearDedup | _: Curation.SimhashDedup |
+                    _: Curation.JaccardDedup |
+                    _: Curation.EmbeddingDedup |
+                    _: Curation.TrainClassifier | _: Curation.Mixture) =>
+            throw new IllegalArgumentException(
+              s"graft_curate: stage $s resolves sets by EXECUTING " +
+                "Spark jobs while the plan is still being built " +
+                "(iterative components / training / rate collection), " +
+                "which would run work during SQL planning (EXPLAIN). " +
+                "Run this recipe through the DataFrame API " +
+                "(Curation.run); the SQL surface carries the lazy " +
+                "stages: lang, gopher, classifier, sample, " +
+                "exact_dedup, decontaminate[_index], cap_per_group, " +
+                "split, retrieve, hybrid, hard_negatives")
+          case _ => ()
+        }
+        Curation.runLazy(spark.table(litString(args(0), "docs_table")),
+          litString(args(1), "id_col"), litString(args(2), "text_col"),
+          spec, resolveTable = name => spark.table(name))
       })
   }
 

@@ -192,7 +192,27 @@ object Curation {
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
           spec: CurationSpec,
-          resolveTable: String => DataFrame = null): DataFrame = {
+          resolveTable: String => DataFrame = null): DataFrame =
+    runImpl(docs, idCol, textCol, spec, resolveTable, lazyPlan = false)
+
+  /** [[run]] with a PURE LAZY plan — no persists, no eager release
+    * checkpoint; shared subtrees re-derive per consumer instead of
+    * caching. The SQL TVF expansion uses this (planning — including
+    * EXPLAIN — must launch zero Spark jobs; the
+    * `ngramJaccardAgainstLazy` precedent). Only valid for the lazy
+    * stage subset: the set-resolution stages (near-dedups, in-recipe
+    * training, mixture) execute work to BUILD their plan and fail
+    * loudly before reaching this.
+    */
+  private[graft] def runLazy(docs: DataFrame, idCol: String,
+      textCol: String, spec: CurationSpec,
+      resolveTable: String => DataFrame): DataFrame =
+    runImpl(docs, idCol, textCol, spec, resolveTable, lazyPlan = true)
+
+  private def runImpl(docs: DataFrame, idCol: String, textCol: String,
+          spec: CurationSpec,
+          resolveTable: String => DataFrame,
+          lazyPlan: Boolean): DataFrame = {
     val resolve: String => DataFrame =
       if (resolveTable != null) resolveTable
       else name => docs.sparkSession.read.parquet(name)
@@ -206,13 +226,22 @@ object Curation {
       .reduceOption(_ && _)
     var cur = pred.map(docs.filter).getOrElse(docs)
     val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
+    // the lazy spelling skips every cache: shared subtrees re-derive
+    // per consumer, and the final eager release checkpoint disappears
+    // with them — the plan stays pure for analysis-time expansion
+    def maybePersist(df: DataFrame): DataFrame =
+      if (lazyPlan) df
+      else {
+        val landed = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persisted += landed
+        landed
+      }
     // shared shape of every near-dedup stage: persist the survivor set
     // (the pair sweep and the keep-list both consume it), resolve the
     // stage's pair graph to components, keep one doc per component
     def resolveDedup(pairsOf: DataFrame => DataFrame): Unit = {
-      val landed = cur.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persisted += landed
+      val landed = maybePersist(cur)
       val labels = Dedup.connectedComponents(pairsOf(landed),
         "id_a", "id_b")
       cur = Dedup.keepCanonical(landed, idCol, labels)
@@ -228,9 +257,7 @@ object Curation {
         // the downstream consumer executes it again — persist the
         // survivor frame once (released with the result) so the
         // regex-heavy upstream filters run ONE scan, not two
-        val landed = cur.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        persisted += landed
+        val landed = maybePersist(cur)
         // one training action collects the dim-row model artifact; the
         // gate itself is then a per-row scan predicate like any other
         // filter stage (Catalyst folds consecutive filters into one)
@@ -269,9 +296,7 @@ object Curation {
       case Mixture(srcCol, weights) =>
         // the rate COLLECT executes the chain so far and the sample
         // filter executes it again — persist once, release with result
-        val landed = cur.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        persisted += landed
+        val landed = maybePersist(cur)
         // the rate table is a |sources|-row model artifact; collect it
         // and apply as a literal stratified-hash predicate (one corpus
         // aggregate pass + one scan filter, no joins)
@@ -294,13 +319,15 @@ object Curation {
       // the retrieval corpus is scanned by the scorer's several passes
       // (term counts, totals, df) and again by the hard-negative label
       // lookup — persist the survivor set once, release with the result
-      val corpus = cur.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persisted += corpus
+      val corpus = maybePersist(cur)
       var ranked: DataFrame = null
       def rankedLexical(terms: Seq[String], k: Int, scorer: String,
           queryId: Long): DataFrame = {
         val scored = scorer match {
+          // the lazy-plan compile must not run jobs while building
+          // (the eager BM25 spelling checkpoint-releases its sliver)
+          case "bm25" if lazyPlan => TextSearch.searchTopKBm25Lazy(
+            corpus, idCol, textCol, terms, k)
           case "bm25" => TextSearch.searchTopKBm25(
             corpus, idCol, textCol, terms, k)
           case _ => TextSearch.searchTopK(
@@ -334,9 +361,7 @@ object Curation {
           // exclusion anti-join) — persist the panel-sized list; the
           // corpus label lookup streams against the BROADCAST panel
           // (the ann_hard_negatives shape)
-          val landed = ranked.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          persisted += landed
+          val landed = maybePersist(ranked)
           val positives = corpus
             .filter(col(labelCol) === lit(labelValue))
             .select(col(idCol).cast("long").as("neighbor_id"))

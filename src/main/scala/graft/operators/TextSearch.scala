@@ -308,7 +308,26 @@ object TextSearch {
     */
   def searchTopKBm25(docs: DataFrame, idCol: String, textCol: String,
                      terms: Seq[String], k: Int,
-                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Impl(docs, idCol, textCol, terms, k, k1, b, lazyPlan = false)
+
+  /** [[searchTopKBm25]] with a PURE LAZY plan — no persist, no eager
+    * release checkpoint; the query-term sliver re-derives per consumer
+    * (df aggregate + score join) instead of caching. The SQL TVF
+    * expansion uses this: planning — including EXPLAIN — must launch
+    * zero Spark jobs (the `ngramJaccardAgainstLazy` precedent; the
+    * r16 TVF surface initially shipped the eager spelling here, which
+    * ran the probe's jobs at analysis time).
+    */
+  private[graft] def searchTopKBm25Lazy(docs: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Impl(docs, idCol, textCol, terms, k, k1, b, lazyPlan = true)
+
+  private def bm25Impl(docs: DataFrame, idCol: String, textCol: String,
+                       terms: Seq[String], k: Int,
+                       k1: Double, b: Double,
+                       lazyPlan: Boolean): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(k > 0, s"k ($k) must be > 0")
     requireBm25Params(k1, b)
@@ -316,9 +335,12 @@ object TextSearch {
       "terms must be non-blank (blank tokens are not corpus terms)")
     val qTerms = terms.map(_.toLowerCase).distinct
     val withTc = docsWithTermCounts(docs, idCol, textCol)
-    val rows = explodeWithDl(withTc)
+    val rows0 = explodeWithDl(withTc)
       .filter(col("term").isin(qTerms: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows =
+      if (lazyPlan) rows0
+      else rows0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfTbl = rows.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val out = rows.join(broadcast(dfTbl), "term")
       .crossJoin(broadcast(corpusDlTotals(withTc)))
@@ -328,7 +350,7 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
       .select(col("doc_id"), col("score"))
-    Dedup.releaseAfter(out, rows)
+    if (lazyPlan) out else Dedup.releaseAfter(out, rows)
   }
 
   private def requireBm25Params(k1: Double, b: Double): Unit =

@@ -4237,6 +4237,30 @@ object TrainingDataQueries {
       },
       Some(specHybridSql)),
 
+    // the recipe runner from pure SQL (r16): graft_curate compiles
+    // the SAME JSON recipe pipeline_spec_retrieval runs through the
+    // DataFrame API — one oracle, two spellings, hash-parity is the
+    // proof the TVF expansion and the DataFrame compiler emit one plan
+    "sql_curate_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, d, "documents")
+          .createOrReplaceTempView("graft_tvf_curate_docs")
+        val recipe =
+          s"""{"stages": [
+             |  {"stage": "lang", "lang": "en"},
+             |  {"stage": "retrieve",
+             |   "terms": [${SearchTerms.map(t => s""""$t"""")
+                  .mkString(", ")}],
+             |   "k": ${2 * SearchK}, "scorer": "bm25", "query_id": 0},
+             |  {"stage": "hard_negatives", "label_col": "source",
+             |   "label_value": "src0", "k": $SearchK}
+             |]}""".stripMargin.replace("\n", " ")
+        s.sql("SELECT query_id, rank, neighbor_id FROM graft_curate(" +
+          s"'graft_tvf_curate_docs', 'doc_id', 'text', '$recipe')")
+      },
+      Some(specRetrievalSql)),
+
     "pipeline_curate_corpus" -> QueryDef(
       (s, d) => {
         import graft.operators.Sampling

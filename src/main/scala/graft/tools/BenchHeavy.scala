@@ -15,7 +15,11 @@ object BenchHeavy {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: BenchHeavy <sfDir> <query,query,...> [iters]")
-    val (sfDir, names) = (args(0), args(1).split(",").toSeq)
+    // "headline" expands to the full graft.Bench headline set — the
+    // r16 full-factor-10 anchor run (BASELINE.md) uses it
+    val (sfDir, names) = (args(0),
+      if (args(1) == "headline") graft.SparkEntry.benchQueries
+      else args(1).split(",").toSeq)
     val iters = if (args.length > 2) args(2).toInt else 3
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown query name(s): " +

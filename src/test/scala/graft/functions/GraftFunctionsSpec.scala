@@ -305,6 +305,146 @@ class GraftFunctionsSpec extends SparkSpecBase {
       err.getCause != null)
   }
 
+  test("graft_curate runs lazy recipes from SQL, rejects eager " +
+      "stages, and EXPLAIN launches zero jobs (r16)") {
+    import graft.operators.Curation
+    GraftFunctions.register(spark)
+    val en = "the cat and the dog went to the house with the garden " +
+      "and they played in that green field all day long with joy too"
+    val docs = Seq(
+      (1L, en + " cat", "pos"), (2L, en + " cat cat", "neg"),
+      (3L, en + " cat dog", "pos"), (4L, en + " dog", "neg"),
+      (5L, "der hund und die katze cat", "neg"))
+      .toDF("doc_id", "text", "source")
+    docs.createOrReplaceTempView("gfs_cur_docs")
+    val recipe = """{"stages": [
+      {"stage": "lang", "lang": "en"},
+      {"stage": "retrieve", "terms": ["cat"], "k": 4,
+       "scorer": "bm25", "query_id": 9},
+      {"stage": "hard_negatives", "label_col": "source",
+       "label_value": "pos", "k": 2}
+    ]}"""
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // EXPLAIN must launch no jobs (the TVF invariant) — measured with
+    // the marker-group listener pattern of the lazy-jaccard spec
+    val explainJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val markerSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val grp = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (grp == "gfs-curate-marker") markerSeen.set(true)
+        else explainJobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val plan = spark.sql("EXPLAIN FORMATTED SELECT * FROM " +
+          s"graft_curate('gfs_cur_docs', 'doc_id', 'text', '$recipe')")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(plan.contains("Physical Plan"), plan.take(200))
+      spark.sparkContext.setJobGroup("gfs-curate-marker", "flush")
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.currentTimeMillis + 30000
+      while (!markerSeen.get && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(markerSeen.get, "marker job never reached the listener")
+      assert(explainJobs.get == 0,
+        s"EXPLAIN of graft_curate must launch zero Spark jobs " +
+          s"(saw ${explainJobs.get})")
+    } finally spark.sparkContext.removeSparkListener(l)
+
+    // and the SQL spelling equals the DataFrame recipe run
+    val sqlRows = rows(spark.sql("SELECT * FROM graft_curate(" +
+      s"'gfs_cur_docs', 'doc_id', 'text', '$recipe')"))
+    val dfRows = rows(Curation.run(docs, "doc_id", "text",
+      Curation.fromJson(recipe)))
+    assert(sqlRows.nonEmpty && sqlRows.sorted == dfRows.sorted,
+      s"graft_curate must equal Curation.run: $sqlRows vs $dfRows")
+
+    // recipe table names resolve as views: the hybrid stage's
+    // embeddings table
+    Seq((1L, Seq(1.0f, 0.1f)), (2L, Seq(0.9f, 0.2f)),
+        (3L, Seq(0.1f, 1.0f)), (9L, Seq(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+      .createOrReplaceTempView("gfs_cur_emb")
+    val hyRecipe = """{"stages": [
+      {"stage": "lang", "lang": "en"},
+      {"stage": "hybrid", "terms": ["cat"], "k": 3,
+       "embeddings": "gfs_cur_emb", "query_id": 9}
+    ]}"""
+    val hySql = spark.sql("SELECT * FROM graft_curate(" +
+      s"'gfs_cur_docs', 'doc_id', 'text', '$hyRecipe')")
+    assert(rows(hySql).nonEmpty)
+
+    // eager set-resolution stages fail loudly at planning with the
+    // DataFrame-API pointer, not with an EXPLAIN-time job storm
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_curate('gfs_cur_docs', " +
+        """'doc_id', 'text', '{"stages": [{"stage": "near_dedup", """ +
+        """"k": 3, "num_hashes": 12, "rows_per_band": 3, """ +
+        """"threshold": 0.5}]}')""").collect()
+    }
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgChain(err).contains("DataFrame API"), msgChain(err))
+  }
+
+  test("graft_bm25_search expands lazily: EXPLAIN launches zero " +
+      "Spark jobs (r16)") {
+    GraftFunctions.register(spark)
+    Seq((1L, "spark merges the window"), (2L, "unrelated text here"))
+      .toDF("doc_id", "text")
+      .createOrReplaceTempView("gfs_bm25_lazy_docs")
+    val explainJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val markerSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val grp = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (grp == "gfs-bm25-marker") markerSeen.set(true)
+        else explainJobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val plan = spark.sql("EXPLAIN FORMATTED SELECT * FROM " +
+          "graft_bm25_search('gfs_bm25_lazy_docs', 'doc_id', 'text', " +
+          "'spark,window', 5)")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(plan.contains("Physical Plan"), plan.take(200))
+      spark.sparkContext.setJobGroup("gfs-bm25-marker", "flush")
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.currentTimeMillis + 30000
+      while (!markerSeen.get && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(markerSeen.get, "marker job never reached the listener")
+      assert(explainJobs.get == 0,
+        s"EXPLAIN of graft_bm25_search must launch zero Spark jobs " +
+          s"(saw ${explainJobs.get})")
+    } finally spark.sparkContext.removeSparkListener(l)
+    // the lazy spelling still scores bit-identically to the eager one
+    val lz = graft.operators.TextSearch.searchTopKBm25Lazy(
+        spark.table("gfs_bm25_lazy_docs"), "doc_id", "text",
+        Seq("spark", "window"), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val eg = graft.operators.TextSearch.searchTopKBm25(
+        spark.table("gfs_bm25_lazy_docs"), "doc_id", "text",
+        Seq("spark", "window"), 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(lz.nonEmpty && lz == eg)
+  }
+
   test("GraftExtensions injects at session build time") {
     val base = spark // force shared-session init before clearing
     val expected = base.range(1)
