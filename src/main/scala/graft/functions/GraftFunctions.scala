@@ -418,6 +418,32 @@ object GraftFunctions {
           litInt(args(2), "k"),
           if (args.length > 3) litInt(args(3), "rrf_k") else 60)
       },
+      // index-SERVED retrieval (r16): the production serving shape —
+      // candidates from the stored posting lists (a view over the
+      // maintained index table), never a corpus re-scan for matching.
+      // Both ops are pure lazy plans; like the simhash TVF, the
+      // "index" is a TABLE, so its argument is a view name
+      tvf("graft_index_search",
+        "(index_table, docs_table, id_col, text_col, 'terms,csv', k)",
+        6, 6) { (spark, args) =>
+        graft.operators.TextSearch.searchTopKFromIndex(
+          spark.table(litString(args(0), "index_table")),
+          spark.table(litString(args(1), "docs_table")),
+          litString(args(2), "id_col"), litString(args(3), "text_col"),
+          csvTerms(args(4)), litInt(args(5), "k"))
+      },
+      tvf("graft_index_bm25",
+        "(index_table, stats_table, docs_table, id_col, text_col, " +
+          "'terms,csv', k[, k1, b])", 7, 9) { (spark, args) =>
+        graft.operators.TextSearch.searchTopKBm25FromIndex(
+          spark.table(litString(args(0), "index_table")),
+          spark.table(litString(args(1), "stats_table")),
+          spark.table(litString(args(2), "docs_table")),
+          litString(args(3), "id_col"), litString(args(4), "text_col"),
+          csvTerms(args(5)), litInt(args(6), "k"),
+          if (args.length > 7) litDouble(args(7), "k1") else 1.2,
+          if (args.length > 8) litDouble(args(8), "b") else 0.75)
+      },
       // declarative curation from SQL (r16): the reviewable JSON
       // recipe ([[graft.operators.Curation.fromJson]]) compiled and
       // run over a view — filters, exact dedup, decontamination,

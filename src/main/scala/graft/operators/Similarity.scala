@@ -78,12 +78,18 @@ object Similarity {
         col("rank").cast("long").as("rank"),
         col("neighbor_id").cast("long").as("neighbor_id"))
       .join(broadcast(pos), Seq("query_id", "neighbor_id"), "left_anti")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("rank").asc)
-    remaining.withColumn("neg_rank", row_number().over(w).cast("long"))
-      .filter(col("neg_rank") <= k)
-      .select(col("query_id"), col("neg_rank").as("rank"),
-        col("neighbor_id"))
+    // re-rank by retrieval order through the two-phase bounded
+    // aggregate, not a window: upstream ranks are unique per query, so
+    // ordering by (-rank desc, neighbor_id asc) IS rank-ascending and
+    // the output matches the row_number spelling exactly. Beyond the
+    // usual no-straggler argument, the window shape is a LINT hazard
+    // here: a constant query_id (the single-query retrieval recipes)
+    // folds through the aggregate (FoldablePropagation) and strips the
+    // partition spec, leaving a global single-partition WindowExec in
+    // any lazy (un-checkpointed) plan — found by the sql_curate_tvf
+    // plan lint.
+    topKRanked(remaining.select(col("query_id"), col("neighbor_id"),
+      (-col("rank")).cast("double").as("sim")), k)
   }
 
   /** Reciprocal-rank fusion (Cormack & Clarke's RRF, the standard

@@ -920,6 +920,72 @@ object TrainingDataQueries {
        |SELECT query_id, nrank AS rank, neighbor_id FROM hrr
        |WHERE nrank <= $SearchK""".stripMargin
 
+  /** Index-served conjunctive retrieval oracle — shared by
+    * `text_search_from_index` and its TVF twin
+    * `sql_index_search_tvf`: candidates replay the capped posting
+    * lists, df comes from the index, scoring identical to the scan
+    * path.
+    */
+  private lazy val fromIndexSql =
+    s"""WITH $termTfCte,
+       |idx AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+       |post AS (SELECT term, doc_id,
+       |  row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1
+       |    AS slot
+       |  FROM tfq),
+       |qpost AS (SELECT term, doc_id FROM post
+       |  WHERE slot < $InvIdxMaxPostings AND term IN
+       |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+       |cand AS (SELECT DISTINCT doc_id FROM qpost),
+       |ntot AS (SELECT count(*) AS n_docs FROM documents),
+       |ctf AS (SELECT t.doc_id, t.term, t.tf FROM tfq t
+       |  JOIN cand c ON t.doc_id = c.doc_id
+       |  WHERE t.term IN
+       |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+       |m AS (SELECT doc_id, count(*) AS nm,
+       |  CAST(sum(tf * ((n_docs * 1000000) // df)) AS BIGINT)
+       |    AS score
+       |  FROM ctf JOIN idx USING (term), ntot GROUP BY doc_id)
+       |SELECT doc_id, score FROM m WHERE nm = ${SearchTerms.size}
+       |ORDER BY score DESC, doc_id LIMIT $SearchK""".stripMargin
+
+  /** Index-served BM25 oracle — shared by `bm25_from_index` and its
+    * TVF twin `sql_index_bm25_tvf`.
+    */
+  private lazy val bm25FromIndexSql =
+    s"""WITH $termTfCte,
+       |idx AS (SELECT term, count(*) AS df FROM tfq
+       |  GROUP BY term),
+       |post AS (SELECT term, doc_id,
+       |  row_number() OVER (PARTITION BY term ORDER BY doc_id)
+       |    - 1 AS slot
+       |  FROM tfq),
+       |qpost AS (SELECT term, doc_id FROM post
+       |  WHERE slot < $InvIdxMaxPostings AND term IN
+       |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+       |cand AS (SELECT DISTINCT doc_id FROM qpost),
+       |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |  FROM tfq GROUP BY doc_id),
+       |btot AS (SELECT CAST(sum(tf) AS BIGINT) AS sumdl
+       |  FROM tfq),
+       |bn AS (SELECT count(*) AS n_docs FROM documents),
+       |ctf AS (SELECT t.doc_id, t.term, t.tf, d.dl
+       |  FROM tfq t JOIN cand c ON t.doc_id = c.doc_id
+       |  JOIN bdl d ON t.doc_id = d.doc_id
+       |  WHERE t.term IN
+       |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
+       |bs AS (SELECT doc_id, term,
+       |  (CAST(((n_docs * ${graft.operators.TextSearch.IdfScale})
+       |    // df) AS DOUBLE) * tf * CAST(2.2 AS DOUBLE)) /
+       |  (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+       |    CAST(0.75 AS DOUBLE) * dl * n_docs / sumdl)) AS s
+       |  FROM ctf JOIN idx USING (term), btot, bn),
+       |bagg AS (SELECT doc_id,
+       |  list_sum(list(s ORDER BY term)) AS score
+       |  FROM bs GROUP BY doc_id)
+       |SELECT doc_id, score FROM bagg
+       |ORDER BY score DESC, doc_id LIMIT $SearchK""".stripMargin
+
   /** Recipe-hybrid oracle (`pipeline_spec_hybrid`): hybridRrfSql's
     * two-arm chain with BOTH arms' candidate sets pruned to the
     * curated base — the lexical tf·idf statistics (df, n_docs)
@@ -4664,27 +4730,48 @@ object TrainingDataQueries {
             docs, "doc_id", "text", InvIdxMaxPostings),
           docs, "doc_id", "text", SearchTerms, SearchK)
       },
-      Some(s"""WITH $termTfCte,
-              |idx AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
-              |post AS (SELECT term, doc_id,
-              |  row_number() OVER (PARTITION BY term ORDER BY doc_id) - 1
-              |    AS slot
-              |  FROM tfq),
-              |qpost AS (SELECT term, doc_id FROM post
-              |  WHERE slot < $InvIdxMaxPostings AND term IN
-              |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
-              |cand AS (SELECT DISTINCT doc_id FROM qpost),
-              |ntot AS (SELECT count(*) AS n_docs FROM documents),
-              |ctf AS (SELECT t.doc_id, t.term, t.tf FROM tfq t
-              |  JOIN cand c ON t.doc_id = c.doc_id
-              |  WHERE t.term IN
-              |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
-              |m AS (SELECT doc_id, count(*) AS nm,
-              |  CAST(sum(tf * ((n_docs * 1000000) // df)) AS BIGINT)
-              |    AS score
-              |  FROM ctf JOIN idx USING (term), ntot GROUP BY doc_id)
-              |SELECT doc_id, score FROM m WHERE nm = ${SearchTerms.size}
-              |ORDER BY score DESC, doc_id LIMIT $SearchK""".stripMargin)),
+      Some(fromIndexSql)),
+
+    // the index-SERVED conjunctive retrieval from pure SQL (r16):
+    // same oracle as text_search_from_index — the TVF expansion and
+    // the DataFrame spelling emit one plan
+    "sql_index_search_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = table(s, d, "documents")
+        docs.createOrReplaceTempView("graft_tvf_idx_docs")
+        graft.operators.TextSearch.invertedIndex(
+            docs, "doc_id", "text", InvIdxMaxPostings)
+          .createOrReplaceTempView("graft_tvf_idx_index")
+        s.sql(s"""SELECT doc_id, score FROM graft_index_search(
+                 |  'graft_tvf_idx_index', 'graft_tvf_idx_docs',
+                 |  'doc_id', 'text',
+                 |  '${SearchTerms.mkString(",")}', $SearchK)"""
+          .stripMargin)
+      },
+      Some(fromIndexSql)),
+
+    // the index-served BM25 from pure SQL (r16): candidates from the
+    // posting lists, (sumdl, n_docs) from the published stats view —
+    // the full serving configuration reachable without leaving SQL
+    "sql_index_bm25_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = table(s, d, "documents")
+        docs.createOrReplaceTempView("graft_tvf_bm25_docs")
+        graft.operators.TextSearch.invertedIndex(
+            docs, "doc_id", "text", InvIdxMaxPostings)
+          .createOrReplaceTempView("graft_tvf_bm25_index")
+        graft.operators.TextSearch.bm25CorpusStats(
+            docs, "doc_id", "text")
+          .createOrReplaceTempView("graft_tvf_bm25_stats")
+        s.sql(s"""SELECT doc_id, score FROM graft_index_bm25(
+                 |  'graft_tvf_bm25_index', 'graft_tvf_bm25_stats',
+                 |  'graft_tvf_bm25_docs', 'doc_id', 'text',
+                 |  '${SearchTerms.mkString(",")}', $SearchK)"""
+          .stripMargin)
+      },
+      Some(bm25FromIndexSql)),
 
     // URL decomposition + per-domain rollup: construct deterministic
     // URLs from fixture columns (userinfo, mixed-case host, port,
@@ -5063,38 +5150,7 @@ object TrainingDataQueries {
             docs, "doc_id", "text"),
           docs, "doc_id", "text", SearchTerms, SearchK)
       },
-      Some(s"""WITH $termTfCte,
-              |idx AS (SELECT term, count(*) AS df FROM tfq
-              |  GROUP BY term),
-              |post AS (SELECT term, doc_id,
-              |  row_number() OVER (PARTITION BY term ORDER BY doc_id)
-              |    - 1 AS slot
-              |  FROM tfq),
-              |qpost AS (SELECT term, doc_id FROM post
-              |  WHERE slot < $InvIdxMaxPostings AND term IN
-              |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
-              |cand AS (SELECT DISTINCT doc_id FROM qpost),
-              |bdl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-              |  FROM tfq GROUP BY doc_id),
-              |btot AS (SELECT CAST(sum(tf) AS BIGINT) AS sumdl
-              |  FROM tfq),
-              |bn AS (SELECT count(*) AS n_docs FROM documents),
-              |ctf AS (SELECT t.doc_id, t.term, t.tf, d.dl
-              |  FROM tfq t JOIN cand c ON t.doc_id = c.doc_id
-              |  JOIN bdl d ON t.doc_id = d.doc_id
-              |  WHERE t.term IN
-              |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
-              |bs AS (SELECT doc_id, term,
-              |  (CAST(((n_docs * ${graft.operators.TextSearch.IdfScale})
-              |    // df) AS DOUBLE) * tf * CAST(2.2 AS DOUBLE)) /
-              |  (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
-              |    CAST(0.75 AS DOUBLE) * dl * n_docs / sumdl)) AS s
-              |  FROM ctf JOIN idx USING (term), btot, bn),
-              |bagg AS (SELECT doc_id,
-              |  list_sum(list(s ORDER BY term)) AS score
-              |  FROM bs GROUP BY doc_id)
-              |SELECT doc_id, score FROM bagg
-              |ORDER BY score DESC, doc_id LIMIT $SearchK""".stripMargin)),
+      Some(bm25FromIndexSql)),
 
     // MULTI-query hybrid: the whole more_like_this panel fused with
     // each doc's cosine neighbors — rrfFuse's panel path in one row

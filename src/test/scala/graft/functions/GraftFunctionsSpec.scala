@@ -303,6 +303,28 @@ class GraftFunctionsSpec extends SparkSpecBase {
     }
     assert(err.getMessage.contains("no non-blank terms") ||
       err.getCause != null)
+
+    // index-SERVED retrieval TVFs (r16): the index/stats are views
+    val idx = TextSearch.invertedIndex(docs, "doc_id", "text", 16)
+    idx.createOrReplaceTempView("gfs_ret_idx")
+    val isSql = spark.sql("SELECT * FROM graft_index_search(" +
+      "'gfs_ret_idx', 'gfs_ret_docs', 'doc_id', 'text', " +
+      s"'${terms.mkString(",")}', 5)")
+    val isDf = TextSearch.searchTopKFromIndex(idx, docs, "doc_id",
+      "text", terms, 5)
+    assert(rows(isSql).nonEmpty && rows(isSql) == rows(isDf),
+      "graft_index_search must equal searchTopKFromIndex")
+    TextSearch.bm25CorpusStats(docs, "doc_id", "text")
+      .createOrReplaceTempView("gfs_ret_stats")
+    val ibSql = spark.sql("SELECT * FROM graft_index_bm25(" +
+      "'gfs_ret_idx', 'gfs_ret_stats', 'gfs_ret_docs', 'doc_id', " +
+      s"'text', '${terms.mkString(",")}', 5)")
+    val ibDf = TextSearch.searchTopKBm25FromIndex(idx,
+      TextSearch.bm25CorpusStats(docs, "doc_id", "text"), docs,
+      "doc_id", "text", terms, 5)
+    assert(rows(ibSql).nonEmpty && rows(ibSql) == rows(ibDf),
+      "graft_index_bm25 must equal searchTopKBm25FromIndex " +
+        "(float scores bit-identical)")
   }
 
   test("graft_curate runs lazy recipes from SQL, rejects eager " +
