@@ -116,7 +116,12 @@ object SparkEntry {
     // (the float-parity chain), and the batch more-like-this panel —
     // the retrieval family's drift, bench-visible
     "hybrid_search_rrf", "text_search_bm25", "more_like_this",
-    // round-16 addition: the BM25-armed hybrid — BM25 lexical arm +
-    // cosine arm fused by RRF, the standard serving configuration
-    "hybrid_bm25_rrf")
+    // round-16 additions: the BM25-armed hybrid (BM25 lexical arm +
+    // cosine arm fused by RRF, the standard serving configuration),
+    // the index-SERVED BM25 (posting-list candidates + published
+    // corpus stats — the serving path's drift, bench-visible beside
+    // text_search_from_index's conjunctive twin), and the declarative
+    // retrieval recipe (curate -> 2k-deep BM25 -> hard negatives, the
+    // compiled end-to-end training-data shape)
+    "hybrid_bm25_rrf", "bm25_from_index", "pipeline_spec_retrieval")
 }
