@@ -96,8 +96,21 @@ object ScaleUp {
       d.withColumn("event_id", col("event_id") + lit(i * es))
         .withColumn("user_id", col("user_id") + lit(i * us))
     }, "events")
+    // replica i applies a deterministic per-dimension SIGN PATTERN:
+    // cos(s_i∘x, s_i∘y) = cos(x, y), so every replica carries the
+    // source's exact near-dup/ANN structure, while cross-replica
+    // similarities decorrelate — without this, replica vectors are
+    // exact duplicates and every near-dup cluster's pair output grows
+    // quadratically in the factor (a fixture artifact, not a workload:
+    // the r16 factor-10 run measured dedup_incremental_embedding
+    // x15.7 on duplicated replicas). Replica 0 is untouched.
     write(replicate(emb) { (d, i) =>
-      d.withColumn("vec_id", col("vec_id") + lit(i * vs))
+      val shifted = d.withColumn("vec_id", col("vec_id") + lit(i * vs))
+      if (i == 0) shifted
+      else shifted.withColumn("embedding",
+        transform(col("embedding"), (x, dim) =>
+          when(pmod(hash(lit(i), dim), lit(2)) === 0, x)
+            .otherwise(-x)))
     }, "embeddings")
 
     println(s"[scaleup] wrote factor-$factor fixture to $dst " +
