@@ -375,7 +375,9 @@ object GraftFunctions {
       tvf("graft_text_search",
         "(corpus_table, id_col, text_col, 'terms,csv', k)", 5, 5) {
         (spark, args) =>
-        graft.operators.TextSearch.searchTopK(
+        // lazy spelling: the eager sliver persist pins a new cache
+        // entry per SQL invocation for the session's lifetime
+        graft.operators.TextSearch.searchTopKLazy(
           spark.table(litString(args(0), "corpus_table")),
           litString(args(1), "id_col"), litString(args(2), "text_col"),
           csvTerms(args(3)), litInt(args(4), "k"))
@@ -461,27 +463,12 @@ object GraftFunctions {
         "(docs_table, id_col, text_col, 'json recipe')", 4, 4) {
         (spark, args) =>
         import graft.operators.Curation
-        val spec = Curation.fromJson(litString(args(3), "recipe json"))
-        spec.stages.foreach {
-          case s @ (_: Curation.NearDedup | _: Curation.SimhashDedup |
-                    _: Curation.JaccardDedup |
-                    _: Curation.EmbeddingDedup |
-                    _: Curation.TrainClassifier | _: Curation.Mixture) =>
-            throw new IllegalArgumentException(
-              s"graft_curate: stage $s resolves sets by EXECUTING " +
-                "Spark jobs while the plan is still being built " +
-                "(iterative components / training / rate collection), " +
-                "which would run work during SQL planning (EXPLAIN). " +
-                "Run this recipe through the DataFrame API " +
-                "(Curation.run); the SQL surface carries the lazy " +
-                "stages: lang, gopher, classifier, sample, " +
-                "exact_dedup, decontaminate[_index], cap_per_group, " +
-                "split, retrieve, hybrid, hard_negatives")
-          case _ => ()
-        }
+        // the eager-stage rejection lives in runLazy itself, beside
+        // the stage definitions — the TVF layer only parses and wires
         Curation.runLazy(spark.table(litString(args(0), "docs_table")),
           litString(args(1), "id_col"), litString(args(2), "text_col"),
-          spec, resolveTable = name => spark.table(name))
+          Curation.fromJson(litString(args(3), "recipe json")),
+          resolveTable = name => spark.table(name))
       })
   }
 

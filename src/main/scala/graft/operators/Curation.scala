@@ -206,8 +206,27 @@ object Curation {
     */
   private[graft] def runLazy(docs: DataFrame, idCol: String,
       textCol: String, spec: CurationSpec,
-      resolveTable: String => DataFrame): DataFrame =
+      resolveTable: String => DataFrame): DataFrame = {
+    // the lazy precondition is enforced HERE, beside the stage
+    // definitions, so a future eager stage (or a new runLazy caller)
+    // cannot silently run jobs during SQL planning — the invariant is
+    // self-enforcing, not caller-enforced
+    spec.stages.foreach {
+      case s @ (_: NearDedup | _: SimhashDedup | _: JaccardDedup |
+                _: EmbeddingDedup | _: TrainClassifier | _: Mixture) =>
+        throw new IllegalArgumentException(
+          s"lazy recipe compile: stage $s resolves sets by EXECUTING " +
+            "Spark jobs while the plan is still being built " +
+            "(iterative components / training / rate collection), " +
+            "which would run work during SQL planning (EXPLAIN). " +
+            "Run this recipe through the DataFrame API " +
+            "(Curation.run); the lazy surface carries: lang, gopher, " +
+            "classifier, sample, exact_dedup, decontaminate[_index], " +
+            "cap_per_group, split, retrieve, hybrid, hard_negatives")
+      case _ => ()
+    }
     runImpl(docs, idCol, textCol, spec, resolveTable, lazyPlan = true)
+  }
 
   private def runImpl(docs: DataFrame, idCol: String, textCol: String,
           spec: CurationSpec,
@@ -329,6 +348,8 @@ object Curation {
           case "bm25" if lazyPlan => TextSearch.searchTopKBm25Lazy(
             corpus, idCol, textCol, terms, k)
           case "bm25" => TextSearch.searchTopKBm25(
+            corpus, idCol, textCol, terms, k)
+          case _ if lazyPlan => TextSearch.searchTopKLazy(
             corpus, idCol, textCol, terms, k)
           case _ => TextSearch.searchTopK(
             corpus, idCol, textCol, terms, k)

@@ -1263,7 +1263,8 @@ object Dedup {
                               idCol: String, textCol: String,
                               maxPoints: Int = DefaultMaxProbePoints,
                               maxEpochExclusive: Option[Long] = None,
-                              maxGramPostings: Int = Int.MaxValue)
+                              maxGramPostings: Int = Int.MaxValue,
+                              useGramCounts: Boolean = true)
       : DataFrame = {
     import graft.sink.IndexLayout
     val spark = newDocs.sparkSession
@@ -1291,9 +1292,13 @@ object Dedup {
       metaSchemaOpt(root, "schema_prefix"))
     // the guard's count sidecar, gated EXACTLY like the prefix view
     // (same epoch listing, same manifest point-pruning on g) — counts
-    // match the postings the candidate join will actually see
+    // match the postings the candidate join will actually see.
+    // `useGramCounts=false` forces the recount branch over the SAME
+    // layout views — the measurement knob tools/ProbeJaccardAB uses
+    // to isolate the statistics source from everything else
     val gcounts =
-      if (IndexLayout.hasTable(root, IndexLayout.JaccardGramCounts))
+      if (useGramCounts &&
+          IndexLayout.hasTable(root, IndexLayout.JaccardGramCounts))
         Some(IndexLayout.readPostings(spark, path, root, gs,
           maxEpochExclusive, IndexLayout.JaccardGramCounts,
           metaSchemaOpt(root, "schema_gcounts")))

@@ -258,16 +258,36 @@ object TextSearch {
     * from a prebuilt [[invertedIndex]] is a drop-in.
     */
   def searchTopK(docs: DataFrame, idCol: String, textCol: String,
-                 terms: Seq[String], k: Int): DataFrame = {
+                 terms: Seq[String], k: Int): DataFrame =
+    searchTopKImpl(docs, idCol, textCol, terms, k, lazyPlan = false)
+
+  /** [[searchTopK]] with a PURE LAZY plan — no sliver persist; the
+    * query-term sliver re-derives per consumer. The SQL TVF expansion
+    * uses this: the eager spelling's persist is plan-lazy (no jobs at
+    * planning) but pins a NEW cache entry per invocation for the
+    * session's lifetime — a long-lived SQL session issuing many
+    * `graft_text_search`/`graft_curate` calls would accumulate them
+    * unboundedly (the `searchTopKBm25Lazy` sibling's rationale).
+    */
+  private[graft] def searchTopKLazy(docs: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k: Int): DataFrame =
+    searchTopKImpl(docs, idCol, textCol, terms, k, lazyPlan = true)
+
+  private def searchTopKImpl(docs: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], k: Int,
+      lazyPlan: Boolean): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     require(k > 0, s"k ($k) must be > 0")
     val qTerms = terms.map(_.toLowerCase).distinct
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // the persisted frame is only the query-term sliver — tiny, and it
     // spares the second full corpus scan its two consumers would cost
-    val dt0 = docTermTf(docs, idCol, textCol)
+    val dt1 = docTermTf(docs, idCol, textCol)
       .filter(col("term").isin(qTerms: _*))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dt0 =
+      if (lazyPlan) dt1
+      else dt1.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfTbl = dt0.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dt = dt0.join(broadcast(dfTbl), "term")
     dt.crossJoin(broadcast(n))

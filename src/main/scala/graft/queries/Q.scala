@@ -65,14 +65,27 @@ object Q {
   def statsBroadcast(spark: SparkSession, sfDir: String, df: DataFrame,
                      boundTables: Seq[String],
                      capBytes: Long = 32L << 20): DataFrame = {
-    val conf = spark.sessionState.newHadoopConf()
-    val under = boundTables.forall { t =>
-      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
-      val fs = p.getFileSystem(conf)
-      fs.exists(p) && fs.getContentSummary(p).getLength <= capBytes
-    } && boundTables.nonEmpty
+    val under = boundTables.nonEmpty &&
+      boundTables.forall(t => tableBytes(spark, sfDir, t) <= capBytes)
     if (under) broadcast(df) else df
   }
+
+  // fixture sizes are fixed per (dir, table) for a process lifetime —
+  // memoized so repeated plan builds (bench iterations, multi-join
+  // queries) do not re-walk the directory; on an object store each
+  // getContentSummary is a LIST call, so the cache matters beyond
+  // politeness. A missing table memoizes as MaxValue (never hints).
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      java.lang.Long]()
+  private def tableBytes(spark: SparkSession, sfDir: String,
+                         t: String): Long =
+    sizeCache.computeIfAbsent((sfDir, t), { _ =>
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.getContentSummary(p).getLength
+      else Long.MaxValue
+    })
 
   /** Exact decimal view of a 2-decimal double column. */
   def dec(c: Column): Column = c.cast("decimal(18,2)")

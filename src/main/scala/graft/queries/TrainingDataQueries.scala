@@ -155,6 +155,20 @@ object TrainingDataQueries {
        |tfq AS (SELECT doc_id, term, count(*) AS tf FROM dtq
        |  WHERE term <> '' GROUP BY doc_id, term)""".stripMargin
 
+  /** The BM25 per-term score chain, spelled ONCE for the five oracle
+    * sites that fold it ((tf, df, dl, n_docs, sumdl) must be in
+    * scope) — character-identical to the engine's
+    * `bm25ScoreExpr(k1 = 1.2, b = 0.75)` float chain, so a future
+    * constant/cast change desynchronizes ZERO oracles or ALL of them
+    * loudly, never one silently.
+    */
+  private val bm25ScoreSql =
+    s"""(CAST(((n_docs * ${graft.operators.TextSearch.IdfScale})
+       |    // df) AS DOUBLE) * tf * CAST(2.2 AS DOUBLE)) /
+       |  (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
+       |    CAST(0.75 AS DOUBLE) * dl * n_docs / sumdl))"""
+      .stripMargin
+
   /** corpus size + per-term df + the exact integer tf·idf score —
     * `tf * ((n_docs * IdfScale) // df)`, floor division of longs in
     * both engines.
@@ -761,10 +775,7 @@ object TrainingDataQueries {
        |  FROM tfq),
        |bn AS (SELECT count(*) AS n_docs FROM documents),
        |bs AS (SELECT doc_id, term,
-       |  (CAST(((n_docs * ${graft.operators.TextSearch.IdfScale})
-       |    // df) AS DOUBLE) * tf * CAST(2.2 AS DOUBLE)) /
-       |  (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
-       |    CAST(0.75 AS DOUBLE) * dl * n_docs / sumdl)) AS s
+       |  $bm25ScoreSql AS s
        |  FROM bsl JOIN bdf USING (term), btot, bn),
        |bagg AS (SELECT doc_id,
        |  list_sum(list(s ORDER BY term)) AS score
@@ -798,10 +809,7 @@ object TrainingDataQueries {
        |  FROM tfq),
        |bn AS (SELECT count(*) AS n_docs FROM documents),
        |bs AS (SELECT q.query_id, t.doc_id, t.term,
-       |  (CAST(((n_docs * ${graft.operators.TextSearch.IdfScale})
-       |    // df) AS DOUBLE) * tf * CAST(2.2 AS DOUBLE)) /
-       |  (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
-       |    CAST(0.75 AS DOUBLE) * dl * n_docs / sumdl)) AS s
+       |  $bm25ScoreSql AS s
        |  FROM bsl t JOIN bdf USING (term) JOIN qt q USING (term),
        |    btot, bn),
        |bagg AS (SELECT query_id, doc_id,
@@ -832,10 +840,7 @@ object TrainingDataQueries {
        |  FROM tfq),
        |bn AS (SELECT count(*) AS n_docs FROM documents),
        |bs AS (SELECT doc_id, term,
-       |  (CAST(((n_docs * ${graft.operators.TextSearch.IdfScale})
-       |    // df) AS DOUBLE) * tf * CAST(2.2 AS DOUBLE)) /
-       |  (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
-       |    CAST(0.75 AS DOUBLE) * dl * n_docs / sumdl)) AS s
+       |  $bm25ScoreSql AS s
        |  FROM bsl JOIN bdf USING (term), btot, bn),
        |bagg AS (SELECT doc_id,
        |  list_sum(list(s ORDER BY term)) AS score
@@ -899,10 +904,7 @@ object TrainingDataQueries {
        |  FROM tfq),
        |bn AS (SELECT count(*) AS n_docs FROM base),
        |bs AS (SELECT doc_id, term,
-       |  (CAST(((n_docs * ${graft.operators.TextSearch.IdfScale})
-       |    // df) AS DOUBLE) * tf * CAST(2.2 AS DOUBLE)) /
-       |  (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
-       |    CAST(0.75 AS DOUBLE) * dl * n_docs / sumdl)) AS s
+       |  $bm25ScoreSql AS s
        |  FROM bsl JOIN bdf USING (term), btot, bn),
        |bagg AS (SELECT doc_id,
        |  list_sum(list(s ORDER BY term)) AS score
@@ -975,10 +977,7 @@ object TrainingDataQueries {
        |  WHERE t.term IN
        |  (${SearchTerms.map(t => s"'$t'").mkString(", ")})),
        |bs AS (SELECT doc_id, term,
-       |  (CAST(((n_docs * ${graft.operators.TextSearch.IdfScale})
-       |    // df) AS DOUBLE) * tf * CAST(2.2 AS DOUBLE)) /
-       |  (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) +
-       |    CAST(0.75 AS DOUBLE) * dl * n_docs / sumdl)) AS s
+       |  $bm25ScoreSql AS s
        |  FROM ctf JOIN idx USING (term), btot, bn),
        |bagg AS (SELECT doc_id,
        |  list_sum(list(s ORDER BY term)) AS score

@@ -61,8 +61,9 @@ object StreamingIndex {
         fs.exists(new Path(tablePath + ".old")))
       fs.rename(new Path(tablePath + ".old"), new Path(tablePath))
     if (lastApplied(spark, tablePath).exists(_ >= batchId)) return
+    val tableExists = fs.exists(new Path(tablePath))
     val next =
-      if (fs.exists(new Path(tablePath)))
+      if (tableExists)
         TextSearch.invertedIndexAppend(
           spark.read.parquet(tablePath), batch, idCol, textCol,
           maxPostings)
@@ -71,19 +72,31 @@ object StreamingIndex {
     // BM25 stats ride the same atomic swap (r16): totals ADD exactly
     // across disjoint batches, so prior + batch equals from-scratch;
     // the one-row collect is a bounded driver artifact. Underscore
-    // prefix = invisible to the table's parquet reads.
-    val prior = readStatsJson(fs, tablePath).getOrElse((0L, 0L))
-    val bRow = TextSearch.bm25CorpusStats(batch, idCol, textCol).head()
-    val nextStats = (prior._1 + Option(bRow.get(0))
-        .fold(0L)(_.asInstanceOf[Long]),
-      prior._2 + bRow.getLong(1))
+    // prefix = invisible to the table's parquet reads. A PRE-r16
+    // table that lacks the sidecar must NOT gain one mid-life: the
+    // stored postings cannot reconstruct the already-indexed batches'
+    // dl totals, so a file seeded from this batch alone would make
+    // readBm25Stats SUCCEED with totals missing every earlier batch —
+    // silently wrong BM25 scores instead of the documented loud
+    // failure. Such tables stay sidecar-less until
+    // [[backfillBm25Stats]] seeds the true totals, after which
+    // maintenance resumes here.
+    val priorOpt = readStatsJson(fs, tablePath)
+    val maintainStats = priorOpt.isDefined || !tableExists
     val stage = tablePath + ".stage"
     next.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(stage)
-    val statsOut = fs.create(new Path(stage, StatsFile), true)
-    try statsOut.write(
-      s"""{"sumdl": ${nextStats._1}, "n_docs": ${nextStats._2}}"""
-        .getBytes("UTF-8"))
-    finally statsOut.close()
+    if (maintainStats) {
+      val prior = priorOpt.getOrElse((0L, 0L))
+      val bRow = TextSearch.bm25CorpusStats(batch, idCol, textCol).head()
+      val nextStats = (prior._1 + Option(bRow.get(0))
+          .fold(0L)(_.asInstanceOf[Long]),
+        prior._2 + bRow.getLong(1))
+      val statsOut = fs.create(new Path(stage, StatsFile), true)
+      try statsOut.write(
+        s"""{"sumdl": ${nextStats._1}, "n_docs": ${nextStats._2}}"""
+          .getBytes("UTF-8"))
+      finally statsOut.close()
+    }
     val out = fs.create(new Path(stage, Marker), true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
     MergeSink.atomicSwapDir(fs, stage, tablePath, tablePath + ".old")
@@ -113,11 +126,35 @@ object StreamingIndex {
     }
   }
 
+  /** Seed (or correct) the stats sidecar of an EXISTING table from
+    * the full indexed corpus — the upgrade path for tables that
+    * predate the sidecar (applyBatch refuses to maintain stats for
+    * them, since the stored postings cannot reconstruct earlier
+    * batches' dl totals). After the backfill, epoch maintenance
+    * resumes adding deltas. The caller owns corpus completeness: it
+    * must be EXACTLY the documents indexed so far.
+    */
+  def backfillBm25Stats(spark: SparkSession, tablePath: String,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tablePath).getFileSystem(conf)
+    require(fs.exists(new Path(tablePath)),
+      s"no index table at $tablePath to backfill")
+    val row = TextSearch.bm25CorpusStats(corpus, idCol, textCol).head()
+    val sumdl = Option(row.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val out = fs.create(new Path(tablePath, StatsFile), true)
+    try out.write(
+      s"""{"sumdl": $sumdl, "n_docs": ${row.getLong(1)}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** The maintained `(sumdl, n_docs)` beside a [[StreamingIndex]]
     * table, as the one-row frame
     * [[TextSearch.searchTopKBm25FromIndex]] consumes. Fails loudly if
     * the table predates the r16 stats sidecar — rebuild or backfill
-    * with [[TextSearch.bm25CorpusStats]] over the indexed corpus.
+    * with [[backfillBm25Stats]] over the indexed corpus.
     */
   def readBm25Stats(spark: SparkSession, tablePath: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -125,7 +162,8 @@ object StreamingIndex {
     val (sumdl, nDocs) = readStatsJson(fs, tablePath).getOrElse(
       throw new IllegalStateException(
         s"no $StatsFile beside $tablePath - the index predates the " +
-          "maintained BM25 stats; backfill with bm25CorpusStats"))
+          "maintained BM25 stats; backfill with backfillBm25Stats " +
+          "over the indexed corpus"))
     import spark.implicits._
     Seq((sumdl, nDocs)).toDF("sumdl", "n_docs")
   }

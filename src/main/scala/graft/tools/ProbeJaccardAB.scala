@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Dev-only A/B of the guarded Jaccard probe's two statistics sources
   * against one published (maintained) layout: the r16 gcounts sidecar
-  * vs the pre-r16 recount of the prefix table. Both run the SAME
-  * candidate/verification pipeline over the SAME layout view — only
-  * where the viral-gram guard's `(n, hub)` numbers come from differs —
-  * so the wall gap isolates the sidecar's effect at the soak's
-  * accumulated scale.
+  * vs the pre-r16 recount of the prefix table. Both arms run the SAME
+  * path probe (`ngramJaccardAgainstPath`) over the SAME layout —
+  * identical manifest pruning, id-pruned set fetches, epoch gating —
+  * with ONLY the `useGramCounts` knob flipped, so the wall gap
+  * isolates the statistics source and nothing else.
   *
   * Usage: runMain graft.tools.ProbeJaccardAB <indexPath> <soakDocs>
   *          <batchSize> [iters]
@@ -46,10 +46,9 @@ object ProbeJaccardAB {
         graft.operators.Dedup.ngramJaccardAgainstPath(batch, idx,
           "doc_id", "text", maxGramPostings = 1024).count())
       val (tRe, nRe) = timed(
-        graft.operators.Dedup.ngramJaccardAgainst(batch,
-          graft.operators.Dedup.readJaccardIndex(spark, idx)
-            .copy(gramCounts = None),
-          "doc_id", "text", maxGramPostings = 1024).count())
+        graft.operators.Dedup.ngramJaccardAgainstPath(batch, idx,
+          "doc_id", "text", maxGramPostings = 1024,
+          useGramCounts = false).count())
       println(f"[probe-ab] iter=$i sidecar=$tSide%.2fs ($nSide pairs) " +
         f"recount=$tRe%.2fs ($nRe pairs)")
       require(nSide == nRe, s"pair counts diverged: $nSide vs $nRe")

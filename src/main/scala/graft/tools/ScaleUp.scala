@@ -47,11 +47,17 @@ object ScaleUp {
     val (cust, supp, ord, li, docs) = (read("customer"),
       read("supplier"), read("orders"), read("lineitem"),
       read("documents"))
-    val (cs, ss, os, ps, ds) = (stride(cust, "c_custkey"),
-      stride(supp, "s_suppkey"), stride(ord, "o_orderkey"),
-      stride(li, "l_partkey"), stride(docs, "doc_id"))
     val (part, events, emb) = (read("part"), read("events"),
       read("embeddings"))
+    // the part-key stride must clear BOTH tables' key spaces: a part
+    // key above max(l_partkey) (a part no lineitem references) would
+    // otherwise collide with the next replica's shifted keys,
+    // duplicating p_partkey and fanning out every lineitem-part join
+    val ps = math.max(stride(li, "l_partkey"),
+      stride(part, "p_partkey"))
+    val (cs, ss, os, ds) = (stride(cust, "c_custkey"),
+      stride(supp, "s_suppkey"), stride(ord, "o_orderkey"),
+      stride(docs, "doc_id"))
     val (es, us, vs) = (stride(events, "event_id"),
       stride(events, "user_id"), stride(emb, "vec_id"))
 

@@ -96,4 +96,43 @@ class StreamingIndexSpec extends SparkSpecBase {
     assert(served.nonEmpty && served == direct,
       s"index-served BM25 must equal from-scratch: $served vs $direct")
   }
+
+  test("pre-sidecar tables never gain partial BM25 stats; backfill " +
+      "seeds the true totals and maintenance resumes (r16)") {
+    val dir = Files.createTempDirectory("sindex-up").toString
+    val table = s"$dir/idx"
+    val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val b1 = Seq((1L, "t alpha beta"), (2L, "t gamma"))
+    val b2 = Seq((3L, "t delta"))
+    val b3 = Seq((4L, "t epsilon zeta"))
+    // simulate a pre-r16 table: apply an epoch, then strip the sidecar
+    StreamingIndex.applyBatch(b1.toDF("doc_id", "text"), 0L, table,
+      "doc_id", "text", Cap)
+    fs.delete(new org.apache.hadoop.fs.Path(table, "_bm25_stats.json"),
+      false)
+    // a later epoch must NOT seed a partial sidecar (it would count
+    // only post-upgrade batches and readBm25Stats would serve wrong
+    // totals with no signal)
+    StreamingIndex.applyBatch(b2.toDF("doc_id", "text"), 1L, table,
+      "doc_id", "text", Cap)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(table, "_bm25_stats.json")),
+      "upgrade epoch must not write a partial stats sidecar")
+    val e = intercept[IllegalStateException](
+      StreamingIndex.readBm25Stats(spark, table))
+    assert(e.getMessage.contains("backfillBm25Stats"), e.getMessage)
+    // backfill from the true indexed corpus, then maintenance resumes
+    StreamingIndex.backfillBm25Stats(spark, table,
+      (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+    StreamingIndex.applyBatch(b3.toDF("doc_id", "text"), 2L, table,
+      "doc_id", "text", Cap)
+    val all = (b1 ++ b2 ++ b3).toDF("doc_id", "text")
+    val fromScratch = TextSearch.bm25CorpusStats(all, "doc_id", "text")
+      .head()
+    val maintained = StreamingIndex.readBm25Stats(spark, table).head()
+    assert(maintained.getLong(0) == fromScratch.getLong(0) &&
+      maintained.getLong(1) == fromScratch.getLong(1),
+      s"post-backfill stats $maintained must equal rebuild $fromScratch")
+  }
 }
