@@ -401,6 +401,34 @@ class GraftFunctionsSpec extends SparkSpecBase {
       {"stage": "hybrid", "terms": ["cat"], "k": 3,
        "embeddings": "gfs_cur_emb", "query_id": 9}
     ]}"""
+    // the hybrid recipe (lexical + cosine + RRF) plans job-free too
+    val hyJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val hyMarker = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hl = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val grp = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (grp == "gfs-curate-hy-marker") hyMarker.set(true)
+        else hyJobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(hl)
+    try {
+      spark.sql("EXPLAIN FORMATTED SELECT * FROM graft_curate(" +
+        s"'gfs_cur_docs', 'doc_id', 'text', '$hyRecipe')").collect()
+      spark.sparkContext.setJobGroup("gfs-curate-hy-marker", "flush")
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val dl = System.currentTimeMillis + 30000
+      while (!hyMarker.get && System.currentTimeMillis < dl)
+        Thread.sleep(50)
+      assert(hyMarker.get, "hybrid marker job never reached listener")
+      assert(hyJobs.get == 0,
+        s"EXPLAIN of a hybrid graft_curate recipe must launch zero " +
+          s"Spark jobs (saw ${hyJobs.get})")
+    } finally spark.sparkContext.removeSparkListener(hl)
     val hySql = spark.sql("SELECT * FROM graft_curate(" +
       s"'gfs_cur_docs', 'doc_id', 'text', '$hyRecipe')")
     assert(rows(hySql).nonEmpty)
