@@ -377,6 +377,28 @@ object Similarity {
       .select((col(idCol) / every).cast("long").as("centroid_id"),
         col(vecCol))
 
+  /** [[seedCentroids]] with a FIXED target count — the production
+    * spelling at scale: `every` derives from one bounded max-id
+    * aggregate as ~ceil(maxId / k), so nlist stays ~k as the corpus
+    * grows instead of growing with it (a corpus-proportional `every`
+    * makes nlist — and with it every assignment's distance work —
+    * scale with the data; the r16 factor-10 bench measured the
+    * kmeans/IVF entries growing super-linearly from exactly this
+    * knob, BASELINE.md). The actual seed count is approximate (ids
+    * need not be dense); the IVF contract only needs "about k
+    * spread-out centroids".
+    */
+  def seedCentroidsK(corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k ($k) must be > 0")
+    val mx = Option(corpus.agg(
+        max(col(idCol)).cast("long").as("mx")).head().get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    val every = math.max(1L, (mx + k) / k)
+    seedCentroids(corpus, idCol, vecCol,
+      math.min(every, Int.MaxValue.toLong).toInt)
+  }
+
   /** Train IVF centroids with Lloyd's k-means on a (hash-sampled)
     * training set — the piece that turns ivfAssign/ivfTopK into a
     * self-contained index build.

@@ -309,6 +309,24 @@ class OperatorsSpec extends SparkSpecBase {
       .forall(_._2 == 5))
   }
 
+  test("seedCentroidsK holds nlist ~k as the corpus grows (r16)") {
+    def emb(n: Int) = (0 until n).map(i =>
+      (i.toLong, Seq(i.toFloat, 1f))).toDF("vec_id", "embedding")
+    val k = 10
+    val small = Similarity.seedCentroidsK(emb(200), "vec_id",
+      "embedding", k).count()
+    val big = Similarity.seedCentroidsK(emb(2000), "vec_id",
+      "embedding", k).count()
+    // every=ceil(max/k): ~k seeds at BOTH sizes (the corpus-
+    // proportional `every` knob would give 10x at the bigger corpus)
+    assert(small >= k - 1 && small <= k + 1, s"small=$small")
+    assert(big >= k - 1 && big <= k + 1, s"big=$big")
+    // the seeds still carry the dense 0..~k centroid_id contract
+    val ids = Similarity.seedCentroidsK(emb(2000), "vec_id",
+      "embedding", k).select("centroid_id").as[Long].collect().sorted
+    assert(ids.head == 0L && ids.distinct.length == ids.length)
+  }
+
   test("k-means training recovers planted clusters; deterministic") {
     // three well-separated clusters in 4-d
     val pts = Seq.tabulate(60) { i =>
