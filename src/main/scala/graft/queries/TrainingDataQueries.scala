@@ -1396,6 +1396,23 @@ object TrainingDataQueries {
        |$ivfBody
        |$ivfSelect""".stripMargin
 
+  /** Fixed-nlist IVF (`ann_ivf_fixed_nlist`): the centroid stride
+    * derives from the bounded max-id aggregate (~ceil(maxId/k)), the
+    * exact arithmetic `seedCentroidsK` runs — nlist stays ~k at every
+    * SF instead of growing with the corpus.
+    */
+  private val IvfFixedK = 20
+  private lazy val ivfFixedSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |    FROM embeddings),
+       |ev AS (SELECT greatest(1, (CAST(max(vec_id) AS BIGINT)
+       |    + $IvfFixedK) // $IvfFixedK) AS every FROM e),
+       |cent AS (SELECT CAST(vec_id // every AS BIGINT) AS centroid_id,
+       |    v AS cv
+       |  FROM e, ev WHERE vec_id % every = 0),
+       |$ivfBodyNoCent
+       |$ivfSelect""".stripMargin
+
   /** Kmeans-trained IVF: the self-contained index build — centroids are
     * the exact-integer sum-centroids of [[kmeansCtes]]'s final Lloyd
     * round, float-rounded exactly as Spark stores them (bigint → double
@@ -3197,6 +3214,22 @@ object TrainingDataQueries {
           AnnK, nprobe = 4)
       },
       Some(ivfSql)),
+
+    // the FIXED-nlist seeding (r16): every derives from max-id/k, so
+    // nlist stays ~k as the corpus grows — the production knob the
+    // factor-10 bench showed the corpus-proportional `every` missing
+    "ann_ivf_fixed_nlist" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val centroids = Similarity.seedCentroidsK(emb, "vec_id",
+          "embedding", IvfFixedK)
+        val assigned = Similarity.ivfAssign(emb, centroids, "vec_id",
+          "embedding")
+        Similarity.ivfTopK(assigned, centroids,
+          emb.filter(col("vec_id") < AnnNumQueries), "vec_id",
+          "embedding", AnnK, nprobe = 4)
+      },
+      Some(ivfFixedSql)),
 
     // the self-contained index build: kmeans-trained centroids (exact
     // integer sums, float-rounded for storage) feeding the same IVF
