@@ -446,6 +446,25 @@ object GraftFunctions {
           if (args.length > 7) litDouble(args(7), "k1") else 1.2,
           if (args.length > 8) litDouble(args(8), "b") else 0.75)
       },
+      // zero-exchange triage views (r16): exact-phrase membership and
+      // first-hit context windows — both pure row-local scans
+      tvf("graft_phrase_search",
+        "(docs_table, id_col, text_col, 'phrase words')", 4, 4) {
+        (spark, args) =>
+        graft.operators.TextSearch.phraseSearch(
+          spark.table(litString(args(0), "docs_table")),
+          litString(args(1), "id_col"), litString(args(2), "text_col"),
+          litString(args(3), "phrase"))
+      },
+      tvf("graft_snippets",
+        "(docs_table, id_col, text_col, 'terms,csv'[, window])",
+        4, 5) { (spark, args) =>
+        graft.operators.TextSearch.searchSnippets(
+          spark.table(litString(args(0), "docs_table")),
+          litString(args(1), "id_col"), litString(args(2), "text_col"),
+          csvTerms(args(3)),
+          if (args.length > 4) litInt(args(4), "window") else 5)
+      },
       // declarative curation from SQL (r16): the reviewable JSON
       // recipe ([[graft.operators.Curation.fromJson]]) compiled and
       // run over a view — filters, exact dedup, decontamination,

@@ -922,6 +922,32 @@ object TrainingDataQueries {
        |SELECT query_id, nrank AS rank, neighbor_id FROM hrr
        |WHERE nrank <= $SearchK""".stripMargin
 
+  /** Exact-phrase oracle — shared by `text_phrase_search` and its
+    * TVF twin `sql_phrase_tvf`.
+    */
+  private lazy val phraseSql =
+    s"""WITH $wordsCte,
+       |g AS (SELECT doc_id, len(list_filter(
+       |  list_transform(range(1, len(ws)),
+       |    i -> array_to_string(ws[i:i+1], ' ')),
+       |  x -> x = 'batch batch')) AS n_hits FROM words)
+       |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM g
+       |WHERE n_hits > 0""".stripMargin
+
+  /** First-hit context-window oracle — shared by `search_snippets`
+    * and its TVF twin `sql_snippets_tvf`.
+    */
+  private lazy val snippetsSql =
+    s"""WITH $wordsCte,
+       |sp AS (SELECT doc_id, ws, least(${SearchTerms.map(t =>
+           s"coalesce(nullif(list_position(ws, '$t'), 0), " +
+             "9223372036854775807)").mkString(", ")}) AS pos
+       |  FROM words)
+       |SELECT doc_id, pos, array_to_string(
+       |  ws[CAST(greatest(1, pos - 4) AS BIGINT):
+       |     CAST(pos + 4 AS BIGINT)], ' ') AS snippet
+       |FROM sp WHERE pos <> 9223372036854775807""".stripMargin
+
   /** Index-served conjunctive retrieval oracle — shared by
     * `text_search_from_index` and its TVF twin
     * `sql_index_search_tvf`: candidates replay the capped posting
@@ -5036,13 +5062,19 @@ object TrainingDataQueries {
     "text_phrase_search" -> QueryDef(
       (s, d) => graft.operators.TextSearch.phraseSearch(
         table(s, d, "documents"), "doc_id", "text", "batch batch"),
-      Some(s"""WITH $wordsCte,
-              |g AS (SELECT doc_id, len(list_filter(
-              |  list_transform(range(1, len(ws)),
-              |    i -> array_to_string(ws[i:i+1], ' ')),
-              |  x -> x = 'batch batch')) AS n_hits FROM words)
-              |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM g
-              |WHERE n_hits > 0""".stripMargin)),
+      Some(phraseSql)),
+
+    // the phrase TVF twin (r16): decontamination triage from pure SQL
+    "sql_phrase_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, d, "documents")
+          .createOrReplaceTempView("graft_tvf_phrase_docs")
+        s.sql("""SELECT doc_id, n_hits FROM graft_phrase_search(
+                |  'graft_tvf_phrase_docs', 'doc_id', 'text',
+                |  'batch batch')""".stripMargin)
+      },
+      Some(phraseSql)),
 
     "text_tfidf_keywords" -> QueryDef(
       (s, d) => graft.operators.TextSearch.tfidfKeywords(
@@ -5225,15 +5257,20 @@ object TrainingDataQueries {
       (s, d) => graft.operators.TextSearch.searchSnippets(
         table(s, d, "documents"), "doc_id", "text", SearchTerms,
         window = 4),
-      Some(s"""WITH $wordsCte,
-              |sp AS (SELECT doc_id, ws, least(${SearchTerms.map(t =>
-                  s"coalesce(nullif(list_position(ws, '$t'), 0), " +
-                    "9223372036854775807)").mkString(", ")}) AS pos
-              |  FROM words)
-              |SELECT doc_id, pos, array_to_string(
-              |  ws[CAST(greatest(1, pos - 4) AS BIGINT):
-              |     CAST(pos + 4 AS BIGINT)], ' ') AS snippet
-              |FROM sp WHERE pos <> 9223372036854775807""".stripMargin)),
+      Some(snippetsSql)),
+
+    // the snippets TVF twin (r16): the result-page context view from
+    // pure SQL — same zero-exchange scan, same oracle
+    "sql_snippets_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        table(s, d, "documents")
+          .createOrReplaceTempView("graft_tvf_snip_docs")
+        s.sql(s"""SELECT doc_id, pos, snippet FROM graft_snippets(
+                 |  'graft_tvf_snip_docs', 'doc_id', 'text',
+                 |  '${SearchTerms.mkString(",")}', 4)""".stripMargin)
+      },
+      Some(snippetsSql)),
 
     // pseudo-relevance feedback (RM1-flavor query expansion), built
     // ENTIRELY by composition: conjunctive seed search -> the seed
