@@ -203,6 +203,16 @@ object Curation {
     * stage subset: the set-resolution stages (near-dedups, in-recipe
     * training, mixture) execute work to BUILD their plan and fail
     * loudly before reaching this.
+    *
+    * Planning-time filesystem caveat: the decontaminate stages touch
+    * the DRIVER filesystem while the plan is built — `decontaminate`
+    * resolves its benchmark table (a parquet open, footer inference
+    * if the resolver does not supply a schema) and
+    * `decontaminate_index` reads the layout's `_index_meta.json` (one
+    * small driver-side file; the gram table itself opens with an
+    * explicit schema, no inference). Neither launches corpus work,
+    * but EXPLAIN on a recipe with these stages is not I/O-free the
+    * way the pure per-row stages are.
     */
   private[graft] def runLazy(docs: DataFrame, idCol: String,
       textCol: String, spec: CurationSpec,

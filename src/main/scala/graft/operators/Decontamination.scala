@@ -82,9 +82,19 @@ object Decontamination {
     Dedup.writeIndexMeta(spark, path, s"""{"shingle_k":$k}""")
   }
 
-  /** `(grams, k)` restored from a [[writeBenchmarkGrams]] directory. */
+  /** `(grams, k)` restored from a [[writeBenchmarkGrams]] directory.
+    * The gram table's schema is fixed by construction (one string
+    * column), so the read carries it explicitly — no parquet footer
+    * inference, zero Spark jobs to OPEN the index; analysis-time
+    * consumers (the `graft_curate` TVF's `decontaminate_index` stage)
+    * rely on this. The residual planning-time filesystem touch is the
+    * driver-side `_index_meta.json` read — one small file, no jobs.
+    */
   def readBenchmarkGrams(spark: org.apache.spark.sql.SparkSession,
                          path: String): (DataFrame, Int) =
-    (spark.read.parquet(s"$path/grams"),
+    (spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("gram",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(s"$path/grams"),
       Dedup.metaInt(Dedup.readIndexMeta(spark, path), "shingle_k"))
 }

@@ -378,25 +378,30 @@ object Similarity {
         col(vecCol))
 
   /** [[seedCentroids]] with a FIXED target count — the production
-    * spelling at scale: `every` derives from one bounded max-id
-    * aggregate as ~ceil(maxId / k), so nlist stays ~k as the corpus
-    * grows instead of growing with it (a corpus-proportional `every`
-    * makes nlist — and with it every assignment's distance work —
-    * scale with the data; the r16 factor-10 bench measured the
-    * kmeans/IVF entries growing super-linearly from exactly this
-    * knob, BASELINE.md). The actual seed count is approximate (ids
-    * need not be dense); the IVF contract only needs "about k
-    * spread-out centroids".
+    * spelling at scale: the k SMALLEST stable-hash rows become the
+    * centroids (the [[trainCentroids]] init shape), so nlist is
+    * EXACTLY min(k, corpus size) regardless of how the corpus grows
+    * or how its ids are distributed. The r16 spelling derived a
+    * modulo stride from max(id)/k, which silently yielded far fewer
+    * than k seeds on sparse id spaces (snowflake-style 64-bit ids
+    * give ~0) — hash-rank selection is id-distribution-free. It is
+    * also a pure LAZY plan: no driver aggregate at plan build (the
+    * old max-id `.head()` ran a job during analysis), and the top-k
+    * compiles to TakeOrderedAndProject — bounded per-partition heaps,
+    * never a global sort, safe to point at the full corpus.
+    * `centroid_id` is the seed row's own id (distinct, not dense —
+    * the IVF path only needs distinct, deterministic ids).
     */
   def seedCentroidsK(corpus: DataFrame, idCol: String, vecCol: String,
                      k: Int): DataFrame = {
     require(k > 0, s"k ($k) must be > 0")
-    val mx = Option(corpus.agg(
-        max(col(idCol)).cast("long").as("mx")).head().get(0))
-      .fold(0L)(_.asInstanceOf[Long])
-    val every = math.max(1L, (mx + k) / k)
-    seedCentroids(corpus, idCol, vecCol,
-      math.min(every, Int.MaxValue.toLong).toInt)
+    corpus.select(
+        graft.functions.StableHash.hash60(col(idCol).cast("string"))
+          .as("__h"),
+        col(idCol).cast("long").as("centroid_id"), col(vecCol))
+      .orderBy(col("__h").asc, col("centroid_id").asc)
+      .limit(k)
+      .drop("__h")
   }
 
   /** Train IVF centroids with Lloyd's k-means on a (hash-sampled)

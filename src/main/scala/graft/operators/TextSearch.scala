@@ -290,7 +290,7 @@ object TextSearch {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfTbl = dt0.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dt = dt0.join(broadcast(dfTbl), "term")
-    dt.crossJoin(broadcast(n))
+    val out = dt.crossJoin(broadcast(n))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matched"),
         sum(expr(s"tf * ($idfWeightExpr)")).as("score"))
@@ -298,6 +298,10 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
       .select(col("doc_id"), col("score"))
+    // the eager spelling release-checkpoints like bm25Impl: without
+    // it every DataFrame-API invocation pins one sliver cache entry
+    // for the session's lifetime
+    if (lazyPlan) out else Dedup.releaseAfter(out, dt0)
   }
 
   /** BM25-flavor disjunctive ranked retrieval (single query): classic

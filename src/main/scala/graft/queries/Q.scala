@@ -70,22 +70,32 @@ object Q {
     if (under) broadcast(df) else df
   }
 
-  // fixture sizes are fixed per (dir, table) for a process lifetime —
-  // memoized so repeated plan builds (bench iterations, multi-join
-  // queries) do not re-walk the directory; on an object store each
-  // getContentSummary is a LIST call, so the cache matters beyond
-  // politeness. A missing table memoizes as MaxValue (never hints).
+  // table sizes are memoized per (dir, table, dir mtime): repeated
+  // plan builds (bench iterations, multi-join queries) pay one cheap
+  // getFileStatus each instead of re-walking the directory — on an
+  // object store getContentSummary is a LIST call, the stat is not.
+  // Keying on the mtime keeps "the bound is MEASURED" true for the
+  // whole process lifetime, not just the first plan build: a table
+  // regenerated or grown at the same path in-process (a long-lived
+  // session spanning an ingest, or a maintainer publishing into the
+  // dir) bumps the mtime and re-measures, so a stale under-cap verdict
+  // cannot keep forcing a broadcast on a side that no longer fits. A
+  // missing table is re-checked on every call (never hints, and never
+  // pins MaxValue against the path later appearing).
   private val sizeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String),
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long),
       java.lang.Long]()
   private def tableBytes(spark: SparkSession, sfDir: String,
-                         t: String): Long =
-    sizeCache.computeIfAbsent((sfDir, t), { _ =>
-      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p)) fs.getContentSummary(p).getLength
-      else Long.MaxValue
-    })
+                         t: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Long.MaxValue
+    else {
+      val mtime = fs.getFileStatus(p).getModificationTime
+      sizeCache.computeIfAbsent((sfDir, t, mtime),
+        _ => fs.getContentSummary(p).getLength)
+    }
+  }
 
   /** Exact decimal view of a 2-decimal double column. */
   def dec(c: Column): Column = c.cast("decimal(18,2)")

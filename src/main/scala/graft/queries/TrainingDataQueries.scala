@@ -1422,20 +1422,21 @@ object TrainingDataQueries {
        |$ivfBody
        |$ivfSelect""".stripMargin
 
-  /** Fixed-nlist IVF (`ann_ivf_fixed_nlist`): the centroid stride
-    * derives from the bounded max-id aggregate (~ceil(maxId/k)), the
-    * exact arithmetic `seedCentroidsK` runs — nlist stays ~k at every
-    * SF instead of growing with the corpus.
+  /** Fixed-nlist IVF (`ann_ivf_fixed_nlist`): the centroids are the k
+    * smallest stable-hash rows, the exact selection `seedCentroidsK`
+    * runs — nlist is exactly k at every SF instead of growing with
+    * the corpus, and the selection is id-distribution-free (the r16
+    * max-id/k stride collapsed on sparse id spaces).
     */
   private val IvfFixedK = 20
   private lazy val ivfFixedSql =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
        |    FROM embeddings),
-       |ev AS (SELECT greatest(1, (CAST(max(vec_id) AS BIGINT)
-       |    + $IvfFixedK) // $IvfFixedK) AS every FROM e),
-       |cent AS (SELECT CAST(vec_id // every AS BIGINT) AS centroid_id,
-       |    v AS cv
-       |  FROM e, ev WHERE vec_id % every = 0),
+       |cent AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
+       |  FROM e
+       |  ORDER BY ${graft.functions.StableHash.hash60Sql(
+                      "vec_id::VARCHAR")}, centroid_id
+       |  LIMIT $IvfFixedK),
        |$ivfBodyNoCent
        |$ivfSelect""".stripMargin
 
@@ -3241,9 +3242,11 @@ object TrainingDataQueries {
       },
       Some(ivfSql)),
 
-    // the FIXED-nlist seeding (r16): every derives from max-id/k, so
-    // nlist stays ~k as the corpus grows — the production knob the
-    // factor-10 bench showed the corpus-proportional `every` missing
+    // the FIXED-nlist seeding (r16, r17 hash-rank): the k smallest
+    // stable-hash rows seed the centroids, so nlist stays exactly k
+    // as the corpus grows and on ANY id distribution — the production
+    // knob the factor-10 bench showed the corpus-proportional `every`
+    // missing
     "ann_ivf_fixed_nlist" -> QueryDef(
       (s, d) => {
         val emb = table(s, d, "embeddings")

@@ -210,10 +210,24 @@ object IndexLayout {
         .filter(e => e > through && e < hi)
         .sorted
     if (tail.isEmpty) base
-    else base.unionByName(
-      spark.read.option("basePath", epochsDir)
-        .parquet(tail.map(e => s"$epochsDir/epoch=$e"): _*)
-        .drop("epoch"))
+    else {
+      // the explicit schema must reach the TAIL read too, or a
+      // stream-maintained layout with uncompacted epochs re-infers
+      // parquet footers here and breaks the zero-jobs-to-OPEN
+      // invariant the SQL TVFs rely on. With the schema given there
+      // is no partition-column inference to want from basePath (the
+      // epoch value is dropped anyway), so the dirs are read plain —
+      // maintainer appends inherit the base schema, so the meta
+      // schema matches every epoch (pre-pos epochs pair with a
+      // pre-pos meta schema; compaction upgrades both together).
+      val paths = tail.map(e => s"$epochsDir/epoch=$e")
+      val tailDf = schema match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None => spark.read.option("basePath", epochsDir)
+          .parquet(paths: _*).drop("epoch")
+      }
+      base.unionByName(tailDf)
+    }
   }
 
   /** Stage-and-rename an epoch's postings in as

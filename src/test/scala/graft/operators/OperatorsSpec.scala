@@ -309,7 +309,7 @@ class OperatorsSpec extends SparkSpecBase {
       .forall(_._2 == 5))
   }
 
-  test("seedCentroidsK holds nlist ~k as the corpus grows (r16)") {
+  test("seedCentroidsK holds nlist exactly k as the corpus grows (r16/r17)") {
     def emb(n: Int) = (0 until n).map(i =>
       (i.toLong, Seq(i.toFloat, 1f))).toDF("vec_id", "embedding")
     val k = 10
@@ -317,14 +317,37 @@ class OperatorsSpec extends SparkSpecBase {
       "embedding", k).count()
     val big = Similarity.seedCentroidsK(emb(2000), "vec_id",
       "embedding", k).count()
-    // every=ceil(max/k): ~k seeds at BOTH sizes (the corpus-
+    // hash-rank selection: EXACTLY k seeds at both sizes (the corpus-
     // proportional `every` knob would give 10x at the bigger corpus)
-    assert(small >= k - 1 && small <= k + 1, s"small=$small")
-    assert(big >= k - 1 && big <= k + 1, s"big=$big")
-    // the seeds still carry the dense 0..~k centroid_id contract
+    assert(small == k, s"small=$small")
+    assert(big == k, s"big=$big")
     val ids = Similarity.seedCentroidsK(emb(2000), "vec_id",
-      "embedding", k).select("centroid_id").as[Long].collect().sorted
-    assert(ids.head == 0L && ids.distinct.length == ids.length)
+      "embedding", k).select("centroid_id").as[Long].collect()
+    assert(ids.distinct.length == ids.length)
+    // deterministic: same input, same seeds in the same order
+    val ids2 = Similarity.seedCentroidsK(emb(2000), "vec_id",
+      "embedding", k).select("centroid_id").as[Long].collect()
+    assert(ids.sameElements(ids2))
+  }
+
+  test("seedCentroidsK is id-distribution-free: sparse 63-bit id space " +
+      "still yields exactly k centroids (r17)") {
+    // snowflake-style sparse ids — the r16 max-id/k modulo stride
+    // yields ~0 seeds here (no id is divisible by ~maxId/k); the
+    // hash-rank selection is immune to id sparsity
+    def sparse(n: Int) = (0 until n).map { i =>
+      val id = 1234567891011L + i.toLong * 1000003L
+      (id, Seq(i.toFloat, 1f))
+    }.toDF("vec_id", "embedding")
+    val k = 10
+    val seeds = Similarity.seedCentroidsK(sparse(500), "vec_id",
+      "embedding", k)
+    assert(seeds.count() == k)
+    val ids = seeds.select("centroid_id").as[Long].collect()
+    assert(ids.distinct.length == k)
+    // a corpus smaller than k seeds every row
+    assert(Similarity.seedCentroidsK(sparse(4), "vec_id",
+      "embedding", k).count() == 4)
   }
 
   test("k-means training recovers planted clusters; deterministic") {

@@ -150,7 +150,11 @@ class TextSearchSpec extends SparkSpecBase {
     // N=4 docs (blank counts); df(a)=3 -> idfW 1333333, df(c)=1 ->
     // 4000000; doc2 score = 1*1333333 + 1*4000000
     assert(rows.toSeq == Seq((2L, 5333333L)))
-    val plan = out.queryExecution.executedPlan.toString
+    // plan shape asserts on the LAZY spelling: the eager one now
+    // release-checkpoints its sliver (r17, the bm25Impl discipline),
+    // which cuts the lineage the assertion needs to see
+    val plan = TextSearch.searchTopKLazy(corpus, "doc_id", "text",
+      Seq("a", "c"), 10).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       "global top-k must compile to TakeOrderedAndProject")
   }
