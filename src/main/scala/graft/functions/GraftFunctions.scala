@@ -408,6 +408,25 @@ object GraftFunctions {
           litString(args(2), "id_col"), litString(args(3), "vec_col"),
           litInt(args(4), "k"))
       },
+      // index-SERVED ANN (r17): the inverted-file probe from pure SQL,
+      // closing the last SQL-vs-DataFrame parity seam — the assigned
+      // (id, vec, cluster) table IS the IVF index (a view over
+      // writeIvfIndex's cluster-partitioned layout, or a maintained
+      // assignment), so serving touches only the nprobe closest
+      // clusters' partitions instead of re-scanning the corpus.
+      // Pure lazy plan: ivfTopK runs no training, no collect, no
+      // persist — centroids and the query panel broadcast by contract
+      tvf("graft_ivf_probe",
+        "(assigned_table, centroids_table, queries_table, id_col, " +
+          "vec_col, k[, nprobe])", 6, 7) { (spark, args) =>
+        graft.operators.Similarity.ivfTopK(
+          spark.table(litString(args(0), "assigned_table")),
+          spark.table(litString(args(1), "centroids_table")),
+          spark.table(litString(args(2), "queries_table")),
+          litString(args(3), "id_col"), litString(args(4), "vec_col"),
+          litInt(args(5), "k"),
+          if (args.length > 6) litInt(args(6), "nprobe") else 4)
+      },
       // reciprocal-rank fusion of two ranked lists in the
       // (query_id, rank, neighbor_id) shape — the hybrid-serving
       // combiner; both views are panel-sized by the ranked contract

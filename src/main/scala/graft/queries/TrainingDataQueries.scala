@@ -3107,6 +3107,27 @@ object TrainingDataQueries {
       },
       Some(annSql)),
 
+    // index-SERVED ANN from SQL (r17): the assigned table is the IVF
+    // index view; same construction as ann_ivf_topk, so the TVF
+    // expansion must hash-match that query's oracle exactly
+    "sql_ivf_probe_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = table(s, d, "embeddings")
+        val centroids = Similarity.seedCentroids(emb, "vec_id",
+          "embedding", every = 50)
+        Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
+          .createOrReplaceTempView("graft_tvf_ivf_assigned")
+        centroids.createOrReplaceTempView("graft_tvf_ivf_cent")
+        emb.filter(col("vec_id") < AnnNumQueries)
+          .createOrReplaceTempView("graft_tvf_ivf_queries")
+        s.sql(s"""SELECT query_id, rank, neighbor_id
+                 |FROM graft_ivf_probe('graft_tvf_ivf_assigned',
+                 |  'graft_tvf_ivf_cent', 'graft_tvf_ivf_queries',
+                 |  'vec_id', 'embedding', $AnnK, 4)""".stripMargin)
+      },
+      Some(ivfSql)),
+
     "sql_hybrid_rrf_tvf" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)

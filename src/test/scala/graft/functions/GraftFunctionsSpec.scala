@@ -283,6 +283,29 @@ class GraftFunctionsSpec extends SparkSpecBase {
       rows(annSql).toSet == rows(annDf).toSet,
       "graft_ann_probe must equal bruteForceTopK")
 
+    // index-served ANN TVF (r17): assigned/centroids views = the index
+    val cents = Similarity.seedCentroidsK(vecs, "vec_id", "embedding", 3)
+    val assigned = Similarity.ivfAssign(vecs, cents, "vec_id",
+      "embedding")
+    assigned.createOrReplaceTempView("gfs_ret_ivf_asg")
+    cents.createOrReplaceTempView("gfs_ret_ivf_cent")
+    val ivfSql = spark.sql("SELECT * FROM graft_ivf_probe(" +
+      "'gfs_ret_ivf_asg', 'gfs_ret_ivf_cent', 'gfs_ret_emb_q', " +
+      "'vec_id', 'embedding', 4, 2)")
+    val ivfDf = Similarity.ivfTopK(assigned, cents,
+      vecs.filter(col("vec_id") <= 2L), "vec_id", "embedding", 4, 2)
+    assert(rows(ivfSql).nonEmpty &&
+      rows(ivfSql).toSet == rows(ivfDf).toSet,
+      "graft_ivf_probe must equal ivfTopK")
+    // default nprobe (4) spelled and unspelled agree
+    assert(rows(spark.sql("SELECT * FROM graft_ivf_probe(" +
+        "'gfs_ret_ivf_asg', 'gfs_ret_ivf_cent', 'gfs_ret_emb_q', " +
+        "'vec_id', 'embedding', 4)")).toSet ==
+      rows(Similarity.ivfTopK(assigned, cents,
+        vecs.filter(col("vec_id") <= 2L), "vec_id", "embedding",
+        4, 4)).toSet,
+      "graft_ivf_probe default nprobe must be 4")
+
     Similarity.rankTopK(tsDf.select(lit(1L).as("query_id"),
         col("doc_id").cast("long").as("neighbor_id"),
         col("score").cast("double").as("sim")), 5)
@@ -493,6 +516,53 @@ class GraftFunctionsSpec extends SparkSpecBase {
         Seq("spark", "window"), 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(lz.nonEmpty && lz == eg)
+  }
+
+  test("graft_ivf_probe expands lazily: EXPLAIN launches zero Spark " +
+      "jobs (r17)") {
+    import graft.operators.Similarity
+    GraftFunctions.register(spark)
+    val vecs = (1L to 40L).map(i =>
+        (i, Seq((i % 7).toFloat, 1f, (i % 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    // the whole index chain is lazy: hash-rank seeding (r17 — no
+    // driver aggregate at plan build), broadcast assignment, probe
+    val cents = Similarity.seedCentroidsK(vecs, "vec_id", "embedding", 4)
+    Similarity.ivfAssign(vecs, cents, "vec_id", "embedding")
+      .createOrReplaceTempView("gfs_ivf_lazy_asg")
+    cents.createOrReplaceTempView("gfs_ivf_lazy_cent")
+    vecs.filter(col("vec_id") <= 2L)
+      .createOrReplaceTempView("gfs_ivf_lazy_q")
+    val explainJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val markerSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val grp = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (grp == "gfs-ivf-marker") markerSeen.set(true)
+        else explainJobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val plan = spark.sql("EXPLAIN FORMATTED SELECT * FROM " +
+          "graft_ivf_probe('gfs_ivf_lazy_asg', 'gfs_ivf_lazy_cent', " +
+          "'gfs_ivf_lazy_q', 'vec_id', 'embedding', 4, 2)")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(plan.contains("Physical Plan"), plan.take(200))
+      spark.sparkContext.setJobGroup("gfs-ivf-marker", "flush")
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.currentTimeMillis + 30000
+      while (!markerSeen.get && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(markerSeen.get, "marker job never reached the listener")
+      assert(explainJobs.get == 0,
+        s"EXPLAIN of graft_ivf_probe must launch zero Spark jobs " +
+          s"(saw ${explainJobs.get})")
+    } finally spark.sparkContext.removeSparkListener(l)
   }
 
   test("GraftExtensions injects at session build time") {
