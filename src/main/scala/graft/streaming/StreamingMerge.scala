@@ -117,6 +117,43 @@ object StreamingMerge {
       .start()
   }
 
+  /** [[startWal2Json]] served from the SLOT source instead of the file
+    * source: [[graft.sources.WalTailProvider]] tracks LSN offsets,
+    * persists the confirmed-flush LSN on every commit (the
+    * `send_feedback` analogue, logical_replication.py:436-455), and a
+    * restart without its Spark checkpoint resumes from the slot file —
+    * the reference's `confirmed_flush_lsn` restart, which the plain
+    * file source cannot express (its offsets are file lists pinned to
+    * one checkpoint). Decode and merge are identical to
+    * [[startWal2Json]].
+    */
+  def startWalSlot(spark: SparkSession, logDir: String,
+                   schemaName: String, tableName: String,
+                   rowSchema: org.apache.spark.sql.types.StructType,
+                   tablePath: String, checkpoint: String,
+                   pks: Seq[String], hardDelete: Boolean = false,
+                   trigger: Trigger = Trigger.AvailableNow(),
+                   targetPartitions: Int = 64,
+                   maxFilesPerTrigger: Option[Int] = None)
+      : StreamingQuery = {
+    val reader = spark.readStream.format("graft-wal-tail")
+      .option("path", logDir)
+    val lines = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).load()
+    graft.sources.Wal2Json
+      .decode(lines, "payload", "lsn", schemaName, tableName, rowSchema)
+      .transform(applyEnvelope(_))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MergeSink.flushPartitioned(batch.sparkSession, batch, tablePath,
+          pks, "_sdc_lsn", targetPartitions, hardDelete)
+        ()
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window aggregate over an event stream — the
     * generic streaming-analytics surface (counts/sums per window+key).
     */

@@ -1,0 +1,224 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpecBase
+import graft.sink.MergeSink
+import graft.sources.{Wal2Json, WalTail}
+
+/** The file-tailing replication-slot source (r17): LSN offsets,
+  * send_feedback commits, slot-file resume, admission control — the
+  * offline proof of tap-postgres's live consume loop
+  * (sync_strategies/logical_replication.py:577-737).
+  */
+class WalTailSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val rowSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def iu(action: String, lsn: Long, id: Long, v: String): String =
+    s"""$lsn\t{"action":"$action","schema":"public","table":"t",""" +
+      s""""columns":[{"name":"id","type":"bigint","value":$id},""" +
+      s"""{"name":"v","type":"text","value":"$v"}]}"""
+
+  private def del(lsn: Long, id: Long): String =
+    s"""$lsn\t{"action":"D","schema":"public","table":"t",""" +
+      s""""identity":[{"name":"id","type":"bigint","value":$id}]}"""
+
+  private def land(dir: String, name: String, lines: Seq[String]): Unit = {
+    // stage-and-rename: segments must be immutable once visible
+    val tmp = java.nio.file.Paths.get(s"$dir/.stage_$name")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.move(tmp, java.nio.file.Paths.get(s"$dir/$name"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def hadoopFs(dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+
+  /** Run the slot source to drain with AvailableNow, merging each
+    * micro-batch into `tablePath` — the startWal2Json flush shape,
+    * via the startWalSlot convenience.
+    */
+  private def drain(srcDir: String, tablePath: String, ckpt: String,
+                    maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val q = StreamingMerge.startWalSlot(spark, srcDir, "public", "t",
+      rowSchema, tablePath, ckpt, Seq("id"), hardDelete = true,
+      targetPartitions = 4, maxFilesPerTrigger = maxFilesPerTrigger)
+    q.awaitTermination(120000)
+    q.stop()
+  }
+
+  private def state(tablePath: String): Seq[(Long, String)] =
+    spark.read.parquet(tablePath).select("id", "v")
+      .as[(Long, String)].collect().toSeq.sorted
+
+  /** The batch replay of the same log — what tail-then-restart must
+    * equal (the cdc_apply_changelog contract, entered from raw lines).
+    */
+  private def batchReplay(allLines: Seq[String]): Seq[(Long, String)] = {
+    val lines = allLines.map { l =>
+      val i = l.indexOf('\t')
+      (l.substring(0, i).toLong, l.substring(i + 1))
+    }.toDF("lsn", "payload")
+    val decoded = Wal2Json.decode(lines, "payload", "lsn", "public", "t",
+      rowSchema)
+    MergeSink.dedupLastWins(decoded, Seq("id"), "_sdc_lsn")
+      .filter(col("op") =!= "d")
+      .select("id", "v").as[(Long, String)].collect().toSeq.sorted
+  }
+
+  test("wal-tail slot: tail, commit feedback, restart resumes from the " +
+      "Spark checkpoint; final state equals the batch changelog replay") {
+    val dir = Files.createTempDirectory("waltail").toString
+    val srcDir = s"$dir/wal"; val tablePath = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+
+    val seg1 = Seq("1\t" + """{"action":"B"}""",
+      iu("I", 2, 1, "a"), iu("I", 3, 2, "b"),
+      "4\t" + """{"action":"C"}""")
+    val seg2 = Seq(iu("U", 5, 1, "a2"), del(6, 2))
+    land(srcDir, "wal_0001.log", seg1)
+    land(srcDir, "wal_0002.log", seg2)
+
+    drain(srcDir, tablePath, ckpt)
+    assert(state(tablePath) == Seq((1L, "a2")))
+    // commit() advanced the slot's confirmed-flush LSN (send_feedback)
+    val fs = hadoopFs(srcDir)
+    assert(WalTail.readFeedback(fs, WalTail.defaultSlotFile(srcDir))
+      .contains(6L))
+
+    // the log grows; a resumed run (same checkpoint) applies ONLY the
+    // tail — final state must equal the batch replay of the WHOLE log
+    val seg3 = Seq(iu("I", 7, 3, "c"), iu("U", 8, 3, "c2"), del(9, 1))
+    land(srcDir, "wal_0003.log", seg3)
+    drain(srcDir, tablePath, ckpt)
+    assert(state(tablePath) == batchReplay(seg1 ++ seg2 ++ seg3))
+    assert(WalTail.readFeedback(fs, WalTail.defaultSlotFile(srcDir))
+      .contains(9L))
+  }
+
+  test("wal-tail slot: a restart WITHOUT its Spark checkpoint resumes " +
+      "from the slot file (confirmed_flush_lsn), not from LSN zero") {
+    val dir = Files.createTempDirectory("waltail-slot").toString
+    val srcDir = s"$dir/wal"; val tablePath = s"$dir/table"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+
+    val seg1 = Seq(iu("I", 1, 1, "a"), iu("I", 2, 2, "b"))
+    land(srcDir, "wal_0001.log", seg1)
+    drain(srcDir, tablePath, s"$dir/ckptA")
+    assert(state(tablePath) == Seq((1L, "a"), (2L, "b")))
+
+    // fresh checkpoint: delivery must start AFTER the slot's
+    // confirmed-flush LSN — seg1 is still on disk but acknowledged,
+    // so only seg2's row may arrive
+    land(srcDir, "wal_0002.log", Seq(iu("U", 3, 1, "a2")))
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]())
+    val q = spark.readStream.format("graft-wal-tail")
+      .option("path", srcDir).load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckptB") // NEW checkpoint
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("lsn").as[Long].collect().foreach(seen.add(_)); ()
+      }
+      .start()
+    q.awaitTermination(120000); q.stop()
+    assert(seen.asScala == Set(3L),
+      s"slot resume must skip acknowledged LSNs 1-2, saw $seen")
+
+    // the slot owner may now discard acknowledged segments — the
+    // reference's contract once feedback passes them; a third run
+    // (again without its predecessor's checkpoint) neither needs nor
+    // misses them
+    Files.delete(java.nio.file.Paths.get(s"$srcDir/wal_0001.log"))
+    land(srcDir, "wal_0003.log", Seq(iu("I", 4, 3, "c")))
+    drain(srcDir, tablePath, s"$dir/ckptC")
+    assert(state(tablePath) == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "discarded-but-acknowledged segments must not be required")
+  }
+
+  test("wal-tail slot: maxFilesPerTrigger admission bounds each " +
+      "micro-batch; rows arrive exactly once across batches") {
+    val dir = Files.createTempDirectory("waltail-adm").toString
+    val srcDir = s"$dir/wal"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    (1 to 4).foreach { s =>
+      land(srcDir, f"wal_$s%04d.log",
+        (1 to 5).map(i => iu("I", s.toLong * 100 + i,
+          s.toLong * 100 + i, s"v$s-$i")))
+    }
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]())
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val dup = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.format("graft-wal-tail")
+      .option("path", srcDir).option("maxFilesPerTrigger", 1).load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val lsns = batch.select("lsn").as[Long].collect()
+        if (lsns.nonEmpty) batches.incrementAndGet()
+        lsns.foreach(l => if (!seen.add(l)) dup.incrementAndGet())
+        ()
+      }
+      .start()
+    q.awaitTermination(120000); q.stop()
+    assert(batches.get() == 4,
+      s"one segment per micro-batch expected, got ${batches.get()}")
+    assert(dup.get() == 0, s"${dup.get()} duplicate LSNs delivered")
+    assert(seen.size == 20, s"expected 20 rows, saw ${seen.size}")
+  }
+
+  test("wal-tail slot soak: segments appended WHILE the query runs all " +
+      "arrive exactly once (the live consume loop)") {
+    val dir = Files.createTempDirectory("waltail-soak").toString
+    val srcDir = s"$dir/wal"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    land(srcDir, "wal_0001.log",
+      (1 to 50).map(i => iu("I", i.toLong, i.toLong, s"v$i")))
+
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]())
+    val dup = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.format("graft-wal-tail")
+      .option("path", srcDir).load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("lsn").as[Long].collect()
+          .foreach(l => if (!seen.add(l)) dup.incrementAndGet())
+        ()
+      }
+      .start()
+    try {
+      // the appender: nine more segments land while the query runs
+      (2 to 10).foreach { s =>
+        Thread.sleep(150)
+        land(srcDir, f"wal_$s%04d.log",
+          (1 to 50).map(i => iu("I", s.toLong * 1000 + i,
+            s.toLong * 1000 + i, s"v$s-$i")))
+      }
+      val deadline = System.currentTimeMillis + 60000
+      while (seen.size < 500 && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+    } finally q.stop()
+    assert(seen.size == 500, s"expected 500 rows, saw ${seen.size}")
+    assert(dup.get() == 0, s"${dup.get()} duplicate LSNs delivered")
+    // the slot advanced to (at least) the last drained segment's tail
+    val fb = WalTail.readFeedback(hadoopFs(srcDir),
+      WalTail.defaultSlotFile(srcDir))
+    assert(fb.exists(_ >= 1050L), s"slot never advanced: $fb")
+  }
+}
