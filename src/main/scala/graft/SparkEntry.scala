@@ -123,5 +123,13 @@ object SparkEntry {
     // text_search_from_index's conjunctive twin), and the declarative
     // retrieval recipe (curate -> 2k-deep BM25 -> hard negatives, the
     // compiled end-to-end training-data shape)
-    "hybrid_bm25_rrf", "bm25_from_index", "pipeline_spec_retrieval")
+    "hybrid_bm25_rrf", "bm25_from_index", "pipeline_spec_retrieval",
+    // round-17 additions: q18 was tuned twice (r14 hint audit, r16
+    // stats-seeded hints) but never bench-tracked, so regressions in
+    // the rollup-broadcast shape were invisible round-over-round; the
+    // curation TVF is the canary for analysis-time TVF expansion
+    // overhead (parse + lazy recipe compile ride inside the measured
+    // query); the IVF probe TVF tracks the index-served ANN path from
+    // SQL (same plan as ann_ivf_topk + expansion overhead)
+    "q18_large_volume_customers", "sql_curate_tvf", "sql_ivf_probe_tvf")
 }

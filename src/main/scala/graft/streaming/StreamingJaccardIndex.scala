@@ -96,9 +96,9 @@ object StreamingJaccardIndex {
       // prefix — probes read these vocabulary-sized rows instead of
       // recounting the posting table (linear in the index; the
       // 20-epoch soak's dominant apply cost on small-vocab corpora)
-      Sinks.writeRangeSorted(
-        prefixW.groupBy(col("g"))
-          .agg(count(lit(1)).as("n"), min(col("id")).as("hub")),
+      val gcountsN = prefixW.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("hub"))
+      Sinks.writeRangeSorted(gcountsN,
         s"$indexPath/gcounts_v$upTo", "g", shards)
       val bits = Dedup.buildIndexBloom(prefixW, "g", bloomK, bloomM)
       IndexLayout.promoteMeta(f, indexPath, IndexLayout.metaJson(
@@ -111,7 +111,19 @@ object StreamingJaccardIndex {
           "prefix_dir" -> s"prefix_v$upTo",
           "prefix_compacted_through" -> upTo,
           "gcounts_dir" -> s"gcounts_v$upTo",
-          "gcounts_compacted_through" -> upTo)))
+          "gcounts_compacted_through" -> upTo,
+          // table schemas travel in the meta (r17, the batch-publish
+          // discipline at writeJaccardIndex): readers open every
+          // table — base AND epoch tail — with spark.read.schema, so
+          // a maintained layout costs zero Spark jobs to OPEN (the
+          // SQL TVFs' planning invariant). A compaction of a pre-r16
+          // pos-less generation re-freezes through
+          // jaccardArtifactsOfSets, so schema_prefix gains `pos`
+          // here and the PPJoin positional filter turns on
+          "schema_sets" -> setsW.schema.toDDL,
+          "schema_dfreq" -> dfreqN.schema.toDDL,
+          "schema_prefix" -> prefixW.schema.toDDL,
+          "schema_gcounts" -> gcountsN.schema.toDDL)))
       Seq(IndexLayout.JaccardSets -> s"sets_v$upTo",
           IndexLayout.JaccardPrefix -> s"prefix_v$upTo",
           IndexLayout.JaccardDfreq -> s"dfreq_v$upTo",
@@ -185,11 +197,14 @@ object StreamingJaccardIndex {
     val prefixBaseCols = spark.read.parquet(
       s"$indexPath/${IndexLayout.baseDir(root,
         IndexLayout.JaccardPrefix)}").columns
-    val batchPrefixAll = Dedup.frozenOrderPrefix(nsets,
-      spark.read.parquet(dfreqDir), threshold)
+    val dfreqW = spark.read.parquet(dfreqDir)
+    val batchPrefixAll = Dedup.frozenOrderPrefix(nsets, dfreqW,
+      threshold)
     val batchPrefix = (if (prefixBaseCols.contains("pos"))
         batchPrefixAll else batchPrefixAll.drop("pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gcountsBatch = batchPrefix.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("hub"))
     val (oldBits, bk) = Dedup.metaBloom(root)
     val batchBits = Dedup.buildIndexBloom(batchPrefix, "g", bk,
       oldBits.length)
@@ -207,12 +222,20 @@ object StreamingJaccardIndex {
         "prefix_dir" -> IndexLayout.baseDir(root,
           IndexLayout.JaccardPrefix),
         "prefix_compacted_through" -> IndexLayout.compactedThrough(
-          root, IndexLayout.JaccardPrefix)) ++
+          root, IndexLayout.JaccardPrefix),
+        // epochs inherit the base schemas by construction, so the
+        // recorded schemas stay true for the whole generation (a
+        // pre-r16 pos-less base records a pos-less schema_prefix —
+        // the upgrade happens at compaction, never mid-generation)
+        "schema_sets" -> nsets.schema.toDDL,
+        "schema_dfreq" -> dfreqW.schema.toDDL,
+        "schema_prefix" -> batchPrefix.schema.toDDL) ++
       (if (hasCounts) Seq(
         "gcounts_dir" -> IndexLayout.baseDir(root,
           IndexLayout.JaccardGramCounts),
         "gcounts_compacted_through" -> IndexLayout.compactedThrough(
-          root, IndexLayout.JaccardGramCounts))
+          root, IndexLayout.JaccardGramCounts),
+        "schema_gcounts" -> gcountsBatch.schema.toDDL)
        else Nil)))
     IndexLayout.appendEpoch(nsets, indexPath, batchId,
       IndexLayout.JaccardSets)
@@ -222,10 +245,8 @@ object StreamingJaccardIndex {
     // (replay keys on it): an exact per-gram rollup of this batch's
     // prefix rows, folded with the base counts at probe time
     if (hasCounts)
-      IndexLayout.appendEpoch(
-        batchPrefix.groupBy(col("g"))
-          .agg(count(lit(1)).as("n"), min(col("id")).as("hub")),
-        indexPath, batchId, IndexLayout.JaccardGramCounts)
+      IndexLayout.appendEpoch(gcountsBatch, indexPath, batchId,
+        IndexLayout.JaccardGramCounts)
     nsets.unpersist(); batchPrefix.unpersist()
 
     // 3) compaction: re-freeze the order from the accumulated sets

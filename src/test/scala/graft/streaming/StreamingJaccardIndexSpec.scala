@@ -264,4 +264,93 @@ class StreamingJaccardIndexSpec extends SparkSpecBase {
     assert(postUpgrade == postRecount,
       "upgraded counts must recount the re-frozen prefix")
   }
+
+  test("pre-r16 pos-less prefix: appends inherit the pos-less schema, " +
+      "compaction upgrades to the PPJoin layout, append == rebuild " +
+      "across the boundary (r17)") {
+    val dir = Files.createTempDirectory("jacidx-pos").toString
+    val (idxDir, pairsDir) = (s"$dir/idx", s"$dir/pairs")
+    val b1 = (1L to 20L).map(i => (i, s"$phrase corpus tail $i"))
+    val b2 = Seq((200L, s"$phrase corpus tail 7"))
+    val b3 = Seq((300L, s"$phrase corpus tail 3"))
+    val b4 = Seq((400L, s"$phrase corpus tail 5"))
+    val probe = Seq((900L, s"$phrase corpus tail 3"))
+      .toDF("doc_id", "text")
+    def apply(b: Seq[(Long, String)], id: Long, compactEvery: Int)
+        : Unit =
+      StreamingJaccardIndex.applyBatch(b.toDF("doc_id", "text"), id,
+        idxDir, pairsDir, "doc_id", "text", 3, 0.5, 8, compactEvery,
+        5, 1 << 16)
+    def prefixCols(root: org.json4s.JValue): Seq[String] =
+      IndexLayout.readPostings(spark, idxDir, root, None, None,
+        IndexLayout.JaccardPrefix).columns.toSeq
+    apply(b1, 0L, 99)
+
+    // strip to the r15 shape: pos-less prefix base, no gcounts, no
+    // recorded schemas (pre-r16 metas carried none)
+    val f = IndexLayout.fs(spark, idxDir)
+    val root0 = Dedup.readIndexMeta(spark, idxDir)
+    assert(prefixCols(root0).contains("pos"), "fixture sanity")
+    graft.sink.Sinks.writeRangeSorted(
+      spark.read.parquet(s"$idxDir/prefix_v0").drop("pos"),
+      s"$idxDir/prefix_pre", "g", 8)
+    f.delete(new org.apache.hadoop.fs.Path(s"$idxDir/gcounts_v0"), true)
+    val (bits, bk) = Dedup.metaBloom(root0)
+    IndexLayout.promoteMeta(f, idxDir, IndexLayout.metaJson(Seq(
+      "shingle_k" -> 3, "threshold" -> 0.5, "shards" -> 8,
+      "layout" -> "jaccard_maintained", "last_epoch" -> 0L,
+      "bloom_k" -> bk, "bloom_m" -> bits.length,
+      "bloom_bits" -> Dedup.bitsToString(bits),
+      "dfreq_dir" -> "dfreq_v0", "sets_dir" -> "sets_v0",
+      "sets_compacted_through" -> 0L,
+      "prefix_dir" -> "prefix_pre",
+      "prefix_compacted_through" -> 0L)))
+    val rootPre = Dedup.readIndexMeta(spark, idxDir)
+    assert(!prefixCols(rootPre).contains("pos"))
+    assert(pairSet(Dedup.ngramJaccardAgainstPath(probe, idxDir,
+        "doc_id", "text")) ==
+      rebuildProbe(b1.toDF("doc_id", "text"), probe),
+      "the length-only fallback must stay exact on a pos-less layout")
+
+    // an append inherits the pos-less schema (mixed-schema epochs
+    // would break the union); the recorded schema_prefix must agree
+    apply(b2, 1L, 99)
+    val root1 = Dedup.readIndexMeta(spark, idxDir)
+    assert(!spark.read.parquet(s"$idxDir/prefix_epochs/epoch=1")
+      .columns.contains("pos"),
+      "appends to a pos-less generation must stay pos-less")
+    assert(Dedup.metaSchemaOpt(root1, "schema_prefix")
+      .exists(!_.fieldNames.contains("pos")),
+      "the recorded schema must match the pos-less generation")
+    assert(pairSet(Dedup.ngramJaccardAgainstPath(probe, idxDir,
+        "doc_id", "text")) ==
+      rebuildProbe((b1 ++ b2).toDF("doc_id", "text"), probe))
+
+    // compaction re-freezes from the stored sets: the new generation
+    // carries pos (the PPJoin positional filter turns on), gcounts,
+    // and pos-bearing recorded schemas
+    apply(b3, 2L, 2)
+    val root2 = Dedup.readIndexMeta(spark, idxDir)
+    assert(IndexLayout.baseDir(root2, IndexLayout.JaccardPrefix) ==
+      "prefix_v2", "compaction expected at epoch 2")
+    assert(prefixCols(root2).contains("pos"),
+      "compaction must upgrade the prefix to the pos-bearing layout")
+    assert(IndexLayout.hasTable(root2, IndexLayout.JaccardGramCounts))
+    assert(Dedup.metaSchemaOpt(root2, "schema_prefix")
+      .exists(_.fieldNames.contains("pos")))
+    assert(pairSet(Dedup.ngramJaccardAgainstPath(probe, idxDir,
+        "doc_id", "text")) ==
+      rebuildProbe((b1 ++ b2 ++ b3).toDF("doc_id", "text"), probe),
+      "append == rebuild must hold across the upgrade boundary")
+
+    // post-upgrade appends carry pos
+    apply(b4, 3L, 99)
+    assert(spark.read.parquet(s"$idxDir/prefix_epochs/epoch=3")
+      .columns.contains("pos"),
+      "appends to the upgraded generation must carry pos")
+    assert(pairSet(Dedup.ngramJaccardAgainstPath(probe, idxDir,
+        "doc_id", "text")) ==
+      rebuildProbe((b1 ++ b2 ++ b3 ++ b4).toDF("doc_id", "text"),
+        probe))
+  }
 }
