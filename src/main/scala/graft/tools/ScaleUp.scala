@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Key-shifted replication of the driver's TPC-H-ish fixture to a
@@ -9,21 +9,52 @@ import org.apache.spark.sql.functions._
   * replica shifts every join key by a per-table stride, so join
   * fan-outs and selectivities scale EXACTLY linearly: q5/q7/q18 at
   * factor 10 over sf0.1 see sf1.0-shaped cardinalities (6M-row
-  * lineitem). `documents` replicas append a per-replica suffix to the
-  * text, so near-dup structure replicates instead of every doc
-  * gaining `factor` exact copies (which would change the workload's
-  * character, not its scale). Fixed dims (region, nation) copy as-is,
-  * like TPC-H itself.
+  * lineitem). Fixed dims (region, nation) copy as-is, like TPC-H
+  * itself.
+  *
+  * Document replicas come in two modes, because no single fixture can
+  * serve both measurement families honestly (BASELINE.md round-16/17):
+  *
+  *  - `suffix` (default): replica text gains a per-replica suffix.
+  *    Tokens stay real words, so the LANGUAGE/QUALITY family (lang-id,
+  *    Gopher, stopword ratios, DSIR, classifier gates) keeps its
+  *    workload character — but 32-bit fingerprints and payload hashes
+  *    COLLAPSE across replicas (a long doc's simhash barely moves for
+  *    one trailing token, and the media fixture's `rpad(text, w*h)`
+  *    pixel fill TRUNCATES the suffix away entirely), so the
+  *    PAIR-emitting families measure a quadratic duplication artifact,
+  *    not scale.
+  *  - `salt`: every token of replica i>0 gains a `~i` salt — the text
+  *    analogue of the embedding sign pattern below. A per-token
+  *    injective map carries every k-token shingle injectively, so
+  *    intra-replica shingle-SET relations (Jaccard values, minhash
+  *    collisions, prefix structure) are preserved EXACTLY while
+  *    cross-replica shingle sets become disjoint — fingerprints
+  *    decorrelate and the pair families measure honest pair growth.
+  *    The salt reaches the derived media payloads too (pixels come
+  *    from the text's leading bytes, which now differ per replica).
+  *    Tokens are no longer dictionary words, so lang/quality numbers
+  *    from a salt fixture are NOT comparable to real-text runs.
   *
   * Usage: runMain graft.tools.ScaleUp <srcSfDir> <dstDir> <factor>
+  *        [suffix|salt]
   */
 object ScaleUp {
 
+  /** Per-replica token salt: `w -> w~i` for every whitespace token.
+    * Injective per token (and `~` never appears in the fixture's
+    * vocabulary), hence injective per k-gram — see object doc.
+    */
+  private[tools] def saltTokens(text: Column, replica: Int): Column =
+    array_join(
+      transform(split(text, " "), w => concat(w, lit(s"~$replica"))),
+      " ")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: ScaleUp <srcSfDir> <dstDir> <factor>")
+      "usage: ScaleUp <srcSfDir> <dstDir> <factor> [suffix|salt]")
     val (src, dst, factor) = (args(0), args(1), args(2).toInt)
-    require(factor >= 1, "factor must be >= 1")
+    val docMode = if (args.length > 3) args(3) else "suffix"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -34,6 +65,18 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, factor, docMode)
+    println(s"[scaleup] wrote factor-$factor fixture to $dst " +
+      s"(docMode=$docMode, lineitem rows: " +
+      s"${spark.read.parquet(s"$dst/lineitem.parquet").count()})")
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dst: String, factor: Int,
+          docMode: String = "suffix"): Unit = {
+    require(factor >= 1, "factor must be >= 1")
+    require(docMode == "suffix" || docMode == "salt",
+      s"docMode must be suffix or salt, got $docMode")
 
     def read(name: String) = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit =
@@ -85,6 +128,8 @@ object ScaleUp {
     write(replicate(docs) { (d, i) =>
       val shifted = d.withColumn("doc_id", col("doc_id") + lit(i * ds))
       if (i == 0) shifted
+      else if (docMode == "salt")
+        shifted.withColumn("text", saltTokens(col("text"), i))
       else shifted.withColumn("text",
         concat(col("text"), lit(s" rep $i")))
     }, "documents")
@@ -92,9 +137,7 @@ object ScaleUp {
     // part shares lineitem's l_partkey stride (per-replica join keys
     // align exactly); events shift both ids (user-windowed shapes gain
     // users, not longer per-user histories — the scale direction real
-    // traffic has); embeddings shift vec_id only (replica vectors are
-    // exact duplicates — near-dup/ANN structure replicates, the
-    // documents trade).
+    // traffic has); embeddings shift vec_id only.
     write(replicate(part) { (d, i) =>
       d.withColumn("p_partkey", col("p_partkey") + lit(i * ps))
     }, "part")
@@ -118,9 +161,5 @@ object ScaleUp {
           when(pmod(hash(lit(i), dim), lit(2)) === 0, x)
             .otherwise(-x)))
     }, "embeddings")
-
-    println(s"[scaleup] wrote factor-$factor fixture to $dst " +
-      s"(lineitem rows: ${spark.read.parquet(s"$dst/lineitem.parquet").count()})")
-    spark.stop()
   }
 }
