@@ -20,10 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - BMP (`BM`): uncompressed 24-bpp BITMAPINFOHEADER, bottom-up or
   *     top-down rows, 4-byte row padding — the classic DIB layout
   *   - WAV (`RIFF…WAVE`): PCM 16-bit little-endian, any channel count
+  *   - PNG (r17): via the JDK's own `javax.imageio` reader — no codec
+  *     jar, and PNG is LOSSLESS so decoded pixels are exact and
+  *     platform-independent (see [[decodePng]])
   *
-  * Compressed formats (JPEG/PNG/MP3/H.264) need entropy coders and stay
-  * out of scope offline — `decode` returns `None` for them (null column
-  * value, routed to dead-letter by the caller), never a fake answer.
+  * Lossy formats (JPEG/MP3/H.264) stay out of scope: their decode is
+  * implementation-defined (IDCT/dithering rounding differs across
+  * runtimes), which would silently break replayability — `decode`
+  * returns `None` for them (null column value, routed to dead-letter
+  * by the caller), never a fake answer.
   *
   * Decoded luminance is kept EXACT-INTEGER: for RGB sources the per-pixel
   * value is the plain channel sum `r+g+b` (0..765) — aHash compares block
@@ -73,8 +78,85 @@ object MediaCodec {
       case ('P', '6') => decodePnm(bytes, rgb = true)
       case ('B', 'M') => decodeBmp(bytes)
       case ('R', 'I') => decodeWav(bytes)
+      case _ if (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' =>
+        decodePng(bytes) // 0x89 'P' 'N' 'G'
       case _          => None
     }
+  }
+
+  // ---- PNG (JDK ImageIO) --------------------------------------------
+
+  // ImageIO's default ImageInputStream spills to a disk cache file per
+  // read; executors decode thousands of payloads per task, so the
+  // in-memory stream path is forced once per JVM
+  private lazy val imageIoNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** PNG via the JDK's own reader (`javax.imageio` ships in the JRE —
+    * no codec jar). PNG is LOSSLESS, so unlike JPEG the decoded pixel
+    * values are exact and platform-independent: the same determinism
+    * contract as the byte-arithmetic formats, just with the JDK doing
+    * the inflate. Per-pixel value is the channel sum `r+g+b` from the
+    * default-sRGB ARGB view — for gray PNGs that is `3*v`, a positive
+    * scaling of the PGM convention, which the cross-multiplied aHash
+    * comparison is invariant to (a gray PNG and a PGM of the same
+    * pixels phash identically — asserted in MediaCodecSpec). The alpha
+    * channel is ignored (hashing composites nothing). JPEG stays out
+    * of scope: its decode is implementation-defined (IDCT rounding
+    * differs across JREs), which would silently break replayability.
+    */
+  private def decodePng(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 8 || (b(0) & 0xff) != 0x89 || b(1) != 'P' ||
+        b(2) != 'N' || b(3) != 'G') return None
+    imageIoNoCache
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxUnits) return None
+    val out = new Array[Long](w * h)
+    val cm = img.getColorModel
+    val gray8 = cm.getColorSpace.getType ==
+      java.awt.color.ColorSpace.TYPE_GRAY && !cm.hasAlpha &&
+      cm.getComponentSize(0) <= 8
+    if (gray8) {
+      // grayscale reads the RAW raster sample: getRGB would push the
+      // value through the JDK's linear-gray -> sRGB transform, which
+      // is monotone but NONLINEAR — a gray PNG would stop being a
+      // positive scaling of the same pixels' PGM and the aHash parity
+      // (asserted in MediaCodecSpec) would silently break. The raw
+      // sample is the PNG's stored value, exact; x3 keeps the
+      // channel-sum convention (= r+g+b of the equivalent RGB)
+      val raster = img.getRaster
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          out(r * w + c) = 3L * raster.getSample(c, r, 0)
+          c += 1
+        }
+        r += 1
+      }
+    } else {
+      // one bulk ARGB fetch per row: sRGB-typed images (truecolor and
+      // palette PNGs) repack without color conversion; alpha is
+      // ignored (hashing composites nothing)
+      val row = new Array[Int](w)
+      var r = 0
+      while (r < h) {
+        img.getRGB(0, r, w, 1, row, 0, w)
+        var c = 0
+        while (c < w) {
+          val p = row(c)
+          out(r * w + c) = ((p >> 16) & 0xff).toLong +
+            ((p >> 8) & 0xff) + (p & 0xff)
+          c += 1
+        }
+        r += 1
+      }
+    }
+    Some(Decoded("png", w, h, 3, 0, out))
   }
 
   // ---- PNM (PGM P5 / PPM P6) --------------------------------------------

@@ -35,7 +35,32 @@ object StreamingMediaDedup {
   def phashPairs(media: DataFrame, idCol: String, payloadCol: String,
                  tsCol: String, watermark: String,
                  maxHamming: Int = 12,
-                 horizonMs: Long = 3600000L): DataFrame = {
+                 horizonMs: Long = 3600000L): DataFrame =
+    pairsImpl(media, idCol, tsCol, watermark, maxHamming, horizonMs,
+      graft.functions.AHash64.aHash(col(payloadCol)))
+
+  /** [[phashPairs]] over DECODED media — the true 2-D block aHash
+    * ([[graft.operators.Multimodal.phashNearDupsDecoded]]'s
+    * fingerprint) instead of the opaque byte-range fallback. This is
+    * the right streaming spelling for COMPRESSED formats (PNG, r17):
+    * one changed pixel rewrites most deflate bytes, so the opaque hash
+    * sees unrelated payloads, while the decoded hash sees the
+    * one-block edit. Undecodable payloads (null fingerprint) are
+    * dropped from the pair graph here, exactly like the batch twin —
+    * route them to dead letter upstream.
+    */
+  def phashPairsDecoded(media: DataFrame, idCol: String,
+                        payloadCol: String, tsCol: String,
+                        watermark: String, maxHamming: Int = 12,
+                        horizonMs: Long = 3600000L): DataFrame =
+    pairsImpl(media, idCol, tsCol, watermark, maxHamming, horizonMs,
+      graft.functions.MediaCodec.mediaPhash(col(payloadCol)))
+
+  private def pairsImpl(media: DataFrame, idCol: String, tsCol: String,
+                        watermark: String, maxHamming: Int,
+                        horizonMs: Long,
+                        hashCol: org.apache.spark.sql.Column)
+      : DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
 
@@ -47,8 +72,8 @@ object StreamingMediaDedup {
     val arrivals = media
       .withWatermark(tsCol, watermark)
       .select(col(idCol).cast("long").as("id"),
-        graft.functions.AHash64.aHash(col(payloadCol)).as("phash"),
-        col(tsCol).as("__ts"))
+        hashCol.as("phash"), col(tsCol).as("__ts"))
+      .filter(col("phash").isNotNull)
       .select(col("id"), col("phash"), col("__ts"),
         posexplode(bandKeys).as(Seq("band_no", "bk")))
       .select(concat_ws("#", col("band_no"), col("bk")).as("key"),

@@ -75,6 +75,39 @@ class MediaCodecSpec extends SparkSpecBase {
     out.toByteArray
   }
 
+  /** RGB PNG via the JDK encoder (lossless: ImageIO.write is the
+    * inverse of the reader decodePng wraps).
+    */
+  private def png(w: Int, h: Int, rgbTopDown: Array[Int]): Array[Byte] = {
+    require(rgbTopDown.length == 3 * w * h)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (r <- 0 until h; c <- 0 until w) {
+      val o = 3 * (r * w + c)
+      img.setRGB(c, r, (rgbTopDown(o) << 16) | (rgbTopDown(o + 1) << 8)
+        | rgbTopDown(o + 2))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** 8-bit grayscale PNG, written through the RAW raster (setRGB on a
+    * gray image would push values through the sRGB->linear-gray
+    * transform — the exact nonlinearity decodePng's raster branch
+    * exists to avoid).
+    */
+  private def grayPng(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+    require(px.length == w * h)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (r <- 0 until h; c <- 0 until w)
+      img.getRaster.setSample(c, r, 0, px(r * w + c))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   // ---- decoders ---------------------------------------------------------
 
   test("PGM roundtrip: dims, channels, raw pixel values") {
@@ -129,9 +162,63 @@ class MediaCodecSpec extends SparkSpecBase {
       "BM".getBytes,                                  // truncated bmp
       bmp(3, 2, new Array[Int](18)).take(40),         // truncated dib
       "RIFFxxxxWAVE".getBytes,                        // no chunks
-      wav(16000, 2, Array(1, 2, 3, 4)).take(30))      // truncated fmt
+      wav(16000, 2, Array(1, 2, 3, 4)).take(30),      // truncated fmt
+      png(4, 4, new Array[Int](48)).take(20),         // truncated png
+      ((0x89.toByte +: "PNG not really".getBytes.toSeq)
+        .toArray))                                    // bad png body
     cases.foreach(c => assert(MediaCodec.decode(c).isEmpty,
       s"expected None for ${new String(c.take(8))}"))
+  }
+
+  test("PNG (r17): RGB roundtrip is exact channel sums; gray reads " +
+      "the raw raster; palette/alpha decode; phash parity with PGM") {
+    // RGB: decoded value = r+g+b, row-major, exact
+    val rgb = Array.tabulate(3 * 6 * 4)(i => (i * 7 + 3) % 256)
+    val d = MediaCodec.decode(png(6, 4, rgb)).get
+    assert((d.format, d.width, d.height, d.channels) ==
+      (("png", 6, 4, 3)))
+    assert(d.values.toSeq == rgb.grouped(3)
+      .map(g => g.map(_.toLong).sum).toSeq)
+
+    // gray PNG: raw raster samples x3 — NOT the gray->sRGB transform
+    val gpx = Array.tabulate(8 * 8)(i => (i * 5 + 1) % 256)
+    val dg = MediaCodec.decode(grayPng(8, 8, gpx)).get
+    assert(dg.values.toSeq == gpx.map(_ * 3L).toSeq,
+      "gray PNG must decode raw samples (x3 channel-sum convention)")
+
+    // the channel-sum convention makes a gray PNG a positive scaling
+    // of the same pixels' PGM, and the cross-multiplied aHash is
+    // scaling-invariant: identical fingerprints
+    val px = Array.tabulate(16 * 16)(i =>
+      if ((i / 16 + i % 16) % 3 == 0) 220 else (i * 11) % 128)
+    val viaPgm = MediaCodec.phashBoxed(pgm(16, 16, px))
+    val viaPng = MediaCodec.phashBoxed(grayPng(16, 16, px))
+    assert(viaPgm != null && viaPgm == viaPng,
+      s"phash(PGM)=$viaPgm must equal phash(gray PNG)=$viaPng")
+
+    // a one-pixel edit on the PNG stays phash-local (the decoded-hash
+    // property that makes compressed formats dedupable at all: the
+    // DEFLATE bytes change wholesale, the pixels barely move)
+    val edited = px.clone(); edited(40) = (edited(40) + 90) % 256
+    val ham = java.lang.Long.bitCount(
+      viaPng ^ MediaCodec.phashBoxed(grayPng(16, 16, edited)))
+    assert(ham <= 4, s"one-pixel PNG edit moved $ham phash bits")
+
+    // MediaPhash / MediaInfo columns see PNG like any other format
+    val rows = Seq((1L, grayPng(16, 16, px)), (2L, png(6, 4, rgb)),
+      (3L, "not an image".getBytes))
+      .toDF("media_id", "payload")
+      .select(col("media_id"),
+        MediaCodec.mediaPhash(col("payload")).as("ph"),
+        MediaCodec.mediaInfo(col("payload")).getField("format")
+          .as("fmt"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        r.getString(2))).toSeq
+    assert(rows(0)._2 == viaPng.longValue && rows(0)._3 == "png")
+    assert(rows(1)._3 == "png")
+    assert(rows(2)._2 == null && rows(2)._3 == null,
+      "undecodable stays null (dead-letter), never a fake answer")
   }
 
   // ---- perceptual hash --------------------------------------------------

@@ -77,4 +77,59 @@ class StreamingMediaDedupSpec extends SparkSpecBase {
     runStream(s"$dir/in", s"$dir/out", s"$dir/ckpt")
     assert(pairs(s"$dir/out") == Set((1L, 2L)))
   }
+
+  test("decoded streaming dedup pairs one-pixel-edited PNGs (r17): " +
+      "opaque byte hashing cannot, decoded phash can, and the stream " +
+      "matches the batch decoded operator") {
+    // two PNGs differing by ONE pixel: the compressed byte streams
+    // diverge wholesale (deflate), the decoded pixels barely move
+    def grayPng(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (r <- 0 until h; c <- 0 until w)
+        img.getRaster.setSample(c, r, 0, px(r * w + c))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val px = Array.tabulate(16 * 16)(i =>
+      if ((i / 16 + i % 16) % 3 == 0) 220 else (i * 11) % 128)
+    val edited = px.clone(); edited(40) = (edited(40) + 90) % 256
+    val unrelated = Array.tabulate(16 * 16)(i => (i * 97 + 13) % 256)
+    val media = Seq((1L, grayPng(16, 16, px)),
+      (2L, grayPng(16, 16, edited)), (3L, grayPng(16, 16, unrelated)),
+      (4L, "not an image at all".getBytes)) // dead-letter, not a pair
+
+    val batchPairs = Multimodal.phashNearDupsDecoded(
+        media.toDF("media_id", "payload"), "media_id", "payload",
+        maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batchPairs == Set((1L, 2L)),
+      s"fixture sanity (batch decoded): $batchPairs")
+    // the opaque byte hash misses the pair — the artifact decoded
+    // hashing exists to fix on compressed formats
+    val opaque = Multimodal.phashNearDups(
+        media.toDF("media_id", "payload"), "media_id", "payload",
+        maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!opaque.contains((1L, 2L)),
+      s"fixture sanity: opaque hash must miss the PNG pair, got $opaque")
+
+    val dir = Files.createTempDirectory("smedia-png").toString
+    writeBatch(s"$dir/in",
+      media.map { case (id, p) => (id, p, s"2024-01-01 00:00:0$id") })
+    val stream = spark.readStream
+      .schema("media_id LONG, payload BINARY, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val q = StreamingMediaDedup.phashPairsDecoded(stream, "media_id",
+        "payload", "ts", watermark = "1 hour", maxHamming = 6,
+        horizonMs = 3600000L)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(pairs(s"$dir/out") == batchPairs,
+      "streaming decoded pairs must match the batch decoded operator")
+  }
 }
