@@ -104,6 +104,56 @@ object WalTail {
       line.take(80))
     line.substring(0, i).toLong
   }
+
+  /** The `(firstLsn, lastLsn)` span of a segment, reading HEAD and
+    * TAIL byte windows only — never the body: the driver learns each
+    * new segment's span once, and a full scan of a GB-scale segment
+    * on the driver would be the exact antipattern the executors'
+    * partition readers exist to avoid. Falls back to widening windows
+    * when a single line exceeds the window (pathological but legal).
+    * None for a segment with no complete line.
+    */
+  private[graft] def readSpan(f: FileSystem, p: Path, len: Long)
+      : Option[(Long, Long)] = {
+    def window(off: Long, size: Int): Array[Byte] = {
+      val buf = new Array[Byte](math.min(size.toLong, len - off).toInt)
+      val in = f.open(p)
+      try { in.seek(off); in.readFully(buf) } finally in.close()
+      buf
+    }
+    def firstLsn(w: Int): Option[Long] = {
+      val s = new String(window(0, w), "UTF-8")
+      // lines before the last newline are complete; the trailing
+      // piece is complete only when the window covers the whole file
+      val lastNl = s.lastIndexOf('\n')
+      val complete =
+        if (w >= len) s
+        else if (lastNl < 0) ""
+        else s.substring(0, lastNl + 1)
+      complete.split('\n').find(_.nonEmpty).map(parseLsn)
+    }
+    def lastLsn(w: Int): Option[Long] = {
+      val off = math.max(0L, len - w)
+      val s = new String(window(off, w), "UTF-8")
+      // drop the (possibly partial) head line unless the window
+      // starts at 0, then take the last non-empty full line
+      val body = if (off == 0) s
+        else { val nl = s.indexOf('\n'); if (nl < 0) "" else s.substring(nl + 1) }
+      val lines = body.split('\n').filter(_.nonEmpty)
+      if (lines.nonEmpty) Some(parseLsn(lines.last))
+      else if (off == 0) None
+      else None
+    }
+    var w = 64 << 10
+    var res: Option[(Long, Long)] = None
+    var coveredWholeFile = false
+    while (res.isEmpty && !coveredWholeFile) {
+      coveredWholeFile = w >= len
+      res = for (a <- firstLsn(w); b <- lastLsn(w)) yield (a, b)
+      w <<= 2
+    }
+    res
+  }
 }
 
 /** `spark.readStream.format("graft-wal-tail").option("path", dir)`.
@@ -186,24 +236,26 @@ private[sources] class WalTailStream(options: CaseInsensitiveStringMap)
         !st.getPath.getName.startsWith("."))
       .map(_.getPath.getName)
       .sorted
+    // drop cache entries for segments the log owner discarded (the
+    // feedback contract lets it): keeps the span cache bounded by the
+    // log's RETAINED size in a long-lived stream over a rotating log
+    val nameSet = names.toSet
+    segSpans.filterInPlace((n, _) => nameSet(n))
     names.foreach { n =>
       if (!segSpans.contains(n)) {
-        val in = f.open(new Path(dir, n))
-        val src = scala.io.Source.fromInputStream(in, "UTF-8")
-        try {
-          val lines = src.getLines().filter(_.nonEmpty)
-          if (lines.hasNext) {
-            val first = WalTail.parseLsn(lines.next())
-            var last = first
-            lines.foreach(l => last = WalTail.parseLsn(l))
+        val p = new Path(dir, n)
+        val len = f.getFileStatus(p).getLen
+        if (len > 0) {
+          WalTail.readSpan(f, p, len).foreach { case (first, last) =>
             require(last >= first,
-              s"wal-tail: segment $n is not LSN-ascending")
+              s"wal-tail: segment $n is not LSN-ascending " +
+                s"(first=$first last=$last)")
             segSpans(n) = (first, last)
           }
           // empty segments stay uncached: a stage-and-rename writer
           // never publishes one, and skipping keeps a zero-byte file
           // from wedging the listing
-        } finally { src.close(); in.close() }
+        }
       }
     }
     names.flatMap(n => segSpans.get(n).map(n -> _))

@@ -154,6 +154,47 @@ object StreamingMerge {
       .start()
   }
 
+  /** The MySQL-side slot twin of [[startWalSlot]]: landed binlog
+    * row-event segments (`<seq>\t<event json>` lines — `seq` is the
+    * landing writer's monotonic rendering of the (log_file, log_pos)
+    * position, the reference's file+pos bookmark as one long) tailed
+    * by the same [[graft.sources.WalTailProvider]] slot source, decoded
+    * by [[graft.sources.BinlogRows.decode]], merged by the CDC order
+    * `_binlog_seq` (the (log_file, log_pos, row_idx) struct — one
+    * event carries MANY rows, so the outer seq alone cannot order
+    * within an event). Feedback/resume semantics are the slot
+    * source's: the confirmed position persists on every poll, and a
+    * restart without its Spark checkpoint resumes from it
+    * (binlog.py:286-446's saved file+pos).
+    */
+  def startBinlogSlot(spark: SparkSession, logDir: String,
+                      schemaName: String, tableName: String,
+                      rowSchema: org.apache.spark.sql.types.StructType,
+                      tablePath: String, checkpoint: String,
+                      pks: Seq[String], hardDelete: Boolean = false,
+                      trigger: Trigger = Trigger.AvailableNow(),
+                      targetPartitions: Int = 64,
+                      maxFilesPerTrigger: Option[Int] = None)
+      : StreamingQuery = {
+    val reader = spark.readStream.format("graft-wal-tail")
+      .option("path", logDir)
+    val lines = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).load()
+    // decode emits the envelope itself (`_sdc_deleted_at` from delete
+    // events' timestamps) — no applyEnvelope pass
+    graft.sources.BinlogRows
+      .decode(lines, "payload", schemaName, tableName, rowSchema)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        MergeSink.flushPartitioned(batch.sparkSession, batch, tablePath,
+          pks, "_binlog_seq", targetPartitions, hardDelete)
+        ()
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window aggregate over an event stream — the
     * generic streaming-analytics surface (counts/sums per window+key).
     */

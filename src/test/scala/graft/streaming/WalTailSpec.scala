@@ -179,6 +179,78 @@ class WalTailSpec extends SparkSpecBase {
     assert(seen.size == 20, s"expected 20 rows, saw ${seen.size}")
   }
 
+  test("binlog slot twin: landed row events tail through the same " +
+      "slot source, multi-row events merge in (file, pos, row_idx) " +
+      "order, restart applies only the tail (r17)") {
+    val dir = Files.createTempDirectory("binlogtail").toString
+    val srcDir = s"$dir/binlog"; val tablePath = s"$dir/table"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def ev(seq: Long, et: String, pos: Long,
+           rows: String): String =
+      s"""$seq\t{"event_type":"$et","schema":"db","table":"t",""" +
+        s""""timestamp":"2024-01-01T00:00:0${seq % 10}Z",""" +
+        s""""log_file":"mysql-bin.000001","log_pos":$pos,""" +
+        s""""rows":[$rows]}"""
+    def vals(id: Long, v: String) =
+      s"""{"values":{"id":$id,"v":"$v"}}"""
+    def after(id: Long, v: String) =
+      s"""{"after_values":{"id":$id,"v":"$v"}}"""
+    // one write event with TWO rows, then an update — row_idx must
+    // order within the event
+    val seg1 = Seq(
+      ev(1, "write_rows", 4, vals(1, "a") + "," + vals(2, "b")),
+      ev(2, "update_rows", 300, after(1, "a2")))
+    val seg2 = Seq(
+      ev(3, "delete_rows", 550, vals(2, "b")),
+      ev(4, "write_rows", 700, vals(3, "c")))
+    land(srcDir, "bin_0001.log", seg1)
+
+    def drainBinlog(ckpt: String): Unit = {
+      val q = StreamingMerge.startBinlogSlot(spark, srcDir, "db", "t",
+        rowSchema, tablePath, ckpt, Seq("id"), hardDelete = true,
+        targetPartitions = 4)
+      q.awaitTermination(120000); q.stop()
+    }
+    drainBinlog(s"$dir/ckpt")
+    assert(state(tablePath) == Seq((1L, "a2"), (2L, "b")))
+    val fs = hadoopFs(srcDir)
+    assert(WalTail.readFeedback(fs, WalTail.defaultSlotFile(srcDir))
+      .contains(2L), "slot must confirm through the drained seq")
+
+    land(srcDir, "bin_0002.log", seg2)
+    drainBinlog(s"$dir/ckpt")
+    assert(state(tablePath) == Seq((1L, "a2"), (3L, "c")),
+      "resumed drain must apply only the tail: delete of 2, insert of 3")
+    assert(WalTail.readFeedback(fs, WalTail.defaultSlotFile(srcDir))
+      .contains(4L))
+  }
+
+  test("readSpan learns a segment's LSN span from head/tail windows " +
+      "only: small files, missing trailing newline, window widening") {
+    val dir = Files.createTempDirectory("waltail-span").toString
+    val fs = hadoopFs(dir)
+    def spanOf(name: String, content: String): Option[(Long, Long)] = {
+      val p = java.nio.file.Paths.get(s"$dir/$name")
+      Files.write(p, content.getBytes("UTF-8"))
+      WalTail.readSpan(fs, new org.apache.hadoop.fs.Path(p.toString),
+        Files.size(p))
+    }
+    assert(spanOf("a", "5\tx\n7\ty\n") == Some((5L, 7L)))
+    assert(spanOf("b", "5\tx\n7\ty") == Some((5L, 7L)),
+      "missing trailing newline must still span")
+    assert(spanOf("c", "9\tz") == Some((9L, 9L)), "single line, no newline")
+    assert(spanOf("d", "") == None)
+    assert(spanOf("e", "\n\n") == None, "blank lines only")
+    // > one 64k window: spans come from the head/tail windows without
+    // reading the body (the body here would fail parseLsn loudly if
+    // touched — malformed filler lines prove the windows-only claim)
+    val filler = ("malformed-no-tab-" + ("x" * 60) + "\n") * 3000
+    assert(spanOf("f", "11\thead\n" + filler + "12\ttail\n")
+      == Some((11L, 12L)))
+    // a single line wider than the first window: widening kicks in
+    assert(spanOf("g", "21\t" + ("y" * 200000)) == Some((21L, 21L)))
+  }
+
   test("wal-tail slot soak: segments appended WHILE the query runs all " +
       "arrive exactly once (the live consume loop)") {
     val dir = Files.createTempDirectory("waltail-soak").toString
