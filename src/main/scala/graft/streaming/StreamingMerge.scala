@@ -195,6 +195,53 @@ object StreamingMerge {
       .start()
   }
 
+  /** The MongoDB twin: landed ChangeStream documents
+    * (`<seq>\t<event json>` segments — `seq` is the landing writer's
+    * monotonic event counter; the resume TOKEN itself rides inside the
+    * payload as `_cs_token` and orders the merge) tailed by the slot
+    * source, decoded by [[graft.sources.ChangeStreams.decode]], with
+    * the reference's update-buffer semantics per micro-batch: updates
+    * arrive as ids only, so each batch refetches full documents from
+    * the LIVE collection via `sourceColl` (a thunk — the reference
+    * refetches at flush time, not at stream-start time;
+    * change_streams.py:160-163, flush at :199) before the
+    * last-write-wins merge on `_cs_token`. All three CDC families
+    * (wal2json / binlog / ChangeStreams) now share the slot consume
+    * loop offline.
+    */
+  def startChangeStreamSlot(spark: SparkSession, logDir: String,
+                            dbName: String, collName: String,
+                            rowSchema: org.apache.spark.sql.types.StructType,
+                            sourceColl: () => DataFrame,
+                            tablePath: String, checkpoint: String,
+                            pks: Seq[String],
+                            hardDelete: Boolean = false,
+                            trigger: Trigger = Trigger.AvailableNow(),
+                            targetPartitions: Int = 64,
+                            maxFilesPerTrigger: Option[Int] = None)
+      : StreamingQuery = {
+    val reader = spark.readStream.format("graft-wal-tail")
+      .option("path", logDir)
+    val lines = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).load()
+    graft.sources.ChangeStreams
+      .decode(lines, "payload", dbName, collName, rowSchema,
+        idField = pks.head)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the flush-time refetch joins the update ids back to the
+        // CURRENT collection (the ChangeStreamsSpec batch chain)
+        val refetched = refetchUpdates(batch, sourceColl(), pks.head)
+        MergeSink.flushPartitioned(batch.sparkSession,
+          applyEnvelope(refetched), tablePath, pks, "_cs_token",
+          targetPartitions, hardDelete)
+        ()
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window aggregate over an event stream — the
     * generic streaming-analytics surface (counts/sums per window+key).
     */

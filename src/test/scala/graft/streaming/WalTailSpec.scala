@@ -225,6 +225,55 @@ class WalTailSpec extends SparkSpecBase {
       .contains(4L))
   }
 
+  test("changestream slot twin: update-ids refetch from the LIVE " +
+      "collection per micro-batch, delete beats a buffered update, " +
+      "restart applies only the tail (r17)") {
+    val dir = Files.createTempDirectory("cstail").toString
+    val srcDir = s"$dir/cs"; val tablePath = s"$dir/table"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def ev(seq: Long, tok: String, op: String, id: Long,
+           full: String): String =
+      s"""$seq\t{"_id":{"_data":"$tok"},"operationType":"$op",""" +
+        s""""clusterTime":"2024-01-01T00:00:0${seq % 10}Z",""" +
+        s""""ns":{"db":"d","coll":"c"},"documentKey":{"_id":$id}""" +
+        (if (full.nonEmpty) s""","fullDocument":$full}""" else "}")
+    val seg1 = Seq(
+      ev(1, "8201", "insert", 1, """{"_id":1,"v":"a"}"""),
+      ev(2, "8202", "insert", 2, """{"_id":2,"v":"b"}"""),
+      ev(3, "8203", "update", 1, ""))
+    land(srcDir, "cs_0001.log", seg1)
+    // the LIVE collection at first flush: id=1 already updated to a2
+    @volatile var coll = Seq((1L, "a2"), (2L, "b"))
+    val csSchema = StructType(Seq(
+      StructField("_id", LongType), StructField("v", StringType)))
+    def drainCs(ckpt: String): Unit = {
+      val q = StreamingMerge.startChangeStreamSlot(spark, srcDir, "d",
+        "c", csSchema, () => coll.toDF("_id", "v"), tablePath, ckpt,
+        Seq("_id"), hardDelete = true, targetPartitions = 4)
+      q.awaitTermination(120000); q.stop()
+    }
+    drainCs(s"$dir/ckpt")
+    assert(spark.read.parquet(tablePath).select("_id", "v")
+      .as[(Long, String)].collect().toSeq.sorted ==
+      Seq((1L, "a2"), (2L, "b")),
+      "update id must refetch the live document")
+
+    // tail: an update to 2 then its delete (delete beats the buffered
+    // update via last-write-wins on the token), plus a fresh insert
+    land(srcDir, "cs_0002.log", Seq(
+      ev(4, "8204", "update", 2, ""),
+      ev(5, "8205", "delete", 2, ""),
+      ev(6, "8206", "insert", 3, """{"_id":3,"v":"c"}""")))
+    coll = Seq((1L, "a2"), (3L, "c")) // live view after the tail
+    drainCs(s"$dir/ckpt")
+    assert(spark.read.parquet(tablePath).select("_id", "v")
+      .as[(Long, String)].collect().toSeq.sorted ==
+      Seq((1L, "a2"), (3L, "c")),
+      "resume applies only the tail; delete wins over buffered update")
+    assert(WalTail.readFeedback(hadoopFs(srcDir),
+      WalTail.defaultSlotFile(srcDir)).contains(6L))
+  }
+
   test("readSpan learns a segment's LSN span from head/tail windows " +
       "only: small files, missing trailing newline, window widening") {
     val dir = Files.createTempDirectory("waltail-span").toString
