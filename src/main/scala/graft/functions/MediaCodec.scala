@@ -109,9 +109,13 @@ object MediaCodec {
     if (b.length < 8 || (b(0) & 0xff) != 0x89 || b(1) != 'P' ||
         b(2) != 'N' || b(3) != 'G') return None
     imageIoNoCache
+    // NonFatal, not just IOException: adversarial PNG bodies can drive
+    // ImageIO into runtime exceptions (negative array sizes, bad
+    // palette indexes) — the malformed-media contract is None/dead
+    // letter, never a task crash
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return None
     val (w, h) = (img.getWidth, img.getHeight)
     if (w <= 0 || h <= 0 || w.toLong * h > MaxUnits) return None

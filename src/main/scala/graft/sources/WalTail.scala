@@ -227,6 +227,12 @@ private[sources] class WalTailStream(options: CaseInsensitiveStringMap)
   /** `Trigger.AvailableNow` cap: segments visible at prepare time. */
   @volatile private var availableNowCap: Option[Long] = None
 
+  /** Highest feedback this stream has persisted — skips the per-poll
+    * slot-file read AND write on idle polls (a sub-second trigger
+    * would otherwise issue one GET per poll against an object store).
+    */
+  @volatile private var lastFeedback: Long = Long.MinValue
+
   private def listSegments(): Seq[(String, (Long, Long))] = {
     val f = fs
     val dir = new Path(logDir)
@@ -292,10 +298,11 @@ private[sources] class WalTailStream(options: CaseInsensitiveStringMap)
     // and never fires for the LAST batch before an AvailableNow drain
     // stops — without the poll-time advance a drained run would leave
     // the slot behind its own checkpoint. Both paths are monotonic.
-    if (from != Long.MinValue) {
+    if (from != Long.MinValue && from > lastFeedback) {
       val f = fs
       if (WalTail.readFeedback(f, slotFile).forall(_ < from))
         WalTail.writeFeedback(f, slotFile, from)
+      lastFeedback = from
     }
     val cap = limit match {
       case mf: ReadMaxFiles => mf.maxFiles()
@@ -346,9 +353,12 @@ private[sources] class WalTailStream(options: CaseInsensitiveStringMap)
     */
   override def commit(end: Offset): Unit = {
     val lsn = end.asInstanceOf[WalTailOffset].lsn
-    val f = fs
-    if (WalTail.readFeedback(f, slotFile).forall(_ < lsn))
-      WalTail.writeFeedback(f, slotFile, lsn)
+    if (lsn > lastFeedback) {
+      val f = fs
+      if (WalTail.readFeedback(f, slotFile).forall(_ < lsn))
+        WalTail.writeFeedback(f, slotFile, lsn)
+      lastFeedback = lsn
+    }
   }
 
   override def stop(): Unit = ()

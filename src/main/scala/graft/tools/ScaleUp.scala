@@ -44,10 +44,17 @@ object ScaleUp {
   /** Per-replica token salt: `w -> w~i` for every whitespace token.
     * Injective per token (and `~` never appears in the fixture's
     * vocabulary), hence injective per k-gram — see object doc.
+    * Splits on runs of whitespace and drops empty fragments: salting
+    * an empty fragment (double space, leading blank) would mint a
+    * bare `~i` token that replica 0's tokenization never had,
+    * breaking the exact intra-replica shingle-set isomorphism the
+    * mode promises (ScaleUpSpec asserts it).
     */
   private[tools] def saltTokens(text: Column, replica: Int): Column =
     array_join(
-      transform(split(text, " "), w => concat(w, lit(s"~$replica"))),
+      transform(
+        filter(split(text, "\\s+"), w => length(w) > 0),
+        w => concat(w, lit(s"~$replica"))),
       " ")
 
   def main(args: Array[String]): Unit = {

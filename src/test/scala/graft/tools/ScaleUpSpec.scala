@@ -16,6 +16,16 @@ import graft.operators.Dedup
 class ScaleUpSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("saltTokens drops empty whitespace fragments: no bare ~i " +
+      "tokens on multi-space / padded text (r17)") {
+    val out = Seq("a  b", " lead", "trail ", "a b")
+      .toDF("text")
+      .select(ScaleUp.saltTokens(col("text"), 3).as("t"))
+      .as[String].collect().toSeq
+    assert(out == Seq("a~3 b~3", "lead~3", "trail~3", "a~3 b~3"),
+      s"empty fragments must not mint bare salt tokens: $out")
+  }
+
   test("salt replicas: intra-replica jaccard pairs are replica-0's " +
       "shifted with identical J; cross-replica shingles are disjoint; " +
       "fingerprints and media payloads decorrelate (suffix mode " +
