@@ -179,6 +179,38 @@ class WalTailSpec extends SparkSpecBase {
     assert(seen.size == 20, s"expected 20 rows, saw ${seen.size}")
   }
 
+  test("wal-tail options: startLsn floors a cold start; slotFile " +
+      "relocates the feedback (r17)") {
+    val dir = Files.createTempDirectory("waltail-opt").toString
+    val srcDir = s"$dir/wal"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    land(srcDir, "wal_0001.log", Seq(iu("I", 1, 1, "a"),
+      iu("I", 2, 2, "b"), iu("I", 3, 3, "c")))
+    val slot = s"$dir/elsewhere/flush.lsn"
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Boolean]())
+    val q = spark.readStream.format("graft-wal-tail")
+      .option("path", srcDir)
+      .option("startLsn", 2).option("slotFile", slot)
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("lsn").as[Long].collect().foreach(seen.add(_)); ()
+      }
+      .start()
+    q.awaitTermination(120000); q.stop()
+    assert(seen.asScala == Set(3L),
+      s"startLsn=2 must deliver strictly above the floor, saw $seen")
+    val fs = hadoopFs(srcDir)
+    assert(WalTail.readFeedback(fs, slot).contains(3L),
+      "feedback must land at the configured slotFile")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      WalTail.defaultSlotFile(srcDir))),
+      "the default slot location must stay untouched")
+  }
+
   test("binlog slot twin: landed row events tail through the same " +
       "slot source, multi-row events merge in (file, pos, row_idx) " +
       "order, restart applies only the tail (r17)") {
