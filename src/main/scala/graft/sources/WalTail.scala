@@ -264,7 +264,21 @@ private[sources] class WalTailStream(options: CaseInsensitiveStringMap)
         }
       }
     }
-    names.flatMap(n => segSpans.get(n).map(n -> _))
+    val out = names.flatMap(n => segSpans.get(n).map(n -> _))
+    // the name-order = LSN-order contract is load-bearing: a segment
+    // misnamed BELOW the cursor would simply never be admitted (its
+    // span is behind offsets already processed) — silent row loss.
+    // Fail loudly instead.
+    out.sliding(2).foreach {
+      case Seq((na, (_, maxA)), (nb, (minB, _))) =>
+        require(minB > maxA,
+          s"wal-tail: segment name order contradicts LSN order: " +
+            s"$na spans through $maxA but later-named $nb starts at " +
+            s"$minB — segment names must sort in LSN order or rows " +
+            "behind the cursor are silently lost")
+      case _ => ()
+    }
+    out
   }
 
   override def initialOffset(): Offset = {

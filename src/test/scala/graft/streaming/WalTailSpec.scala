@@ -306,6 +306,32 @@ class WalTailSpec extends SparkSpecBase {
       WalTail.defaultSlotFile(srcDir)).contains(6L))
   }
 
+  test("a segment misnamed below the cursor fails LOUDLY instead of " +
+      "silently losing its rows (name order = LSN order contract)") {
+    val dir = Files.createTempDirectory("waltail-order").toString
+    val srcDir = s"$dir/wal"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    land(srcDir, "wal_0001.log", Seq(iu("I", 10, 1, "a")))
+    // a LATER-named segment carrying EARLIER LSNs — its span would sit
+    // behind the cursor forever and never be admitted
+    land(srcDir, "wal_0002.log", Seq(iu("I", 5, 2, "b")))
+    val q = spark.readStream.format("graft-wal-tail")
+      .option("path", srcDir).load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { q.awaitTermination(120000) }
+    q.stop()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("contradicts LSN order")),
+      s"expected the loud ordering error, got: ${msgs(e)}")
+  }
+
   test("readSpan learns a segment's LSN span from head/tail windows " +
       "only: small files, missing trailing newline, window widening") {
     val dir = Files.createTempDirectory("waltail-span").toString
