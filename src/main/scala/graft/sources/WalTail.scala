@@ -357,7 +357,9 @@ private[sources] class WalTailStream(options: CaseInsensitiveStringMap)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WalSegReaderFactory
+    new WalSegReaderFactory(new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sessionState
+        .newHadoopConf()))
 
   override def deserializeOffset(json: String): Offset =
     WalTailOffset(json.toLong)
@@ -382,16 +384,35 @@ private[sources] case class WalSegPartition(file: String, fromLsn: Long,
                                             toLsn: Long)
     extends InputPartition
 
-private[sources] class WalSegReaderFactory extends PartitionReaderFactory {
+/** Java-serializable carrier for the session's Hadoop configuration —
+  * the executors' segment reads must see the same FS settings
+  * (credentials, endpoints) the driver resolved, not a bare default
+  * `Configuration`. Self-contained via Hadoop's own Writable
+  * round-trip (the Spark-internal SerializableConfiguration is
+  * `private[spark]` at the Scala level).
+  */
+private[sources] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private[sources] class WalSegReaderFactory(
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WalSegPartition]
     new PartitionReader[InternalRow] {
-      // executors resolve the FS from the default config: segments
-      // live beside the data (local/HDFS/object store defaults)
       private val path = new Path(p.file)
-      private val in = path.getFileSystem(
-        new org.apache.hadoop.conf.Configuration()).open(path)
+      private val in = path.getFileSystem(conf.value).open(path)
       private val src = scala.io.Source.fromInputStream(in, "UTF-8")
       private val lines = src.getLines()
       private var row: InternalRow = _
