@@ -498,16 +498,26 @@ object Similarity {
     * cut per iteration by driver-collecting the k x (dim+1) longs —
     * never the corpus.
     *
+    * Seeding is FIXED-k (the [[seedCentroidsK]] rule): the k corpus
+    * rows with the smallest `hash60(id)` (ties by id asc) become the
+    * seeds, `centroid_id` = the seed row's own id. The selection plans
+    * as a distributed TakeOrderedAndProject (bounded per-partition
+    * heaps) and the driver collect is exactly min(k, corpus) rows — a
+    * bounded model artifact at ANY corpus size. (The pre-r18 spelling
+    * seeded every n-th id: the seed collect was corpus/n rows of
+    * driver memory and k GREW with the corpus — ×15.2 train cost at
+    * 30× data on the factor curve — so it was removed, not demoted.)
+    *
     * Returns `(centroid_id, n_members, cent_sum array<bigint>)` for the
     * final iteration; empty clusters drop (their seed attracted no
     * vectors under the sum-centroids of the previous round).
     */
   def kmeansTrainExact(corpus: DataFrame, idCol: String, vecCol: String,
-                       every: Int = 50, iters: Int = 2,
+                       k: Int = 16, iters: Int = 2,
                        quant: Double = 1e6): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = kmeansLoopExact(corpus, idCol, vecCol, every, iters, quant)
+    val cents = kmeansLoopExact(corpus, idCol, vecCol, k, iters, quant)
     cents.toSeq.sortBy(_._1)
       .toDF("centroid_id", "n_members", "cent_sum")
   }
@@ -518,9 +528,9 @@ object Similarity {
     * shapes stay single-purpose registry queries.
     */
   def kmeansAssignExact(corpus: DataFrame, idCol: String, vecCol: String,
-                        every: Int = 50, iters: Int = 2,
+                        k: Int = 16, iters: Int = 2,
                         quant: Double = 1e6): DataFrame = {
-    val cents = kmeansLoopExact(corpus, idCol, vecCol, every, iters, quant)
+    val cents = kmeansLoopExact(corpus, idCol, vecCol, k, iters, quant)
     assignToLiterals(quantizeLong(corpus, idCol, vecCol, quant),
       cents.map { case (cid, _, s) => (cid, s.map(_.toDouble)) })
       .select(col("__id").as(idCol), col("cluster"))
@@ -569,9 +579,9 @@ object Similarity {
     * Same zero-shuffle literal-assignment scan as training.
     */
   def kmeansDiagnostics(corpus: DataFrame, idCol: String, vecCol: String,
-                        every: Int = 50, iters: Int = 2,
+                        k: Int = 16, iters: Int = 2,
                         quant: Double = 1e6): DataFrame = {
-    val cents = kmeansLoopExact(corpus, idCol, vecCol, every, iters, quant)
+    val cents = kmeansLoopExact(corpus, idCol, vecCol, k, iters, quant)
     assignScoredToLiterals(quantizeLong(corpus, idCol, vecCol, quant),
       cents.map { case (cid, _, s) => (cid, s.map(_.toDouble)) })
       .select(col("__id").as(idCol), col("cluster"),
@@ -579,25 +589,30 @@ object Similarity {
   }
 
   private def kmeansLoopExact(corpus: DataFrame, idCol: String,
-                              vecCol: String, every: Int, iters: Int,
+                              vecCol: String, k: Int, iters: Int,
                               quant: Double)
       : Seq[(Long, Long, Array[Long])] = {
-    require(every > 0 && iters >= 1, "every and iters must be positive")
+    require(k > 0 && iters >= 1, "k and iters must be positive")
     val q = quantizeLong(corpus, idCol, vecCol, quant)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seeds: every n-th id, centroid = that single member's vector
+    // seeds: the k smallest-stable-hash rows (ties by id asc), cid =
+    // the seed row's own id — the seedCentroidsK rule. orderBy+limit
+    // plans as TakeOrderedAndProject (bounded per-partition heaps,
+    // never a global sort) and the collect is min(k, corpus) rows —
+    // bounded driver memory regardless of corpus size or id layout.
     var cents: Seq[(Long, Long, Array[Long])] = q
-      .filter(col("__id") % every === 0)
-      .select((col("__id") / every).cast("long").as("cid"), col("__qv"))
+      .select(graft.functions.StableHash.hash60(col("__id").cast("string"))
+          .as("__h"),
+        col("__id").as("cid"), col("__qv"))
+      .orderBy(col("__h").asc, col("cid").asc)
+      .limit(k)
+      .drop("__h")
       .collect()
       .map(r => (r.getLong(0), 1L, r.getSeq[Long](1).toArray))
       .toSeq
-    // an empty seed set (sparse/offset/negative id space, or an empty
-    // corpus) would silently build an unresolvable zero-literal
+    // an empty corpus would silently build an unresolvable zero-literal
     // assignment downstream — fail loudly instead
-    require(cents.nonEmpty,
-      s"kmeans seeding found no ids divisible by 'every'=$every; " +
-        "use ids that cover multiples of 'every', or lower it")
+    require(cents.nonEmpty, "kmeans seeding over an empty corpus")
     (1 to iters).foreach { _ =>
       val assigned = assignToLiterals(q,
         cents.map { case (cid, _, s) => (cid, s.map(_.toDouble)) })

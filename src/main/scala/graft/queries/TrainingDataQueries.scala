@@ -2003,9 +2003,10 @@ object TrainingDataQueries {
        |SELECT query_id, rank, neighbor_id FROM r
        |WHERE rank <= $AnnK""".stripMargin
 
-  // exact k-means: seed every n-th vector, 2 Lloyd iterations, 1e6
-  // component quantization (Similarity.kmeansTrainExact defaults)
-  private val KmEvery = 50
+  // exact k-means: FIXED-k hash-rank seeding (the k smallest
+  // hash60(vec_id) rows, ties by id — bounded at any corpus size),
+  // 2 Lloyd iterations, 1e6 component quantization
+  private val KmK = 10
   private val KmIters = 2
   // outlier flag: winning cosine below this fixed-point bound (1e9
   // scale) means the vector sits far from every trained centroid
@@ -2044,9 +2045,12 @@ object TrainingDataQueries {
        |    list_transform(v, x -> CAST(CAST(floor(x * 1000000.0 + 0.5)
        |      AS BIGINT) AS DOUBLE)) AS qd
        |  FROM raw),
-       |c0 AS (SELECT CAST(vec_id // $KmEvery AS BIGINT) AS cid,
+       |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid,
        |    list_transform(qv, x -> CAST(x AS DOUBLE)) AS cv
-       |  FROM q WHERE vec_id % $KmEvery = 0),
+       |  FROM (SELECT vec_id, qv, row_number() OVER (ORDER BY
+       |      ${graft.functions.StableHash.hash60Sql(
+             "CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+       |    FROM q) WHERE rn <= $KmK),
        |$rounds""".stripMargin
   }
 
@@ -2687,7 +2691,7 @@ object TrainingDataQueries {
     // compare is defined over scalar cells)
     "kmeans_train" -> QueryDef(
       (s, d) => Similarity.kmeansTrainExact(table(s, d, "embeddings"),
-        "vec_id", "embedding", KmEvery, KmIters)
+        "vec_id", "embedding", KmK, KmIters)
         .select(col("centroid_id"), col("n_members"),
           aggregate(col("cent_sum"), lit(0L), (a, x) => a + x).as("sum_c"),
           array_min(col("cent_sum")).as("min_c"),
@@ -2696,7 +2700,7 @@ object TrainingDataQueries {
 
     "kmeans_assign" -> QueryDef(
       (s, d) => Similarity.kmeansAssignExact(table(s, d, "embeddings"),
-        "vec_id", "embedding", KmEvery, KmIters),
+        "vec_id", "embedding", KmK, KmIters),
       Some(kmeansAssignSql)),
 
     // per-cluster cohesion report: exact integer rollups of the
@@ -2704,7 +2708,7 @@ object TrainingDataQueries {
     // which cluster is mush" acceptance metric
     "kmeans_cohesion" -> QueryDef(
       (s, d) => Similarity.kmeansDiagnostics(table(s, d, "embeddings"),
-          "vec_id", "embedding", KmEvery, KmIters)
+          "vec_id", "embedding", KmK, KmIters)
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"), sum(col("sim_q")).as("sum_sim_q"),
           min(col("sim_q")).as("min_sim_q")),
@@ -2714,7 +2718,7 @@ object TrainingDataQueries {
     // screen to run before SemDeDup / IVF trust the geometry
     "embedding_outliers" -> QueryDef(
       (s, d) => Similarity.kmeansDiagnostics(table(s, d, "embeddings"),
-          "vec_id", "embedding", KmEvery, KmIters)
+          "vec_id", "embedding", KmK, KmIters)
         .filter(col("sim_q") < OutlierSimQ),
       Some(embOutliersSql)),
 
@@ -3289,7 +3293,7 @@ object TrainingDataQueries {
       (s, d) => {
         val emb = table(s, d, "embeddings")
         val cents = Similarity.kmeansTrainExact(emb, "vec_id", "embedding",
-            KmEvery, KmIters)
+            KmK, KmIters)
           .select(col("centroid_id"),
             transform(col("cent_sum"), x => x.cast("double").cast("float"))
               .as("embedding"))
@@ -5018,7 +5022,7 @@ object TrainingDataQueries {
         val emb = table(s, d, "embeddings")
         val docs = table(s, d, "documents")
         val diag = Similarity.kmeansDiagnostics(emb, "vec_id",
-          "embedding", KmEvery, KmIters)
+          "embedding", KmK, KmIters)
         val clustered = docs.join(
             diag.select(col("vec_id").as("doc_id"), col("cluster"),
               col("sim_q")), "doc_id")

@@ -5,19 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Dev-only scale stress for Similarity.kmeansTrainExact: N synthetic
   * 64-dim vectors (deterministic hash-noise around `nBlobs` planted
-  * directions), k = N/every centroids, 2 Lloyd rounds + the full
-  * assignment pass. Checks the cost model the operator claims: per-round
-  * shuffle volume is tasks x k x dim partial sums (independent of N), the
-  * assignment is a zero-exchange scan, and wall time scales with the
-  * scan, not with k x corpus joins.
+  * directions), k fixed-hash-seeded centroids, 2 Lloyd rounds + the
+  * full assignment pass. Checks the cost model the operator claims:
+  * the seed collect is exactly k rows, per-round shuffle volume is
+  * tasks x k x dim partial sums (independent of N), the assignment is
+  * a zero-exchange scan, and wall time scales with the scan, not with
+  * k x corpus joins.
   *
-  * Usage: runMain graft.tools.StressKmeans [nVectors] [every]
-  * (defaults 2,000,000 and 10,000 -> k=200).
+  * Usage: runMain graft.tools.StressKmeans [nVectors] [k]
+  * (defaults 2,000,000 and 200).
   */
 object StressKmeans {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 2000000L
-    val every = if (args.length > 1) args(1).toInt else 10000
+    val k = if (args.length > 1) args(1).toInt else 200
     val dim = 64
     val nBlobs = 32
     val spark = SparkSession.builder()
@@ -49,12 +50,12 @@ object StressKmeans {
 
     val (cents, tTrain) = timed {
       graft.operators.Similarity.kmeansTrainExact(
-        corpus, "vec_id", "embedding", every, iters = 2).collect()
+        corpus, "vec_id", "embedding", k, iters = 2).collect()
     }
     val members = cents.map(_.getLong(1)).sum
     val (nAssigned, tAssign) = timed {
       graft.operators.Similarity.kmeansAssignExact(
-        corpus, "vec_id", "embedding", every, iters = 2).count()
+        corpus, "vec_id", "embedding", k, iters = 2).count()
     }
     // kmeansAssignExact re-runs the 2 training rounds before its final
     // scan (the registry-query shape), so the assignment pass alone is
