@@ -96,8 +96,14 @@ object MediaCodec {
     * no codec jar). PNG is LOSSLESS, so unlike JPEG the decoded pixel
     * values are exact and platform-independent: the same determinism
     * contract as the byte-arithmetic formats, just with the JDK doing
-    * the inflate. Per-pixel value is the channel sum `r+g+b` from the
-    * default-sRGB ARGB view — for gray PNGs that is `3*v`, a positive
+    * the inflate. The contract is kept per image type, never assumed:
+    * every GRAY image (any depth, +/- alpha) reads raw raster samples
+    * (16-bit downscales by fixed integer rounding); sRGB-typed color
+    * (truecolor, palette) reads the ARGB view as the channel sum
+    * `r+g+b`, which involves no color conversion; anything that WOULD
+    * need a CMM color conversion (ICC-profiled / non-sRGB spaces,
+    * whose rounding is JDK-version dependent) returns None instead of
+    * a near-miss decode. For 8-bit gray the value is `3*v`, a positive
     * scaling of the PGM convention, which the cross-multiplied aHash
     * comparison is invariant to (a gray PNG and a PGM of the same
     * pixels phash identically — asserted in MediaCodecSpec). The alpha
@@ -121,28 +127,35 @@ object MediaCodec {
     if (w <= 0 || h <= 0 || w.toLong * h > MaxUnits) return None
     val out = new Array[Long](w * h)
     val cm = img.getColorModel
-    val gray8 = cm.getColorSpace.getType ==
-      java.awt.color.ColorSpace.TYPE_GRAY && !cm.hasAlpha &&
-      cm.getComponentSize(0) <= 8
-    if (gray8) {
-      // grayscale reads the RAW raster sample: getRGB would push the
-      // value through the JDK's linear-gray -> sRGB transform, which
-      // is monotone but NONLINEAR — a gray PNG would stop being a
-      // positive scaling of the same pixels' PGM and the aHash parity
-      // (asserted in MediaCodecSpec) would silently break. The raw
-      // sample is the PNG's stored value, exact; x3 keeps the
-      // channel-sum convention (= r+g+b of the equivalent RGB)
+    val cs = cm.getColorSpace
+    if (cs.getType == java.awt.color.ColorSpace.TYPE_GRAY) {
+      // EVERY gray PNG — 1/2/4/8/16-bit, with or without alpha — reads
+      // the RAW raster sample of band 0: getRGB would push the value
+      // through the JDK's ICC gray -> sRGB color conversion, which is
+      // CMM/JDK-version dependent — exactly the implementation-defined
+      // decode this path exists to avoid (and for 8-bit it is also
+      // monotone-but-NONLINEAR, breaking the PGM aHash parity asserted
+      // in MediaCodecSpec). The raw sample is the PNG's stored value,
+      // exact. 16-bit samples downscale by the PNG-standard integer
+      // rounding (v*255+32767)/65535 — fixed integer arithmetic, same
+      // result on every JVM — keeping values in the 8-bit range the
+      // cross-multiplied block-mean bound is sized for; x3 keeps the
+      // channel-sum convention (= r+g+b of the equivalent RGB). Alpha
+      // (band 1 when present) is ignored: hashing composites nothing.
       val raster = img.getRaster
+      val deep = cm.getComponentSize(0) > 8
       var r = 0
       while (r < h) {
         var c = 0
         while (c < w) {
-          out(r * w + c) = 3L * raster.getSample(c, r, 0)
+          val s = raster.getSample(c, r, 0)
+          out(r * w + c) =
+            if (deep) 3L * ((s * 255L + 32767L) / 65535L) else 3L * s
           c += 1
         }
         r += 1
       }
-    } else {
+    } else if (cs.isCS_sRGB) {
       // one bulk ARGB fetch per row: sRGB-typed images (truecolor and
       // palette PNGs) repack without color conversion; alpha is
       // ignored (hashing composites nothing)
@@ -159,6 +172,12 @@ object MediaCodec {
         }
         r += 1
       }
+    } else {
+      // ICC-profiled / non-sRGB color images would require a CMM color
+      // conversion whose rounding is JDK-version dependent — the
+      // replayability contract routes them to the dead letter (None),
+      // never to a "close enough" decode
+      return None
     }
     Some(Decoded("png", w, h, 3, 0, out))
   }

@@ -70,30 +70,36 @@ object Q {
     if (under) broadcast(df) else df
   }
 
-  // table sizes are memoized per (dir, table, dir mtime): repeated
-  // plan builds (bench iterations, multi-join queries) pay one cheap
-  // getFileStatus each instead of re-walking the directory — on an
-  // object store getContentSummary is a LIST call, the stat is not.
-  // Keying on the mtime keeps "the bound is MEASURED" true for the
-  // whole process lifetime, not just the first plan build: a table
-  // regenerated or grown at the same path in-process (a long-lived
-  // session spanning an ingest, or a maintainer publishing into the
-  // dir) bumps the mtime and re-measures, so a stale under-cap verdict
-  // cannot keep forcing a broadcast on a side that no longer fits. A
-  // missing table is re-checked on every call (never hints, and never
-  // pins MaxValue against the path later appearing).
-  private val sizeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Long),
-      java.lang.Long]()
-  private def tableBytes(spark: SparkSession, sfDir: String,
+  // table sizes are memoized per (dir, table) with the observed mtime
+  // IN THE VALUE: repeated plan builds (bench iterations, multi-join
+  // queries) pay one cheap getFileStatus each instead of re-walking
+  // the directory — on an object store getContentSummary is a LIST
+  // call, the stat is not. Comparing the stat's mtime against the
+  // cached one keeps "the bound is MEASURED" true for the whole
+  // process lifetime: a table regenerated or grown at the same path
+  // in-process (a long-lived session spanning an ingest, or a
+  // maintainer publishing into the dir) bumps the mtime and the entry
+  // is REPLACED — one entry per (dir, table) forever, no growth under
+  // any regeneration rate (the pre-r18 mtime-in-key map leaked one
+  // entry per regen). A missing table is re-checked on every call
+  // (never hints, and never pins MaxValue against the path later
+  // appearing); a table deleted BETWEEN the exists() and the stat
+  // (TOCTOU) degrades to MaxValue — "don't hint" — instead of
+  // throwing mid-plan-build.
+  private[graft] val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (Long, Long)]()
+  private[graft] def tableBytes(spark: SparkSession, sfDir: String,
                          t: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Long.MaxValue
-    else {
+    try {
       val mtime = fs.getFileStatus(p).getModificationTime
-      sizeCache.computeIfAbsent((sfDir, t, mtime),
-        _ => fs.getContentSummary(p).getLength)
+      sizeCache.compute((sfDir, t), (_, prev) =>
+        if (prev != null && prev._1 == mtime) prev
+        else (mtime, fs.getContentSummary(p).getLength))._2
+    } catch {
+      case _: java.io.FileNotFoundException => Long.MaxValue
     }
   }
 

@@ -26,8 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    half-open LSN interval `(start, end]`, exactly the slot's
   *    `start_lsn`-exclusive delivery; re-planning the same interval
   *    yields the same rows (segments are immutable once visible).
-  *  - **`commit(end)` is `send_feedback`**
-  *    (logical_replication.py:436-455): the confirmed-flush LSN is
+  *  - **`commit(end)` is `send_feedback`** (the `cur.send_feedback`
+  *    calls in `sync_tables`, logical_replication.py:674,715): the
+  *    confirmed-flush LSN is
   *    persisted atomically to the slot file, so the log's owner may
   *    discard segments entirely below it — and a consumer restarted
   *    WITHOUT its Spark checkpoint still resumes from the slot file,
@@ -67,23 +68,39 @@ object WalTail {
   def defaultSlotFile(logDir: String): String =
     s"$logDir/_slot/confirmed_flush_lsn"
 
-  /** The persisted confirmed-flush LSN, if the slot file exists. */
+  /** The persisted confirmed-flush LSN. Prefers the slot file; when it
+    * is MISSING, falls back to the staged `.tmp` — [[writeFeedback]]'s
+    * delete-then-rename has a crash window where only the fully-written
+    * tmp exists (the tmp is closed before the old file is deleted, so
+    * in that state it always holds the complete new LSN). Without the
+    * fallback a checkpoint-free restart in that window would silently
+    * resume from `startLsn` and replay every retained segment.
+    */
   def readFeedback(fs: FileSystem, slotFile: String): Option[Long] = {
     val p = new Path(slotFile)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
+    def readLsn(path: Path): Option[Long] = {
+      val in = fs.open(path)
       try {
         val s = scala.io.Source.fromInputStream(in, "UTF-8")
           .mkString.trim
         if (s.isEmpty) None else Some(s.toLong)
       } finally in.close()
     }
+    if (fs.exists(p)) readLsn(p)
+    else {
+      val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+      if (fs.exists(tmp)) readLsn(tmp) else None
+    }
   }
 
-  /** Atomically persist the confirmed-flush LSN (stage + rename — a
-    * crash mid-write leaves the previous feedback intact, never a
-    * torn file).
+  /** Persist the confirmed-flush LSN via stage + rename. A crash
+    * mid-STAGE leaves the previous feedback intact (the tmp is written
+    * and closed before the old file is touched); a crash between the
+    * delete and the rename leaves only the tmp, which
+    * [[readFeedback]]'s fallback recovers — never a torn or silently
+    * regressed LSN. (Hadoop's `rename` does not overwrite on every
+    * filesystem, hence delete-then-rename rather than a plain
+    * overwrite-rename.)
     */
   def writeFeedback(fs: FileSystem, slotFile: String, lsn: Long): Unit = {
     val p = new Path(slotFile)
@@ -227,13 +244,18 @@ private[sources] class WalTailStream(options: CaseInsensitiveStringMap)
   /** `Trigger.AvailableNow` cap: segments visible at prepare time. */
   @volatile private var availableNowCap: Option[Long] = None
 
+  /** Test hook: adjacency checks performed so far — the O(new)-per-poll
+    * contract is asserted on this counter, not inferred from timing.
+    */
+  private[sources] var orderChecks: Long = 0L
+
   /** Highest feedback this stream has persisted — skips the per-poll
     * slot-file read AND write on idle polls (a sub-second trigger
     * would otherwise issue one GET per poll against an object store).
     */
   @volatile private var lastFeedback: Long = Long.MinValue
 
-  private def listSegments(): Seq[(String, (Long, Long))] = {
+  private[sources] def listSegments(): Seq[(String, (Long, Long))] = {
     val f = fs
     val dir = new Path(logDir)
     if (!f.exists(dir)) return Seq.empty
@@ -247,6 +269,7 @@ private[sources] class WalTailStream(options: CaseInsensitiveStringMap)
     // log's RETAINED size in a long-lived stream over a rotating log
     val nameSet = names.toSet
     segSpans.filterInPlace((n, _) => nameSet(n))
+    val newNames = scala.collection.mutable.ArrayBuffer.empty[String]
     names.foreach { n =>
       if (!segSpans.contains(n)) {
         val p = new Path(dir, n)
@@ -257,6 +280,7 @@ private[sources] class WalTailStream(options: CaseInsensitiveStringMap)
               s"wal-tail: segment $n is not LSN-ascending " +
                 s"(first=$first last=$last)")
             segSpans(n) = (first, last)
+            newNames += n
           }
           // empty segments stay uncached: a stage-and-rename writer
           // never publishes one, and skipping keeps a zero-byte file
@@ -264,19 +288,36 @@ private[sources] class WalTailStream(options: CaseInsensitiveStringMap)
         }
       }
     }
-    val out = names.flatMap(n => segSpans.get(n).map(n -> _))
+    val out = names.flatMap(n => segSpans.get(n).map(n -> _)).toIndexedSeq
     // the name-order = LSN-order contract is load-bearing: a segment
     // misnamed BELOW the cursor would simply never be admitted (its
     // span is behind offsets already processed) — silent row loss.
-    // Fail loudly instead.
-    out.sliding(2).foreach {
-      case Seq((na, (_, maxA)), (nb, (minB, _))) =>
+    // Fail loudly instead. Validation is INCREMENTAL: segments are
+    // immutable once visible, so an adjacency checked once holds
+    // forever, and front-discards only merge already-transitively-
+    // ordered pairs — each poll checks only the adjacencies touching a
+    // segment first seen THIS poll (covers appends AND a misnamed
+    // segment landing mid-chain), O(new) per poll instead of
+    // O(retained) on a 100k-segment log under sub-second triggers.
+    if (newNames.nonEmpty) {
+      val idx = out.iterator.map(_._1).zipWithIndex.toMap
+      def checkPair(a: (String, (Long, Long)),
+                    b: (String, (Long, Long))): Unit = {
+        orderChecks += 1
+        val (na, (_, maxA)) = a
+        val (nb, (minB, _)) = b
         require(minB > maxA,
           s"wal-tail: segment name order contradicts LSN order: " +
             s"$na spans through $maxA but later-named $nb starts at " +
             s"$minB — segment names must sort in LSN order or rows " +
             "behind the cursor are silently lost")
-      case _ => ()
+      }
+      newNames.foreach { n =>
+        idx.get(n).foreach { i =>
+          if (i > 0) checkPair(out(i - 1), out(i))
+          if (i < out.size - 1) checkPair(out(i), out(i + 1))
+        }
+      }
     }
     out
   }
@@ -307,7 +348,8 @@ private[sources] class WalTailStream(options: CaseInsensitiveStringMap)
     // COMPLETED micro-batch (Spark only hands it here after that
     // batch's commit-log entry is durable), so the slot may
     // acknowledge it — the reference's consume loop sends feedback on
-    // poll the same way (logical_replication.py:629-645). commit()
+    // its poll-interval tick the same way (the second `send_feedback`
+    // in `sync_tables`, logical_replication.py:699-717). commit()
     // below stays as the batch-completion hook, but it lags one batch
     // and never fires for the LAST batch before an AvailableNow drain
     // stops — without the poll-time advance a drained run would leave

@@ -120,7 +120,8 @@ object StreamingMerge {
   /** [[startWal2Json]] served from the SLOT source instead of the file
     * source: [[graft.sources.WalTailProvider]] tracks LSN offsets,
     * persists the confirmed-flush LSN on every commit (the
-    * `send_feedback` analogue, logical_replication.py:436-455), and a
+    * `send_feedback` analogue — `cur.send_feedback` in `sync_tables`,
+    * logical_replication.py:674,715), and a
     * restart without its Spark checkpoint resumes from the slot file —
     * the reference's `confirmed_flush_lsn` restart, which the plain
     * file source cannot express (its offsets are file lists pinned to

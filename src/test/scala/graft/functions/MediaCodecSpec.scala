@@ -221,6 +221,52 @@ class MediaCodecSpec extends SparkSpecBase {
       "undecodable stays null (dead-letter), never a fake answer")
   }
 
+  test("PNG (r18): 16-bit gray and gray+alpha take the raw-raster " +
+      "path, never the CMM gray->sRGB conversion") {
+    // 16-bit gray: raw USHORT samples, downscaled by the fixed
+    // integer rule (v*255+32767)/65535. Samples v8*257 reproduce v8
+    // exactly (257*255 = 65535), so this 16-bit image must decode
+    // bit-identically to its 8-bit twin — any CMM involvement breaks
+    // the equality on some JDK
+    val v8 = Array.tabulate(8 * 8)(i => (i * 5 + 1) % 256)
+    val img16 = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (r <- 0 until 8; c <- 0 until 8)
+      img16.getRaster.setSample(c, r, 0, v8(r * 8 + c) * 257)
+    val out16 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img16, "png", out16)
+    val d16 = MediaCodec.decode(out16.toByteArray).get
+    assert(d16.values.toSeq == v8.map(_ * 3L).toSeq,
+      "16-bit gray must decode via raw raster + integer downscale")
+    assert(MediaCodec.phashBoxed(out16.toByteArray) ==
+      MediaCodec.phashBoxed(grayPng(8, 8, v8)),
+      "a 16-bit upsample of the same pixels must phash identically")
+
+    // gray+alpha: band 0 raw, alpha ignored — same values as the
+    // no-alpha twin even with a varying alpha channel
+    val imgGa = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    // build via an explicit gray+alpha raster so ImageIO writes a
+    // grayscale-with-alpha PNG, not RGBA
+    val gaCs = java.awt.color.ColorSpace.getInstance(
+      java.awt.color.ColorSpace.CS_GRAY)
+    val gaCm = new java.awt.image.ComponentColorModel(gaCs, true, false,
+      java.awt.Transparency.TRANSLUCENT,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val gaRaster = gaCm.createCompatibleWritableRaster(8, 8)
+    for (r <- 0 until 8; c <- 0 until 8) {
+      gaRaster.setSample(c, r, 0, v8(r * 8 + c))     // gray
+      gaRaster.setSample(c, r, 1, (r * 8 + c) % 256) // varying alpha
+    }
+    val gaImg = new java.awt.image.BufferedImage(gaCm, gaRaster,
+      false, null)
+    val outGa = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gaImg, "png", outGa)
+    val dGa = MediaCodec.decode(outGa.toByteArray).get
+    assert(dGa.values.toSeq == v8.map(_ * 3L).toSeq,
+      "gray+alpha must decode band 0 raw; alpha is ignored")
+  }
+
   // ---- perceptual hash --------------------------------------------------
 
   test("phash2D: flat image hashes to 0, half-bright sets exactly the bright blocks") {
