@@ -427,6 +427,37 @@ object GraftFunctions {
           litInt(args(5), "k"),
           if (args.length > 6) litInt(args(6), "nprobe") else 4)
       },
+      // PQ/ADC serving from SQL (r18): the codebook is a
+      // (code_id, vec) VIEW (the training sample's hash-rank order —
+      // itself expressible in SQL via graft_stable_hash60), the
+      // encoded table holds (id, codes) at rest, and the expansion is
+      // pure lazy — the codebook folds as a broadcast one-row
+      // aggregate, LUT/ADC run as fixed-order HOFs bit-identical to
+      // the PqOps expression path. Closes the last DataFrame-only ANN
+      // surface (pqTopK / ivfTopKPq).
+      tvf("graft_pq_probe",
+        "(codebook_table, encoded_table, queries_table, id_col, " +
+          "vec_col, m, k)", 7, 7) { (spark, args) =>
+        graft.operators.Similarity.pqProbeFromTables(
+          spark.table(litString(args(0), "codebook_table")),
+          spark.table(litString(args(1), "encoded_table")),
+          spark.table(litString(args(2), "queries_table")),
+          litString(args(3), "id_col"), litString(args(4), "vec_col"),
+          litInt(args(5), "m"), litInt(args(6), "k"))
+      },
+      tvf("graft_ivfpq_probe",
+        "(assigned_codes_table, centroids_table, codebook_table, " +
+          "queries_table, id_col, vec_col, m, k[, nprobe])", 8, 9) {
+        (spark, args) =>
+        graft.operators.Similarity.ivfPqProbeFromTables(
+          spark.table(litString(args(0), "assigned_codes_table")),
+          spark.table(litString(args(1), "centroids_table")),
+          spark.table(litString(args(2), "codebook_table")),
+          spark.table(litString(args(3), "queries_table")),
+          litString(args(4), "id_col"), litString(args(5), "vec_col"),
+          litInt(args(6), "m"), litInt(args(7), "k"),
+          if (args.length > 8) litInt(args(8), "nprobe") else 4)
+      },
       // reciprocal-rank fusion of two ranked lists in the
       // (query_id, rank, neighbor_id) shape — the hybrid-serving
       // combiner; both views are panel-sized by the ranked contract

@@ -785,4 +785,121 @@ object Similarity {
           .as("sim"))
     topKRanked(scored, k)
   }
+
+  // ---- PQ serving from TABLES (the SQL-reachable spelling, r18) ---------
+
+  /** L2-normalize a float-array column in [[graft.functions.PqOps]]'s
+    * exact arithmetic: float→double widening per component, fixed-order
+    * (left-fold) sum of squares, sqrt, per-component division; a
+    * zero-norm vector passes through unscaled.
+    */
+  private def pqUnit(v: Column): Column = {
+    val d = transform(v, x => x.cast("double"))
+    val n = sqrt(aggregate(d, lit(0.0), (s, x) => s + x * x))
+    when(n === lit(0.0), d).otherwise(transform(d, x => x / n))
+  }
+
+  /** The codebook TABLE `(code_id, vecCol)` folded into ONE broadcast
+    * row: an array of unit vectors ordered by `code_id` — the bounded
+    * model artifact [[graft.functions.PqOps.PqCodebook]] carries as an
+    * expression literal, spelled as a lazy one-row aggregate instead so
+    * a SQL view can supply it with no job at plan build.
+    */
+  private def pqCbArtifact(codebook: DataFrame, vecCol: String)
+      : DataFrame =
+    broadcast(codebook
+      .select(col("code_id").cast("long").as("__code"), col(vecCol))
+      .agg(array_sort(collect_list(struct(col("__code"), col(vecCol))))
+        .as("__cbs"))
+      .select(transform(col("__cbs"), e => pqUnit(e.getField(vecCol)))
+        .as("__cb")))
+
+  /** Flattened per-query ADC LUT over the artifact column: entry
+    * `j*ksub + r` = squared L2 between the unit query's subvector j and
+    * unit codebook vector r's — subspaces j ascending (outer), codes r
+    * ascending (inner = codebook order), components t ascending inside
+    * each fold: byte-for-byte [[graft.functions.PqOps.PqCodebook.lut]].
+    */
+  private def pqLutHof(uq: Column, cb: Column, m: Int): Column = {
+    val dsub = (size(element_at(cb, 1)) / lit(m)).cast("int")
+    flatten(transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(cb, c =>
+        aggregate(sequence(j * dsub + 1, (j + 1) * dsub), lit(0.0),
+          (s, t) => {
+            val diff = element_at(uq, t) - element_at(c, t)
+            s + diff * diff
+          }))))
+  }
+
+  /** ADC score: Σ_j lut(j·ksub + codes(j)), j ascending —
+    * [[graft.functions.PqOps.PqCodebook.adc]] as a fold.
+    */
+  private def pqAdcHof(lutC: Column, ksub: Column, codes: Column,
+                       m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (s, j) =>
+      s + element_at(lutC, j * ksub + element_at(codes, j + 1) + 1))
+
+  /** [[pqTopK]] served entirely from TABLES — the `graft_pq_probe` TVF
+    * body. `codebook` is a `(code_id, vecCol)` view (code_id = the
+    * training sample's 0-based hash-rank order, the exact
+    * [[pqTrainSampled]] rule — expressible in plain SQL); `encoded` is
+    * a `(idCol, codes)` view ([[pqEncode]] output at rest). The LUT and
+    * ADC run as fixed-order higher-order functions reproducing
+    * [[graft.functions.PqOps]]'s IEEE double arithmetic bit-for-bit
+    * (same widenings, same left-fold orders, no fused multiply-add in
+    * either spelling), so the ranking hash-matches the expression path
+    * and the DuckDB oracle. PURE LAZY plan: the codebook folds as a
+    * broadcast one-row aggregate — no train, no collect, no persist at
+    * plan build (the TVF zero-jobs contract). Scale shape unchanged
+    * from [[pqTopK]]: LUT once per broadcast query row, O(m) lookups
+    * per candidate, the corpus streams through unshuffled.
+    */
+  def pqProbeFromTables(codebook: DataFrame, encoded: DataFrame,
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        m: Int, k: Int): DataFrame = {
+    require(m > 0 && k > 0, "m and k must be positive")
+    val qPanel = broadcast(queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), pqUnit(col(vecCol)).as("__uq"))
+      .crossJoin(pqCbArtifact(codebook, vecCol))
+      .select(col("query_id"),
+        pqLutHof(col("__uq"), col("__cb"), m).as("__lut"),
+        size(col("__cb")).as("__ksub")))
+    val scored = qPanel.join(
+        encoded.select(col(idCol).as("neighbor_id"), col("codes")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-pqAdcHof(col("__lut"), col("__ksub"), col("codes"), m))
+          .as("sim"))
+    topKRanked(scored, k)
+  }
+
+  /** [[ivfTopKPq]] served entirely from TABLES — the `graft_ivfpq_probe`
+    * TVF body: partition pruning from the centroids view picks the
+    * `nprobe` candidate clusters per query, the codebook view supplies
+    * the ADC arithmetic, and only probed clusters' members are scored —
+    * the probed scan reads `(id, cluster, codes)`, never float vectors.
+    * Same exactness and zero-jobs contract as [[pqProbeFromTables]].
+    */
+  def ivfPqProbeFromTables(assignedCodes: DataFrame, centroids: DataFrame,
+                           codebook: DataFrame, queries: DataFrame,
+                           idCol: String, vecCol: String,
+                           m: Int, k: Int, nprobe: Int): DataFrame = {
+    require(m > 0 && k > 0 && nprobe > 0,
+      "m, k and nprobe must be positive")
+    val qc = broadcast(
+      ivfProbe(queries.filter(col(vecCol).isNotNull), centroids,
+          idCol, vecCol, nprobe)
+        .crossJoin(pqCbArtifact(codebook, vecCol))
+        .select(col("query_id"), col("cluster"),
+          pqLutHof(pqUnit(col("q_vec")), col("__cb"), m).as("__lut"),
+          size(col("__cb")).as("__ksub")))
+    val scored = assignedCodes
+      .select(col(idCol), col("cluster"), col("codes"))
+      .join(qc, Seq("cluster"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        (-pqAdcHof(col("__lut"), col("__ksub"), col("codes"), m))
+          .as("sim"))
+    topKRanked(scored, k)
+  }
 }

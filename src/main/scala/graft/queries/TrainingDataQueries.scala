@@ -1315,6 +1315,46 @@ object TrainingDataQueries {
        |SELECT query_id, rank, neighbor_id FROM pqr
        |WHERE rank <= $AnnK""".stripMargin
 
+  /** IVF+PQ composed oracle (r18): fixed-k hash-rank centroids prune to
+    * 4 probed clusters per query (the `ivfFixedSql` shape, RAW-vector
+    * cosine), then ADC over [[pqCtes]]'s codes/LUT ranks only the probed
+    * members — replays [[Similarity.ivfTopKPq]] end to end.
+    */
+  private lazy val ivfPqSql = {
+    val h = StableHash.hash60Sql("vec_id::VARCHAR")
+    s"""WITH $pqCtes,
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
+       |  FROM e ORDER BY $h, centroid_id LIMIT $IvfFixedK),
+       |iasg AS (SELECT vec_id, cluster FROM (
+       |  SELECT e.vec_id, c.centroid_id AS cluster, row_number() OVER (
+       |      PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(e.v, c.cv) / (sqrt(list_dot_product(e.v, e.v))
+       |        * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |      c.centroid_id) AS rn
+       |  FROM e, cent c) WHERE rn = 1),
+       |iprobe AS (SELECT query_id, cluster FROM (
+       |  SELECT q.vec_id AS query_id, c.centroid_id AS cluster,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_dot_product(q.v, c.cv) / (sqrt(list_dot_product(q.v, q.v))
+       |        * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |      c.centroid_id) AS rn
+       |  FROM e q, cent c WHERE q.vec_id < $AnnNumQueries) WHERE rn <= 4),
+       |iscored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_sum(list_transform(range(0, $PqM), j ->
+       |      l.lut[CAST(j*$PqKsub AS INT)
+       |            + c.codes[CAST(j AS INT) + 1] + 1])) AS dist
+       |  FROM iprobe p JOIN iasg a USING (cluster)
+       |  JOIN pcodes c ON c.vec_id = a.vec_id
+       |  JOIN plut l ON l.query_id = p.query_id
+       |  WHERE p.query_id <> a.vec_id),
+       |ir AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rank
+       |  FROM iscored)
+       |SELECT query_id, rank, neighbor_id FROM ir
+       |WHERE rank <= $AnnK""".stripMargin
+  }
+
   /** Recall@k of the PQ path vs the exact baseline, both replayed. */
   private val pqRecallSql =
     s"""WITH $annTopkCtes,
@@ -3131,6 +3171,78 @@ object TrainingDataQueries {
                  |  'vec_id', 'embedding', $AnnK, 4)""".stripMargin)
       },
       Some(ivfSql)),
+
+    // PQ/ADC serving from SQL (r18): codebook + codes views = the
+    // published PQ index. The TVF's HOF arithmetic must hash-match
+    // ann_pq_topk's expression path, so both share pqSql's full-chain
+    // oracle (codebook choice included)
+    "sql_pq_probe_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = table(s, d, "embeddings")
+        val cb = Similarity.pqTrainSampled(emb, "vec_id", "embedding",
+          PqM, PqKsub)
+        Similarity.pqEncode(emb, cb, "vec_id", "embedding")
+          .createOrReplaceTempView("graft_tvf_pq_codes")
+        // the codebook VIEW: the training sample's hash-rank order as
+        // code_id — pqTrainSampled's selection rule, spelled lazily
+        graft.operators.BoundedRank.packedIndex(
+          emb.filter(col("embedding").isNotNull)
+            .select(StableHash.hash60(col("vec_id").cast("string"))
+                .as("__h"),
+              col("vec_id").as("__id"), col("embedding"))
+            .orderBy(col("__h").asc, col("__id").asc)
+            .limit(PqKsub),
+          Seq(col("__h"), col("__id")),
+          Seq("embedding" -> col("embedding")), "code_id")
+          .createOrReplaceTempView("graft_tvf_pq_cb")
+        emb.filter(col("vec_id") < AnnNumQueries)
+          .createOrReplaceTempView("graft_tvf_pq_queries")
+        s.sql(s"""SELECT query_id, rank, neighbor_id
+                 |FROM graft_pq_probe('graft_tvf_pq_cb',
+                 |  'graft_tvf_pq_codes', 'graft_tvf_pq_queries',
+                 |  'vec_id', 'embedding', $PqM, $AnnK)""".stripMargin)
+      },
+      Some(pqSql)),
+
+    // IVF+PQ from SQL (r18): partition pruning AND 16x codes in one
+    // served chain — also ivfTopKPq's FIRST oracle row (the DataFrame
+    // path was spec-only through r17)
+    "sql_ivfpq_probe_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = table(s, d, "embeddings")
+        val cb = Similarity.pqTrainSampled(emb, "vec_id", "embedding",
+          PqM, PqKsub)
+        val cents = Similarity.seedCentroidsK(emb, "vec_id", "embedding",
+          IvfFixedK)
+        // codes computed ON the assigned frame: the probed scan reads
+        // (id, cluster, codes), never float vectors
+        Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+          .select(col("vec_id"), col("cluster"),
+            graft.functions.PqOps.encode(col("embedding"), cb)
+              .as("codes"))
+          .createOrReplaceTempView("graft_tvf_ivfpq_asg")
+        cents.createOrReplaceTempView("graft_tvf_ivfpq_cent")
+        graft.operators.BoundedRank.packedIndex(
+          emb.filter(col("embedding").isNotNull)
+            .select(StableHash.hash60(col("vec_id").cast("string"))
+                .as("__h"),
+              col("vec_id").as("__id"), col("embedding"))
+            .orderBy(col("__h").asc, col("__id").asc)
+            .limit(PqKsub),
+          Seq(col("__h"), col("__id")),
+          Seq("embedding" -> col("embedding")), "code_id")
+          .createOrReplaceTempView("graft_tvf_ivfpq_cb")
+        emb.filter(col("vec_id") < AnnNumQueries)
+          .createOrReplaceTempView("graft_tvf_ivfpq_queries")
+        s.sql(s"""SELECT query_id, rank, neighbor_id
+                 |FROM graft_ivfpq_probe('graft_tvf_ivfpq_asg',
+                 |  'graft_tvf_ivfpq_cent', 'graft_tvf_ivfpq_cb',
+                 |  'graft_tvf_ivfpq_queries', 'vec_id', 'embedding',
+                 |  $PqM, $AnnK, 4)""".stripMargin)
+      },
+      Some(ivfPqSql)),
 
     "sql_hybrid_rrf_tvf" -> QueryDef(
       (s, d) => {

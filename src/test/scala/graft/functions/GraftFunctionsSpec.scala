@@ -565,6 +565,101 @@ class GraftFunctionsSpec extends SparkSpecBase {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("graft_pq_probe / graft_ivfpq_probe equal their DataFrame twins " +
+      "bit-for-bit, and EXPLAIN launches zero Spark jobs (r18)") {
+    import graft.operators.Similarity
+    GraftFunctions.register(spark)
+    val vecs = (1L to 40L).map(i =>
+        (i, Seq((i % 7).toFloat + 0.1f, 1f, (i % 3).toFloat - 0.5f,
+          (i % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val m = 2
+    val ksub = 6
+    val cb = Similarity.pqTrainSampled(vecs, "vec_id", "embedding",
+      m, ksub)
+    val encoded = Similarity.pqEncode(vecs, cb, "vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") <= 3L)
+    // the codebook VIEW: hash-rank order as code_id (the
+    // pqTrainSampled selection rule, spelled lazily)
+    val cbView = graft.operators.BoundedRank.packedIndex(
+      vecs.filter(col("embedding").isNotNull)
+        .select(StableHash.hash60(col("vec_id").cast("string"))
+            .as("__h"),
+          col("vec_id").as("__id"), col("embedding"))
+        .orderBy(col("__h").asc, col("__id").asc)
+        .limit(ksub),
+      Seq(col("__h"), col("__id")),
+      Seq("embedding" -> col("embedding")), "code_id")
+    cbView.createOrReplaceTempView("gfs_pq_cb")
+    encoded.createOrReplaceTempView("gfs_pq_codes")
+    queries.createOrReplaceTempView("gfs_pq_q")
+
+    def rows3(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+    val pqSql = spark.sql("SELECT * FROM graft_pq_probe('gfs_pq_cb', " +
+      s"'gfs_pq_codes', 'gfs_pq_q', 'vec_id', 'embedding', $m, 4)")
+    val pqDf = Similarity.pqTopK(encoded, cb, queries, "vec_id",
+      "embedding", 4)
+    assert(rows3(pqSql).nonEmpty && rows3(pqSql) == rows3(pqDf),
+      "graft_pq_probe must equal pqTopK (HOF vs expression ADC " +
+        "bit-identical)")
+
+    val cents = Similarity.seedCentroidsK(vecs, "vec_id", "embedding", 4)
+    val assignedCodes = Similarity
+      .ivfAssign(vecs, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("cluster"),
+        graft.functions.PqOps.encode(col("embedding"), cb).as("codes"))
+    assignedCodes.createOrReplaceTempView("gfs_ivfpq_asg")
+    cents.createOrReplaceTempView("gfs_ivfpq_cent")
+    val ivfPqSqlDf = spark.sql("SELECT * FROM graft_ivfpq_probe(" +
+      "'gfs_ivfpq_asg', 'gfs_ivfpq_cent', 'gfs_pq_cb', 'gfs_pq_q', " +
+      s"'vec_id', 'embedding', $m, 4, 2)")
+    val ivfPqDf = Similarity.ivfTopKPq(assignedCodes, cents, queries,
+      cb, "vec_id", "embedding", 4, 2)
+    assert(rows3(ivfPqSqlDf).nonEmpty &&
+      rows3(ivfPqSqlDf) == rows3(ivfPqDf),
+      "graft_ivfpq_probe must equal ivfTopKPq")
+
+    // EXPLAIN of both must launch zero jobs: the codebook folds as a
+    // lazy one-row aggregate, never a collect at plan build
+    val explainJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val markerSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val grp = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (grp == "gfs-pq-marker") markerSeen.set(true)
+        else explainJobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val p1 = spark.sql("EXPLAIN FORMATTED SELECT * FROM " +
+          "graft_pq_probe('gfs_pq_cb', 'gfs_pq_codes', 'gfs_pq_q', " +
+          s"'vec_id', 'embedding', $m, 4)")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(p1.contains("Physical Plan"), p1.take(200))
+      val p2 = spark.sql("EXPLAIN FORMATTED SELECT * FROM " +
+          "graft_ivfpq_probe('gfs_ivfpq_asg', 'gfs_ivfpq_cent', " +
+          s"'gfs_pq_cb', 'gfs_pq_q', 'vec_id', 'embedding', $m, 4, 2)")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(p2.contains("Physical Plan"), p2.take(200))
+      spark.sparkContext.setJobGroup("gfs-pq-marker", "flush")
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.currentTimeMillis + 30000
+      while (!markerSeen.get && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(markerSeen.get, "marker job never reached the listener")
+      assert(explainJobs.get == 0,
+        s"EXPLAIN of the PQ probe TVFs must launch zero Spark jobs " +
+          s"(saw ${explainJobs.get})")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("GraftExtensions injects at session build time") {
     val base = spark // force shared-session init before clearing
     val expected = base.range(1)
