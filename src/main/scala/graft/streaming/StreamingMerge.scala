@@ -135,8 +135,11 @@ object StreamingMerge {
                    pks: Seq[String], hardDelete: Boolean = false,
                    trigger: Trigger = Trigger.AvailableNow(),
                    targetPartitions: Int = 64,
-                   maxFilesPerTrigger: Option[Int] = None)
+                   maxFilesPerTrigger: Option[Int] = None,
+                   flush: String = "merge",
+                   compactDeltaFraction: Double = 0.1)
       : StreamingQuery = {
+    requireFlushMode(flush)
     val reader = spark.readStream.format("graft-wal-tail")
       .option("path", logDir)
     val lines = maxFilesPerTrigger
@@ -148,12 +151,39 @@ object StreamingMerge {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        MergeSink.flushPartitioned(batch.sparkSession, batch, tablePath,
-          pks, "_sdc_lsn", targetPartitions, hardDelete)
-        ()
+        flushBatch(flush, batch, tablePath, pks, "_sdc_lsn",
+          targetPartitions, hardDelete, compactDeltaFraction)
       }
       .start()
   }
+
+  /** Per-batch flush dispatch for the slot starters: `merge` = the
+    * partitioned in-place MERGE (touched PK buckets rewritten per
+    * batch — the default, simplest-to-read layout); `delta` = the
+    * merge-on-read path (one O(batch) delta file per micro-batch,
+    * auto-compaction at `compactDeltaFraction` of base bytes) — the
+    * sub-minute-trigger spelling where any per-batch rewrite would
+    * floor throughput (StressWalTail A/B in BASELINE.md). Delta
+    * tables are read with [[graft.sink.DeltaMerge.readMerged]].
+    */
+  private def flushBatch(flush: String, batch: DataFrame,
+                         tablePath: String, pks: Seq[String],
+                         orderCol: String, targetPartitions: Int,
+                         hardDelete: Boolean,
+                         compactDeltaFraction: Double): Unit =
+    flush match {
+      case "merge" =>
+        MergeSink.flushPartitioned(batch.sparkSession, batch, tablePath,
+          pks, orderCol, targetPartitions, hardDelete)
+        ()
+      case "delta" =>
+        graft.sink.DeltaMerge.flushAuto(batch.sparkSession, batch,
+          tablePath, pks, orderCol, hardDelete, compactDeltaFraction)
+    }
+
+  private def requireFlushMode(flush: String): Unit =
+    require(flush == "merge" || flush == "delta",
+      s"unknown slot flush mode '$flush' (expected merge | delta)")
 
   /** The MySQL-side slot twin of [[startWalSlot]]: landed binlog
     * row-event segments (`<seq>\t<event json>` lines — `seq` is the
@@ -175,8 +205,11 @@ object StreamingMerge {
                       pks: Seq[String], hardDelete: Boolean = false,
                       trigger: Trigger = Trigger.AvailableNow(),
                       targetPartitions: Int = 64,
-                      maxFilesPerTrigger: Option[Int] = None)
+                      maxFilesPerTrigger: Option[Int] = None,
+                      flush: String = "merge",
+                      compactDeltaFraction: Double = 0.1)
       : StreamingQuery = {
+    requireFlushMode(flush)
     val reader = spark.readStream.format("graft-wal-tail")
       .option("path", logDir)
     val lines = maxFilesPerTrigger
@@ -189,9 +222,8 @@ object StreamingMerge {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        MergeSink.flushPartitioned(batch.sparkSession, batch, tablePath,
-          pks, "_binlog_seq", targetPartitions, hardDelete)
-        ()
+        flushBatch(flush, batch, tablePath, pks, "_binlog_seq",
+          targetPartitions, hardDelete, compactDeltaFraction)
       }
       .start()
   }
@@ -219,8 +251,11 @@ object StreamingMerge {
                             hardDelete: Boolean = false,
                             trigger: Trigger = Trigger.AvailableNow(),
                             targetPartitions: Int = 64,
-                            maxFilesPerTrigger: Option[Int] = None)
+                            maxFilesPerTrigger: Option[Int] = None,
+                            flush: String = "merge",
+                            compactDeltaFraction: Double = 0.1)
       : StreamingQuery = {
+    requireFlushMode(flush)
     val reader = spark.readStream.format("graft-wal-tail")
       .option("path", logDir)
     val lines = maxFilesPerTrigger
@@ -235,10 +270,8 @@ object StreamingMerge {
         // the flush-time refetch joins the update ids back to the
         // CURRENT collection (the ChangeStreamsSpec batch chain)
         val refetched = refetchUpdates(batch, sourceColl(), pks.head)
-        MergeSink.flushPartitioned(batch.sparkSession,
-          applyEnvelope(refetched), tablePath, pks, "_cs_token",
-          targetPartitions, hardDelete)
-        ()
+        flushBatch(flush, applyEnvelope(refetched), tablePath, pks,
+          "_cs_token", targetPartitions, hardDelete, compactDeltaFraction)
       }
       .start()
   }

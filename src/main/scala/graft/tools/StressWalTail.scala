@@ -10,11 +10,18 @@ import org.apache.spark.sql.SparkSession
   * measured counterpart of WalTailSpec's semantic soak.
   *
   * Usage: runMain graft.tools.StressWalTail [segments] [linesPerSeg]
-  *        [workDir] [maxFilesPerTrigger]
+  *        [workDir] [maxFilesPerTrigger] [flush] [keyspace]
   * Defaults: 50 segments x 20k lines = 1M change events (~180 MB of
   * wal2json text), drained in one AvailableNow run, admission-capped
   * at 8 segments/micro-batch so the loop exercises multi-batch
-  * commit/feedback, not one giant batch.
+  * commit/feedback, not one giant batch. `flush` is merge (default,
+  * per-batch partitioned rewrite) or delta (merge-on-read O(batch)
+  * appends + auto-compaction) — run both for the A/B in BASELINE.md.
+  * `keyspace` (default linesPerSeg/2) sets the id cardinality: small
+  * keyspace = update-heavy tiny table (compaction fires every batch,
+  * the delta path's worst case); large keyspace = a GROWING table
+  * where per-batch rewrite cost rises with table size and the
+  * merge-on-read advantage is the honest production story.
   */
 object StressWalTail {
 
@@ -24,6 +31,9 @@ object StressWalTail {
     val workDir = if (args.length > 2) args(2)
       else s"/tmp/graft-waltail-soak"
     val maxFiles = if (args.length > 3) args(3).toInt else 8
+    val flush = if (args.length > 4) args(4) else "merge"
+    val keyspace = if (args.length > 5) args(5).toLong
+      else (if (args.length > 1) args(1).toLong else 20000L) / 2
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -47,7 +57,7 @@ object StressWalTail {
       var i = 0
       while (i < lines) {
         val lsn = s.toLong * lines + i + 1
-        val uid = (lsn * 2654435761L) % (lines / 2)
+        val uid = (lsn * 2654435761L) % keyspace
         val line =
           if (i % 25 == 24)
             s"""$lsn\t{"action":"D","schema":"public","table":"t","identity":[{"name":"id","type":"bigint","value":$uid}]}"""
@@ -75,7 +85,7 @@ object StressWalTail {
     val q = graft.streaming.StreamingMerge.startWalSlot(spark, logDir,
       "public", "t", rowSchema, tablePath, ckpt, Seq("id"),
       hardDelete = true, targetPartitions = 32,
-      maxFilesPerTrigger = Some(maxFiles))
+      maxFilesPerTrigger = Some(maxFiles), flush = flush)
     q.awaitTermination(3600000)
     q.stop()
     val drainSec = (System.nanoTime() - t1) / 1e9
@@ -84,9 +94,13 @@ object StressWalTail {
       spark.sessionState.newHadoopConf())
     val flushed = graft.sources.WalTail.readFeedback(fs,
       graft.sources.WalTail.defaultSlotFile(logDir))
-    val rows = spark.read.parquet(tablePath).count()
+    val rows =
+      if (flush == "delta")
+        graft.sink.DeltaMerge.readMerged(spark, tablePath, Seq("id"),
+          "_sdc_lsn", hardDelete = true).count()
+      else spark.read.parquet(tablePath).count()
     println(f"[stress-waltail] drained $total lines in $drainSec%.1f s " +
-      f"= ${total / drainSec}%.0f rows/s through decode+merge " +
+      f"= ${total / drainSec}%.0f rows/s through decode+$flush " +
       f"(maxFilesPerTrigger=$maxFiles, ~${segments / maxFiles + 1} " +
       f"micro-batches)")
     println(s"[stress-waltail] confirmed_flush_lsn=$flushed " +

@@ -105,6 +105,53 @@ class WalTailSpec extends SparkSpecBase {
       .contains(9L))
   }
 
+  test("wal-tail slot with flush=delta: merge-on-read end state equals " +
+      "the batch replay, survives compaction, resumes on the tail (r18)") {
+    val dir = Files.createTempDirectory("waltail-delta").toString
+    val srcDir = s"$dir/wal"; val tablePath = s"$dir/table"
+    val ckpt = s"$dir/ckpt"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val seg1 = Seq(iu("I", 2, 1, "a"), iu("I", 3, 2, "b"))
+    val seg2 = Seq(iu("U", 5, 1, "a2"), del(6, 2))
+    land(srcDir, "wal_0001.log", seg1)
+    land(srcDir, "wal_0002.log", seg2)
+    def drainDelta(): Unit = {
+      val q = StreamingMerge.startWalSlot(spark, srcDir, "public", "t",
+        rowSchema, tablePath, ckpt, Seq("id"), hardDelete = true,
+        targetPartitions = 4, maxFilesPerTrigger = Some(1),
+        flush = "delta")
+      q.awaitTermination(120000); q.stop()
+    }
+    def deltaState(): Seq[(Long, String)] =
+      graft.sink.DeltaMerge.readMerged(spark, tablePath, Seq("id"),
+          "_sdc_lsn", hardDelete = true)
+        .select("id", "v").as[(Long, String)].collect().toSeq.sorted
+    drainDelta()
+    assert(deltaState() == batchReplay(seg1 ++ seg2))
+    assert(WalTail.readFeedback(hadoopFs(srcDir),
+      WalTail.defaultSlotFile(srcDir)).contains(6L))
+    // an explicit compaction folds deltas into the base and must not
+    // change the observable state
+    graft.sink.DeltaMerge.compact(spark, tablePath, Seq("id"),
+      "_sdc_lsn", hardDelete = true)
+    assert(deltaState() == batchReplay(seg1 ++ seg2),
+      "compaction changed the merged view")
+    // the log grows; a resumed run applies only the tail as new deltas
+    val seg3 = Seq(iu("I", 7, 3, "c"), iu("U", 8, 3, "c2"), del(9, 1))
+    land(srcDir, "wal_0003.log", seg3)
+    drainDelta()
+    assert(deltaState() == batchReplay(seg1 ++ seg2 ++ seg3))
+    assert(WalTail.readFeedback(hadoopFs(srcDir),
+      WalTail.defaultSlotFile(srcDir)).contains(9L))
+    // an unknown flush mode fails loudly at start, not mid-stream
+    val e = intercept[IllegalArgumentException] {
+      StreamingMerge.startWalSlot(spark, srcDir, "public", "t",
+        rowSchema, tablePath, s"$dir/ckpt2", Seq("id"),
+        flush = "upsert")
+    }
+    assert(e.getMessage.contains("merge | delta"))
+  }
+
   test("wal-tail slot: a restart WITHOUT its Spark checkpoint resumes " +
       "from the slot file (confirmed_flush_lsn), not from LSN zero") {
     val dir = Files.createTempDirectory("waltail-slot").toString
