@@ -128,15 +128,28 @@ object Multimodal {
     * dedup must be. Undecodable payloads (null hash) are excluded from
     * the pair graph (they go to dead letter, not to dedup). Same scale
     * shape: only the 8-byte fingerprint rides the band join.
+    *
+    * `bandBits` is the corpus-size knob (see
+    * [[graft.operators.Dedup.bandedHammingPairs]]): 8-bit bands give
+    * 256 buckets per band, so candidate volume grows ~n²/256 per band —
+    * measured quadratic on the factor-100 fixture (BASELINE.md r18).
+    * 16-bit bands keep pigeonhole certainty for Hamming <= 3 with 65,536
+    * buckets per band (256× fewer collisions); because a shared 16-bit
+    * band means BOTH its 8-bit halves are shared, the wide-band
+    * candidate set is an exact subset of the 8-bit one — the knob trades
+    * recall in the (bands-1, maxHamming] luck range for scale, never
+    * minting new pairs. Default 8 preserves the historical oracle rows.
     */
   def phashNearDupsDecoded(media: DataFrame, idCol: String,
-                           payloadCol: String, maxHamming: Int): DataFrame =
+                           payloadCol: String, maxHamming: Int,
+                           bandBits: Int = 8): DataFrame =
     graft.operators.Dedup.bandedHammingPairs(
       media.select(col(idCol),
           graft.functions.MediaCodec.mediaPhash(col(payloadCol))
             .as("phash"))
         .filter(col("phash").isNotNull),
-      idCol, "phash", bits = 64, maxHamming = maxHamming)
+      idCol, "phash", bits = 64, maxHamming = maxHamming,
+      bandBits = bandBits)
 
   /** Frame-sampling plumbing for video-like payloads: split a payload into
     * fixed-size "frames" (deterministic byte windows standing in for real

@@ -437,21 +437,48 @@ object TrainingDataQueries {
       |      ELSE 0 END)), 0)::BIGINT AS phash
       |  FROM tot)""".stripMargin
 
-  private val phashCandCte = {
-    val bandJoins = (0 until 8).map { b =>
+  /** Banded-candidate CTE for the phash pair oracles, parameterized by
+    * band width: one self-join per band over the shared `fp` CTE, ORed
+    * via UNION — replays [[graft.operators.Dedup.bandedHammingPairs]]'s
+    * any-shared-band semantics exactly (DuckDB `>>` on BIGINT is the
+    * same arithmetic shift Spark's `shiftright` uses; the mask makes
+    * sign-fill irrelevant, top band included).
+    */
+  private def phashCandCteOf(bandBits: Int) = {
+    val mask = (1L << bandBits) - 1
+    val bandJoins = (0 until 64 / bandBits).map { b =>
       s"""SELECT a.media_id AS id_a, a.phash AS fp_a,
          |  b.media_id AS id_b, b.phash AS fp_b
          |FROM fp a JOIN fp b
-         |  ON ((a.phash >> ${b * 8}) & 255) = ((b.phash >> ${b * 8}) & 255)
+         |  ON ((a.phash >> ${b * bandBits}) & $mask) =
+         |     ((b.phash >> ${b * bandBits}) & $mask)
          |  AND a.media_id < b.media_id""".stripMargin
     }.mkString("\nUNION\n")
     s"cand AS ($bandJoins)"
   }
 
+  private val phashCandCte = phashCandCteOf(8)
+
   private val phashPairsSql =
     s"""WITH $pgmBvCtes,
        |$phashFpCtes,
        |$phashCandCte
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(fp_a, fp_b)) <= $PhashMaxHamming""".stripMargin
+
+  /** The 16-bit-band (100 TB) configuration of the phash pair oracle:
+    * 4 bands of 65,536 buckets instead of 8 bands of 256. A shared
+    * 16-bit band implies both its 8-bit halves are shared, so this
+    * candidate set is an exact SUBSET of the 8-bit one (asserted in
+    * MultimodalSpec) — same verified-Hamming semantics, ~256× fewer
+    * bucket collisions at a given corpus size.
+    */
+  private val phashPairsScaleSql =
+    s"""WITH $pgmBvCtes,
+       |$phashFpCtes,
+       |${phashCandCteOf(16)}
        |SELECT id_a, id_b,
        |  CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
        |FROM cand
@@ -3602,6 +3629,19 @@ object TrainingDataQueries {
         mediaFixture(s, d, rgb = false),
         "media_id", "payload", maxHamming = PhashMaxHamming),
       Some(phashPairsSql)),
+
+    // the SAME operator in its corpus-scale configuration: 16-bit bands
+    // (4 × 65,536 buckets vs 8 × 256). The r18 factor-100 fixture measured
+    // the 8-bit spelling quadratic (~n²/256 candidates per band,
+    // BASELINE.md); wide bands keep pigeonhole certainty for ham <= 3 and
+    // candidate volume n²/65,536 — the production point on the documented
+    // recall/cost knob, oracle-verified like the default
+    "media_phash_pairs_scale" -> QueryDef(
+      (s, d) => Multimodal.phashNearDupsDecoded(
+        mediaFixture(s, d, rgb = false),
+        "media_id", "payload", maxHamming = PhashMaxHamming,
+        bandBits = 16),
+      Some(phashPairsScaleSql)),
 
     // image dedup end to end: phash pairs -> connected components ->
     // every media row labeled (component, canonical?) — the multimodal

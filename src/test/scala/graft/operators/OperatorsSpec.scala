@@ -1043,6 +1043,37 @@ class OperatorsSpec extends SparkSpecBase {
       s"noise payload must not pair: $pairs")
   }
 
+  test("phashNearDupsDecoded bandBits=16: exact subset of 8-bit pairs, " +
+      "ham<=3 certainty kept") {
+    // real P5 payloads so the DECODED path runs: 8x8 rasters, so each
+    // aHash block is one pixel. Pairs: (base, one-pixel tweak) per
+    // cluster -> tiny hamming; independent rasters -> noise
+    def pgm(seed: Int, tweak: Boolean): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val px = new Array[Byte](64); rnd.nextBytes(px)
+      if (tweak) px(17) = (px(17) ^ 0x7f).toByte
+      ("P5\n8 8\n255\n").getBytes("ISO-8859-1") ++ px
+    }
+    val media = (0 until 8).flatMap(s => Seq(
+        (s * 2L, pgm(s, tweak = false)), (s * 2L + 1, pgm(s, tweak = true))))
+      .toDF("media_id", "payload")
+    def pairsOf(bb: Int) = Multimodal.phashNearDupsDecoded(
+        media, "media_id", "payload", maxHamming = 12, bandBits = bb)
+      .as[(Long, Long, Int)].collect().toSet
+    val (narrow, wide) = (pairsOf(8), pairsOf(16))
+    // a shared 16-bit band means both its 8-bit halves are shared: the
+    // wide candidate set (hence verified pair set) can never mint a
+    // pair the 8-bit spelling missed
+    assert(wide.subsetOf(narrow),
+      s"wide-band pairs must be a subset: ${wide.diff(narrow)}")
+    // pigeonhole over 4 bands: every pair within hamming 3 shares some
+    // 16-bit band untouched -> certainty range survives the scale knob
+    val certain = narrow.filter(_._3 <= 3)
+    assert(certain.nonEmpty, "fixture must plant hamming<=3 pairs")
+    assert(certain.subsetOf(wide),
+      s"ham<=3 pairs lost by wide bands: ${certain.diff(wide)}")
+  }
+
   test("validateEmbeddings flags dim, NaN and zero-norm vectors") {
     val emb = Seq(
       (1L, Array(1.0f, 2.0f)),                 // valid (dim 2)
