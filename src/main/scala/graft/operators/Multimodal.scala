@@ -117,10 +117,12 @@ object Multimodal {
     * media; this one deduplicates it.
     */
   def phashNearDups(media: DataFrame, idCol: String,
-                    payloadCol: String, maxHamming: Int): DataFrame =
+                    payloadCol: String, maxHamming: Int,
+                    bandBits: Int = 8): DataFrame =
     graft.operators.Dedup.bandedHammingPairs(
       media.select(col(idCol), aHash(col(payloadCol)).as("phash")),
-      idCol, "phash", bits = 64, maxHamming = maxHamming)
+      idCol, "phash", bits = 64, maxHamming = maxHamming,
+      bandBits = bandBits)
 
   /** Perceptual near-duplicate pairs over DECODED media: the true 2-D
     * block aHash ([[graft.functions.MediaCodec.phash2D]]) instead of the

@@ -35,9 +35,10 @@ object StreamingMediaDedup {
   def phashPairs(media: DataFrame, idCol: String, payloadCol: String,
                  tsCol: String, watermark: String,
                  maxHamming: Int = 12,
-                 horizonMs: Long = 3600000L): DataFrame =
+                 horizonMs: Long = 3600000L,
+                 bandBits: Int = 8): DataFrame =
     pairsImpl(media, idCol, tsCol, watermark, maxHamming, horizonMs,
-      graft.functions.AHash64.aHash(col(payloadCol)))
+      graft.functions.AHash64.aHash(col(payloadCol)), bandBits)
 
   /** [[phashPairs]] over DECODED media — the true 2-D block aHash
     * ([[graft.operators.Multimodal.phashNearDupsDecoded]]'s
@@ -52,21 +53,34 @@ object StreamingMediaDedup {
   def phashPairsDecoded(media: DataFrame, idCol: String,
                         payloadCol: String, tsCol: String,
                         watermark: String, maxHamming: Int = 12,
-                        horizonMs: Long = 3600000L): DataFrame =
+                        horizonMs: Long = 3600000L,
+                        bandBits: Int = 8): DataFrame =
     pairsImpl(media, idCol, tsCol, watermark, maxHamming, horizonMs,
-      graft.functions.MediaCodec.mediaPhash(col(payloadCol)))
+      graft.functions.MediaCodec.mediaPhash(col(payloadCol)), bandBits)
 
   private def pairsImpl(media: DataFrame, idCol: String, tsCol: String,
                         watermark: String, maxHamming: Int,
                         horizonMs: Long,
-                        hashCol: org.apache.spark.sql.Column)
+                        hashCol: org.apache.spark.sql.Column,
+                        bandBits: Int = 8)
       : DataFrame = {
+    require(bandBits > 0 && bandBits < 64 && 64 % bandBits == 0,
+      s"bandBits ($bandBits) must divide 64")
     val spark = media.sparkSession
     import spark.implicits._
 
-    val bandKeys = array((0 until 8).map { b =>
+    // bandBits is the STATE-size knob, same trade as the batch
+    // operator's (Multimodal.phashNearDupsDecoded): 8-bit bands put
+    // every fingerprint in 8 of 256 buckets per band, so each
+    // (band, bucket) resident list grows ~n/256 and per-arrival work
+    // goes quadratic on a large horizon; 16-bit bands (4 × 65,536
+    // buckets) cut resident lists 256× and keep pigeonhole certainty
+    // for hamming <= 3. Wide-band pairs are an exact subset of the
+    // 8-bit pairs (a shared 16-bit band shares both 8-bit halves).
+    val bandMask = (1L << bandBits) - 1
+    val bandKeys = array((0 until 64 / bandBits).map { b =>
       concat_ws("_", lit(b),
-        shiftright(col("phash"), b * 8).bitwiseAND(255))
+        shiftright(col("phash"), b * bandBits).bitwiseAND(bandMask))
     }: _*)
 
     val arrivals = media

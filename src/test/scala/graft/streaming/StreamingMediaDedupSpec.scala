@@ -64,6 +64,44 @@ class StreamingMediaDedupSpec extends SparkSpecBase {
     assert(pairs(s"$dir/out") == batchPairs)
   }
 
+  test("wide-band (16-bit) streaming pairs match the wide-band batch " +
+      "operator and stay a subset of the 8-bit pairs") {
+    // a wider fixture so band collisions actually differ between the
+    // two widths: 6 clusters of (base, one-byte tweak) + 2 singles
+    def pat(mul: Int, add: Int) =
+      (0 until 256).map(i => ((i * mul + add) % 251).toByte).toArray
+    val clusters = Seq(37 -> 0, 113 -> 55, 59 -> 17, 73 -> 5, 89 -> 29,
+      101 -> 3).zipWithIndex.flatMap { case ((m, a), c) =>
+        val b = pat(m, a)
+        val t = b.clone(); t(100 + c) = (t(100 + c) ^ 0x7f).toByte
+        Seq((c * 2 + 1L, b), (c * 2 + 2L, t))
+      } ++ Seq((101L, pat(131, 7)), (102L, pat(151, 11)))
+    val df = clusters.toDF("media_id", "payload")
+    def batchPairs(bb: Int) = Multimodal.phashNearDups(df, "media_id",
+        "payload", maxHamming = 12, bandBits = bb)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val (narrow, wide) = (batchPairs(8), batchPairs(16))
+    assert(wide.nonEmpty && wide.subsetOf(narrow),
+      s"wide batch pairs must be a non-empty subset: $wide vs $narrow")
+
+    val dir = Files.createTempDirectory("smedia-wide").toString
+    writeBatch(s"$dir/in", clusters.map { case (id, p) =>
+      (id, p, f"2024-01-01 00:00:${id % 60}%02d") })
+    val stream = spark.readStream
+      .schema("media_id LONG, payload BINARY, ts TIMESTAMP")
+      .parquet(s"$dir/in")
+    val q = StreamingMediaDedup.phashPairs(stream, "media_id",
+        "payload", "ts", watermark = "1 hour", maxHamming = 12,
+        horizonMs = 3600000L, bandBits = 16)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(pairs(s"$dir/out") == wide,
+      "wide-band stream must equal the wide-band batch pair set")
+  }
+
   test("near-dup medium in a later micro-batch pairs from state") {
     val dir = Files.createTempDirectory("smedia2").toString
     writeBatch(s"$dir/in", Seq(
