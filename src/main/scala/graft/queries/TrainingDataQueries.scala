@@ -1474,9 +1474,28 @@ object TrainingDataQueries {
        |      * sqrt(list_dot_product(v, v))) DESC, vec_id) AS rank
        |  FROM cand)""".stripMargin
 
-  private val ivfBody =
-    s"""cent AS (SELECT CAST(vec_id // 50 AS BIGINT) AS centroid_id, v AS cv
-       |  FROM e WHERE vec_id % 50 = 0),
+  /** IVF serving nlist — FIXED (r18): the six IVF-serving rows
+    * (ann_ivf_topk, ann_ivf_quantized_topk, ann_recall_audit,
+    * pipeline_embedding_index, hybrid_search_from_index,
+    * sql_ivf_probe_tvf) seeded `every = 50` until the factor-100
+    * curve measured the consequence: nlist grew with the corpus, so
+    * ivfAssign's centroid BROADCAST grew with the corpus and the
+    * assignment work went corpus × corpus/50 quadratic
+    * (sql_ivf_probe_tvf ×257 at f100 vs the fixed-k trained row's
+    * ×3.5). Seeds are now the IvfK smallest stable-hash rows — same
+    * spelling as ann_ivf_fixed_nlist (k=20) and the r18 kmeans
+    * re-spell; 32 keeps this family a distinct configuration from
+    * the fixed-nlist row. nprobe stays 4, so serving touches ~4/32
+    * of the corpus per query at any scale.
+    */
+  private val IvfK = 32
+
+  private lazy val ivfBody =
+    s"""cent AS (SELECT CAST(vec_id AS BIGINT) AS centroid_id, v AS cv
+       |  FROM e
+       |  ORDER BY ${graft.functions.StableHash.hash60Sql(
+                      "vec_id::VARCHAR")}, centroid_id
+       |  LIMIT $IvfK),
        |$ivfBodyNoCent""".stripMargin
 
   private val ivfSelect =
@@ -3185,8 +3204,8 @@ object TrainingDataQueries {
       (s, d) => {
         graft.functions.GraftFunctions.register(s)
         val emb = table(s, d, "embeddings")
-        val centroids = Similarity.seedCentroids(emb, "vec_id",
-          "embedding", every = 50)
+        val centroids = Similarity.seedCentroidsK(emb, "vec_id",
+          "embedding", IvfK)
         Similarity.ivfAssign(emb, centroids, "vec_id", "embedding")
           .createOrReplaceTempView("graft_tvf_ivf_assigned")
         centroids.createOrReplaceTempView("graft_tvf_ivf_cent")
@@ -3396,8 +3415,8 @@ object TrainingDataQueries {
     "ann_ivf_topk" -> QueryDef(
       (s, d) => {
         val emb = table(s, d, "embeddings")
-        val centroids = Similarity.seedCentroids(emb, "vec_id", "embedding",
-          every = 50)
+        val centroids = Similarity.seedCentroidsK(emb, "vec_id", "embedding",
+          IvfK)
         val assigned = Similarity.ivfAssign(emb, centroids, "vec_id",
           "embedding")
         Similarity.ivfTopK(assigned, centroids,
@@ -3408,9 +3427,10 @@ object TrainingDataQueries {
 
     // the FIXED-nlist seeding (r16, r17 hash-rank): the k smallest
     // stable-hash rows seed the centroids, so nlist stays exactly k
-    // as the corpus grows and on ANY id distribution — the production
-    // knob the factor-10 bench showed the corpus-proportional `every`
-    // missing
+    // as the corpus grows and on ANY id distribution. Since r18 the
+    // whole IVF-serving family runs this spelling (IvfK = 32); this
+    // row keeps the k = 20 configuration and its cross-round bench
+    // identity as the scale-curve exhibit
     "ann_ivf_fixed_nlist" -> QueryDef(
       (s, d) => {
         val emb = table(s, d, "embeddings")
@@ -3485,8 +3505,8 @@ object TrainingDataQueries {
         val dq = table(s, d, "embeddings").select(col("vec_id"),
           VectorOps.dequantizeInt8(VectorOps.quantizeInt8(col("embedding")))
             .as("embedding"))
-        val centroids = Similarity.seedCentroids(dq, "vec_id", "embedding",
-          every = 50)
+        val centroids = Similarity.seedCentroidsK(dq, "vec_id", "embedding",
+          IvfK)
         val assigned = Similarity.ivfAssign(dq, centroids, "vec_id",
           "embedding")
         Similarity.ivfTopK(assigned, centroids,
@@ -3751,8 +3771,8 @@ object TrainingDataQueries {
         val queries = emb.filter(col("vec_id") < AnnNumQueries)
         val exact = Similarity.bruteForceTopK(emb, queries,
           "vec_id", "embedding", AnnK)
-        val centroids = Similarity.seedCentroids(emb, "vec_id",
-          "embedding", every = 50)
+        val centroids = Similarity.seedCentroidsK(emb, "vec_id",
+          "embedding", IvfK)
         val assigned = Similarity.ivfAssign(emb, centroids, "vec_id",
           "embedding")
         val approx = Similarity.ivfTopK(assigned, centroids, queries,
@@ -4075,7 +4095,17 @@ object TrainingDataQueries {
               |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin)),
 
     // SemDeDup: seed centroids -> nearest-centroid assignment (the same
-    // ivfAssign the ANN index uses) -> exact cosine only within clusters
+    // ivfAssign the ANN index uses) -> exact cosine only within clusters.
+    // DELIBERATELY still the every-knob seeding (unlike the IVF-serving
+    // family, re-spelled to fixed k in r18): SemDeDup's verification is
+    // exact pairwise WITHIN clusters, so cluster SIZE is the cost knob —
+    // every=50 bounds it (~50 members) and keeps verification linear in
+    // the corpus (n×25 pairs), at the price of a corpus-proportional
+    // nlist in the assignment broadcast. Fixed k would invert that:
+    // bounded broadcast, quadratic n²/2k verification. At 100 TB neither
+    // exact spelling survives; the production path for embedding pairs
+    // is the banded LSH family (embeddingNearDups / the incremental
+    // probes), and this row exists as the published-algorithm oracle.
     "dedup_semantic_pairs" -> QueryDef(
       (s, d) => {
         val emb = table(s, d, "embeddings")
@@ -4796,8 +4826,8 @@ object TrainingDataQueries {
     // corruption (1-in-23 zeroed => zero-norm, 1-in-37 truncated =>
     // wrong dim) → validation gate → int8 quantize/reconstruct → IVF
     // (seeded centroids, assignment, 4-probe search). Set-dependent by
-    // construction: the corruption moduli are coprime to the centroid
-    // seed stride (50), so dropped invalids CHANGE the seed set and the
+    // construction: the hash-rank seed set (r18, fixed IvfK) is drawn
+    // from the SURVIVORS, so dropped invalids change the seeds and the
     // whole downstream index — a stage skipped or reordered cannot
     // hash-match. The oracle reuses the validate/dequant/IVF fragments.
     "pipeline_embedding_index" -> QueryDef(
@@ -4817,8 +4847,8 @@ object TrainingDataQueries {
           .select(col("vec_id"),
             VectorOps.dequantizeInt8(
               VectorOps.quantizeInt8(col("embedding"))).as("embedding"))
-        val centroids = Similarity.seedCentroids(dq, "vec_id",
-          "embedding", every = 50)
+        val centroids = Similarity.seedCentroidsK(dq, "vec_id",
+          "embedding", IvfK)
         val assigned = Similarity.ivfAssign(dq, centroids, "vec_id",
           "embedding")
         Similarity.ivfTopK(assigned, centroids,
@@ -5099,6 +5129,10 @@ object TrainingDataQueries {
     // IS each region of embedding space, in words. Set-dependent end to
     // end: a wrong cluster assignment changes term counts, df, and the
     // label ranking, so a skipped or reordered stage cannot hash-match.
+    // Keeps the every-knob seeding for the same reason as
+    // dedup_semantic_pairs above: bounded cluster size is what makes
+    // per-cluster term stats meaningful, and the trade is documented
+    // there.
     "pipeline_cluster_labels" -> QueryDef(
       (s, d) => {
         val emb = table(s, d, "embeddings")
@@ -5315,8 +5349,8 @@ object TrainingDataQueries {
             .select(lit(HybridQueryId.toLong).as("query_id"),
               col("doc_id").cast("long").as("neighbor_id"),
               col("score").cast("double").as("sim")), SearchK)
-        val centroids = Similarity.seedCentroids(emb, "vec_id",
-          "embedding", every = 50)
+        val centroids = Similarity.seedCentroidsK(emb, "vec_id",
+          "embedding", IvfK)
         val assigned = Similarity.ivfAssign(emb, centroids, "vec_id",
           "embedding")
         val vec = Similarity.ivfTopK(assigned, centroids,
