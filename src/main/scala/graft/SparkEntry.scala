@@ -132,10 +132,11 @@ object SparkEntry {
     // query); the IVF probe TVF tracks the index-served ANN path from
     // SQL (same plan as ann_ivf_topk + expansion overhead)
     "q18_large_volume_customers", "sql_curate_tvf", "sql_ivf_probe_tvf",
-    // round-18 addition: the wide-band (16-bit, 100 TB) configuration
-    // of decoded-phash media dedup — the factor-100 curve measured the
-    // 8-bit default quadratic in corpus size (n²/256 candidates per
-    // band); this row keeps the production point's drift bench-visible
-    // next to its oracle-parity twin
-    "media_phash_pairs_scale")
+    // round-18 additions: the wide-band (100 TB) configurations of the
+    // two pair families the factor-100 curve measured quadratic in
+    // their test geometries — decoded-phash media dedup (8-bit bands:
+    // n²/256 candidates per band) and the incremental embedding probe
+    // (4-bit bands: n²/16). Each row keeps the production point's
+    // drift bench-visible next to its oracle-parity twin
+    "media_phash_pairs_scale", "dedup_incremental_embedding_scale")
 }

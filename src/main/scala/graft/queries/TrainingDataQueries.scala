@@ -77,6 +77,12 @@ object TrainingDataQueries {
   private val EmbPlanes = 16
   private val EmbBandBits = 4
   private val EmbBands = EmbPlanes / EmbBandBits
+  // the operator's documented 100 TB configuration, oracle-verified by
+  // the `_scale` twin row (r18): 32 planes / 16-bit bands = 2 bands of
+  // 65,536 buckets — the factor-100 fixture measured the 4-bit test
+  // geometry quadratic (16 buckets per band => ~n²/16 candidates)
+  private val EmbPlanesScale = 32
+  private val EmbBandBitsScale = 16
   private val EmbThreshold = 0.4
   // benchmark-decontamination k-gram size (public reports use 13-grams
   // on real prose; 4 keeps overlap non-trivial on the synthetic docs)
@@ -1877,12 +1883,15 @@ object TrainingDataQueries {
 
   /** Incremental embedding-cosine oracle (shared by the in-memory and
     * published-index probe queries): corpus-seeded hyperplane signs,
-    * band collisions, exact-cosine verification.
+    * band collisions, exact-cosine verification. Parameterized by the
+    * LSH geometry so the test-scale (16 planes / 4-bit bands) and
+    * 100 TB (32 planes / 16-bit bands) configurations replay the same
+    * construction.
     */
-  private lazy val incrEmbeddingSql = {
-    val bandJoins = (0 until EmbBands).map { b =>
-      val sh = b * EmbBandBits
-      val mask = (1 << EmbBandBits) - 1
+  private def incrEmbeddingSqlOf(planes: Int, bandBits: Int) = {
+    val bandJoins = (0 until planes / bandBits).map { b =>
+      val sh = b * bandBits
+      val mask = (1 << bandBits) - 1
       s"""SELECT n.vec_id AS new_id, c.vec_id AS corpus_id
          |FROM nsig n JOIN csig c
          |  ON ((n.sig >> $sh) & $mask) = ((c.sig >> $sh) & $mask)"""
@@ -1901,7 +1910,7 @@ object TrainingDataQueries {
        |p AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
        |    AS plane_id, v AS pv
        |  FROM (SELECT vec_id, v FROM corp ORDER BY vec_id
-       |    LIMIT $EmbPlanes)),
+       |    LIMIT $planes)),
        |${sigCte("csig", "corp")},
        |${sigCte("nsig", "newv")},
        |cand AS ($bandJoins)
@@ -1914,6 +1923,11 @@ object TrainingDataQueries {
        |     * sqrt(list_dot_product(y.v, y.v))) >= $EmbThreshold"""
       .stripMargin
   }
+
+  private lazy val incrEmbeddingSql =
+    incrEmbeddingSqlOf(EmbPlanes, EmbBandBits)
+  private lazy val incrEmbeddingScaleSql =
+    incrEmbeddingSqlOf(EmbPlanesScale, EmbBandBitsScale)
 
   /** Incremental simhash/Hamming probe oracle, shared by the DataFrame
     * probe and its pure-SQL twin.
@@ -3876,6 +3890,25 @@ object TrainingDataQueries {
           "vec_id", "embedding", EmbThreshold)
       },
       Some(incrEmbeddingSql)),
+
+    // the SAME probe in the operator's documented 100 TB geometry:
+    // 32 planes / 16-bit bands (2 × 65,536 buckets) instead of the
+    // 16/4 test geometry (4 × 16 buckets). The r18 factor-100 curve
+    // measured the test geometry quadratic (~n²/16 candidates per
+    // band, 169 s at f100); the wide bands are the production point
+    // on the same recall/cost knob, oracle-verified like the default
+    // and bench-tracked beside it
+    "dedup_incremental_embedding_scale" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") % IncrMod =!= 0)
+        val idx = Dedup.buildEmbeddingIndex(corpus, "vec_id",
+          "embedding", EmbPlanesScale, EmbBandBitsScale)
+        Dedup.embeddingNearDupsAgainst(
+          emb.filter(col("vec_id") % IncrMod === 0), corpus, idx,
+          "vec_id", "embedding", EmbThreshold)
+      },
+      Some(incrEmbeddingScaleSql)),
 
     // the same probe served from a PUBLISHED index directory (planes +
     // signatures + band-key Bloom + parameters through parquet and
