@@ -138,5 +138,10 @@ object SparkEntry {
     // n²/256 candidates per band) and the incremental embedding probe
     // (4-bit bands: n²/16). Each row keeps the production point's
     // drift bench-visible next to its oracle-parity twin
-    "media_phash_pairs_scale", "dedup_incremental_embedding_scale")
+    "media_phash_pairs_scale", "dedup_incremental_embedding_scale",
+    // round-18 late addition: the hierarchical (two-level) SemDeDup —
+    // bounded cluster population WITHOUT the every-knob's
+    // corpus-proportional centroid broadcast; tracked beside its flat
+    // oracle-parity twin dedup_semantic_pairs
+    "dedup_semantic_pairs_scale")
 }

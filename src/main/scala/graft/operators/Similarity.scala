@@ -404,6 +404,99 @@ object Similarity {
       .drop("__h")
   }
 
+  /** Two-level hierarchical cluster assignment — the SemDeDup spelling
+    * whose every piece stays bounded as the corpus grows. SemDeDup
+    * needs cluster POPULATION roughly constant (its verification is
+    * exact pairwise within a cluster), which forces total cluster
+    * count ∝ corpus size — and a flat spelling then either broadcasts
+    * a corpus-proportional centroid set (the `every`-knob shape: n/every
+    * centroids, n²/every assignment work — the scale-killer class the
+    * factor-100 curve caught twice) or fixes nlist and lets clusters
+    * grow (quadratic verification). The hierarchy splits the exponent:
+    *
+    *   level 1: [[seedCentroidsK]] picks k1 coarse centroids (k1 rows
+    *     BROADCAST — grow k1 as sqrt(n/target) and the broadcast grows
+    *     as sqrt(n): ~4.5k centroids / a few MB at 10^9 vectors);
+    *     [[ivfAssign]] scans the corpus once against them.
+    *   level 2: within each coarse cell, the k2 smallest-stable-hash
+    *     members become sub-seeds (a cell-PARTITIONED rank — never a
+    *     global collect), and each row argmaxes cosine over ITS CELL's
+    *     sub-seeds only, via a join keyed on the cell id. When the
+    *     k1×k2 sub-seed frame outgrows the broadcast threshold that
+    *     join hash-partitions BOTH sides by cell — each reducer holds
+    *     one cell's k2 seeds and streams that cell's rows, so nothing
+    *     corpus-proportional is ever broadcast or collected.
+    *
+    * Total clusters k1·k2 (population n/(k1·k2)); per-row compare cost
+    * k1 + k2 = O(sqrt(n)) instead of the flat n/every; cluster ids are
+    * the sub-seed rows' own ids (globally distinct across cells).
+    * Determinism: both levels tie-break (sim desc, seed id asc) and
+    * both seed selections order by (stable hash asc, id asc) — same
+    * input, same assignment, reproducible in the DuckDB oracle.
+    *
+    * Emits `(idCol, vecCol, cluster)` — the [[Dedup.semanticNearDups]]
+    * input shape. The level-1 assignment is persisted for its three
+    * consumers and released after the result materializes (at 100 TB
+    * that intermediate is a table partitioned by cell).
+    */
+  def assignHierarchical(corpus: DataFrame, idCol: String, vecCol: String,
+                         k1: Int, k2: Int): DataFrame = {
+    require(k1 > 0 && k2 > 0, s"k1 ($k1) and k2 ($k2) must be > 0")
+    val cells = ivfAssign(corpus,
+        seedCentroidsK(corpus, idCol, vecCol, k1), idCol, vecCol)
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+        col("cluster").as("__cell"),
+        graft.functions.StableHash.hash60(col(idCol).cast("string"))
+          .as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-cell k2 smallest-hash sub-seeds: a window PARTITIONED by the
+    // cell (bounded reducers = cells; a cell holds ~n/k1 rows — at the
+    // sqrt sizing, ~sqrt(n·target) per reducer, one pass, rank only)
+    val w = Window.partitionBy(col("__cell"))
+      .orderBy(col("__h").asc, col("__id").asc)
+    val seeds = cells.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k2)
+      .select(col("__cell"), col("__id").as("__sub_id"),
+        col("__v").as("__sv"),
+        VectorOps.dotF(col("__v"), col("__v")).as("__sn"))
+    // within-cell argmax: the join key is the cell id, so each row only
+    // ever meets its own cell's k2 sub-seeds; norms are computed once
+    // per side (the ivfAssign spelling — IEEE-identical to cosineF)
+    val scored = cells
+      .select(col("__id"), col("__v"), col("__cell"),
+        VectorOps.dotF(col("__v"), col("__v")).as("__vn"))
+      .join(seeds, Seq("__cell"))
+      .select(col("__id"), col("__sub_id"),
+        (VectorOps.dotF(col("__v"), col("__sv")) /
+          (sqrt(col("__vn")) * sqrt(col("__sn")))).as("__sim"))
+    val best = scored.groupBy(col("__id"))
+      .agg(max_by(col("__sub_id"),
+        struct(col("__sim"), (-col("__sub_id")).as("tb"))).as("cluster"))
+    val out = cells.join(best, Seq("__id"))
+      .select(col("__id").as(idCol), col("__v").as(vecCol), col("cluster"))
+    Dedup.releaseAfterAll(out, cells)
+  }
+
+  /** [[assignHierarchical]] with the sqrt sizing applied FOR the
+    * caller: `k1 = k2 = ceil(sqrt(n / targetClusterSize))`, so expected
+    * cluster population stays ~`targetClusterSize` at every corpus
+    * size — the sizing that keeps SemDeDup's exact intra-cluster
+    * verification linear in the corpus (n × target/2 pairs) while the
+    * level-1 broadcast and per-row compare count grow only as sqrt(n).
+    * The corpus count is one metadata-served job (parquet row-group
+    * stats); at 100 TB you know n from the catalog anyway.
+    */
+  def assignHierarchicalAuto(corpus: DataFrame, idCol: String,
+                             vecCol: String,
+                             targetClusterSize: Int): DataFrame = {
+    require(targetClusterSize > 0,
+      s"targetClusterSize ($targetClusterSize) must be > 0")
+    val n = corpus.count()
+    val k = math.max(1, math.ceil(
+      math.sqrt(n.toDouble / targetClusterSize)).toInt)
+    assignHierarchical(corpus, idCol, vecCol, k, k)
+  }
+
   /** Train IVF centroids with Lloyd's k-means on a (hash-sampled)
     * training set — the piece that turns ivfAssign/ivfTopK into a
     * self-contained index build.

@@ -33,6 +33,87 @@ object ReplicationQueries {
         (dec(col("o_totalprice")) + lit(1).cast("decimal(18,2)"))
           .cast("double").as("o_totalprice"))
 
+  /** Shared body of the two slot-drain rows (`cdc_slot_drain` /
+    * `cdc_slot_drain_delta`): render the events table as wal2json
+    * lines, land them DISTRIBUTED as LSN-ordered slot segments
+    * (ascending LSN ranges → ascending part numbers, rows
+    * LSN-ascending within a segment, files immutable once visible —
+    * the slot contract), drain through the WalTail source
+    * (AvailableNow, multi-batch admission) under the given flush
+    * mode, assert the slot file's feedback reached the head LSN, and
+    * read the merged table back. A drain that left feedback behind
+    * fails the row, it does not quietly pass.
+    */
+  private def slotDrainResult(s: SparkSession, d: String, flush: String)
+      : DataFrame = {
+    import s.implicits._
+    val iu = """{"action":"%s","schema":"public","table":"events",""" +
+      """"columns":[{"name":"user_id","type":"bigint","value":%s},""" +
+      """{"name":"event_id","type":"bigint","value":%s},""" +
+      """{"name":"value","type":"double precision","value":%s}]}"""
+    val del = """{"action":"D","schema":"public","table":"events",""" +
+      """"identity":[{"name":"user_id","type":"bigint","value":%s},""" +
+      """{"name":"event_id","type":"bigint","value":%s}]}"""
+    val payload =
+      when(col("event_type") === "signup",
+        format_string(iu, lit("I"), col("user_id"), col("event_id"),
+          col("value")))
+      .when(col("event_type") === "error",
+        format_string(del, col("user_id"), col("event_id")))
+      .otherwise(
+        format_string(iu, lit("U"), col("user_id"), col("event_id"),
+          col("value")))
+    val rowLines = events(s, d)
+      .select(col("event_id").as("lsn"), payload.as("payload"))
+    // protocol noise ahead of the row LSNs: tx wrappers and a
+    // non-selected table, exactly what a live slot interleaves
+    val noise = Seq(
+      (-3L, """{"action":"B"}"""),
+      (-2L, """{"action":"I","schema":"public","table":"audit","columns":[{"name":"id","type":"bigint","value":1}]}"""),
+      (-1L, """{"action":"C"}""")).toDF("lsn", "payload")
+    val lines = rowLines.unionByName(noise)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-slot-drain").toString
+    val logDir = s"$dir/wal"
+    lines
+      .select(col("lsn"),
+        concat_ws("\t", col("lsn"), col("payload")).as("value"))
+      .repartitionByRange(8, col("lsn"))
+      .sortWithinPartitions("lsn")
+      .select("value")
+      .write.text(logDir)
+    val maxLsn = rowLines.agg(max(col("lsn"))).head().getLong(0)
+    val rowSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val q = graft.streaming.StreamingMerge.startWalSlot(s, logDir,
+      "public", "events", rowSchema, s"$dir/table", s"$dir/ckpt",
+      Seq("user_id"), hardDelete = true, targetPartitions = 8,
+      maxFilesPerTrigger = Some(3), flush = flush)
+    q.awaitTermination(300000); q.stop()
+    val fs = new org.apache.hadoop.fs.Path(logDir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val fb = graft.sources.WalTail.readFeedback(fs,
+      graft.sources.WalTail.defaultSlotFile(logDir))
+    require(fb.contains(maxLsn),
+      s"slot drain left feedback at $fb, expected max LSN $maxLsn")
+    val merged = flush match {
+      case "delta" => DeltaMerge.readMerged(s, s"$dir/table",
+        Seq("user_id"), "_sdc_lsn", hardDelete = true)
+      case _ => s.read.parquet(s"$dir/table")
+    }
+    val out = merged
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("value"))
+      .localCheckpoint(true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    out
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- sources -------------------------------------------------------
@@ -421,73 +502,25 @@ object ReplicationQueries {
     // envelope drops it after tombstone routing); segments + merged
     // table are cleaned up after the result is materialized.
     "cdc_slot_drain" -> QueryDef(
-      (s, d) => {
-        import s.implicits._
-        val iu = """{"action":"%s","schema":"public","table":"events",""" +
-          """"columns":[{"name":"user_id","type":"bigint","value":%s},""" +
-          """{"name":"event_id","type":"bigint","value":%s},""" +
-          """{"name":"value","type":"double precision","value":%s}]}"""
-        val del = """{"action":"D","schema":"public","table":"events",""" +
-          """"identity":[{"name":"user_id","type":"bigint","value":%s},""" +
-          """{"name":"event_id","type":"bigint","value":%s}]}"""
-        val payload =
-          when(col("event_type") === "signup",
-            format_string(iu, lit("I"), col("user_id"), col("event_id"),
-              col("value")))
-          .when(col("event_type") === "error",
-            format_string(del, col("user_id"), col("event_id")))
-          .otherwise(
-            format_string(iu, lit("U"), col("user_id"), col("event_id"),
-              col("value")))
-        val rowLines = events(s, d)
-          .select(col("event_id").as("lsn"), payload.as("payload"))
-        // protocol noise ahead of the row LSNs: tx wrappers and a
-        // non-selected table, exactly what a live slot interleaves
-        val noise = Seq(
-          (-3L, """{"action":"B"}"""),
-          (-2L, """{"action":"I","schema":"public","table":"audit","columns":[{"name":"id","type":"bigint","value":1}]}"""),
-          (-1L, """{"action":"C"}""")).toDF("lsn", "payload")
-        val lines = rowLines.unionByName(noise)
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-slot-drain").toString
-        val logDir = s"$dir/wal"
-        // land the log DISTRIBUTED, honoring the slot contract:
-        // ascending LSN ranges map to ascending part-file numbers
-        // (range partitioning), rows LSN-ascending within each segment,
-        // files immutable once visible (the committer's rename)
-        lines
-          .select(col("lsn"),
-            concat_ws("\t", col("lsn"), col("payload")).as("value"))
-          .repartitionByRange(8, col("lsn"))
-          .sortWithinPartitions("lsn")
-          .select("value")
-          .write.text(logDir)
-        val maxLsn = rowLines.agg(max(col("lsn"))).head().getLong(0)
-        val rowSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("user_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("event_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("value",
-            org.apache.spark.sql.types.DoubleType)))
-        val q = graft.streaming.StreamingMerge.startWalSlot(s, logDir,
-          "public", "events", rowSchema, s"$dir/table", s"$dir/ckpt",
-          Seq("user_id"), hardDelete = true, targetPartitions = 8,
-          maxFilesPerTrigger = Some(3))
-        q.awaitTermination(300000); q.stop()
-        val fs = new org.apache.hadoop.fs.Path(logDir)
-          .getFileSystem(s.sessionState.newHadoopConf())
-        val fb = graft.sources.WalTail.readFeedback(fs,
-          graft.sources.WalTail.defaultSlotFile(logDir))
-        require(fb.contains(maxLsn),
-          s"slot drain left feedback at $fb, expected max LSN $maxLsn")
-        val out = s.read.parquet(s"$dir/table")
-          .select(col("user_id"), col("event_id").as("last_event_id"),
-            col("value"))
-          .localCheckpoint(true)
-        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-        out
-      },
+      (s, d) => slotDrainResult(s, d, flush = "merge"),
+      Some("""WITH log AS (SELECT *, CASE WHEN event_type = 'signup' THEN 'c'
+             |    WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+             |  FROM events),
+             |  applied AS (SELECT *, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM log)
+             |SELECT user_id, event_id AS last_event_id, value
+             |FROM applied WHERE rn = 1 AND op <> 'd'""".stripMargin)),
+
+    // the same end-to-end slot drain under the MERGE-ON-READ flush
+    // (r18): `flush = delta` writes one O(batch) delta file per
+    // micro-batch (the sub-minute-trigger spelling StressWalTail's A/B
+    // measured staying flat as the table grows) and the readback is
+    // DeltaMerge.readMerged — base scanned once, delta winners
+    // broadcast into an anti-join. Same oracle as cdc_slot_drain: the
+    // two flush modes must land the identical end state, and this row
+    // makes that equality a hard hash gate instead of a spec assertion.
+    "cdc_slot_drain_delta" -> QueryDef(
+      (s, d) => slotDrainResult(s, d, flush = "delta"),
       Some("""WITH log AS (SELECT *, CASE WHEN event_type = 'signup' THEN 'c'
              |    WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
              |  FROM events),

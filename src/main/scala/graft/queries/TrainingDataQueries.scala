@@ -1578,6 +1578,54 @@ object TrainingDataQueries {
        |    / (sqrt(list_dot_product(a.v, a.v))
        |      * sqrt(list_dot_product(b.v, b.v))) >= $SemThreshold""".stripMargin
 
+  /** Hierarchical SemDeDup oracle: level-1 = the seedCentroidsK
+    * hash-rank selection (c1) and the ivfAssign argmax (a1), level-2 =
+    * per-cell k smallest-hash sub-seeds (s2) and the within-cell
+    * argmax (a2), then the same exact intra-cluster cosine pairs as
+    * [[semanticSql]]. Every rank uses the identical tie order the
+    * Spark operator's max_by/row_number spellings use, and the kk CTE
+    * reproduces assignHierarchicalAuto's sqrt sizing
+    * (`k = ceil(sqrt(n / target))` — IEEE sqrt/ceil on both engines).
+    */
+  private lazy val semanticScaleSql = {
+    val h = StableHash.hash60Sql("vec_id::VARCHAR")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |hh AS (SELECT vec_id, v, $h AS h FROM e),
+       |kk AS (SELECT CAST(ceil(sqrt(count(*) / $SemEvery.0)) AS BIGINT)
+       |    AS k FROM e),
+       |c1 AS (SELECT vec_id AS centroid_id, cv FROM (
+       |  SELECT vec_id, v AS cv, row_number() OVER (
+       |      ORDER BY h, vec_id) AS rn FROM hh), kk
+       |  WHERE rn <= kk.k),
+       |a1 AS (SELECT vec_id, v, h, centroid_id AS cell FROM (
+       |  SELECT hh.vec_id, hh.v, hh.h, c.centroid_id, row_number() OVER (
+       |      PARTITION BY hh.vec_id ORDER BY
+       |      list_dot_product(hh.v, c.cv)
+       |        / (sqrt(list_dot_product(hh.v, hh.v))
+       |          * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |      c.centroid_id) AS rn
+       |  FROM hh, c1 c) WHERE rn = 1),
+       |s2 AS (SELECT cell, vec_id AS sub_id, v AS sv FROM (
+       |  SELECT cell, vec_id, v, row_number() OVER (
+       |      PARTITION BY cell ORDER BY h, vec_id) AS rn
+       |  FROM a1), kk WHERE rn <= kk.k),
+       |a2 AS (SELECT vec_id, v, sub_id AS cluster FROM (
+       |  SELECT a.vec_id, a.v, s.sub_id, row_number() OVER (
+       |      PARTITION BY a.vec_id ORDER BY
+       |      list_dot_product(a.v, s.sv)
+       |        / (sqrt(list_dot_product(a.v, a.v))
+       |          * sqrt(list_dot_product(s.sv, s.sv))) DESC,
+       |      s.sub_id) AS rn
+       |  FROM a1 a JOIN s2 s USING (cell)) WHERE rn = 1)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM a2 a JOIN a2 b
+       |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v)
+       |    / (sqrt(list_dot_product(a.v, a.v))
+       |      * sqrt(list_dot_product(b.v, b.v))) >= $SemThreshold"""
+      .stripMargin
+  }
+
   /** Gopher-rules oracle: same metrics, same left-to-right arithmetic,
     * thresholds interpolated from the SAME GopherDefaults constants.
     */
@@ -1888,7 +1936,8 @@ object TrainingDataQueries {
     * 100 TB (32 planes / 16-bit bands) configurations replay the same
     * construction.
     */
-  private def incrEmbeddingSqlOf(planes: Int, bandBits: Int) = {
+  private def incrEmbeddingSqlOf(planes: Int, bandBits: Int,
+                                 report: Boolean = false) = {
     val bandJoins = (0 until planes / bandBits).map { b =>
       val sh = b * bandBits
       val mask = (1 << bandBits) - 1
@@ -1913,21 +1962,27 @@ object TrainingDataQueries {
        |    LIMIT $planes)),
        |${sigCte("csig", "corp")},
        |${sigCte("nsig", "newv")},
-       |cand AS ($bandJoins)
-       |SELECT cd.new_id, cd.corpus_id
-       |FROM cand cd
-       |JOIN e x ON cd.new_id = x.vec_id
-       |JOIN e y ON cd.corpus_id = y.vec_id
-       |WHERE list_dot_product(x.v, y.v)
-       |  / (sqrt(list_dot_product(x.v, x.v))
-       |     * sqrt(list_dot_product(y.v, y.v))) >= $EmbThreshold"""
+       |cand AS ($bandJoins),
+       |pr AS (SELECT cd.new_id, cd.corpus_id
+       |  FROM cand cd
+       |  JOIN e x ON cd.new_id = x.vec_id
+       |  JOIN e y ON cd.corpus_id = y.vec_id
+       |  WHERE list_dot_product(x.v, y.v)
+       |    / (sqrt(list_dot_product(x.v, x.v))
+       |       * sqrt(list_dot_product(y.v, y.v))) >= $EmbThreshold)
+       |${if (report)
+           s"""SELECT nv.vec_id AS new_id, count(pr.corpus_id) AS n_dups,
+              |  min(pr.corpus_id) AS first_dup
+              |FROM newv nv LEFT JOIN pr ON nv.vec_id = pr.new_id
+              |GROUP BY nv.vec_id""".stripMargin
+         else "SELECT new_id, corpus_id FROM pr"}"""
       .stripMargin
   }
 
   private lazy val incrEmbeddingSql =
     incrEmbeddingSqlOf(EmbPlanes, EmbBandBits)
   private lazy val incrEmbeddingScaleSql =
-    incrEmbeddingSqlOf(EmbPlanesScale, EmbBandBitsScale)
+    incrEmbeddingSqlOf(EmbPlanesScale, EmbBandBitsScale, report = true)
 
   /** Incremental simhash/Hamming probe oracle, shared by the DataFrame
     * probe and its pure-SQL twin.
@@ -3897,16 +3952,27 @@ object TrainingDataQueries {
     // measured the test geometry quadratic (~n²/16 candidates per
     // band, 169 s at f100); the wide bands are the production point
     // on the same recall/cost knob, oracle-verified like the default
-    // and bench-tracked beside it
+    // and bench-tracked beside it. Output is the per-batch-vector dup
+    // REPORT (every probe vector, its surviving-dup count, its first
+    // dup) rather than the bare pair list: the fixture's near-dups
+    // top out at cosine ~0.45, so the wide bands honestly pass ~zero
+    // pairs at the small SFs, and an empty pair list would be a
+    // vacuous oracle row — the report keeps one hash-checked row per
+    // probe vector (zeros included) at every SF
     "dedup_incremental_embedding_scale" -> QueryDef(
       (s, d) => {
         val emb = table(s, d, "embeddings")
         val corpus = emb.filter(col("vec_id") % IncrMod =!= 0)
+        val batch = emb.filter(col("vec_id") % IncrMod === 0)
         val idx = Dedup.buildEmbeddingIndex(corpus, "vec_id",
           "embedding", EmbPlanesScale, EmbBandBitsScale)
-        Dedup.embeddingNearDupsAgainst(
-          emb.filter(col("vec_id") % IncrMod === 0), corpus, idx,
+        val pairs = Dedup.embeddingNearDupsAgainst(batch, corpus, idx,
           "vec_id", "embedding", EmbThreshold)
+        batch.select(col("vec_id").as("new_id"))
+          .join(pairs, Seq("new_id"), "left")
+          .groupBy(col("new_id"))
+          .agg(count(col("corpus_id")).as("n_dups"),
+            min(col("corpus_id")).as("first_dup"))
       },
       Some(incrEmbeddingScaleSql)),
 
@@ -4150,6 +4216,28 @@ object TrainingDataQueries {
           "cluster", SemThreshold)
       },
       Some(semanticSql)),
+
+    // SemDeDup at corpus scale (r18): the same exact intra-cluster
+    // verification, but the assignment is TWO-LEVEL — k coarse
+    // centroids (bounded, sqrt-sized broadcast) then k sub-seeds per
+    // cell (joined BY CELL KEY, never broadcast), with
+    // k = ceil(sqrt(n/50)) derived from the corpus count so cluster
+    // population stays ~50 at EVERY scale. This closes the
+    // dedup_semantic_pairs caveat above: verification stays n×25
+    // pairs (linear), assignment is n·2k = O(n^1.5) compute split
+    // across executors, the only broadcast is the k-row level-1
+    // centroid set, and nothing corpus-proportional ever sits on the
+    // driver. Oracle reproduces the sqrt sizing, both hash-rank seed
+    // selections, and both argmax assignments rank-for-rank.
+    "dedup_semantic_pairs_scale" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val assigned = Similarity.assignHierarchicalAuto(emb, "vec_id",
+          "embedding", targetClusterSize = SemEvery)
+        Dedup.semanticNearDups(assigned, "vec_id", "embedding",
+          "cluster", SemThreshold)
+      },
+      Some(semanticScaleSql)),
 
     "text_gopher_rules" -> QueryDef(
       (s, d) => TextAnalysis.gopherRules(table(s, d, "documents"),

@@ -664,6 +664,52 @@ class OperatorsSpec extends SparkSpecBase {
     assert(pairs == Set((1L, 2L), (4L, 5L)))
   }
 
+  test("assignHierarchical: total assignment, bounded clusters, " +
+    "self-assigned sub-seeds, deterministic") {
+    // four tight bundles of three near-identical vectors on four
+    // orthogonal axes — cross-bundle cosine ~0, within-bundle ~1. The
+    // structural properties below must hold for ANY hash-rank seed
+    // choice (the oracle rows pin the exact assignment; this spec pins
+    // the invariants that make it an assignment at all).
+    def axis(i: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(4)(0f); v(i) = 1f
+      v((i + 1) % 4) = eps; v
+    }
+    val rows = (0 until 4).flatMap { b =>
+      Seq(0.00f, 0.01f, 0.02f).zipWithIndex.map { case (e, j) =>
+        (b * 10L + j, axis(b, e))
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.assignHierarchical(emb, "vec_id", "embedding",
+      k1 = 2, k2 = 2)
+    val got = out.as[(Long, Seq[Float], Long)].collect()
+    // every row assigned exactly once
+    assert(got.length == rows.length)
+    assert(got.map(_._1).toSet == rows.map(_._1).toSet)
+    // cluster ids are member ids, and there are at most k1*k2 of them
+    val clusters = got.map(_._3).toSet
+    assert(clusters.subsetOf(rows.map(_._1).toSet))
+    assert(clusters.size <= 4 && clusters.nonEmpty)
+    // a sub-seed is its own nearest sub-seed (distinct vectors: cosine
+    // with itself is the unique max), so cluster ids self-assign
+    val byId = got.map(t => t._1 -> t._3).toMap
+    clusters.foreach(c => assert(byId(c) == c,
+      s"cluster seed $c assigned to ${byId(c)}"))
+    // near-dup pairs the verification emits are within-bundle only
+    // (cross-bundle cosine ~eps can never reach the 0.9 bar)
+    val pairs = Dedup.semanticNearDups(out, "vec_id", "embedding",
+      "cluster", 0.9).as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(a / 10 == b / 10, s"cross-bundle pair ($a, $b)") }
+    // deterministic: same input, same assignment
+    val again = Similarity.assignHierarchical(emb, "vec_id", "embedding",
+        k1 = 2, k2 = 2)
+      .as[(Long, Seq[Float], Long)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(got.map(t => t._1 -> t._3).toMap == again)
+  }
+
   test("gopherRules flags each rule independently") {
     val good = (1 to 30)
       .map(i => s"the quick brown fox jumps over that fence$i")
