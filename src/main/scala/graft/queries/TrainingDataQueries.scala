@@ -4201,10 +4201,13 @@ object TrainingDataQueries {
     // every=50 bounds it (~50 members) and keeps verification linear in
     // the corpus (n×25 pairs), at the price of a corpus-proportional
     // nlist in the assignment broadcast. Fixed k would invert that:
-    // bounded broadcast, quadratic n²/2k verification. At 100 TB neither
-    // exact spelling survives; the production path for embedding pairs
-    // is the banded LSH family (embeddingNearDups / the incremental
-    // probes), and this row exists as the published-algorithm oracle.
+    // bounded broadcast, quadratic n²/2k verification. The spelling
+    // that escapes the trade is dedup_semantic_pairs_scale below
+    // (two-level sqrt-sized assignment, ×209 vs ×9.6 at factor 100 —
+    // BASELINE.md r18); this row stays as the published-algorithm
+    // oracle, and the approximate production path for embedding pairs
+    // remains the banded LSH family (embeddingNearDups / the
+    // incremental probes).
     "dedup_semantic_pairs" -> QueryDef(
       (s, d) => {
         val emb = table(s, d, "embeddings")
