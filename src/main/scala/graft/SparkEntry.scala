@@ -139,9 +139,12 @@ object SparkEntry {
     // (4-bit bands: n²/16). Each row keeps the production point's
     // drift bench-visible next to its oracle-parity twin
     "media_phash_pairs_scale", "dedup_incremental_embedding_scale",
-    // round-18 late addition: the hierarchical (two-level) SemDeDup —
+    // round-18 late additions: the hierarchical (two-level) SemDeDup —
     // bounded cluster population WITHOUT the every-knob's
-    // corpus-proportional centroid broadcast; tracked beside its flat
-    // oracle-parity twin dedup_semantic_pairs
-    "dedup_semantic_pairs_scale")
+    // corpus-proportional centroid broadcast — tracked beside its flat
+    // oracle-parity twin dedup_semantic_pairs, and its incremental
+    // probe (batch assigned to the persisted hierarchy, verified
+    // against its cluster only — like the other `...Against` rows the
+    // number INCLUDES the inline index build; production publishes it)
+    "dedup_semantic_pairs_scale", "dedup_semantic_against")
 }

@@ -1785,6 +1785,15 @@ object Dedup {
     }
   }
 
+  private[graft] def metaStr(root: org.json4s.JValue, name: String)
+      : String = {
+    import org.json4s._
+    (root \ name) match {
+      case JString(s) => s
+      case o => throw new IllegalStateException(s"bad index meta $name: $o")
+    }
+  }
+
   private[graft] def metaLong(root: org.json4s.JValue, name: String): Long = {
     import org.json4s._
     (root \ name) match {
@@ -2264,6 +2273,36 @@ object Dedup {
       .filter(VectorOps.cosineF(col("a.__v"), col("b.__v")) >= threshold)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
     releaseAfter(pairs, base)
+  }
+
+  /** Incremental [[semanticNearDups]] — the `...Against` member for the
+    * CLUSTER index: a batch already assigned into the same cluster
+    * space as a stored corpus assignment (e.g.
+    * [[Similarity.assignToHierarchy]] against a
+    * [[Similarity.buildHierarchyIndex]]) is verified by exact cosine
+    * against ITS CLUSTER's corpus members only. Emits
+    * `(new_id, corpus_id)`, cosine ≥ `threshold`.
+    *
+    * Scale shape: one join keyed on the cluster id. With bounded
+    * cluster population (the hierarchy's sqrt sizing holds it at
+    * ~target), a B-row batch costs B × target exact cosines no matter
+    * how large the corpus is — and when the stored assignment is
+    * partitioned by cluster ([[Similarity.writeIvfIndex]] layout), the
+    * probe reads only the clusters the batch landed in.
+    */
+  def semanticNearDupsAgainst(batchAssigned: DataFrame,
+                              corpusAssigned: DataFrame,
+                              idCol: String, vecCol: String,
+                              clusterCol: String,
+                              threshold: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val nv = batchAssigned.select(col(clusterCol).as("__c"),
+      col(idCol).as("new_id"), col(vecCol).as("__nv"))
+    val cv = corpusAssigned.select(col(clusterCol).as("__c"),
+      col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    cv.join(nv, Seq("__c"))
+      .filter(VectorOps.cosineF(col("__nv"), col("__cv")) >= threshold)
+      .select(col("new_id"), col("corpus_id"))
   }
 
   /** Intra-document repeated-chunk removal — the WITHIN-doc counterpart

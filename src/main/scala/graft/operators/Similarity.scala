@@ -440,10 +440,36 @@ object Similarity {
     * that intermediate is a table partitioned by cell).
     */
   def assignHierarchical(corpus: DataFrame, idCol: String, vecCol: String,
-                         k1: Int, k2: Int): DataFrame = {
+                         k1: Int, k2: Int): DataFrame =
+    buildHierarchyIndex(corpus, idCol, vecCol, k1, k2).assigned
+
+  /** The hierarchy's persisted artifacts — [[assignHierarchical]] as an
+    * INDEX: level-1 centroids `(centroid_id, vecCol)` (k1 rows, always
+    * broadcastable), per-cell sub-seeds `(cell, sub_id, vecCol, norm)`
+    * (k1×k2 rows), and the corpus assignment `(idCol, vecCol, cluster)`.
+    * In production these are three stored tables — the assignment
+    * partitioned by cluster, the [[writeIvfIndex]] layout, so a probe
+    * reads only the clusters it touches; locally each is eagerly
+    * materialized so a probe never re-runs the build.
+    */
+  final case class HierarchyIndex(centroids: DataFrame,
+                                  subSeeds: DataFrame,
+                                  assigned: DataFrame,
+                                  k1: Int, k2: Int)
+
+  /** Build the two-level hierarchy and return every artifact a probe
+    * needs — see [[assignHierarchical]] for the algorithm and scale
+    * shape, [[assignToHierarchy]] for the probe.
+    */
+  def buildHierarchyIndex(corpus: DataFrame, idCol: String,
+                          vecCol: String, k1: Int, k2: Int)
+      : HierarchyIndex = {
     require(k1 > 0 && k2 > 0, s"k1 ($k1) and k2 ($k2) must be > 0")
-    val cells = ivfAssign(corpus,
-        seedCentroidsK(corpus, idCol, vecCol, k1), idCol, vecCol)
+    // k1 rows, eagerly pinned: the centroid frame is consumed by the
+    // build's level-1 assignment AND by every later probe
+    val cents = seedCentroidsK(corpus, idCol, vecCol, k1)
+      .localCheckpoint(eager = true)
+    val cells = ivfAssign(corpus, cents, idCol, vecCol)
       .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
         col("cluster").as("__cell"),
         graft.functions.StableHash.hash60(col(idCol).cast("string"))
@@ -451,30 +477,154 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-cell k2 smallest-hash sub-seeds: a window PARTITIONED by the
     // cell (bounded reducers = cells; a cell holds ~n/k1 rows — at the
-    // sqrt sizing, ~sqrt(n·target) per reducer, one pass, rank only)
+    // sqrt sizing, ~sqrt(n·target) per reducer, one pass, rank only).
+    // k1×k2 rows, eagerly pinned for the same two-consumers reason.
     val w = Window.partitionBy(col("__cell"))
       .orderBy(col("__h").asc, col("__id").asc)
     val seeds = cells.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k2)
-      .select(col("__cell"), col("__id").as("__sub_id"),
-        col("__v").as("__sv"),
-        VectorOps.dotF(col("__v"), col("__v")).as("__sn"))
-    // within-cell argmax: the join key is the cell id, so each row only
-    // ever meets its own cell's k2 sub-seeds; norms are computed once
-    // per side (the ivfAssign spelling — IEEE-identical to cosineF)
-    val scored = cells
-      .select(col("__id"), col("__v"), col("__cell"),
-        VectorOps.dotF(col("__v"), col("__v")).as("__vn"))
-      .join(seeds, Seq("__cell"))
-      .select(col("__id"), col("__sub_id"),
-        (VectorOps.dotF(col("__v"), col("__sv")) /
-          (sqrt(col("__vn")) * sqrt(col("__sn")))).as("__sim"))
-    val best = scored.groupBy(col("__id"))
-      .agg(max_by(col("__sub_id"),
-        struct(col("__sim"), (-col("__sub_id")).as("tb"))).as("cluster"))
-    val out = cells.join(best, Seq("__id"))
+      .select(col("__cell").as("cell"), col("__id").as("sub_id"),
+        col("__v").as(vecCol),
+        VectorOps.dotF(col("__v"), col("__v")).as("norm"))
+      .localCheckpoint(eager = true)
+    val out = cells
+      .join(bestSubSeed(
+          cells.select(col("__id"), col("__v"),
+            col("__cell").as("cell")), seeds, vecCol),
+        Seq("__id"))
       .select(col("__id").as(idCol), col("__v").as(vecCol), col("cluster"))
-    Dedup.releaseAfterAll(out, cells)
+    HierarchyIndex(cents, seeds, Dedup.releaseAfterAll(out, cells),
+      k1, k2)
+  }
+
+  /** Publish a [[HierarchyIndex]] as an on-disk layout: `centroids/`
+    * and `subseeds/` as plain parquet (k1 and ≤k1×k2 rows), the
+    * assignment PARTITIONED BY CLUSTER via [[writeIvfIndex]] under
+    * `assigned/` — so a probe's exact verification reads ONLY the
+    * cluster partitions its batch landed in (`PartitionFilters` at the
+    * scan, the inverted-file property) — plus `_index_meta.json`
+    * recording the geometry and column names so a reader needs no
+    * out-of-band knowledge.
+    */
+  def writeHierarchyIndex(index: HierarchyIndex, path: String,
+                          idCol: String, vecCol: String): Unit = {
+    val spark = index.centroids.sparkSession
+    index.centroids.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/centroids")
+    index.subSeeds.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/subseeds")
+    writeIvfIndex(index.assigned, s"$path/assigned")
+    Dedup.writeIndexMeta(spark, path, graft.sink.IndexLayout.metaJson(Seq(
+      "k1" -> index.k1, "k2" -> index.k2,
+      "id_col" -> idCol, "vec_col" -> vecCol,
+      "layout" -> "hierarchy")))
+  }
+
+  /** Read a published hierarchy layout back as a [[HierarchyIndex]].
+    * The assignment's `cluster` partition column is re-cast to long
+    * explicitly (partition-type inference must not leak into join
+    * keys), and columns are re-projected to the written order.
+    */
+  def readHierarchyIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String): HierarchyIndex = {
+    val root = Dedup.readIndexMeta(spark, path)
+    val idCol = Dedup.metaStr(root, "id_col")
+    val vecCol = Dedup.metaStr(root, "vec_col")
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .select(col(idCol), col(vecCol),
+        col("cluster").cast("long").as("cluster"))
+    HierarchyIndex(spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/subseeds"), assigned,
+      Dedup.metaInt(root, "k1"), Dedup.metaInt(root, "k2"))
+  }
+
+  /** Within-cell argmax shared by build and probe: rows `(__id, __v,
+    * cell)` meet ONLY their own cell's sub-seeds (join keyed on the
+    * cell id — co-partitioned at scale, never a corpus-proportional
+    * broadcast); norms are computed once per side (the ivfAssign
+    * spelling — IEEE-identical to cosineF); ties break
+    * (sim desc, sub_id asc). Returns `(__id, cluster)`.
+    */
+  private def bestSubSeed(rows: DataFrame, seeds: DataFrame,
+                          vecCol: String): DataFrame =
+    rows
+      .select(col("__id"), col("__v"), col("cell"),
+        VectorOps.dotF(col("__v"), col("__v")).as("__vn"))
+      .join(seeds.select(col("cell"), col("sub_id"),
+        col(vecCol).as("__sv"), col("norm")), Seq("cell"))
+      .select(col("__id"), col("sub_id"),
+        (VectorOps.dotF(col("__v"), col("__sv")) /
+          (sqrt(col("__vn")) * sqrt(col("norm")))).as("__sim"))
+      .groupBy(col("__id"))
+      .agg(max_by(col("sub_id"),
+        struct(col("__sim"), (-col("sub_id")).as("tb"))).as("cluster"))
+
+  /** [[Dedup.semanticNearDupsAgainst]] served from a PUBLISHED
+    * hierarchy layout: centroids and sub-seeds read back from `path`,
+    * the batch assigned against them, and the exact verification read
+    * PRUNED to the batch's clusters — the distinct cluster ids
+    * (bounded by |batch|, cap-enforced at `maxClusters`) become a
+    * partition filter on the cluster-partitioned assignment, so the
+    * probe reads ONLY the partitions it must verify against
+    * (`PartitionFilters` at the scan — the inverted-file property,
+    * asserted in OperatorsSpec). Past the cap it falls back to the
+    * full assignment scan — the same flat-fallback trade every capped
+    * point list in the probe family makes.
+    */
+  def semanticNearDupsAgainstIndex(batch: DataFrame, path: String,
+                                   idCol: String, vecCol: String,
+                                   threshold: Double,
+                                   maxClusters: Int = 4096): DataFrame = {
+    val spark = batch.sparkSession
+    val index = readHierarchyIndex(spark, path)
+    val root = Dedup.readIndexMeta(spark, path)
+    val (mid, mvec) =
+      (Dedup.metaStr(root, "id_col"), Dedup.metaStr(root, "vec_col"))
+    require(mid == idCol && mvec == vecCol,
+      s"hierarchy index at $path was published with columns " +
+        s"($mid, $mvec), probed with ($idCol, $vecCol)")
+    // eagerly materialized by assignToHierarchy, so the cluster
+    // collect below never re-runs the assignment
+    val asg = assignToHierarchy(batch, index, idCol, vecCol)
+    val picked = asg.select(col("cluster")).distinct()
+      .limit(maxClusters + 1).collect().map(_.getLong(0))
+    // prune on the RAW partition column (before the long cast) so the
+    // filter lands in PartitionFilters, then normalize the key type
+    val raw = spark.read.parquet(s"$path/assigned")
+    val pruned =
+      if (picked.length > maxClusters) raw
+      else raw.filter(col("cluster").isin(picked.toIndexedSeq: _*))
+    val assigned = pruned.select(col(idCol), col(vecCol),
+      col("cluster").cast("long").as("cluster"))
+    Dedup.semanticNearDupsAgainst(asg, assigned, idCol, vecCol,
+      "cluster", threshold)
+  }
+
+  /** Assign a NEW batch to an existing [[HierarchyIndex]] — the same
+    * two argmax levels and tie orders as the build, against the
+    * PERSISTED centroids and sub-seeds (a probe never re-derives
+    * them). Emits `(idCol, vecCol, cluster)` — rows land in the
+    * cluster whose members they must be verified against, which makes
+    * the stored assignment an incremental-dedup index
+    * ([[Dedup.semanticNearDupsAgainst]]).
+    *
+    * Scale shape: level 1 broadcasts the k1-row centroid frame;
+    * level 2 joins the batch to the k1×k2-row seed frame by cell id.
+    * Both seed frames are index artifacts independent of batch and
+    * corpus size.
+    */
+  def assignToHierarchy(batch: DataFrame, index: HierarchyIndex,
+                        idCol: String, vecCol: String): DataFrame = {
+    val l1 = ivfAssign(batch, index.centroids, idCol, vecCol)
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+        col("cluster").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = l1
+      .join(bestSubSeed(l1, index.subSeeds, vecCol), Seq("__id"))
+      .select(col("__id").as(idCol), col("__v").as(vecCol), col("cluster"))
+    Dedup.releaseAfterAll(out, l1)
   }
 
   /** [[assignHierarchical]] with the sqrt sizing applied FOR the
@@ -488,13 +638,22 @@ object Similarity {
     */
   def assignHierarchicalAuto(corpus: DataFrame, idCol: String,
                              vecCol: String,
-                             targetClusterSize: Int): DataFrame = {
+                             targetClusterSize: Int): DataFrame =
+    buildHierarchyIndexAuto(corpus, idCol, vecCol,
+      targetClusterSize).assigned
+
+  /** [[buildHierarchyIndex]] with the sqrt sizing — see
+    * [[assignHierarchicalAuto]].
+    */
+  def buildHierarchyIndexAuto(corpus: DataFrame, idCol: String,
+                              vecCol: String,
+                              targetClusterSize: Int): HierarchyIndex = {
     require(targetClusterSize > 0,
       s"targetClusterSize ($targetClusterSize) must be > 0")
     val n = corpus.count()
     val k = math.max(1, math.ceil(
       math.sqrt(n.toDouble / targetClusterSize)).toInt)
-    assignHierarchical(corpus, idCol, vecCol, k, k)
+    buildHierarchyIndex(corpus, idCol, vecCol, k, k)
   }
 
   /** Train IVF centroids with Lloyd's k-means on a (hash-sampled)

@@ -1626,6 +1626,69 @@ object TrainingDataQueries {
       .stripMargin
   }
 
+  /** Incremental-SemDeDup oracle: the [[semanticScaleSql]] hierarchy
+    * built over the CORPUS SPLIT only (hash ranks, sqrt sizing, and
+    * both argmaxes computed from corp — the probe may never re-derive
+    * seeds from data that includes the batch), then the batch assigned
+    * through the same two levels (b1, b2) and verified against its
+    * cluster's corpus members.
+    */
+  private lazy val semanticAgainstSql = {
+    val h = StableHash.hash60Sql("vec_id::VARCHAR")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |corp AS (SELECT * FROM e WHERE vec_id % $IncrMod <> 0),
+       |newv AS (SELECT * FROM e WHERE vec_id % $IncrMod = 0),
+       |hh AS (SELECT vec_id, v, $h AS h FROM corp),
+       |kk AS (SELECT CAST(ceil(sqrt(count(*) / $SemEvery.0)) AS BIGINT)
+       |    AS k FROM corp),
+       |c1 AS (SELECT vec_id AS centroid_id, cv FROM (
+       |  SELECT vec_id, v AS cv, row_number() OVER (
+       |      ORDER BY h, vec_id) AS rn FROM hh), kk
+       |  WHERE rn <= kk.k),
+       |a1 AS (SELECT vec_id, v, h, centroid_id AS cell FROM (
+       |  SELECT hh.vec_id, hh.v, hh.h, c.centroid_id, row_number() OVER (
+       |      PARTITION BY hh.vec_id ORDER BY
+       |      list_dot_product(hh.v, c.cv)
+       |        / (sqrt(list_dot_product(hh.v, hh.v))
+       |          * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |      c.centroid_id) AS rn
+       |  FROM hh, c1 c) WHERE rn = 1),
+       |s2 AS (SELECT cell, vec_id AS sub_id, v AS sv FROM (
+       |  SELECT cell, vec_id, v, row_number() OVER (
+       |      PARTITION BY cell ORDER BY h, vec_id) AS rn
+       |  FROM a1), kk WHERE rn <= kk.k),
+       |a2c AS (SELECT vec_id, v, sub_id AS cluster FROM (
+       |  SELECT a.vec_id, a.v, s.sub_id, row_number() OVER (
+       |      PARTITION BY a.vec_id ORDER BY
+       |      list_dot_product(a.v, s.sv)
+       |        / (sqrt(list_dot_product(a.v, a.v))
+       |          * sqrt(list_dot_product(s.sv, s.sv))) DESC,
+       |      s.sub_id) AS rn
+       |  FROM a1 a JOIN s2 s USING (cell)) WHERE rn = 1),
+       |b1 AS (SELECT vec_id, v, centroid_id AS cell FROM (
+       |  SELECT n.vec_id, n.v, c.centroid_id, row_number() OVER (
+       |      PARTITION BY n.vec_id ORDER BY
+       |      list_dot_product(n.v, c.cv)
+       |        / (sqrt(list_dot_product(n.v, n.v))
+       |          * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+       |      c.centroid_id) AS rn
+       |  FROM newv n, c1 c) WHERE rn = 1),
+       |b2 AS (SELECT vec_id, v, sub_id AS cluster FROM (
+       |  SELECT b.vec_id, b.v, s.sub_id, row_number() OVER (
+       |      PARTITION BY b.vec_id ORDER BY
+       |      list_dot_product(b.v, s.sv)
+       |        / (sqrt(list_dot_product(b.v, b.v))
+       |          * sqrt(list_dot_product(s.sv, s.sv))) DESC,
+       |      s.sub_id) AS rn
+       |  FROM b1 b JOIN s2 s USING (cell)) WHERE rn = 1)
+       |SELECT n.vec_id AS new_id, c.vec_id AS corpus_id
+       |FROM b2 n JOIN a2c c USING (cluster)
+       |WHERE list_dot_product(n.v, c.v)
+       |    / (sqrt(list_dot_product(n.v, n.v))
+       |      * sqrt(list_dot_product(c.v, c.v))) >= $SemThreshold"""
+      .stripMargin
+  }
+
   /** Gopher-rules oracle: same metrics, same left-to-right arithmetic,
     * thresholds interpolated from the SAME GopherDefaults constants.
     */
@@ -4241,6 +4304,51 @@ object TrainingDataQueries {
           "cluster", SemThreshold)
       },
       Some(semanticScaleSql)),
+
+    // incremental SemDeDup — the `...Against` member for the cluster
+    // index: the hierarchy (seeds AND sqrt sizing derived from the
+    // CORPUS split only — a probe may never re-derive them from data
+    // that includes the batch) is built once; the batch is assigned
+    // through the same two argmax levels against the persisted seeds
+    // and verified exactly against ITS cluster's corpus members only.
+    // Probe cost: |batch| × ~target cosines + two bounded seed joins,
+    // independent of corpus size when the assignment is stored
+    // partitioned by cluster.
+    "dedup_semantic_against" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val corp = emb.filter(col("vec_id") % IncrMod =!= 0)
+        val batch = emb.filter(col("vec_id") % IncrMod === 0)
+        val idx = Similarity.buildHierarchyIndexAuto(corp, "vec_id",
+          "embedding", targetClusterSize = SemEvery)
+        val asg = Similarity.assignToHierarchy(batch, idx, "vec_id",
+          "embedding")
+        Dedup.semanticNearDupsAgainst(asg, idx.assigned, "vec_id",
+          "embedding", "cluster", SemThreshold)
+      },
+      Some(semanticAgainstSql)),
+
+    // the same probe served from a PUBLISHED hierarchy layout
+    // (centroids + sub-seeds + cluster-partitioned assignment +
+    // _index_meta.json): the batch's cluster ids become a partition
+    // filter, so the verification scan reads only touched clusters.
+    // Oracle identical to dedup_semantic_against's: publish/serve and
+    // the partition pruning must change nothing.
+    "dedup_semantic_against_index" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val corp = emb.filter(col("vec_id") % IncrMod =!= 0)
+        val batch = emb.filter(col("vec_id") % IncrMod === 0)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-hieridx").toString
+        Similarity.writeHierarchyIndex(
+          Similarity.buildHierarchyIndexAuto(corp, "vec_id",
+            "embedding", targetClusterSize = SemEvery),
+          dir, "vec_id", "embedding")
+        Similarity.semanticNearDupsAgainstIndex(batch, dir, "vec_id",
+          "embedding", SemThreshold)
+      },
+      Some(semanticAgainstSql)),
 
     "text_gopher_rules" -> QueryDef(
       (s, d) => TextAnalysis.gopherRules(table(s, d, "documents"),

@@ -710,6 +710,64 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got.map(t => t._1 -> t._3).toMap == again)
   }
 
+  test("assignToHierarchy: probing the index's own corpus reproduces " +
+    "the build assignment; probe pairs stay within clusters") {
+    def axis(i: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(4)(0f); v(i) = 1f
+      v((i + 1) % 4) = eps; v
+    }
+    val rows = (0 until 4).flatMap { b =>
+      Seq(0.00f, 0.01f, 0.02f, 0.03f).zipWithIndex.map { case (e, j) =>
+        (b * 10L + j, axis(b, e))
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val idx = Similarity.buildHierarchyIndex(emb, "vec_id", "embedding",
+      k1 = 2, k2 = 2)
+    // the probe is the same two argmax levels over the same persisted
+    // seeds, so re-assigning the corpus itself must be a fixpoint
+    val built = idx.assigned.as[(Long, Seq[Float], Long)].collect()
+      .map(t => t._1 -> t._3).toMap
+    val probed = Similarity.assignToHierarchy(emb, idx, "vec_id",
+        "embedding")
+      .as[(Long, Seq[Float], Long)].collect().map(t => t._1 -> t._3).toMap
+    assert(probed == built)
+    // a disjoint batch: one near-dup of bundle 0 (must pair with a
+    // bundle-0 member), one orthogonal-ish stray (pairs with nobody
+    // at the 0.9 bar)
+    val batch = Seq(
+      (100L, axis(0, 0.015f)),
+      (101L, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val asg = Similarity.assignToHierarchy(batch, idx, "vec_id",
+      "embedding")
+    val pairs = Dedup.semanticNearDupsAgainst(asg, idx.assigned,
+        "vec_id", "embedding", "cluster", 0.9)
+      .as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "the planted near-dup found no corpus dup")
+    pairs.foreach { case (n, c) =>
+      assert(n == 100L && c / 10 == 0,
+        s"unexpected probe pair ($n, $c)") }
+
+    // published round-trip: same pairs from the on-disk layout, and
+    // the verification scan is PRUNED to the batch's clusters
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hier-spec").toString
+    Similarity.writeHierarchyIndex(idx, dir, "vec_id", "embedding")
+    val served = Similarity.semanticNearDupsAgainstIndex(batch, dir,
+      "vec_id", "embedding", 0.9)
+    assert(served.as[(Long, Long)].collect().toSet == pairs.toSet)
+    val scan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r
+      .findFirstIn(scan).isDefined,
+      s"verification scan is not cluster-pruned:\n$scan")
+    // column-name mismatch fails loudly, not with silent wrong columns
+    intercept[IllegalArgumentException] {
+      Similarity.semanticNearDupsAgainstIndex(batch, dir, "doc_id",
+        "embedding", 0.9)
+    }
+  }
+
   test("gopherRules flags each rule independently") {
     val good = (1 to 30)
       .map(i => s"the quick brown fox jumps over that fence$i")
