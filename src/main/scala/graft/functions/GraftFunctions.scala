@@ -458,6 +458,34 @@ object GraftFunctions {
           litInt(args(6), "m"), litInt(args(7), "k"),
           if (args.length > 8) litInt(args(8), "nprobe") else 4)
       },
+      // incremental SemDeDup from SQL (r18): the hierarchy's three
+      // artifact views (cluster assignment, level-1 centroids,
+      // per-cell sub-seeds — Similarity.buildHierarchyIndex's
+      // layout) serve the semantic near-dup probe: the batch is
+      // assigned through the FROZEN seeds in one lazy pass
+      // (assignToSeedsLazy — any_value carries the vector through
+      // the argmax aggregate so analysis runs zero jobs) and
+      // verified exactly against its cluster's corpus members only.
+      // Cluster choice and cosine spelling are bit-identical to the
+      // DataFrame path, so the expansion hash-matches
+      // dedup_semantic_against's oracle
+      tvf("graft_semdedup_probe",
+        "(assigned_table, centroids_table, subseeds_table, " +
+          "batch_table, id_col, vec_col[, threshold])", 6, 7) {
+        (spark, args) =>
+        val idCol = litString(args(4), "id_col")
+        val vecCol = litString(args(5), "vec_col")
+        val asg = graft.operators.Similarity.assignToSeedsLazy(
+          spark.table(litString(args(3), "batch_table")),
+          spark.table(litString(args(1), "centroids_table")),
+          spark.table(litString(args(2), "subseeds_table")),
+          idCol, vecCol)
+        graft.operators.Dedup.semanticNearDupsAgainst(asg,
+          spark.table(litString(args(0), "assigned_table")),
+          idCol, vecCol, "cluster",
+          if (args.length > 6) litDouble(args(6), "threshold")
+          else 0.9)
+      },
       // reciprocal-rank fusion of two ranked lists in the
       // (query_id, rank, neighbor_id) shape — the hybrid-serving
       // combiner; both views are panel-sized by the ranked contract

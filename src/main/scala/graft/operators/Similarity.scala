@@ -616,16 +616,56 @@ object Similarity {
     * corpus size.
     */
   def assignToHierarchy(batch: DataFrame, index: HierarchyIndex,
-                        idCol: String, vecCol: String): DataFrame = {
-    val l1 = ivfAssign(batch, index.centroids, idCol, vecCol)
+                        idCol: String, vecCol: String): DataFrame =
+    assignToSeeds(batch, index.centroids, index.subSeeds, idCol, vecCol)
+
+  /** [[assignToHierarchy]] against BARE seed frames — the spelling a
+    * consumer holding persisted `centroids/` and `subseeds/` tables
+    * (e.g. the streaming maintainer, which has no corpus assignment in
+    * hand when it assigns a new epoch) calls without constructing a
+    * [[HierarchyIndex]] carrier. The result is eagerly materialized
+    * (localCheckpoint) so callers can fan it into several consumers
+    * without re-running the two argmax levels.
+    */
+  def assignToSeeds(batch: DataFrame, centroids: DataFrame,
+                    subSeeds: DataFrame, idCol: String,
+                    vecCol: String): DataFrame = {
+    val l1 = ivfAssign(batch, centroids, idCol, vecCol)
       .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
         col("cluster").as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = l1
-      .join(bestSubSeed(l1, index.subSeeds, vecCol), Seq("__id"))
+      .join(bestSubSeed(l1, subSeeds, vecCol), Seq("__id"))
       .select(col("__id").as(idCol), col("__v").as(vecCol), col("cluster"))
     Dedup.releaseAfterAll(out, l1)
   }
+
+  /** [[assignToSeeds]] as a PURE LAZY single-pass plan — the SQL-TVF
+    * expansion spelling (analysis time may run zero jobs, so no
+    * persist/checkpoint): instead of joining the level-2 argmax back
+    * to the batch for the vector, `any_value` carries it THROUGH the
+    * aggregate (every row in an `__id` group holds the same batch
+    * vector, so the choice is deterministic). Cluster choice is
+    * bit-identical to [[assignToSeeds]]: same cosine spelling, same
+    * (sim desc, sub_id asc) tie order.
+    */
+  private[graft] def assignToSeedsLazy(batch: DataFrame,
+      centroids: DataFrame, subSeeds: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    ivfAssign(batch, centroids, idCol, vecCol)
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+        col("cluster").as("cell"),
+        VectorOps.dotF(col(vecCol), col(vecCol)).as("__vn"))
+      .join(subSeeds.select(col("cell"), col("sub_id"),
+        col(vecCol).as("__sv"), col("norm")), Seq("cell"))
+      .groupBy(col("__id"))
+      .agg(any_value(col("__v")).as("__bv"),
+        max_by(col("sub_id"),
+          struct((VectorOps.dotF(col("__v"), col("__sv")) /
+            (sqrt(col("__vn")) * sqrt(col("norm")))).as("__sim"),
+            (-col("sub_id")).as("tb"))).as("cluster"))
+      .select(col("__id").as(idCol), col("__bv").as(vecCol),
+        col("cluster"))
 
   /** [[assignHierarchical]] with the sqrt sizing applied FOR the
     * caller: `k1 = k2 = ceil(sqrt(n / targetClusterSize))`, so expected

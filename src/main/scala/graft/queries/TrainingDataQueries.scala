@@ -3422,6 +3422,33 @@ object TrainingDataQueries {
       },
       Some(ivfPqSql)),
 
+    // incremental SemDeDup from SQL (r18): the hierarchy's three
+    // artifact views serve graft_semdedup_probe — same construction
+    // as dedup_semantic_against (the index built from the corpus
+    // split, the batch assigned through its frozen seeds), so the
+    // TVF expansion must hash-match that row's oracle exactly. The
+    // expansion is pure lazy (assignToSeedsLazy — zero jobs at
+    // analysis, listener-asserted in GraftFunctionsSpec)
+    "sql_semdedup_probe_tvf" -> QueryDef(
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = table(s, d, "embeddings")
+        val corp = emb.filter(col("vec_id") % IncrMod =!= 0)
+        val batch = emb.filter(col("vec_id") % IncrMod === 0)
+        val idx = Similarity.buildHierarchyIndexAuto(corp, "vec_id",
+          "embedding", targetClusterSize = SemEvery)
+        idx.assigned.createOrReplaceTempView("graft_tvf_sem_asg")
+        idx.centroids.createOrReplaceTempView("graft_tvf_sem_cent")
+        idx.subSeeds.createOrReplaceTempView("graft_tvf_sem_seeds")
+        batch.createOrReplaceTempView("graft_tvf_sem_batch")
+        s.sql(s"""SELECT new_id, corpus_id
+                 |FROM graft_semdedup_probe('graft_tvf_sem_asg',
+                 |  'graft_tvf_sem_cent', 'graft_tvf_sem_seeds',
+                 |  'graft_tvf_sem_batch', 'vec_id', 'embedding',
+                 |  $SemThreshold)""".stripMargin)
+      },
+      Some(semanticAgainstSql)),
+
     "sql_hybrid_rrf_tvf" -> QueryDef(
       (s, d) => {
         graft.functions.GraftFunctions.register(s)

@@ -144,6 +144,15 @@ object IndexLayout {
   // more candidates — never drops pairs the recount spelling keeps.
   val JaccardGramCounts: MaintainedTable = MaintainedTable("gcounts",
     "g", "gcounts_dir", "gcounts_compacted_through", "gcounts_epochs")
+  // the hierarchical-SemDeDup corpus assignment `(id, vec, cluster)`,
+  // range-sorted on the cluster id so a probe's exact verification
+  // reads only the manifest shards holding its batch's clusters — the
+  // inverted-file property, served by the range manifest instead of
+  // hive partitioning (the maintained-layout spelling of
+  // Similarity.writeHierarchyIndex's partitionBy)
+  val HierarchyAssigned: MaintainedTable = MaintainedTable("assigned",
+    "cluster", "assigned_dir", "assigned_compacted_through",
+    "assigned_epochs")
 
   /** Whether the layout's meta declares this maintained table — the
     * forward-compat probe for sidecars added after a layout was

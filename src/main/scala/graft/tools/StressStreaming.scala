@@ -25,6 +25,7 @@ object StressStreaming {
       else "/tmp/graft-streaming-soak"
     // optional section selector:
     // all | merge | index | components | sig | banded | emb | jaccard
+    //   | hier
     val only = if (args.length > 2) args(2) else "all"
     def want(s: String): Boolean = only == "all" || only == s
     val spark = SparkSession.builder()
@@ -228,6 +229,37 @@ object StressStreaming {
         f"apply_sec=$w%.2f probe_sec=$p%.2f")
     }
 
+    // ---- StreamingHierarchyIndex (r18): the maintained SemDeDup
+    // hierarchy. The tree is FROZEN at bootstrap (epoch 0 sizes k from
+    // its own 100k rows), so cluster POPULATION grows with the corpus
+    // while cluster COUNT stays fixed — the documented drift contract
+    // (rebuild past the centroidDriftReport threshold). The curve
+    // makes that trade a measured number: apply cost should stay
+    // near-flat (assignment is batch x (k1+k2) against frozen seeds;
+    // the epoch probe verifies batch x population), and the serving
+    // probe's growth tracks population, i.e. linear in accumulated
+    // corpus over a fixed tree — the signal that tells a deployment
+    // when to re-bootstrap.
+    val hierIdxPath = s"$workDir/hier-index"
+    val hierPairsPath = s"$workDir/hier-pairs"
+    val hierCurve = if (!want("hier")) Nil
+    else (0 until epochs).map { ep =>
+      val batch = embSlice(ep * 100000L, (ep + 1) * 100000L)
+      val w = timed(
+        graft.streaming.StreamingHierarchyIndex.applyBatch(
+          batch, ep.toLong, hierIdxPath, hierPairsPath, "vec_id",
+          "embedding", targetClusterSize = 50, shards = 64,
+          compactEvery = 8, threshold = 0.9, maxClusters = 4096))
+      val p = timed(graft.streaming.StreamingHierarchyIndex
+        .probe(embProbe, hierIdxPath, "vec_id", "embedding", 0.9)
+        .count())
+      (w, p)
+    }
+    hierCurve.zipWithIndex.foreach { case ((w, p), ep) =>
+      println(f"[stress-streaming] hierarchy_index_epochs epoch=$ep " +
+        f"apply_sec=$w%.2f probe_sec=$p%.2f")
+    }
+
     // ---- StreamingJaccardIndex (r15): frozen-df-order epoch appends
     // over the SAME doc universe, with compaction re-freezing all
     // three tables (the honest heavy step — a full artifacts rebuild
@@ -295,6 +327,8 @@ object StressStreaming {
       f"emb_probe=${ratio1(embCurve.map(_._2))}%.2fx " +
       f"jaccard_apply=${ratio1(jacCurve.map(_._1))}%.2fx " +
       f"jaccard_probe=${ratio1(jacCurve.map(_._2))}%.2fx " +
+      f"hier_apply=${ratio1(hierCurve.map(_._1))}%.2fx " +
+      f"hier_probe=${ratio1(hierCurve.map(_._2))}%.2fx " +
       f"over $epochs epochs")
     spark.stop()
   }

@@ -660,6 +660,71 @@ class GraftFunctionsSpec extends SparkSpecBase {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("graft_semdedup_probe equals its DataFrame twin bit-for-bit, " +
+      "and EXPLAIN launches zero Spark jobs (r18)") {
+    import graft.operators.{Dedup, Similarity}
+    GraftFunctions.register(spark)
+    // two tight directions; batch rows (id % 10 == 0) are near-copies
+    // of corpus members
+    val vecs = ((1L to 20L).map(i =>
+        (i, Seq(1.0f + i * 0.001f, 0.5f, 0.25f))) ++
+      (21L to 30L).map(i =>
+        (i, Seq(-1.0f, 0.2f + i * 0.01f, 0.9f))))
+      .toDF("vec_id", "embedding")
+    val corp = vecs.filter(col("vec_id") % 10 =!= 0)
+    val batch = vecs.filter(col("vec_id") % 10 === 0)
+    val idx = Similarity.buildHierarchyIndex(corp, "vec_id",
+      "embedding", k1 = 2, k2 = 2)
+    idx.assigned.createOrReplaceTempView("gfs_sem_asg")
+    idx.centroids.createOrReplaceTempView("gfs_sem_cent")
+    idx.subSeeds.createOrReplaceTempView("gfs_sem_seeds")
+    batch.createOrReplaceTempView("gfs_sem_batch")
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSql = pairs(spark.sql("SELECT new_id, corpus_id FROM " +
+      "graft_semdedup_probe('gfs_sem_asg', 'gfs_sem_cent', " +
+      "'gfs_sem_seeds', 'gfs_sem_batch', 'vec_id', 'embedding', 0.9)"))
+    val viaDf = pairs(Dedup.semanticNearDupsAgainst(
+      Similarity.assignToHierarchy(batch, idx, "vec_id", "embedding"),
+      idx.assigned, "vec_id", "embedding", "cluster", threshold = 0.9))
+    assert(viaSql.nonEmpty && viaSql == viaDf,
+      "graft_semdedup_probe must equal the eager DataFrame probe " +
+        "(the any_value lazy assign changes nothing)")
+
+    val explainJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val markerSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val grp = Option(js.properties)
+          .map(_.getProperty("spark.jobGroup.id")).orNull
+        if (grp == "gfs-sem-marker") markerSeen.set(true)
+        else explainJobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val plan = spark.sql("EXPLAIN FORMATTED SELECT * FROM " +
+          "graft_semdedup_probe('gfs_sem_asg', 'gfs_sem_cent', " +
+          "'gfs_sem_seeds', 'gfs_sem_batch', 'vec_id', 'embedding', " +
+          "0.9)")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(plan.contains("Physical Plan"), plan.take(200))
+      spark.sparkContext.setJobGroup("gfs-sem-marker", "flush")
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.currentTimeMillis + 30000
+      while (!markerSeen.get && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(markerSeen.get, "marker job never reached the listener")
+      assert(explainJobs.get == 0,
+        s"EXPLAIN of graft_semdedup_probe must launch zero Spark " +
+          s"jobs (saw ${explainJobs.get})")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("GraftExtensions injects at session build time") {
     val base = spark // force shared-session init before clearing
     val expected = base.range(1)
