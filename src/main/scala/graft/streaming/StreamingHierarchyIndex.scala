@@ -144,19 +144,22 @@ object StreamingHierarchyIndex {
     //    PRE-batch assignment (epoch-gated, manifest-pruned)
     val (asg, pairs) = assignAndProbe(batch, indexPath, root, idCol,
       vecCol, threshold, maxClusters,
-      maxEpochExclusive = Some(batchId))
-    pairs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$pairsOutDir/epoch=$batchId")
+      maxEpochExclusive = Some(batchId), cache = true)
+    try {
+      pairs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$pairsOutDir/epoch=$batchId")
 
-    // 3) meta, then the epoch append (replay keys on the partition)
-    IndexLayout.promoteMeta(f, indexPath, IndexLayout.metaJson(
-      paramFields(mk1, mk2, targetClusterSize, idCol, vecCol,
-        batchId) ++ Seq(
-        T.dirField -> IndexLayout.baseDir(root, T),
-        T.throughField -> through)))
-    IndexLayout.appendEpoch(asg, indexPath, batchId, T)
+      // 3) meta, then the epoch append (replay keys on the partition)
+      IndexLayout.promoteMeta(f, indexPath, IndexLayout.metaJson(
+        paramFields(mk1, mk2, targetClusterSize, idCol, vecCol,
+          batchId) ++ Seq(
+          T.dirField -> IndexLayout.baseDir(root, T),
+          T.throughField -> through)))
+      IndexLayout.appendEpoch(asg, indexPath, batchId, T)
+    } finally asg.unpersist()
 
-    // 4) fold the epoch tail once it is long enough
+    // 4) fold the epoch tail once it is long enough (reads the
+    //    layout, not the cached assignment)
     if (batchId - through >= compactEvery) {
       val root2 = Dedup.readIndexMeta(spark, indexPath)
       IndexLayout.compact(spark, indexPath, root2, T.sortCol, shards,
@@ -167,24 +170,41 @@ object StreamingHierarchyIndex {
   }
 
   /** The shared assign-then-verify body: the batch is assigned
-    * through the layout's FROZEN seed frames (the result is eagerly
-    * materialized, so the cluster collect, the pairs probe, and a
-    * maintainer's epoch append share one assignment pass), and the
-    * exact verification reads the manifest shards holding the batch's
-    * distinct clusters (bounded by |batch|, cap-enforced; full-scan
-    * fallback past the cap) plus the uncompacted epoch tail — extra
-    * rows from shard granularity are correctness-neutral because the
-    * verification joins on the cluster id.
+    * through the layout's FROZEN seed frames (the single-pass lazy
+    * spelling), and the exact verification reads the manifest shards
+    * holding the batch's distinct clusters (bounded by |batch|,
+    * cap-enforced; full-scan fallback past the cap) plus the
+    * uncompacted epoch tail — extra rows from shard granularity are
+    * correctness-neutral because the verification joins on the
+    * cluster id.
+    *
+    * `cache = true` persists the assignment for the caller's multiple
+    * consumers (the cluster collect, the pairs join, the maintainer's
+    * epoch append) — the caller MUST unpersist it when the epoch's
+    * writes complete. The eager-localCheckpoint spelling was measured
+    * hoarding block-manager storage across a 20-epoch soak (each
+    * epoch's checkpoint lingers until the context cleaner gets to it;
+    * epochs 18-19 hit eviction and ran 3-10x slow) — an explicit
+    * persist/unpersist pair bounds the maintainer's storage at one
+    * batch. `cache = false` (the serving probe) keeps the plan pure:
+    * the assign recomputes once for the cluster collect and once
+    * inside the returned pairs plan — batch-sized work, zero blocks
+    * left behind per probe call.
     */
   private def assignAndProbe(batch: DataFrame, indexPath: String,
       root: org.json4s.JValue, idCol: String, vecCol: String,
       threshold: Double, maxClusters: Int,
-      maxEpochExclusive: Option[Long]): (DataFrame, DataFrame) = {
+      maxEpochExclusive: Option[Long],
+      cache: Boolean): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val seeds = spark.read.parquet(s"$indexPath/subseeds")
-    val asg = Similarity.assignToSeeds(batch, cents, seeds, idCol,
-      vecCol)
+    val asg0 = Similarity.assignToSeedsLazy(batch, cents, seeds,
+      idCol, vecCol)
+    val asg =
+      if (cache) asg0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else asg0
     val picked = asg.select(col("cluster")).distinct()
       .limit(maxClusters + 1).collect().map(_.getLong(0))
     val points =
@@ -214,7 +234,7 @@ object StreamingHierarchyIndex {
       s"hierarchy index at $indexPath was published with columns " +
         s"($mid, $mvec), probed with ($idCol, $vecCol)")
     assignAndProbe(batch, indexPath, root, idCol, vecCol, threshold,
-      maxClusters, maxEpochExclusive = None)._2
+      maxClusters, maxEpochExclusive = None, cache = false)._2
   }
 
   /** The epoch committed with the current meta, if any. */
