@@ -4360,7 +4360,13 @@ object TrainingDataQueries {
     // _index_meta.json): the batch's cluster ids become a partition
     // filter, so the verification scan reads only touched clusters.
     // Oracle identical to dedup_semantic_against's: publish/serve and
-    // the partition pruning must change nothing.
+    // the partition pruning must change nothing. Scale note: this
+    // row's bench number INCLUDES the inline hive-partitioned publish,
+    // whose directory count grows as n/target (~4k dirs at factor
+    // 100 — BASELINE.md attributes the row's x9.9 to that one-time
+    // write); the maintained spelling (StreamingHierarchyIndex's
+    // cluster-range-sorted layout + manifest pruning) is the publish
+    // path at scale.
     "dedup_semantic_against_index" -> QueryDef(
       (s, d) => {
         val emb = table(s, d, "embeddings")
