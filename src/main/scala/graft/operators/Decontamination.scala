@@ -97,4 +97,45 @@ object Decontamination {
           org.apache.spark.sql.types.StringType))))
       .parquet(s"$path/grams"),
       Dedup.metaInt(Dedup.readIndexMeta(spark, path), "shingle_k"))
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram screen: a training document is contaminated iff its
+    * embedding clears `threshold` cosine against ANY benchmark item.
+    * Paraphrased or re-tokenized eval leakage defeats k-gram overlap
+    * (no shared surface string) but not the embedding — this is the
+    * SemDeDup machinery pointed at the train/eval boundary instead of
+    * at intra-corpus duplication.
+    *
+    * Scale shape: the corpus is clustered ONCE by the two-level
+    * hierarchy ([[Similarity.buildHierarchyIndexAuto]] — sqrt-sized
+    * broadcast, cell-keyed sub-seed join, cluster population ~
+    * `targetClusterSize` at any corpus size); the MB-scale benchmark
+    * assigns through the same frozen seeds and verifies exactly
+    * against its clusters' members only, so the screen costs
+    * |bench| × population cosines, independent of corpus size. In
+    * production the corpus side is the PUBLISHED hierarchy layout
+    * (write once, screen every eval-set revision against it).
+    *
+    * Emits one row per training doc — `(corpus_id, n_bench_hits,
+    * kept)`, zeros included, so a clean corpus reports itself rather
+    * than vanishing.
+    */
+  def semanticContamination(corpusEmb: DataFrame, benchEmb: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double,
+                            targetClusterSize: Int = 50): DataFrame = {
+    val idx = Similarity.buildHierarchyIndexAuto(corpusEmb, idCol,
+      vecCol, targetClusterSize)
+    val asgB = Similarity.assignToHierarchy(benchEmb, idx, idCol,
+      vecCol)
+    val hits = Dedup.semanticNearDupsAgainst(asgB, idx.assigned,
+        idCol, vecCol, "cluster", threshold)
+      .groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("__hits"))
+    corpusEmb.select(col(idCol).cast("long").as("corpus_id"))
+      .join(hits, Seq("corpus_id"), "left")
+      .select(col("corpus_id"),
+        coalesce(col("__hits"), lit(0L)).as("n_bench_hits"),
+        (coalesce(col("__hits"), lit(0L)) === 0L).as("kept"))
+  }
 }

@@ -1633,7 +1633,13 @@ object TrainingDataQueries {
     * through the same two levels (b1, b2) and verified against its
     * cluster's corpus members.
     */
-  private lazy val semanticAgainstSql = {
+  private lazy val semanticAgainstSql =
+    s"$semanticAgainstCtes\n$semanticAgainstSelect"
+
+  /** The hierarchy-over-corpus CTE body shared by the incremental
+    * probe oracle and the semantic-decontamination oracle.
+    */
+  private lazy val semanticAgainstCtes = {
     val h = StableHash.hash60Sql("vec_id::VARCHAR")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |corp AS (SELECT * FROM e WHERE vec_id % $IncrMod <> 0),
@@ -1680,14 +1686,32 @@ object TrainingDataQueries {
        |        / (sqrt(list_dot_product(b.v, b.v))
        |          * sqrt(list_dot_product(s.sv, s.sv))) DESC,
        |      s.sub_id) AS rn
-       |  FROM b1 b JOIN s2 s USING (cell)) WHERE rn = 1)
-       |SELECT n.vec_id AS new_id, c.vec_id AS corpus_id
+       |  FROM b1 b JOIN s2 s USING (cell)) WHERE rn = 1)"""
+      .stripMargin
+  }
+
+  private lazy val semanticAgainstSelect =
+    s"""SELECT n.vec_id AS new_id, c.vec_id AS corpus_id
        |FROM b2 n JOIN a2c c USING (cluster)
        |WHERE list_dot_product(n.v, c.v)
        |    / (sqrt(list_dot_product(n.v, n.v))
        |      * sqrt(list_dot_product(c.v, c.v))) >= $SemThreshold"""
       .stripMargin
-  }
+
+  /** Semantic-decontamination oracle: the [[semanticAgainstCtes]]
+    * hierarchy with the roles read as decontamination — `newv` is the
+    * BENCHMARK, `corp` the training corpus — rolled up into one row
+    * per training doc (zeros included, so the report never collapses
+    * to an empty frame on clean fixtures).
+    */
+  private lazy val semanticDecontamSql =
+    s"""$semanticAgainstCtes,
+       |pr AS ($semanticAgainstSelect)
+       |SELECT c.vec_id AS corpus_id,
+       |  CAST(count(pr.new_id) AS BIGINT) AS n_bench_hits,
+       |  count(pr.new_id) = 0 AS kept
+       |FROM corp c LEFT JOIN pr ON c.vec_id = pr.corpus_id
+       |GROUP BY c.vec_id""".stripMargin
 
   /** Gopher-rules oracle: same metrics, same left-to-right arithmetic,
     * thresholds interpolated from the SAME GopherDefaults constants.
@@ -3907,6 +3931,25 @@ object TrainingDataQueries {
           DecontamK)
       },
       Some(decontamSql)),
+
+    // SEMANTIC decontamination (r18): the embedding-space complement
+    // of decontam_overlap — paraphrased eval leakage that shares no
+    // surface k-gram still clears the cosine screen. Same corpus/
+    // batch carve as dedup_semantic_against with the roles read as
+    // decontamination (the batch IS the benchmark); the report keeps
+    // one row per training doc, zeros included. Not bench-tracked:
+    // its cost profile is dedup_semantic_against plus one batch-sized
+    // left join, already drift-visible there.
+    "decontam_semantic" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        Decontamination.semanticContamination(
+          emb.filter(col("vec_id") % IncrMod =!= 0),
+          emb.filter(col("vec_id") % IncrMod === 0),
+          "vec_id", "embedding", SemThreshold,
+          targetClusterSize = SemEvery)
+      },
+      Some(semanticDecontamSql)),
 
     "dedup_chunk_fraction" -> QueryDef(
       (s, d) => Dedup.chunkDupStats(table(s, d, "documents"),

@@ -768,6 +768,41 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("semanticContamination: a paraphrase-leaked train doc is " +
+      "flagged, clean docs report kept with zero hits") {
+    def axis(i: Int, eps: Float): Array[Float] = {
+      val v = Array.fill(4)(0f); v(i) = 1f
+      v((i + 1) % 4) = eps; v
+    }
+    // training corpus: four tight direction bundles
+    val corpus = (0 until 4).flatMap { b =>
+      Seq(0.00f, 0.01f, 0.02f, 0.03f).zipWithIndex.map { case (e, j) =>
+        (b * 10L + j, axis(b, e))
+      }
+    }.toDF("vec_id", "embedding")
+    // benchmark: one item semantically equal to bundle 0 (the
+    // paraphrase-leak case — no shared surface text exists here at
+    // all), one direction no training doc is near
+    val bench = Seq(
+      (900L, axis(0, 0.015f)),
+      (901L, Array(0.5f, 0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val report = graft.operators.Decontamination.semanticContamination(
+        corpus, bench, "vec_id", "embedding", threshold = 0.9,
+        targetClusterSize = 4)
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(report.size == 16, "one row per training doc, zeros included")
+    // every bundle-0 member clears 0.9 cosine vs the leaked item
+    (0L to 3L).foreach { id =>
+      val (_, hits, kept) = report(id)
+      assert(hits == 1L && !kept, s"doc $id should be contaminated") }
+    // every other bundle is clean and KEPT (cosine vs both bench
+    // items is far below the bar)
+    (1 to 3).flatMap(b => (0 to 3).map(j => b * 10L + j)).foreach { id =>
+      val (_, hits, kept) = report(id)
+      assert(hits == 0L && kept, s"doc $id should be kept") }
+  }
+
   test("gopherRules flags each rule independently") {
     val good = (1 to 30)
       .map(i => s"the quick brown fox jumps over that fence$i")
