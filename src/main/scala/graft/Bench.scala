@@ -40,21 +40,26 @@ object Bench {
       : (String, String, Seq[String]) = {
     val failed = scala.collection.mutable.LinkedHashSet[String]()
 
-    def once(name: String): Double = {
+    // per-query env snapshots (wall/cpu/runq-wait) so a single-query
+    // host burst is attributable from the artifact alone — BENCH_r18's
+    // 86 s cdc_wal2json reading needed a manual judge re-run because
+    // the env block proved contention per PASS but not per QUERY
+    def once(name: String): BenchEnv.PassEnv = {
       val fn = queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        System.err.println(s"bench: $name FAILED: ${e.getMessage}")
-        failed += name
+      val (_, env) = BenchEnv.measurePass {
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case e: Throwable =>
+          System.err.println(s"bench: $name FAILED: ${e.getMessage}")
+          failed += name
+        }
       }
-      val dt = (System.nanoTime() - t0) / 1e9
       // drop datasets the query persisted: each invocation re-persists
       // fresh RDDs, so 4 passes x 23 queries would otherwise pile ~90
       // leftover cached datasets into executor storage and skew the
-      // later, memory-sensitive measurements (GC + eviction pressure)
+      // later, memory-sensitive measurements (GC + eviction pressure);
+      // outside the measured window, as before
       spark.catalog.clearCache()
-      dt
+      env
     }
 
     def median(xs: Seq[Double]): Double = {
@@ -74,12 +79,25 @@ object Bench {
     val loadAfter = BenchEnv.loadavg()
     val passes = measured.map(_._1)
     val passEnvs = coldEnv +: measured.map(_._2)
-    val med = names.map(n => n -> median(passes.map(_(n))))
+    // the reported number is the median WALL across measured passes;
+    // its env is the env of the pass that produced it (the median-wall
+    // pass), so a flagged query means "the number of record was taken
+    // under external runqueue pressure" — machine-attributable without
+    // a control run
+    val qEnv = names.map(n =>
+      n -> BenchEnv.medianWallEnv(passes.map(_(n)))).toMap
+    val med = names.map(n => n -> median(passes.map(_(n).wallSec)))
     val qs = med.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = med.map(_._2).sum
-    val coldTotal = cold.map(_._2).sum
+    val coldTotal = cold.map(_._2.wallSec).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val qEnvJson = names.map(n =>
+        "\"" + n + "\":" + BenchEnv.queryJson(qEnv(n)))
+      .mkString("{", ",", "}")
+    val contendedQueries = names.filter(n => BenchEnv.burst(qEnv(n)))
+    val contendedQueriesJson = contendedQueries
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val envJson = BenchEnv.runJson(passEnvs, loadBefore, loadAfter)
     // stdout gets the COMPACT line: the harness captures only the last
     // 2 KB of stdout, and a line longer than that loses its head and
@@ -88,7 +106,7 @@ object Bench {
     // full-file variant (see main); the compact line keeps every
     // per-query median, the failed list, and the env block.
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"methodology_version":2,"failed":$failedJson,"env":$envJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"methodology_version":2,"failed":$failedJson,"query_env":$qEnvJson,"contended_queries":$contendedQueriesJson,"env":$envJson}"""
     // Bounded-size summary, printed LAST by main: headline scalars, the
     // contention verdict, and the top-5 heaviest queries. The full
     // per-query map lives in `json` (line 1 of stdout and the on-disk
@@ -101,7 +119,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${names.size},"cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"methodology_version":2,"failed":$failedJson,"contended":${BenchEnv.contended(passEnvs)},"median_wait_cpu_ratio":$ratioJson,"top5":$top5,"queries_in":"line 1 of stdout and bench_out.json"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${names.size},"cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"methodology_version":2,"failed":$failedJson,"contended":${BenchEnv.contended(passEnvs)},"median_wait_cpu_ratio":$ratioJson,"n_contended_queries":${contendedQueries.size},"top5":$top5,"queries_in":"line 1 of stdout and bench_out.json"}"""
     (json, summary, failed.toSeq)
   }
 

@@ -104,6 +104,36 @@ object BenchEnv {
     w <- p.runqWaitSec
   } yield w / c
 
+  /** Whether ONE measurement (a single query's measured window) was
+    * taken under external runqueue pressure — the per-query burst
+    * flag. Same ratio and threshold as the run-level [[contended]],
+    * but no median: the point is to attribute a single-query host
+    * burst (the BENCH_r18 cdc_wal2json ×31 reading) from the artifact
+    * alone, and a burst confined to one query IS the single sample.
+    */
+  def burst(p: PassEnv): Boolean =
+    waitRatio(p).exists(_ > ContendedWaitRatio)
+
+  /** Of several measurements of the same query, the one whose wall is
+    * the reported median (lower-middle on even counts — a real
+    * measured pass, never an interpolated one): the env that belongs
+    * to the number of record.
+    */
+  def medianWallEnv(envs: Seq[PassEnv]): PassEnv = {
+    require(envs.nonEmpty, "medianWallEnv of no measurements")
+    val s = envs.sortBy(_.wallSec)
+    s((s.size - 1) / 2)
+  }
+
+  /** Compact per-query env JSON: the median-wall pass's numbers plus
+    * its burst verdict.
+    */
+  def queryJson(p: PassEnv): String = {
+    def opt(v: Option[Double]) = v.map(x => f"$x%.3f").getOrElse("null")
+    val ratio = waitRatio(p).map(x => f"$x%.4f").getOrElse("null")
+    f"""{"wall_sec":${p.wallSec}%.3f,"cpu_sec":${opt(p.cpuSec)},"runq_wait_sec":${opt(p.runqWaitSec)},"wait_cpu_ratio":$ratio,"burst":${burst(p)}}"""
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2)

@@ -48,11 +48,14 @@ object SparkEntry {
     "dedup_connected_components", "dedup_incremental_minhash",
     "sample_pack_plan", "text_bigram_rarity",
     "asof_join_events", "range_join_attribution",
-    // round-7 additions: cluster-then-compare semantic dedup, the
-    // composed curation pipeline (lang -> quality -> dedup -> cap ->
-    // split — the closest thing to a real end-to-end workload), and the
-    // KMV distinct sketch over exploded shingles
-    "dedup_semantic_pairs", "pipeline_curate_corpus",
+    // round-7 additions: the composed curation pipeline (lang ->
+    // quality -> dedup -> cap -> split — the closest thing to a real
+    // end-to-end workload) and the KMV distinct sketch over exploded
+    // shingles. (r19: dedup_semantic_pairs — the every-knob flat
+    // SemDeDup, ×209 at factor 100 — left the headline; its scale
+    // spelling dedup_semantic_pairs_scale tracks the family below,
+    // and the flat row stays a non-headline oracle contrast entry)
+    "pipeline_curate_corpus",
     "sketch_distinct_ngrams",
     // round-8 additions: corpus-window DSIR scoring, cross-doc
     // boilerplate removal (the heaviest new shape: text rides the
@@ -62,9 +65,12 @@ object SparkEntry {
     "dedup_intra_doc_chunks", "profile_columns",
     "dedup_minhash_precision", "text_oov_rate", "cohort_retention",
     // round-9 additions: learned-vocab tokenizer (train one exchange +
-    // zero-exchange trie encode), perceptual-hash media dedup, and the
-    // composed sampling pipeline (DSIR -> temperature -> pack)
-    "text_vocab_token_counts", "media_phash_pairs",
+    // zero-exchange trie encode) and the composed sampling pipeline
+    // (DSIR -> temperature -> pack). (r19: media_phash_pairs — the
+    // 8-bit-band geometry, ×303 at factor 100 — left the headline for
+    // its scale twin media_phash_pairs_scale below; the narrow-band
+    // row stays a non-headline oracle contrast entry)
+    "text_vocab_token_counts",
     "pipeline_weighted_mixture",
     // round-9 late additions: the corpus-version diff (full-outer join
     // over slimmed rows), the exact PCA moment aggregate (one-pass
@@ -108,8 +114,12 @@ object SparkEntry {
     // the incremental paths are bench-visible, not just soak-visible.
     // Like the bloomed probe above, each number INCLUDES its inline
     // index build (publish once in production); what the bench tracks
-    // is the probe machinery's round-over-round drift
-    "dedup_incremental_simhash", "dedup_incremental_embedding",
+    // is the probe machinery's round-over-round drift.
+    // (r19: dedup_incremental_embedding — 4-bit bands, ~n²/16
+    // candidates, 169 s at factor 100 — left the headline for its
+    // 32-plane/16-bit scale twin dedup_incremental_embedding_scale
+    // below; the narrow-band row stays a non-headline oracle entry)
+    "dedup_incremental_simhash",
     "dedup_incremental_jaccard", "text_search_from_index",
     // round-15 additions: hybrid retrieval (lexical tf·idf top-k and
     // cosine top-k fused by reciprocal rank), BM25-flavor ranking
@@ -132,17 +142,19 @@ object SparkEntry {
     // query); the IVF probe TVF tracks the index-served ANN path from
     // SQL (same plan as ann_ivf_topk + expansion overhead)
     "q18_large_volume_customers", "sql_curate_tvf", "sql_ivf_probe_tvf",
-    // round-18 additions: the wide-band (100 TB) configurations of the
-    // two pair families the factor-100 curve measured quadratic in
-    // their test geometries — decoded-phash media dedup (8-bit bands:
-    // n²/256 candidates per band) and the incremental embedding probe
-    // (4-bit bands: n²/16). Each row keeps the production point's
-    // drift bench-visible next to its oracle-parity twin
+    // round-18 additions, PROMOTED to the family headline in r19: the
+    // wide-band (100 TB) configurations of the two pair families the
+    // factor-100 curve measured quadratic in their test geometries —
+    // decoded-phash media dedup (16-bit bands, now the operator
+    // default) and the incremental embedding probe (32 planes/16-bit
+    // bands, the buildEmbeddingIndex default). Their narrow-band
+    // oracle-parity twins stay registry rows but no longer headline
     "media_phash_pairs_scale", "dedup_incremental_embedding_scale",
     // round-18 late additions: the hierarchical (two-level) SemDeDup —
     // bounded cluster population WITHOUT the every-knob's
-    // corpus-proportional centroid broadcast — tracked beside its flat
-    // oracle-parity twin dedup_semantic_pairs, and its incremental
+    // corpus-proportional centroid broadcast — since r19 the family's
+    // only headline (flat dedup_semantic_pairs is a non-headline
+    // oracle contrast row), and its incremental
     // probe (batch assigned to the persisted hierarchy, verified
     // against its cluster only — like the other `...Against` rows the
     // number INCLUDES the inline index build; production publishes it)

@@ -471,7 +471,9 @@ object GraftFunctions {
       // dedup_semantic_against's oracle
       tvf("graft_semdedup_probe",
         "(assigned_table, centroids_table, subseeds_table, " +
-          "batch_table, id_col, vec_col[, threshold])", 6, 7) {
+          "batch_table, id_col, vec_col[, threshold]); batch_table " +
+          "ids must be unique (the lazy assignment groups by id)",
+        6, 7) {
         (spark, args) =>
         val idCol = litString(args(4), "id_col")
         val vecCol = litString(args(5), "vec_col")

@@ -1785,6 +1785,20 @@ object Dedup {
     }
   }
 
+  /** [[metaInt]] for fields added after layouts were first published —
+    * absent means "pre-upgrade layout", not corruption.
+    */
+  private[graft] def metaIntOpt(root: org.json4s.JValue,
+                                name: String): Option[Int] = {
+    import org.json4s._
+    (root \ name) match {
+      case JNothing => None
+      case JInt(n) => Some(n.intValue)
+      case JLong(n) => Some(n.toInt)
+      case o => throw new IllegalStateException(s"bad index meta $name: $o")
+    }
+  }
+
   private[graft] def metaStr(root: org.json4s.JValue, name: String)
       : String = {
     import org.json4s._

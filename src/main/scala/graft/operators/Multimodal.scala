@@ -118,7 +118,7 @@ object Multimodal {
     */
   def phashNearDups(media: DataFrame, idCol: String,
                     payloadCol: String, maxHamming: Int,
-                    bandBits: Int = 8): DataFrame =
+                    bandBits: Int = 16): DataFrame =
     graft.operators.Dedup.bandedHammingPairs(
       media.select(col(idCol), aHash(col(payloadCol)).as("phash")),
       idCol, "phash", bits = 64, maxHamming = maxHamming,
@@ -140,11 +140,15 @@ object Multimodal {
     * band means BOTH its 8-bit halves are shared, the wide-band
     * candidate set is an exact subset of the 8-bit one — the knob trades
     * recall in the (bands-1, maxHamming] luck range for scale, never
-    * minting new pairs. Default 8 preserves the historical oracle rows.
+    * minting new pairs. Default 16 (r19): the short spelling IS the
+    * 100 TB plan — the 8-bit geometry measured ×303 at factor 100
+    * (BASELINE.md r18) and remains available as `bandBits = 8` for
+    * small corpora where the extra luck-range recall is worth n²/256
+    * candidates.
     */
   def phashNearDupsDecoded(media: DataFrame, idCol: String,
                            payloadCol: String, maxHamming: Int,
-                           bandBits: Int = 8): DataFrame =
+                           bandBits: Int = 16): DataFrame =
     graft.operators.Dedup.bandedHammingPairs(
       media.select(col(idCol),
           graft.functions.MediaCodec.mediaPhash(col(payloadCol))

@@ -499,15 +499,28 @@ object Similarity {
 
   /** Publish a [[HierarchyIndex]] as an on-disk layout: `centroids/`
     * and `subseeds/` as plain parquet (k1 and ≤k1×k2 rows), the
-    * assignment PARTITIONED BY CLUSTER via [[writeIvfIndex]] under
-    * `assigned/` — so a probe's exact verification reads ONLY the
-    * cluster partitions its batch landed in (`PartitionFilters` at the
-    * scan, the inverted-file property) — plus `_index_meta.json`
-    * recording the geometry and column names so a reader needs no
-    * out-of-band knowledge.
+    * assignment BUCKET-PARTITIONED under `assigned/`, plus
+    * `_index_meta.json` recording the geometry and column names so a
+    * reader needs no out-of-band knowledge.
+    *
+    * Layout (r19): the partition key is `bucket = cluster mod
+    * assignedBuckets`, NOT the raw cluster id — the hierarchy mints
+    * ~n/target clusters, so hive-partitioning by cluster writes a
+    * directory count proportional to the corpus (~20M dirs at 10⁹
+    * vectors; the r18 curve measured the publish ×9.9 at factor 100
+    * on directory count alone). Buckets cap the directory count at
+    * `assignedBuckets` while rows inside each bucket are SORTED BY
+    * CLUSTER, so a probe still prunes: bucket ∈ (batch clusters mod
+    * B) lands in `PartitionFilters`, and the residual `cluster IN
+    * (...)` predicate is served by parquet row-group min/max stats on
+    * the sorted column — two-level pruning with a bounded namespace.
+    * `assignedBuckets <= 0` selects the legacy per-cluster hive
+    * layout ([[writeIvfIndex]]); readers detect either from the meta,
+    * so pre-r19 layouts stay readable.
     */
   def writeHierarchyIndex(index: HierarchyIndex, path: String,
-                          idCol: String, vecCol: String): Unit = {
+                          idCol: String, vecCol: String,
+                          assignedBuckets: Int = 4096): Unit = {
     val spark = index.centroids.sparkSession
     index.centroids.write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -515,17 +528,37 @@ object Similarity {
     index.subSeeds.write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/subseeds")
-    writeIvfIndex(index.assigned, s"$path/assigned")
-    Dedup.writeIndexMeta(spark, path, graft.sink.IndexLayout.metaJson(Seq(
+    val metaBase = Seq[(String, Any)](
       "k1" -> index.k1, "k2" -> index.k2,
       "id_col" -> idCol, "vec_col" -> vecCol,
-      "layout" -> "hierarchy")))
+      "layout" -> "hierarchy")
+    if (assignedBuckets <= 0) {
+      writeIvfIndex(index.assigned, s"$path/assigned")
+      Dedup.writeIndexMeta(spark, path,
+        graft.sink.IndexLayout.metaJson(metaBase))
+    } else {
+      // co-locate each bucket before partitionBy (the writeIvfIndex
+      // small-files guard), then sort by cluster WITHIN the bucket's
+      // files so row-group stats carry the cluster ranges
+      index.assigned
+        .withColumn("bucket",
+          pmod(col("cluster"), lit(assignedBuckets.toLong)))
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("cluster"))
+        .write.partitionBy("bucket")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$path/assigned")
+      Dedup.writeIndexMeta(spark, path, graft.sink.IndexLayout.metaJson(
+        metaBase :+ ("assigned_buckets" -> assignedBuckets)))
+    }
   }
 
   /** Read a published hierarchy layout back as a [[HierarchyIndex]].
-    * The assignment's `cluster` partition column is re-cast to long
-    * explicitly (partition-type inference must not leak into join
-    * keys), and columns are re-projected to the written order.
+    * The assignment's `cluster` column is re-cast to long explicitly
+    * (on the legacy layout it is a hive partition column and
+    * partition-type inference must not leak into join keys), and
+    * columns are re-projected to the written order — which also drops
+    * the bucketed layout's `bucket` partition column.
     */
   def readHierarchyIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String): HierarchyIndex = {
@@ -566,12 +599,14 @@ object Similarity {
     * the batch assigned against them, and the exact verification read
     * PRUNED to the batch's clusters — the distinct cluster ids
     * (bounded by |batch|, cap-enforced at `maxClusters`) become a
-    * partition filter on the cluster-partitioned assignment, so the
-    * probe reads ONLY the partitions it must verify against
-    * (`PartitionFilters` at the scan — the inverted-file property,
-    * asserted in OperatorsSpec). Past the cap it falls back to the
-    * full assignment scan — the same flat-fallback trade every capped
-    * point list in the probe family makes.
+    * partition filter on the assignment (bucket-level on the r19
+    * bucketed layout plus a row-group-stat cluster filter; raw
+    * cluster partitions on legacy layouts), so the probe reads ONLY
+    * the partitions it must verify against (`PartitionFilters` at the
+    * scan — the inverted-file property, asserted in OperatorsSpec).
+    * Past the cap it falls back to the full assignment scan — the
+    * same flat-fallback trade every capped point list in the probe
+    * family makes.
     */
   def semanticNearDupsAgainstIndex(batch: DataFrame, path: String,
                                    idCol: String, vecCol: String,
@@ -591,11 +626,24 @@ object Similarity {
     val picked = asg.select(col("cluster")).distinct()
       .limit(maxClusters + 1).collect().map(_.getLong(0))
     // prune on the RAW partition column (before the long cast) so the
-    // filter lands in PartitionFilters, then normalize the key type
+    // filter lands in PartitionFilters, then normalize the key type.
+    // Bucketed layout (r19): partition prune on bucket = cluster mod B
+    // (bounded directory namespace), then the residual cluster IN list
+    // is pushed to the parquet scan and served by row-group min/max on
+    // the cluster-sorted files — same rows read as per-cluster hive
+    // partitions, without the corpus-proportional directory count.
     val raw = spark.read.parquet(s"$path/assigned")
     val pruned =
       if (picked.length > maxClusters) raw
-      else raw.filter(col("cluster").isin(picked.toIndexedSeq: _*))
+      else Dedup.metaIntOpt(root, "assigned_buckets") match {
+        case Some(b) =>
+          val buckets = picked.map(c => math.floorMod(c, b.toLong))
+            .distinct.toIndexedSeq
+          raw.filter(col("bucket").isin(buckets: _*) &&
+            col("cluster").isin(picked.toIndexedSeq: _*))
+        case None =>
+          raw.filter(col("cluster").isin(picked.toIndexedSeq: _*))
+      }
     val assigned = pruned.select(col(idCol), col(vecCol),
       col("cluster").cast("long").as("cluster"))
     Dedup.semanticNearDupsAgainst(asg, assigned, idCol, vecCol,
@@ -625,7 +673,9 @@ object Similarity {
     * hand when it assigns a new epoch) calls without constructing a
     * [[HierarchyIndex]] carrier. The result is eagerly materialized
     * (localCheckpoint) so callers can fan it into several consumers
-    * without re-running the two argmax levels.
+    * without re-running the two argmax levels. Emits one row per
+    * input row; [[assignToSeedsLazy]] is bit-identical ONLY for
+    * unique batch ids (see its precondition note).
     */
   def assignToSeeds(batch: DataFrame, centroids: DataFrame,
                     subSeeds: DataFrame, idCol: String,
@@ -648,6 +698,17 @@ object Similarity {
     * vector, so the choice is deterministic). Cluster choice is
     * bit-identical to [[assignToSeeds]]: same cosine spelling, same
     * (sim desc, sub_id asc) tie order.
+    *
+    * PRECONDITION: batch ids must be UNIQUE. This spelling groups by
+    * `__id`, so a duplicated id collapses to ONE output row (with an
+    * argmax over the union of both rows' seed sims) where the eager
+    * [[assignToSeeds]] joins the argmax back and emits one row per
+    * INPUT row — the bit-identical claim and DataFrame/TVF parity
+    * hold only for unique ids. Enforcing it here would cost a job
+    * (the TVF expansion must stay zero-jobs at analysis time), so the
+    * contract lives with the caller: every probe surface feeds batch
+    * frames keyed by their id column (`graft_semdedup_probe`'s usage
+    * string states it).
     */
   private[graft] def assignToSeedsLazy(batch: DataFrame,
       centroids: DataFrame, subSeeds: DataFrame, idCol: String,

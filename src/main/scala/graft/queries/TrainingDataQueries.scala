@@ -494,11 +494,13 @@ object TrainingDataQueries {
     * components (same recursive reach fragment as ccSql) and every
     * media row labeled with its component (itself when unpaired) and
     * whether it is the component's canonical (minimum-id) member.
+    * Pairs come from the 16-bit-band geometry — the operator default
+    * the Spark side rides since r19.
     */
   private val phashCanonicalSql =
     s"""WITH RECURSIVE $pgmBvCtes,
        |$phashFpCtes,
-       |$phashCandCte,
+       |${phashCandCteOf(16)},
        |pairs AS (SELECT id_a, id_b FROM cand
        |  WHERE bit_count(xor(fp_a, fp_b)) <= $PhashMaxHamming),
        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
@@ -1587,10 +1589,16 @@ object TrainingDataQueries {
     * reproduces assignHierarchicalAuto's sqrt sizing
     * (`k = ceil(sqrt(n / target))` — IEEE sqrt/ceil on both engines).
     */
-  private lazy val semanticScaleSql = {
+  /** The full-corpus hierarchical-assignment CTE body (e → a2
+    * `(vec_id, v, cluster)`) — reproduces assignHierarchicalAuto's
+    * sqrt sizing, both hash-rank seed selections, and both argmax
+    * assignments rank-for-rank. Shared by the SemDeDup-at-scale
+    * oracle and the cluster-labels pipeline oracle, which consume the
+    * same assignment downstream of different report bodies.
+    */
+  private lazy val hierAsgCtes = {
     val h = StableHash.hash60Sql("vec_id::VARCHAR")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |hh AS (SELECT vec_id, v, $h AS h FROM e),
+    s"""hh AS (SELECT vec_id, v, $h AS h FROM e),
        |kk AS (SELECT CAST(ceil(sqrt(count(*) / $SemEvery.0)) AS BIGINT)
        |    AS k FROM e),
        |c1 AS (SELECT vec_id AS centroid_id, cv FROM (
@@ -1616,7 +1624,12 @@ object TrainingDataQueries {
        |        / (sqrt(list_dot_product(a.v, a.v))
        |          * sqrt(list_dot_product(s.sv, s.sv))) DESC,
        |      s.sub_id) AS rn
-       |  FROM a1 a JOIN s2 s USING (cell)) WHERE rn = 1)
+       |  FROM a1 a JOIN s2 s USING (cell)) WHERE rn = 1)""".stripMargin
+  }
+
+  private lazy val semanticScaleSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$hierAsgCtes
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |FROM a2 a JOIN a2 b
        |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
@@ -1624,7 +1637,6 @@ object TrainingDataQueries {
        |    / (sqrt(list_dot_product(a.v, a.v))
        |      * sqrt(list_dot_product(b.v, b.v))) >= $SemThreshold"""
       .stripMargin
-  }
 
   /** Incremental-SemDeDup oracle: the [[semanticScaleSql]] hierarchy
     * built over the CORPUS SPLIT only (hash ranks, sqrt sizing, and
@@ -3825,25 +3837,28 @@ object TrainingDataQueries {
               |  CAST(w*h AS BIGINT) AS n_units, phash
               |FROM fp""".stripMargin)),
 
-    // perceptual image dedup over DECODED pixels: true 2-D block aHash +
-    // byte-band Hamming LSH — the multimodal family's first-class dedup
+    // perceptual image dedup over DECODED pixels in the HISTORICAL
+    // 8-bit-band geometry — kept as the oracle-parity contrast row for
+    // the published narrow-band algorithm (n²/256 candidates per band,
+    // measured ×303 at factor 100 — BASELINE.md r18) and deliberately
+    // NOT a bench headline since r19; the operator's default (and the
+    // headline row below) is the 16-bit scale geometry
     "media_phash_pairs" -> QueryDef(
       (s, d) => Multimodal.phashNearDupsDecoded(
         mediaFixture(s, d, rgb = false),
-        "media_id", "payload", maxHamming = PhashMaxHamming),
+        "media_id", "payload", maxHamming = PhashMaxHamming,
+        bandBits = 8),
       Some(phashPairsSql)),
 
-    // the SAME operator in its corpus-scale configuration: 16-bit bands
-    // (4 × 65,536 buckets vs 8 × 256). The r18 factor-100 fixture measured
-    // the 8-bit spelling quadratic (~n²/256 candidates per band,
-    // BASELINE.md); wide bands keep pigeonhole certainty for ham <= 3 and
-    // candidate volume n²/65,536 — the production point on the documented
-    // recall/cost knob, oracle-verified like the default
+    // the SAME operator in its corpus-scale configuration — since r19
+    // the OPERATOR DEFAULT, so the short spelling is the 100 TB plan:
+    // 16-bit bands (4 × 65,536 buckets vs 8 × 256) keep pigeonhole
+    // certainty for ham <= 3 with candidate volume n²/65,536 — ×16.2
+    // at factor 100 vs the 8-bit row's ×303, a measured 30× win
     "media_phash_pairs_scale" -> QueryDef(
       (s, d) => Multimodal.phashNearDupsDecoded(
         mediaFixture(s, d, rgb = false),
-        "media_id", "payload", maxHamming = PhashMaxHamming,
-        bandBits = 16),
+        "media_id", "payload", maxHamming = PhashMaxHamming),
       Some(phashPairsScaleSql)),
 
     // image dedup end to end: phash pairs -> connected components ->
@@ -5430,25 +5445,27 @@ object TrainingDataQueries {
               |FROM h""".stripMargin)),
 
     // seventh composed pipeline: embedding-space clusters labeled by
-    // their distinguishing terms — seeded centroids -> ivfAssign ->
-    // docs joined on the shared id space -> per-cluster term counts ->
+    // their distinguishing terms — hierarchical assignment -> docs
+    // joined on the shared id space -> per-cluster term counts ->
     // cluster-level tf-idf (exact integer scores) -> top-5 labels per
     // cluster. The "data map" report a corpus owner reads first: what
     // IS each region of embedding space, in words. Set-dependent end to
     // end: a wrong cluster assignment changes term counts, df, and the
     // label ranking, so a skipped or reordered stage cannot hash-match.
-    // Keeps the every-knob seeding for the same reason as
-    // dedup_semantic_pairs above: bounded cluster size is what makes
-    // per-cluster term stats meaningful, and the trade is documented
-    // there.
+    // r19: re-spelled off the every-knob seeding (which broadcast a
+    // corpus-proportional centroid set and did n²/every assignment
+    // work — the scale-killer class the factor-100 curve caught three
+    // times in r18) onto assignHierarchicalAuto: the same bounded
+    // ~SemEvery cluster population the per-cluster term stats need,
+    // with a sqrt-sized level-1 broadcast and cell-key-joined
+    // sub-seeds — nothing corpus-proportional on the driver or the
+    // broadcast path.
     "pipeline_cluster_labels" -> QueryDef(
       (s, d) => {
         val emb = table(s, d, "embeddings")
         val docs = table(s, d, "documents")
-        val centroids = Similarity.seedCentroids(emb, "vec_id",
-          "embedding", every = SemEvery)
-        val assigned = Similarity.ivfAssign(emb, centroids, "vec_id",
-          "embedding")
+        val assigned = Similarity.assignHierarchicalAuto(emb, "vec_id",
+          "embedding", targetClusterSize = SemEvery)
         val clustered = docs.join(
           assigned.select(col("vec_id").as("doc_id"), col("cluster")),
           "doc_id")
@@ -5479,20 +5496,10 @@ object TrainingDataQueries {
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
               |    FROM embeddings),
-              |cent AS (SELECT CAST(vec_id // $SemEvery AS BIGINT)
-              |    AS centroid_id, v AS cv FROM e
-              |  WHERE vec_id % $SemEvery = 0),
-              |asg AS (SELECT vec_id, centroid_id AS cluster FROM (
-              |  SELECT e.vec_id, c.centroid_id, row_number() OVER (
-              |      PARTITION BY e.vec_id ORDER BY
-              |      list_dot_product(e.v, c.cv)
-              |        / (sqrt(list_dot_product(e.v, e.v))
-              |          * sqrt(list_dot_product(c.cv, c.cv))) DESC,
-              |      c.centroid_id) AS rn
-              |  FROM e, cent c) WHERE rn = 1),
+              |$hierAsgCtes,
               |cw AS (SELECT a.cluster,
               |    string_split_regex(trim(lower(d.text)), '\\s+') AS ws
-              |  FROM asg a JOIN documents d ON d.doc_id = a.vec_id),
+              |  FROM a2 a JOIN documents d ON d.doc_id = a.vec_id),
               |ti AS (SELECT cluster, unnest(ws) AS term FROM cw),
               |tc AS (SELECT cluster, term, count(*) AS ctf FROM ti
               |  WHERE term <> '' GROUP BY cluster, term),

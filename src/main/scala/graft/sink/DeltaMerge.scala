@@ -110,6 +110,13 @@ object DeltaMerge {
     * reads) and clear consumed deltas. Records the consumed delta files
     * BEFORE merging so a delta landing mid-compaction survives.
     */
+  /** Count of base rewrites actually performed by [[compact]] in this
+    * JVM — instrumentation for the StressWalTail A/B and the
+    * floor-policy spec (a compaction that fires every small batch is
+    * the pathology [[DefaultCompactMinDeltaBytes]] exists to remove).
+    */
+  val compactionCount = new java.util.concurrent.atomic.LongAdder
+
   def compact(spark: SparkSession, tablePath: String, pks: Seq[String],
               orderCol: String, hardDelete: Boolean = false): Unit = {
     val f = fs(spark)
@@ -117,6 +124,7 @@ object DeltaMerge {
     if (!f.exists(dp)) return
     val consumed = f.listStatus(dp).map(_.getPath).toSeq
     if (consumed.isEmpty) return
+    compactionCount.increment()
     val deltas = MergeSink.dedupLastWins(
       spark.read.parquet(consumed.map(_.toString): _*), pks, orderCol)
     val base = spark.read.parquet(basePath(tablePath))
@@ -125,22 +133,40 @@ object DeltaMerge {
     consumed.foreach(p => f.delete(p, true))
   }
 
+  /** Absolute delta-bytes floor below which [[flushAuto]] never
+    * compacts. The 10%-of-base trigger alone fires EVERY batch while
+    * the base is small (a 1 MB base compacts on every 100 KB delta —
+    * the StressWalTail A/B's documented worst case: full rewrites of
+    * a table that fits in one task), and the floor removes that
+    * pathology without touching the asymptote: once the base passes
+    * floor/fraction (~640 MB at the defaults) the fractional trigger
+    * dominates and write amplification stays ~1/fraction. 64 MB is
+    * one comfortable parquet task's worth — a merged-view read that
+    * broadcasts deltas of at most that size costs nothing.
+    */
+  val DefaultCompactMinDeltaBytes: Long = 64L << 20
+
   /** Flush with an auto-compaction policy: compact when accumulated
-    * delta bytes exceed `compactDeltaFraction` of base bytes (default
-    * 10% — keeps the read-side broadcast small and bounds write
-    * amplification to ~1/fraction of a full rewrite per base-volume of
-    * changes).
+    * delta bytes exceed BOTH `compactDeltaFraction` of base bytes
+    * (default 10% — keeps the read-side broadcast small and bounds
+    * write amplification to ~1/fraction of a full rewrite per
+    * base-volume of changes) and `compactMinDeltaBytes` (the
+    * small-base floor — see [[DefaultCompactMinDeltaBytes]]; pass 0
+    * to restore the pure fractional trigger).
     */
   def flushAuto(spark: SparkSession, batch: DataFrame, tablePath: String,
                 pks: Seq[String], orderCol: String,
                 hardDelete: Boolean = false,
-                compactDeltaFraction: Double = 0.1): Unit = {
+                compactDeltaFraction: Double = 0.1,
+                compactMinDeltaBytes: Long = DefaultCompactMinDeltaBytes)
+      : Unit = {
     flushDelta(spark, batch, tablePath, pks, orderCol, hardDelete)
     val f = fs(spark)
     def bytes(p: String): Long =
       if (f.exists(path(p))) f.getContentSummary(path(p)).getLength else 0L
     val b = bytes(basePath(tablePath))
-    if (b > 0 && bytes(deltaPath(tablePath)) > compactDeltaFraction * b)
+    val d = bytes(deltaPath(tablePath))
+    if (b > 0 && d > compactDeltaFraction * b && d > compactMinDeltaBytes)
       compact(spark, tablePath, pks, orderCol, hardDelete)
   }
 }

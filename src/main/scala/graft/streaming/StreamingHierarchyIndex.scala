@@ -205,15 +205,25 @@ object StreamingHierarchyIndex {
       if (cache) asg0.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else asg0
-    val picked = asg.select(col("cluster")).distinct()
-      .limit(maxClusters + 1).collect().map(_.getLong(0))
-    val points =
-      if (picked.length > maxClusters) None
-      else Some(picked.toIndexedSeq)
-    val corpus = IndexLayout.readPostings(spark, indexPath, root,
-      points, maxEpochExclusive, T)
-    (asg, Dedup.semanticNearDupsAgainst(asg, corpus, idCol, vecCol,
-      "cluster", threshold))
+    // the persist above is only handed to the caller (whose
+    // try/finally unpersists it) if this method RETURNS — a throw in
+    // the collect or the layout read below would otherwise leak one
+    // batch-sized persisted frame per failed/retried micro-batch,
+    // the same storage-hoarding class the 20-epoch soak fix bounded
+    try {
+      val picked = asg.select(col("cluster")).distinct()
+        .limit(maxClusters + 1).collect().map(_.getLong(0))
+      val points =
+        if (picked.length > maxClusters) None
+        else Some(picked.toIndexedSeq)
+      val corpus = IndexLayout.readPostings(spark, indexPath, root,
+        points, maxEpochExclusive, T)
+      (asg, Dedup.semanticNearDupsAgainst(asg, corpus, idCol, vecCol,
+        "cluster", threshold))
+    } catch { case e: Throwable =>
+      if (cache) asg.unpersist()
+      throw e
+    }
   }
 
   /** Probe a MAINTAINED hierarchy layout outside the stream — the

@@ -36,7 +36,7 @@ object StreamingMediaDedup {
                  tsCol: String, watermark: String,
                  maxHamming: Int = 12,
                  horizonMs: Long = 3600000L,
-                 bandBits: Int = 8): DataFrame =
+                 bandBits: Int = 16): DataFrame =
     pairsImpl(media, idCol, tsCol, watermark, maxHamming, horizonMs,
       graft.functions.AHash64.aHash(col(payloadCol)), bandBits)
 
@@ -54,7 +54,7 @@ object StreamingMediaDedup {
                         payloadCol: String, tsCol: String,
                         watermark: String, maxHamming: Int = 12,
                         horizonMs: Long = 3600000L,
-                        bandBits: Int = 8): DataFrame =
+                        bandBits: Int = 16): DataFrame =
     pairsImpl(media, idCol, tsCol, watermark, maxHamming, horizonMs,
       graft.functions.MediaCodec.mediaPhash(col(payloadCol)), bandBits)
 
@@ -62,7 +62,7 @@ object StreamingMediaDedup {
                         watermark: String, maxHamming: Int,
                         horizonMs: Long,
                         hashCol: org.apache.spark.sql.Column,
-                        bandBits: Int = 8)
+                        bandBits: Int = 16)
       : DataFrame = {
     require(bandBits > 0 && bandBits < 64 && 64 % bandBits == 0,
       s"bandBits ($bandBits) must divide 64")

@@ -105,6 +105,10 @@ object StressWalTail {
       f"micro-batches)")
     println(s"[stress-waltail] confirmed_flush_lsn=$flushed " +
       s"(expected ${total}), merged table rows=$rows")
+    if (flush == "delta")
+      println(s"[stress-waltail] base compactions=" +
+        s"${graft.sink.DeltaMerge.compactionCount.sum()} " +
+        s"(64 MB floor active — a small base should show few or none)")
     require(flushed.contains(total),
       s"slot must advance to $total, got $flushed")
     spark.stop()

@@ -95,4 +95,70 @@ class BenchSpec extends SparkSpecBase {
       burners2.foreach(_.join(2000))
     }
   }
+
+  test("per-query env: burst flag and median-wall attribution (synthetic)") {
+    import BenchEnv.PassEnv
+    // a host burst: 86 s of wall on 5 s of CPU with 40 s of runqueue
+    // wait (the BENCH_r18 cdc_wal2json shape) — flagged
+    assert(BenchEnv.burst(PassEnv(86.0, Some(5.0), Some(40.0))))
+    // a busy-but-uncontended query: high CPU, negligible wait — clean
+    assert(!BenchEnv.burst(PassEnv(4.0, Some(100.0), Some(1.0))))
+    // no signal != contended
+    assert(!BenchEnv.burst(PassEnv(4.0, None, None)))
+    // the env of record is the median-WALL pass's env, a real pass
+    val envs = Seq(
+      PassEnv(1.0, Some(30.0), Some(0.1)),
+      PassEnv(86.0, Some(5.0), Some(40.0)),
+      PassEnv(2.0, Some(31.0), Some(0.2)))
+    assert(BenchEnv.medianWallEnv(envs).wallSec == 2.0,
+      "median wall of (1, 86, 2) is 2 — the burst pass must NOT be " +
+        "the env of record when the median dodged it")
+    assert(!BenchEnv.burst(BenchEnv.medianWallEnv(envs)))
+    // when the burst IS the median (persistent pressure), it is flagged
+    val all = Seq(
+      PassEnv(80.0, Some(5.0), Some(38.0)),
+      PassEnv(86.0, Some(5.0), Some(40.0)),
+      PassEnv(90.0, Some(5.0), Some(44.0)))
+    assert(BenchEnv.burst(BenchEnv.medianWallEnv(all)))
+  }
+
+  test("a query measured under synthetic load lands in contended_queries") {
+    val qs: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "victim" -> ((s, _) => {
+        // CPU-bound driver-side work inside the measured window so the
+        // process accrues cpu and (under burners) runqueue wait
+        var acc = 0.0
+        var i = 0
+        while (i < 40000000) { acc += math.sqrt(i.toDouble); i += 1 }
+        import s.implicits._
+        Seq(acc).toDF("x")
+      }))
+    // calm control: on a quiet machine the victim alone must NOT flag
+    val (jsonCalm, _, _) = Bench.run(spark, sfDir, iters = 1,
+      Seq("victim"), qs)
+    assert(jsonCalm.contains("\"query_env\":{\"victim\":{\"wall_sec\":"),
+      jsonCalm)
+    assume(jsonCalm.contains("\"contended_queries\":[]"),
+      "suite machine already loaded - per-query burst test inconclusive")
+    val cores = Runtime.getRuntime.availableProcessors
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val burners = (1 to cores * 3).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (!stop.get()) { x += 1; if (x == Long.MaxValue) x = 0 }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    try {
+      val (json, summary, _) = Bench.run(spark, sfDir, iters = 1,
+        Seq("victim"), qs)
+      assert(json.contains("\"contended_queries\":[\"victim\"]"),
+        s"burst under ${cores * 3} burners must be attributed to the " +
+          s"query: $json")
+      assert(summary.contains("\"n_contended_queries\":1"), summary)
+    } finally {
+      stop.set(true)
+      burners.foreach(_.join(2000))
+    }
+  }
 }

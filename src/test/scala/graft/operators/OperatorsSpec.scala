@@ -750,17 +750,47 @@ class OperatorsSpec extends SparkSpecBase {
         s"unexpected probe pair ($n, $c)") }
 
     // published round-trip: same pairs from the on-disk layout, and
-    // the verification scan is PRUNED to the batch's clusters
+    // the verification scan is PRUNED to the batch's clusters. The
+    // default layout buckets the partition key (cluster mod B — the
+    // r19 bounded-directory-namespace publish): the partition filter
+    // is on bucket, and the residual cluster IN list must still reach
+    // the scan as a pushed data filter (served by row-group stats on
+    // the cluster-sorted files)
     val dir = java.nio.file.Files
       .createTempDirectory("graft-hier-spec").toString
-    Similarity.writeHierarchyIndex(idx, dir, "vec_id", "embedding")
+    Similarity.writeHierarchyIndex(idx, dir, "vec_id", "embedding",
+      assignedBuckets = 2)
     val served = Similarity.semanticNearDupsAgainstIndex(batch, dir,
       "vec_id", "embedding", 0.9)
     assert(served.as[(Long, Long)].collect().toSet == pairs.toSet)
     val scan = served.queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[[^\\]]*cluster".r
+    assert("PartitionFilters: \\[[^\\]]*bucket".r
       .findFirstIn(scan).isDefined,
-      s"verification scan is not cluster-pruned:\n$scan")
+      s"verification scan is not bucket-pruned:\n$scan")
+    // a 1-element IN list folds to EqualTo — accept either spelling
+    assert("PushedFilters: \\[[^\\]]*(In|EqualTo)\\(cluster".r
+      .findFirstIn(scan).isDefined,
+      s"cluster IN list did not reach the scan:\n$scan")
+    // the bucketed directory namespace is bounded by B, not by the
+    // cluster count
+    val bucketDirs = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.length <= 2,
+      s"expected <= 2 bucket dirs, got ${bucketDirs.map(_.getName).toSeq}")
+    // legacy per-cluster hive layout (pre-r19 / assignedBuckets <= 0):
+    // identical answers, cluster-level partition pruning
+    val dirLegacy = java.nio.file.Files
+      .createTempDirectory("graft-hier-spec-legacy").toString
+    Similarity.writeHierarchyIndex(idx, dirLegacy, "vec_id", "embedding",
+      assignedBuckets = 0)
+    val servedLegacy = Similarity.semanticNearDupsAgainstIndex(batch,
+      dirLegacy, "vec_id", "embedding", 0.9)
+    assert(servedLegacy.as[(Long, Long)].collect().toSet == pairs.toSet,
+      "bucketed and legacy layouts must serve identical pairs")
+    val scanLegacy = servedLegacy.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cluster".r
+      .findFirstIn(scanLegacy).isDefined,
+      s"legacy verification scan is not cluster-pruned:\n$scanLegacy")
     // column-name mismatch fails loudly, not with silent wrong columns
     intercept[IllegalArgumentException] {
       Similarity.semanticNearDupsAgainstIndex(batch, dir, "doc_id",

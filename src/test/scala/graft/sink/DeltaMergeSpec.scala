@@ -89,15 +89,57 @@ class DeltaMergeSpec extends SparkSpecBase {
       .toDF("id", "v", "seq", "_sdc_deleted_at")
     DeltaMerge.flushAuto(spark, withTomb, t, Seq("id"), "seq",
       hardDelete = true)
-    // large delta (same size as base) forces a compaction
+    // large delta (same size as base) forces a compaction — floor 0
+    // restores the pure fractional trigger so the fold is observable
+    // at test scale
+    val c0 = DeltaMerge.compactionCount.sum()
     val tomb = (1L to 25L).map(i => (i, s"v$i", 2L, "2024-01-01"))
       .toDF("id", "v", "seq", "_sdc_deleted_at")
     DeltaMerge.flushAuto(spark, tomb, t, Seq("id"), "seq",
-      hardDelete = true, compactDeltaFraction = 0.1)
+      hardDelete = true, compactDeltaFraction = 0.1,
+      compactMinDeltaBytes = 0L)
+    assert(DeltaMerge.compactionCount.sum() == c0 + 1,
+      "the fractional trigger with floor 0 must fold exactly once")
     val merged = DeltaMerge.readMerged(spark, t, Seq("id"), "seq",
       hardDelete = true)
     assert(merged.select("id").as[Long].collect().toSet ==
       (26L to 50L).toSet)
+  }
+
+  test("compaction floor suppresses small-base rewrites; merged view " +
+      "identical") {
+    val dir = Files.createTempDirectory("dmerge-floor").toString
+    // two tables fed the same batches: one with the default 64 MB
+    // floor (never compacts at this scale), one with floor 0 (the
+    // pre-r19 behavior — compacts every batch once deltas pass 10% of
+    // base). End states must be row-identical; only the rewrite count
+    // differs.
+    val floored = s"$dir/floored"
+    val eager = s"$dir/eager"
+    val c0 = DeltaMerge.compactionCount.sum()
+    (1L to 5L).foreach { seq =>
+      val batch = (1L to 40L)
+        .map(i => (i, s"v$i@$seq", seq, null: String))
+        .toDF("id", "v", "seq", "_sdc_deleted_at")
+      DeltaMerge.flushAuto(spark, batch, floored, Seq("id"), "seq",
+        hardDelete = true)
+      DeltaMerge.flushAuto(spark, batch, eager, Seq("id"), "seq",
+        hardDelete = true, compactMinDeltaBytes = 0L)
+    }
+    val eagerCompactions = DeltaMerge.compactionCount.sum() - c0
+    assert(eagerCompactions >= 3,
+      s"floor-0 twin expected to compact most batches, did $eagerCompactions")
+    val f = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(
+        DeltaMerge.deltaPath(floored))).nonEmpty,
+      "default floor must leave small deltas unfolded")
+    def state(t: String) = DeltaMerge.readMerged(spark, t, Seq("id"),
+        "seq", hardDelete = true)
+      .select("id", "v", "seq").as[(Long, String, Long)]
+      .collect().toSet
+    assert(state(floored) == state(eager),
+      "floor must not change the merged view")
   }
 
   test("bootstrap flush is staged+swapped and drops tombstones on hardDelete") {
