@@ -1808,6 +1808,32 @@ object Dedup {
     }
   }
 
+  /** [[metaStr]] for post-publication fields — absent means "layout
+    * predates the field", not corruption.
+    */
+  private[graft] def metaStrOpt(root: org.json4s.JValue,
+                                name: String): Option[String] = {
+    import org.json4s._
+    (root \ name) match {
+      case JNothing => None
+      case JString(s) => Some(s)
+      case o => throw new IllegalStateException(s"bad index meta $name: $o")
+    }
+  }
+
+  /** [[metaDouble]] for post-publication fields. */
+  private[graft] def metaDoubleOpt(root: org.json4s.JValue,
+                                   name: String): Option[Double] = {
+    import org.json4s._
+    (root \ name) match {
+      case JNothing => None
+      case JDouble(d) => Some(d)
+      case JInt(n) => Some(n.doubleValue)
+      case JLong(n) => Some(n.toDouble)
+      case o => throw new IllegalStateException(s"bad index meta $name: $o")
+    }
+  }
+
   private[graft] def metaLong(root: org.json4s.JValue, name: String): Long = {
     import org.json4s._
     (root \ name) match {

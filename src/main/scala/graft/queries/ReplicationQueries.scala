@@ -33,56 +33,80 @@ object ReplicationQueries {
         (dec(col("o_totalprice")) + lit(1).cast("decimal(18,2)"))
           .cast("double").as("o_totalprice"))
 
+  /** Slot-segment fixtures already laid this JVM, keyed by sf dir —
+    * the fixture (wal2json lines rendered from the events table) is a
+    * BENCH ARTIFACT, not engine work, and r18's curve showed it
+    * muddying the drain rows' numbers (the ×30.8 at factor 100
+    * included re-rendering the fixture every pass). Segments are
+    * immutable once visible (the slot contract), and each drain gets
+    * its OWN relocated slot file + checkpoint + table, so reuse
+    * changes nothing semantically: the cold bench pass (excluded by
+    * methodology) pays the render, steady-state passes measure
+    * drain + merge only.
+    */
+  private val slotFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** Render the events table at `d` as LSN-ordered wal2json slot
+    * segments (ascending LSN ranges → ascending part numbers, rows
+    * LSN-ascending within a segment) plus tx-wrapper/foreign-table
+    * protocol noise, once per sf dir. Returns (logDir, max row LSN).
+    */
+  private def slotFixture(s: SparkSession, d: String): (String, Long) =
+    slotFixtures.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val iu = """{"action":"%s","schema":"public","table":"events",""" +
+        """"columns":[{"name":"user_id","type":"bigint","value":%s},""" +
+        """{"name":"event_id","type":"bigint","value":%s},""" +
+        """{"name":"value","type":"double precision","value":%s}]}"""
+      val del = """{"action":"D","schema":"public","table":"events",""" +
+        """"identity":[{"name":"user_id","type":"bigint","value":%s},""" +
+        """{"name":"event_id","type":"bigint","value":%s}]}"""
+      val payload =
+        when(col("event_type") === "signup",
+          format_string(iu, lit("I"), col("user_id"), col("event_id"),
+            col("value")))
+        .when(col("event_type") === "error",
+          format_string(del, col("user_id"), col("event_id")))
+        .otherwise(
+          format_string(iu, lit("U"), col("user_id"), col("event_id"),
+            col("value")))
+      val rowLines = events(s, d)
+        .select(col("event_id").as("lsn"), payload.as("payload"))
+      // protocol noise ahead of the row LSNs: tx wrappers and a
+      // non-selected table, exactly what a live slot interleaves
+      val noise = Seq(
+        (-3L, """{"action":"B"}"""),
+        (-2L, """{"action":"I","schema":"public","table":"audit","columns":[{"name":"id","type":"bigint","value":1}]}"""),
+        (-1L, """{"action":"C"}""")).toDF("lsn", "payload")
+      val logDir = java.nio.file.Files
+        .createTempDirectory("graft-slot-fixture").toString + "/wal"
+      rowLines.unionByName(noise)
+        .select(col("lsn"),
+          concat_ws("\t", col("lsn"), col("payload")).as("value"))
+        .repartitionByRange(8, col("lsn"))
+        .sortWithinPartitions("lsn")
+        .select("value")
+        .write.text(logDir)
+      val maxLsn = rowLines.agg(max(col("lsn"))).head().getLong(0)
+      (logDir, maxLsn)
+    })
+
   /** Shared body of the two slot-drain rows (`cdc_slot_drain` /
-    * `cdc_slot_drain_delta`): render the events table as wal2json
-    * lines, land them DISTRIBUTED as LSN-ordered slot segments
-    * (ascending LSN ranges → ascending part numbers, rows
-    * LSN-ascending within a segment, files immutable once visible —
-    * the slot contract), drain through the WalTail source
-    * (AvailableNow, multi-batch admission) under the given flush
-    * mode, assert the slot file's feedback reached the head LSN, and
-    * read the merged table back. A drain that left feedback behind
-    * fails the row, it does not quietly pass.
+    * `cdc_slot_drain_delta`): drain the [[slotFixture]] segments
+    * through the WalTail source (AvailableNow, multi-batch admission)
+    * under the given flush mode — fresh checkpoint, table, and
+    * relocated slot file per call, so every invocation replays the
+    * full drain — assert the slot file's feedback reached the head
+    * LSN, and read the merged table back. A drain that left feedback
+    * behind fails the row, it does not quietly pass.
     */
   private def slotDrainResult(s: SparkSession, d: String, flush: String)
       : DataFrame = {
-    import s.implicits._
-    val iu = """{"action":"%s","schema":"public","table":"events",""" +
-      """"columns":[{"name":"user_id","type":"bigint","value":%s},""" +
-      """{"name":"event_id","type":"bigint","value":%s},""" +
-      """{"name":"value","type":"double precision","value":%s}]}"""
-    val del = """{"action":"D","schema":"public","table":"events",""" +
-      """"identity":[{"name":"user_id","type":"bigint","value":%s},""" +
-      """{"name":"event_id","type":"bigint","value":%s}]}"""
-    val payload =
-      when(col("event_type") === "signup",
-        format_string(iu, lit("I"), col("user_id"), col("event_id"),
-          col("value")))
-      .when(col("event_type") === "error",
-        format_string(del, col("user_id"), col("event_id")))
-      .otherwise(
-        format_string(iu, lit("U"), col("user_id"), col("event_id"),
-          col("value")))
-    val rowLines = events(s, d)
-      .select(col("event_id").as("lsn"), payload.as("payload"))
-    // protocol noise ahead of the row LSNs: tx wrappers and a
-    // non-selected table, exactly what a live slot interleaves
-    val noise = Seq(
-      (-3L, """{"action":"B"}"""),
-      (-2L, """{"action":"I","schema":"public","table":"audit","columns":[{"name":"id","type":"bigint","value":1}]}"""),
-      (-1L, """{"action":"C"}""")).toDF("lsn", "payload")
-    val lines = rowLines.unionByName(noise)
+    val (logDir, maxLsn) = slotFixture(s, d)
     val dir = java.nio.file.Files
       .createTempDirectory("graft-slot-drain").toString
-    val logDir = s"$dir/wal"
-    lines
-      .select(col("lsn"),
-        concat_ws("\t", col("lsn"), col("payload")).as("value"))
-      .repartitionByRange(8, col("lsn"))
-      .sortWithinPartitions("lsn")
-      .select("value")
-      .write.text(logDir)
-    val maxLsn = rowLines.agg(max(col("lsn"))).head().getLong(0)
+    val slotFile = s"$dir/slot"
     val rowSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id",
         org.apache.spark.sql.types.LongType),
@@ -93,12 +117,12 @@ object ReplicationQueries {
     val q = graft.streaming.StreamingMerge.startWalSlot(s, logDir,
       "public", "events", rowSchema, s"$dir/table", s"$dir/ckpt",
       Seq("user_id"), hardDelete = true, targetPartitions = 8,
-      maxFilesPerTrigger = Some(3), flush = flush)
+      maxFilesPerTrigger = Some(3), flush = flush,
+      slotFile = Some(slotFile))
     q.awaitTermination(300000); q.stop()
     val fs = new org.apache.hadoop.fs.Path(logDir)
       .getFileSystem(s.sessionState.newHadoopConf())
-    val fb = graft.sources.WalTail.readFeedback(fs,
-      graft.sources.WalTail.defaultSlotFile(logDir))
+    val fb = graft.sources.WalTail.readFeedback(fs, slotFile)
     require(fb.contains(maxLsn),
       s"slot drain left feedback at $fb, expected max LSN $maxLsn")
     val merged = flush match {

@@ -18,7 +18,7 @@ import graft.sink.{IndexLayout, Sinks}
   * maintained assignment table as an epoch partition; every
   * `compactEvery` epochs the tail folds into a fresh range-sorted base.
   *
-  * The tree GEOMETRY is frozen at bootstrap, like the banded
+  * The tree GEOMETRY is frozen between rebuilds, like the banded
   * maintainer's hyperplanes: the first batch sizes the hierarchy
   * (`k1 = k2 = ceil(sqrt(n0 / targetClusterSize))`) and selects both
   * seed levels; every later epoch assigns against those persisted
@@ -26,13 +26,26 @@ import graft.sink.{IndexLayout, Sinks}
   * is also what keeps every epoch's cluster ids stable so the
   * assignment table stays join-consistent across epochs. The corollary
   * is the IVF-append contract: as the corpus outgrows its bootstrap
-  * sizing, cluster population drifts upward (verification cost per
-  * batch row grows with it) — monitor with
-  * [[graft.operators.Similarity.centroidDriftReport]] over the level-1
-  * centroids and REBUILD (fresh bootstrap from a representative
-  * corpus) past the deployment's threshold, exactly like the IVF
-  * layout. Restarting with a different `targetClusterSize` or column
-  * names fails loudly.
+  * sizing (or its embedding distribution moves), cluster population
+  * and member-mean drift grow and verification cost per batch row
+  * grows with them. Since r19 the maintainer WIRES that trigger
+  * instead of documenting it: at every compaction boundary it
+  * measures the count-weighted mean of
+  * [[graft.operators.Similarity.centroidDriftReport]] over the
+  * maintained assignment vs the frozen sub-seeds, and when the excess
+  * over the layout's recorded bootstrap baseline passes
+  * `driftThreshold` it REBUILDS — fresh sqrt sizing and seed
+  * selection from the full current corpus, published BESIDE the live
+  * tree (`centroids_v<e>` / `subseeds_v<e>` / `assigned_v<e>`) and
+  * switched in by one atomic meta promotion, the same crash-ordered
+  * swap discipline compaction uses. Probes resolve every directory
+  * through the meta, so they read the old tree until the promote and
+  * the new tree after it; a crash before the promote leaves orphans
+  * the next maintainer entry clears. The drift check costs one
+  * corpus-wide mean per compaction window (clusters × dim shuffle
+  * rows — the same shape compaction itself pays), nothing
+  * per-epoch. Restarting with a different `targetClusterSize` or
+  * column names fails loudly.
   *
   * Scale shape per epoch: the batch meets the k1-row centroid frame
   * (broadcast) and the k1×k2-row sub-seed frame (cell-keyed join) —
@@ -58,13 +71,24 @@ object StreamingHierarchyIndex {
 
   private val T = IndexLayout.HierarchyAssigned
 
+  /** Excess of current count-weighted mean drift over the recorded
+    * bootstrap baseline past which the compaction-boundary check
+    * rebuilds the tree. 0.1 of cosine drift is far above seed-choice
+    * noise (the baseline subtraction removes that) while catching a
+    * distribution that has genuinely moved; deployments tune it like
+    * any retrain trigger. `Double.MaxValue` disables the gate.
+    */
+  val DefaultDriftThreshold = 0.1
+
   def start(spark: SparkSession, sourceDir: String, schema: StructType,
             indexPath: String, pairsOutDir: String, checkpoint: String,
             idCol: String, vecCol: String,
             targetClusterSize: Int = 50,
             shards: Int = 64, compactEvery: Int = 8,
             threshold: Double = 0.9, maxClusters: Int = 4096,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            driftThreshold: Double = DefaultDriftThreshold)
+      : StreamingQuery = {
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -72,23 +96,56 @@ object StreamingHierarchyIndex {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, indexPath, pairsOutDir, idCol,
           vecCol, targetClusterSize, shards, compactEvery, threshold,
-          maxClusters)
+          maxClusters, driftThreshold)
       }
       .start()
   }
 
   private def paramFields(k1: Int, k2: Int, targetClusterSize: Int,
-      idCol: String, vecCol: String,
-      lastEpoch: Long): Seq[(String, Any)] = Seq(
+      idCol: String, vecCol: String, lastEpoch: Long,
+      centsDir: String, seedsDir: String,
+      driftBaseline: Option[Double]): Seq[(String, Any)] = Seq[(String,
+      Any)](
     "k1" -> k1, "k2" -> k2,
     "target_cluster_size" -> targetClusterSize,
     "id_col" -> idCol, "vec_col" -> vecCol,
-    "layout" -> "hierarchy_maintained", "last_epoch" -> lastEpoch)
+    "layout" -> "hierarchy_maintained", "last_epoch" -> lastEpoch,
+    "centroids_dir" -> centsDir, "subseeds_dir" -> seedsDir) ++
+    // absent on pre-r19 layouts until a compaction boundary measures
+    // one — never invent a 0.0 that would read as "rebuilt from zero
+    // drift" and trip the gate spuriously
+    driftBaseline.map("drift_baseline" -> (_: Any)).toSeq
+
+  /** Seed-frame directories resolved through the meta — "centroids" /
+    * "subseeds" on layouts published before rebuilds existed,
+    * `centroids_v<e>` / `subseeds_v<e>` after a drift-gated rebuild.
+    */
+  private def centsDirOf(root: org.json4s.JValue): String =
+    Dedup.metaStrOpt(root, "centroids_dir").getOrElse("centroids")
+  private def seedsDirOf(root: org.json4s.JValue): String =
+    Dedup.metaStrOpt(root, "subseeds_dir").getOrElse("subseeds")
+
+  /** Count-weighted mean of `1 - cos(cluster member mean, its
+    * sub-seed)` over the whole assignment — the scalar the drift gate
+    * compares across time. Weighted so a thousand one-member clusters
+    * cannot mask one drifted thousand-member cluster.
+    */
+  private[graft] def weightedDrift(assigned: DataFrame,
+      subSeeds: DataFrame, vecCol: String): Double = {
+    import org.apache.spark.sql.functions.sum
+    val rep = Similarity.centroidDriftReport(assigned,
+      subSeeds.select(col("sub_id").as("centroid_id"), col(vecCol)),
+      vecCol)
+    val row = rep.agg((sum(col("drift") * col("n_vectors")) /
+      sum(col("n_vectors"))).as("d")).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
 
   private[graft] def applyBatch(batch: DataFrame, batchId: Long,
       indexPath: String, pairsOutDir: String, idCol: String,
       vecCol: String, targetClusterSize: Int, shards: Int,
-      compactEvery: Int, threshold: Double, maxClusters: Int): Unit = {
+      compactEvery: Int, threshold: Double, maxClusters: Int,
+      driftThreshold: Double = DefaultDriftThreshold): Unit = {
     require(compactEvery >= 1, "compactEvery must be >= 1")
     require(maxClusters >= 1, "maxClusters must be >= 1")
     val spark = batch.sparkSession
@@ -98,7 +155,11 @@ object StreamingHierarchyIndex {
 
     if (!f.exists(metaPath)) {
       // bootstrap: the first batch IS the corpus — it sizes the tree,
-      // selects both seed levels, and becomes the assignment base
+      // selects both seed levels, and becomes the assignment base.
+      // The drift BASELINE is measured here: member-mean-vs-sub-seed
+      // cosine drift is nonzero even on a fresh tree (a sub-seed is a
+      // member, not a mean), so the gate triggers on EXCESS over this
+      // recorded starting point, not on the raw number.
       val idx = Similarity.buildHierarchyIndexAuto(batch, idCol,
         vecCol, targetClusterSize)
       idx.centroids.write
@@ -110,9 +171,10 @@ object StreamingHierarchyIndex {
       val base = s"${T.name}_v$batchId"
       Sinks.writeRangeSorted(idx.assigned, s"$indexPath/$base",
         T.sortCol, shards)
+      val baseline = weightedDrift(idx.assigned, idx.subSeeds, vecCol)
       IndexLayout.promoteMeta(f, indexPath, IndexLayout.metaJson(
         paramFields(idx.k1, idx.k2, targetClusterSize, idCol, vecCol,
-          batchId) ++ Seq(
+          batchId, "centroids", "subseeds", Some(baseline)) ++ Seq(
           T.dirField -> base, T.throughField -> batchId)))
       return
     }
@@ -152,21 +214,114 @@ object StreamingHierarchyIndex {
       // 3) meta, then the epoch append (replay keys on the partition)
       IndexLayout.promoteMeta(f, indexPath, IndexLayout.metaJson(
         paramFields(mk1, mk2, targetClusterSize, idCol, vecCol,
-          batchId) ++ Seq(
+          batchId, centsDirOf(root), seedsDirOf(root),
+          Dedup.metaDoubleOpt(root, "drift_baseline")) ++ Seq(
           T.dirField -> IndexLayout.baseDir(root, T),
           T.throughField -> through)))
       IndexLayout.appendEpoch(asg, indexPath, batchId, T)
     } finally asg.unpersist()
 
-    // 4) fold the epoch tail once it is long enough (reads the
-    //    layout, not the cached assignment)
+    // 4) compaction boundary: measure drift FIRST — a tree whose
+    //    excess over the bootstrap baseline passes the threshold is
+    //    REBUILT (fresh sizing + seeds from the full current corpus,
+    //    atomic meta swap — the rebuild subsumes the fold), otherwise
+    //    the epoch tail folds into a fresh base as before (a pre-r19
+    //    layout with no recorded baseline adopts this boundary's
+    //    measurement as its baseline instead of rebuilding on
+    //    unknowable history). Reads the layout, not the cached
+    //    assignment.
     if (batchId - through >= compactEvery) {
       val root2 = Dedup.readIndexMeta(spark, indexPath)
-      IndexLayout.compact(spark, indexPath, root2, T.sortCol, shards,
-        upTo = batchId,
-        metaFields = paramFields(mk1, mk2, targetClusterSize, idCol,
-          vecCol, batchId), T)
+      rebuildIfDrifted(spark, indexPath, root2, idCol, vecCol,
+          targetClusterSize, shards, batchId, driftThreshold) match {
+        case None => // rebuilt — the swap already folded the tail
+        case Some(carryBaseline) =>
+          IndexLayout.compact(spark, indexPath, root2, T.sortCol,
+            shards, upTo = batchId,
+            metaFields = paramFields(mk1, mk2, targetClusterSize,
+              idCol, vecCol, batchId, centsDirOf(root2),
+              seedsDirOf(root2), carryBaseline), T)
+      }
+      cleanupSeedGens(spark, indexPath)
     }
+  }
+
+  /** The wired re-bootstrap trigger: compare the CURRENT
+    * count-weighted drift of the full maintained assignment against
+    * the layout's recorded baseline; past `driftThreshold` of excess,
+    * rebuild the tree from the full corpus and swap it in with one
+    * meta promotion. Returns None when a rebuild happened (the caller
+    * then skips the ordinary fold — the rebuild IS a fold, with fresh
+    * cluster ids), otherwise Some(baseline to carry forward) — the
+    * recorded baseline, or for layouts published before the field
+    * existed, this boundary's measurement (adopted as baseline rather
+    * than rebuilding on unknowable history; stays absent while the
+    * gate is disabled, so nothing is ever invented).
+    */
+  private[graft] def rebuildIfDrifted(spark: SparkSession,
+      indexPath: String, root: org.json4s.JValue, idCol: String,
+      vecCol: String, targetClusterSize: Int, shards: Int,
+      epoch: Long, driftThreshold: Double): Option[Option[Double]] = {
+    val baselineOpt = Dedup.metaDoubleOpt(root, "drift_baseline")
+    if (driftThreshold == Double.MaxValue) return Some(baselineOpt)
+    val assigned = IndexLayout.readPostings(spark, indexPath, root,
+      points = None, maxEpochExclusive = Some(epoch + 1), T)
+    val seeds = spark.read
+      .parquet(s"$indexPath/${seedsDirOf(root)}")
+    val current = weightedDrift(assigned, seeds, vecCol)
+    val drifted = baselineOpt.exists(b => current - b > driftThreshold)
+    if (!drifted) return Some(Some(baselineOpt.getOrElse(current)))
+
+    val f = IndexLayout.fs(spark, indexPath)
+    val corpus = assigned.select(col(idCol), col(vecCol))
+      .localCheckpoint(true)
+    val idx = Similarity.buildHierarchyIndexAuto(corpus, idCol, vecCol,
+      targetClusterSize)
+    val (cdir, sdir) = (s"centroids_v$epoch", s"subseeds_v$epoch")
+    val adir = s"${T.name}_v$epoch"
+    idx.centroids.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexPath/$cdir")
+    idx.subSeeds.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexPath/$sdir")
+    Sinks.writeRangeSorted(idx.assigned, s"$indexPath/$adir",
+      T.sortCol, shards)
+    val baseline = weightedDrift(idx.assigned, idx.subSeeds, vecCol)
+    // the swap: everything above is invisible until this promote (a
+    // crash leaves orphans the next maintainer entry clears); after
+    // it, probes resolve the new tree end to end
+    IndexLayout.promoteMeta(f, indexPath, IndexLayout.metaJson(
+      paramFields(idx.k1, idx.k2, targetClusterSize, idCol, vecCol,
+        epoch, cdir, sdir, Some(baseline)) ++ Seq(
+        T.dirField -> adir, T.throughField -> epoch)))
+    IndexLayout.healOrphans(spark, indexPath, keepDir = adir,
+      clearEpochsThrough = epoch, T)
+    cleanupSeedGens(spark, indexPath)
+    None
+  }
+
+  /** Drop seed-frame generations the meta no longer points at — the
+    * rebuild counterpart of [[IndexLayout.healOrphans]]'s base-dir
+    * cleanup, safe at every maintainer entry. Only the exact shapes
+    * this maintainer generates (`centroids`/`subseeds` at bootstrap,
+    * `..._v<epoch>` from rebuilds) are eligible.
+    */
+  private def cleanupSeedGens(spark: SparkSession,
+                              indexPath: String): Unit = {
+    val f = IndexLayout.fs(spark, indexPath)
+    val root = Dedup.readIndexMeta(spark, indexPath)
+    val keep = Set(centsDirOf(root), seedsDirOf(root))
+    val generated = "(centroids|subseeds)(_v\\d+)?".r
+    val rootPath = new Path(indexPath)
+    if (f.exists(rootPath))
+      f.listStatus(rootPath).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory &&
+            generated.pattern.matcher(name).matches() &&
+            !keep.contains(name))
+          f.delete(st.getPath, true)
+      }
   }
 
   /** The shared assign-then-verify body: the batch is assigned
@@ -197,8 +352,10 @@ object StreamingHierarchyIndex {
       maxEpochExclusive: Option[Long],
       cache: Boolean): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
-    val cents = spark.read.parquet(s"$indexPath/centroids")
-    val seeds = spark.read.parquet(s"$indexPath/subseeds")
+    // seed dirs resolve through the meta: a drift-gated rebuild
+    // repoints them atomically with the assignment base
+    val cents = spark.read.parquet(s"$indexPath/${centsDirOf(root)}")
+    val seeds = spark.read.parquet(s"$indexPath/${seedsDirOf(root)}")
     val asg0 = Similarity.assignToSeedsLazy(batch, cents, seeds,
       idCol, vecCol)
     val asg =

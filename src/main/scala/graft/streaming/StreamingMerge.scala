@@ -137,11 +137,17 @@ object StreamingMerge {
                    targetPartitions: Int = 64,
                    maxFilesPerTrigger: Option[Int] = None,
                    flush: String = "merge",
-                   compactDeltaFraction: Double = 0.1)
+                   compactDeltaFraction: Double = 0.1,
+                   slotFile: Option[String] = None)
       : StreamingQuery = {
     requireFlushMode(flush)
-    val reader = spark.readStream.format("graft-wal-tail")
+    // slotFile relocates the confirmed-flush feedback outside the
+    // segment dir (the source option it forwards to) — several slot
+    // consumers can then drain ONE immutable segment fixture, each
+    // with its own cursor, without writing into the shared dir
+    val reader0 = spark.readStream.format("graft-wal-tail")
       .option("path", logDir)
+    val reader = slotFile.fold(reader0)(f => reader0.option("slotFile", f))
     val lines = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n)).load()
     graft.sources.Wal2Json

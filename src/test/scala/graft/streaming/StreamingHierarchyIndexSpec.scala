@@ -177,4 +177,116 @@ class StreamingHierarchyIndexSpec extends SparkSpecBase {
         err.getCause.getMessage.contains("cannot")),
       s"resize must name the frozen-tree contract: ${err.getMessage}")
   }
+
+  test("drift past threshold triggers exactly one rebuild; probes " +
+      "stay green across the atomic swap; orphan generations heal") {
+    val dir = Files.createTempDirectory("hier-drift").toString
+    val (srcDir, idxDir, pairsDir, ckpt) =
+      (s"$dir/in", s"$dir/idx", s"$dir/pairs", s"$dir/ckpt")
+    new java.io.File(srcDir).mkdirs()
+    val fs = IndexLayout.fs(spark, idxDir)
+    def meta() = Dedup.readIndexMeta(spark, idxDir)
+    def metaStr(n: String) = Dedup.metaStr(meta(), n)
+    def run(): Unit = {
+      val q = StreamingHierarchyIndex.start(spark, s"$srcDir/*",
+        schema, idxDir, pairsDir, ckpt, "vec_id", "embedding",
+        targetClusterSize = 8, shards = 8, compactEvery = 2,
+        threshold = 0.95, driftThreshold = 0.03)
+      q.processAllAvailable(); q.stop()
+    }
+
+    // epoch 0: bootstrap over two tight bundles — baseline recorded
+    val b1 = ((1L to 20L).map(i => (i, clusterA(i))) ++
+      (21L to 30L).map(i => (i, clusterB(i))))
+      .toDF("vec_id", "embedding")
+    b1.coalesce(1).write.parquet(s"$srcDir/f1")
+    run()
+    val root0 = meta()
+    val baseline0 = Dedup.metaDoubleOpt(root0, "drift_baseline")
+    assert(baseline0.isDefined, "bootstrap must record a baseline")
+    assert(Dedup.metaStrOpt(root0, "centroids_dir")
+      .contains("centroids"))
+
+    // epochs 1-2: the corpus MOVES — batches in a direction neither
+    // bundle occupies drag cluster member means off their frozen
+    // sub-seeds; epoch 2 is a compaction boundary, so the gate fires
+    // there and must rebuild (once)
+    def driftRow(i: Long) = (400L + i, Seq(0.05f, -0.9f, -0.4f))
+    (1 to 2).foreach { e =>
+      (1L to 10L).map(i => driftRow(e * 100 + i))
+        .toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$srcDir/drift$e")
+      run()
+    }
+    val root2 = meta()
+    assert(metaStr("centroids_dir") == "centroids_v2" &&
+      metaStr("subseeds_dir") == "subseeds_v2",
+      s"drift past threshold must swap in a rebuilt tree: " +
+        s"${Dedup.metaStrOpt(root2, "centroids_dir")}")
+    assert(IndexLayout.baseDir(root2,
+      IndexLayout.HierarchyAssigned) == "assigned_v2",
+      "the rebuild subsumes the fold")
+    // 50 rows / target 8 -> k = 3: the rebuild re-sizes from the full
+    // current corpus, not the bootstrap count
+    assert(Dedup.metaInt(root2, "k1") == 3,
+      s"rebuild must re-derive sqrt sizing, got k1=" +
+        s"${Dedup.metaInt(root2, "k1")}")
+    // the swap is atomic and complete: every meta-referenced dir
+    // exists, the superseded generations are gone
+    for (d <- Seq("centroids_v2", "subseeds_v2", "assigned_v2"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/$d")),
+        s"meta points at $d which does not exist")
+    for (d <- Seq("centroids", "subseeds"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/$d")),
+        s"superseded generation $d must be cleared")
+    // the new baseline belongs to the new tree, and the end-state
+    // assignment IS the new tree's assignment of the full corpus
+    val newCents = spark.read.parquet(s"$idxDir/centroids_v2")
+    val newSeeds = spark.read.parquet(s"$idxDir/subseeds_v2")
+    val all = b1.unionByName((1 to 2).flatMap(e =>
+        (1L to 10L).map(i => driftRow(e * 100 + i)))
+      .toDF("vec_id", "embedding"))
+    val endState = IndexLayout.readPostings(spark, idxDir, root2,
+      points = None, maxEpochExclusive = None,
+      IndexLayout.HierarchyAssigned)
+    assert(assignedSet(endState) == assignedSet(
+      Similarity.assignToSeeds(all, newCents, newSeeds, "vec_id",
+        "embedding")),
+      "rebuilt assignment must equal the new tree over the full corpus")
+
+    // probe green across the swap: a near-dup of a bootstrap-corpus
+    // member still pairs, served through the REBUILT tree
+    val probeBatch = Seq((900L, Seq(1.0f, 0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val asgC = Similarity.assignToSeeds(all, newCents, newSeeds,
+      "vec_id", "embedding")
+    val asgB = Similarity.assignToSeeds(probeBatch, newCents, newSeeds,
+      "vec_id", "embedding")
+    val expect = pairSet(Dedup.semanticNearDupsAgainst(asgB, asgC,
+      "vec_id", "embedding", "cluster", threshold = 0.95))
+    assert(expect.nonEmpty, "fixture sanity: the probe vector hits")
+    assert(pairSet(StreamingHierarchyIndex.probe(probeBatch, idxDir,
+      "vec_id", "embedding", threshold = 0.95)) == expect,
+      "probe through the swapped meta must serve the new tree")
+
+    // epochs 3-4: stationary batches (near-dups of corpus rows) — the
+    // next compaction boundary must NOT rebuild again (exactly once),
+    // and crash-window orphan generations heal at that boundary
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idxDir/centroids_v99"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idxDir/subseeds_v99"))
+    (3 to 4).foreach { e =>
+      Seq((600L + e, clusterA(5L))).toDF("vec_id", "embedding")
+        .coalesce(1).write.parquet(s"$srcDir/f$e")
+      run()
+    }
+    val root4 = meta()
+    assert(metaStr("centroids_dir") == "centroids_v2",
+      "a stationary corpus must not rebuild a second time")
+    assert(IndexLayout.baseDir(root4,
+      IndexLayout.HierarchyAssigned) == "assigned_v4",
+      "the ordinary fold must still run at the boundary")
+    for (d <- Seq("centroids_v99", "subseeds_v99"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/$d")),
+        s"orphan generation $d must heal at the maintainer boundary")
+  }
 }
