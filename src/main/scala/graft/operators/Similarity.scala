@@ -514,9 +514,19 @@ object Similarity {
     * B) lands in `PartitionFilters`, and the residual `cluster IN
     * (...)` predicate is served by parquet row-group min/max stats on
     * the sorted column — two-level pruning with a bounded namespace.
-    * `assignedBuckets <= 0` selects the legacy per-cluster hive
-    * layout ([[writeIvfIndex]]); readers detect either from the meta,
-    * so pre-r19 layouts stay readable.
+    *
+    * `assignedBuckets` is the namespace CAP, not the exact count: the
+    * effective bucket count is `min(cap, ceil(k1·k2 / 16))`, i.e.
+    * ~16 clusters (~16·target rows) per bucket until the cap rules.
+    * Without the floor a small-corpus publish mints one near-empty
+    * file per cluster and a probe whose batch touches most clusters
+    * becomes FILE-OPEN-bound, not data-bound (measured at factor 100:
+    * 2,400 tiny files cost the probe more than the rows they hold);
+    * with it, files carry real data at every scale and the cap alone
+    * decides the 10⁹-vector namespace (4096 dirs of multi-hundred-MB
+    * files). `assignedBuckets <= 0` selects the legacy per-cluster
+    * hive layout ([[writeIvfIndex]]); readers detect either from the
+    * meta, so pre-r19 layouts stay readable.
     */
   def writeHierarchyIndex(index: HierarchyIndex, path: String,
                           idCol: String, vecCol: String,
@@ -537,19 +547,28 @@ object Similarity {
       Dedup.writeIndexMeta(spark, path,
         graft.sink.IndexLayout.metaJson(metaBase))
     } else {
+      val effBuckets = math.min(assignedBuckets,
+        math.max(1, (index.k1.toLong * index.k2 + 15) / 16)).toInt
       // co-locate each bucket before partitionBy (the writeIvfIndex
-      // small-files guard), then sort by cluster WITHIN the bucket's
-      // files so row-group stats carry the cluster ranges
+      // small-files guard), then sort by (bucket, cluster): the
+      // leading bucket key hands the dynamic-partition writer rows
+      // already grouped by its partition column (no second, implicit
+      // sort — and no unstable re-sort that would scramble the
+      // cluster order), and the cluster key inside each bucket gives
+      // the row groups the min/max ranges the probe's pushed cluster
+      // filter prunes on
       index.assigned
         .withColumn("bucket",
-          pmod(col("cluster"), lit(assignedBuckets.toLong)))
+          pmod(col("cluster"), lit(effBuckets.toLong)))
         .repartition(col("bucket"))
-        .sortWithinPartitions(col("cluster"))
+        .sortWithinPartitions(col("bucket"), col("cluster"))
         .write.partitionBy("bucket")
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$path/assigned")
+      // the meta records the EFFECTIVE modulus — the probe's bucket
+      // derivation must match the written layout, not the cap
       Dedup.writeIndexMeta(spark, path, graft.sink.IndexLayout.metaJson(
-        metaBase :+ ("assigned_buckets" -> assignedBuckets)))
+        metaBase :+ ("assigned_buckets" -> effBuckets)))
     }
   }
 

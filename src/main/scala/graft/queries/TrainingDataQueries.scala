@@ -4414,17 +4414,16 @@ object TrainingDataQueries {
       Some(semanticAgainstSql)),
 
     // the same probe served from a PUBLISHED hierarchy layout
-    // (centroids + sub-seeds + cluster-partitioned assignment +
-    // _index_meta.json): the batch's cluster ids become a partition
-    // filter, so the verification scan reads only touched clusters.
-    // Oracle identical to dedup_semantic_against's: publish/serve and
-    // the partition pruning must change nothing. Scale note: this
-    // row's bench number INCLUDES the inline hive-partitioned publish,
-    // whose directory count grows as n/target (~4k dirs at factor
-    // 100 — BASELINE.md attributes the row's x9.9 to that one-time
-    // write); the maintained spelling (StreamingHierarchyIndex's
-    // cluster-range-sorted layout + manifest pruning) is the publish
-    // path at scale.
+    // (centroids + sub-seeds + bucket-partitioned assignment +
+    // _index_meta.json): the batch's cluster ids prune the scan —
+    // bucket (= cluster mod 4096) as a partition filter plus the
+    // cluster IN list against row-group stats on the cluster-sorted
+    // files. Oracle identical to dedup_semantic_against's:
+    // publish/serve and the pruning must change nothing. Scale note:
+    // this row's bench number INCLUDES the inline publish; r18
+    // measured the pre-bucketing hive layout's n/target directory
+    // fan-out at ×9.9 (BASELINE.md), which the r19 bucketed layout
+    // caps at 4096 dirs at any corpus size.
     "dedup_semantic_against_index" -> QueryDef(
       (s, d) => {
         val emb = table(s, d, "embeddings")
