@@ -37,11 +37,25 @@ import graft.sink.MergeSink
   * Scale shape: state is k x (dim+1) longs — a bounded model artifact
   * read and merged on the driver; the per-batch work is a zero-shuffle
   * literal-centroid assignment plus one map-side-partial (cluster, dim)
-  * sum exchange, exactly the batch trainer's iteration cost. Retrain
-  * from scratch (kmeansTrainExact) when
-  * [[graft.operators.Similarity.centroidDriftReport]] crosses the
-  * deployment's threshold — the same contract the IVF index append
-  * documents.
+  * sum exchange, exactly the batch trainer's iteration cost.
+  *
+  * Why this maintainer does NOT auto-rebuild (unlike
+  * [[StreamingHierarchyIndex]], whose drift gate is wired since r19):
+  * its centroids are not frozen — every epoch's members move the
+  * exact running means, so the member-mean-vs-centroid drift the
+  * hierarchy gate measures is ~0 here BY CONSTRUCTION, and the state
+  * deliberately retains only (sum, count), never the member vectors,
+  * so a re-bootstrap could not re-cluster history — it could only
+  * reseed from one arriving batch, silently discarding the
+  * accumulated model and breaking the bit-for-bit
+  * replay-determinism contract above. The staleness that does accrue
+  * (a cluster COUNT sized for the bootstrap corpus, seed directions
+  * chosen from the first batch) is a modeling decision: retrain from
+  * scratch with [[graft.operators.Similarity.kmeansTrainExact]] over
+  * the retained corpus and swap the consumer, using
+  * [[graft.operators.Similarity.centroidDriftReport]] over a stored
+  * ASSIGNMENT (where frozen cluster ids do drift) as the signal —
+  * the same contract the IVF index append documents.
   */
 object StreamingKmeans {
 

@@ -230,16 +230,17 @@ object StressStreaming {
     }
 
     // ---- StreamingHierarchyIndex (r18): the maintained SemDeDup
-    // hierarchy. The tree is FROZEN at bootstrap (epoch 0 sizes k from
-    // its own 100k rows), so cluster POPULATION grows with the corpus
-    // while cluster COUNT stays fixed — the documented drift contract
-    // (rebuild past the centroidDriftReport threshold). The curve
-    // makes that trade a measured number: apply cost should stay
-    // near-flat (assignment is batch x (k1+k2) against frozen seeds;
-    // the epoch probe verifies batch x population), and the serving
-    // probe's growth tracks population, i.e. linear in accumulated
-    // corpus over a fixed tree — the signal that tells a deployment
-    // when to re-bootstrap.
+    // hierarchy. The tree is FROZEN between rebuilds (epoch 0 sizes k
+    // from its own 100k rows), so cluster POPULATION grows with the
+    // corpus while cluster COUNT stays fixed. Since r19 the rebuild
+    // trigger is WIRED (drift excess over the bootstrap baseline at
+    // compaction boundaries); this soak runs the stationary synthetic
+    // distribution, where the gate correctly stays closed, so the
+    // curve still measures the frozen-tree trade: apply cost should
+    // stay near-flat (assignment is batch x (k1+k2) against frozen
+    // seeds; the epoch probe verifies batch x population), and the
+    // serving probe's growth tracks population — linear in
+    // accumulated corpus over a fixed tree.
     val hierIdxPath = s"$workDir/hier-index"
     val hierPairsPath = s"$workDir/hier-pairs"
     val hierCurve = if (!want("hier")) Nil
