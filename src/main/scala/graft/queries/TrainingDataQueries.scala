@@ -4440,6 +4440,58 @@ object TrainingDataQueries {
       },
       Some(semanticAgainstSql)),
 
+    // the r19 drift-gated REBUILD under the hard hash gate — the same
+    // upgrade r18 gave the WalTail slot path: three epochs stream
+    // through the maintained hierarchy with the gate FORCED (a
+    // negative threshold makes every compaction boundary rebuild), so
+    // epoch 2's boundary replaces the bootstrap tree (sized and
+    // seeded from the FIRST batch only) with one re-derived from the
+    // FULL corpus. The end-state assignment must then equal a fresh
+    // assignHierarchicalAuto over all rows — exactly the shared
+    // hierarchy-CTE oracle — which a swap that leaked stale epochs,
+    // kept old seeds, or resized wrongly cannot hash-match. The
+    // swap's completeness is asserted in-query: a run whose meta
+    // still points at the bootstrap generation fails the row.
+    "dedup_semantic_rebuild_swap" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-hier-rebuild").toString
+        val (src, idx) = (s"$dir/in", s"$dir/idx")
+        new java.io.File(src).mkdirs()
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, embedding ARRAY<FLOAT>")
+        (1 to 3).foreach { i =>
+          emb.filter(col("vec_id") % 3 === (i - 1))
+            .coalesce(1).write.parquet(s"$src/f$i")
+          val q = graft.streaming.StreamingHierarchyIndex.start(s,
+            s"$src/*", schema, idx, s"$dir/pairs", s"$dir/ckpt",
+            "vec_id", "embedding", targetClusterSize = SemEvery,
+            shards = 8, compactEvery = 2, threshold = SemThreshold,
+            driftThreshold = -10.0)
+          q.awaitTermination(300000); q.stop()
+        }
+        val root = Dedup.readIndexMeta(s, idx)
+        require(Dedup.metaStrOpt(root, "centroids_dir")
+            .contains("centroids_v2"),
+          s"epoch 2's boundary must have swapped in a rebuilt tree, " +
+            s"meta points at ${Dedup.metaStrOpt(root, "centroids_dir")}")
+        val out = graft.sink.IndexLayout.readPostings(s, idx, root,
+            points = None, maxEpochExclusive = None,
+            graft.sink.IndexLayout.HierarchyAssigned)
+          .select(col("vec_id"), col("cluster"))
+          .localCheckpoint(true)
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        out
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+              |    FROM embeddings),
+              |$hierAsgCtes
+              |SELECT vec_id, cluster FROM a2""".stripMargin)),
+
     "text_gopher_rules" -> QueryDef(
       (s, d) => TextAnalysis.gopherRules(table(s, d, "documents"),
         "doc_id", "text", minWords = GopherMinWords),
