@@ -158,5 +158,10 @@ object SparkEntry {
     // probe (batch assigned to the persisted hierarchy, verified
     // against its cluster only — like the other `...Against` rows the
     // number INCLUDES the inline index build; production publishes it)
-    "dedup_semantic_pairs_scale", "dedup_semantic_against")
+    "dedup_semantic_pairs_scale", "dedup_semantic_against",
+    // round-20 addition: q21 — the EXISTS/NOT-EXISTS anti-join chain
+    // decorrelated to three co-partitioned per-order rollups; the
+    // heaviest of the five relational shapes that closed the TPC-H
+    // delegation set (q2/q11/q12/q20/q21)
+    "q21_waiting_suppliers")
 }

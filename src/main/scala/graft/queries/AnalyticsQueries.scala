@@ -1028,6 +1028,278 @@ object AnalyticsQueries {
              |      AND o_orderdate >= '2000-01-01')
              |GROUP BY n_name""".stripMargin)),
 
+    // TPC-H q2 shape (adapted: the fixture has no partsupp table, so the
+    // supply catalog is derived — min observed sale price per
+    // (part, supplier) pair): the correlated-min subquery — for each
+    // qualifying part, the EUROPE supplier(s) achieving the region-wide
+    // minimum supply cost. The Spark spelling decorrelates to a per-part
+    // min aggregate joined back on (partkey, cost): both sides of that
+    // join came out of the same groupBy exchange on partkey, so AQE
+    // co-partitions them; the dimension chain (supplier x nation x
+    // region) broadcasts. Costs are exact DECIMAL(18,2) mins, so the
+    // equality join cannot float-drift across engines.
+    "q2_min_cost_supplier" -> QueryDef(
+      (s, d) => {
+        val ps = table(s, d, "lineitem")
+          .groupBy(col("l_partkey").as("ps_partkey"),
+            col("l_suppkey").as("ps_suppkey"))
+          .agg(min(dec(col("l_extendedprice"))).as("ps_supplycost"))
+        val geo = broadcast(table(s, d, "nation")
+          .join(table(s, d, "region").filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+        val supp = table(s, d, "supplier")
+          .join(geo, col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+            col("n_name"))
+        val eligible = ps.join(
+          statsBroadcast(s, d, supp, Seq("supplier")),
+          col("ps_suppkey") === col("s_suppkey"))
+        val minCost = eligible.groupBy(col("ps_partkey").as("mk"))
+          .agg(min(col("ps_supplycost")).as("min_cost"))
+        val parts = table(s, d, "part")
+          .filter(col("p_type") === "STANDARD" &&
+            col("p_size").between(10, 20))
+          .select(col("p_partkey"), col("p_name"))
+        eligible
+          .join(minCost, col("ps_partkey") === col("mk") &&
+            col("ps_supplycost") === col("min_cost"))
+          .join(statsBroadcast(s, d, parts, Seq("part")),
+            col("ps_partkey") === col("p_partkey"))
+          .orderBy(col("s_acctbal").desc, col("n_name").asc,
+            col("s_name").asc, col("p_partkey").asc)
+          .limit(100)
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"),
+            col("ps_supplycost").cast("double").as("supply_cost"))
+      },
+      Some("""WITH ps AS (SELECT l_partkey AS ps_partkey,
+             |    l_suppkey AS ps_suppkey,
+             |    min(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |      AS ps_supplycost
+             |  FROM lineitem GROUP BY 1, 2)
+             |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+             |  CAST(ps_supplycost AS DOUBLE) AS supply_cost
+             |FROM part, ps, supplier, nation, region
+             |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+             |  AND p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+             |  AND s_nationkey = n_nationkey
+             |  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+             |  AND ps_supplycost = (
+             |    SELECT min(p2.ps_supplycost)
+             |    FROM ps p2, supplier s2, nation n2, region r2
+             |    WHERE p2.ps_partkey = ps.ps_partkey
+             |      AND s2.s_suppkey = p2.ps_suppkey
+             |      AND s2.s_nationkey = n2.n_nationkey
+             |      AND n2.n_regionkey = r2.r_regionkey
+             |      AND r2.r_name = 'EUROPE')
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+             |LIMIT 100""".stripMargin)),
+
+    // TPC-H q11 shape (adapted: no partsupp/availqty — a part's "stock
+    // value" is the exact-decimal revenue booked against EUROPE
+    // suppliers): per-part rollup filtered by a scalar subquery over
+    // its own total — parts worth more than 1.5x the average part
+    // value. Following the q22 precedent, the threshold converts the
+    // exact decimal sum to DOUBLE as the very last step and both
+    // engines evaluate the identical IEEE expression (sum*1.5/n), so
+    // no boundary row can disagree. The global aggregate broadcasts as
+    // a one-row cross join.
+    "q11_important_stock" -> QueryDef(
+      (s, d) => {
+        val geo = broadcast(table(s, d, "nation")
+          .join(table(s, d, "region").filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey")))
+        val supp = table(s, d, "supplier")
+          .join(geo, col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val pv = table(s, d, "lineitem")
+          .join(statsBroadcast(s, d, supp, Seq("supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey").as("ps_partkey"))
+          .agg(sum(dec(col("l_extendedprice"))).as("value_dec"))
+        val thr = pv.agg((sum(col("value_dec")).cast("double") *
+          lit(1.5) / count(lit(1))).as("thr"))
+        pv.crossJoin(broadcast(thr))
+          .filter(col("value_dec").cast("double") > col("thr"))
+          .select(col("ps_partkey"),
+            col("value_dec").cast("double").as("part_value"))
+      },
+      Some("""WITH pv AS (SELECT l_partkey AS ps_partkey,
+             |    sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |      AS value_dec
+             |  FROM lineitem, supplier, nation, region
+             |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+             |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+             |  GROUP BY 1)
+             |SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS part_value
+             |FROM pv
+             |WHERE CAST(value_dec AS DOUBLE) >
+             |  (SELECT CAST(sum(value_dec) AS DOUBLE) * 1.5 / count(*)
+             |   FROM pv)""".stripMargin)),
+
+    // TPC-H q12 shape (adapted: the synthetic lineitem carries no
+    // shipmode/commit/receipt dates — "late" is shipped more than 60
+    // days after order placement, and the return flag plays the
+    // shipmode class): conditional aggregation over the order x
+    // lineitem join — per class, late shipments split by order
+    // urgency. The CASE sums are pure integer counts; the join stays
+    // an equi-join on orderkey with the date comparison as a residual,
+    // so Catalyst keeps it hashable.
+    "q12_late_shipment_priority" -> QueryDef(
+      (s, d) => {
+        val ord = table(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+        table(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"))
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_shipdate"))
+          .join(statsBroadcast(s, d, ord, Seq("orders")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_returnflag").as("ship_class"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+              1).otherwise(0)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+              0).otherwise(1)).as("low_line_count"))
+      },
+      Some("""SELECT l_returnflag AS ship_class,
+             |  CAST(sum(CASE WHEN o_orderpriority IN
+             |      ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN
+             |      ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+             |    AS BIGINT) AS low_line_count
+             |FROM orders, lineitem
+             |WHERE o_orderkey = l_orderkey
+             |  AND l_shipdate >= '1996-01-01'
+             |  AND l_shipdate < '1997-01-01'
+             |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+             |GROUP BY 1""".stripMargin)),
+
+    // TPC-H q20 shape (adapted: "availability" is the pair's all-time
+    // shipped quantity; the promotion window is 1996): the nested
+    // semi-join chain with a correlated aggregate — ASIA suppliers
+    // holding a 'large%' part whose pair-level stock exceeds half the
+    // part's 1996 demand. The Spark spelling decorrelates the inner
+    // scalar subquery to a per-part demand rollup joined on partkey
+    // (inner join = the oracle's NULL-comparison-is-false semantics);
+    // the part filter broadcasts; the supplier keyset arrives by
+    // left-semi join. Stock-vs-demand compares exact decimals (x2 on
+    // one side), so no float boundary exists.
+    "q20_part_promotion" -> QueryDef(
+      (s, d) => {
+        val li = table(s, d, "lineitem")
+        val largeParts = table(s, d, "part")
+          .filter(col("p_name").like("large%"))
+          .select(col("p_partkey"))
+        val pairs = li
+          .join(statsBroadcast(s, d, largeParts, Seq("part")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+          .agg(sum(dec(col("l_quantity"))).as("pair_qty"))
+        val demand = li
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1997-01-01"))
+          .join(statsBroadcast(s, d, largeParts, Seq("part")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey").as("dk"))
+          .agg(sum(dec(col("l_quantity"))).as("year_qty"))
+        val promoSupp = pairs
+          .join(demand, col("pk") === col("dk"))
+          .filter(col("pair_qty") * 2 > col("year_qty"))
+          .select(col("sk")).distinct()
+        val geo = broadcast(table(s, d, "nation")
+          .join(table(s, d, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey")))
+        table(s, d, "supplier")
+          .join(geo, col("s_nationkey") === col("n_nationkey"))
+          .join(promoSupp, col("s_suppkey") === col("sk"), "left_semi")
+          .select(col("s_name"), col("s_acctbal"))
+      },
+      Some("""WITH pairs AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+             |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS pair_qty
+             |  FROM lineitem
+             |  WHERE l_partkey IN
+             |    (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+             |  GROUP BY 1, 2)
+             |SELECT s_name, s_acctbal
+             |FROM supplier, nation, region
+             |WHERE s_nationkey = n_nationkey
+             |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+             |  AND s_suppkey IN (
+             |    SELECT sk FROM pairs
+             |    WHERE pair_qty * 2 > (
+             |      SELECT sum(CAST(l2.l_quantity AS DECIMAL(18,2)))
+             |      FROM lineitem l2
+             |      WHERE l2.l_partkey = pairs.pk
+             |        AND l2.l_shipdate >= '1996-01-01'
+             |        AND l2.l_shipdate < '1997-01-01'))"""
+        .stripMargin)),
+
+    // TPC-H q21 shape (adapted lateness as in q12, 30-day threshold):
+    // the multi-EXISTS / NOT-EXISTS anti-join chain — late lineitems
+    // on finalized multi-supplier orders where NO OTHER supplier was
+    // late. The Spark spelling decorrelates both quantified subqueries
+    // to per-order rollups (distinct suppliers; distinct LATE
+    // suppliers) joined back on orderkey: EXISTS(other supplier) =
+    // nsupp > 1, NOT EXISTS(other late supplier) = nlate = 1 (this
+    // row's own supplier is late by construction) — three aggregations
+    // co-partitioned on the same key, so AQE reuses the exchange
+    // layout instead of re-shuffling per quantifier.
+    "q21_waiting_suppliers" -> QueryDef(
+      (s, d) => {
+        val ordF = table(s, d, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val li = table(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val late = li
+          .join(statsBroadcast(s, d, ordF, Seq("orders")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val nsupp = li.groupBy(col("l_orderkey").as("nk"))
+          .agg(countDistinct(col("l_suppkey")).as("nsupp"))
+        val nlate = late.groupBy(col("l_orderkey").as("lk"))
+          .agg(countDistinct(col("l_suppkey")).as("nlate"))
+        late
+          .join(nsupp, col("l_orderkey") === col("nk"))
+          .join(nlate, col("l_orderkey") === col("lk"))
+          .filter(col("nsupp") > 1 && col("nlate") === 1)
+          .join(statsBroadcast(s, d, table(s, d, "supplier")
+              .select(col("s_suppkey"), col("s_name")),
+              Seq("supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name").asc)
+          .limit(100)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+             |FROM supplier, lineitem l1, orders
+             |WHERE s_suppkey = l1.l_suppkey
+             |  AND o_orderkey = l1.l_orderkey
+             |  AND o_orderstatus = 'F'
+             |  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+             |GROUP BY s_name
+             |ORDER BY numwait DESC, s_name
+             |LIMIT 100""".stripMargin)),
+
     // incremental aggregate maintenance under CDC: the engine MAINTAINS
     // the rollup (base + inserted − deleted, exact decimal algebra,
     // O(batch + touched groups)); the oracle RECOMPUTES it from scratch
