@@ -12,8 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Measurement: one cold pass (plan + janino codegen compile — excluded),
   * then SPARK_GRAFT_BENCH_ITERS (default 3) steady-state passes; the
-  * reported per-query number is the MEDIAN across passes (single runs on
-  * sub-second queries carry ±40% scheduler noise).
+  * reported per-query number is the lower-middle pass by wall — the
+  * median at the default odd iteration count, and always a REAL pass
+  * (single runs on sub-second queries carry ±40% scheduler noise).
+  * Every pass is preceded by a host-speed canary (BenchEnv.canary);
+  * `queries_canary_units` divides each number of record by its own
+  * pass's all-cores canary wall, yielding values that hold across the
+  * hypervisor speed bands that runq-wait cannot see.
   *
   * Honesty guards: a query that throws during ANY pass is recorded in the
   * JSON's `"failed"` list and the process exits non-zero — a broken query
@@ -71,23 +76,49 @@ object Bench {
     // machine-context guard: each pass is wrapped in a wall/CPU/
     // runqueue-wait snapshot so a run on a contended sandbox carries a
     // machine-readable "contended": true instead of reading as a code
-    // regression (the r9 lesson — see BASELINE.md)
+    // regression (the r9 lesson — see BASELINE.md). Since r20 every
+    // pass is additionally preceded by a host-speed canary (fixed
+    // CPU-bound work, 1-thread + all-cores): hypervisor frequency /
+    // steal bands are invisible to runq-wait (three consecutive BENCH
+    // artifacts needed a manual judge control-run), but they inflate
+    // the canary wall in exact proportion, so the artifact itself now
+    // carries the rescale factor.
     val loadBefore = BenchEnv.loadavg()
+    val coldCanary = BenchEnv.canary()
     val (cold, coldEnv) = BenchEnv.measurePass(names.map(n => n -> once(n)))
-    val measured = (1 to math.max(1, iters))
-      .map(_ => BenchEnv.measurePass(names.map(n => n -> once(n)).toMap))
+    val measured = (1 to math.max(1, iters)).map { _ =>
+      val c = BenchEnv.canary()
+      val (p, e) = BenchEnv.measurePass(names.map(n => n -> once(n)).toMap)
+      (p, e, c)
+    }
     val loadAfter = BenchEnv.loadavg()
     val passes = measured.map(_._1)
     val passEnvs = coldEnv +: measured.map(_._2)
-    // the reported number is the median WALL across measured passes;
-    // its env is the env of the pass that produced it (the median-wall
-    // pass), so a flagged query means "the number of record was taken
-    // under external runqueue pressure" — machine-attributable without
-    // a control run
-    val qEnv = names.map(n =>
-      n -> BenchEnv.medianWallEnv(passes.map(_(n)))).toMap
-    val med = names.map(n => n -> median(passes.map(_(n).wallSec)))
+    val canaries = coldCanary +: measured.map(_._3)
+    // The number of record per query is the LOWER-MIDDLE measured pass
+    // by wall — a real pass, never an interpolated value — so
+    // queries.<name>, query_env.<name>.wall_sec and the normalized
+    // number all describe the SAME measurement (pre-r20, an even
+    // SPARK_GRAFT_BENCH_ITERS made the reported median an interpolation
+    // that matched no pass and disagreed with its own env row). With
+    // the default odd iters the value is identical to the old median.
+    val recIdx = names.map { n =>
+      n -> passes.indices.sortBy(i => passes(i)(n).wallSec)
+        .apply((passes.size - 1) / 2)
+    }.toMap
+    val qEnv = names.map(n => n -> passes(recIdx(n))(n)).toMap
+    val med = names.map(n => n -> passes(recIdx(n))(n).wallSec)
+    // canary-normalized number of record: wall over the SAME pass's
+    // all-cores canary wall — dimensionless "canary units" that hold
+    // across host-speed bands (raw medians inflate with the band, the
+    // ratio does not). canaries(i+1) belongs to measured pass i.
+    val qNorm = names.map { n =>
+      val i = recIdx(n)
+      n -> passes(i)(n).wallSec / canaries(i + 1).mtSec
+    }
     val qs = med.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val qsNorm = qNorm.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val coldTotal = cold.map(_._2.wallSec).sum
@@ -98,6 +129,11 @@ object Bench {
     val contendedQueries = names.filter(n => BenchEnv.burst(qEnv(n)))
     val contendedQueriesJson = contendedQueries
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val canaryJson =
+      s"""{"passes":${canaries.map(_.json).mkString("[", ",", "]")},""" +
+        f""""median_mt_sec":${median(canaries.drop(1).map(_.mtSec))}%.4f,""" +
+        f""""median_one_thread_sec":${
+          median(canaries.drop(1).map(_.oneThreadSec))}%.4f}"""
     val envJson = BenchEnv.runJson(passEnvs, loadBefore, loadAfter)
     // stdout gets the COMPACT line: the harness captures only the last
     // 2 KB of stdout, and a line longer than that loses its head and
@@ -106,7 +142,7 @@ object Bench {
     // full-file variant (see main); the compact line keeps every
     // per-query median, the failed list, and the env block.
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"methodology_version":2,"failed":$failedJson,"query_env":$qEnvJson,"contended_queries":$contendedQueriesJson,"env":$envJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_canary_units":$qsNorm,"canary":$canaryJson,"sf":"$sfDir","cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"methodology_version":2,"median_convention":"lower_middle_pass","methodology_notes":$MethodologyNotesJson,"failed":$failedJson,"query_env":$qEnvJson,"contended_queries":$contendedQueriesJson,"env":$envJson}"""
     // Bounded-size summary, printed LAST by main: headline scalars, the
     // contention verdict, and the top-5 heaviest queries. The full
     // per-query map lives in `json` (line 1 of stdout and the on-disk
@@ -119,20 +155,37 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val summary =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${names.size},"cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"methodology_version":2,"failed":$failedJson,"contended":${BenchEnv.contended(passEnvs)},"median_wait_cpu_ratio":$ratioJson,"n_contended_queries":${contendedQueries.size},"top5":$top5,"queries_in":"line 1 of stdout and bench_out.json"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${names.size},"cold_total_sec":$coldTotal%.3f,"iterations":${passes.size},"methodology_version":2,"failed":$failedJson,"contended":${BenchEnv.contended(passEnvs)},"median_wait_cpu_ratio":$ratioJson,"canary_mt_sec":${median(canaries.drop(1).map(_.mtSec))}%.4f,"n_contended_queries":${contendedQueries.size},"top5":$top5,"queries_in":"line 1 of stdout and bench_out.json"}"""
     (json, summary, failed.toSeq)
   }
+
+  /** Per-query methodology annotations — rows whose accounting changed
+    * in a way the run-level methodology_version does not capture, so
+    * cross-round diffing tools can refuse or caveat those comparisons
+    * (r19 hoisted the wal2json slot fixture into a per-JVM cache; the
+    * slot-drain rows since then measure the drain only, while <=r18
+    * rows included the fixture render).
+    */
+  val MethodologyNotesJson: String =
+    """{"cdc_slot_drain":"r19+: slot fixture cached per-JVM; measures the drain only - not comparable to <=r18 rows (fixture render included)","cdc_slot_drain_delta":"r19+: slot fixture cached per-JVM; measures the drain only - not comparable to <=r18 rows (fixture render included)"}"""
 
   /** The methodology note appended to the on-disk JSON (kept out of the
     * stdout line for the 2 KB tail-capture budget).
     */
   val MeasurementNote: String =
-    "per-query median of steady-state runs (1st-run plan+codegen " +
-      "compile excluded; cache cleared between queries so each run pays " +
-      "its own persists - no cross-run InMemoryRelation reuse); " +
-      "env.contended=true means external runqueue pressure stole cycles " +
-      "during this run - numbers are then an upper bound, not a " +
-      "regression signal"
+    "per-query number of record = the lower-middle steady-state pass " +
+      "by wall (1st-run plan+codegen compile excluded; cache cleared " +
+      "between queries so each run pays its own persists - no " +
+      "cross-run InMemoryRelation reuse; identical to the median at " +
+      "the default odd iteration count, and always a real pass so the " +
+      "value, its query_env row and its canary-normalized twin " +
+      "describe one measurement); env.contended=true means external " +
+      "runqueue pressure stole cycles during this run - numbers are " +
+      "then an upper bound, not a regression signal; " +
+      "queries_canary_units = wall / same-pass all-cores canary wall " +
+      "(fixed CPU-bound work) - compare THESE across rounds when " +
+      "canary.median_mt_sec differs >20% between artifacts " +
+      "(hypervisor speed bands are invisible to runq-wait)"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

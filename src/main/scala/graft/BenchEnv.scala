@@ -140,6 +140,88 @@ object BenchEnv {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  // ---------------------------------------------------------------- canary
+
+  /** Host-speed calibration sample: wall seconds for a FIXED amount of
+    * CPU-bound integer work, measured single-threaded and across all
+    * cores. The work is constant, so the wall scales inversely with the
+    * host's effective speed — hypervisor frequency throttling and
+    * steal-time bands that are INVISIBLE to runq-wait (three consecutive
+    * BENCH artifacts read ×7-11 high on identical code with
+    * runq_wait ≈ 0 and needed a manual control re-run to adjudicate)
+    * show up directly as inflated canary walls. Dividing a query's wall
+    * by the same pass's mt canary yields a host-speed-independent
+    * "canary units" number; two artifacts' canaries give the exact
+    * rescale factor between their hosts/boots.
+    */
+  final case class CanarySample(oneThreadSec: Double, mtSec: Double,
+                                threads: Int) {
+    def json: String =
+      f"""{"one_thread_sec":$oneThreadSec%.4f,"mt_sec":$mtSec%.4f,"threads":$threads}"""
+  }
+
+  /** splitmix64 finalizer chain — pure register arithmetic, no memory
+    * traffic, so the measured wall tracks effective CPU frequency and
+    * available core share, not cache or DRAM state. The running value
+    * feeds the next iteration (a true dependency chain the JIT cannot
+    * vectorize away) and escapes via the return value.
+    */
+  private def mixChain(iters: Long, seed: Long): Long = {
+    var x = seed
+    var i = 0L
+    while (i < iters) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      x = z ^ (z >>> 31)
+      i += 1
+    }
+    x
+  }
+
+  /** Iteration counts sized for ~100-200 ms per phase on an idle modern
+    * core — long enough to average over scheduler ticks, short enough
+    * that two phases per pass cost ~2% of a typical pass.
+    */
+  private val CanaryIters1T = 80L * 1000 * 1000
+  private val CanaryItersPerThread = 40L * 1000 * 1000
+
+  // DCE guard: the JIT must observe every kernel result escaping
+  @volatile private var canarySink: Long = 0L
+
+  private lazy val canaryWarm: Unit = {
+    // one warmup per JVM so C2 compiles the kernel before the first
+    // measured sample — otherwise the cold pass's canary reads slow and
+    // "normalizes" the cold numbers fast
+    canarySink ^= mixChain(CanaryIters1T / 8, 1L)
+    val _ = canaryOnce()
+  }
+
+  private def canaryOnce(): CanarySample = {
+    val n = math.max(1, Runtime.getRuntime.availableProcessors)
+    val w0 = System.nanoTime()
+    canarySink ^= mixChain(CanaryIters1T, 42L)
+    val oneT = (System.nanoTime() - w0) / 1e9
+    val results = new java.util.concurrent.atomic.AtomicLong(0L)
+    val w1 = System.nanoTime()
+    val threads = (0 until n).map { t =>
+      val th = new Thread(() => {
+        results.addAndGet(mixChain(CanaryItersPerThread, t + 7L))
+      })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    threads.foreach(_.join())
+    val mt = (System.nanoTime() - w1) / 1e9
+    canarySink ^= results.get()
+    CanarySample(oneT, mt, n)
+  }
+
+  /** One calibration sample (after a once-per-JVM JIT warmup). */
+  def canary(): CanarySample = { canaryWarm; canaryOnce() }
+
   /** JSON object fragment describing a whole run. */
   def runJson(passes: Seq[PassEnv], loadBefore: Option[Seq[Double]],
               loadAfter: Option[Seq[Double]]): String = {
