@@ -1843,6 +1843,18 @@ object Dedup {
     }
   }
 
+  /** [[metaLong]] for post-publication fields. */
+  private[graft] def metaLongOpt(root: org.json4s.JValue,
+                                 name: String): Option[Long] = {
+    import org.json4s._
+    (root \ name) match {
+      case JNothing => None
+      case JInt(n) => Some(n.longValue)
+      case JLong(n) => Some(n)
+      case o => throw new IllegalStateException(s"bad index meta $name: $o")
+    }
+  }
+
   /** A table schema recorded in the meta (DDL string), if present —
     * absent on pre-r16 layouts, where readers fall back to footer
     * inference.

@@ -463,18 +463,39 @@ object Similarity {
     */
   def buildHierarchyIndex(corpus: DataFrame, idCol: String,
                           vecCol: String, k1: Int, k2: Int)
+      : HierarchyIndex =
+    buildHierarchyImpl(corpus, idCol, vecCol, k1, k2, streamed = false)
+
+  /** The build body shared by the pinned (batch) and streamed (rebuild)
+    * spellings. `streamed = false` is [[buildHierarchyIndex]]'s
+    * contract: scratch pinned in the block manager, assignment eagerly
+    * materialized so a probe never re-runs the build. `streamed = true`
+    * is the corpus-scale spelling for a DISK-BACKED corpus (a published
+    * index layout): nothing corpus-sized touches the block manager —
+    * each of the build's passes re-scans the corpus parquet, and the
+    * returned assignment is LAZY (the caller streams it straight into
+    * its own layout write; consuming it twice would re-derive it, so
+    * the caller reads its written copy back instead). Only the two
+    * bounded seed frames (k1 rows; k1×k2 rows) are pinned in either
+    * mode.
+    */
+  private def buildHierarchyImpl(corpus: DataFrame, idCol: String,
+      vecCol: String, k1: Int, k2: Int, streamed: Boolean)
       : HierarchyIndex = {
     require(k1 > 0 && k2 > 0, s"k1 ($k1) and k2 ($k2) must be > 0")
     // k1 rows, eagerly pinned: the centroid frame is consumed by the
     // build's level-1 assignment AND by every later probe
     val cents = seedCentroidsK(corpus, idCol, vecCol, k1)
       .localCheckpoint(eager = true)
-    val cells = ivfAssign(corpus, cents, idCol, vecCol)
+    val cells0 = ivfAssign(corpus, cents, idCol, vecCol)
       .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
         col("cluster").as("__cell"),
         graft.functions.StableHash.hash60(col(idCol).cast("string"))
           .as("__h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells =
+      if (streamed) cells0
+      else cells0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-cell k2 smallest-hash sub-seeds: a window PARTITIONED by the
     // cell (bounded reducers = cells; a cell holds ~n/k1 rows — at the
     // sqrt sizing, ~sqrt(n·target) per reducer, one pass, rank only).
@@ -493,7 +514,8 @@ object Similarity {
             col("__cell").as("cell")), seeds, vecCol),
         Seq("__id"))
       .select(col("__id").as(idCol), col("__v").as(vecCol), col("cluster"))
-    HierarchyIndex(cents, seeds, Dedup.releaseAfterAll(out, cells),
+    if (streamed) HierarchyIndex(cents, seeds, out, k1, k2)
+    else HierarchyIndex(cents, seeds, Dedup.releaseAfterAll(out, cells),
       k1, k2)
   }
 
@@ -774,6 +796,27 @@ object Similarity {
     val k = math.max(1, math.ceil(
       math.sqrt(n.toDouble / targetClusterSize)).toInt)
     buildHierarchyIndex(corpus, idCol, vecCol, k, k)
+  }
+
+  /** [[buildHierarchyIndexAuto]] for a DISK-BACKED corpus (a published
+    * index layout's parquet): the block manager never holds anything
+    * corpus-sized — each build pass re-scans the corpus files, and the
+    * returned `assigned` is LAZY, meant to be written straight into the
+    * caller's layout in one pass (read the written copy back for any
+    * further consumer). The spelling the streaming maintainer's
+    * drift-gated rebuild uses: at 10⁹ vectors the pinned spelling
+    * would transiently duplicate a corpus that already sits compacted
+    * on disk into executor block storage.
+    */
+  private[graft] def buildHierarchyIndexStreamed(corpus: DataFrame,
+      idCol: String, vecCol: String,
+      targetClusterSize: Int): HierarchyIndex = {
+    require(targetClusterSize > 0,
+      s"targetClusterSize ($targetClusterSize) must be > 0")
+    val n = corpus.count()
+    val k = math.max(1, math.ceil(
+      math.sqrt(n.toDouble / targetClusterSize)).toInt)
+    buildHierarchyImpl(corpus, idCol, vecCol, k, k, streamed = true)
   }
 
   /** Train IVF centroids with Lloyd's k-means on a (hash-sampled)

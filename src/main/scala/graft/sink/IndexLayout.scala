@@ -291,10 +291,15 @@ object IndexLayout {
     * `<name>_v<epoch>` from [[compact]]) are eligible: a bare
     * name-prefix match would also delete unrelated user dirs placed
     * inside the index path (`postings_backup`, `sets_old`, ...).
+    * `retain` names additional generations to keep — the grace-window
+    * set a rebuilding maintainer records in its meta so probes that
+    * resolved the pre-swap meta can still execute their lazy scans
+    * (deleted at the maintainer's NEXT compaction boundary instead).
     */
   def healOrphans(spark: SparkSession, path: String, keepDir: String,
                   clearEpochsThrough: Long,
-                  table: MaintainedTable = Postings): Unit = {
+                  table: MaintainedTable = Postings,
+                  retain: Set[String] = Set.empty): Unit = {
     val f = fs(spark, path)
     val rootPath = new Path(path)
     val generated = (table.name + "_v\\d+").r
@@ -303,7 +308,8 @@ object IndexLayout {
         val name = st.getPath.getName
         if (st.isDirectory &&
             (name == table.name || generated.pattern.matcher(name).matches()) &&
-            name != keepDir && name != table.epochsSub)
+            name != keepDir && name != table.epochsSub &&
+            !retain.contains(name))
           f.delete(st.getPath, true)
       }
     val epochs = new Path(s"$path/${table.epochsSub}")

@@ -125,6 +125,33 @@ object StreamingHierarchyIndex {
   private def seedsDirOf(root: org.json4s.JValue): String =
     Dedup.metaStrOpt(root, "subseeds_dir").getOrElse("subseeds")
 
+  /** The rebuild grace window (r20). A drift-gated rebuild swaps the
+    * meta atomically, but an out-of-stream [[probe]] that resolved the
+    * OLD meta just before the swap still has lazy scans pointed at the
+    * old generation's directories — deleting them at the swap could
+    * fail that probe with FileNotFoundException. The rebuild therefore
+    * RECORDS the superseded generation (`retired_dirs`, plus
+    * `retired_through` = the pre-rebuild compaction watermark so the
+    * old meta's visible epoch tail survives too) instead of deleting
+    * it; every epoch's meta promote carries the fields forward, entry
+    * healing retains the recorded set, and the NEXT compaction
+    * boundary — whose fresh meta drops the fields — lets the ordinary
+    * cleanup collect them. Mirrors how crash-window epoch orphans are
+    * already healed lazily. At most one retired generation exists at a
+    * time (a second rebuild replaces the fields; the older generation
+    * then ages out at the following entry heal / boundary cleanup).
+    */
+  private def retiredDirsOf(root: org.json4s.JValue): Set[String] =
+    Dedup.metaStrOpt(root, "retired_dirs")
+      .map(_.split(',').toSet.filter(_.nonEmpty)).getOrElse(Set.empty)
+  private def retiredThroughOf(root: org.json4s.JValue): Option[Long] =
+    Dedup.metaLongOpt(root, "retired_through")
+  private def retiredFields(root: org.json4s.JValue): Seq[(String, Any)] =
+    Dedup.metaStrOpt(root, "retired_dirs").map(ds =>
+      Seq[(String, Any)]("retired_dirs" -> ds) ++
+        retiredThroughOf(root).map("retired_through" -> (_: Any)).toSeq)
+      .getOrElse(Seq.empty)
+
   /** Count-weighted mean of `1 - cos(cluster member mean, its
     * sub-seed)` over the whole assignment — the scalar the drift gate
     * compares across time. Weighted so a thousand one-member clusters
@@ -198,9 +225,14 @@ object StreamingHierarchyIndex {
     val epochDir = new Path(s"$indexPath/${T.epochsSub}/epoch=$batchId")
     if (lastEpoch >= batchId &&
         (through >= batchId || f.exists(epochDir))) return
+    // entry healing honors the rebuild grace window: the retired
+    // generation's dirs are retained and the epoch tail the OLD meta
+    // still resolves (epochs > retired_through) survives until the
+    // next compaction boundary drops the retired fields
     IndexLayout.healOrphans(spark, indexPath,
       keepDir = IndexLayout.baseDir(root, T),
-      clearEpochsThrough = through, T)
+      clearEpochsThrough = retiredThroughOf(root).getOrElse(through),
+      T, retain = retiredDirsOf(root))
 
     // 1) assign the batch through the FROZEN seeds and probe the
     //    PRE-batch assignment (epoch-gated, manifest-pruned)
@@ -211,11 +243,14 @@ object StreamingHierarchyIndex {
       pairs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$pairsOutDir/epoch=$batchId")
 
-      // 3) meta, then the epoch append (replay keys on the partition)
+      // 3) meta, then the epoch append (replay keys on the partition).
+      // retiredFields carries a live grace window forward — dropping
+      // it here would end the grace one epoch after the rebuild
       IndexLayout.promoteMeta(f, indexPath, IndexLayout.metaJson(
         paramFields(mk1, mk2, targetClusterSize, idCol, vecCol,
           batchId, centsDirOf(root), seedsDirOf(root),
-          Dedup.metaDoubleOpt(root, "drift_baseline")) ++ Seq(
+          Dedup.metaDoubleOpt(root, "drift_baseline")) ++
+          retiredFields(root) ++ Seq(
           T.dirField -> IndexLayout.baseDir(root, T),
           T.throughField -> through)))
       IndexLayout.appendEpoch(asg, indexPath, batchId, T)
@@ -273,10 +308,15 @@ object StreamingHierarchyIndex {
     if (!drifted) return Some(Some(baselineOpt.getOrElse(current)))
 
     val f = IndexLayout.fs(spark, indexPath)
+    // the rebuild's corpus STREAMS from the published layout itself —
+    // base shards + the uncompacted epoch tail, all parquet already on
+    // disk. Each pass of the streamed build re-scans those files; the
+    // pre-r20 `localCheckpoint(true)` here eagerly duplicated the
+    // whole corpus into executor block storage (at 10⁹ vectors, a
+    // second corpus-sized copy of data the layout already holds).
     val corpus = assigned.select(col(idCol), col(vecCol))
-      .localCheckpoint(true)
-    val idx = Similarity.buildHierarchyIndexAuto(corpus, idCol, vecCol,
-      targetClusterSize)
+    val idx = Similarity.buildHierarchyIndexStreamed(corpus, idCol,
+      vecCol, targetClusterSize)
     val (cdir, sdir) = (s"centroids_v$epoch", s"subseeds_v$epoch")
     val adir = s"${T.name}_v$epoch"
     idx.centroids.write
@@ -285,19 +325,29 @@ object StreamingHierarchyIndex {
     idx.subSeeds.write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$indexPath/$sdir")
+    // ONE pass streams the lazy assignment into the new base; every
+    // later consumer (the baseline below, probes after the swap) reads
+    // the written copy — the layout-backed spelling end to end
     Sinks.writeRangeSorted(idx.assigned, s"$indexPath/$adir",
       T.sortCol, shards)
-    val baseline = weightedDrift(idx.assigned, idx.subSeeds, vecCol)
+    val baseline = weightedDrift(
+      spark.read.parquet(s"$indexPath/$adir"), idx.subSeeds, vecCol)
     // the swap: everything above is invisible until this promote (a
     // crash leaves orphans the next maintainer entry clears); after
-    // it, probes resolve the new tree end to end
+    // it, probes resolve the new tree end to end. The superseded
+    // generation is RECORDED (retired_*), not deleted: an
+    // out-of-stream probe that resolved the old meta just before the
+    // swap can still run its lazy scans; the next compaction boundary
+    // collects the retired dirs (see retiredDirsOf).
+    val retired = (Seq(IndexLayout.baseDir(root, T), centsDirOf(root),
+      seedsDirOf(root)).distinct.filterNot(
+        Seq(adir, cdir, sdir).contains(_))).mkString(",")
     IndexLayout.promoteMeta(f, indexPath, IndexLayout.metaJson(
       paramFields(idx.k1, idx.k2, targetClusterSize, idCol, vecCol,
         epoch, cdir, sdir, Some(baseline)) ++ Seq(
+        "retired_dirs" -> retired,
+        "retired_through" -> IndexLayout.compactedThrough(root, T),
         T.dirField -> adir, T.throughField -> epoch)))
-    IndexLayout.healOrphans(spark, indexPath, keepDir = adir,
-      clearEpochsThrough = epoch, T)
-    cleanupSeedGens(spark, indexPath)
     None
   }
 
@@ -311,7 +361,11 @@ object StreamingHierarchyIndex {
                               indexPath: String): Unit = {
     val f = IndexLayout.fs(spark, indexPath)
     val root = Dedup.readIndexMeta(spark, indexPath)
-    val keep = Set(centsDirOf(root), seedsDirOf(root))
+    // a live grace window (meta carries retired_dirs) keeps the
+    // superseded seed generation; once a compaction boundary promotes
+    // a meta without the fields, the same call collects it
+    val keep = Set(centsDirOf(root), seedsDirOf(root)) ++
+      retiredDirsOf(root)
     val generated = "(centroids|subseeds)(_v\\d+)?".r
     val rootPath = new Path(indexPath)
     if (f.exists(rootPath))
@@ -388,7 +442,11 @@ object StreamingHierarchyIndex {
     * for this layout: the batch is assigned through the frozen seeds
     * and verified exactly against the manifest-pruned assignment
     * (base shards holding the batch's clusters + the uncompacted
-    * epoch tail). Emits `(new_id, corpus_id)`.
+    * epoch tail). Emits `(new_id, corpus_id)`. Safe to serve
+    * concurrently with a drift-gated rebuild: the swap retains the
+    * superseded generation until the maintainer's next compaction
+    * boundary (the `retired_*` grace window), so a probe that
+    * resolved the pre-swap meta can still execute its lazy scans.
     */
   def probe(batch: DataFrame, indexPath: String, idCol: String,
             vecCol: String, threshold: Double,

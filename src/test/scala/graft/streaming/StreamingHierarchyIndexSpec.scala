@@ -207,17 +207,35 @@ class StreamingHierarchyIndexSpec extends SparkSpecBase {
     assert(Dedup.metaStrOpt(root0, "centroids_dir")
       .contains("centroids"))
 
+    // a probe plan resolved against the PRE-swap meta, executed only
+    // AFTER the swap — the serving-concurrent-with-maintenance race
+    // the r20 grace window closes: its lazy scans point at the old
+    // generation's directories, which the rebuild must retain
+    val preSwapRoot = root0
+    val preSwapAssigned = IndexLayout.readPostings(spark, idxDir,
+      preSwapRoot, points = None, maxEpochExclusive = None,
+      IndexLayout.HierarchyAssigned)
+
     // epochs 1-2: the corpus MOVES — batches in a direction neither
     // bundle occupies drag cluster member means off their frozen
     // sub-seeds; epoch 2 is a compaction boundary, so the gate fires
-    // there and must rebuild (once)
+    // there and must rebuild (once). The rebuild must not pin a
+    // corpus-sized copy in the block manager (the pre-r20
+    // localCheckpoint spelling): at most the two bounded seed-frame
+    // checkpoints may appear as new persistent RDDs.
     def driftRow(i: Long) = (400L + i, Seq(0.05f, -0.9f, -0.4f))
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     (1 to 2).foreach { e =>
       (1L to 10L).map(i => driftRow(e * 100 + i))
         .toDF("vec_id", "embedding")
         .coalesce(1).write.parquet(s"$srcDir/drift$e")
       run()
     }
+    val leaked =
+      spark.sparkContext.getPersistentRDDs.keySet -- rddsBefore
+    assert(leaked.size <= 2,
+      s"rebuild must not pin corpus-sized frames (only the two bounded " +
+        s"seed checkpoints may linger): leaked RDD ids $leaked")
     val root2 = meta()
     assert(metaStr("centroids_dir") == "centroids_v2" &&
       metaStr("subseeds_dir") == "subseeds_v2",
@@ -232,13 +250,24 @@ class StreamingHierarchyIndexSpec extends SparkSpecBase {
       s"rebuild must re-derive sqrt sizing, got k1=" +
         s"${Dedup.metaInt(root2, "k1")}")
     // the swap is atomic and complete: every meta-referenced dir
-    // exists, the superseded generations are gone
+    // exists. The SUPERSEDED generation is retained under the grace
+    // window (recorded in retired_dirs, collected at the next
+    // compaction boundary) so in-flight probes that resolved the old
+    // meta can still run — the pre-swap plan above must execute green
+    // AFTER the swap.
     for (d <- Seq("centroids_v2", "subseeds_v2", "assigned_v2"))
       assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/$d")),
         s"meta points at $d which does not exist")
-    for (d <- Seq("centroids", "subseeds"))
-      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/$d")),
-        s"superseded generation $d must be cleared")
+    val retired = Dedup.metaStrOpt(root2, "retired_dirs")
+      .map(_.split(',').toSet).getOrElse(Set.empty)
+    assert(retired == Set("assigned_v0", "centroids", "subseeds"),
+      s"rebuild must record the superseded generation, got $retired")
+    for (d <- retired)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/$d")),
+        s"retired generation $d must survive until the next boundary")
+    assert(preSwapAssigned.count() == 30,
+      "a probe plan resolved before the swap must still execute " +
+        "(grace window) - its scans read the retired generation")
     // the new baseline belongs to the new tree, and the end-state
     // assignment IS the new tree's assignment of the full corpus
     val newCents = spark.read.parquet(s"$idxDir/centroids_v2")
@@ -288,5 +317,12 @@ class StreamingHierarchyIndexSpec extends SparkSpecBase {
     for (d <- Seq("centroids_v99", "subseeds_v99"))
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/$d")),
         s"orphan generation $d must heal at the maintainer boundary")
+    // the grace window ENDS at this boundary: the fold's meta drops
+    // the retired fields and the superseded generation is collected
+    assert(Dedup.metaStrOpt(root4, "retired_dirs").isEmpty,
+      "the boundary fold must drop the grace-window fields")
+    for (d <- Seq("assigned_v0", "centroids", "subseeds"))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/$d")),
+        s"retired generation $d must be collected at the next boundary")
   }
 }
