@@ -4231,6 +4231,56 @@ object TrainingDataQueries {
       },
       Some(incrDedupSql)),
 
+    // the banded-postings MAINTAINER under the hard hash gate (r20) —
+    // the same end-state upgrade the WalTail slot path (r18) and the
+    // hierarchy rebuild (r19) got: the corpus split streams through
+    // StreamingBandedSignatureIndex in three epochs (bootstrap base,
+    // one append, then the compactEvery=2 boundary folds the tail into
+    // a fresh range-sorted base), and the batch is probed against the
+    // MAINTAINED layout. The oracle is IDENTICAL to
+    // dedup_incremental_minhash's: a maintainer that lost an epoch,
+    // double-applied a replay, broke the shard sort, or folded the
+    // tail wrongly cannot hash-match the batch-built index's answer.
+    // The fold's completeness is asserted in-query: a run whose meta
+    // still points at the bootstrap base fails the row.
+    "dedup_minhash_maintained_probe" -> QueryDef(
+      (s, d) => {
+        val docs = table(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bandstream").toString
+        val (src, idx) = (s"$dir/in", s"$dir/idx")
+        new java.io.File(src).mkdirs()
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING")
+        (1 to 3).foreach { i =>
+          docs.filter(col("doc_id") % IncrMod =!= 0 &&
+              col("doc_id") % 3 === (i - 1))
+            .select(col("doc_id"), col("text"))
+            .coalesce(1).write.parquet(s"$src/f$i")
+          val q = graft.streaming.StreamingBandedSignatureIndex.start(
+            s, s"$src/*", schema, idx, s"$dir/pairs", s"$dir/ckpt",
+            "doc_id", "text", ShingleK, NumHashes, RowsPerBand,
+            shards = 16, compactEvery = 2,
+            threshold = MinhashThreshold)
+          q.awaitTermination(300000); q.stop()
+        }
+        val root = Dedup.readIndexMeta(s, idx)
+        require(Dedup.metaStrOpt(root, "postings_dir")
+            .contains("postings_v2"),
+          s"epoch 2's boundary must have folded the tail into a fresh " +
+            s"base, meta points at ${
+              Dedup.metaStrOpt(root, "postings_dir")}")
+        val out = Dedup.minhashNearDupsAgainstBandedIndex(
+            docs.filter(col("doc_id") % IncrMod === 0), idx,
+            "doc_id", "text", MinhashThreshold)
+          .localCheckpoint(true)
+        val fsys = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+        out
+      },
+      Some(incrDedupSql)),
+
     "text_normalize" -> QueryDef(
       (s, d) => table(s, d, "documents").select(col("doc_id"),
         TextAnalysis.normalizeForHash(col("text")).as("norm_text"),
