@@ -484,6 +484,36 @@ object Dedup {
     * (docs/SEARCH_SOAK.md). Default stays 8 for the 32-bit
     * oracle-parity configuration.
     */
+  /** Recall contract of every banded-Hamming geometry, said ONCE per
+    * (bits, bandBits, maxHamming) per JVM at the call surface (the r19
+    * default flip 8→16 bandBits silently narrowed it for default-knob
+    * callers): pigeonhole guarantees a shared band only for Hamming
+    * <= nBands-1; pairs in the (nBands-1, maxHamming] "luck range" are
+    * found only when their differing bits happen to cluster outside
+    * one band. Wider bands (fewer of them) trade exactly that
+    * luck-range recall for the bucket-count scale win — never
+    * certainty-range pairs.
+    */
+  private val luckRangeWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int, Int)]()
+  /** The warn, exposed for the streaming maintainer (same geometry,
+    * same trade, one shared dedup set).
+    */
+  private[graft] def warnBandedHammingRecall(bits: Int, bandBits: Int,
+      maxHamming: Int): Unit = warnLuckRange(bits, bandBits, maxHamming)
+  private def warnLuckRange(bits: Int, bandBits: Int,
+                            maxHamming: Int): Unit = {
+    val nBands = bits / bandBits
+    if (maxHamming > nBands - 1 &&
+        luckRangeWarned.add((bits, bandBits, maxHamming)))
+      System.err.println("[graft] banded Hamming: maxHamming=" +
+        s"$maxHamming exceeds the pigeonhole certainty range of " +
+        s"$nBands x $bandBits-bit bands (guaranteed recall only for " +
+        s"hamming <= ${nBands - 1}; higher distances are luck-range)." +
+        " Narrow bandBits for full recall at quadratic candidate " +
+        "cost, or lower maxHamming to the certainty range.")
+  }
+
   def bandedHammingPairs(fps: DataFrame, idCol: String, hashCol: String,
                          bits: Int, maxHamming: Int,
                          maxBucket: Int = Int.MaxValue,
@@ -492,6 +522,7 @@ object Dedup {
         bits % bandBits == 0 && bits > 0 && bits <= 64,
       s"bits ($bits) must be a positive multiple of bandBits " +
         s"($bandBits in [1, 63]), at most 64")
+    warnLuckRange(bits, bandBits, maxHamming)
     val nBands = bits / bandBits
     val bandMask = (1L << bandBits) - 1
     // persist: both join sides reference the fingerprint pipeline and
@@ -872,6 +903,7 @@ object Dedup {
         bits % bandBits == 0 && bits > 0 && bits <= 64,
       s"bits ($bits) must be a positive multiple of bandBits " +
         s"($bandBits in [1, 63]), at most 64")
+    warnLuckRange(bits, bandBits, maxHamming)
     val nBands = bits / bandBits
     val bandMask = (1L << bandBits) - 1
     def banded(df: DataFrame, side: String): DataFrame =

@@ -105,10 +105,15 @@ object Multimodal {
     graft.functions.AHash64.aHash(payload)
 
   /** Perceptual near-duplicate media pairs: aHash each payload, then
-    * byte-band Hamming LSH ([[graft.operators.Dedup.bandedHammingPairs]]
+    * banded Hamming LSH ([[graft.operators.Dedup.bandedHammingPairs]]
     * — the same bucketed machinery simhash text dedup uses). Emits
-    * `(id_a, id_b, hamming)` for pairs sharing any 8-bit band with
-    * Hamming distance <= `maxHamming`.
+    * `(id_a, id_b, hamming)` for pairs sharing any `bandBits`-bit band
+    * with Hamming distance <= `maxHamming`. Recall contract: with the
+    * 16-bit default (4 bands over 64 bits) pigeonhole guarantees pairs
+    * only to hamming <= 3; the default maxHamming = 12 keeps the
+    * luck-range hits the narrow-band geometry found, and the operator
+    * warns once per geometry that distances above bands-1 are
+    * luck-range (see the bandBits note on [[phashNearDupsDecoded]]).
     *
     * Scale shape: hashing is a projection on the media scan (payload
     * bytes never ride a shuffle — only the 8-byte fingerprint does), and

@@ -66,6 +66,10 @@ object StreamingMediaDedup {
       : DataFrame = {
     require(bandBits > 0 && bandBits < 64 && 64 % bandBits == 0,
       s"bandBits ($bandBits) must divide 64")
+    // one-time recall-contract warn (shared with the batch operator):
+    // maxHamming above nBands-1 is luck-range under this geometry
+    graft.operators.Dedup.warnBandedHammingRecall(64, bandBits,
+      maxHamming)
     val spark = media.sparkSession
     import spark.implicits._
 

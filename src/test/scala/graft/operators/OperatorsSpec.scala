@@ -2418,4 +2418,39 @@ class OperatorsSpec extends SparkSpecBase {
     // regressions, which crater recall toward chance: k/N ≈ 0.02)
     assert(recall >= 0.4, s"mean PQ recall@10 = $recall")
   }
+
+  test("banded-Hamming luck-range warn fires once per geometry, " +
+      "never inside the certainty range") {
+    import spark.implicits._
+    val fps = Seq((1L, 7L), (2L, 7L)).toDF("id", "fp")
+    def captured(f: => Unit): String = {
+      val old = System.err
+      val buf = new java.io.ByteArrayOutputStream()
+      System.setErr(new java.io.PrintStream(buf, true, "UTF-8"))
+      try f finally System.setErr(old)
+      buf.toString("UTF-8")
+    }
+    // 2 x 32-bit bands, maxHamming 9 > bands-1 = 1: luck-range — warned,
+    // and only on the FIRST call with this geometry
+    val first = captured {
+      graft.operators.Dedup.bandedHammingPairs(fps, "id", "fp",
+        bits = 64, maxHamming = 9, bandBits = 32).count()
+    }
+    assert(first.contains("luck-range") && first.contains("hamming <= 1"),
+      s"expected the recall-contract warn, got: $first")
+    val second = captured {
+      graft.operators.Dedup.bandedHammingPairs(fps, "id", "fp",
+        bits = 64, maxHamming = 9, bandBits = 32).count()
+    }
+    assert(!second.contains("luck-range"),
+      "the warn must fire once per geometry per JVM")
+    // 64 x 1-bit bands, maxHamming 9 <= bands-1 = 63: full certainty —
+    // silent
+    val certain = captured {
+      graft.operators.Dedup.bandedHammingPairs(fps, "id", "fp",
+        bits = 64, maxHamming = 9, bandBits = 1).count()
+    }
+    assert(!certain.contains("luck-range"),
+      s"certainty-range geometry must not warn: $certain")
+  }
 }
