@@ -4281,6 +4281,57 @@ object TrainingDataQueries {
       },
       Some(incrDedupSql)),
 
+    // the embedding maintainer's end-state gate (r20) — the two-table
+    // twin of dedup_minhash_maintained_probe: three epochs stream
+    // through StreamingBandedEmbeddingIndex (band postings AND the
+    // vector sidecar its exact-cosine verification reads; the boundary
+    // folds BOTH), then the batch probes the maintained layout
+    // sidecar-only. Epochs are sliced by id RANGE with the smallest
+    // ids first: the maintainer freezes its hyperplanes from the
+    // bootstrap batch, and the batch oracle's planes are the
+    // numPlanes smallest-id corpus vectors, so a first slice holding
+    // them makes frozen-at-bootstrap plane-identical to batch-built —
+    // and the oracle (incrEmbeddingSql, same as the incremental and
+    // published-index rows) must then hash-match exactly.
+    "dedup_embedding_maintained_probe" -> QueryDef(
+      (s, d) => {
+        val emb = table(s, d, "embeddings")
+        val corpus = emb.filter(col("vec_id") % IncrMod =!= 0)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-embstream").toString
+        val (src, idx) = (s"$dir/in", s"$dir/idx")
+        new java.io.File(src).mkdirs()
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, embedding ARRAY<FLOAT>")
+        val slices = Seq(col("vec_id") <= 18,
+          col("vec_id") > 18 && col("vec_id") <= 60,
+          col("vec_id") > 60)
+        slices.zipWithIndex.foreach { case (p, i) =>
+          corpus.filter(p).select(col("vec_id"), col("embedding"))
+            .coalesce(1).write.parquet(s"$src/f$i")
+          val q = graft.streaming.StreamingBandedEmbeddingIndex.start(
+            s, s"$src/*", schema, idx, s"$dir/pairs", s"$dir/ckpt",
+            "vec_id", "embedding", EmbPlanes, EmbBandBits,
+            shards = 16, compactEvery = 2, threshold = EmbThreshold)
+          q.awaitTermination(300000); q.stop()
+        }
+        val root = Dedup.readIndexMeta(s, idx)
+        require(Dedup.metaStrOpt(root, "postings_dir")
+            .contains("postings_v2"),
+          s"epoch 2's boundary must have folded both tables, meta " +
+            s"points at ${Dedup.metaStrOpt(root, "postings_dir")}")
+        val out = Dedup.embeddingNearDupsAgainstBandedIndexOpt(
+            emb.filter(col("vec_id") % IncrMod === 0), None, idx,
+            "vec_id", "embedding", EmbThreshold,
+            Dedup.DefaultMaxProbePoints, None)
+          .localCheckpoint(true)
+        val fsys = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        fsys.delete(new org.apache.hadoop.fs.Path(dir), true)
+        out
+      },
+      Some(incrEmbeddingSql)),
+
     "text_normalize" -> QueryDef(
       (s, d) => table(s, d, "documents").select(col("doc_id"),
         TextAnalysis.normalizeForHash(col("text")).as("norm_text"),
