@@ -242,14 +242,30 @@ object Dedup {
     * regardless of document size. Output: (id, sig_0..sig_{n-1}).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, numHashes: Int = 12): DataFrame = {
-    val sh = docs.select(col(idCol),
+                        k: Int = 3, numHashes: Int = 12): DataFrame =
+    minhashSignaturesFromPostings(
+      shingleHashPostings(docs, idCol, textCol, k), idCol, numHashes)
+
+  /** `(id, h)` shingle-hash postings — ONE text scan + shingle explode.
+    * Factored out (r20) so pair-audit consumers that need BOTH the
+    * signatures and the exact postings ([[minhashPrecision]] /
+    * [[minhashContainment]]) can share a single persisted frame instead
+    * of scanning and re-shingling the corpus once per use — at 100 TB
+    * the corpus text pass is the dominant cost of the whole family.
+    */
+  private[graft] def shingleHashPostings(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol),
         explode(array_distinct(shingles(col(textCol), k))).as("shingle"))
-      .withColumn("h", hash60(col("shingle")))
+      .select(col(idCol), hash60(col("shingle")).as("h"))
+
+  /** [[minhashSignatures]] over an existing postings frame. */
+  private[graft] def minhashSignaturesFromPostings(post: DataFrame,
+      idCol: String, numHashes: Int): DataFrame = {
     val aggs = minhashParams(numHashes).zipWithIndex.map {
       case ((a, b), i) => min(minhashPerm(col("h"), a, b)).as(s"sig_$i")
     }
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    post.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH near-dup candidate pairs: band the signature (bands of
@@ -276,17 +292,21 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 12, rowsPerBand: Int = 3,
                       threshold: Double = 0.5,
+                      maxBucket: Int = Int.MaxValue): DataFrame =
+    minhashNearDupsFromPostings(
+      shingleHashPostings(docs, idCol, textCol, k), idCol, numHashes,
+      rowsPerBand, threshold, maxBucket)
+
+  /** [[minhashNearDups]] over an existing `(id, h)` postings frame —
+    * the pair-audit family passes its persisted postings here so the
+    * corpus is scanned and shingled exactly once per query.
+    */
+  private[graft] def minhashNearDupsFromPostings(post: DataFrame,
+                      idCol: String,
+                      numHashes: Int = 12, rowsPerBand: Int = 3,
+                      threshold: Double = 0.5,
                       maxBucket: Int = Int.MaxValue): DataFrame = {
-    // persist the signature frame: the self-join references it on both
-    // sides (four references when maxBucket splits small/big), and the
-    // planner does NOT reuse the subtree across join sides (verified on
-    // the executed plan: 2-4 'Scan parquet' of the corpus without this,
-    // ReusedExchange never fires — alias-renamed sides defeat
-    // sameResult). Signatures are ~(numHashes+1)*8 bytes/doc, a bounded
-    // fraction of the corpus; recomputing them per side re-scans the
-    // full text and re-explodes shingles per reference.
-    val sigs = minhashSignatures(docs, idCol, textCol, k, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSignaturesFromPostings(post, idCol, numHashes)
     val numBands = numHashes / rowsPerBand
     // one posexplode over band keys -> ONE shuffle for all bands (vs one
     // self-join per band), carrying the signature array so agreement is
@@ -296,7 +316,25 @@ object Dedup {
       concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
     }: _*)
-    val banded = sigs.select(col(idCol).as("id"), sigArr.as("sig"),
+    // persist the SIGNATURE frame, band per consumer: the self-join
+    // references its input on both sides (four references when
+    // maxBucket splits small/big) and the planner does NOT reuse
+    // subtrees across alias-renamed sides (ReusedExchange never fires —
+    // sameResult is defeated), so without the persist each side re-ran
+    // the full text scan + shingle explode. Banding FROM the cache is a
+    // cheap posexplode per side. r20 A/B'd the alternative — repartition
+    // the banded frame on the bucket key and persist that, making the
+    // self-join exchange-free — and it measured SLOWER at bench scale
+    // (canary-normalized 4.87 vs 3.86 units, tools/ProfileMinhash): at
+    // broadcastable banded sizes AQE already plans the join with one
+    // tiny broadcast, so the forced up-front exchange + the ~4x larger
+    // cache buy nothing. The banded-persist spelling remains the right
+    // trade only when the banded frame exceeds broadcast range AND the
+    // cluster is network-bound; revisit with a stats gate if a soak
+    // ever shows the double exchange dominating.
+    val sigsP = sigs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigsP.select(col(idCol).as("id"), sigArr.as("sig"),
       posexplode(bandKeys).as(Seq("band_no", "bk")))
     val candidates = bucketPairs(banded, Seq("band_no", "bk"), "id",
       Seq("sig"), maxBucket)
@@ -304,12 +342,17 @@ object Dedup {
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, x) => acc + x)
+    // threshold BEFORE the cross-band dedup: agreement is per-row
+    // arithmetic, so filter-then-distinct is set-identical to
+    // distinct-then-filter — but sub-threshold candidates (the bulk of
+    // band collisions at any scale) no longer ride the distinct's
+    // exchange (guide §2.3: shuffle fewer bytes).
     val pairs = candidates
       .select(col("id_a"), col("id_b"),
         (agree.cast("double") / numHashes).as("sig_agreement"))
-      .distinct()
       .filter(col("sig_agreement") >= threshold)
-    releaseAfter(pairs, sigs)
+      .distinct()
+    releaseAfter(pairs, sigsP)
   }
 
   /** Estimator-quality audit for the minhash-LSH pipeline: every
@@ -362,7 +405,16 @@ object Dedup {
   private def pairOverlap(docs: DataFrame, idCol: String, textCol: String,
                           k: Int, numHashes: Int, rowsPerBand: Int,
                           threshold: Double): DataFrame = {
-    val pairs = minhashNearDups(docs, idCol, textCol, k, numHashes,
+    // ONE corpus text scan + shingle explode for the whole audit (r20):
+    // the signature pipeline and the exact-overlap verification both
+    // consume this persisted postings frame. The pre-r20 spelling let
+    // minhashNearDups build its own postings and re-scanned +
+    // re-shingled the corpus a second time for the overlap side —
+    // measured as a dedicated single-task 0.8 s stage at sf0.1, and at
+    // 100 TB a second full pass over the corpus text.
+    val post = shingleHashPostings(docs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = minhashNearDupsFromPostings(post, idCol, numHashes,
       rowsPerBand, threshold)
     // every postings consumer below (intersection x2, sizes x2) only
     // needs the ids that appear in some pair — a tiny set by
@@ -374,9 +426,7 @@ object Dedup {
     val ids = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("__id"))
       .distinct()
-    val g = docs.select(col(idCol).as("__id"),
-        explode(array_distinct(shingles(col(textCol), k))).as("__g"))
-      .select(col("__id"), hash60(col("__g")).as("__h"))
+    val g = post.select(col(idCol).as("__id"), col("h").as("__h"))
       .join(ids, "__id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = g.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
@@ -394,7 +444,7 @@ object Dedup {
         "id_b")
       .select(col("id_a"), col("id_b"), col("sig_agreement"),
         col("__inter"), col("__sza"), col("__szb"))
-    releaseAfter(out, g)
+    releaseAfterAll(out, g, post)
   }
 
   /** The within-bucket self-join shared by every LSH family (minhash

@@ -478,8 +478,24 @@ object ReplicationQueries {
           .otherwise(
             format_string(iu, lit("U"), col("user_id"), col("event_id"),
               col("value")))
+        // Materialize the rendered lines before handing them to the
+        // decoder (r20). Two reasons, both measured on the executed
+        // plan: (1) the decoder's scan-level prefilter + header filter
+        // are string predicates on the payload column, and predicate
+        // pushdown INLINES a lazily-rendered payload into every
+        // conjunct — the pre-r20 plan evaluated the format_string
+        // render up to 9x per row; (2) in production the wal2json
+        // lines ARRIVE materialized (slot segments / socket buffers —
+        // exactly what cdc_slot_drain feeds the same decoder), so a
+        // plain string column is the shape the decode layer is
+        // contracted for. The render is repartitioned off the
+        // single-file scan so it runs cluster-wide, and stays inside
+        // the measured region: every pass still pays render + decode +
+        // merge, each exactly once.
         val rowLines = events(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("event_id").as("lsn"), payload.as("payload"))
+          .localCheckpoint(true)
         // protocol noise the decoder must skip: tx wrappers, a logical
         // message, a truncate, and a row action for a non-selected table
         val noise = Seq(

@@ -87,11 +87,23 @@ object Wal2Json {
       StructField("schema", StringType),
       StructField("table", StringType)))
     val h = from_json(col(payloadCol), headerSchema)
+    // ONE header selection expression, not three conjuncts: Catalyst
+    // splits a conjunctive filter and prunes the from_json schema per
+    // conjunct, so the pre-r20 three-condition spelling tokenized every
+    // candidate line THREE times (one single-field parse per conjunct,
+    // measured in the executed plan). A single struct-IN keeps exactly
+    // one header parse per line; the full-schema parse below stays the
+    // only other tokenizer run, and only selected lines pay it.
+    val hdrKeep = struct(
+        h.getField("action").as("a"),
+        h.getField("schema").as("s"),
+        h.getField("table").as("t"))
+      .isin(Seq("I", "U", "D").map(a =>
+        struct(lit(a).as("a"), lit(schemaName).as("s"),
+          lit(tableName).as("t"))): _*)
     val rows = lines
       .filter(rawPrefilter(col(payloadCol), tableName))
-      .filter(h.getField("action").isin("I", "U", "D") &&
-        h.getField("schema") === schemaName &&
-        h.getField("table") === tableName)
+      .filter(hdrKeep)
       .select(col(lsnCol).as(lsnOut),
         from_json(col(payloadCol), actionLineSchema).as("m"))
     // D rows carry identity (replica-identity key values), I/U carry
