@@ -144,14 +144,26 @@ object TextSearch {
     */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
-    require(k > 0, s"k ($k) must be > 0")
-    val n = docs.agg(count(lit(1)).as("n_docs"))
     // persisted: the df aggregate and the join both consume this frame,
     // and the planner never reuses the subtree across the two references
     // (the LSH signature-persist finding) — without it the corpus is
     // scanned and tokenized twice
     val dt0 = docTermTf(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tfidfKeywordsOver(docs, dt0, k)
+  }
+
+  /** [[tfidfKeywords]] over a caller-provided `(doc_id, term, tf)`
+    * frame (the caller persists and releases it) — so a composition
+    * that needs BOTH the keywords and another pass over the same term
+    * stream ([[searchTopKBatchOver]]: the more-like-this panel)
+    * tokenizes the corpus exactly once (r20; the composed spelling
+    * tokenized twice, once per operator).
+    */
+  private[graft] def tfidfKeywordsOver(docs: DataFrame, dt0: DataFrame,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k ($k) must be > 0")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
     val dfTbl = dt0.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dt = dt0.join(dfTbl, "term")
     val scored = dt.crossJoin(broadcast(n))
@@ -164,6 +176,13 @@ object TextSearch {
       .select(col("doc_id"), col("rank").cast("long").as("rank"),
         col("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** The `(doc_id, term, tf)` term stream, for callers composing
+    * several term-level operators over one persisted pass.
+    */
+  private[graft] def docTerms(docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    docTermTf(docs, idCol, textCol)
 
   /** Serve a conjunctive ranked query from a PREBUILT inverted index
     * ([[invertedIndex]] / [[invertedIndexAppend]] output) instead of
@@ -601,7 +620,17 @@ object TextSearch {
     * (the term set and the scoring pair join).
     */
   def searchTopKBatch(docs: DataFrame, idCol: String, textCol: String,
-                      queryTerms: DataFrame, k: Int): DataFrame = {
+                      queryTerms: DataFrame, k: Int): DataFrame =
+    searchTopKBatchOver(docs, docTermTf(docs, idCol, textCol),
+      queryTerms, k)
+
+  /** [[searchTopKBatch]] over a caller-provided `(doc_id, term, tf)`
+    * frame; `alsoRelease` frames unpersist with the result's eager
+    * materialization (the caller's shared term-stream persist).
+    */
+  private[graft] def searchTopKBatchOver(docs: DataFrame, dtAll: DataFrame,
+                      queryTerms: DataFrame, k: Int,
+                      alsoRelease: Seq[DataFrame] = Nil): DataFrame = {
     require(k > 0, s"k ($k) must be > 0")
     // blank terms are dropped, matching docTermTf's term <> ''
     // contract — otherwise an empty-string "term" would match the
@@ -612,7 +641,7 @@ object TextSearch {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termSet = qt.select(col("term")).distinct()
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val dt0 = docTermTf(docs, idCol, textCol)
+    val dt0 = dtAll
       .join(broadcast(termSet), "term")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfTbl = dt0.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -625,6 +654,6 @@ object TextSearch {
       scored.select(col("query_id"),
         col("doc_id").as("neighbor_id"),
         col("score").cast("double").as("sim")), k)
-    Dedup.releaseAfterAll(out, qt, dt0)
+    Dedup.releaseAfterAll(out, (Seq(qt, dt0) ++ alsoRelease): _*)
   }
 }

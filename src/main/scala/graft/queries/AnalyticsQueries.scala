@@ -1260,26 +1260,40 @@ object AnalyticsQueries {
           .select(col("o_orderkey"), col("o_orderdate"))
         val li = table(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-        val late = li
+        // ONE lineitem pass (r20; the round-20 build spelling scanned
+        // lineitem three times — once per quantifier — and computed the
+        // late join twice): roll up late-item counts per
+        // (order, supplier) behind the broadcast orders join, then
+        // derive BOTH quantifiers from that rollup — nsupp = group
+        // count (distinct suppliers by construction), nlate = groups
+        // with a late item. Only F orders survive the inner join, which
+        // is harmless to the quantifiers: a qualifying l1 row's order
+        // is F, so every same-order l2/l3 row survives with it. The
+        // rollup persists because BOTH the order-level stats and the
+        // spine consume it and AQE's runtime stage reuse does not fire
+        // across the two consumers (ExecPlan without the persist: two
+        // full lineitem scans).
+        val perOS = li
           .join(statsBroadcast(s, d, ordF, Seq("orders")),
             col("l_orderkey") === col("o_orderkey"))
-          .filter(col("l_shipdate") >
-            col("o_orderdate") + expr("INTERVAL 30 DAYS"))
-          .select(col("l_orderkey"), col("l_suppkey"))
-        val nsupp = li.groupBy(col("l_orderkey").as("nk"))
-          .agg(countDistinct(col("l_suppkey")).as("nsupp"))
-        val nlate = late.groupBy(col("l_orderkey").as("lk"))
-          .agg(countDistinct(col("l_suppkey")).as("nlate"))
-        late
-          .join(nsupp, col("l_orderkey") === col("nk"))
-          .join(nlate, col("l_orderkey") === col("lk"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(sum(when(col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 30 DAYS"), 1L)
+            .otherwise(0L)).as("n_late_items"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val stats = perOS.groupBy(col("l_orderkey").as("ok"))
+          .agg(count(lit(1)).as("nsupp"),
+            sum(when(col("n_late_items") > 0, 1L).otherwise(0L))
+              .as("nlate"))
+        perOS.filter(col("n_late_items") > 0)
+          .join(stats, col("l_orderkey") === col("ok"))
           .filter(col("nsupp") > 1 && col("nlate") === 1)
           .join(statsBroadcast(s, d, table(s, d, "supplier")
               .select(col("s_suppkey"), col("s_name")),
               Seq("supplier")),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_name"))
-          .agg(count(lit(1)).as("numwait"))
+          .agg(sum(col("n_late_items")).as("numwait"))
           .orderBy(col("numwait").desc, col("s_name").asc)
           .limit(100)
       },

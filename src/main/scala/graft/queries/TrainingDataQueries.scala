@@ -5829,16 +5829,21 @@ object TrainingDataQueries {
 
     // more-like-this: each panel doc queries the corpus with its own
     // top tf·idf keywords through the one-pass disjunctive batch
-    // retrieval (self-match expected at rank 1 — the sanity signal)
+    // retrieval (self-match expected at rank 1 — the sanity signal).
+    // One persisted (doc_id, term, tf) stream feeds BOTH the keyword
+    // extraction and the batch retrieval (r20): composing the two
+    // operators naively tokenized the full corpus twice.
     "more_like_this" -> QueryDef(
       (s, d) => {
+        import graft.operators.TextSearch
         val docs = table(s, d, "documents")
-        val qt = graft.operators.TextSearch.tfidfKeywords(
-            docs, "doc_id", "text", TfidfK)
+        val dt = TextSearch.docTerms(docs, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val qt = TextSearch.tfidfKeywordsOver(docs, dt, TfidfK)
           .filter(col("doc_id") < MltQueries)
           .select(col("doc_id").as("query_id"), col("term"))
-        graft.operators.TextSearch.searchTopKBatch(
-          docs, "doc_id", "text", qt, MltK)
+        TextSearch.searchTopKBatchOver(docs, dt, qt, MltK,
+          alsoRelease = Seq(dt))
       },
       Some(mltSql)),
 
