@@ -1141,10 +1141,18 @@ object Dedup {
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("id"))
       .orderBy(col("df").asc, col("g").asc)
+    // persisted (r20): BOTH candidate-join sides reference the prefix
+    // index, and the planner does not reuse the subtree across
+    // alias-renamed sides — without the persist the dfreq aggregation,
+    // the join and the ordering window all ran TWICE (once per side).
+    // The prefix table is exactly what buildJaccardIndex publishes to
+    // storage at scale, so caching it here is the in-memory spelling of
+    // the production layout, like the sets persist above.
     val prefix = grams.join(dfreq, "g")
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("id"), col("g"), col("sz"), col("rn").as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = prefix.select(col("id").as("id_a"), col("g"),
       col("sz").as("sz_a"), col("pos").as("pos_a"))
     val r = prefix.select(col("id").as("id_b"), col("g"),
@@ -1167,7 +1175,7 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    releaseAfter(pairs, sets)
+    releaseAfterAll(pairs, sets, prefix)
   }
 
   /** AllPairs artifacts for the incremental exact-Jaccard probe: the

@@ -5078,10 +5078,16 @@ object TrainingDataQueries {
         // scan (zero-shuffle codegen'd filter) instead of materializing
         // a keep-list and joining it back — the join shuffles the full
         // text column twice at 100 TB for what one filter expresses
+        // persisted (r20): BOTH the exact-dedup keep list and the edocs
+        // join below consume this filtered frame, and without the
+        // persist the scan + langId + gopher predicate chain ran TWICE
+        // (the two near-identical heavy jobs in the executed profile).
+        // Releases with the result's materialization alongside edocs.
         val base = docs.filter(
           TextAnalysis.langId(col("text")) === "en" &&
             TextAnalysis.gopherKeep(col("text"),
               minWords = GopherMinWords))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val keepExact = Dedup.exact(
           base.select(col("doc_id"),
             TextAnalysis.normalizeForHash(col("text")).as("__norm")),
@@ -5105,7 +5111,7 @@ object TrainingDataQueries {
           .select(col("doc_id"), col("source"), col("split"))
         // release edocs once the result is materialized — without this the
         // cache outlives the query and accumulates across a full registry run
-        Dedup.releaseAfter(result, edocs)
+        Dedup.releaseAfterAll(result, edocs, base)
       },
       Some(curateSql)),
 
