@@ -588,11 +588,15 @@ object Dedup {
     // viral guard (see bucketPairs): a cluster of IDENTICAL fingerprints
     // shares every band, so an uncapped mega-cluster squares in all
     // bits/8 buckets at once
+    // threshold BEFORE the cross-band dedup (r20, the minhashNearDups
+    // reorder): hamming is per-row arithmetic, so filter-then-distinct
+    // is set-identical — but over-threshold candidates no longer ride
+    // the distinct's exchange (guide §2.3).
     val pairs = bucketPairs(banded, Seq("bk"), "id", Seq("fp"), maxBucket)
       .select(col("id_a"), col("id_b"),
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
     releaseAfter(pairs, fpP)
   }
 
@@ -1000,8 +1004,10 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"),
         bit_count(col("fp_new").bitwiseXOR(col("fp_corpus")))
           .cast("int").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming), "hammingNearDupsAgainst")
+      // threshold BEFORE the cross-band dedup (r20): set-identical,
+      // over-threshold candidates skip the distinct's exchange
+      .filter(col("hamming") <= maxHamming)
+      .distinct(), "hammingNearDupsAgainst")
     if (guarded) releaseAfter(out, corpusBanded) else out
   }
 
@@ -1702,10 +1708,14 @@ object Dedup {
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val wOrd = Window.partitionBy(col("id"))
       .orderBy(col("df").asc, col("g").asc)
+    // persisted (r20, the ngramJaccardPairs lesson): both candidate-join
+    // sides reference the prefix index; without the persist the dfreq
+    // aggregation, its join and the ordering window ran twice
     val prefix = grams.join(dfreq, "g")
       .withColumn("rn", row_number().over(wOrd))
       .filter(col("rn") <= q * maxEdit + 1)
       .select(col("id"), col("g"), col("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = prefix.select(col("id").as("id_a"), col("g"),
       col("len").as("len_a"))
     val r = prefix.select(col("id").as("id_b"), col("g"),
@@ -1721,7 +1731,7 @@ object Dedup {
         levenshtein(col("__ta"), col("__tb"), maxEdit).cast("int"))
       .filter(col("edit_dist") >= 0)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
-    releaseAfter(pairs, sets)
+    releaseAfterAll(pairs, sets, prefix)
   }
 
   /** Incremental near-dup check — the production shape at 100 TB: a new
@@ -2107,8 +2117,10 @@ object Dedup {
       .join(broadcast(newBanded), Seq("band_no", "bk"))
       .select(col("new_id"), col("corpus_id"),
         (agree.cast("double") / nh).as("sig_agreement"))
-      .distinct()
-      .filter(col("sig_agreement") >= threshold),
+      // threshold before the cross-band dedup (r20): set-identical,
+      // sub-threshold candidates skip the distinct's exchange
+      .filter(col("sig_agreement") >= threshold)
+      .distinct(),
       "minhashNearDupsAgainstBandedIndex"), newBanded)
   }
 
@@ -2166,8 +2178,10 @@ object Dedup {
       .join(broadcast(newBanded), Seq("band_no", "bk"))
       .select(col("new_id"), col("corpus_id"),
         (agree.cast("double") / numHashes).as("sig_agreement"))
-      .distinct()
-      .filter(col("sig_agreement") >= threshold), op)
+      // threshold before the cross-band dedup (r20): set-identical,
+      // sub-threshold candidates skip the distinct's exchange
+      .filter(col("sig_agreement") >= threshold)
+      .distinct(), op)
     if (guarded) releaseAfter(out, corpusBanded) else out
   }
 
