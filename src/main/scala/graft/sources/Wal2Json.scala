@@ -87,20 +87,20 @@ object Wal2Json {
       StructField("schema", StringType),
       StructField("table", StringType)))
     val h = from_json(col(payloadCol), headerSchema)
-    // ONE header selection expression, not three conjuncts: Catalyst
-    // splits a conjunctive filter and prunes the from_json schema per
-    // conjunct, so the pre-r20 three-condition spelling tokenized every
-    // candidate line THREE times (one single-field parse per conjunct,
-    // measured in the executed plan). A single struct-IN keeps exactly
-    // one header parse per line; the full-schema parse below stays the
-    // only other tokenizer run, and only selected lines pay it.
-    val hdrKeep = struct(
-        h.getField("action").as("a"),
-        h.getField("schema").as("s"),
-        h.getField("table").as("t"))
-      .isin(Seq("I", "U", "D").map(a =>
-        struct(lit(a).as("a"), lit(schemaName).as("s"),
-          lit(tableName).as("t"))): _*)
+    // ONE header selection expression comparing the parsed struct
+    // WHOLE, not per field: Catalyst prunes a from_json schema per
+    // getField reference (OptimizeJsonExprs), so both the pre-r20
+    // three-conjunct spelling AND a struct-of-getFields tokenized every
+    // candidate line THREE times (one single-field parse each, counted
+    // in the executed plan). Comparing h itself keeps exactly one
+    // header parse per line; a line whose header parses to anything but
+    // a selected (I|U|D, schema, table) triple — including nulls from
+    // noise/malformed lines — fails the IN exactly as it failed the
+    // conjuncts. The full-schema parse below stays the only other
+    // tokenizer run, and only selected lines pay it.
+    val hdrKeep = h.isin(Seq("I", "U", "D").map(a =>
+      struct(lit(a).as("action"), lit(schemaName).as("schema"),
+        lit(tableName).as("table"))): _*)
     val rows = lines
       .filter(rawPrefilter(col(payloadCol), tableName))
       .filter(hdrKeep)
