@@ -46,6 +46,25 @@ class Wal2JsonSpec extends SparkSpecBase {
     assert(out(3) == ((Some(2L), None, None, "d", 7L)))
   }
 
+  test("decode: single-parse header selection keeps its edge semantics " +
+      "(r20 struct-IN rewrite)") {
+    // lines engineered to PASS the raw string prefilter (they contain
+    // the action/table literals) but that the parsed-header selection
+    // must still drop: a selected table name under a DIFFERENT schema,
+    // and a malformed line (header parses to nulls). The struct-IN
+    // compares the whole parsed header, so null/mismatched fields fail
+    // the membership exactly as they failed the old per-field conjuncts.
+    val tricky = Seq(
+      (20L, """{"action":"I","schema":"audit","table":"t","columns":[{"name":"id","type":"bigint","value":7}]}"""),
+      (21L, """not json but mentions "action":"I" and "table":"t" anyway"""),
+      (22L, """{"action":"I","schema":"public","table":"t","columns":[{"name":"id","type":"bigint","value":8}]}"""))
+      .toDF("lsn", "payload")
+    val out = Wal2Json.decode(tricky, "payload", "lsn", "public", "t",
+      rowSchema).select("id", "_sdc_lsn")
+      .as[(Option[Long], Long)].collect()
+    assert(out.toSeq == Seq((Some(8L), 22L)))
+  }
+
   test("detectNewColumns diffs payload vs declared schema") {
     val fresh = Wal2Json.detectNewColumns(fixture, "payload", "public", "t",
       rowSchema).as[String].collect().toSet
