@@ -41,8 +41,14 @@ object Verify {
     // Diagnostic only: queries still run so their individual markers dump.
     graft.catalog.FixtureContract.check(spark, sfDir).foreach(v =>
       System.err.println(s"[verify] fixture-contract: $v"))
-    val failed = dumpAll(spark, sfDir, outDir, only)
+    // oracle_sql.json is written BEFORE the dump (r21): the r20 driver
+    // run was killed on a wall-clock budget mid-verify and left NO
+    // oracle file, so the driver's diff produced an empty CORRECTNESS
+    // artifact instead of a partial one. The oracle map is pure
+    // metadata — flushing it first means any prefix of the dump below
+    // is already a checkable partial result.
     writeOracleJson(outDir)
+    val failed = dumpAll(spark, sfDir, outDir, only)
     spark.stop()
     // Honesty guard (mirrors Bench.scala): a query that throws must fail
     // the whole run — otherwise the driver's CORRECTNESS file silently
@@ -54,16 +60,61 @@ object Verify {
     }
   }
 
+  /** Queries deferred to the END of the dump (r21): the handful of
+    * rows that dominate verify wall time — iterative cluster
+    * resolution, the inline index-build probe family, the composed
+    * curation/retrieval pipelines and the streaming maintainers. A
+    * driver-side wall-clock kill now truncates the EXPENSIVE TAIL, not
+    * a random prefix: the ~220 cheap rows land first (measured: they
+    * are >90% of the registry but <40% of the dump wall at sf0.01).
+    * Membership = every query that took >2.5s in a timed sf0.01 dump
+    * on this host (see OPTIMIZATION_r21.md), by name so the order is
+    * stable across Map iteration changes.
+    */
+  private[graft] val slowLast: Set[String] = Set(
+    "dedup_connected_components", "dedup_incremental_components",
+    "pipeline_curate_corpus", "pipeline_spec_curate",
+    "pipeline_spec_jaccard", "pipeline_spec_simhash",
+    "pipeline_spec_mixture", "pipeline_boilerplate_dedup",
+    "pipeline_weighted_mixture", "pipeline_spec_retrieval",
+    "pipeline_spec_hybrid", "sql_curate_tvf",
+    "dedup_semantic_pairs", "dedup_semantic_pairs_scale",
+    "dedup_semantic_against", "dedup_semantic_against_index",
+    "dedup_semantic_rebuild_swap", "dedup_minhash_lsh",
+    "dedup_minhash_precision", "dedup_minhash_containment",
+    "dedup_minhash_capped", "dedup_ngram_jaccard", "dedup_edit_verified",
+    "dedup_minhash_against_bloomed", "dedup_minhash_against_postings",
+    "dedup_minhash_maintained_probe", "dedup_embedding_maintained_probe",
+    "dedup_incremental_minhash", "dedup_incremental_jaccard",
+    "dedup_incremental_simhash", "dedup_incremental_embedding",
+    "dedup_incremental_embedding_scale", "dedup_incremental_exact",
+    "dedup_incremental_runs", "more_like_this", "more_like_this_bm25",
+    "decontam_semantic", "cdc_wal2json_decode", "cdc_slot_drain",
+    "cdc_slot_drain_delta", "pipeline_cdc_rollup")
+
   /** Dumps each selected query to `outDir/<name>` parquet; on failure
-    * writes `outDir/<name>/_ERROR.json` instead. Returns failed names. */
+    * writes `outDir/<name>/_ERROR.json` instead. Returns failed names.
+    * Order: name-sorted cheap rows first, the [[slowLast]] tail last,
+    * one parquet flush per query — a budget kill yields a maximal
+    * partial CORRECTNESS file instead of an empty one. */
   def dumpAll(spark: SparkSession, sfDir: String, outDir: String,
       only: Option[Set[String]] = None): Seq[String] =
     SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy { case (name, _) => (slowLast.contains(name), name) }
       .flatMap { case (name, fn) =>
         try {
+          val t0 = System.nanoTime()
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          // per-query progress on stderr (flushed): a killed run's log
+          // shows exactly how far the dump got and what each row cost
+          System.err.println(f"[verify] $name ok in ${
+            (System.nanoTime() - t0) / 1e9}%.2fs")
+          // drop any cache a query leaked (mirrors Bench): 237 dumps in
+          // one session would otherwise accumulate persisted frames and
+          // slow the tail queries with eviction/GC pressure
+          spark.catalog.clearCache()
           None
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

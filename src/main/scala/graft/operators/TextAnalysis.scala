@@ -338,28 +338,37 @@ object TextAnalysis {
     * bit-identical across engines (float log-sums are summation-order
     * dependent and cannot be oracle-hashed).
     *
-    * Scale shape (same as [[Dedup.chunkDupStats]]): bigrams ride the
-    * shuffle as 60-bit hashes, document frequency is a window over the
-    * hash partitioning (one corpus-sized exchange, no join back), and the
-    * per-doc rollup partial-aggregates map-side. Two exchanges total.
-    * Hash collisions merge gram counts identically in both engines.
-    * Documents with fewer than two words have no bigrams and are absent
-    * from the output (consistently in both engines).
+    * Scale shape (r21, the [[TextSearch.tfidfKeywords]] df-table
+    * pattern): document frequency is `groupBy(h).count` + a join back —
+    * NOT a count window over the hash partitioning. The window
+    * formulation co-locates every instance of a bigram on one reducer
+    * with no partial aggregation, so a stopword bigram ("of the": a
+    * constant fraction of any natural corpus) is a one-reducer funnel
+    * at 100 TB; the groupBy gets map-side combine (the df table shrinks
+    * to |distinct grams| rows before its exchange), AQE broadcasts it
+    * when small and skew-splits the join when it isn't — a window can
+    * do neither. The instance stream is persisted for its two consumers
+    * (df aggregate + join back; the planner never reuses the subtree)
+    * and released with the result. Hash collisions merge gram counts
+    * identically in both engines. Documents with fewer than two words
+    * have no bigrams and are absent from the output (consistently in
+    * both engines).
     */
   def bigramRarity(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val inst = docs.select(col(idCol),
         explode(array_distinct(
           graft.functions.TextShingles.wordShingles(col(textCol), 2)))
           .as("g"))
       .select(col(idCol), hash60(col("g")).as("h"))
-    val perH = Window.partitionBy(col("h"))
-    inst.withColumn("df", count(lit(1)).over(perH))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfTbl = inst.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val out = inst.join(dfTbl, "h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"),
         (sum(col("df")).cast("double") / count(lit(1))).as("mean_df"))
+    Dedup.releaseAfter(out, inst)
   }
 
   def fingerprint(docs: DataFrame, idCol: String, textCol: String)
@@ -674,28 +683,34 @@ object TextAnalysis {
     * `(id, n_tokens, dsir_score)` — rank or threshold on
     * `dsir_score / n_tokens` to select target-like documents.
     *
-    * Scale shape: same as [[bigramRarity]] — token instances ride the
-    * shuffle as 60-bit hashes, the per-token corpus/target counts are a
-    * window over the hash partitioning (ONE corpus-sized exchange, no
-    * join back), and the per-doc rollup partial-aggregates map-side.
+    * Scale shape: same as [[bigramRarity]] (r21, the
+    * [[TextSearch.tfidfKeywords]] df-table pattern) — the per-token
+    * corpus/target counts are `groupBy(hash)` + a join back, NOT a
+    * window over the hash partitioning: a stopword's window partition
+    * ("the": several percent of all English token instances) is a
+    * one-reducer funnel at 100 TB, while the groupBy partial-aggregates
+    * map-side (the count table shrinks to |vocab| rows before its
+    * exchange), AQE broadcasts it when small and skew-splits the join
+    * when it isn't. The instance stream is persisted for its two
+    * consumers and released with the result.
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, scale: Long = 10000L)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(scale > 0, s"scale ($scale) must be positive")
     val inst = docs.select(col(idCol), isTarget.as("__t"),
         explode(split(trim(lower(col(textCol))), "\\s+")).as("__w"))
       .select(col(idCol), col("__t"), hash60(col("__w")).as("__h"))
-    val perH = Window.partitionBy(col("__h"))
-    inst
-      .withColumn("__rw", count(lit(1)).over(perH))
-      .withColumn("__tw",
-        sum(when(col("__t"), 1L).otherwise(0L)).over(perH))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnts = inst.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__rw"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__tw"))
+    val out = inst.join(cnts, "__h")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         sum(expr(s"(__tw * CAST($scale AS BIGINT)) div __rw"))
           .as("dsir_score"))
+    Dedup.releaseAfter(out, inst)
   }
 
   /** Vocabulary drift between two corpus versions: the top-N k-gram

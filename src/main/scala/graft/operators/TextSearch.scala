@@ -150,7 +150,13 @@ object TextSearch {
     // scanned and tokenized twice
     val dt0 = docTermTf(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    tfidfKeywordsOver(docs, dt0, k)
+    // release dt0 with the result (r21, the tfidfKeywordsOver contract:
+    // whoever persists the term stream releases it) — the eager
+    // checkpoint means a caller that wants a per-doc SLIVER of the
+    // keyword table (and relies on pushing its doc filter below the
+    // rank window) should filter `docs` first or compose via
+    // tfidfKeywordsOver with its own persist/release
+    Dedup.releaseAfter(tfidfKeywordsOver(docs, dt0, k), dt0)
   }
 
   /** [[tfidfKeywords]] over a caller-provided `(doc_id, term, tf)`
@@ -303,8 +309,10 @@ object TextSearch {
     // spares the second full corpus scan its two consumers would cost
     val dt1 = docTermTf(docs, idCol, textCol)
       .filter(col("term").isin(qTerms: _*))
+    // lazy spelling (r21): one term-keyed exchange shared by the df
+    // aggregate and the scoring join via ReuseExchange — see bm25Impl
     val dt0 =
-      if (lazyPlan) dt1
+      if (lazyPlan) dt1.repartition(col("term"))
       else dt1.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfTbl = dt0.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -380,8 +388,17 @@ object TextSearch {
     val withTc = docsWithTermCounts(docs, idCol, textCol)
     val rows0 = explodeWithDl(withTc)
       .filter(col("term").isin(qTerms: _*))
+    // lazy spelling (r21): pin the query-term sliver behind ONE
+    // term-keyed exchange instead of re-deriving it per consumer — the
+    // df aggregate and the scoring join are both planned over the SAME
+    // canonical shuffle subtree, so ReuseExchange materializes the
+    // corpus scan + tokenize once (executed plan: one scan +
+    // ReusedExchange, was two full tokenize passes). The sliver is
+    // O(docs × |query terms|) rows, so the extra exchange is noise next
+    // to the saved pass; the eager spelling keeps its persist (a cache
+    // needs no exchange at all).
     val rows =
-      if (lazyPlan) rows0
+      if (lazyPlan) rows0.repartition(col("term"))
       else rows0.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfTbl = rows.groupBy(col("term")).agg(count(lit(1)).as("df"))

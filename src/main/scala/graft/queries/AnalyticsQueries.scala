@@ -1285,17 +1285,20 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("nsupp"),
             sum(when(col("n_late_items") > 0, 1L).otherwise(0L))
               .as("nlate"))
-        perOS.filter(col("n_late_items") > 0)
-          .join(stats, col("l_orderkey") === col("ok"))
-          .filter(col("nsupp") > 1 && col("nlate") === 1)
-          .join(statsBroadcast(s, d, table(s, d, "supplier")
-              .select(col("s_suppkey"), col("s_name")),
-              Seq("supplier")),
-            col("l_suppkey") === col("s_suppkey"))
-          .groupBy(col("s_name"))
-          .agg(sum(col("n_late_items")).as("numwait"))
-          .orderBy(col("numwait").desc, col("s_name").asc)
-          .limit(100)
+        // release the rollup with the (≤100-row) result — an unreleased
+        // cache outlives the query and accumulates across a registry run
+        graft.operators.Dedup.releaseAfter(
+          perOS.filter(col("n_late_items") > 0)
+            .join(stats, col("l_orderkey") === col("ok"))
+            .filter(col("nsupp") > 1 && col("nlate") === 1)
+            .join(statsBroadcast(s, d, table(s, d, "supplier")
+                .select(col("s_suppkey"), col("s_name")),
+                Seq("supplier")),
+              col("l_suppkey") === col("s_suppkey"))
+            .groupBy(col("s_name"))
+            .agg(sum(col("n_late_items")).as("numwait"))
+            .orderBy(col("numwait").desc, col("s_name").asc)
+            .limit(100), perOS)
       },
       Some("""SELECT s_name, count(*) AS numwait
              |FROM supplier, lineitem l1, orders

@@ -492,10 +492,18 @@ object ReplicationQueries {
         // single-file scan so it runs cluster-wide, and stays inside
         // the measured region: every pass still pays render + decode +
         // merge, each exactly once.
+        // persist, not localCheckpoint (r21): the checkpoint's RDD
+        // blocks were invisible to spark.catalog.clearCache() and were
+        // never released — 4 fixture-sized checkpoint RDDs accumulated
+        // per bench run. A persisted frame gives the decoder the same
+        // materialized plain string column (predicates filter the cached
+        // batches; the render is NOT re-inlined into pushed-down
+        // conjuncts), fills once per pass inside the measured region,
+        // and releases with the result below.
         val rowLines = events(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("event_id").as("lsn"), payload.as("payload"))
-          .localCheckpoint(true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // protocol noise the decoder must skip: tx wrappers, a logical
         // message, a truncate, and a row action for a non-selected table
         val noise = Seq(
@@ -515,9 +523,12 @@ object ReplicationQueries {
           "payload", "lsn", "public", "events", rowSchema)
         val applied = MergeSink.dedupLastWins(decoded, Seq("user_id"),
           "_sdc_lsn")
-        applied.filter(col("op") =!= "d")
-          .select(col("user_id"), col("event_id").as("last_event_id"),
-            col("op"), col("value"))
+        // eager-materialize the (user-level, small) result and release
+        // the rendered-lines cache with it
+        graft.operators.Dedup.releaseAfter(
+          applied.filter(col("op") =!= "d")
+            .select(col("user_id"), col("event_id").as("last_event_id"),
+              col("op"), col("value")), rowLines)
       },
       Some("""WITH log AS (SELECT *, CASE WHEN event_type = 'signup' THEN 'c'
              |    WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op

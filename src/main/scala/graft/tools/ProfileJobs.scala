@@ -49,7 +49,10 @@ object ProfileJobs {
             si.name.take(90)}")
         }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
-        val t0 = jobStart.get(e.jobId)
+        // getOrDefault: a job already in flight when the listener
+        // registers has no recorded start — a bare get would return a
+        // null java.lang.Long and NPE on unboxing before the t0 guard
+        val t0 = jobStart.getOrDefault(e.jobId, 0L)
         if (record && t0 != 0)
           println(f"[job] id=${e.jobId}%4d wall=${
             (System.nanoTime() - t0) / 1e9}%7.3fs stages=${

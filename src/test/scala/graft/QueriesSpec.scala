@@ -36,20 +36,51 @@ class QueriesSpec extends SparkSpecBase {
   // localCheckpoint erases the internal stages
   PlanLint.installPreCheckpointHook()
 
+  /** Smoke rows tagged Slow (r21): the ~25 heaviest registry smokes
+    * (each >=3s on the r20 tree — inline index builds, semantic
+    * hierarchy builds, rebuild-swap, maintained probes) cost ~177s of
+    * the driver's `sbt test` wall while duplicating a check the
+    * driver's own graft.Verify + DuckDB diff performs more strictly on
+    * the same round (execution AND hash parity). They run — including
+    * their PlanLint pass — under SPARK_GRAFT_SLOW_TESTS=1.
+    */
+  private val slowSmoke = Set(
+    "dedup_embedding_maintained_probe", "sql_jaccard_probe_tvf",
+    "dedup_semantic_rebuild_swap", "dedup_incremental_components",
+    "dedup_jaccard_against_index", "ann_ivf_quantized_topk",
+    "dedup_minhash_maintained_probe", "cdc_slot_drain",
+    "pipeline_spec_jaccard", "dedup_minhash_against_postings",
+    "dedup_jaccard_against_pruned", "pipeline_cluster_labels",
+    "dedup_embedding_against_index", "sql_hybrid_rrf_tvf",
+    "pipeline_spec_curate", "decontam_semantic", "pipeline_cdc_rollup",
+    "dedup_incremental_jaccard", "dedup_embedding_against_postings",
+    "sql_semdedup_probe_tvf", "pipeline_spec_simhash",
+    "dedup_semantic_against_index", "sql_minhash_probe_tvf",
+    "dedup_embedding_cosine", "pipeline_spec_embedding")
+
+  private def smoke(name: String,
+      fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Unit = {
+    PlanLint.preCheckpointViolations.clear()
+    val df = fn(spark, sfDir)
+    assert(df.columns.nonEmpty)
+    // global plan lint: cartesians, partition-less global windows and
+    // shuffle joins against driver-local artifacts are 100 TB
+    // job-killers wherever they hide. (Deliberate 1-row threshold
+    // crossJoins plan as BroadcastNestedLoopJoin and stay legal.)
+    PlanLint.assertClean(name, df)
+    PlanLint.assertPreCheckpointClean(name)
+    if (mayBeEmpty(name)) df.write.format("noop").mode("overwrite").save()
+    else assert(df.count() > 0, s"$name returned no rows")
+  }
+
   for ((name, QueryDef(fn, _)) <- SparkEntry.allDefs) {
-    test(s"query $name executes on sf0.001") {
-      PlanLint.preCheckpointViolations.clear()
-      val df = fn(spark, sfDir)
-      assert(df.columns.nonEmpty)
-      // global plan lint: cartesians, partition-less global windows and
-      // shuffle joins against driver-local artifacts are 100 TB
-      // job-killers wherever they hide. (Deliberate 1-row threshold
-      // crossJoins plan as BroadcastNestedLoopJoin and stay legal.)
-      PlanLint.assertClean(name, df)
-      PlanLint.assertPreCheckpointClean(name)
-      if (mayBeEmpty(name)) df.write.format("noop").mode("overwrite").save()
-      else assert(df.count() > 0, s"$name returned no rows")
-    }
+    if (slowSmoke(name))
+      test(s"query $name executes on sf0.001", graft.tags.SlowTag) {
+        smoke(name, fn)
+      }
+    else
+      test(s"query $name executes on sf0.001") { smoke(name, fn) }
   }
 
   // the lint itself must be falsifiable: a deliberately-planted global

@@ -95,7 +95,10 @@ class GraftFunctionsSpec extends SparkSpecBase {
     assert(viaSql == Seq(("a", 1L), ("b", 2L)))
   }
 
-  test("probe TVFs match their DataFrame twins") {
+  // Slow (r21, 16s): every sql_*_probe_tvf registry row is hash-checked
+  // against the oracle by the driver's verify on the same round; the
+  // twin-parity assertion runs under SPARK_GRAFT_SLOW_TESTS=1
+  test("probe TVFs match their DataFrame twins", graft.tags.SlowTag) {
     import graft.operators.Dedup
     GraftFunctions.register(spark)
     val phrase = "alpha beta gamma delta epsilon zeta eta theta iota " +

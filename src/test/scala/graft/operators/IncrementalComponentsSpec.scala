@@ -6,6 +6,8 @@ import graft.SparkSpecBase
 /** mergeComponents must be indistinguishable from a full rebuild:
   * CC(old ∪ new) == mergeComponents(CC(old), new) on every graph.
   */
+// driver-excluded slow suite (r21): run with SPARK_GRAFT_SLOW_TESTS=1
+@graft.tags.Slow
 class IncrementalComponentsSpec extends SparkSpecBase {
   import spark.implicits._
 

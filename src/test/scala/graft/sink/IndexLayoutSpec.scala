@@ -7,6 +7,8 @@ import graft.SparkSpecBase
 /** IndexLayout directory hygiene: orphan healing may only touch the
   * EXACT dir shapes the layout generates.
   */
+// driver-excluded slow suite (r21): run with SPARK_GRAFT_SLOW_TESTS=1
+@graft.tags.Slow
 class IndexLayoutSpec extends SparkSpecBase {
   import spark.implicits._
 

@@ -15,6 +15,8 @@ import graft.sink.IndexLayout
   * verification never touches the caller's corpus frame, and crash
   * windows repair idempotently.
   */
+// driver-excluded slow suite (r21): run with SPARK_GRAFT_SLOW_TESTS=1
+@graft.tags.Slow
 class StreamingBandedEmbeddingIndexSpec extends SparkSpecBase {
   import spark.implicits._
 

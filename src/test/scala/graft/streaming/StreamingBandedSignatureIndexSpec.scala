@@ -14,6 +14,8 @@ import graft.sink.IndexLayout
   * epoch tail without changing answers, and every crash window repairs
   * idempotently.
   */
+// driver-excluded slow suite (r21): run with SPARK_GRAFT_SLOW_TESTS=1
+@graft.tags.Slow
 class StreamingBandedSignatureIndexSpec extends SparkSpecBase {
   import spark.implicits._
 

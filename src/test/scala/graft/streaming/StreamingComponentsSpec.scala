@@ -8,6 +8,8 @@ import graft.operators.Dedup
 /** StreamingComponents: the maintained label table must equal
   * connectedComponents(all pairs so far) after every epoch.
   */
+// driver-excluded slow suite (r21): run with SPARK_GRAFT_SLOW_TESTS=1
+@graft.tags.Slow
 class StreamingComponentsSpec extends SparkSpecBase {
   import spark.implicits._
 

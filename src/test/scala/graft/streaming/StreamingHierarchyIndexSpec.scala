@@ -15,6 +15,8 @@ import graft.sink.IndexLayout
   * fresh-checkpoint replay is a no-op, and a resized restart fails
   * loudly.
   */
+// driver-excluded slow suite (r21): run with SPARK_GRAFT_SLOW_TESTS=1
+@graft.tags.Slow
 class StreamingHierarchyIndexSpec extends SparkSpecBase {
   import spark.implicits._
 

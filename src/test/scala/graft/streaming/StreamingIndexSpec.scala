@@ -8,6 +8,8 @@ import graft.operators.TextSearch
 /** StreamingIndex: continuously maintained inverted index with the
   * applied-batch marker committed atomically with the table.
   */
+// driver-excluded slow suite (r21): run with SPARK_GRAFT_SLOW_TESTS=1
+@graft.tags.Slow
 class StreamingIndexSpec extends SparkSpecBase {
   import spark.implicits._
 

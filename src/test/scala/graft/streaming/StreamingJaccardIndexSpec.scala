@@ -14,6 +14,8 @@ import graft.sink.IndexLayout
   * re-freezes all three tables without changing answers, and crash
   * windows repair idempotently.
   */
+// driver-excluded slow suite (r21): run with SPARK_GRAFT_SLOW_TESTS=1
+@graft.tags.Slow
 class StreamingJaccardIndexSpec extends SparkSpecBase {
   import spark.implicits._
 

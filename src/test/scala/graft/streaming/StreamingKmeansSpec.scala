@@ -8,6 +8,8 @@ import graft.SparkSpecBase
 /** StreamingKmeans: online centroid maintenance with exact integer
   * (sum, count) state under the marker/atomic-swap discipline.
   */
+// driver-excluded slow suite (r21): run with SPARK_GRAFT_SLOW_TESTS=1
+@graft.tags.Slow
 class StreamingKmeansSpec extends SparkSpecBase {
   import spark.implicits._
 

@@ -10,6 +10,8 @@ import graft.operators.Dedup
   * bucket state — parity with the batch operator, cross-batch memory,
   * checkpointed restart.
   */
+// driver-excluded slow suite (r21): run with SPARK_GRAFT_SLOW_TESTS=1
+@graft.tags.Slow
 class StreamingNearDupSpec extends SparkSpecBase {
   import spark.implicits._
 

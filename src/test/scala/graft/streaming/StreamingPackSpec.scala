@@ -8,6 +8,8 @@ import graft.operators.Sampling
 /** StreamingPack: continuous sequence packing — batch parity, watermark
   * flush of partial tails, and checkpointed exactly-once restart.
   */
+// driver-excluded slow suite (r21): run with SPARK_GRAFT_SLOW_TESTS=1
+@graft.tags.Slow
 class StreamingPackSpec extends SparkSpecBase {
   import spark.implicits._
 

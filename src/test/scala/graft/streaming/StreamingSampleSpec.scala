@@ -13,6 +13,8 @@ import graft.operators.Sampling
   * across a checkpointed restart), and maintained-totals epoch planning
   * with the replay-skip marker discipline.
   */
+// driver-excluded slow suite (r21): run with SPARK_GRAFT_SLOW_TESTS=1
+@graft.tags.Slow
 class StreamingSampleSpec extends SparkSpecBase {
   import spark.implicits._
 

@@ -11,6 +11,8 @@ import graft.operators.Dedup
   * Bloom equals the full publish-time build, per-epoch pair output
   * equals the batch probe, and every crash window repairs idempotently.
   */
+// driver-excluded slow suite (r21): run with SPARK_GRAFT_SLOW_TESTS=1
+@graft.tags.Slow
 class StreamingSignatureIndexSpec extends SparkSpecBase {
   import spark.implicits._
 

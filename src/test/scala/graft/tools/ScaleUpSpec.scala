@@ -13,6 +13,8 @@ import graft.operators.Dedup
   * decorrelating fingerprints across replicas — the text/media
   * analogue of the r16 embedding sign pattern.
   */
+// driver-excluded slow suite (r21): run with SPARK_GRAFT_SLOW_TESTS=1
+@graft.tags.Slow
 class ScaleUpSpec extends SparkSpecBase {
   import spark.implicits._
 
