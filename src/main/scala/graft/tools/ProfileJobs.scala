@@ -11,6 +11,16 @@ import org.apache.spark.sql.SparkSession
   * question the bench's single per-query number cannot answer.
   *
   * Usage: runMain graft.tools.ProfileJobs <sfDir> <query> [passes]
+  *
+  * With `SPARK_GRAFT_EXEC_PLANS=1` (r21) it additionally prints, for
+  * every SQL action of the recorded pass — including the eager
+  * localCheckpoint/Observation boundaries inside composed operators,
+  * which go through Dataset.withAction like any collect/save — the
+  * EXECUTED plan's operator counts and the plan itself. This is the
+  * evidence channel the r20 verdict asked for: `_after` explain dumps
+  * of eager-materializing queries show only the final `ExistingRDD`
+  * scan, while this shows the stage plans each releaseAfter boundary
+  * actually ran.
   */
 object ProfileJobs {
   def main(args: Array[String]): Unit = {
@@ -60,6 +70,28 @@ object ProfileJobs {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    if (sys.env.get("SPARK_GRAFT_EXEC_PLANS").contains("1")) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = if (record) {
+            val p = qe.executedPlan.toString
+            println(f"[action] $funcName wall=${durationNs / 1e9}%7.3fs " +
+              s"scans=${"Scan parquet".r.findAllIn(p).size} " +
+              s"exchanges=${"Exchange".r.findAllIn(p).size} " +
+              s"reused=${"ReusedExchange".r.findAllIn(p).size} " +
+              s"inmem=${"InMemoryTableScan".r.findAllIn(p).size} " +
+              s"bhj=${"BroadcastHashJoin".r.findAllIn(p).size} " +
+              s"smj=${"SortMergeJoin".r.findAllIn(p).size} " +
+              s"window=${"\\bWindow\\b".r.findAllIn(p).size}")
+            println(p)
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
     val fn = graft.SparkEntry.queries(name)
     (0 until passes).foreach { p =>
       record = p == passes - 1 // print only the last (warm) pass

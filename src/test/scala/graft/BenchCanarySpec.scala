@@ -45,7 +45,11 @@ class BenchCanarySpec extends SparkSpecBase {
     val JDouble(wall) = parsed \ "queries" \ "ok"
     val JDouble(norm) = parsed \ "queries_canary_units" \ "ok"
     val JDouble(mt1) = passes(1) \ "mt_sec"
-    assert(math.abs(norm - wall / mt1) < 0.002,
+    // tolerance = worst-case JSON rounding: wall and norm are each
+    // rounded to 3 decimals independently, so recomputing wall/mt1 from
+    // the rounded wall is off by up to 0.0005/mt1 (on a FAST host band
+    // mt1 is small and that term alone exceeded the old fixed 0.002)
+    assert(math.abs(norm - wall / mt1) <= 0.0005 / mt1 + 0.0005 + 1e-9,
       s"norm=$norm wall=$wall mt=$mt1")
     // the per-query methodology annotations ride the full artifact
     assert(json.contains("\"methodology_notes\":{\"cdc_slot_drain\""), "notes")
