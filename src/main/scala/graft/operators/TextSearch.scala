@@ -309,10 +309,17 @@ object TextSearch {
     // spares the second full corpus scan its two consumers would cost
     val dt1 = docTermTf(docs, idCol, textCol)
       .filter(col("term").isin(qTerms: _*))
-    // lazy spelling (r21): one term-keyed exchange shared by the df
-    // aggregate and the scoring join via ReuseExchange — see bm25Impl
+    // lazy spelling: plain re-derivation per consumer. An r21 attempt
+    // pinned the sliver behind repartition(term) hoping ReuseExchange
+    // would share it — it cannot: column pruning dives below the
+    // repartition and projects each branch differently (df agg keeps
+    // only `term`), so the subtrees never canonical-match, the scoring
+    // branch gains an exchange its broadcast join never needed, and
+    // the df branch loses map-side partial aggregation (raw instances
+    // on the wire instead of per-task partials). Reverted on plan
+    // evidence: plans/r21/sql_text_search_tvf_{before,after}.txt.
     val dt0 =
-      if (lazyPlan) dt1.repartition(col("term"))
+      if (lazyPlan) dt1
       else dt1.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfTbl = dt0.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -388,17 +395,13 @@ object TextSearch {
     val withTc = docsWithTermCounts(docs, idCol, textCol)
     val rows0 = explodeWithDl(withTc)
       .filter(col("term").isin(qTerms: _*))
-    // lazy spelling (r21): pin the query-term sliver behind ONE
-    // term-keyed exchange instead of re-deriving it per consumer — the
-    // df aggregate and the scoring join are both planned over the SAME
-    // canonical shuffle subtree, so ReuseExchange materializes the
-    // corpus scan + tokenize once (executed plan: one scan +
-    // ReusedExchange, was two full tokenize passes). The sliver is
-    // O(docs × |query terms|) rows, so the extra exchange is noise next
-    // to the saved pass; the eager spelling keeps its persist (a cache
-    // needs no exchange at all).
+    // lazy spelling: plain re-derivation per consumer (see
+    // searchTopKImpl — the r21 repartition(term) ReuseExchange attempt
+    // was reverted on plan evidence: pruning differentiates the
+    // branches below the repartition, so nothing is ever reused and
+    // both branches get strictly worse exchanges).
     val rows =
-      if (lazyPlan) rows0.repartition(col("term"))
+      if (lazyPlan) rows0
       else rows0.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfTbl = rows.groupBy(col("term")).agg(count(lit(1)).as("df"))
